@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central table access. Every query goes through here so scale-critical
+  * reader concerns (schema pinning, the events ns-timestamp workaround,
+  * partition sizing) live in exactly one place.
+  *
+  * Scale note (100 TB): these are plain parquet scans — Catalyst handles
+  * column pruning + predicate pushdown as long as callers keep filters and
+  * projections declarative. No collect(), no schema inference by sampling.
+  */
+object Tables {
+  /** Plain parquet table (all star-schema tables + documents/embeddings). */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark 4.x refuses
+    * to read by default (PARQUET_TYPE_ILLEGAL). Verified workaround: read the
+    * nanos as Long, then integer-divide to micros (exact — a double division
+    * would lose precision above 2^53) and rebuild a TimestampType column.
+    * DuckDB truncates ns→µs the same way (floor), so event-level timestamp
+    * comparisons are exact across engines.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Documents tokenized on whitespace — shared by the text/dedup surface. */
+  def docTokens(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+}

@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2-D aggregation surface.
+  *
+  * Scale notes (100 TB): every groupBy below compiles to a partial (map-side)
+  * + final HashAggregate, so the shuffle carries pre-aggregated rows — the
+  * dominant cost is the scan, which prunes to only the referenced columns.
+  * Group-key cardinalities here are tiny (flags, priorities, segments), so
+  * the final aggregate is never skewed; count_distinct is the one expensive
+  * shape (expand + 2-phase) and approx_count_distinct is the documented
+  * at-scale alternative.
+  */
+object AggOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "agg_hash_global" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        countDistinct("l_orderkey").as("n_orders"))
+    }),
+
+    // TPC-H Q1 shape — the flagship aggregation.
+    "agg_groupby" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "agg_count_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    // HLL sketch — algo-dependent value, bench-only (no oracle); the 100 TB
+    // replacement for exact count-distinct.
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+    }),
+
+    // collect_set sorted then joined to a string: array hash-compare across
+    // engines is brittle, a canonical string is not.
+    "agg_collect" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Exact percentiles (interpolating), not approx — matches quantile_cont.
+    "agg_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // rollup/cube after a join trip Spark's ambiguous-self-join detector
+    // when rebuilt from the same files; the SQL-text path resolves by name
+    // and is immune. Same plan (Expand + HashAggregate) either way.
+    "agg_rollup" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_ru")
+      Tables.customer(s, d).createOrReplaceTempView("customer_ru")
+      s.sql("""
+        SELECT c_mktsegment, o_orderstatus, grouping_id() AS gid,
+               count(1) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_ru JOIN customer_ru ON o_custkey = c_custkey
+        GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+        ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+      """)
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_cu")
+      Tables.customer(s, d).createOrReplaceTempView("customer_cu")
+      Tables.nation(s, d).createOrReplaceTempView("nation_cu")
+      s.sql("""
+        SELECT /*+ BROADCAST(nation_cu) */
+               n_name, o_orderpriority, grouping_id() AS gid,
+               count(1) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_cu
+        JOIN customer_cu ON o_custkey = c_custkey
+        JOIN nation_cu ON c_nationkey = n_nationkey
+        GROUP BY CUBE (n_name, o_orderpriority)
+        ORDER BY gid, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, grouping_id() AS gid,
+               count(1) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_hash_global" -> """
+      SELECT count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(min(l_extendedprice), 2) AS min_price,
+             round(max(l_extendedprice), 2) AS max_price,
+             count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem""",
+
+    "agg_groupby" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "agg_count_distinct" -> """
+      SELECT event_type,
+             count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "agg_collect" -> """
+      SELECT o_orderstatus,
+             string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "agg_percentile" -> """
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "agg_rollup" -> """
+      SELECT c_mktsegment, o_orderstatus, grouping_id(c_mktsegment, o_orderstatus) AS gid,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+      ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""",
+
+    "agg_cube" -> """
+      SELECT n_name, o_orderpriority, grouping_id(n_name, o_orderpriority) AS gid,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY CUBE (n_name, o_orderpriority)
+      ORDER BY gid, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "agg_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, grouping_id(o_orderstatus, o_orderpriority) AS gid,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+  )
+}

@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2-H scalar function surface, bundled into one wide query per family.
+  * All of these are codegen'd built-ins (whole-stage codegen keeps them in
+  * one fused pipeline over the scan — no UDF boundary, no serialization).
+  *
+  * Oracle-parity notes: DuckDB return types differ from Spark for several
+  * functions (year → BIGINT vs INT, ceil → DOUBLE vs LONG, dayofweek 0- vs
+  * 1-based…) — each oracle casts/adjusts to match Spark exactly, and doubles
+  * from libm (exp/ln/pow) are rounded to 4 decimals on both sides.
+  */
+object FnOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        trim(concat(lit("  "), col("p_type"), lit(" "))).as("trimmed"),
+        substring(col("p_name"), 1, 8).as("sub8"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        regexp_replace(col("p_name"), " ", "_").as("underscored"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        length(col("p_name")).as("len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+        .orderBy("p_partkey")
+    }),
+
+    "fn_date" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since"),
+        add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3m"),
+        last_day(col("o_orderdate")).cast("timestamp").as("eom"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    }),
+
+    "fn_math" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("r1"),
+        abs(col("l_discount") - 0.05).as("ad"),
+        ceil(col("l_extendedprice")).as("ce"),
+        floor(col("l_extendedprice")).as("fl"),
+        round(sqrt(col("l_quantity")), 4).as("sq"),
+        round(exp(col("l_discount")), 4).as("ex"),
+        round(log(col("l_extendedprice")), 4).as("ln_p"),
+        round(log10(col("l_extendedprice")), 4).as("log10_p"),
+        round(pow(col("l_quantity"), 2.0), 2).as("p2"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"),
+        signum(col("l_discount") - 0.05).as("sg"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "fn_array" -> ((s, d) => {
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 5).as("first"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+                        lit(0.0), (acc, x) => acc + x), 4).as("sq_norm"),
+        size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"),
+        round(aggregate(slice(col("embedding"), 1, 8), lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("head_sum"))
+        .orderBy("vec_id")
+    }),
+
+    "fn_map" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .select(
+          col("event_id"),
+          size(col("m")).as("n_keys"),
+          array_join(map_keys(col("m")), ",").as("keys"),
+          element_at(col("m"), "k").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.missing").as("absent"))
+        .orderBy("event_id")
+    }),
+
+    "fn_conditional" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        when(col("c_acctbal") < 0, "debt").otherwise("credit").as("bal_band"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("pos_bal"),
+        round(least(col("c_acctbal"), lit(1000.0)), 2).as("capped"),
+        nvl(nullif(col("c_name"), lit("")), lit("anon")).as("name_nn"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" -> """
+      SELECT p_partkey,
+             lower(p_name) AS lo,
+             upper(p_brand) AS up,
+             trim('  ' || p_type || ' ') AS trimmed,
+             substring(p_name, 1, 8) AS sub8,
+             lpad(p_brand, 12, '*') AS padded,
+             replace(p_name, ' ', '_') AS underscored,
+             CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+             coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+             CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev,
+             CAST(length(p_name) AS INTEGER) AS len,
+             p_brand || '|' || p_type AS joined
+      FROM part
+      ORDER BY p_partkey""",
+
+    "fn_date" -> """
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INTEGER) AS y,
+             CAST(month(o_orderdate) AS INTEGER) AS m,
+             CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+             date_trunc('month', o_orderdate) AS month_start,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01', date_trunc('day', o_orderdate)) AS INTEGER) AS days_since,
+             o_orderdate + INTERVAL 3 MONTH AS plus3m,
+             CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    "fn_math" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice, 1) AS r1,
+             abs(l_discount - 0.05) AS ad,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+             CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+             round(sqrt(l_quantity), 4) AS sq,
+             round(exp(l_discount), 4) AS ex,
+             round(ln(l_extendedprice), 4) AS ln_p,
+             round(log10(l_extendedprice), 4) AS log10_p,
+             round(pow(l_quantity, 2.0), 2) AS p2,
+             ((l_orderkey % 7) + 7) % 7 AS pm,
+             CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "fn_array" -> """
+      SELECT vec_id,
+             CAST(len(embedding) AS INTEGER) AS dim,
+             round(CAST(embedding[1] AS DOUBLE), 5) AS first,
+             round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS sq_norm,
+             CAST(len(list_filter(embedding, x -> x > 0.0)) AS INTEGER) AS n_pos,
+             round(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 4) AS head_sum
+      FROM embeddings
+      ORDER BY vec_id""",
+
+    "fn_map" -> """
+      SELECT event_id,
+             CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+             array_to_string(json_keys(props), ',') AS keys,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+      FROM events
+      ORDER BY event_id""",
+
+    "fn_json" -> """
+      SELECT event_id,
+             json_extract_string(props, '$.k') AS k_str,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+             json_extract_string(props, '$.missing') AS absent
+      FROM events
+      ORDER BY event_id""",
+
+    "fn_conditional" -> """
+      SELECT c_custkey,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+             CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_band,
+             round(greatest(c_acctbal, 0.0), 2) AS pos_bal,
+             round(least(c_acctbal, 1000.0), 2) AS capped,
+             coalesce(nullif(c_name, ''), 'anon') AS name_nn
+      FROM customer
+      ORDER BY c_custkey"""
+  )
+}

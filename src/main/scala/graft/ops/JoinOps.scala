@@ -1,0 +1,256 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2-C joins.
+  *
+  * Scale notes (100 TB):
+  *  - dims (region/nation/customer-at-small-sf) are broadcast explicitly —
+  *    no shuffle of the fact side;
+  *  - big-big joins (lineitem⋈orders) get SHUFFLE_MERGE: both sides hash-
+  *    partition on the key once, and AQE can demote/skew-split at runtime;
+  *  - the theta/range join is banded onto an equi bucket key (floor(value))
+  *    so it compiles to a hash join instead of a nested-loop cross product —
+  *    THE pattern that keeps inequality joins alive at scale;
+  *  - the as-of join is the union+window formulation: one shuffle on
+  *    user_id, a single ordered pass, no point-lookup loop.
+  */
+object JoinOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "join_broadcast" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    }),
+
+    "join_shuffle_hash" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.hint("shuffle_hash").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "join_sortmerge" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "join_left" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_custs_no_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "join_right" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      // right outer: every customer survives even without orders
+      o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_custs_no_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "join_full" -> ((s, d) => {
+      // full outer over two order-month slices keyed by custkey aggregates:
+      // customers active in jan-only, feb-only, and both.
+      val o = Tables.orders(s, d)
+      val jan = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 1)
+        .groupBy(col("o_custkey").as("jk")).agg(count(lit(1)).as("jan_n"))
+      val feb = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 2)
+        .groupBy(col("o_custkey").as("fk")).agg(count(lit(1)).as("feb_n"))
+      jan.join(feb, col("jk") === col("fk"), "full_outer")
+        .select(
+          coalesce(col("jk"), col("fk")).as("custkey"),
+          coalesce(col("jan_n"), lit(0L)).as("jan_n"),
+          coalesce(col("feb_n"), lit(0L)).as("feb_n"))
+        .orderBy("custkey")
+    }),
+
+    "join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "join_cross_topk" -> ((s, d) => {
+      val r = Tables.region(s, d).select(col("r_name"))
+      val n = Tables.nation(s, d).select(col("n_name"))
+      r.crossJoin(n)
+        .orderBy("r_name", "n_name")
+        .limit(50)
+    }),
+
+    // Banded theta join: equi on floor(value) + band predicate. Compiles to
+    // a hash join; a raw |a-b|<eps predicate would be a nested-loop cross.
+    "join_theta_range" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("a_id"), col("value").as("a_value"))
+        .withColumn("bucket", floor(col("a_value")))
+      val b = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("b_id"), col("value").as("b_value"))
+        .withColumn("bucket", floor(col("b_value")))
+      a.join(b, Seq("bucket"))
+        .filter(abs(col("a_value") - col("b_value")) <= 0.25)
+        .select(col("a_id"), col("b_id"),
+                round(abs(col("a_value") - col("b_value")), 4).as("diff"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Interval containment join: equi key + range predicate (SMJ + filter).
+    "join_interval" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+                l("l_shipdate") >= o("o_orderdate") &&
+                l("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_year")
+    }),
+
+    // As-of join (no Spark primitive): union-tag + last(ignoreNulls) window.
+    // Each purchase gets the user's most recent signup at-or-before it.
+    // One shuffle on user_id, one ordered pass — scales linearly.
+    "join_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val sign = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), lit(0).as("side"), lit(null).cast("long").as("p_id"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id").as("p_id"))
+      // order by (ts, side): at equal ts the signup sorts first, giving the
+      // inclusive p.ts >= s.ts semantics of DuckDB ASOF JOIN.
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sign.unionByName(purch)
+        .withColumn("signup_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("signup_ts").isNotNull)
+        .select(col("p_id").as("event_id"), col("user_id"), col("ts"), col("signup_ts"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast" -> """
+      SELECT n_nationkey, n_name, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      ORDER BY n_nationkey""",
+
+    "join_shuffle_hash" -> """
+      SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "join_sortmerge" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "join_left" -> """
+      SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_custs_no_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "join_right" -> """
+      SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_custs_no_orders
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "join_full" -> """
+      SELECT coalesce(jk, fk) AS custkey,
+             coalesce(jan_n, 0) AS jan_n, coalesce(feb_n, 0) AS feb_n
+      FROM (SELECT o_custkey AS jk, count(*) AS jan_n FROM orders
+            WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1 GROUP BY 1) j
+      FULL OUTER JOIN
+           (SELECT o_custkey AS fk, count(*) AS feb_n FROM orders
+            WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2 GROUP BY 1) f
+      ON jk = fk
+      ORDER BY custkey""",
+
+    "join_semi" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "join_anti" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "join_cross_topk" -> """
+      SELECT r_name, n_name
+      FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name
+      LIMIT 50""",
+
+    "join_theta_range" -> """
+      SELECT a.event_id AS a_id, b.event_id AS b_id,
+             round(abs(a.value - b.value), 4) AS diff
+      FROM events a JOIN events b
+        ON floor(a.value) = floor(b.value)
+       AND abs(a.value - b.value) <= 0.25
+      WHERE a.event_type = 'signup' AND b.event_type = 'error'
+      ORDER BY a_id, b_id""",
+
+    "join_interval" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem JOIN orders
+        ON l_orderkey = o_orderkey
+       AND l_shipdate >= o_orderdate
+       AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+      GROUP BY 1
+      ORDER BY o_year""",
+
+    "join_asof" -> """
+      SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id"""
+  )
+}

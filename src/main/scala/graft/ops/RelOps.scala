@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2-B projection/filter, §2-F sort/limit/top-k, §2-G set operations.
+  *
+  * Scale notes (100 TB): `limit_topn` compiles to TakeOrderedAndProject —
+  * a per-partition top-N then a single driver-side merge of N×partitions
+  * rows, never a full sort. `topk_per_group` shuffles once on the group key
+  * and sorts within partitions. The set ops are aggregate-style (distinct =
+  * shuffle on the full row); union_all is shuffle-free.
+  */
+object RelOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- B. projection / predicates ----
+    // revenue rounded to 4 (the product of two 2-decimal values has exactly
+    // 4 decimal digits — rounding at 2 hits .xx5 ties where Spark HALF_UP
+    // and DuckDB double-rounding disagree; at 4 both recover the exact value).
+    // (l_orderkey, l_linenumber) is not unique → order by all output cols.
+    "proj_expr" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_status"),
+        when(col("l_quantity") > 40, "heavy")
+          .when(col("l_quantity") > 20, "mid")
+          .otherwise("light").as("qty_band"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "flag_status", "qty_band")
+    }),
+
+    "filter_in_between_like" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice").between(50000, 200000) &&
+          (col("o_orderstatus").like("F%") || col("o_orderstatus") === "O") &&
+          col("o_orderdate").isNotNull)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- F. sort / limit / top-k ----
+    "sort_multi" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy(col("l_returnflag").desc, col("l_shipdate").asc,
+                 col("l_orderkey").asc, col("l_linenumber").asc, col("l_quantity").asc)
+    }),
+
+    "limit_topn" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)
+    }),
+
+    "topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    // ---- G. set operations ----
+    "set_union_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val jan = o.filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"), lit("1996-01-31").cast("timestamp")))
+        .select(col("o_orderkey"), col("o_custkey"), lit("jan").as("tag"))
+      val feb = o.filter(col("o_orderdate").between(lit("1996-02-01").cast("timestamp"), lit("1996-02-29").cast("timestamp")))
+        .select(col("o_orderkey"), col("o_custkey"), lit("feb").as("tag"))
+      jan.unionByName(feb).orderBy("o_orderkey")
+    }),
+
+    "set_union_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val jan = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 1).select("o_custkey")
+      val feb = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 2).select("o_custkey")
+      jan.union(feb).distinct().orderBy("o_custkey")
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val jan = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 1).select("o_custkey")
+      val feb = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 2).select("o_custkey")
+      jan.intersect(feb).orderBy("o_custkey")
+    }),
+
+    "set_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val jan = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 1).select("o_custkey")
+      val feb = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 2).select("o_custkey")
+      jan.except(feb).orderBy("o_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "proj_expr" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+             l_returnflag || '-' || l_linestatus AS flag_status,
+             CASE WHEN l_quantity > 40 THEN 'heavy'
+                  WHEN l_quantity > 20 THEN 'mid'
+                  ELSE 'light' END AS qty_band
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, revenue, flag_status, qty_band""",
+
+    "filter_in_between_like" -> """
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND o_totalprice BETWEEN 50000 AND 200000
+        AND (o_orderstatus LIKE 'F%' OR o_orderstatus = 'O')
+        AND o_orderdate IS NOT NULL
+      ORDER BY o_orderkey""",
+
+    "sort_multi" -> """
+      SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      ORDER BY l_returnflag DESC, l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC""",
+
+    "limit_topn" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      LIMIT 100""",
+
+    "topk_per_group" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+      FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+               CAST(row_number() OVER (PARTITION BY l_suppkey
+                 ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INTEGER) AS rn
+        FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_suppkey, rn""",
+
+    "set_union_all" -> """
+      SELECT o_orderkey, o_custkey, 'jan' AS tag FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-01-31'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'feb' AS tag FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01' AND TIMESTAMP '1996-02-29'
+      ORDER BY o_orderkey""",
+
+    "set_union_distinct" -> """
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+      UNION
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2
+      ORDER BY o_custkey""",
+
+    "set_intersect" -> """
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2
+      ORDER BY o_custkey""",
+
+    "set_except" -> """
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2
+      ORDER BY o_custkey
+      """
+  )
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** §2-A scans, sources and sinks.
+  *
+  * Scale notes (100 TB): `scan_pruned` / `scan_filter_pushdown` exist to
+  * prove that projection and predicates reach the parquet reader (check
+  * `ReadSchema` / `PushedFilters` in the formatted plan) — at 100 TB these
+  * two properties are the difference between scanning terabytes and
+  * scanning gigabytes. The sink roundtrips write to per-query temp dirs;
+  * `sink_parquet_partitioned` demonstrates partitioned layout + partition
+  * pruning on read-back.
+  */
+object ScanOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Full scan. NOTE: (l_orderkey, l_linenumber) is NOT unique in this
+    // testdata — the only safe total order is over every output column
+    // (full rows verified duplicate-free; ties would be identical anyway).
+    "scan_parquet" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.orderBy(l.columns.map(col): _*)
+    }),
+
+    // Column pruning: only 3 of 11 columns should appear in ReadSchema.
+    "scan_pruned" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // Predicate pushdown: the timestamp filter lands in PushedFilters and
+    // skips row groups at scale.
+    "scan_filter_pushdown" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    }),
+
+    // JSON-lines source surface: events.props is a JSON string {"k": int}.
+    "src_jsonlines" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"),
+          col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // CSV sink + source roundtrip; verified by joining back to the origin.
+    "src_csv_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("graft_csv")
+      val r = Tables.region(s, d)
+      r.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+      val back = s.read.schema(r.schema).option("header", "true").csv(dir)
+      back.join(r, Seq("r_regionkey"))
+        .select(col("r_regionkey"), back("r_name").as("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
+    // Partitioned parquet sink + read-back aggregation. The read-back
+    // filter prunes whole partition directories (static partition pruning).
+    "sink_parquet_partitioned" -> ((s, d) => {
+      val dir = tmpDir("graft_part")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_year") >= 1996)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_year")
+    }),
+
+    // No JDBC driver jar ships offline (/opt/spark/jars has only hive-jdbc,
+    // which needs a HiveServer2). Documented fallback per SURVEY §2-A: the
+    // same batch-sink semantics (overwrite, read-back, aggregate) against a
+    // parquet "warehouse" dir. On a real cluster this is `.write.format
+    // ("jdbc").option("url", ...)` with identical data flow.
+    "sink_jdbc" -> ((s, d) => {
+      val dir = tmpDir("graft_jdbc_fallback")
+      val agg = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      agg.write.mode(SaveMode.Overwrite).parquet(dir)
+      s.read.parquet(dir).orderBy("o_orderpriority")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" -> """
+      SELECT * FROM lineitem ORDER BY ALL""",
+
+    "scan_pruned" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
+
+    "scan_filter_pushdown" -> """
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      ORDER BY l_orderkey, l_linenumber, l_shipdate, l_extendedprice""",
+
+    "src_jsonlines" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             event_type
+      FROM events
+      ORDER BY event_id""",
+
+    "src_csv_roundtrip" -> """
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "sink_parquet_partitioned" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE year(o_orderdate) >= 1996
+      GROUP BY 1
+      ORDER BY o_year""",
+
+    "sink_jdbc" -> """
+      SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+  )
+}

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2-E window functions.
+  *
+  * Scale notes (100 TB): each window shuffles once on its partition key and
+  * sorts within partitions (WindowExec). Partition keys here (brand,
+  * suppkey, user_id, custkey) are high-cardinality enough to spread; a
+  * single-partition window (no partitionBy) is the anti-pattern and appears
+  * nowhere. Every window ORDER BY carries a unique tiebreaker so rank &
+  * frame results are deterministic across engines.
+  */
+object WinOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "win_rank_dense_rownum" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Tables.part(s, d)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .orderBy("p_brand", "rn")
+    }),
+
+    "win_ntile_percent" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select("c_custkey", "c_acctbal")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy("c_custkey")
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("delta", round(col("value") - lag("value", 1).over(w), 4))
+        .withColumn("next_ts", lead("ts", 1).over(w))
+        .orderBy("event_id")
+    }),
+
+    // (l_orderkey, l_linenumber) is NOT unique → the window order carries
+    // l_quantity too (ties are then rows identical in every frame-relevant
+    // column, so ROWS-frame sums are order-independent), and the output
+    // order covers every column incl. the computed one.
+    "win_frame_rows" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+                 col("l_linenumber").asc, col("l_quantity").asc)
+        .rowsBetween(-3, 3)
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .withColumn("moving_qty", round(sum("l_quantity").over(w), 2))
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate", "l_quantity", "moving_qty")
+    }),
+
+    "win_frame_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+        .orderBy("o_orderkey")
+    }),
+
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("first_date", first("o_orderdate").over(w))
+        .withColumn("last_date", last("o_orderdate").over(w))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_dense_rownum" -> """
+      SELECT * FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               CAST(row_number() OVER w AS INTEGER) AS rn
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC))
+      WHERE rn <= 10
+      ORDER BY p_brand, rn""",
+
+    "win_ntile_percent" -> """
+      SELECT c_custkey, c_acctbal,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+      ORDER BY c_custkey""",
+
+    "win_lag_lead" -> """
+      SELECT user_id, event_id, ts, value,
+             round(value - lag(value, 1) OVER w, 4) AS delta,
+             lead(ts, 1) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      ORDER BY event_id""",
+
+    "win_frame_rows" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+             round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 2) AS moving_qty
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_suppkey, l_shipdate, l_quantity, moving_qty""",
+
+    "win_frame_range" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice ASC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    "win_first_last" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             first_value(o_orderdate) OVER w AS first_date,
+             last_value(o_orderdate) OVER w AS last_date
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderkey"""
+  )
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 correctness gate.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [key ...]
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output) and compares it
+against DuckDB running oracle_sql.json's SQL over the same sf tables.
+Columns are sorted by name before comparison (driver semantics); values
+must match exactly. NOT part of the Scala engine — dev tooling only.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def load_tables(con, sf_dir):
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-8]
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+def compare(name, spark_df, duck_df):
+    a, b = norm(spark_df), norm(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA cols spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                ok = ((av.isna() & bv.isna()) | (av == bv)).all()
+            else:
+                ok = av.astype(object).where(pd.notna(av), None).equals(
+                     bv.astype(object).where(pd.notna(bv), None))
+        except Exception as e:
+            return f"COMPARE-ERR col {c}: {e}"
+        if not ok:
+            mask = ~(((av.isna()) & (bv.isna())) | (av.astype(object) == bv.astype(object)))
+            idx = mask[mask].index[:3]
+            detail = "; ".join(f"row{int(i)}: spark={av[i]!r} duck={bv[i]!r}" for i in idx)
+            # dtype hint
+            return f"VALUES col {c} ({av.dtype} vs {bv.dtype}) {int(mask.sum())} diffs: {detail}"
+    return None
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    load_tables(con, sf_dir)
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        pdir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pdir, "*.parquet"))
+        if not files:
+            results[name] = "MISSING spark output"
+            continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        except Exception as e:
+            results[name] = f"READ-ERR {e}"
+            continue
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE-ERR {str(e).splitlines()[0][:200]}"
+            continue
+        results[name] = compare(name, spark_df, duck_df)
+    npass = sum(1 for v in results.values() if v is None)
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v is None else 'FAIL'} {name}" + (f" :: {v}" if v else ""))
+    print(f"== {npass}/{len(results)} pass ==")
+    # note which query keys have no oracle (rows-only)
+    missing = [n for n in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, n)) and n not in oracle]
+    if missing and not only:
+        print("rows-only (no oracle):", ", ".join(sorted(missing)))
+
+if __name__ == "__main__":
+    main()
