@@ -28,16 +28,18 @@ object Tables {
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark 4.x refuses
     * to read by default (PARQUET_TYPE_ILLEGAL). Verified workaround: read the
-    * nanos as Long, then integer-divide to micros (exact — a double division
-    * would lose precision above 2^53) and rebuild a TimestampType column.
-    * DuckDB truncates ns→µs the same way (floor), so event-level timestamp
-    * comparisons are exact across engines.
+    * nanos as Long, then floor-divide to micros in INTEGER arithmetic (a
+    * double division would lose precision above 2^53; `ts div 1000` alone
+    * truncates toward zero, which differs from floor for pre-epoch negative
+    * nanos — `(ts - pmod(ts,1000)) div 1000` is exact floor for any sign) and
+    * rebuild a TimestampType column. DuckDB floors ns→µs the same way, so
+    * event-level timestamp comparisons are exact across engines.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
 
   /** Documents tokenized on whitespace — shared by the text/dedup surface. */

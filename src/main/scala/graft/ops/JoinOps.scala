@@ -12,9 +12,10 @@ import org.apache.spark.sql.expressions.Window
   *    no shuffle of the fact side;
   *  - big-big joins (lineitem⋈orders) get SHUFFLE_MERGE: both sides hash-
   *    partition on the key once, and AQE can demote/skew-split at runtime;
-  *  - the theta/range join is banded onto an equi bucket key (floor(value))
-  *    so it compiles to a hash join instead of a nested-loop cross product —
-  *    THE pattern that keeps inequality joins alive at scale;
+  *  - the theta/range join explodes one side onto the ≤2 width-1 buckets its
+  *    band can touch and equi-joins on the bucket, so it compiles to a hash
+  *    join instead of a nested-loop cross product — THE pattern that keeps
+  *    inequality joins alive at scale;
   *  - the as-of join is the union+window formulation: one shuffle on
   *    user_id, a single ordered pass, no point-lookup loop.
   */
@@ -115,13 +116,20 @@ object JoinOps {
         .limit(50)
     }),
 
-    // Banded theta join: equi on floor(value) + band predicate. Compiles to
-    // a hash join; a raw |a-b|<eps predicate would be a nested-loop cross.
+    // Banded theta join: equi on a width-1 bucket + exact band predicate.
+    // The band half-width (0.25) is < bucket width, so any qualifying b lies
+    // in [a-0.25, a+0.25] — an interval of length 0.5 that spans AT MOST two
+    // integer buckets: floor(a-0.25) and floor(a+0.25). Explode the a-side
+    // into those (distinct) buckets, equi-join on floor(b), then apply the
+    // exact predicate. ≤2× expansion of one side, still a hash join — no
+    // nested-loop cross product, and (unlike bucketing both sides on
+    // floor(v)) no pairs straddling a bucket boundary are lost.
     "join_theta_range" -> ((s, d) => {
       val e = Tables.events(s, d)
       val a = e.filter(col("event_type") === "signup")
         .select(col("event_id").as("a_id"), col("value").as("a_value"))
-        .withColumn("bucket", floor(col("a_value")))
+        .withColumn("bucket", explode(array_distinct(array(
+          floor(col("a_value") - 0.25), floor(col("a_value") + 0.25)))))
       val b = e.filter(col("event_type") === "error")
         .select(col("event_id").as("b_id"), col("value").as("b_value"))
         .withColumn("bucket", floor(col("b_value")))
@@ -186,14 +194,14 @@ object JoinOps {
 
     "join_left" -> """
       SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
-             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_custs_no_orders
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_custs_no_orders
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
 
     "join_right" -> """
       SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
-             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_custs_no_orders
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_custs_no_orders
       FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
@@ -231,8 +239,7 @@ object JoinOps {
       SELECT a.event_id AS a_id, b.event_id AS b_id,
              round(abs(a.value - b.value), 4) AS diff
       FROM events a JOIN events b
-        ON floor(a.value) = floor(b.value)
-       AND abs(a.value - b.value) <= 0.25
+        ON abs(a.value - b.value) <= 0.25
       WHERE a.event_type = 'signup' AND b.event_type = 'error'
       ORDER BY a_id, b_id""",
 

@@ -9,10 +9,18 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale notes (100 TB): each window shuffles once on its partition key and
   * sorts within partitions (WindowExec). Partition keys here (brand,
-  * suppkey, user_id, custkey) are high-cardinality enough to spread; a
-  * single-partition window (no partitionBy) is the anti-pattern and appears
-  * nowhere. Every window ORDER BY carries a unique tiebreaker so rank &
-  * frame results are deterministic across engines.
+  * suppkey, user_id, custkey) are high-cardinality enough to spread — with
+  * ONE deliberate exception: `win_ntile_percent` needs a TOTAL order
+  * (ntile/percent_rank/cume_dist are defined over the whole relation), so it
+  * is a global Window.orderBy with no partitionBy and funnels every row
+  * through a single task. That is acceptable only for driver-manageable
+  * cardinalities (customers, not lineitems). The scale-safe alternative is a
+  * two-pass rank: range-partition sort, count rows per partition, broadcast
+  * the cumulative offsets, then derive rank/ntile per partition locally —
+  * documented here as the 100 TB path; the single-window form is kept
+  * because it is the declared operator semantics and the hash-match twin of
+  * the oracle SQL. Every window ORDER BY carries a unique tiebreaker so
+  * rank & frame results are deterministic across engines.
   */
 object WinOps {
   type Q = (SparkSession, String) => DataFrame

@@ -39,11 +39,13 @@ def compare(name, spark_df, duck_df):
         except Exception as e:
             return f"COMPARE-ERR col {c}: {e}"
         if not ok:
-            mask = ~(((av.isna()) & (bv.isna())) | (av.astype(object) == bv.astype(object)))
-            idx = mask[mask].index[:3]
-            detail = "; ".join(f"row{int(i)}: spark={av[i]!r} duck={bv[i]!r}" for i in idx)
-            # dtype hint
-            return f"VALUES col {c} ({av.dtype} vs {bv.dtype}) {int(mask.sum())} diffs: {detail}"
+            try:
+                mask = ~(((av.isna()) & (bv.isna())) | (av.astype(object) == bv.astype(object)))
+                idx = mask[mask].index[:3]
+                detail = "; ".join(f"row{int(i)}: spark={av[i]!r} duck={bv[i]!r}" for i in idx)
+                return f"VALUES col {c} ({av.dtype} vs {bv.dtype}) {int(mask.sum())} diffs: {detail}"
+            except Exception:
+                return f"VALUES col {c} ({av.dtype} vs {bv.dtype}) differ (non-comparable dtypes)"
     return None
 
 def main():
