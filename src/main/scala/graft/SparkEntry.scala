@@ -23,7 +23,8 @@ object SparkEntry {
       (JoinOps.queries, JoinOps.oracle),
       (AggOps.queries, AggOps.oracle),
       (WinOps.queries, WinOps.oracle),
-      (FnOps.queries, FnOps.oracle)
+      (FnOps.queries, FnOps.oracle),
+      (UdfOps.queries, UdfOps.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
