@@ -24,7 +24,8 @@ object SparkEntry {
       (AggOps.queries, AggOps.oracle),
       (WinOps.queries, WinOps.oracle),
       (FnOps.queries, FnOps.oracle),
-      (UdfOps.queries, UdfOps.oracle)
+      (UdfOps.queries, UdfOps.oracle),
+      (LlmOps.queries, LlmOps.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

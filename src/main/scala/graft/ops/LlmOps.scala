@@ -1,0 +1,413 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2-K LLM-data-pipeline operators (SURVEY.md:281–293): the beyond-reference
+  * surface a 100 TB training-data pipeline needs — dedup (exact + near-dup),
+  * similarity search, text analysis, multimodal join.
+  *
+  * Scale notes (100 TB):
+  *  - `llm_exact_dedup` is one hash-aggregate over a normalized-text digest:
+  *    map-side partial min/count, single shuffle on the 128-bit hash. The
+  *    classic first pass of every corpus dedup.
+  *  - `llm_neardup_minhash` is the LSH-banded plan, NOT all-pairs: shingle →
+  *    k=128 universal-hashed minima → 32 bands × 4 rows → equi-join on
+  *    (band, bandHash). Work is O(corpus) + O(collisions); the quadratic
+  *    explosion only ever happens inside a bucket. The exact-Jaccard confirm
+  *    join runs on the candidate pairs only. Deterministic seeds so reruns
+  *    and the driver gate agree.
+  *  - `llm_jaccard_pairs` IS the quadratic verification twin — deliberately
+  *    capped to doc_id < 100 (SURVEY §2-K: "small doc subset") and driven
+  *    through a token-equi-join (pairs sharing ≥1 token), never a cross join.
+  *  - kNN: brute-force caps the query side at 100 vectors and broadcasts the
+  *    candidate set — the right baseline shape; the centroid variant is the
+  *    scale path (coarse quantization: score 10 centroids, not 500k vectors).
+  *    Both evaluate cosine via the codegen'd `graft_cosine` Expression or the
+  *    built-in higher-order fold — no UDF boxing in the inner loop.
+  *  - Text stats / tf-idf / n-grams are explode → hash-agg pipelines: one
+  *    shuffle each, map-side combine does the heavy lifting.
+  */
+object LlmOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stopword list shared by text ops (tiny, fixed — broadcastable). */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Word 3-gram shingle set of `text` (array_distinct), empty if <3 words. */
+  private def shingles(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash parameters: k=128 permutations as universal hashes
+    * h_i(x) = (a_i*x + b_i) mod p over a 31-bit prime, banded 32×4.
+    * Seeded RNG → identical signatures on every run/executor.
+    */
+  private val MinhashK = 128
+  private val Bands = 32
+  private val RowsPerBand = MinhashK / Bands
+  private val P = 2147483647L // 2^31 - 1
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42L)
+    (Array.fill(MinhashK)(1L + rnd.nextInt((P - 1).toInt)),
+     Array.fill(MinhashK)(rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** Exact Jaccard between two pre-deduped string arrays. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  private def cosDouble(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot / sqrt(na * nb)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: normalize (lower, squash whitespace) → digest → one
+    // hash-agg keeping the minimum doc_id per digest.
+    "llm_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"),
+                col("doc_id"))
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    // Near-dup detection: MinHash + LSH banding, then exact-Jaccard confirm
+    // on candidates only. Oracle is the honest all-pairs predicate — the
+    // banded plan must FIND every pair, not redefine the question.
+    "llm_neardup_minhash" -> ((s, d) => {
+      val tau = 0.6
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+
+      // shingle → 31-bit base hash → k minima per doc (one hash-agg).
+      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("h0", pmod(xxhash64(col("s")), lit(P)))
+      val sigCols = (0 until MinhashK).map { i =>
+        min(pmod(col("h0") * hashA(i) + hashB(i), lit(P))).as(s"sig$i")
+      }
+      val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+      // 32 bands of 4 rows: band fingerprint = hash of its 4 signature slots.
+      val bandStructs = (0 until Bands).map { j =>
+        val slots = (0 until RowsPerBand).map(r => col(s"sig${j * RowsPerBand + r}"))
+        struct(lit(j).as("band"), hash(slots :+ lit(j): _*).as("bh"))
+      }
+      val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+
+      // Confirm: exact shingle Jaccard on the (small) candidate set.
+      val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") >= tau)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact pairwise token-set Jaccard on a capped subset — the quadratic
+    // verification twin of the minhash plan. Token-equi-join, not cross join.
+    "llm_jaccard_pairs" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = toks.as("x").join(toks.as("y"),
+          col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Brute-force kNN baseline: first 100 query vectors × broadcast candidate
+    // set, cosine via the codegen'd Expression, per-query top-5 window.
+    "llm_knn_bruteforce" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .filter(col("q_id") < 100)
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      q.join(broadcast(c), col("q_id") =!= col("n_id"))
+        .withColumn("cos", call_function("graft_cosine", col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // Coarse-quantized kNN (the scale path): per-label centroid (single
+    // hash-agg, 64 avg slots — no explode shuffle), then nearest-centroid
+    // assignment against the 10 broadcast centroids; confusion counts.
+    // Centroid components rounded to 6dp BEFORE the cosine so Spark's and
+    // the oracle's float-summation-order drift cannot flip an assignment.
+    "llm_knn_centroids" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dim = 64
+      val avgCols = (1 to dim).map(i => round(avg(element_at(col("embedding"), i)), 6).as(s"c$i"))
+      val centroids = e.groupBy(col("label").as("clabel"))
+        .agg(avgCols.head, avgCols.tail: _*)
+        .select(col("clabel"), array((1 to dim).map(i => col(s"c$i")): _*).as("cvec"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
+      e.crossJoin(broadcast(centroids))
+        .withColumn("cos", cosDouble(col("embedding"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("assigned_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "assigned_label")
+    }),
+
+    // Per-language corpus stats + top-10 stopword-free words.
+    "llm_text_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val langStats = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 2).as("avg_chars"))
+      val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(!col("word").isin(stopwords: _*))
+      val ttr = toks.groupBy("lang")
+        .agg((countDistinct("word").cast("double") / count(lit(1))).as("ttr0"))
+        .select(col("lang"), round(col("ttr0"), 4).as("ttr"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word").asc)
+      val top = toks.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+      top.join(langStats, "lang").join(ttr, "lang")
+        .select(col("lang"), col("rk"), col("word"), col("cnt"),
+                col("n_docs"), col("avg_chars"), col("ttr"))
+        .orderBy("lang", "rk")
+    }),
+
+    // TF-IDF over the 50-doc subset: tf = in-doc count, idf = ln(50/df),
+    // top-5 terms per doc ranked on the ROUNDED score (term asc tiebreak) so
+    // last-ulp ln() differences between engines cannot flip a rank.
+    "llm_tfidf_top" -> ((s, d) => {
+      val n = 50
+      val toks = Tables.documents(s, d)
+        .filter(col("doc_id") < n)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Corpus bigram counts, top-50 (total tie-break order → deterministic).
+    "llm_ngram" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val bigrams = when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(50)
+    }),
+
+    // Multimodal row: text metadata ⋈ vector on aligned ids, grouped stats.
+    "llm_multimodal_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val norm = sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .groupBy("label", "lang")
+        .agg(count(lit(1)).as("n"),
+             round(avg("n_chars"), 2).as("avg_chars"),
+             round(avg(norm), 4).as("avg_norm"))
+        .orderBy("label", "lang")
+    })
+  )
+
+  /** DuckDB shingle-set CTE shared by the minhash oracle (same 3-gram def
+    * as `shingles` above; string_split is 1-based, range end-exclusive). */
+  private val shingleCte = """
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2]))) AS s
+      FROM documents
+      WHERE len(string_split(text,' ')) >= 3)"""
+
+  val oracle: Map[String, String] = Map(
+    "llm_exact_dedup" -> """
+      SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY keep_id""",
+
+    // Honest all-pairs predicate: every pair with shingle Jaccard >= 0.6.
+    // The Spark plan must recover exactly this set through LSH banding.
+    "llm_neardup_minhash" -> s"""
+      WITH $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+      ORDER BY doc_a, doc_b""",
+
+    "llm_jaccard_pairs" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 100),
+      sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      ORDER BY doc_a, doc_b""",
+
+    // Double-precision cosine on both sides (list_cosine_similarity is
+    // float32 — same rationale as expr_custom_cosine's oracle).
+    "llm_knn_bruteforce" -> """
+      WITH pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 100),
+      r AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM pairs)
+      SELECT q_id, rk, n_id, round(cos, 4) AS cos
+      FROM r WHERE rk <= 5
+      ORDER BY q_id, rk""",
+
+    "llm_knn_centroids" -> """
+      WITH x AS (
+        SELECT label, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cv
+        FROM embeddings, range(1, 65) t(pos)
+        GROUP BY label, pos),
+      cen AS (SELECT label AS clabel, list(cv ORDER BY pos) AS cvec FROM x GROUP BY label),
+      scored AS (
+        SELECT v.vec_id, v.label, c.clabel,
+          list_sum(list_transform(range(1, 65),
+                   i -> CAST(v.embedding[i] AS DOUBLE) * c.cvec[i]))
+          / sqrt(list_sum(list_transform(v.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+               * list_sum(list_transform(c.cvec, e -> e * e))) AS cos
+        FROM embeddings v CROSS JOIN cen c),
+      best AS (
+        SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+        FROM scored)
+      SELECT label, clabel AS assigned_label, count(*) AS n
+      FROM best WHERE rn = 1
+      GROUP BY 1, 2
+      ORDER BY label, assigned_label""",
+
+    "llm_text_stats" -> s"""
+      WITH ls AS (
+        SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY lang),
+      toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      nostop AS (SELECT * FROM toks WHERE word NOT IN $stopwordsSqlList),
+      ttr AS (
+        SELECT lang, round(count(DISTINCT word) * 1.0 / count(*), 4) AS ttr
+        FROM nostop GROUP BY lang),
+      top AS (
+        SELECT lang, word, count(*) AS cnt,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word) AS rk
+        FROM nostop GROUP BY lang, word)
+      SELECT t.lang, t.rk, t.word, t.cnt, ls.n_docs, ls.avg_chars, ttr.ttr
+      FROM top t JOIN ls ON t.lang = ls.lang JOIN ttr ON t.lang = ttr.lang
+      WHERE t.rk <= 10
+      ORDER BY t.lang, t.rk""",
+
+    "llm_tfidf_top" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 50),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.doc_id, tf.term, round(tf.tf * ln(50.0 / df.df), 4) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term),
+      r AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM sc)
+      SELECT doc_id, rk, term, tfidf
+      FROM r WHERE rk <= 5
+      ORDER BY doc_id, rk""",
+
+    "llm_ngram" -> """
+      WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      b AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM w)
+      SELECT bigram, count(*) AS cnt
+      FROM b
+      GROUP BY bigram
+      ORDER BY cnt DESC, bigram
+      LIMIT 50""",
+
+    "llm_multimodal_join" -> """
+      SELECT label, lang, count(*) AS n,
+             round(avg(n_chars), 2) AS avg_chars,
+             round(avg(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      GROUP BY label, lang
+      ORDER BY label, lang"""
+  )
+}
