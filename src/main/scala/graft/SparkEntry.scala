@@ -25,7 +25,8 @@ object SparkEntry {
       (WinOps.queries, WinOps.oracle),
       (FnOps.queries, FnOps.oracle),
       (UdfOps.queries, UdfOps.oracle),
-      (LlmOps.queries, LlmOps.oracle)
+      (LlmOps.queries, LlmOps.oracle),
+      (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,349 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** §2-I Structured Streaming surface (SURVEY.md:248–270).
+  *
+  * Every query replays `events` through a FILE-STREAM source: the static
+  * table (after the ns→µs conversion of Tables.events — readStream hits the
+  * same PARQUET_TYPE_ILLEGAL on the raw file) is range-cut by event time
+  * into N parquet chunk files with strictly increasing modification times,
+  * consumed with `maxFilesPerTrigger=1` under `Trigger.AvailableNow`, so
+  * each chunk is one micro-batch and replay order is deterministic.
+  *
+  * Correctness strategy: a watermarked append-mode aggregation only emits a
+  * window after the watermark passes its end — and the watermark produced by
+  * the final data batch only takes effect in a SUBSEQUENT batch. Two
+  * far-future sentinel "flush" files (filtered out of every result) are
+  * appended so the last real windows are always finalized. With time-ordered
+  * chunks nothing else is late, so the streaming result equals the batch
+  * computation — which is exactly what the DuckDB oracles check.
+  *
+  * Scale notes (100 TB / real cluster):
+  *  - state is keyed and incremental: windowed sums, dedup keys and
+  *    per-user state all live in the state store, bounded by the watermark
+  *    (eviction below it) — no unbounded driver-side collection;
+  *  - the static side of stream⋈static is broadcast per micro-batch;
+  *  - chunking/sentinels/memory-sink are REPLAY SCAFFOLDING for the oracle
+  *    gate, not the production path: in production the same transforms bind
+  *    to a Kafka/file source and a parquet/Kafka sink unchanged.
+  */
+object StreamOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Chunks = 8
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Replay variants (cached per sfDir+variant within the JVM). */
+  private case class Replay(srcDir: String, schema: StructType,
+                            nBase: Long, nExtra: Long, mxUs: Long)
+  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), Replay]
+
+  private def moveParts(fromDir: File, toDir: File, prefix: String, mtimeBase: Long): Int = {
+    val parts = Option(fromDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, j) =>
+      val dst = new File(toDir, f"$prefix-$j%03d.parquet")
+      Files.move(f.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(mtimeBase + j * 2000L)
+    }
+    parts.length
+  }
+
+  /** Write `df` as the next replay chunk file(s) with mtime after all
+    * previously written chunks (`seq` orders the replay). */
+  private def writeChunk(df: DataFrame, srcDir: File, seq: Int): Unit = {
+    val tmp = Files.createTempDirectory("graft-chunk-").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    moveParts(tmp, srcDir, f"c$seq%03d", 1700000000000L + seq * 120000L)
+  }
+
+  /** Materialize events into time-ordered chunks + variant extras.
+    * variant: "base" | "flush" | "dup" (dup tail then no flush) |
+    * "late" (late chunk then flush). */
+  private def replay(spark: SparkSession, sfDir: String, variant: String): Replay =
+    cache.getOrElseUpdate((sfDir, variant), {
+      val ev = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val Array(mnUs, mxUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray // 2 scalars — replay setup only
+      val span = mxUs - mnUs + 1
+      val srcDir = Files.createTempDirectory(s"graft-stream-$variant-").toFile
+
+      // Range-cut by event time: chunk i holds an equal slice of the span,
+      // so chunk boundaries are non-overlapping and replay is time-ordered
+      // (⇒ no unintended watermark drops).
+      val chunked = ev.withColumn("chunk",
+        least(lit(Chunks - 1),
+          floor((unix_micros(col("ts")) - mnUs) * Chunks / span)).cast("int"))
+      val tmpW = Files.createTempDirectory("graft-chunkw-").toFile
+      chunked.write.mode("overwrite").partitionBy("chunk").parquet(tmpW.getAbsolutePath)
+      (0 until Chunks).foreach { i =>
+        val d = new File(tmpW, s"chunk=$i")
+        if (d.exists()) moveParts(d, srcDir, f"c$i%03d", 1700000000000L + i * 120000L)
+      }
+
+      var nExtra = 0L
+      val mxTs = expr(s"timestamp_micros(${mxUs}L)")
+      variant match {
+        case "dup" =>
+          // Re-emit the most recent ~90 minutes of events: duplicates whose
+          // keys are still inside a >90-min watermark ⇒ all must be dropped.
+          val tail = ev.filter(col("ts") >= mxTs - expr("INTERVAL 90 MINUTES"))
+          nExtra = tail.count()
+          writeChunk(tail, srcDir, Chunks)
+        case "late" =>
+          // Inject genuinely late rows. Measured Spark behavior: the late-row
+          // filter of micro-batch N uses the watermark derived from batch
+          // N-2's max event time (one batch staler than the progress log
+          // reports), so "older than the final watermark" is NOT enough —
+          // the rows must be older than the SECOND-to-last batch's max minus
+          // the delay. One chunk span + 1h of margin guarantees that.
+          val marginUs = 2 * (span / Chunks) + 3600L * 1000000L
+          val lateRows = ev.filter(
+            unix_micros(col("ts")) <= mxUs - marginUs && col("event_id") % 11 === 0)
+          nExtra = lateRows.count()
+          writeChunk(lateRows, srcDir, Chunks)
+        case _ => ()
+      }
+      if (variant != "base" && variant != "dup") {
+        // Three flush sentinels: measured on Spark 4.1, the watermark a
+        // batch EXECUTES with (filtering + state eviction) derives from the
+        // data of two batches earlier — one batch staler than the progress
+        // log's planning watermark. Three far-future files guarantee the
+        // last real windows are evicted+emitted even when no trailing empty
+        // micro-batch runs.
+        import spark.implicits._
+        Seq(30, 60, 90).zipWithIndex.foreach { case (days, k) =>
+          val sentinel = Seq((-1L, new java.sql.Timestamp((mxUs / 1000L) + days * 86400000L),
+                             -1L, "__flush__", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          writeChunk(sentinel, srcDir, Chunks + 1 + k)
+        }
+      }
+      val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+      Replay(srcDir.getAbsolutePath, schema, ev.count(), nExtra, mxUs)
+    })
+
+  /** Run a file-replay stream to completion, return the memory-sink table. */
+  private def runStream(spark: SparkSession, rep: Replay, outputMode: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val src = spark.readStream
+      .schema(rep.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(rep.srcDir)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    val q = build(src).writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ---- stateful-count plumbing (typed API) ----
+  case class Ev(user_id: Long, value: Double)
+  case class CountState(n: Long, sum: Double)
+  case class UserAgg(user_id: Long, n: Long, sum: Double)
+
+  private def statefulCount(uid: Long, rows: Iterator[Ev],
+                            st: GroupState[CountState]): UserAgg = {
+    var s = st.getOption.getOrElse(CountState(0L, 0.0))
+    rows.foreach(e => s = CountState(s.n + 1, s.sum + e.value))
+    st.update(s)
+    UserAgg(uid, s.n, s.sum)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windows per event type, 10-min watermark.
+    "stream_tumbling" -> ((s, d) => {
+      val rep = replay(s, d, "flush")
+      runStream(s, rep, "append") { src =>
+        src.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      }
+        .filter(col("event_type") =!= "__flush__")
+        .select(col("window.start").as("window_start"), col("event_type"),
+                col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // 1-hour windows sliding every 15 minutes (4 windows per event).
+    "stream_sliding" -> ((s, d) => {
+      val rep = replay(s, d, "flush")
+      runStream(s, rep, "append") { src =>
+        src.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      }
+        .filter(col("event_type") =!= "__flush__")
+        .select(col("window.start").as("window_start"), col("event_type"),
+                col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Per-user sessions with a 30-minute inactivity gap.
+    "stream_session" -> ((s, d) => {
+      val rep = replay(s, d, "flush")
+      runStream(s, rep, "append") { src =>
+        src.withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+      }
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+                col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // Drop duplicate event_ids within the watermark: the replay re-emits the
+    // most recent 90 minutes as a 9th chunk; a 3-hour watermark keeps those
+    // keys in state, so the stream output equals the original table.
+    "stream_dedup" -> ((s, d) => {
+      val rep = replay(s, d, "dup")
+      runStream(s, rep, "append") { src =>
+        src.withWatermark("ts", "3 hours")
+          .dropDuplicates("event_id")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+      }
+        .orderBy("event_id")
+    }),
+
+    // Arbitrary stateful processing: running per-user (count, sum) via
+    // mapGroupsWithState in update mode; the final state per user (row with
+    // the max monotone count) must equal the batch GROUP BY.
+    "stream_stateful_count" -> ((s, d) => {
+      val rep = replay(s, d, "base")
+      import s.implicits._
+      runStream(s, rep, "update") { src =>
+        src.select(col("user_id"), col("value")).as[Ev]
+          .groupByKey(_.user_id)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout)(statefulCount)
+          .toDF()
+      }
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("sum"))).as("fin"))
+        .select(col("user_id"), col("fin.n").as("n_events"),
+                round(col("fin.sum"), 2).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // Late-data assertion (no SQL oracle): a 9th chunk replays rows ≥2h
+    // older than the already-advanced watermark; every one must be dropped
+    // by the windowed aggregation. Emits one summary row.
+    "stream_late_data" -> ((s, d) => {
+      val rep = replay(s, d, "late")
+      val streamed = runStream(s, rep, "append") { src =>
+        // NO pre-agg sentinel filter: a filter on event_type pushes down to
+        // the parquet scan and row-group stats prune the whole sentinel file
+        // — the watermark operator then never sees it and the last windows
+        // never close (measured). Sentinels flow through the aggregation and
+        // their far-future windows are cut off by time below.
+        src.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+      }
+        .filter(col("window.start") <= timestamp_micros(lit(rep.mxUs)))
+        .agg(sum("n").as("n_stream"))
+      streamed.select(
+        col("n_stream"),
+        lit(rep.nBase).as("n_base"),
+        lit(rep.nExtra).as("n_late_injected"),
+        (lit(rep.nBase) + rep.nExtra - col("n_stream")).as("n_dropped"),
+        (col("n_stream") === rep.nBase).as("all_late_dropped"))
+    }),
+
+    // Stream ⋈ static dimension: per-micro-batch broadcast hash join.
+    "stream_static_join" -> ((s, d) => {
+      val rep = replay(s, d, "base")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      runStream(s, rep, "append") { src =>
+        src.join(broadcast(cust), src("user_id") === cust("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+      }
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
+
+    // Each event belongs to the 4 sliding 1-hour windows whose starts are
+    // its 15-min bucket minus 0/15/30/45 minutes.
+    "stream_sliding" -> """
+      WITH x AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k * INTERVAL '15 minutes' AS window_start,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) t)
+      SELECT window_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM x
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
+
+    // Gaps-and-islands twin of session_window: a session breaks when the
+    // gap is >= 30 minutes (Spark sessions are [start, last+gap) with an
+    // exclusive end); session_end = last event + gap.
+    "stream_session" -> """
+      WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        FROM events),
+      f AS (
+        SELECT user_id, ts,
+               CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM o),
+      g AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end,
+             count(*) AS n_events
+      FROM g
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+
+    "stream_dedup" -> """
+      SELECT DISTINCT ON (event_id) event_id, ts, user_id, event_type, value
+      FROM events
+      ORDER BY event_id""",
+
+    "stream_stateful_count" -> """
+      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    // stream_late_data: assertion-style, no oracle (rows-only check);
+    // the ScalaTest suite asserts all_late_dropped.
+
+    "stream_static_join" -> """
+      SELECT event_id, user_id, c_mktsegment, value
+      FROM events JOIN customer ON user_id = c_custkey
+      ORDER BY event_id"""
+  )
+}
