@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming batch-equivalence suite (SURVEY §5): each §2-I query replayed
+  * through the chunked file stream must equal the same computation done in
+  * one batch over the static table — Spark vs Spark, so this is independent
+  * of the DuckDB oracle and runs at sf0.001. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  test("stream_tumbling equals batch windowed aggregation") {
+    val streamed = StreamOps.queries("stream_tumbling")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("stream_sliding equals batch sliding-window aggregation") {
+    val streamed = StreamOps.queries("stream_sliding")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("stream_session equals batch session_window aggregation") {
+    val streamed = StreamOps.queries("stream_session")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("stream_dedup drops every replayed duplicate") {
+    val streamed = StreamOps.queries("stream_dedup")(spark, d).collect()
+    assert(streamed.length === Tables.events(spark, d).count())
+    assert(streamed.map(_.getLong(0)).distinct.length === streamed.length)
+  }
+
+  test("stream_stateful_count final state equals batch GROUP BY") {
+    val streamed = StreamOps.queries("stream_stateful_count")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("stream_late_data: every injected late row is dropped by the watermark") {
+    val row = StreamOps.queries("stream_late_data")(spark, d).collect()(0)
+    assert(row.getAs[Long]("n_late_injected") > 0)
+    assert(row.getAs[Boolean]("all_late_dropped"),
+      s"late rows leaked: $row")
+  }
+
+  test("stream_static_join equals batch join") {
+    val streamed = StreamOps.queries("stream_static_join")(spark, d).collect()
+    val ev = Tables.events(spark, d)
+    val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+    val batch = ev.join(cust, ev("user_id") === cust("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+      .orderBy("event_id")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
