@@ -83,18 +83,23 @@ object ScanOps {
         .orderBy("o_year")
     }),
 
-    // No JDBC driver jar ships offline (/opt/spark/jars has only hive-jdbc,
-    // which needs a HiveServer2). Documented fallback per SURVEY §2-A: the
-    // same batch-sink semantics (overwrite, read-back, aggregate) against a
-    // parquet "warehouse" dir. On a real cluster this is `.write.format
-    // ("jdbc").option("url", ...)` with identical data flow.
+    // Real JDBC sink + source roundtrip against embedded Derby (on the
+    // Spark classpath as the metastore DB — no egress needed). The tiny agg
+    // is coalesced to one partition: embedded Derby is a single-JVM store,
+    // fine for a dimension-sized result in local mode. On a real cluster the
+    // identical .write.format("jdbc") call points at a server database and
+    // each partition opens its own connection — the plan shape is unchanged.
     "sink_jdbc" -> ((s, d) => {
-      val dir = tmpDir("graft_jdbc_fallback")
+      val db = tmpDir("graft_derby") + "/sinkdb"
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
       val agg = Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-      agg.write.mode(SaveMode.Overwrite).parquet(dir)
-      s.read.parquet(dir).orderBy("o_orderpriority")
+      agg.coalesce(1).write.mode(SaveMode.Overwrite)
+        .jdbc(url, "priority_totals", props)
+      s.read.jdbc(url, "priority_totals", props).orderBy("o_orderpriority")
     })
   )
 

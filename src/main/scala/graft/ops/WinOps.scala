@@ -17,10 +17,13 @@ import org.apache.spark.sql.expressions.Window
   * cardinalities (customers, not lineitems). The scale-safe alternative is a
   * two-pass rank: range-partition sort, count rows per partition, broadcast
   * the cumulative offsets, then derive rank/ntile per partition locally —
-  * documented here as the 100 TB path; the single-window form is kept
-  * because it is the declared operator semantics and the hash-match twin of
-  * the oracle SQL. Every window ORDER BY carries a unique tiebreaker so
-  * rank & frame results are deterministic across engines.
+  * IMPLEMENTED below as `win_ntile_scalable`, which computes the identical
+  * result (same oracle) with no global window: the only total-order pass
+  * runs over per-bucket COUNTS (thousands of rows at any scale), while the
+  * per-row work is a bucket-partitioned window. The single-window form is
+  * kept as the declared operator semantics / readability baseline. Every
+  * window ORDER BY carries a unique tiebreaker so rank & frame results are
+  * deterministic across engines.
   */
 object WinOps {
   type Q = (SparkSession, String) => DataFrame
@@ -45,6 +48,41 @@ object WinOps {
         .withColumn("quartile", ntile(4).over(w))
         .withColumn("pct_rank", round(percent_rank().over(w), 6))
         .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy("c_custkey")
+    }),
+
+    // The 100 TB twin of win_ntile_percent: identical output, no global
+    // window. Plan: (1) range-bucket the sort key; (2) per-bucket counts —
+    // one hash-agg; (3) cumulative offsets + total via a window over the
+    // BUCKET STATS (≈20 rows at any scale — this is the only total-order
+    // pass); (4) broadcast-join offsets back and rank locally inside each
+    // bucket. quartile/pct_rank/cume are then pure arithmetic on the global
+    // rank (sort keys are unique ⇒ peers are singletons ⇒ cume = rank/n).
+    "win_ntile_scalable" -> ((s, d) => {
+      val bucketed = Tables.customer(s, d)
+        .select("c_custkey", "c_acctbal")
+        .withColumn("bkt", floor(col("c_acctbal") / 500.0))
+      val wS = Window.orderBy("bkt")
+      val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum("cnt").over(wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("cnt").over(
+          wS.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("bkt", "off", "n")
+      val wL = Window.partitionBy("bkt")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      bucketed.join(broadcast(offs), "bkt")
+        .withColumn("grank", col("off") + row_number().over(wL))
+        // SQL-standard ntile: first (n mod k) buckets get ceil(n/k) rows
+        // (n >= k always holds here: customers number >= 150).
+        .withColumn("quartile", expr(
+          """CASE WHEN grank <= (n div 4 + 1) * (n % 4)
+             THEN (grank - 1) div (n div 4 + 1) + 1
+             ELSE n % 4 + (grank - 1 - (n div 4 + 1) * (n % 4)) div (n div 4) + 1
+             END""").cast("int"))
+        .withColumn("pct_rank", round((col("grank") - 1) / (col("n") - 1), 6))
+        .withColumn("cume", round(col("grank") / col("n"), 6))
+        .select("c_custkey", "c_acctbal", "quartile", "pct_rank", "cume")
         .orderBy("c_custkey")
     }),
 
@@ -106,6 +144,17 @@ object WinOps {
       ORDER BY p_brand, rn""",
 
     "win_ntile_percent" -> """
+      SELECT c_custkey, c_acctbal,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+      ORDER BY c_custkey""",
+
+    // Same declared semantics as win_ntile_percent — the scalable plan must
+    // reproduce the single-window answer exactly.
+    "win_ntile_scalable" -> """
       SELECT c_custkey, c_acctbal,
              CAST(ntile(4) OVER w AS INTEGER) AS quartile,
              round(percent_rank() OVER w, 6) AS pct_rank,

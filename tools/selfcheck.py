@@ -39,6 +39,8 @@ def compare(name, spark_df, duck_df):
         except Exception as e:
             return f"COMPARE-ERR col {c}: {e}"
         if not ok:
+            # mask/detail must stay inside try: object-cast == raises for
+            # non-comparable dtype pairs (e.g. Timestamp vs float)
             try:
                 mask = ~(((av.isna()) & (bv.isna())) | (av.astype(object) == bv.astype(object)))
                 idx = mask[mask].index[:3]
