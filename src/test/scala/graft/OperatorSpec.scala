@@ -60,6 +60,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(3) <= 1.0001 && r.getDouble(3) >= -1.0001))
   }
 
+  test("llm_knn_ivf: 5 neighbors per query and decent recall vs brute force") {
+    val ivf = SparkEntry.queries("llm_knn_ivf")(spark, d).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val brute = SparkEntry.queries("llm_knn_bruteforce")(spark, d).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(ivf.keySet === brute.keySet)
+    assert(ivf.values.forall(_.size === 5))
+    // The synthetic embeddings are label-UNCORRELATED (measured: same-label
+    // mean cosine == overall mean == 0.0), so IVF recall here is bounded by
+    // roughly the probed fraction (3/10 cells) — measured 0.51 at nprobe=3,
+    // deterministic for this data. On real corpora, where embeddings
+    // cluster, the same plan recovers high recall at small probed fractions;
+    // this assertion pins the measured behavior, not a marketing number.
+    val recall = ivf.map { case (q, ns) => (ns & brute(q)).size / 5.0 }.sum / ivf.size
+    assert(recall >= 0.45, f"IVF mean recall@5 regressed: $recall%.2f")
+  }
+
   test("entry: flagship smoke returns rows") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }
