@@ -170,6 +170,32 @@ object JoinOps {
         .filter(col("side") === 1 && col("signup_ts").isNotNull)
         .select(col("p_id").as("event_id"), col("user_id"), col("ts"), col("signup_ts"))
         .orderBy("event_id")
+    }),
+
+    // Skew-mitigated join via key salting — the manual 100 TB pattern for
+    // when AQE's skew split can't help (e.g. the skewed side feeds a
+    // downstream agg on the same key). A deliberately skewed key
+    // (user_id div 50 → 3 hot values over 10k+ events) would pile each hot
+    // key into one shuffle partition; instead the fact side salts with
+    // pmod(event_id, 8) and the dim side explodes ×8, so the shuffle join
+    // spreads every hot key over 8 partitions. shuffle_hash hint keeps
+    // Spark from trivially broadcasting the toy dim — at real scale the
+    // dim side is the one you cannot broadcast.
+    "join_skew_salted" -> ((s, d) => {
+      val nSalt = 8
+      val fact = Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+                (col("user_id") / 50).cast("long").as("k"))
+        .withColumn("salt", pmod(col("event_id"), lit(nSalt)))
+      val dim = Tables.events(s, d)
+        .select((col("user_id") / 50).cast("long").as("k")).distinct()
+        .withColumn("grp", concat(lit("grp_"), col("k")))
+        .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
+      fact.hint("shuffle_hash")
+        .join(dim, Seq("k", "salt"))
+        .groupBy("k", "grp")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("k")
     })
   )
 
@@ -258,6 +284,16 @@ object JoinOps {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id AND p.ts >= s.ts
-      ORDER BY p.event_id"""
+      ORDER BY p.event_id""",
+
+    // The salt is plumbing, not semantics: the oracle is the plain join.
+    "join_skew_salted" -> """
+      WITH f AS (SELECT event_id, value, user_id // 50 AS k FROM events),
+      dim AS (SELECT DISTINCT user_id // 50 AS k, 'grp_' || (user_id // 50) AS grp
+              FROM events)
+      SELECT f.k, dim.grp, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM f JOIN dim ON f.k = dim.k
+      GROUP BY 1, 2
+      ORDER BY f.k"""
   )
 }

@@ -101,9 +101,12 @@ object LlmOps {
     // banded plan must FIND every pair, not redefine the question.
     "llm_neardup_minhash" -> ((s, d) => {
       val tau = 0.6
+      // cache(): referenced by the signature build AND both sides of the
+      // exact-confirm join — uncached, the shingle transform runs 3×.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
+        .cache()
 
       // shingle → 31-bit base hash → k minima per doc (one hash-agg).
       val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -77,6 +77,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.45, f"IVF mean recall@5 regressed: $recall%.2f")
   }
 
+  test("agg_approx_distinct: HLL estimate within rsd bound of exact") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.lineitem(spark, d)
+      .agg(countDistinct("l_orderkey")).collect()(0).getLong(0).toDouble
+    val approxRow = SparkEntry.queries("agg_approx_distinct")(spark, d).collect()(0)
+    // tolerate any numeric column layout; grab every numeric value
+    val approxes = (0 until approxRow.length).flatMap(i => approxRow.get(i) match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    })
+    assert(approxes.exists(a => math.abs(a - exact) / exact < 0.15),
+      s"no approx value within 15% of exact=$exact in $approxRow")
+  }
+
   test("entry: flagship smoke returns rows") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }
