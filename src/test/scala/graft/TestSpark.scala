@@ -9,6 +9,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // exercise the production registration path (GraftExtensions) —
+      // ExtensionsSpec asserts graft_cosine resolves without any
+      // per-session register() call
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
