@@ -108,13 +108,19 @@ object LlmOps {
         .filter(size(col("sh")) > 0)
         .cache()
 
-      // shingle → 31-bit base hash → k minima per doc (one hash-agg).
-      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("h0", pmod(xxhash64(col("s")), lit(P)))
+      // shingle → 31-bit base hash → k minima per doc. Computed entirely
+      // with higher-order array functions ON the document row: no explode
+      // (which would multiply the corpus ×|shingles|) and NO SHUFFLE — the
+      // signature build is embarrassingly partition-local; the base hash
+      // array is materialized once per doc, then each of the k permutations
+      // is an array_min over an affine transform of it.
+      val sigSrc = docs.withColumn("h0",
+        transform(col("sh"), sv => pmod(xxhash64(sv), lit(P))))
       val sigCols = (0 until MinhashK).map { i =>
-        min(pmod(col("h0") * hashA(i) + hashB(i), lit(P))).as(s"sig$i")
+        array_min(transform(col("h0"),
+          h => pmod(h * hashA(i) + hashB(i), lit(P)))).as(s"sig$i")
       }
-      val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val sigs = sigSrc.select((col("doc_id") +: sigCols): _*)
 
       // 32 bands of 4 rows: band fingerprint = hash of its 4 signature slots.
       val bandStructs = (0 until Bands).map { j =>
