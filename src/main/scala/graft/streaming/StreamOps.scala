@@ -3,7 +3,8 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import java.io.File
@@ -181,6 +182,23 @@ object StreamOps {
     UserAgg(uid, s.n, s.sum)
   }
 
+  /** Same running aggregate on Spark 4's transformWithState API (the
+    * successor to mapGroupsWithState): typed ValueState in the RocksDB
+    * state store, explicit per-batch emission. */
+  class RunningCountProcessor extends StatefulProcessor[Long, Ev, UserAgg] {
+    @transient private var st: ValueState[CountState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CountState](
+        "agg", Encoders.product[CountState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[UserAgg] = {
+      var s = Option(st.get()).getOrElse(CountState(0L, 0.0))
+      rows.foreach(e => s = CountState(s.n + 1, s.sum + e.value))
+      st.update(s)
+      Iterator.single(UserAgg(key, s.n, s.sum))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour windows per event type, 10-min watermark.
     "stream_tumbling" -> ((s, d) => {
@@ -250,6 +268,38 @@ object StreamOps {
           .toDF()
       }
         .groupBy("user_id")
+        .agg(max(struct(col("n"), col("sum"))).as("fin"))
+        .select(col("user_id"), col("fin.n").as("n_events"),
+                round(col("fin.sum"), 2).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // Same semantics on transformWithState (Spark 4 state API v2), which
+    // requires the RocksDB state store — pinned for this query's lifetime
+    // and restored after (the provider is fixed at first query start).
+    "stream_stateful_tws" -> ((s, d) => {
+      val rep = replay(s, d, "base")
+      import s.implicits._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out =
+        try {
+          runStream(s, rep, "update") { src =>
+            src.select(col("user_id"), col("value")).as[Ev]
+              .groupByKey(_.user_id)
+              .transformWithState(new RunningCountProcessor,
+                TimeMode.None(), OutputMode.Update())
+              .toDF()
+          }
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(provKey, v)
+            case None => s.conf.unset(provKey)
+          }
+        }
+      out.groupBy("user_id")
         .agg(max(struct(col("n"), col("sum"))).as("fin"))
         .select(col("user_id"), col("fin.n").as("n_events"),
                 round(col("fin.sum"), 2).as("sum_value"))
@@ -347,6 +397,12 @@ object StreamOps {
       ORDER BY event_id""",
 
     "stream_stateful_count" -> """
+      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    "stream_stateful_tws" -> """
       SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY user_id

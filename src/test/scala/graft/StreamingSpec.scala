@@ -64,6 +64,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream_stateful_tws (transformWithState) equals batch GROUP BY") {
+    val streamed = StreamOps.queries("stream_stateful_tws")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stream_late_data: every injected late row is dropped by the watermark") {
     val row = StreamOps.queries("stream_late_data")(spark, d).collect()(0)
     assert(row.getAs[Long]("n_late_injected") > 0)
