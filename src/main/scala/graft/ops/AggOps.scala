@@ -122,10 +122,45 @@ object AggOps {
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """)
+    }),
+
+    // Pivot: orderpriority columns per order-year. The pivot value list is
+    // EXPLICIT — with an explicit list Spark skips the extra distinct-values
+    // job and the plan is a single hash-agg with conditional aggregates,
+    // identical in shape to the CASE-based oracle (and scale-safe: output
+    // width is fixed, not data-dependent).
+    "agg_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy("o_year")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_year") +:
+          Seq("1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+              "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5").map {
+            // empty pivot cells are null in Spark but 0 under the oracle's
+            // count(CASE ...) — normalize
+            case (v, n) => coalesce(col(s"`$v`"), lit(0L)).as(n)
+          }: _*)
+        .orderBy("o_year")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Portable CASE formulation — the same conditional-aggregate plan Spark
+    // compiles the explicit-list pivot into.
+    "agg_pivot" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+             count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+             count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+             count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+             count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_year""",
+
     "agg_hash_global" -> """
       SELECT count(*) AS n,
              round(sum(l_quantity), 2) AS sum_qty,
