@@ -127,18 +127,25 @@ object LlmOps {
         val slots = (0 until RowsPerBand).map(r => col(s"sig${j * RowsPerBand + r}"))
         struct(lit(j).as("band"), hash(slots :+ lit(j): _*).as("bh"))
       }
-      // cache(): the LSH self-join references this plan twice — without
-      // materialization the whole shingle→hash→min pipeline runs two times.
-      // At scale this is the "persist the signatures" step (k ints per doc,
-      // orders of magnitude smaller than the corpus).
       val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-        .cache()
 
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // Candidates via ONE shuffle: group each (band, bandHash) bucket,
+      // expand ordered pairs inside the bucket (sorted ids ⇒ a < b), then
+      // dedupe across bands. A self-join would shuffle the banded table
+      // twice and recompute the signature pipeline per side. Bucket
+      // cardinality is the near-dup group size — tiny by construction; a
+      // corpus with a degenerate hot bucket (millions of identical docs)
+      // should run llm_exact_dedup first, which collapses exact copies.
+      val cand = banded
+        .groupBy("band", "bh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
 
       // Confirm: exact shingle Jaccard on the (small) candidate set.

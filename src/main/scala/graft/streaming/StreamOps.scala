@@ -48,6 +48,12 @@ object StreamOps {
                             nBase: Long, nExtra: Long, mxUs: Long)
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), Replay]
 
+  /** The base chunk set is built ONCE per sfDir and file-copied into each
+    * variant dir — the chunking Spark pipeline (scan, stats, range-cut,
+    * partitioned write) is the expensive part of replay setup. */
+  private case class BaseChunks(dir: File, mnUs: Long, mxUs: Long, nBase: Long)
+  private val baseCache = scala.collection.concurrent.TrieMap.empty[String, BaseChunks]
+
   private def moveParts(fromDir: File, toDir: File, prefix: String, mtimeBase: Long): Int = {
     val parts = Option(fromDir.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -71,15 +77,15 @@ object StreamOps {
   /** Materialize events into time-ordered chunks + variant extras.
     * variant: "base" | "flush" | "dup" (dup tail then no flush) |
     * "late" (late chunk then flush). */
-  private def replay(spark: SparkSession, sfDir: String, variant: String): Replay =
-    cache.getOrElseUpdate((sfDir, variant), {
+  private def baseChunks(spark: SparkSession, sfDir: String): BaseChunks =
+    baseCache.getOrElseUpdate(sfDir, {
       val ev = Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
       val Array(mnUs, mxUs) = ev
         .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray // 2 scalars — replay setup only
       val span = mxUs - mnUs + 1
-      val srcDir = Files.createTempDirectory(s"graft-stream-$variant-").toFile
+      val srcDir = Files.createTempDirectory("graft-stream-base-").toFile
 
       // Range-cut by event time: chunk i holds an equal slice of the span,
       // so chunk boundaries are non-overlapping and replay is time-ordered
@@ -93,6 +99,27 @@ object StreamOps {
         val d = new File(tmpW, s"chunk=$i")
         if (d.exists()) moveParts(d, srcDir, f"c$i%03d", 1700000000000L + i * 120000L)
       }
+      BaseChunks(srcDir, mnUs, mxUs, ev.count())
+    })
+
+  private def replay(spark: SparkSession, sfDir: String, variant: String): Replay =
+    cache.getOrElseUpdate((sfDir, variant), {
+      val base = baseChunks(spark, sfDir)
+      val (mnUs, mxUs) = (base.mnUs, base.mxUs)
+      val span = mxUs - mnUs + 1
+      val srcDir =
+        if (variant == "base") base.dir
+        else {
+          val d = Files.createTempDirectory(s"graft-stream-$variant-").toFile
+          Option(base.dir.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+            val dst = new File(d, f.getName)
+            Files.copy(f.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+            dst.setLastModified(f.lastModified())
+          }
+          d
+        }
+      lazy val ev = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
 
       var nExtra = 0L
       val mxTs = expr(s"timestamp_micros(${mxUs}L)")
@@ -133,7 +160,7 @@ object StreamOps {
         }
       }
       val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
-      Replay(srcDir.getAbsolutePath, schema, ev.count(), nExtra, mxUs)
+      Replay(srcDir.getAbsolutePath, schema, base.nBase, nExtra, mxUs)
     })
 
   /** Run a file-replay stream to completion, return the memory-sink table.
