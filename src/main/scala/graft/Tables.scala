@@ -41,9 +41,4 @@ object Tables {
       .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
-
-  /** Documents tokenized on whitespace — shared by the text/dedup surface. */
-  def docTokens(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir)
-      .withColumn("words", split(col("text"), " "))
 }
