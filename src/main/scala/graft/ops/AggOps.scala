@@ -124,6 +124,21 @@ object AggOps {
       """)
     }),
 
+    // Unpivot (melt): wide measure columns → long (measure, value) rows,
+    // then re-aggregated. Pure projection+Expand — no shuffle added beyond
+    // the final agg; the inverse demo of agg_pivot.
+    "agg_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total"))
+        .orderBy("measure")
+    }),
+
     // Pivot: orderpriority columns per order-year. The pivot value list is
     // EXPLICIT — with an explicit list Spark skips the extra distinct-values
     // job and the plan is a single hash-agg with conditional aggregates,
@@ -148,6 +163,19 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Portable UNION ALL formulation of the melt.
+    "agg_unpivot" -> """
+      WITH m AS (
+        SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem)
+      SELECT measure, count(*) AS n, round(sum(val), 2) AS total
+      FROM m
+      GROUP BY measure
+      ORDER BY measure""",
+
     // Portable CASE formulation — the same conditional-aggregate plan Spark
     // compiles the explicit-list pivot into.
     "agg_pivot" -> """

@@ -158,6 +158,74 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // SimHash near-dup: 60-bit signature from weighted token-bit votes,
+    // candidates from 5 bands × 12 bits, exact Hamming ≤ 4 confirm.
+    // Threshold 4 < 5 bands ⇒ by pigeonhole at least one band of any
+    // qualifying pair is error-free ⇒ banding has recall 1.0 PROVABLY, so
+    // the honest all-pairs oracle must match exactly (unlike probabilistic
+    // MinHash banding). Token hash = first 15 hex chars of md5 folded to a
+    // long — chosen because BOTH engines can reproduce it in pure SQL
+    // (ascii arithmetic), making the whole signature cross-engine exact.
+    // Signature build is shuffle-free (per-doc higher-order expressions);
+    // the only shuffle is the band groupBy.
+    "llm_simhash" -> ((s, d) => {
+      val k = 4
+      val sigExpr = expr(
+        """aggregate(
+             transform(sequence(0, 59), b -> CASE WHEN
+               aggregate(harr, CAST(0 AS BIGINT),
+                         (acc, x) -> acc + 2 * ((x >> b) & 1) - 1) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+             CAST(0 AS BIGINT), (a, b) -> a + b)""")
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("transform(split(text, ' '), t -> md5(t))").as("hexes"))
+        .withColumn("harr", expr(
+          """transform(hexes, m -> aggregate(
+               transform(sequence(1, 15), i ->
+                 CAST(CASE WHEN ascii(substring(m, i, 1)) >= 97
+                      THEN ascii(substring(m, i, 1)) - 87
+                      ELSE ascii(substring(m, i, 1)) - 48 END AS BIGINT)),
+               CAST(0 AS BIGINT), (a, b) -> a * 16 + b))"""))
+        .select(col("doc_id"), sigExpr.as("sig"))
+        .cache()
+      val banded = sigs.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 4), j -> (sig >> (12 * j)) & 4095)")).as(Seq("band", "bv")))
+      val cand = banded.groupBy("band", "bv")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .distinct()
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+        .filter(col("hamming") <= k)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-dup: the exact all-pairs formulation (the
+    // definition), evaluated with the codegen'd Expression over a broadcast
+    // side. O(n²) by definition — the approximate scale paths are
+    // llm_knn_ivf (cell-probed) or random-hyperplane banding (= llm_simhash
+    // on embedding sign bits); this key is their exact ground truth.
+    "llm_neardup_embedding" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .withColumn("cos", call_function("graft_cosine", col("a_emb"), col("b_emb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Exact pairwise token-set Jaccard on a capped subset — the quadratic
     // verification twin of the minhash plan. Token-equi-join, not cross join.
     "llm_jaccard_pairs" -> ((s, d) => {
@@ -398,6 +466,48 @@ object LlmOps {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
       ORDER BY doc_a, doc_b""",
+
+    // Honest all-pairs Hamming predicate — banding recall is 1.0 by
+    // pigeonhole (4 errors, 5 bands), so exact match is REQUIRED.
+    "llm_simhash" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      hx AS (
+        SELECT doc_id, list_transform(ws, t ->
+          list_reduce(list_transform(range(1, 16), i ->
+            CAST(CASE WHEN ascii(substr(md5(t), i, 1)) >= 97
+                      THEN ascii(substr(md5(t), i, 1)) - 87
+                      ELSE ascii(substr(md5(t), i, 1)) - 48 END AS BIGINT)),
+            (a, b) -> a * 16 + b)) AS harr
+        FROM toks),
+      v AS (
+        SELECT doc_id, list_transform(range(0, 60), b ->
+          list_sum(list_transform(harr, x -> 2 * ((x >> b) & 1) - 1))) AS votes
+        FROM hx),
+      sigs AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN votes[b + 1] > 0 THEN (CAST(1 AS BIGINT) << b)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        FROM v)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 4
+      ORDER BY doc_a, doc_b""",
+
+    "llm_neardup_embedding" -> """
+      WITH pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT a_id, b_id, round(cos, 4) AS cos
+      FROM pairs
+      WHERE cos >= 0.3
+      ORDER BY a_id, b_id""",
 
     "llm_jaccard_pairs" -> """
       WITH toks AS (
