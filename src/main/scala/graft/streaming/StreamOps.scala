@@ -358,6 +358,51 @@ object StreamOps {
         (col("n_stream") === rep.nBase).as("all_late_dropped"))
     }),
 
+    // Stream-stream inner join with an event-time range condition: each
+    // purchase joins the same user's signups within the preceding 7 days.
+    // Both sides are independent file streams over the same replay (each
+    // filters its event type). Watermarks + the time-range bound let Spark
+    // EVICT joined state (without them, stream-stream state grows forever);
+    // inner-join output is emitted as matches arrive, so no flush sentinel
+    // gymnastics are needed for completeness of the final result.
+    "stream_stream_join" -> ((s, d) => {
+      val rep = replay(s, d, "base")
+      // runStream builds ONE source; this query needs two, so it assembles
+      // the streaming query directly with the same conventions.
+      val name = s"graft_stream_ss_${nameCounter.incrementAndGet()}"
+      val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+      def srcStream = s.readStream.schema(
+        s.read.parquet(rep.srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(rep.srcDir)
+      val purchases = srcStream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val signups = srcStream.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+                col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = purchases.join(signups,
+            col("p_user") === col("s_user") &&
+            col("s_ts") <= col("p_ts") &&
+            col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+          .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+                  col("s_id"), col("s_ts"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(name).orderBy("p_id", "s_id")
+    }),
+
     // Stream ⋈ static dimension: per-micro-batch broadcast hash join.
     "stream_static_join" -> ((s, d) => {
       val rep = replay(s, d, "base")
@@ -434,6 +479,16 @@ object StreamOps {
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
+
+    "stream_stream_join" -> """
+      SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+             s.event_id AS s_id, s.ts AS s_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id
+       AND s.ts <= p.ts
+       AND s.ts >= p.ts - INTERVAL 7 DAY
+      ORDER BY p_id, s_id""",
 
     // stream_late_data: assertion-style, no oracle (rows-only check);
     // the ScalaTest suite asserts all_late_dropped.

@@ -81,6 +81,23 @@ class StreamingSpec extends AnyFunSuite {
       s"late rows leaked: $row")
   }
 
+  test("stream_stream_join equals batch interval join") {
+    val streamed = StreamOps.queries("stream_stream_join")(spark, d).collect()
+    val ev = Tables.events(spark, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = p.join(sg,
+        col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_id"), col("s_ts"))
+      .orderBy("p_id", "s_id")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stream_static_join equals batch join") {
     val streamed = StreamOps.queries("stream_static_join")(spark, d).collect()
     val ev = Tables.events(spark, d)
