@@ -177,7 +177,12 @@ object LlmOps {
                          (acc, x) -> acc + 2 * ((x >> b) & 1) - 1) > 0
                THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
              CAST(0 AS BIGINT), (a, b) -> a + b)""")
-      val sigs = Tables.documents(s, d)
+      // cache() the token-hash array BEFORE the 60-bit vote expression:
+      // higher-order functions run interpreted (no codegen CSE), and
+      // CollapseProject would otherwise inline this md5+fold pipeline into
+      // the vote aggregate — recomputing it once PER BIT (measured: 104 s
+      // vs ~4 s at sf0.1). The barrier forces one materialization per doc.
+      val harrDf = Tables.documents(s, d)
         .select(col("doc_id"),
           expr("transform(split(text, ' '), t -> md5(t))").as("hexes"))
         .withColumn("harr", expr(
@@ -187,6 +192,9 @@ object LlmOps {
                       THEN ascii(substring(m, i, 1)) - 87
                       ELSE ascii(substring(m, i, 1)) - 48 END AS BIGINT)),
                CAST(0 AS BIGINT), (a, b) -> a * 16 + b))"""))
+        .select(col("doc_id"), col("harr"))
+        .cache()
+      val sigs = harrDf
         .select(col("doc_id"), sigExpr.as("sig"))
         .cache()
       val banded = sigs.select(col("doc_id"), posexplode(expr(
