@@ -26,6 +26,7 @@ object SparkEntry {
       (FnOps.queries, FnOps.oracle),
       (UdfOps.queries, UdfOps.oracle),
       (LlmOps.queries, LlmOps.oracle),
+      (TextOps.queries, TextOps.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle)
     )
 

@@ -35,8 +35,8 @@ object LlmOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Stopword list shared by text ops (tiny, fixed — broadcastable). */
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[ops] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[ops] val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Word 3-gram shingle set of `text` (array_distinct), empty if <3 words. */
   private def shingles(text: Column): Column = {

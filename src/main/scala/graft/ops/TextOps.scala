@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators beyond llm_text_stats: language identification,
+  * per-document quality scoring, tokenizer comparison, and rolling-hash
+  * fingerprinting (winnowing). All pure SQL-expressible transforms so the
+  * DuckDB oracle mirrors them exactly.
+  *
+  * Scale notes (100 TB):
+  *  - everything here is per-document map work + small hash-aggs; the only
+  *    joins are against per-language profiles (5 langs × top-50 trigrams —
+  *    broadcast by construction);
+  *  - the fingerprint/kgram pipelines use the same "materialize the hash
+  *    array once per doc" barrier as llm_simhash — higher-order exprs run
+  *    interpreted, so CollapseProject duplication must be kept out.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwordsSql = LlmOps.stopwordsSqlList
+
+  val queries: Map[String, Q] = Map(
+    // Language ID by character-trigram profile overlap: per-lang top-50
+    // trigram profiles (trained on the corpus itself — deterministic),
+    // each doc classified by overlap of its top-30 trigrams; output is the
+    // confusion matrix against the labeled lang.
+    "llm_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      val grams = docs.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
+      val wDoc = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g").asc)
+      val docTop = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wDoc)).filter(col("rk") <= 30)
+        .select(col("doc_id"), col("lang"), col("g"))
+      val wLang = Window.partitionBy("plang").orderBy(col("cnt").desc, col("g").asc)
+      val profile = grams.groupBy(col("lang").as("plang"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wLang)).filter(col("rk") <= 50)
+        .select(col("plang"), col("g"))
+      val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)
+      docTop.join(broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang").agg(count(lit(1)).as("score"))
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .groupBy(col("lang"), col("plang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Per-document quality signals: char/token counts, mean token length,
+    // stopword ratio, punctuation ratio, and a simple composite score.
+    "llm_quality_score" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("avg_tok_len",
+          round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
+        .withColumn("stop_ratio", round(
+          size(filter(toks, t => t.isin(LlmOps.stopwords: _*))).cast("double")
+            / size(toks), 4))
+        .withColumn("punct_ratio", round(
+          expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("double")
+            / length(col("text")), 4))
+        .withColumn("quality", round(
+          lit(1.0)
+            - least(col("stop_ratio") * 2, lit(0.5))
+            - least(col("punct_ratio") * 5, lit(0.5)), 4))
+        .select("doc_id", "n_chars", "n_tok", "avg_tok_len",
+                "stop_ratio", "punct_ratio", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // Tokenizer comparison: whitespace tokens vs a BPE-ish regex lexer
+    // (letter runs / digit runs / single punctuation), per lang.
+    "llm_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("bpe_tokens",
+          expr("CAST(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]') AS BIGINT)"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("ws_tokens").as("ws_total"),
+             sum("bpe_tokens").as("bpe_total"),
+             round(avg(col("bpe_tokens").cast("double") / col("ws_tokens")), 4)
+               .as("bpe_per_ws"))
+        .orderBy("lang")
+    }),
+
+    // Winnowing fingerprints: rolling window minima over hashed character
+    // 8-grams (k=8, w=4). Output per-doc fingerprint-set stats; the pair
+    // form of this (docs sharing fingerprints) is the minhash/simhash
+    // family's job. Same cache barrier as llm_simhash: the kgram hash
+    // array MUST materialize before the window-minima expression.
+    "llm_fingerprint" -> ((s, d) => {
+      val harrDf = Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 11) // k + w - 1
+        .withColumn("harr", expr(
+          """transform(sequence(1, length(t) - 7), i ->
+               aggregate(transform(sequence(1, 15), j ->
+                 CAST(CASE WHEN ascii(substring(md5(substring(t, i, 8)), j, 1)) >= 97
+                      THEN ascii(substring(md5(substring(t, i, 8)), j, 1)) - 87
+                      ELSE ascii(substring(md5(substring(t, i, 8)), j, 1)) - 48 END AS BIGINT)),
+                 CAST(0 AS BIGINT), (a, b) -> a * 16 + b))"""))
+        .select(col("doc_id"), col("harr"))
+        .cache()
+      harrDf
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(1, size(harr) - 3), i -> array_min(slice(harr, i, 4))))"))
+        .select(col("doc_id"),
+                size(col("fps")).cast("long").as("n_fp"),
+                array_min(col("fps")).as("min_fp"),
+                array_max(col("fps")).as("max_fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_langid" -> """
+      WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      grams AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                     i -> substr(t, i, 3))) AS g
+        FROM docs),
+      doctop AS (
+        SELECT doc_id, lang, g FROM (
+          SELECT doc_id, lang, g, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rk
+          FROM grams GROUP BY doc_id, lang, g)
+        WHERE rk <= 30),
+      prof AS (
+        SELECT plang, g FROM (
+          SELECT lang AS plang, g, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rk
+          FROM grams GROUP BY lang, g)
+        WHERE rk <= 50),
+      scored AS (
+        SELECT dt.doc_id, dt.lang, p.plang, count(*) AS score
+        FROM doctop dt JOIN prof p ON dt.g = p.g
+        GROUP BY 1, 2, 3),
+      best AS (
+        SELECT doc_id, lang, plang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+        FROM scored)
+      SELECT lang, plang AS predicted, count(*) AS n
+      FROM best WHERE rn = 1
+      GROUP BY 1, 2
+      ORDER BY lang, predicted""",
+
+    "llm_quality_score" -> s"""
+      WITH x AS (
+        SELECT doc_id, n_chars, text,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents)
+      SELECT doc_id, n_chars, CAST(n_tok AS BIGINT) AS n_tok,
+             round((length(text) - n_tok + 1) * 1.0 / n_tok, 4) AS avg_tok_len,
+             round(len(list_filter(toks, t -> t IN $stopwordsSql)) * 1.0 / n_tok, 4)
+               AS stop_ratio,
+             round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4)
+               AS punct_ratio,
+             round(1.0
+               - least(round(len(list_filter(toks, t -> t IN $stopwordsSql)) * 1.0 / n_tok, 4) * 2, 0.5)
+               - least(round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) * 5, 0.5),
+               4) AS quality
+      FROM x
+      ORDER BY doc_id""",
+
+    "llm_token_count" -> """
+      WITH x AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(ws_tokens) AS BIGINT) AS ws_total,
+             CAST(sum(bpe_tokens) AS BIGINT) AS bpe_total,
+             round(avg(bpe_tokens * 1.0 / ws_tokens), 4) AS bpe_per_ws
+      FROM x
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "llm_fingerprint" -> """
+      WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(lower(text)) >= 11),
+      h AS (
+        SELECT doc_id, list_transform(range(1, len(t) - 7 + 1), i ->
+          list_reduce(list_transform(range(1, 16), j ->
+            CAST(CASE WHEN ascii(substr(md5(substr(t, i, 8)), j, 1)) >= 97
+                      THEN ascii(substr(md5(substr(t, i, 8)), j, 1)) - 87
+                      ELSE ascii(substr(md5(substr(t, i, 8)), j, 1)) - 48 END AS BIGINT)),
+            (a, b) -> a * 16 + b)) AS harr
+        FROM d),
+      f AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(harr) - 3 + 1),
+          i -> list_min(harr[i : i + 3]))) AS fps
+        FROM h)
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+             list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      FROM f
+      ORDER BY doc_id"""
+  )
+}
