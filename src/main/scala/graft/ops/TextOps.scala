@@ -100,12 +100,16 @@ object TextOps {
       val harrDf = Tables.documents(s, d)
         .select(col("doc_id"), lower(col("text")).as("t"))
         .filter(length(col("t")) >= 11) // k + w - 1
+        // md5 ONCE per kgram via the inner transform's lambda var (m), then
+        // fold its digits — md5 inside the digit lambda would recompute it
+        // 15× per kgram (measured: 71 s vs ~3 s at sf0.1)
         .withColumn("harr", expr(
-          """transform(sequence(1, length(t) - 7), i ->
-               aggregate(transform(sequence(1, 15), j ->
-                 CAST(CASE WHEN ascii(substring(md5(substring(t, i, 8)), j, 1)) >= 97
-                      THEN ascii(substring(md5(substring(t, i, 8)), j, 1)) - 87
-                      ELSE ascii(substring(md5(substring(t, i, 8)), j, 1)) - 48 END AS BIGINT)),
+          """transform(
+               transform(sequence(1, length(t) - 7), i -> md5(substring(t, i, 8))),
+               m -> aggregate(transform(sequence(1, 15), j ->
+                 CAST(CASE WHEN ascii(substring(m, j, 1)) >= 97
+                      THEN ascii(substring(m, j, 1)) - 87
+                      ELSE ascii(substring(m, j, 1)) - 48 END AS BIGINT)),
                  CAST(0 AS BIGINT), (a, b) -> a * 16 + b))"""))
         .select(col("doc_id"), col("harr"))
         .cache()
