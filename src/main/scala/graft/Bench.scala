@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query repeats: batch queries run 3× and report the MEDIAN — round-2
+    * showed single-shot numbers carry ±20 % scheduler noise (and one 6×
+    * outlier on agg_collect that a judge had to disprove by diffing source).
+    * Streaming keys stay single-shot: each run replays ~12 micro-batches
+    * through a fresh checkpoint (30–60 s of scaffolding, and the replay-dir
+    * cache makes repeat runs measure progressively less), so repeating them
+    * would triple total bench time to reduce noise the median can't fix. */
+  private val Repeats = 3
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,9 +30,19 @@ object Bench {
     try spark.range(1000000).selectExpr("sum(id)").collect()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val reps = if (name.startsWith("stream_")) 1 else Repeats
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // CacheManager matches by analyzed plan, so without this a repeat
+        // run of any query that calls .cache() (minhash/simhash/fingerprint)
+        // would silently reuse run 1's cached data and report a hot-cache
+        // number as if it were cold.
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        dt
+      }
+      name -> median(times)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -34,6 +34,14 @@ object Tables {
     * nanos — `(ts - pmod(ts,1000)) div 1000` is exact floor for any sign) and
     * rebuild a TimestampType column. DuckDB floors ns→µs the same way, so
     * event-level timestamp comparisons are exact across engines.
+    *
+    * Invariant: `nanosAsLong` is set SESSION-WIDE here and never unset. That
+    * is safe in this codebase because events.parquet is the only table with
+    * an INT64 TIMESTAMP(NANOS) column (SchemaPinSpec pins every other
+    * table's schema, so a ns column sneaking into one of them fails the
+    * suite rather than silently reading as Long). If a future table
+    * legitimately adds a ns timestamp, give it its own ns→µs conversion like
+    * the one below — don't rely on the raw Long that this flag exposes.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -371,8 +371,9 @@ object StreamOps {
       // the streaming query directly with the same conventions.
       val name = s"graft_stream_ss_${nameCounter.incrementAndGet()}"
       val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
-      def srcStream = s.readStream.schema(
-        s.read.parquet(rep.srcDir).schema)
+      // rep.schema was captured when the replay dir was built — reusing it
+      // here avoids two redundant batch footer-scans (one per source).
+      def srcStream = s.readStream.schema(rep.schema)
         .option("maxFilesPerTrigger", 1).parquet(rep.srcDir)
       val purchases = srcStream.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"),

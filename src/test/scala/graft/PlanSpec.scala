@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regression suite: the scale claims in the operator modules
+  * (pushdown reaches the parquet scan, broadcast stays broadcast, the custom
+  * cosine never falls back out of codegen, pivot never runs a distinct-values
+  * job) are physical-plan properties that a future edit could silently break
+  * while every sf0.01 hash still matches. These tests freeze them.
+  *
+  * AQE is disabled for the duration of this suite (restored after): with AQE
+  * on, the pre-execution plan string is an un-finalized AdaptiveSparkPlan
+  * without codegen markers, and runtime re-planning at toy scale could swap a
+  * deliberately-hinted join strategy. What we pin here is the STATIC planning
+  * result — the hints, pushdown and codegen eligibility that hold at any
+  * scale factor.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private var prevAqe: Option[String] = None
+  override def beforeAll(): Unit = {
+    prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+  override def afterAll(): Unit = prevAqe match {
+    case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+    case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  /** Physical plan tree string of a contract query (static planning only —
+    * nothing is executed). */
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, d).queryExecution.executedPlan.toString
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan_filter_pushdown: predicate reaches the parquet reader") {
+    val p = plan("scan_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"l_shipdate >= filter not pushed to the scan:\n$p")
+    assert(!p.contains("PushedFilters: []"), s"empty pushdown list:\n$p")
+  }
+
+  test("scan_pruned: ReadSchema carries exactly the 3 projected columns") {
+    val p = plan("scan_pruned")
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .getOrElse(fail(s"no ReadSchema in plan:\n$p")).group(1)
+    val fields = rs.split(",").map(_.split(":")(0).trim).toSet
+    assert(fields === Set("l_orderkey", "l_linenumber", "l_quantity"),
+      s"column pruning regressed — scan reads $fields")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sortmerge keeps its SortMergeJoin hint") {
+    assert(plan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("join_shuffle_hash keeps its ShuffledHashJoin hint") {
+    assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  // Sensitivity check: the BroadcastHashJoin assertions above must be
+  // falsifiable. The same join WITHOUT the hint, with auto-broadcast off,
+  // must NOT plan a broadcast — proving the assertion tracks the hint, not
+  // a string that happens to always match.
+  test("dropping the broadcast hint is detected (assertions have teeth)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = Tables.nation(spark, d)
+      val r = Tables.region(spark, d)
+      val p = planOf(
+        n.join(r, n("n_regionkey") === r("r_regionkey"))
+          .select("n_nationkey", "n_name", "r_name"))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"expected no broadcast without hint+threshold:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("stream_static_join's dimension side broadcasts (batch twin)") {
+    // The streaming query's per-batch plan is not inspectable post-run (the
+    // memory sink returns a LocalTableScan), so pin the identical join shape
+    // — same broadcast(cust) construct StreamOps uses — on the batch source.
+    val ev = Tables.events(spark, d)
+    val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+    val p = planOf(
+      ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", "value"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("llm_knn_bruteforce: graft_cosine stays inside whole-stage codegen") {
+    val p = plan("llm_knn_bruteforce")
+    assert(!p.contains("BatchEvalPython"), p)
+    assert(p.contains("graft_cosine"), p)
+    // CollapseCodegenStages marks codegen'd operators with '*(id)'. The
+    // Project evaluating graft_cosine must carry the marker — an expression
+    // that lost doGenCode (or became a UDF) would leave a bare Project.
+    val projLines = p.linesIterator.filter(l =>
+      l.contains("Project") && l.contains("graft_cosine")).toSeq
+    assert(projLines.nonEmpty, s"no Project with graft_cosine in:\n$p")
+    assert(projLines.forall(_.contains("*(")),
+      s"graft_cosine fell out of codegen:\n${projLines.mkString("\n")}")
+    // and the capped candidate side is broadcast, never shuffled
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("CosineSimilarity is not a CodegenFallback expression") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!classOf[CodegenFallback].isAssignableFrom(
+      classOf[graft.functions.CosineSimilarity]))
+  }
+
+  test("agg_pivot: fixed-width pivotfirst plan, no Expand") {
+    // Explicit pivot values ⇒ Spark's two-level pivot plan: a partial+final
+    // count on (o_year, o_orderpriority) feeding a partial+final pivotfirst
+    // on o_year — 4 HashAggregate nodes, fixed output width. (The
+    // distinct-values job that pivot-without-values runs is EAGER at query
+    // construction, so its absence can't show in this plan — what can is
+    // that the whole query is hash-aggs: no Expand, no extra exchange
+    // beyond the two agg boundaries + final sort.)
+    val p = plan("agg_pivot")
+    val nAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nAgg === 4, s"expected 4 HashAggregate nodes (2 partial+final pairs), got $nAgg:\n$p")
+    assert(p.contains("pivotfirst"), s"pivotfirst aggregate missing:\n$p")
+    assert(p.contains("partial_"), s"map-side partial aggregation missing:\n$p")
+    assert(!p.contains("Expand"), s"unexpected Expand (distinct-style plan):\n$p")
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx <= 3, s"expected ≤3 exchanges (2 agg + sort), got $nEx:\n$p")
+  }
+
+  test("agg_groupby does map-side partial aggregation") {
+    val p = plan("agg_groupby")
+    assert(p.contains("partial_"), s"no partial aggregate in:\n$p")
+  }
+
+  test("llm_neardup_embedding: broadcast loop join, codegen'd cosine") {
+    val p = plan("llm_neardup_embedding")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val projLines = p.linesIterator.filter(l =>
+      l.contains("graft_cosine") && l.contains("Project")).toSeq
+    assert(projLines.forall(_.contains("*(")), s"cosine fell out of codegen:\n$p")
+  }
+
+  test("win_ntile_scalable: row-level data never funnels through one partition") {
+    val p = plan("win_ntile_scalable")
+    // The per-row Window must be partitioned (by bkt) — a global
+    // Window.orderBy would print a windowspecdefinition with no partition
+    // column list and a SinglePartition exchange under row-level input.
+    // SinglePartition IS allowed over the per-bucket COUNTS (that table is
+    // #buckets rows); pin that by requiring every SinglePartition exchange's
+    // direct child to be a HashAggregate, never a scan/projection of rows.
+    val lines = p.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
+        assert(child.contains("HashAggregate"),
+          s"SinglePartition over non-aggregated input:\n$p")
+    }
+    // and the row-level window itself carries a partition spec
+    val rowWin = lines.filter(l => l.contains("Window [row_number()"))
+    assert(rowWin.nonEmpty && rowWin.forall(_.contains("], [bkt")),
+      s"row-level window lost its bucket partitioning:\n$p")
+  }
+}
