@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   *    map-side partial min/count, single shuffle on the 128-bit hash. The
   *    classic first pass of every corpus dedup.
   *  - `llm_neardup_minhash` is the LSH-banded plan, NOT all-pairs: shingle →
-  *    k=128 universal-hashed minima → 32 bands × 4 rows → equi-join on
+  *    k=64 universal-hashed minima → 16 bands × 4 rows → equi-join on
   *    (band, bandHash). Work is O(corpus) + O(collisions); the quadratic
   *    explosion only ever happens inside a bucket. The exact-Jaccard confirm
   *    join runs on the candidate pairs only. Deterministic seeds so reruns
-  *    and the driver gate agree.
+  *    and the driver gate agree. `llm_neardup_clusters` then resolves the
+  *    pairs into components (min-label propagation + pointer jumping,
+  *    O(log n) rounds of joins — no driver-side union-find).
   *  - `llm_jaccard_pairs` IS the quadratic verification twin — deliberately
   *    capped to doc_id < 100 (SURVEY §2-K: "small doc subset") and driven
   *    through a token-equi-join (pairs sharing ≥1 token), never a cross join.
@@ -84,6 +86,114 @@ object LlmOps {
     dot / sqrt(na * nb)
   }
 
+  /** Confirmed near-dup pairs (doc_a < doc_b, shingle Jaccard ≥ 0.6) via the
+    * LSH-banded MinHash plan — the shared front half of
+    * `llm_neardup_minhash` (pair report) and `llm_neardup_clusters`
+    * (component resolution). See the minhash scale notes in the module doc.
+    */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.6
+    // cache(): referenced by the signature build AND both sides of the
+    // exact-confirm join — uncached, the shingle transform runs 3×.
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+
+    // shingle → 31-bit base hash → k minima per doc. Computed entirely
+    // with higher-order array functions ON the document row: no explode
+    // (which would multiply the corpus ×|shingles|) and NO SHUFFLE — the
+    // signature build is embarrassingly partition-local; the base hash
+    // array is materialized once per doc, then each of the k permutations
+    // is an array_min over an affine transform of it.
+    val sigSrc = docs.withColumn("h0",
+      transform(col("sh"), sv => pmod(xxhash64(sv), lit(P))))
+    val sigCols = (0 until MinhashK).map { i =>
+      array_min(transform(col("h0"),
+        h => pmod(h * hashA(i) + hashB(i), lit(P)))).as(s"sig$i")
+    }
+    val sigs = sigSrc.select((col("doc_id") +: sigCols): _*)
+
+    // 16 bands of 4 rows: band fingerprint = hash of its 4 signature slots.
+    val bandStructs = (0 until Bands).map { j =>
+      val slots = (0 until RowsPerBand).map(r => col(s"sig${j * RowsPerBand + r}"))
+      struct(lit(j).as("band"), hash(slots :+ lit(j): _*).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // Candidates via ONE shuffle: group each (band, bandHash) bucket,
+    // expand ordered pairs inside the bucket (sorted ids ⇒ a < b), then
+    // dedupe across bands. A self-join would shuffle the banded table
+    // twice and recompute the signature pipeline per side. Bucket
+    // cardinality is the near-dup group size — tiny by construction; a
+    // corpus with a degenerate hot bucket (millions of identical docs)
+    // should run llm_exact_dedup first, which collapses exact copies.
+    val cand = banded
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)),
+                     y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
+    // Confirm: exact shingle Jaccard on the (small) candidate set.
+    val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** Connected components over an undirected pair list by min-label
+    * propagation with pointer-jumping, run to fixpoint.
+    *
+    * Each round does two joins: (1) every node takes the min of its own
+    * label and its neighbors' labels; (2) labels are path-compressed
+    * through one pointer jump (lbl ← lbl(lbl)), which is what turns
+    * O(component diameter) rounds into O(log n). The driver loop only
+    * controls iteration (one `count()` of changed labels per round — a
+    * scalar); all data movement is joins/aggregations on executors, so the
+    * same code runs unchanged on a cluster. `localCheckpoint` truncates
+    * lineage each round — without it the plan doubles per iteration and
+    * planning cost explodes long before data size matters (a production
+    * run against HDFS/S3 would use reliable `checkpoint` instead).
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (node, lbl) where lbl = min
+    * doc_id of the node's component.
+    */
+  private[graft] def resolveClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) { // 64 ≫ log2(any real component)
+      rounds += 1
+      val nbr = edges.join(labels, edges("v") === labels("node"))
+        .groupBy(col("u")).agg(min("lbl").as("nl"))
+      val stepped = labels.join(nbr, labels("node") === nbr("u"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      val jumped = stepped.as("x").join(
+          stepped.select(col("node").as("jn"), col("lbl").as("jl")).as("y"),
+          col("x.lbl") === col("y.jn"), "left")
+        .select(col("x.node").as("node"), coalesce(col("y.jl"), col("x.lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = jumped.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = jumped
+    }
+    edges.unpersist()
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize (lower, squash whitespace) → digest → one
     // hash-agg keeping the minimum doc_id per digest.
@@ -97,65 +207,28 @@ object LlmOps {
     }),
 
     // Near-dup detection: MinHash + LSH banding, then exact-Jaccard confirm
-    // on candidates only. Oracle is the honest all-pairs predicate — the
-    // banded plan must FIND every pair, not redefine the question.
+    // on candidates only (shared plan in neardupPairs above). Oracle is the
+    // honest all-pairs predicate — the banded plan must FIND every pair,
+    // not redefine the question.
     "llm_neardup_minhash" -> ((s, d) => {
-      val tau = 0.6
-      // cache(): referenced by the signature build AND both sides of the
-      // exact-confirm join — uncached, the shingle transform runs 3×.
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .cache()
-
-      // shingle → 31-bit base hash → k minima per doc. Computed entirely
-      // with higher-order array functions ON the document row: no explode
-      // (which would multiply the corpus ×|shingles|) and NO SHUFFLE — the
-      // signature build is embarrassingly partition-local; the base hash
-      // array is materialized once per doc, then each of the k permutations
-      // is an array_min over an affine transform of it.
-      val sigSrc = docs.withColumn("h0",
-        transform(col("sh"), sv => pmod(xxhash64(sv), lit(P))))
-      val sigCols = (0 until MinhashK).map { i =>
-        array_min(transform(col("h0"),
-          h => pmod(h * hashA(i) + hashB(i), lit(P)))).as(s"sig$i")
-      }
-      val sigs = sigSrc.select((col("doc_id") +: sigCols): _*)
-
-      // 32 bands of 4 rows: band fingerprint = hash of its 4 signature slots.
-      val bandStructs = (0 until Bands).map { j =>
-        val slots = (0 until RowsPerBand).map(r => col(s"sig${j * RowsPerBand + r}"))
-        struct(lit(j).as("band"), hash(slots :+ lit(j): _*).as("bh"))
-      }
-      val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-
-      // Candidates via ONE shuffle: group each (band, bandHash) bucket,
-      // expand ordered pairs inside the bucket (sorted ids ⇒ a < b), then
-      // dedupe across bands. A self-join would shuffle the banded table
-      // twice and recompute the signature pipeline per side. Bucket
-      // cardinality is the near-dup group size — tiny by construction; a
-      // corpus with a degenerate hot bucket (millions of identical docs)
-      // should run llm_exact_dedup first, which collapses exact copies.
-      val cand = banded
-        .groupBy("band", "bh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids)),
-                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .distinct()
-
-      // Confirm: exact shingle Jaccard on the (small) candidate set.
-      val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jac") >= tau)
+      neardupPairs(s, d)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Near-dup CLUSTER resolution — the step a production dedup runs after
+    // pair detection: pairs → connected components → one keeper per
+    // component (min doc_id). Docs in no pair are their own singleton
+    // cluster, so the output is a complete per-corpus keep/drop decision.
+    // Oracle: recursive-CTE transitive closure over the SAME honest
+    // all-pairs predicate in DuckDB.
+    "llm_neardup_clusters" -> ((s, d) => {
+      val labels = resolveClusters(neardupPairs(s, d).select("doc_a", "doc_b"))
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      docs.join(labels, docs("doc_id") === labels("node"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
+        .orderBy("doc_id")
     }),
 
     // SimHash near-dup: 60-bit signature from weighted token-bit votes,
@@ -474,6 +547,40 @@ object LlmOps {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
       ORDER BY doc_a, doc_b""",
+
+    // Transitive closure over the same honest all-pairs predicate: every
+    // document labeled with the min doc_id reachable through J >= 0.6
+    // pairs; docs with no near-dup are their own singleton cluster.
+    "llm_neardup_clusters" -> s"""
+      WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      minlab AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u)
+      SELECT d.doc_id,
+             coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+             coalesce(m.cluster_id, d.doc_id) = d.doc_id AS keep
+      FROM documents d
+      LEFT JOIN minlab m ON d.doc_id = m.doc_id
+      ORDER BY d.doc_id""",
 
     // Honest all-pairs Hamming predicate — banding recall is 1.0 by
     // pigeonhole (4 errors, 5 bands), so exact match is REQUIRED.

@@ -27,6 +27,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveClusters: planted dup chains resolve to one keeper each") {
+    import spark.implicits._
+    // one 8-node path (worst case for propagation depth — exercises the
+    // pointer-jumping rounds), one pair, one triangle-with-tail
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L)
+    ).toDF("doc_a", "doc_b")
+    val got = graft.ops.LlmOps.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    assert(got === want)
+    // exactly one keeper (label == own id) per component
+    assert(got.count { case (n, l) => n == l } === 3)
+  }
+
   test("cross-check: udf_scalar UDF twin equals native when-chain twin") {
     val rows = SparkEntry.queries("udf_scalar")(spark, d)
       .select("band_udf", "band_native").collect()
