@@ -226,6 +226,61 @@ object StreamOps {
     }
   }
 
+  /** Shared purchases⋈signups event-time range join runner (inner and
+    * left-outer variants). runStream builds ONE source; these queries need
+    * two, so the streaming query is assembled directly with the same
+    * conventions. rep.schema is reused — re-reading the replay dir would
+    * add two redundant batch footer-scans (one per source).
+    *
+    * Inner runs on the "base" replay (matches emit as they arrive). Outer
+    * runs on the "flush" replay and keeps the `__flush__` sentinels inside
+    * BOTH sides' filters: unmatched-row emission is driven by state
+    * eviction under the global watermark, which is the MIN of the two
+    * sides' watermarks — if either filter dropped the sentinels before its
+    * withWatermark node, that side would stall at the last real event and
+    * no null-match would ever emit. Sentinel rows (user_id = -1, 30-day
+    * spacing ⇒ they never match each other's 7-day window) surface as
+    * unmatched left rows; callers drop them from the completed table.
+    */
+  private def streamStreamJoin(s: SparkSession, d: String, joinType: String): DataFrame = {
+    val isOuter = joinType != "inner"
+    val rep = replay(s, d, if (isOuter) "flush" else "base")
+    val name = s"graft_stream_ss_${nameCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    def srcStream = s.readStream.schema(rep.schema)
+      .option("maxFilesPerTrigger", 1).parquet(rep.srcDir)
+    def side(t: String, idAs: String, userAs: String, tsAs: String) = {
+      val keep = if (isOuter) Seq(t, "__flush__") else Seq(t)
+      srcStream.filter(col("event_type").isin(keep: _*))
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+                col("ts").as(tsAs))
+    }
+    val purchases = side("purchase", "p_id", "p_user", "p_ts")
+      .withWatermark("p_ts", "1 hour")
+    val signups = side("signup", "s_id", "s_user", "s_ts")
+      .withWatermark("s_ts", "1 hour")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val q = purchases.join(signups,
+          col("p_user") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
+          joinType)
+        .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+                col("s_id"), col("s_ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    s.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour windows per event type, 10-min watermark.
     "stream_tumbling" -> ((s, d) => {
@@ -365,44 +420,23 @@ object StreamOps {
     // EVICT joined state (without them, stream-stream state grows forever);
     // inner-join output is emitted as matches arrive, so no flush sentinel
     // gymnastics are needed for completeness of the final result.
-    "stream_stream_join" -> ((s, d) => {
-      val rep = replay(s, d, "base")
-      // runStream builds ONE source; this query needs two, so it assembles
-      // the streaming query directly with the same conventions.
-      val name = s"graft_stream_ss_${nameCounter.incrementAndGet()}"
-      val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
-      // rep.schema was captured when the replay dir was built — reusing it
-      // here avoids two redundant batch footer-scans (one per source).
-      def srcStream = s.readStream.schema(rep.schema)
-        .option("maxFilesPerTrigger", 1).parquet(rep.srcDir)
-      val purchases = srcStream.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-                col("ts").as("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-      val signups = srcStream.filter(col("event_type") === "signup")
-        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
-                col("ts").as("s_ts"))
-        .withWatermark("s_ts", "1 hour")
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", 8)
-      try {
-        val q = purchases.join(signups,
-            col("p_user") === col("s_user") &&
-            col("s_ts") <= col("p_ts") &&
-            col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
-          .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
-                  col("s_id"), col("s_ts"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      }
-      s.table(name).orderBy("p_id", "s_id")
-    }),
+    "stream_stream_join" -> ((s, d) =>
+      streamStreamJoin(s, d, "inner").orderBy("p_id", "s_id")),
+
+    // Stream-stream LEFT OUTER join — the state-eviction-critical case the
+    // inner join never exercises: a purchase with no qualifying signup can
+    // only be emitted (with null signup columns) once the GLOBAL watermark
+    // (min over both sides) proves no matching signup can still arrive,
+    // i.e. when state eviction fires. Uses the flush-sentinel replay so the
+    // watermark actually advances past the last real purchases; sentinels
+    // must FLOW THROUGH both sides' event-type filters (a filter that drops
+    // them pre-watermark stalls that side's watermark and the null-matches
+    // never emit — same failure mode as stream_late_data's pushdown note),
+    // and are removed from the completed result by user_id, post-run.
+    "stream_stream_outer" -> ((s, d) =>
+      streamStreamJoin(s, d, "left_outer")
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("p_id"), col("s_id").asc_nulls_first)),
 
     // Stream ⋈ static dimension: per-micro-batch broadcast hash join.
     "stream_static_join" -> ((s, d) => {
@@ -490,6 +524,18 @@ object StreamOps {
        AND s.ts <= p.ts
        AND s.ts >= p.ts - INTERVAL 7 DAY
       ORDER BY p_id, s_id""",
+
+    // NULLS FIRST matches Spark's asc_nulls_first default — the gate
+    // compares rows in produced order, so null placement must agree.
+    "stream_stream_outer" -> """
+      SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+             s.event_id AS s_id, s.ts AS s_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id
+       AND s.ts <= p.ts
+       AND s.ts >= p.ts - INTERVAL 7 DAY
+      ORDER BY p_id, s_id NULLS FIRST""",
 
     // stream_late_data: assertion-style, no oracle (rows-only check);
     // the ScalaTest suite asserts all_late_dropped.

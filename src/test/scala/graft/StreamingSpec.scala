@@ -98,6 +98,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream_stream_outer equals batch left join and emits null-matches") {
+    val streamed = StreamOps.queries("stream_stream_outer")(spark, d).collect()
+    val ev = Tables.events(spark, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = p.join(sg,
+        col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
+        "left_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_id"), col("s_ts"))
+      .orderBy(col("p_id"), col("s_id").asc_nulls_first)
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+    // the whole point of the outer variant: state eviction actually emitted
+    // unmatched purchases as null-matches
+    assert(streamed.exists(_.isNullAt(3)),
+      "no null-match rows — watermark never evicted unmatched purchases")
+  }
+
   test("stream_static_join equals batch join") {
     val streamed = StreamOps.queries("stream_static_join")(spark, d).collect()
     val ev = Tables.events(spark, d)
