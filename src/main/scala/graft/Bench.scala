@@ -29,7 +29,12 @@ object Bench {
     // per-query attribution is stable across rounds.
     try spark.range(1000000).selectExpr("sum(id)").collect()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional trailing args restrict the run (local iteration); the
+    // driver always runs with none.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val reps = if (name.startsWith("stream_")) 1 else Repeats
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -149,6 +149,82 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Hash implementation for the text-signature family (llm_simhash,
+    * llm_fingerprint). "md5" (default): first 15 md5 hex chars folded to a
+    * 60-bit long with ascii arithmetic — chosen because BOTH engines
+    * reproduce it in pure SQL, which is what makes the hash-match oracle
+    * possible; it is also ~an order of magnitude more expensive than a
+    * seeded native hash. "xxhash64": the production path —
+    * `xxhash64(token) & (2^60-1)`, same 60-bit domain, no SQL oracle (the
+    * harness never sets the env var, so the gate always sees md5). Recall
+    * properties of the banding are hash-agnostic and pinned for both by
+    * TextHashSpec. */
+  private[graft] val TextHash: String =
+    sys.env.getOrElse("SPARK_GRAFT_TEXT_HASH", "md5")
+  private[graft] val Mask60 = "1152921504606846975L" // (1<<60)-1, SQL literal
+
+  /** (doc_id, harr): one 60-bit hash per whitespace token. The caller-side
+    * cache() is the measured-critical barrier: higher-order functions run
+    * interpreted (no codegen CSE) and CollapseProject would inline this
+    * pipeline into the 60-bit vote aggregate, recomputing it once PER BIT
+    * (measured: 104 s vs ~4 s at sf0.1 on the md5 path). */
+  private def tokenHashes(s: SparkSession, d: String, hashImpl: String): DataFrame =
+    hashImpl match {
+      case "xxhash64" =>
+        Tables.documents(s, d).select(col("doc_id"),
+          expr(s"transform(split(text, ' '), t -> xxhash64(t) & $Mask60)").as("harr"))
+      case _ =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("transform(split(text, ' '), t -> md5(t))").as("hexes"))
+          .withColumn("harr", expr(
+            """transform(hexes, m -> aggregate(
+                 transform(sequence(1, 15), i ->
+                   CAST(CASE WHEN ascii(substring(m, i, 1)) >= 97
+                        THEN ascii(substring(m, i, 1)) - 87
+                        ELSE ascii(substring(m, i, 1)) - 48 END AS BIGINT)),
+                 CAST(0 AS BIGINT), (a, b) -> a * 16 + b))"""))
+          .select(col("doc_id"), col("harr"))
+    }
+
+  /** (doc_id, sig): 60-bit SimHash signatures under the given hash impl. */
+  private[graft] def simhashSigs(s: SparkSession, d: String, hashImpl: String): DataFrame = {
+    val sigExpr = expr(
+      """aggregate(
+           transform(sequence(0, 59), b -> CASE WHEN
+             aggregate(harr, CAST(0 AS BIGINT),
+                       (acc, x) -> acc + 2 * ((x >> b) & 1) - 1) > 0
+             THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+           CAST(0 AS BIGINT), (a, b) -> a + b)""")
+    tokenHashes(s, d, hashImpl).cache()
+      .select(col("doc_id"), sigExpr.as("sig"))
+      .cache()
+  }
+
+  /** Banded SimHash near-dup pairs (unordered): 5×12-bit bands → in-bucket
+    * pair expansion → exact Hamming ≤ 4 confirm. */
+  private[graft] def simhashPairs(s: SparkSession, d: String, hashImpl: String): DataFrame = {
+    val k = 4
+    val sigs = simhashSigs(s, d, hashImpl)
+    val banded = sigs.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 4), j -> (sig >> (12 * j)) & 4095)")).as(Seq("band", "bv")))
+    val cand = banded.groupBy("band", "bv")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)),
+                     y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+      .filter(col("hamming") <= k)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Connected components over an undirected pair list by min-label
     * propagation with pointer-jumping, run to fixpoint.
     *
@@ -236,59 +312,12 @@ object LlmOps {
     // Threshold 4 < 5 bands ⇒ by pigeonhole at least one band of any
     // qualifying pair is error-free ⇒ banding has recall 1.0 PROVABLY, so
     // the honest all-pairs oracle must match exactly (unlike probabilistic
-    // MinHash banding). Token hash = first 15 hex chars of md5 folded to a
-    // long — chosen because BOTH engines can reproduce it in pure SQL
-    // (ascii arithmetic), making the whole signature cross-engine exact.
-    // Signature build is shuffle-free (per-doc higher-order expressions);
-    // the only shuffle is the band groupBy.
-    "llm_simhash" -> ((s, d) => {
-      val k = 4
-      val sigExpr = expr(
-        """aggregate(
-             transform(sequence(0, 59), b -> CASE WHEN
-               aggregate(harr, CAST(0 AS BIGINT),
-                         (acc, x) -> acc + 2 * ((x >> b) & 1) - 1) > 0
-               THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
-             CAST(0 AS BIGINT), (a, b) -> a + b)""")
-      // cache() the token-hash array BEFORE the 60-bit vote expression:
-      // higher-order functions run interpreted (no codegen CSE), and
-      // CollapseProject would otherwise inline this md5+fold pipeline into
-      // the vote aggregate — recomputing it once PER BIT (measured: 104 s
-      // vs ~4 s at sf0.1). The barrier forces one materialization per doc.
-      val harrDf = Tables.documents(s, d)
-        .select(col("doc_id"),
-          expr("transform(split(text, ' '), t -> md5(t))").as("hexes"))
-        .withColumn("harr", expr(
-          """transform(hexes, m -> aggregate(
-               transform(sequence(1, 15), i ->
-                 CAST(CASE WHEN ascii(substring(m, i, 1)) >= 97
-                      THEN ascii(substring(m, i, 1)) - 87
-                      ELSE ascii(substring(m, i, 1)) - 48 END AS BIGINT)),
-               CAST(0 AS BIGINT), (a, b) -> a * 16 + b))"""))
-        .select(col("doc_id"), col("harr"))
-        .cache()
-      val sigs = harrDf
-        .select(col("doc_id"), sigExpr.as("sig"))
-        .cache()
-      val banded = sigs.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 4), j -> (sig >> (12 * j)) & 4095)")).as(Seq("band", "bv")))
-      val cand = banded.groupBy("band", "bv")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids)),
-                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .distinct()
-      cand
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
-        .filter(col("hamming") <= k)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    // MinHash banding). Hash impl is the TextHash flag (md5 default —
+    // cross-engine-reproducible; xxhash64 = production). Signature build is
+    // shuffle-free (per-doc higher-order expressions); the only shuffle is
+    // the band groupBy.
+    "llm_simhash" -> ((s, d) =>
+      simhashPairs(s, d, TextHash).orderBy("doc_a", "doc_b")),
 
     // Embedding-cosine near-dup: the exact all-pairs formulation (the
     // definition), evaluated with the codegen'd Expression over a broadcast

@@ -94,28 +94,10 @@ object TextOps {
     // Winnowing fingerprints: rolling window minima over hashed character
     // 8-grams (k=8, w=4). Output per-doc fingerprint-set stats; the pair
     // form of this (docs sharing fingerprints) is the minhash/simhash
-    // family's job. Same cache barrier as llm_simhash: the kgram hash
-    // array MUST materialize before the window-minima expression.
+    // family's job. Hash impl = LlmOps.TextHash (md5 default for the
+    // oracle; xxhash64 production — see the flag's doc).
     "llm_fingerprint" -> ((s, d) => {
-      val harrDf = Tables.documents(s, d)
-        .select(col("doc_id"), lower(col("text")).as("t"))
-        .filter(length(col("t")) >= 11) // k + w - 1
-        // md5 ONCE per kgram via the inner transform's lambda var (m), then
-        // fold its digits — md5 inside the digit lambda would recompute it
-        // 15× per kgram (measured: 71 s vs ~3 s at sf0.1)
-        .withColumn("harr", expr(
-          """transform(
-               transform(sequence(1, length(t) - 7), i -> md5(substring(t, i, 8))),
-               m -> aggregate(transform(sequence(1, 15), j ->
-                 CAST(CASE WHEN ascii(substring(m, j, 1)) >= 97
-                      THEN ascii(substring(m, j, 1)) - 87
-                      ELSE ascii(substring(m, j, 1)) - 48 END AS BIGINT)),
-                 CAST(0 AS BIGINT), (a, b) -> a * 16 + b))"""))
-        .select(col("doc_id"), col("harr"))
-        .cache()
-      harrDf
-        .withColumn("fps", expr(
-          "array_distinct(transform(sequence(1, size(harr) - 3), i -> array_min(slice(harr, i, 4))))"))
+      fingerprints(s, d, LlmOps.TextHash)
         .select(col("doc_id"),
                 size(col("fps")).cast("long").as("n_fp"),
                 array_min(col("fps")).as("min_fp"),
@@ -123,6 +105,39 @@ object TextOps {
         .orderBy("doc_id")
     })
   )
+
+  /** (doc_id, fps): winnowing fingerprint sets (k=8 char-grams, window
+    * w=4) under the given hash impl. Same cache barrier as llm_simhash:
+    * the kgram hash array MUST materialize before the window-minima
+    * expression (and on the md5 path, md5 runs ONCE per kgram via the
+    * inner transform's lambda var — md5 inside the digit lambda would
+    * recompute it 15× per kgram; measured 71 s vs ~3 s at sf0.1). */
+  private[graft] def fingerprints(s: SparkSession, d: String, hashImpl: String): DataFrame =
+    fingerprintsOf(
+      Tables.documents(s, d).select(col("doc_id"), lower(col("text")).as("t")),
+      hashImpl)
+
+  /** Same, over any (doc_id, t) frame — lets tests plant synthetic docs. */
+  private[graft] def fingerprintsOf(docsRaw: DataFrame, hashImpl: String): DataFrame = {
+    val docs = docsRaw.filter(length(col("t")) >= 11) // k + w - 1
+    val harrDf = (hashImpl match {
+      case "xxhash64" =>
+        docs.withColumn("harr", expr(
+          s"transform(sequence(1, length(t) - 7), i -> xxhash64(substring(t, i, 8)) & ${LlmOps.Mask60})"))
+      case _ =>
+        docs.withColumn("harr", expr(
+          """transform(
+               transform(sequence(1, length(t) - 7), i -> md5(substring(t, i, 8))),
+               m -> aggregate(transform(sequence(1, 15), j ->
+                 CAST(CASE WHEN ascii(substring(m, j, 1)) >= 97
+                      THEN ascii(substring(m, j, 1)) - 87
+                      ELSE ascii(substring(m, j, 1)) - 48 END AS BIGINT)),
+                 CAST(0 AS BIGINT), (a, b) -> a * 16 + b))"""))
+    }).select(col("doc_id"), col("harr"))
+      .cache()
+    harrDf.withColumn("fps", expr(
+      "array_distinct(transform(sequence(1, size(harr) - 3), i -> array_min(slice(harr, i, 4))))"))
+  }
 
   val oracle: Map[String, String] = Map(
     "llm_langid" -> """
