@@ -23,5 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    // §7.6 banded-join rewrites (BandedJoinRules.scala). Injected rules run
+    // inside the operator-optimization fixpoint, so they see the
+    // pushed-into-join predicate shape after the first iteration; both are
+    // idempotent via the __graft_band marker. Sessions not built with
+    // extensions get the same rules via GraftRules.install.
+    ext.injectOptimizerRule(_ => graft.plans.HammingBandedJoin)
+    ext.injectOptimizerRule(_ => graft.plans.CosineBandedJoin)
   }
 }

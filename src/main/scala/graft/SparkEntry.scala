@@ -27,6 +27,7 @@ object SparkEntry {
       (UdfOps.queries, UdfOps.oracle),
       (LlmOps.queries, LlmOps.oracle),
       (TextOps.queries, TextOps.oracle),
+      (OptOps.queries, OptOps.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle)
     )
 

@@ -1,0 +1,251 @@
+package graft.plans
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** SURVEY §7.6: optimizer rules that rewrite similarity-threshold
+  * self-joins the engine's own workload produces — the "engine optimizes
+  * its own queries" showcase. Two rules share one banded-join rewrite
+  * skeleton (`BandedJoins.rewrite`):
+  *
+  *  - [[HammingBandedJoin]] (EXACT, always on): a non-equi join carrying a
+  *    `bit_count(x ^ y) <= k` conjunct becomes a (k+1)-band bucketed
+  *    equi-join + exact confirm. Pigeonhole: k bit errors cannot touch all
+  *    k+1 disjoint bands, so every qualifying pair shares >= 1 whole band
+  *    — recall is PROVABLY 1.0 and the rewrite is semantics-preserving.
+  *    This turns the naive all-pairs SimHash formulation (O(n²) nested
+  *    loop) into the banded plan automatically.
+  *
+  *  - [[CosineBandedJoin]] (APPROXIMATE, opt-in): `graft_cosine(a,b) >= τ`
+  *    over a non-equi join becomes a sign-bit 16×4-banded candidate join +
+  *    exact cosine confirm. Unlike Hamming, NO banding of sign bits can be
+  *    exact for a cosine threshold: measured on this corpus at τ=0.3,
+  *    qualifying pairs span sign-bit Hamming 16–35 (of 64) while
+  *    non-qualifying pairs start at 15 — the populations overlap, so any
+  *    scheme either misses pairs or degenerates to all-pairs. The rule is
+  *    therefore gated on `spark.graft.rewrite.cosineLsh=true`, and the
+  *    rewritten operator's DEFINITION is the banded search (deterministic:
+  *    precision 1.0 via the exact confirm, recall = banding recall), which
+  *    the opt_cosine_rewrite oracle mirrors exactly — same honesty
+  *    contract as llm_knn_ivf's probed search.
+  *
+  * Both rules only fire on joins with NO existing equi conjunct (an
+  * already-hash-joinable join has nothing to gain) and mark their output
+  * with the `__graft_band` attribute so the fixpoint optimizer batch is
+  * idempotent.
+  */
+object BandedJoins extends PredicateHelper {
+  val BandCol = "__graft_band"
+  val SigCol = "__graft_sig"
+
+  /** One band = `bits` wide slice of the signature starting at `offset`. */
+  case class BandDef(offset: Int, bits: Int) { def mask: Long = (1L << bits) - 1 }
+
+  /** Split `totalBits` into `nBands` near-even contiguous bands. */
+  def evenBands(totalBits: Int, nBands: Int): Seq[BandDef] = {
+    val base = totalBits / nBands
+    val extra = totalBits % nBands
+    var off = 0
+    (0 until nBands).map { j =>
+      val w = base + (if (j < extra) 1 else 0)
+      val b = BandDef(off, w)
+      off += w
+      b
+    }
+  }
+
+  def from(e: Expression, side: LogicalPlan): Boolean =
+    e.references.subsetOf(side.outputSet) && e.references.nonEmpty
+
+  def alreadyBanded(cond: Expression): Boolean =
+    cond.exists {
+      case a: AttributeReference => a.name == BandCol
+      case _ => false
+    }
+
+  def hasEquiConjunct(cond: Expression, l: LogicalPlan, r: LogicalPlan): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(a, b) =>
+        (from(a, l) && from(b, r)) || (from(a, r) && from(b, l))
+      case EqualNullSafe(a, b) =>
+        (from(a, l) && from(b, r)) || (from(a, r) && from(b, l))
+      case _ => false
+    }
+
+  def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  /** Rewrite `join` into the band-bucketed form:
+    *
+    *   Project(join.output,
+    *     Join(Generate(explode(bands), Project(left.*, sig)),
+    *          Generate(explode(bands), Project(right.*, sig)),
+    *          band_l = band_r AND minimalBand AND <ALL original conjuncts>))
+    *
+    * The band equi-conjunct is what makes the join hash/sort-mergeable
+    * (the whole point — the original plan was a nested loop over n²
+    * pairs); keeping every original conjunct makes the threshold predicate
+    * the exact confirm. A pair matching in several bands would emit
+    * several times, so `minimalBand` keeps only the row whose exploded
+    * band index is the pair's FIRST matching band — exact multiset dedup
+    * computed from the two signature columns, no distinct needed.
+    */
+  def rewrite(join: Join, sigL: Expression, sigR: Expression,
+              bands: Seq[BandDef]): LogicalPlan = {
+    def sideBanded(child: LogicalPlan, sig: Expression)
+        : (LogicalPlan, Attribute, Attribute) = {
+      val sigAlias = Alias(sig, SigCol)()
+      val proj = Project(child.output :+ sigAlias, child)
+      val sigAttr = sigAlias.toAttribute
+      val bandStructs: Seq[Expression] = bands.zipWithIndex.map { case (bd, j) =>
+        CreateNamedStruct(Seq(
+          Literal("b"), Literal(j),
+          Literal("v"), BitwiseAnd(
+            ShiftRightUnsigned(sigAttr, Literal(bd.offset)), Literal(bd.mask))))
+      }
+      val explode = Explode(CreateArray(bandStructs))
+      val st = explode.elementSchema
+      val bandAttr = AttributeReference(BandCol, st.head.dataType, st.head.nullable)()
+      (Generate(explode, Nil, outer = false, None, Seq(bandAttr), proj),
+        sigAttr, bandAttr)
+    }
+    val (gl, sigAttrL, bandL) = sideBanded(join.left, sigL)
+    val (gr, sigAttrR, bandR) = sideBanded(join.right, sigR)
+    def bandEq(j: Int): Expression = {
+      val bd = bands(j)
+      EqualTo(
+        BitwiseAnd(ShiftRightUnsigned(sigAttrL, Literal(bd.offset)), Literal(bd.mask)),
+        BitwiseAnd(ShiftRightUnsigned(sigAttrR, Literal(bd.offset)), Literal(bd.mask)))
+    }
+    val curBand = GetStructField(bandL, 0, Some("b"))
+    val minimalBand = CaseWhen(
+      bands.indices.map { j =>
+        val noEarlierMatch: Expression =
+          if (j == 0) Literal(true)
+          else Not((0 until j).map(bandEq).reduce(Or(_, _)))
+        (EqualTo(curBand, Literal(j)): Expression, noEarlierMatch)
+      },
+      Some(Literal(false)))
+    val cond = (Seq(EqualTo(bandL, bandR), minimalBand) ++
+      splitConjunctivePredicates(join.condition.get)).reduce(And(_, _))
+    Project(join.output, Join(gl, gr, Inner, Some(cond), JoinHint.NONE))
+  }
+}
+
+/** Exact banded rewrite of Hamming-threshold joins (see module doc). The
+  * signature domain is the text family's 60-bit space; k is read from the
+  * conjunct, bands = k+1. Fires for 1 <= k <= 29 (k+1 bands of >= 2 bits
+  * — beyond that banding cannot bucket). */
+object HammingBandedJoin extends Rule[LogicalPlan] with PredicateHelper {
+  import BandedJoins._
+  private val SigBits = 60
+
+  /** conjunct ~ bit_count(x ^ y) <= k (any cast/orientation). */
+  private def findHamming(cond: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, Expression, Int)] = {
+    def kOf(lit: Literal): Option[Long] = lit.value match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case j: java.lang.Long => Some(j)
+      case s: java.lang.Short => Some(s.longValue)
+      case _ => None
+    }
+    def sides(bc: Expression): Option[(Expression, Expression)] =
+      stripCast(bc) match {
+        case BitwiseCount(x) => stripCast(x) match {
+          case BitwiseXor(a, b) if from(a, l) && from(b, r) => Some((a, b))
+          case BitwiseXor(a, b) if from(a, r) && from(b, l) => Some((b, a))
+          case _ => None
+        }
+        case _ => None
+      }
+    splitConjunctivePredicates(cond).iterator.flatMap {
+      case LessThanOrEqual(bc, lit: Literal) =>
+        for (k <- kOf(lit); (a, b) <- sides(bc)) yield (a, b, k.toInt)
+      case LessThan(bc, lit: Literal) =>
+        for (k <- kOf(lit); (a, b) <- sides(bc)) yield (a, b, k.toInt - 1)
+      case GreaterThanOrEqual(lit: Literal, bc) =>
+        for (k <- kOf(lit); (a, b) <- sides(bc)) yield (a, b, k.toInt)
+      case GreaterThan(lit: Literal, bc) =>
+        for (k <- kOf(lit); (a, b) <- sides(bc)) yield (a, b, k.toInt - 1)
+      case _ => None
+    }.buffered.headOption
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, Inner | Cross, Some(cond), _)
+        if !alreadyBanded(cond) && !hasEquiConjunct(cond, l, r) =>
+      findHamming(cond, l, r) match {
+        case Some((x, y, k)) if k >= 1 && k <= 29 &&
+            x.dataType == org.apache.spark.sql.types.LongType &&
+            y.dataType == org.apache.spark.sql.types.LongType =>
+          rewrite(j, x, y, evenBands(SigBits, k + 1))
+        case _ => j
+      }
+  }
+}
+
+/** Approximate banded rewrite of cosine-threshold joins (see module doc for
+  * why exactness is impossible): sign-bit signature over the first 64
+  * dimensions, 16 bands × 4 bits, exact cosine confirm on candidates.
+  * Opt-in via spark.graft.rewrite.cosineLsh=true. */
+object CosineBandedJoin extends Rule[LogicalPlan] with PredicateHelper {
+  import BandedJoins._
+  val ConfKey = "spark.graft.rewrite.cosineLsh"
+  private val Dims = 64
+  private val NBands = 16
+
+  /** bit i of the signature = [embedding(i+1) > 0]. */
+  private def signSig(emb: Expression): Expression =
+    (0 until Dims).map { i =>
+      If(GreaterThan(ElementAt(emb, Literal(i + 1)), Literal(0.0f)),
+        Literal(1L << i), Literal(0L)): Expression
+    }.reduce(Add(_, _))
+
+  private def findCosine(cond: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, Expression)] = {
+    def sides(c: Expression): Option[(Expression, Expression)] = c match {
+      case CosineSimilarity(a, b) if from(a, l) && from(b, r) => Some((a, b))
+      case CosineSimilarity(a, b) if from(a, r) && from(b, l) => Some((b, a))
+      case _ => None
+    }
+    splitConjunctivePredicates(cond).iterator.flatMap {
+      case GreaterThanOrEqual(c, _: Literal) => sides(stripCast(c))
+      case GreaterThan(c, _: Literal) => sides(stripCast(c))
+      case LessThanOrEqual(_: Literal, c) => sides(stripCast(c))
+      case LessThan(_: Literal, c) => sides(stripCast(c))
+      case _ => None
+    }.buffered.headOption
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(ConfKey, "false") != "true") plan
+    else plan.transformUp {
+      case j @ Join(l, r, Inner | Cross, Some(cond), _)
+          if !alreadyBanded(cond) && !hasEquiConjunct(cond, l, r) =>
+        findCosine(cond, l, r) match {
+          case Some((a, b)) =>
+            rewrite(j, signSig(a), signSig(b), evenBands(Dims, NBands))
+          case None => j
+        }
+    }
+}
+
+/** Registration for sessions not built with GraftExtensions (the driver
+  * harness): appends the rules to `spark.experimental.extraOptimizations`
+  * (the "User Provided Optimizers" fixpoint batch, which runs after the
+  * main optimizer — predicates are already pushed into join conditions by
+  * then, which is the shape the matchers target). Idempotent. */
+object GraftRules {
+  val all: Seq[Rule[LogicalPlan]] = Seq(HammingBandedJoin, CosineBandedJoin)
+  def install(s: SparkSession): Unit = {
+    val cur = s.experimental.extraOptimizations
+    val missing = all.filterNot(cur.contains)
+    if (missing.nonEmpty) s.experimental.extraOptimizations = cur ++ missing
+  }
+}
