@@ -196,10 +196,50 @@ object JoinOps {
         .groupBy("k", "grp")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("k")
+    }),
+
+    // Bucketed co-located join — THE canonical 100 TB shuffle eliminator:
+    // both tables are written bucketed+sorted on the join key (8 buckets),
+    // so the SortMergeJoin reads each bucket pair directly with NO Exchange
+    // and NO per-query Sort on either side (PlanSpec pins exactly that).
+    // At scale this is the difference between re-shuffling 100 TB per join
+    // and shuffling once at write time, amortized over every later join.
+    // Tables are external (data in a temp dir, metadata in the session's
+    // in-memory catalog) — no Hive metastore needed.
+    "join_bucketed" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+      // repartition on the bucket key first ⇒ exactly ONE file per bucket.
+      // Spark only trusts the write-time sortBy order (and skips the
+      // per-query Sort under SortMergeJoin) when each bucket is a single
+      // file; multiple writer tasks would each emit a file per bucket and
+      // force a re-sort at read (measured in PlanSpec).
+      Tables.orders(s, d)
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders_b").saveAsTable("graft_orders_b")
+      Tables.customer(s, d)
+        .repartition(8, col("c_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer_b").saveAsTable("graft_customer_b")
+      val o = s.table("graft_orders_b")
+      val c = s.table("graft_customer_b")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // same shape as join_shuffle_hash — bucketing is plumbing, not semantics
+    "join_bucketed" -> """
+      SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
     "join_broadcast" -> """
       SELECT n_nationkey, n_name, r_name
       FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -438,6 +438,43 @@ object StreamOps {
         .filter(col("user_id") =!= -1L)
         .orderBy(col("p_id"), col("s_id").asc_nulls_first)),
 
+    // Real FILE sink (every other stream ends in the memory sink, which is
+    // replay scaffolding): the windowed aggregation streams into a parquet
+    // directory with exactly-once semantics via the sink's _spark_metadata
+    // commit log — a crashed/re-run batch never double-counts because the
+    // batch read below only sees files the log committed. This is the
+    // production path: swap the source for Kafka and nothing else changes.
+    "stream_file_sink" -> ((s, d) => {
+      val rep = replay(s, d, "flush")
+      val outDir = Files.createTempDirectory("graft-fsink-").toFile.getAbsolutePath
+      val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+      val src = s.readStream.schema(rep.schema)
+        .option("maxFilesPerTrigger", 1).parquet(rep.srcDir)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = src.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+                  col("n"), col("sv"))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "__flush__")
+        .select(col("window_start"), col("event_type"),
+                col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // Stream ⋈ static dimension: per-micro-batch broadcast hash join.
     "stream_static_join" -> ((s, d) => {
       val rep = replay(s, d, "base")
@@ -539,6 +576,15 @@ object StreamOps {
 
     // stream_late_data: assertion-style, no oracle (rows-only check);
     // the ScalaTest suite asserts all_late_dropped.
+
+    // identical semantics to stream_tumbling — the key exists to prove the
+    // parquet FILE sink path (exactly-once commit log), not a new transform
+    "stream_file_sink" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
 
     "stream_static_join" -> """
       SELECT event_id, user_id, c_mktsegment, value

@@ -152,6 +152,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(projLines.forall(_.contains("*(")), s"cosine fell out of codegen:\n$p")
   }
 
+  test("join_bucketed: co-located SortMergeJoin with NO exchange") {
+    // run the contract query once so the bucketed tables exist, then pin
+    // the plan of the bare join (the query's agg adds its own exchange,
+    // which is expected — the claim is about the JOIN inputs)
+    SparkEntry.queries("join_bucketed")(spark, d).collect()
+    val o = spark.table("graft_orders_b")
+    val c = spark.table("graft_customer_b")
+    def join = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey"), c("c_mktsegment"))
+    // at sf0.001 the dim auto-broadcasts (which bypasses bucket reads
+    // entirely); bucketing exists for the big⋈big case, so pin THAT shape
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf(join)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount"), s"scan not bucketed:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles — bucketing metadata lost:\n$p")
+      // Spark 3+ ignores the write-time sortBy order by DEFAULT (legacy
+      // conf off since 3.0) and re-sorts each bucket locally — that's a
+      // linear partition-local pass, not a shuffle. With the legacy conf on
+      // (and one file per bucket, which the writer guarantees via
+      // repartition), even the Sort disappears — pin both behaviors.
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val p2 = planOf(join)
+      assert(!p2.contains("Exchange"), p2)
+      assert(!p2.linesIterator.exists(_.trim.matches("^[+:*()\\d ]*Sort \\[.*")),
+        s"bucketed join re-sorts despite sortBy + one file per bucket:\n$p2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("win_ntile_scalable: row-level data never funnels through one partition") {
     val p = plan("win_ntile_scalable")
     // The per-row Window must be partitioned (by bkt) — a global

@@ -120,6 +120,18 @@ class StreamingSpec extends AnyFunSuite {
       "no null-match rows — watermark never evicted unmatched purchases")
   }
 
+  test("stream_file_sink equals batch aggregation (exactly-once file sink)") {
+    val streamed = StreamOps.queries("stream_file_sink")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stream_static_join equals batch join") {
     val streamed = StreamOps.queries("stream_static_join")(spark, d).collect()
     val ev = Tables.events(spark, d)
