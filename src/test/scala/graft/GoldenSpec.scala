@@ -36,6 +36,33 @@ class GoldenSpec extends AnyFunSuite {
     assert(SparkEntry.queries("join_interval")(spark, d).count() === 7L)
   }
 
+  test("llm_neardup_clusters: 500 docs, 476 keepers, 21 non-trivial clusters") {
+    val rows = SparkEntry.queries("llm_neardup_clusters")(spark, d).collect()
+    assert(rows.length === 500)
+    assert(rows.count(_.getBoolean(2)) === 476)
+    val nontrivial = rows.filterNot(_.getBoolean(2)).map(_.getLong(1)).distinct
+    assert(nontrivial.length === 21)
+  }
+
+  test("stream_stream_outer: 589 rows of which 21 null-matches") {
+    val rows = SparkEntry.queries("stream_stream_outer")(spark, d).collect()
+    assert(rows.length === 589)
+    assert(rows.count(_.isNullAt(3)) === 21)
+  }
+
+  test("opt_cosine_rewrite: banded 842 of 920 exact pairs (recall 0.915)") {
+    assert(SparkEntry.queries("opt_cosine_rewrite")(spark, d).count() === 842L)
+    assert(SparkEntry.queries("llm_neardup_embedding")(spark, d).count() === 920L)
+  }
+
+  test("join_bucketed: 5 market segments") {
+    assert(SparkEntry.queries("join_bucketed")(spark, d).count() === 5L)
+  }
+
+  test("stream_file_sink: 868 (hour, type) groups, same as stream_tumbling") {
+    assert(SparkEntry.queries("stream_file_sink")(spark, d).count() === 868L)
+  }
+
   test("agg_hash_global: total lineitem quantity 152257.0") {
     import org.apache.spark.sql.functions._
     val s = Tables.lineitem(spark, d).agg(round(sum("l_quantity"), 2)).collect()(0).getDouble(0)
