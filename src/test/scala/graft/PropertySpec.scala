@@ -23,6 +23,45 @@ class PropertySpec extends AnyFunSuite {
     Gen.choose(2, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-100f, 100f)).map(_.toArray))
 
+  test("resolveClusters equals a local union-find on random graphs") {
+    // the distributed min-label propagation (pointer-jumping, O(log n)
+    // rounds) must agree with the textbook sequential answer on arbitrary
+    // topology — seeded so the run is deterministic; a handful of dense-ish
+    // graphs rather than 100 tiny ones (each check spins Spark jobs)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    (1 to 3).foreach { trial =>
+      val n = 60 + trial * 40
+      val nEdges = n / 2 + rnd.nextInt(n)
+      val pairs = Seq.fill(nEdges) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // sequential oracle: path-compressing union-find, then min-relabel
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val minOfRoot = touched.groupBy(v => find(v.toInt)).flatMap {
+        case (_, members) => members.map(_ -> members.min)
+      }
+      val got = graft.ops.LlmOps.resolveClusters(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === minOfRoot, s"trial $trial (n=$n, edges=${pairs.length})")
+    }
+  }
+
   test("cosine(v, v) == 1 for non-zero v") {
     check("self-cosine", Prop.forAll(vecGen) { v =>
       !v.exists(x => math.abs(x) > 1e-3f) ||
