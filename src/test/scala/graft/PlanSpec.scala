@@ -187,6 +187,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text-signature builds are shuffle-free (no Exchange before the agg)") {
+    // the 104s→4s class of regression (module docs in LlmOps/TextOps) is a
+    // compute-shape bug, but a shuffle sneaking into the per-doc signature
+    // build would be the same order of damage at 100 TB — pin zero
+    // exchanges in both builds. clearCache first: a prior suite may have
+    // materialized these cached frames, which would hide the real plan
+    // behind an InMemoryTableScan.
+    spark.catalog.clearCache()
+    val sigPlan = planOf(graft.ops.LlmOps.simhashSigs(spark, d, "md5"))
+    assert(!sigPlan.contains("Exchange"), s"simhash sig build shuffles:\n$sigPlan")
+    val fpPlan = planOf(graft.ops.TextOps.fingerprints(spark, d, "md5"))
+    assert(!fpPlan.contains("Exchange"), s"fingerprint build shuffles:\n$fpPlan")
+  }
+
+  test("sink_parquet_partitioned: read-back filter prunes partitions") {
+    val p = plan("sink_parquet_partitioned")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(p).isDefined,
+      s"o_year filter not in PartitionFilters — partition pruning lost:\n$p")
+  }
+
   test("win_ntile_scalable: row-level data never funnels through one partition") {
     val p = plan("win_ntile_scalable")
     // The per-row Window must be partitioned (by bkt) — a global
