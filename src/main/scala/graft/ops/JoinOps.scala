@@ -22,6 +22,17 @@ import org.apache.spark.sql.expressions.Window
 object JoinOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** One fixed bucketed-table location per JVM: join_bucketed runs several
+    * times a session (Bench ×3, Verify, PlanSpec) and `saveAsTable(overwrite)`
+    * re-points the external tables — a fresh dir per invocation would orphan
+    * every previous run's data files (unbounded disk leak). Overwriting in
+    * place keeps exactly one copy on disk; the dir dies with the JVM's tmp. */
+  private lazy val bucketBase: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_bucket_")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
   val queries: Map[String, Q] = Map(
     "join_broadcast" -> ((s, d) => {
       val n = Tables.nation(s, d)
@@ -207,7 +218,7 @@ object JoinOps {
     // Tables are external (data in a temp dir, metadata in the session's
     // in-memory catalog) — no Hive metastore needed.
     "join_bucketed" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+      val base = bucketBase
       // repartition on the bucket key first ⇒ exactly ONE file per bucket.
       // Spark only trusts the write-time sortBy order (and skips the
       // per-query Sort under SortMergeJoin) when each bucket is a single

@@ -86,6 +86,99 @@ object LlmOps {
     dot / sqrt(na * nb)
   }
 
+  /** IVF coarse-quantizer knobs: 10 cells, 2 Lloyd's iterations, 3-cell
+    * probes. Seeds/iteration count are part of each key's deterministic
+    * definition (the oracle unrolls the same rounds). */
+  private val IvfCells = 10
+  private val IvfIters = 2
+  private val IvfProbes = 3
+  private val EmbDim = 64
+
+  /** Trained coarse quantizer: seeded Lloyd's k-means over the embedding
+    * corpus (spherical — cosine assignment). Init = the first k vectors by
+    * vec_id (deterministic, no RNG); each iteration is one broadcast
+    * crossJoin (n×k rows) + a max_by argmax aggregate (map-side combinable,
+    * no per-vector window sort) + one 64-slot avg hash-aggregate. Nothing
+    * here depends on testdata labels — this is the build a real unlabeled
+    * 100 TB corpus runs. Centroid components are rounded to 6dp each round
+    * so the DuckDB oracle (same rounds unrolled as CTEs) sees bit-identical
+    * centroid inputs and every cross-engine assignment agrees.
+    *
+    * Returns (cell: int, cvec: array<double>). A cell that loses all its
+    * members simply drops out of the next round (same inner-join semantics
+    * in the oracle). */
+  private def kmeansCells(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cen = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+              transform(col("embedding"), x => round(x.cast("double"), 6)).as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(cen))
+        .withColumn("cell_cos", cosDouble(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"),
+             first(col("embedding")).as("embedding"))
+      val avgCols = (1 to EmbDim).map(i =>
+        round(avg(element_at(col("embedding"), i)), 6).as(s"c$i"))
+      cen = assigned.groupBy("cell")
+        .agg(avgCols.head, avgCols.tail: _*)
+        .select(col("cell"), array((1 to EmbDim).map(i => col(s"c$i")): _*).as("cvec"))
+    }
+    // k rows; referenced by posting build AND probe assignment — cache so
+    // the iterative build doesn't re-execute per consumer.
+    cen.cache()
+  }
+
+  /** Day-1 MinHash signature store for `llm_dedup_incremental`, built once
+    * per sfDir per JVM (the "day 1 job") and then only READ: bands/ holds
+    * the exploded (doc_id, band, bh) posting rows new docs probe; sh/ holds
+    * the shingle sets the exact-Jaccard confirm looks up (the store is the
+    * dedup index — a production store keeps both, so day-1 text is never
+    * re-shingled). Day-1 = doc_id % 4 != 0. */
+  private val sigStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sigStorePath(s: SparkSession, d: String): String =
+    sigStoreCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sigstore-").toString
+      val day1 = shingled(s, d).filter(pmod(col("doc_id"), lit(4)) =!= 0).cache()
+      bandedSigs(day1).write.mode("overwrite").parquet(s"$dir/bands")
+      day1.write.mode("overwrite").parquet(s"$dir/sh")
+      day1.unpersist()
+      dir
+    })
+
+  /** (doc_id, sh): shingle sets of every document with ≥1 shingle. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** (doc_id, band, bh): LSH band fingerprints of the MinHash signature.
+    *
+    * shingle → 31-bit base hash → k minima per doc, computed entirely with
+    * higher-order array functions ON the document row: no explode (which
+    * would multiply the corpus ×|shingles|) and NO SHUFFLE — the signature
+    * build is embarrassingly partition-local; the base hash array is
+    * materialized once per doc, then each of the k permutations is an
+    * array_min over an affine transform of it. Then 16 bands of 4 rows:
+    * band fingerprint = hash of its 4 signature slots. Shared by the
+    * in-corpus near-dup plan and the persisted signature store of
+    * `llm_dedup_incremental` (same seeds ⇒ signatures comparable across
+    * runs and days — the property an incremental store depends on). */
+  private def bandedSigs(docs: DataFrame): DataFrame = {
+    val sigSrc = docs.withColumn("h0",
+      transform(col("sh"), sv => pmod(xxhash64(sv), lit(P))))
+    val sigCols = (0 until MinhashK).map { i =>
+      array_min(transform(col("h0"),
+        h => pmod(h * hashA(i) + hashB(i), lit(P)))).as(s"sig$i")
+    }
+    val sigs = sigSrc.select((col("doc_id") +: sigCols): _*)
+    val bandStructs = (0 until Bands).map { j =>
+      val slots = (0 until RowsPerBand).map(r => col(s"sig${j * RowsPerBand + r}"))
+      struct(lit(j).as("band"), hash(slots :+ lit(j): _*).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** Confirmed near-dup pairs (doc_a < doc_b, shingle Jaccard ≥ 0.6) via the
     * LSH-banded MinHash plan — the shared front half of
     * `llm_neardup_minhash` (pair report) and `llm_neardup_clusters`
@@ -95,32 +188,8 @@ object LlmOps {
     val tau = 0.6
     // cache(): referenced by the signature build AND both sides of the
     // exact-confirm join — uncached, the shingle transform runs 3×.
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .cache()
-
-    // shingle → 31-bit base hash → k minima per doc. Computed entirely
-    // with higher-order array functions ON the document row: no explode
-    // (which would multiply the corpus ×|shingles|) and NO SHUFFLE — the
-    // signature build is embarrassingly partition-local; the base hash
-    // array is materialized once per doc, then each of the k permutations
-    // is an array_min over an affine transform of it.
-    val sigSrc = docs.withColumn("h0",
-      transform(col("sh"), sv => pmod(xxhash64(sv), lit(P))))
-    val sigCols = (0 until MinhashK).map { i =>
-      array_min(transform(col("h0"),
-        h => pmod(h * hashA(i) + hashB(i), lit(P)))).as(s"sig$i")
-    }
-    val sigs = sigSrc.select((col("doc_id") +: sigCols): _*)
-
-    // 16 bands of 4 rows: band fingerprint = hash of its 4 signature slots.
-    val bandStructs = (0 until Bands).map { j =>
-      val slots = (0 until RowsPerBand).map(r => col(s"sig${j * RowsPerBand + r}"))
-      struct(lit(j).as("band"), hash(slots :+ lit(j): _*).as("bh"))
-    }
-    val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val docs = shingled(s, d).cache()
+    val banded = bandedSigs(docs)
 
     // Candidates via ONE shuffle: group each (band, bandHash) bucket,
     // expand ordered pairs inside the bucket (sorted ids ⇒ a < b), then
@@ -225,6 +294,24 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Lineage cut for iterative plans. Default: `localCheckpoint` (executor-
+    * local blocks — right for local mode and tests, but lost-executor =
+    * recompute-from-nothing on a real cluster). With
+    * `spark.graft.checkpoint.reliable=true` the cut is a reliable
+    * `checkpoint` into `spark.graft.checkpoint.dir` (or a temp dir) — what
+    * a production run against HDFS/S3 should set so a mid-propagation
+    * executor loss replays from durable storage, not from scratch. */
+  private[graft] def cutLineage(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          s.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
+            java.nio.file.Files.createTempDirectory("graft-cc-ckpt-").toString))
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
   /** Connected components over an undirected pair list by min-label
     * propagation with pointer-jumping, run to fixpoint.
     *
@@ -232,12 +319,15 @@ object LlmOps {
     * label and its neighbors' labels; (2) labels are path-compressed
     * through one pointer jump (lbl ← lbl(lbl)), which is what turns
     * O(component diameter) rounds into O(log n). The driver loop only
-    * controls iteration (one `count()` of changed labels per round — a
-    * scalar); all data movement is joins/aggregations on executors, so the
-    * same code runs unchanged on a cluster. `localCheckpoint` truncates
-    * lineage each round — without it the plan doubles per iteration and
-    * planning cost explodes long before data size matters (a production
-    * run against HDFS/S3 would use reliable `checkpoint` instead).
+    * controls iteration; all data movement is joins/aggregations on
+    * executors, so the same code runs unchanged on a cluster.
+    *
+    * The convergence check is FUSED into the round's plan: the pre-jump
+    * label rides along as `prev`, the eager lineage cut materializes the
+    * round once, and `changed` is then a 1-row max-aggregate over the
+    * already-materialized blocks — no second join job per round. Lineage is
+    * cut each round via [[cutLineage]]; without a cut the plan doubles per
+    * iteration and planning cost explodes long before data size matters.
     *
     * Input: (doc_a, doc_b) pairs. Output: (node, lbl) where lbl = min
     * doc_id of the node's component.
@@ -246,9 +336,9 @@ object LlmOps {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .cache()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+    var labels = cutLineage(
+      edges.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) { // 64 ≫ log2(any real component)
@@ -256,15 +346,18 @@ object LlmOps {
       val nbr = edges.join(labels, edges("v") === labels("node"))
         .groupBy(col("u")).agg(min("lbl").as("nl"))
       val stepped = labels.join(nbr, labels("node") === nbr("u"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-      val jumped = stepped.as("x").join(
+        .select(col("node"), col("lbl").as("prev"),
+                least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      val jumped = cutLineage(stepped.as("x").join(
           stepped.select(col("node").as("jn"), col("lbl").as("jl")).as("y"),
           col("x.lbl") === col("y.jn"), "left")
-        .select(col("x.node").as("node"), coalesce(col("y.jl"), col("x.lbl")).as("lbl"))
-        .localCheckpoint(true)
-      changed = jumped.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels = jumped
+        .select(col("x.node").as("node"), col("x.prev").as("prev"),
+                coalesce(col("y.jl"), col("x.lbl")).as("lbl")))
+      changed = jumped
+        .agg(coalesce(max(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)),
+                      lit(0L)))
+        .first().getLong(0)
+      labels = jumped.select("node", "lbl")
     }
     edges.unpersist()
     labels
@@ -352,6 +445,67 @@ object LlmOps {
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
         .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Containment near-dup — the asymmetric case MinHash-for-Jaccard misses
+    // by design: a short doc embedded inside a long one has tiny Jaccard
+    // (|A|/|B|) but containment |A∩B|/min(|A|,|B|) ≈ 1 (common in crawl
+    // data: boilerplate wrappers, quoted articles). Candidates come from an
+    // inverted-index equi-join on shingles — structurally EXACT for any
+    // τ > 0 (a qualifying pair shares ≥1 shingle, so the index join finds
+    // it; no LSH recall argument needed). At 100 TB the same plan adds a
+    // document-frequency cap on hot shingles before the join (drop shingles
+    // with df > D from CANDIDATE GENERATION only, confirm exact counts on
+    // candidates) — a precision-free lever this corpus doesn't need.
+    "llm_neardup_containment" -> ((s, d) => {
+      val tau = 0.8
+      val docs = shingled(s, d).cache()
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("sv"))
+      inv.as("x").join(inv.as("y"),
+          col("x.sv") === col("y.sv") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("cont", col("c").cast("double") / least(col("na"), col("nb")))
+        .filter(col("cont") >= tau)
+        .select(col("doc_a"), col("doc_b"), round(col("cont"), 4).as("cont"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Incremental / cross-run dedup — the production shape: day-1 signatures
+    // live in a PERSISTED store (sigStorePath builds it once; this query
+    // only READS it — PlanSpec pins the store scan), and the day-2 slice
+    // (doc_id % 4 == 0) is deduped against store + itself without
+    // re-shingling or re-hashing day 1. Candidates: day-2 band rows PROBE
+    // the store's band posting rows (never store×store — the store is the
+    // big side at 100 TB and is only ever the build side of an equi-join),
+    // plus day-2 self-banding for new-vs-new dups. Exact-Jaccard confirm
+    // reads old shingle sets from the store, new ones from the day-2 scan.
+    "llm_dedup_incremental" -> ((s, d) => {
+      val tau = 0.6
+      val store = sigStorePath(s, d)
+      val storeBands = s.read.parquet(s"$store/bands")
+      val storeSh = s.read.parquet(s"$store/sh")
+      val day2 = shingled(s, d).filter(pmod(col("doc_id"), lit(4)) === 0).cache()
+      val newBands = bandedSigs(day2).cache()
+      val candOld = newBands.as("n").join(storeBands.as("o"),
+          col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
+        .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+                greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+      val candNew = newBands.as("x").join(newBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      val allSh = storeSh.unionByName(day2)
+      candOld.unionByName(candNew).distinct()
+        .join(allSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(allSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") >= tau)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
         .orderBy("doc_a", "doc_b")
     }),
@@ -448,48 +602,77 @@ object LlmOps {
         .limit(50)
     }),
 
-    // IVF-style ANN — the scale path for similarity search. Build: assign
-    // every vector to its nearest per-label centroid cell (coarse
-    // quantizer). Search: each query probes only its nprobe=3 nearest
-    // cells' posting lists (here ~3/10 of the corpus; at scale, 3/#cells)
-    // and ranks exact cosine within them. The operator's DEFINITION is the
-    // probed search (deterministic), so the oracle mirrors it exactly;
-    // recall vs llm_knn_bruteforce is a measured property, not a promise —
-    // on THIS testdata the embeddings are label-uncorrelated (same-label
-    // mean cosine == overall mean), so recall ~ probed fraction (0.51 at
-    // nprobe=3); on real clustered corpora the same plan recovers high
-    // recall while scanning a small fraction of the index.
+    // IVF-style ANN — the scale path for similarity search. Build: train a
+    // coarse quantizer with seeded k-means (kmeansCells — NO dependence on
+    // testdata labels; a real 100 TB corpus is unlabeled) and assign every
+    // vector to its nearest trained cell's posting list. Search: each query
+    // probes only its nprobe=3 nearest cells' posting lists (here ~3/10 of
+    // the corpus; at scale, 3/#cells) and ranks exact cosine within them.
+    // The operator's DEFINITION is the probed search over the trained cells
+    // (deterministic: seeded init + fixed iterations), so the oracle
+    // unrolls the identical k-means rounds and mirrors the probe exactly;
+    // recall vs llm_knn_bruteforce is a measured property (PropertySpec),
+    // not a promise — on real clustered corpora the same plan recovers
+    // high recall while scanning a small fraction of the index.
     "llm_knn_ivf" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val dim = 64
-      val avgCols = (1 to dim).map(i => round(avg(element_at(col("embedding"), i)), 6).as(s"c$i"))
-      val centroids = e.groupBy(col("label").as("clabel"))
-        .agg(avgCols.head, avgCols.tail: _*)
-        .select(col("clabel"), array((1 to dim).map(i => col(s"c$i")): _*).as("cvec"))
-      def cellScore(v: Column) = cosDouble(v, col("cvec"))
-      // posting lists: every vector → its single nearest cell
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("cell_cos").desc, col("clabel").asc)
-      val posting = e.crossJoin(broadcast(centroids))
-        .withColumn("cell_cos", cellScore(col("embedding")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("clabel").as("cell"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val cen = kmeansCells(e, IvfCells, IvfIters)
+      // posting lists: every vector → its single nearest trained cell —
+      // max_by argmax aggregate, not a per-vector window sort
+      val posting = e.crossJoin(broadcast(cen))
+        .withColumn("cell_cos", cosDouble(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"),
+             first(col("embedding")).as("n_emb"))
+        .select(col("cell"), col("vec_id").as("n_id"), col("n_emb"))
       // queries → top-3 probe cells each
-      val wProbe = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("clabel").asc)
+      val wProbe = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell").asc)
       val probes = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("cell_cos", cellScore(col("q_emb")))
+        .crossJoin(broadcast(cen))
+        .withColumn("cell_cos", cosDouble(col("q_emb"), col("cvec")))
         .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 3)
-        .select(col("q_id"), col("q_emb"), col("clabel").as("cell"))
+        .filter(col("prn") <= IvfProbes)
+        .select(col("q_id"), col("q_emb"), col("cell"))
       // search only inside probed cells: equi-join on cell, exact cosine
       val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
       probes.join(posting, "cell")
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("cos", call_function("graft_cosine", col("q_emb"), col("n_emb")))
         .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // int8 embedding quantization — the 4× storage lever at 100 TB (float32
+    // → int8 per element). Per-vector symmetric scheme: scale = max|x|/127,
+    // q = floor(x/scale + 0.5) stored as TINYINT (explicit half-up floor —
+    // no engine rounding-mode ambiguity), dequant = q·scale. The key runs
+    // the bruteforce top-5 search ON THE DEQUANTIZED vectors, so its output
+    // directly demonstrates that ranking survives quantization; PropertySpec
+    // separately bounds |cos_q − cos| over all pairs. Ranks are computed on
+    // the unrounded dequantized cosine: quantized values are exact small
+    // integers times a shared double scale, so both engines compute
+    // bit-identical cosines and the order cannot drift.
+    "llm_quantize_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dq = e.select(col("vec_id"),
+          (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
+            .as("scale"),
+          col("embedding"))
+        .withColumn("qvec", transform(col("embedding"),
+            x => floor(x.cast("double") / col("scale") + 0.5).cast("tinyint")))
+        .select(col("vec_id"),
+          transform(col("qvec"), v => v.cast("double") * col("scale")).as("v"))
+      val q = dq.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      val c = dq.select(col("vec_id").as("n_id"), col("v").as("n_v"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      q.join(broadcast(c), col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosDouble(col("q_v"), col("n_v")))
+        .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rk")
@@ -551,6 +734,35 @@ object LlmOps {
                || ' ' || string_split(text,' ')[i+2]))) AS s
       FROM documents
       WHERE len(string_split(text,' ')) >= 3)"""
+
+  /** DuckDB cosine between a float-list column and a double-list centroid —
+    * element order and double arithmetic mirror `cosDouble` exactly (the
+    * pattern llm_knn_centroids has verified cross-engine). */
+  private def cellCosSql(emb: String, cvec: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * $cvec[i]))
+          / sqrt(list_sum(list_transform($emb, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+               * list_sum(list_transform($cvec, e -> e * e)))"""
+
+  /** One unrolled Lloyd's round for the llm_knn_ivf oracle: s$n scores every
+    * vector against the previous round's centroids, a$n takes the argmax
+    * cell (cos DESC, cell ASC — the max_by tiebreak), c$n re-averages
+    * members per cell rounded to 6dp (kmeansCells' parity rounding). */
+  private def kmeansRoundSql(n: Int, prevCen: String): String = s"""
+      s$n AS (
+        SELECT v.vec_id, c.cell, ${cellCosSql("v.embedding", "c.cvec")} AS cc
+        FROM embeddings v CROSS JOIN $prevCen c),
+      a$n AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+          FROM s$n) WHERE rn = 1),
+      c$n AS (
+        SELECT cell, list(cv ORDER BY pos) AS cvec FROM (
+          SELECT a$n.cell AS cell, pos,
+                 round(avg(CAST(e.embedding[pos] AS DOUBLE)), 6) AS cv
+          FROM a$n, embeddings e, range(1, 65) t(pos)
+          WHERE a$n.vec_id = e.vec_id
+          GROUP BY a$n.cell, pos) GROUP BY cell)"""
 
   val oracle: Map[String, String] = Map(
     "llm_exact_dedup" -> """
@@ -669,6 +881,72 @@ object LlmOps {
       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       ORDER BY doc_a, doc_b""",
 
+    // Honest all-pairs containment predicate — the inverted-index plan is
+    // structurally exact (any qualifying pair shares a shingle), so the
+    // full-corpus oracle must and does match.
+    "llm_neardup_containment" -> s"""
+      WITH $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, round(c * 1.0 / least(sa.n, sb.n), 4) AS cont
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / least(sa.n, sb.n) >= 0.8
+      ORDER BY doc_a, doc_b""",
+
+    // Honest cross-run predicate: every J >= 0.6 pair touching the day-2
+    // slice (doc_id % 4 = 0), regardless of which run's store the Spark
+    // plan found it through. Day-1-internal pairs are excluded — day 1 was
+    // deduped when its store was built.
+    "llm_dedup_incremental" -> s"""
+      WITH $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+        AND (doc_a % 4 = 0 OR doc_b % 4 = 0)
+      ORDER BY doc_a, doc_b""",
+
+    // Same quantize → dequant → top-5 search definition; quantized values
+    // are exact integers times a shared double scale, so cosines are
+    // bit-identical across engines and ranks cannot drift.
+    "llm_quantize_int8" -> """
+      WITH dq AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 floor(CAST(x AS DOUBLE)
+                       / (list_max(list_transform(embedding,
+                            y -> abs(CAST(y AS DOUBLE)))) / 127) + 0.5)
+                 * (list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE)))) / 127)) AS v
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+          list_sum(list_transform(list_zip(a.v, b.v),
+                   p -> p[1] * p[2]))
+          / sqrt(list_sum(list_transform(a.v, x -> x * x))
+               * list_sum(list_transform(b.v, x -> x * x))) AS cos
+        FROM dq a JOIN dq b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 100),
+      r AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM pairs)
+      SELECT q_id, rk, n_id, round(cos, 4) AS cos
+      FROM r WHERE rk <= 5
+      ORDER BY q_id, rk""",
+
     // Double-precision cosine on both sides (list_cosine_similarity is
     // float32 — same rationale as expr_custom_cosine's oracle).
     "llm_knn_bruteforce" -> """
@@ -759,31 +1037,29 @@ object LlmOps {
       ORDER BY cnt DESC, bigram
       LIMIT 50""",
 
-    // Mirrors the IVF definition exactly: nearest-cell posting lists,
-    // 3-probe search, exact double cosine within probed cells.
-    "llm_knn_ivf" -> """
-      WITH x AS (
-        SELECT label, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cv
-        FROM embeddings, range(1, 65) t(pos)
-        GROUP BY label, pos),
-      cen AS (SELECT label AS clabel, list(cv ORDER BY pos) AS cvec FROM x GROUP BY label),
-      assign AS (
-        SELECT v.vec_id, v.embedding, c.clabel,
-          list_sum(list_transform(range(1, 65),
-                   i -> CAST(v.embedding[i] AS DOUBLE) * c.cvec[i]))
-          / sqrt(list_sum(list_transform(v.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
-               * list_sum(list_transform(c.cvec, e -> e * e))) AS cell_cos
-        FROM embeddings v CROSS JOIN cen c),
+    // Mirrors the trained-quantizer IVF definition exactly: seeded init
+    // (first 10 vec_ids), two unrolled Lloyd's rounds, nearest-cell posting
+    // lists, 3-probe search, exact double cosine within probed cells.
+    "llm_knn_ivf" -> s"""
+      WITH init AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+        FROM embeddings WHERE vec_id < 10),
+      ${kmeansRoundSql(1, "init")},
+      ${kmeansRoundSql(2, "c1")},
+      sc AS (
+        SELECT v.vec_id, c.cell, ${cellCosSql("v.embedding", "c.cvec")} AS cc
+        FROM embeddings v CROSS JOIN c2 c),
       posting AS (
-        SELECT clabel AS cell, vec_id AS n_id FROM (
-          SELECT vec_id, clabel,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, clabel) AS rn
-          FROM assign) WHERE rn = 1),
+        SELECT cell, vec_id AS n_id FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+          FROM sc) WHERE rn = 1),
       probes AS (
         SELECT q_id, cell FROM (
-          SELECT vec_id AS q_id, clabel AS cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, clabel) AS prn
-          FROM assign WHERE vec_id < 100) WHERE prn <= 3),
+          SELECT vec_id AS q_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS prn
+          FROM sc WHERE vec_id < 100) WHERE prn <= 3),
       pairs AS (
         SELECT p.q_id, po.n_id,
           list_sum(list_transform(list_zip(q.embedding, n.embedding),

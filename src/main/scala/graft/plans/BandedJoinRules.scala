@@ -134,7 +134,10 @@ object BandedJoins extends PredicateHelper {
       Some(Literal(false)))
     val cond = (Seq(EqualTo(bandL, bandR), minimalBand) ++
       splitConjunctivePredicates(join.condition.get)).reduce(And(_, _))
-    Project(join.output, Join(gl, gr, Inner, Some(cond), JoinHint.NONE))
+    // Propagate the original join's hint: each rewritten side wraps the same
+    // relation subtree (Generate over a Project of it), so a user-supplied
+    // broadcast/shuffle hint still names the side the user meant.
+    Project(join.output, Join(gl, gr, Inner, Some(cond), join.hint))
   }
 }
 
@@ -200,10 +203,15 @@ object CosineBandedJoin extends Rule[LogicalPlan] with PredicateHelper {
   private val Dims = 64
   private val NBands = 16
 
-  /** bit i of the signature = [embedding(i+1) > 0]. */
+  /** bit i of the signature = [embedding(i+1) > 0]. Access is
+    * null-on-out-of-bounds (NOT ANSI element_at, which would turn a valid
+    * slow join over <64-dim embeddings into a runtime crash once this
+    * opt-in rule fires): a missing element yields NULL, the comparison
+    * yields NULL, and the If degrades it safely to bit 0. */
   private def signSig(emb: Expression): Expression =
     (0 until Dims).map { i =>
-      If(GreaterThan(ElementAt(emb, Literal(i + 1)), Literal(0.0f)),
+      If(GreaterThan(GetArrayItem(emb, Literal(i), failOnError = false),
+        Literal(0.0f)),
         Literal(1L << i), Literal(0L)): Expression
     }.reduce(Add(_, _))
 
