@@ -146,7 +146,7 @@ object LlmOps {
     })
 
   /** (doc_id, sh): shingle sets of every document with ≥1 shingle. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -40,7 +40,13 @@ import java.util.concurrent.atomic.AtomicInteger
 object StreamOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private val Chunks = 8
+  /** Replay granularity. 4 time-ordered chunks is enough to exercise real
+    * multi-batch watermark progression; micro-batch count is the dominant
+    * bench cost of every streaming key (round-3 measured ~97 s of a 145 s
+    * bench in replay scaffolding at Chunks=8), so chunks are kept minimal
+    * and keys that don't need per-file granularity additionally group
+    * files per trigger (see filesPerTrigger args below). */
+  private val Chunks = 4
   private val nameCounter = new AtomicInteger(0)
 
   /** Replay variants (cached per sfDir+variant within the JVM). */
@@ -172,11 +178,20 @@ object StreamOps {
     * partitions for the duration of the stream (restored after) — on a real
     * cluster this knob is sized to executor count, and is fixed at the
     * query's FIRST start (it persists in the checkpoint). */
-  private def runStream(spark: SparkSession, rep: Replay, outputMode: String)(
+  /** `filesPerTrigger` tunes micro-batch count per key. Keys whose
+    * correctness rests on WATERMARK-FINALIZED emission (append-mode aggs on
+    * the flush replay) must keep 1: the watermark a batch executes with
+    * derives from the data two batches earlier, so the three flush
+    * sentinels must land in three separate trailing batches. Keys without
+    * that constraint (no watermark, or output emitted as rows arrive)
+    * group files to cut scaffolding cost — semantics are batch-equivalent
+    * under any grouping. */
+  private def runStream(spark: SparkSession, rep: Replay, outputMode: String,
+                        filesPerTrigger: Int = 1)(
       build: DataFrame => DataFrame): DataFrame = {
     val src = spark.readStream
       .schema(rep.schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(rep.srcDir)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
@@ -245,10 +260,14 @@ object StreamOps {
   private def streamStreamJoin(s: SparkSession, d: String, joinType: String): DataFrame = {
     val isOuter = joinType != "inner"
     val rep = replay(s, d, if (isOuter) "flush" else "base")
+    // inner emits matches as both sides' rows arrive — file grouping is
+    // free; outer's null-matches are watermark-eviction-driven, so the
+    // flush sentinels must stay one-per-batch (see runStream's doc).
+    val mfpt = if (isOuter) 1 else 2
     val name = s"graft_stream_ss_${nameCounter.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
     def srcStream = s.readStream.schema(rep.schema)
-      .option("maxFilesPerTrigger", 1).parquet(rep.srcDir)
+      .option("maxFilesPerTrigger", mfpt).parquet(rep.srcDir)
     def side(t: String, idAs: String, userAs: String, tsAs: String) = {
       val keep = if (isOuter) Seq(t, "__flush__") else Seq(t)
       srcStream.filter(col("event_type").isin(keep: _*))
@@ -329,7 +348,10 @@ object StreamOps {
     // keys in state, so the stream output equals the original table.
     "stream_dedup" -> ((s, d) => {
       val rep = replay(s, d, "dup")
-      runStream(s, rep, "append") { src =>
+      // dedup emits rows as they arrive (append, no window finalization);
+      // the only constraint is the dup tail arriving AFTER its originals
+      // are in state, which file grouping preserves (time-ordered files).
+      runStream(s, rep, "append", filesPerTrigger = 2) { src =>
         src.withWatermark("ts", "3 hours")
           .dropDuplicates("event_id")
           .select("event_id", "ts", "user_id", "event_type", "value")
@@ -343,7 +365,9 @@ object StreamOps {
     "stream_stateful_count" -> ((s, d) => {
       val rep = replay(s, d, "base")
       import s.implicits._
-      runStream(s, rep, "update") { src =>
+      // no watermark: final state equals the batch GROUP BY under any
+      // file grouping; 2 files per trigger = 2 real update rounds.
+      runStream(s, rep, "update", filesPerTrigger = 2) { src =>
         src.select(col("user_id"), col("value")).as[Ev]
           .groupByKey(_.user_id)
           .mapGroupsWithState(GroupStateTimeout.NoTimeout)(statefulCount)
@@ -368,7 +392,7 @@ object StreamOps {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val out =
         try {
-          runStream(s, rep, "update") { src =>
+          runStream(s, rep, "update", filesPerTrigger = 2) { src =>
             src.select(col("user_id"), col("value")).as[Ev]
               .groupByKey(_.user_id)
               .transformWithState(new RunningCountProcessor,
@@ -475,12 +499,95 @@ object StreamOps {
         .orderBy("window_start", "event_type")
     }),
 
+    // Structured Streaming → JDBC sink — the reference's declared shape
+    // (BASELINE.json: "Structured Streaming + JDBC sink"), batch half at
+    // ScanOps.sink_jdbc. Spark has no exactly-once JDBC stream sink, so the
+    // production pattern is foreachBatch + an IDEMPOTENT keyed upsert:
+    // each appended window row is DELETE+INSERTed under its (window_start,
+    // event_type) primary key inside one transaction per partition, so a
+    // replayed batch (restart after a crash between sink write and commit-
+    // log write) converges to the same table instead of double-counting.
+    // Writes run executor-side via foreachPartition — on a real cluster
+    // each partition opens its own connection to the DB server; embedded
+    // Derby here is single-JVM, hence the coalesce(1) (same rationale as
+    // the batch key).
+    "stream_jdbc_sink" -> ((s, d) => {
+      val rep = replay(s, d, "flush")
+      val db = Files.createTempDirectory("graft-derby-stream-").toString + "/db"
+      val url = s"jdbc:derby:$db;create=true"
+      locally { // Derby lacks CREATE TABLE IF NOT EXISTS; dir is fresh
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.executeUpdate(
+            """CREATE TABLE win_counts(
+                 window_start TIMESTAMP NOT NULL,
+                 event_type VARCHAR(64) NOT NULL,
+                 n BIGINT, sv DOUBLE,
+                 PRIMARY KEY (window_start, event_type))""")
+          st.close()
+        } finally conn.close()
+      }
+      val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+      val src = s.readStream.schema(rep.schema)
+        .option("maxFilesPerTrigger", 1).parquet(rep.srcDir)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = src.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+                  col("n"), col("sv"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           _: Long) =>
+            batch.coalesce(1).foreachPartition {
+              (rows: Iterator[org.apache.spark.sql.Row]) =>
+                val conn = java.sql.DriverManager.getConnection(url)
+                try {
+                  conn.setAutoCommit(false)
+                  val del = conn.prepareStatement(
+                    "DELETE FROM win_counts WHERE window_start = ? AND event_type = ?")
+                  val ins = conn.prepareStatement(
+                    "INSERT INTO win_counts VALUES (?, ?, ?, ?)")
+                  rows.foreach { r =>
+                    val ws = r.getTimestamp(0); val et = r.getString(1)
+                    del.setTimestamp(1, ws); del.setString(2, et); del.addBatch()
+                    ins.setTimestamp(1, ws); ins.setString(2, et)
+                    ins.setLong(3, r.getLong(2)); ins.setDouble(4, r.getDouble(3))
+                    ins.addBatch()
+                  }
+                  del.executeBatch(); ins.executeBatch()
+                  conn.commit()
+                  del.close(); ins.close()
+                } finally conn.close()
+            }
+          }
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      s.read.jdbc(url, "win_counts", props)
+        .filter(col("event_type") =!= "__flush__")
+        .select(col("window_start"), col("event_type"),
+                col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // Stream ⋈ static dimension: per-micro-batch broadcast hash join.
     "stream_static_join" -> ((s, d) => {
       val rep = replay(s, d, "base")
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))
-      runStream(s, rep, "append") { src =>
+      // stateless stream⋈static: rows emit per batch, grouping is free
+      runStream(s, rep, "append", filesPerTrigger = 2) { src =>
         src.join(broadcast(cust), src("user_id") === cust("c_custkey"))
           .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
       }
@@ -580,6 +687,15 @@ object StreamOps {
     // identical semantics to stream_tumbling — the key exists to prove the
     // parquet FILE sink path (exactly-once commit log), not a new transform
     "stream_file_sink" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
+
+    // identical semantics again — this key proves the foreachBatch JDBC
+    // upsert path (idempotent keyed writes), not a new transform
+    "stream_jdbc_sink" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events

@@ -201,6 +201,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fpPlan.contains("Exchange"), s"fingerprint build shuffles:\n$fpPlan")
   }
 
+  test("llm_dedup_incremental reads the day-1 signature store, not a rebuild") {
+    // the incremental contract: day-1 signatures AND day-1 shingle sets
+    // come from the persisted store's parquet (two scans of the sigstore
+    // dir in the plan) — if a refactor quietly re-derived day 1 from
+    // documents, the store paths would vanish from the scan locations
+    val p = plan("llm_dedup_incremental")
+    val storeScans = "graft-sigstore-".r.findAllIn(p).length
+    assert(storeScans >= 2,
+      s"expected >=2 signature-store scans (bands + sh), found $storeScans:\n$p")
+  }
+
   test("sink_parquet_partitioned: read-back filter prunes partitions") {
     val p = plan("sink_parquet_partitioned")
     assert(p.contains("PartitionFilters: ["), p)

@@ -62,6 +62,85 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("resolveClusters under reliable checkpoint matches union-find") {
+    // same propagation, lineage cut through a durable checkpoint dir (the
+    // production conf for real clusters) — must be a pure plumbing swap
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L), (11L, 1L))
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      val got = graft.ops.LlmOps.resolveClusters(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // one component {1,2,3,5,10,11} via 11-1 bridge → min label 1
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+                         10L -> 1L, 11L -> 1L))
+    } finally spark.conf.unset("spark.graft.checkpoint.reliable")
+  }
+
+  test("llm_knn_ivf recall vs bruteforce beats the probed-fraction floor") {
+    // nprobe/cells = 3/10: similarity-uncorrelated cells would give recall
+    // ≈ 0.3; the trained k-means cells must do better (measured 0.61 at
+    // sf0.001 and 0.64 at sf0.01 — vs 0.51 for the old label-derived
+    // cells). 0.4 is the regression floor, not the target.
+    val spark = TestSpark.spark
+    val d = TestSpark.sfDir
+    val bf = SparkEntry.queries("llm_knn_bruteforce")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SparkEntry.queries("llm_knn_ivf")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall regressed to $recall")
+    assert(recall <= 1.0)
+  }
+
+  test("int8 quantization: |cos_q - cos| bounded over all pairs") {
+    // measured max error 0.0059 (sf0.001) / 0.0050 (sf0.01); 0.015 is the
+    // regression bound for the scheme (scale = max|x|/127, half-up floor)
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, max}
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val scale = "(array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127)"
+    val dq = e.selectExpr("vec_id",
+      s"transform(embedding, x -> floor(CAST(x AS DOUBLE) / $scale + 0.5) * $scale) AS v",
+      "transform(embedding, x -> CAST(x AS DOUBLE)) AS o")
+    def cos(a: String, b: String) =
+      s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+          / sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v)
+               * aggregate(transform($b, x -> x * x), 0D, (acc, v) -> acc + v))"""
+    val maxErr = dq.as("a").join(dq.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .selectExpr(s"abs(${cos("a.v", "b.v")} - ${cos("a.o", "b.o")}) AS err")
+      .agg(max("err")).first().getDouble(0)
+    assert(maxErr <= 0.015, s"max quantization cosine error $maxErr")
+  }
+
+  test("gate corpus keeps the LSH margin: no Jaccard mass in [0.2, 0.85)") {
+    // ADVICE r3: k=64 / 16×4 banding has P(detect) ≈ 0.89 for a pair AT
+    // J = τ = 0.6 — structurally safe only because the corpus's pair
+    // distribution is bimodal (planted dups at J ≥ 0.85, background ≈ 0).
+    // Pin that margin AT THE GATE SCALE FACTOR so regenerated testdata
+    // that fills the gap fails HERE, loudly, instead of silently breaking
+    // the hash-match gate. If this test ever fails: raise MinhashK/Bands
+    // (128 / 32×4 gives P(detect) = 0.996 at J = 0.6).
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.LlmOps.shingled(spark, "/root/testdata/sf0.01").cache()
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("sv"))
+    val jacs = inv.as("x").join(inv.as("y"),
+        col("x.sv") === col("y.sv") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select((col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
+      .collect().map(_.getDouble(0))
+    docs.unpersist()
+    assert(jacs.count(j => j >= 0.2 && j < 0.85) === 0,
+      s"corpus margin violated: ${jacs.filter(j => j >= 0.2 && j < 0.85).sorted.mkString(", ")}")
+    assert(jacs.count(_ >= 0.85) > 0, "no planted near-dups — vacuous margin")
+  }
+
   test("cosine(v, v) == 1 for non-zero v") {
     check("self-cosine", Prop.forAll(vecGen) { v =>
       !v.exists(x => math.abs(x) > 1e-3f) ||

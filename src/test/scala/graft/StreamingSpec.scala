@@ -132,6 +132,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream_jdbc_sink equals batch aggregation (idempotent JDBC upsert)") {
+    val streamed = StreamOps.queries("stream_jdbc_sink")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stream_static_join equals batch join") {
     val streamed = StreamOps.queries("stream_static_join")(spark, d).collect()
     val ev = Tables.events(spark, d)
