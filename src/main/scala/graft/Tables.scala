@@ -24,6 +24,21 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+
+  /** `documents`, widened to the session's parallelism when the parquet
+    * scan yields fewer splits than cores. The text-signature pipelines
+    * (shingles, token hashes, winnowing k-grams) do expensive per-row
+    * compute; a narrow scan (ONE task at test scale — documents is a
+    * single small file) serializes it (measured: the single-task shingle
+    * build was ~60% of every minhash-family query's cost at sf0.1). The
+    * widen is a round-robin exchange bounded by corpus bytes, and a no-op
+    * exactly when it should be: a many-file 100 TB corpus already scans
+    * wider than this condition. */
+  def documentsWide(s: SparkSession, d: String): DataFrame = {
+    val df = documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark 4.x refuses

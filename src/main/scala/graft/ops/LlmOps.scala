@@ -145,32 +145,39 @@ object LlmOps {
       dir
     })
 
-  /** (doc_id, sh): shingle sets of every document with ≥1 shingle. */
+  /** (doc_id, sh): shingle sets of every document with ≥1 shingle (wide
+    * scan — see Tables.documentsWide). */
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** (doc_id, band, bh): LSH band fingerprints of the MinHash signature.
     *
-    * shingle → 31-bit base hash → k minima per doc, computed entirely with
-    * higher-order array functions ON the document row: no explode (which
-    * would multiply the corpus ×|shingles|) and NO SHUFFLE — the signature
-    * build is embarrassingly partition-local; the base hash array is
-    * materialized once per doc, then each of the k permutations is an
-    * array_min over an affine transform of it. Then 16 bands of 4 rows:
-    * band fingerprint = hash of its 4 signature slots. Shared by the
-    * in-corpus near-dup plan and the persisted signature store of
-    * `llm_dedup_incremental` (same seeds ⇒ signatures comparable across
-    * runs and days — the property an incremental store depends on). */
+    * shingle → 31-bit base hash → k minima per doc, computed as ONE
+    * codegen'd HashAggregate: explode shingles, hash once, take the k=64
+    * affine-permutation minima as 64 min-aggregate columns. Partial
+    * aggregation combines map-side, so the shuffle carries exactly one
+    * signature row (k longs ≈ 512 B) per document — the same bytes the
+    * banding emits anyway; at 100 TB the build is bounded by OUTPUT size,
+    * not by the exploded input. (A shuffle-free formulation via per-row
+    * higher-order array exprs produces identical signatures but runs
+    * interpreted — measured 2.3× slower at sf0.1 — because lambda
+    * functions never enter whole-stage codegen; the aggregate form keeps
+    * the 64 multiply-mod-min chains inside generated code.) Then 16 bands
+    * of 4 rows: band fingerprint = hash of the band's 4 signature slots.
+    * Shared by the in-corpus near-dup plan and the persisted signature
+    * store of `llm_dedup_incremental` (same seeds ⇒ signatures comparable
+    * across runs and days — the property an incremental store depends on). */
   private def bandedSigs(docs: DataFrame): DataFrame = {
-    val sigSrc = docs.withColumn("h0",
-      transform(col("sh"), sv => pmod(xxhash64(sv), lit(P))))
-    val sigCols = (0 until MinhashK).map { i =>
-      array_min(transform(col("h0"),
-        h => pmod(h * hashA(i) + hashB(i), lit(P)))).as(s"sig$i")
+    val minCols = (0 until MinhashK).map { i =>
+      min(pmod(col("h") * hashA(i) + hashB(i), lit(P))).as(s"sig$i")
     }
-    val sigs = sigSrc.select((col("doc_id") +: sigCols): _*)
+    val sigs = docs
+      .select(col("doc_id"), explode(col("sh")).as("sv"))
+      .select(col("doc_id"), pmod(xxhash64(col("sv")), lit(P)).as("h"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
     val bandStructs = (0 until Bands).map { j =>
       val slots = (0 until RowsPerBand).map(r => col(s"sig${j * RowsPerBand + r}"))
       struct(lit(j).as("band"), hash(slots :+ lit(j): _*).as("bh"))
@@ -240,10 +247,10 @@ object LlmOps {
   private def tokenHashes(s: SparkSession, d: String, hashImpl: String): DataFrame =
     hashImpl match {
       case "xxhash64" =>
-        Tables.documents(s, d).select(col("doc_id"),
+        Tables.documentsWide(s, d).select(col("doc_id"),
           expr(s"transform(split(text, ' '), t -> xxhash64(t) & $Mask60)").as("harr"))
       case _ =>
-        Tables.documents(s, d)
+        Tables.documentsWide(s, d)
           .select(col("doc_id"),
             expr("transform(split(text, ' '), t -> md5(t))").as("hexes"))
           .withColumn("harr", expr(
@@ -463,10 +470,19 @@ object LlmOps {
       val tau = 0.8
       val docs = shingled(s, d).cache()
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      val inv = docs.select(col("doc_id"), explode(col("sh")).as("sv"))
-      inv.as("x").join(inv.as("y"),
-          col("x.sv") === col("y.sv") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // posting-list pair expansion, not a self-join: ONE shuffle groups
+      // the inverted index by shingle, ordered pairs are emitted once
+      // (i < j inside the sorted posting list), then a map-side-combining
+      // count per pair gives |A∩B|.
+      docs.select(col("doc_id"), explode(col("sh")).as("sv"))
+        .groupBy("sv")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .agg(count(lit(1)).as("c"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")

@@ -114,7 +114,7 @@ object TextOps {
     * recompute it 15× per kgram; measured 71 s vs ~3 s at sf0.1). */
   private[graft] def fingerprints(s: SparkSession, d: String, hashImpl: String): DataFrame =
     fingerprintsOf(
-      Tables.documents(s, d).select(col("doc_id"), lower(col("text")).as("t")),
+      Tables.documentsWide(s, d).select(col("doc_id"), lower(col("text")).as("t")),
       hashImpl)
 
   /** Same, over any (doc_id, t) frame — lets tests plant synthetic docs. */

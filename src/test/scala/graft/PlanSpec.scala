@@ -187,18 +187,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("text-signature builds are shuffle-free (no Exchange before the agg)") {
+  test("text-signature builds: only the compute-widen exchange, no key shuffle") {
     // the 104s→4s class of regression (module docs in LlmOps/TextOps) is a
-    // compute-shape bug, but a shuffle sneaking into the per-doc signature
-    // build would be the same order of damage at 100 TB — pin zero
-    // exchanges in both builds. clearCache first: a prior suite may have
-    // materialized these cached frames, which would hide the real plan
-    // behind an InMemoryTableScan.
+    // compute-shape bug, but a KEY shuffle sneaking into the per-doc
+    // signature build would be the same order of damage at 100 TB. The
+    // builds are allowed exactly one round-robin exchange — the
+    // documentsWide compute-widening over a narrower-than-cores scan,
+    // bytes-bounded and a no-op on a wide production corpus — and no
+    // hash/range repartitioning of any kind. clearCache first: a prior
+    // suite may have materialized these cached frames, which would hide
+    // the real plan behind an InMemoryTableScan.
     spark.catalog.clearCache()
-    val sigPlan = planOf(graft.ops.LlmOps.simhashSigs(spark, d, "md5"))
-    assert(!sigPlan.contains("Exchange"), s"simhash sig build shuffles:\n$sigPlan")
-    val fpPlan = planOf(graft.ops.TextOps.fingerprints(spark, d, "md5"))
-    assert(!fpPlan.contains("Exchange"), s"fingerprint build shuffles:\n$fpPlan")
+    def checkBuild(tag: String, p: String): Unit = {
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(_.contains("RoundRobinPartitioning")),
+        s"$tag build shuffles on a key:\n$p")
+      assert(exchanges.size <= 1,
+        s"$tag build has ${exchanges.size} exchanges (1 widen allowed):\n$p")
+    }
+    checkBuild("simhash sig", planOf(graft.ops.LlmOps.simhashSigs(spark, d, "md5")))
+    checkBuild("fingerprint", planOf(graft.ops.TextOps.fingerprints(spark, d, "md5")))
   }
 
   test("llm_dedup_incremental reads the day-1 signature store, not a rebuild") {
