@@ -508,7 +508,11 @@ object LlmOps {
       val storeSh = s.read.parquet(s"$store/sh")
       val day2 = shingled(s, d).filter(pmod(col("doc_id"), lit(4)) === 0).cache()
       val newBands = bandedSigs(day2).cache()
-      val candOld = newBands.as("n").join(storeBands.as("o"),
+      // the day's new band rows are the SMALL side by definition in
+      // incremental ingestion — broadcast them and stream over the store
+      // scan (never shuffle or broadcast the store, which is the
+      // whole-history side at 100 TB)
+      val candOld = storeBands.as("o").join(broadcast(newBands.as("n")),
           col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
         .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
                 greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
@@ -651,9 +655,13 @@ object LlmOps {
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= IvfProbes)
         .select(col("q_id"), col("q_emb"), col("cell"))
-      // search only inside probed cells: equi-join on cell, exact cosine
+      // search only inside probed cells: the probe set (queries × nprobe)
+      // is the small side by definition — broadcast it over the posting
+      // scan. An unhinted equi-join on `cell` would shuffle the WHOLE
+      // posting table into ≤ #cells partitions (10-value key ⇒ maximal
+      // skew at 100 TB); broadcasting the probes leaves the index in place.
       val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-      probes.join(posting, "cell")
+      posting.join(broadcast(probes), "cell")
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("cos", call_function("graft_cosine", col("q_emb"), col("n_emb")))
         .withColumn("rk", row_number().over(wTop))
