@@ -26,12 +26,10 @@ object JoinOps {
     * times a session (Bench ×3, Verify, PlanSpec) and `saveAsTable(overwrite)`
     * re-points the external tables — a fresh dir per invocation would orphan
     * every previous run's data files (unbounded disk leak). Overwriting in
-    * place keeps exactly one copy on disk; the dir dies with the JVM's tmp. */
-  private lazy val bucketBase: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_bucket_")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
+    * place bounds disk use to exactly one table copy; the dir itself is OS
+    * tmp, reaped by the platform's tmp cleanup. */
+  private lazy val bucketBase: String =
+    java.nio.file.Files.createTempDirectory("graft_bucket_").toString
 
   val queries: Map[String, Q] = Map(
     "join_broadcast" -> ((s, d) => {

@@ -94,6 +94,19 @@ object LlmOps {
   private val IvfProbes = 3
   private val EmbDim = 64
 
+  /** Per-dimension averages of `embedding` grouped by `keyCol`, rounded to
+    * 6dp (the cross-engine parity rounding) and reassembled into a `cvec`
+    * array — the single hash-aggregate centroid build shared by the
+    * k-means trainer and the per-label centroid key. The DuckDB twins
+    * hard-code the matching `range(1, 65)` / `round(..., 6)` literals. */
+  private def centroidOf(df: DataFrame, keyCol: String): DataFrame = {
+    val avgCols = (1 to EmbDim).map(i =>
+      round(avg(element_at(col("embedding"), i)), 6).as(s"c$i"))
+    df.groupBy(col(keyCol))
+      .agg(avgCols.head, avgCols.tail: _*)
+      .select(col(keyCol), array((1 to EmbDim).map(i => col(s"c$i")): _*).as("cvec"))
+  }
+
   /** Trained coarse quantizer: seeded Lloyd's k-means over the embedding
     * corpus (spherical — cosine assignment). Init = the first k vectors by
     * vec_id (deterministic, no RNG); each iteration is one broadcast
@@ -117,11 +130,7 @@ object LlmOps {
         .groupBy(col("vec_id"))
         .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"),
              first(col("embedding")).as("embedding"))
-      val avgCols = (1 to EmbDim).map(i =>
-        round(avg(element_at(col("embedding"), i)), 6).as(s"c$i"))
-      cen = assigned.groupBy("cell")
-        .agg(avgCols.head, avgCols.tail: _*)
-        .select(col("cell"), array((1 to EmbDim).map(i => col(s"c$i")): _*).as("cvec"))
+      cen = centroidOf(assigned, "cell")
     }
     // k rows; referenced by posting build AND probe assignment — cache so
     // the iterative build doesn't re-execute per consumer.
@@ -554,11 +563,8 @@ object LlmOps {
     // the oracle's float-summation-order drift cannot flip an assignment.
     "llm_knn_centroids" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dim = 64
-      val avgCols = (1 to dim).map(i => round(avg(element_at(col("embedding"), i)), 6).as(s"c$i"))
-      val centroids = e.groupBy(col("label").as("clabel"))
-        .agg(avgCols.head, avgCols.tail: _*)
-        .select(col("clabel"), array((1 to dim).map(i => col(s"c$i")): _*).as("cvec"))
+      val centroids =
+        centroidOf(e.select(col("label").as("clabel"), col("embedding")), "clabel")
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
       e.crossJoin(broadcast(centroids))
         .withColumn("cos", cosDouble(col("embedding"), col("cvec")))

@@ -173,12 +173,14 @@ object StreamOps {
     *
     * State-store partitioning: each stateful operator creates
     * `spark.sql.shuffle.partitions` state partitions PER MICRO-BATCH; with
-    * ~12 replay batches and a batch bench config of 32, that is ~400 tiny
-    * state tasks of pure overhead at test scale. The replay pins 8 state
-    * partitions for the duration of the stream (restored after) — on a real
-    * cluster this knob is sized to executor count, and is fixed at the
-    * query's FIRST start (it persists in the checkpoint). */
-  /** `filesPerTrigger` tunes micro-batch count per key. Keys whose
+    * up to ~7 replay batches and a batch bench config of 32, that is
+    * hundreds of tiny state tasks of pure overhead at test scale. The
+    * replay pins 8 state partitions for the duration of the stream
+    * (restored after) — on a real cluster this knob is sized to executor
+    * count, and is fixed at the query's FIRST start (it persists in the
+    * checkpoint).
+    *
+    * `filesPerTrigger` tunes micro-batch count per key. Keys whose
     * correctness rests on WATERMARK-FINALIZED emission (append-mode aggs on
     * the flush replay) must keep 1: the watermark a batch executes with
     * derives from the data two batches earlier, so the three flush
@@ -344,7 +346,7 @@ object StreamOps {
     }),
 
     // Drop duplicate event_ids within the watermark: the replay re-emits the
-    // most recent 90 minutes as a 9th chunk; a 3-hour watermark keeps those
+    // most recent 90 minutes as an extra trailing chunk; a 3-hour watermark keeps those
     // keys in state, so the stream output equals the original table.
     "stream_dedup" -> ((s, d) => {
       val rep = replay(s, d, "dup")
@@ -412,7 +414,7 @@ object StreamOps {
         .orderBy("user_id")
     }),
 
-    // Late-data assertion (no SQL oracle): a 9th chunk replays rows ≥2h
+    // Late-data assertion (no SQL oracle): an extra post-base chunk replays rows well
     // older than the already-advanced watermark; every one must be dropped
     // by the windowed aggregation. Emits one summary row.
     "stream_late_data" -> ((s, d) => {
