@@ -63,6 +63,41 @@ class GoldenSpec extends AnyFunSuite {
     assert(SparkEntry.queries("stream_file_sink")(spark, d).count() === 868L)
   }
 
+  test("llm_neardup_containment: 28 pairs, (0, 50) fully contained (cont = 1.0)") {
+    val rows = SparkEntry.queries("llm_neardup_containment")(spark, d).collect()
+    assert(rows.length === 28)
+    assert((rows(0).getLong(0), rows(0).getLong(1), rows(0).getDouble(2))
+      === ((0L, 50L, 1.0)))
+  }
+
+  test("llm_dedup_incremental: 16 day-2-touching pairs, first (0, 50, 0.9524)") {
+    val rows = SparkEntry.queries("llm_dedup_incremental")(spark, d).collect()
+    assert(rows.length === 16)
+    assert((rows(0).getLong(0), rows(0).getLong(1), rows(0).getDouble(2))
+      === ((0L, 50L, 0.9524)))
+  }
+
+  test("llm_quantize_int8 preserves q0's exact top-1 neighbor (17 @ 0.334)") {
+    // exact search (llm_knn_ivf / bruteforce) ranks n_id 17 first for q_id 0
+    // at cos 0.3345; the int8-dequantized search must keep that rank with
+    // the cosine within quantization error
+    val q = SparkEntry.queries("llm_quantize_int8")(spark, d).collect()
+    assert(q.length === 500)
+    assert((q(0).getLong(0), q(0).getInt(1), q(0).getLong(2), q(0).getDouble(3))
+      === ((0L, 1, 17L, 0.334)))
+  }
+
+  test("llm_knn_ivf (trained cells): 500 rows, q0 top-1 = (17, 0.3345)") {
+    val r = SparkEntry.queries("llm_knn_ivf")(spark, d).collect()
+    assert(r.length === 500)
+    assert((r(0).getLong(0), r(0).getInt(1), r(0).getLong(2), r(0).getDouble(3))
+      === ((0L, 1, 17L, 0.3345)))
+  }
+
+  test("stream_jdbc_sink: 868 (hour, type) groups, same as stream_tumbling") {
+    assert(SparkEntry.queries("stream_jdbc_sink")(spark, d).count() === 868L)
+  }
+
   test("agg_hash_global: total lineitem quantity 152257.0") {
     import org.apache.spark.sql.functions._
     val s = Tables.lineitem(spark, d).agg(round(sum("l_quantity"), 2)).collect()(0).getDouble(0)
