@@ -302,6 +302,34 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Idempotent keyed upsert of (window_start, event_type, n, sv) rows into
+    * `win_counts`: DELETE+INSERT per key inside one transaction, so
+    * replaying the same rows (a foreachBatch re-delivery after a crash
+    * between sink write and commit-log write) converges to the same table
+    * instead of double-counting. Runs executor-side — one connection per
+    * partition. StreamingSpec applies it twice to prove the idempotency. */
+  private[graft] def upsertWindowRows(
+      url: String, rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val del = conn.prepareStatement(
+        "DELETE FROM win_counts WHERE window_start = ? AND event_type = ?")
+      val ins = conn.prepareStatement(
+        "INSERT INTO win_counts VALUES (?, ?, ?, ?)")
+      rows.foreach { r =>
+        val ws = r.getTimestamp(0); val et = r.getString(1)
+        del.setTimestamp(1, ws); del.setString(2, et); del.addBatch()
+        ins.setTimestamp(1, ws); ins.setString(2, et)
+        ins.setLong(3, r.getLong(2)); ins.setDouble(4, r.getDouble(3))
+        ins.addBatch()
+      }
+      del.executeBatch(); ins.executeBatch()
+      conn.commit()
+      del.close(); ins.close()
+    } finally conn.close()
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour windows per event type, 10-min watermark.
     "stream_tumbling" -> ((s, d) => {
@@ -549,24 +577,7 @@ object StreamOps {
                            _: Long) =>
             batch.coalesce(1).foreachPartition {
               (rows: Iterator[org.apache.spark.sql.Row]) =>
-                val conn = java.sql.DriverManager.getConnection(url)
-                try {
-                  conn.setAutoCommit(false)
-                  val del = conn.prepareStatement(
-                    "DELETE FROM win_counts WHERE window_start = ? AND event_type = ?")
-                  val ins = conn.prepareStatement(
-                    "INSERT INTO win_counts VALUES (?, ?, ?, ?)")
-                  rows.foreach { r =>
-                    val ws = r.getTimestamp(0); val et = r.getString(1)
-                    del.setTimestamp(1, ws); del.setString(2, et); del.addBatch()
-                    ins.setTimestamp(1, ws); ins.setString(2, et)
-                    ins.setLong(3, r.getLong(2)); ins.setDouble(4, r.getDouble(3))
-                    ins.addBatch()
-                  }
-                  del.executeBatch(); ins.executeBatch()
-                  conn.commit()
-                  del.close(); ins.close()
-                } finally conn.close()
+                upsertWindowRows(url, rows)
             }
           }
           .start()
