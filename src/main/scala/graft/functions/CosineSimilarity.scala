@@ -27,30 +27,50 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_cosine expects (array<float>, array<float>), got " +
+        s"graft_cosine expects two array<float>/array<double> args, got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  private def toDoubles(v: Any, dt: DataType): Array[Double] = dt match {
+    case ArrayType(FloatType, _) =>
+      val f = v.asInstanceOf[ArrayData].toFloatArray()
+      val out = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+      out
+    case _ => v.asInstanceOf[ArrayData].toDoubleArray()
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimilarity.compute(
-      a.asInstanceOf[ArrayData].toFloatArray(),
-      b.asInstanceOf[ArrayData].toFloatArray())
+    CosineSimilarity.computeD(
+      toDoubles(a, left.dataType), toDoubles(b, right.dataType))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val xa = ctx.freshName("xa"); val ya = ctx.freshName("ya")
       val n = ctx.freshName("n");   val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      def decl(nm: String, src: String, dt: DataType) = dt match {
+        case ArrayType(FloatType, _) => s"float[] $nm = $src.toFloatArray();"
+        case _                       => s"double[] $nm = $src.toDoubleArray();"
+      }
+      // per-element (double) casts are no-ops for double[] sources, so both
+      // element types accumulate in the identical left-to-right order
       s"""
-         |float[] $xa = $a.toFloatArray();
-         |float[] $ya = $b.toFloatArray();
+         |${decl(xa, a, left.dataType)}
+         |${decl(ya, b, right.dataType)}
          |int $n = java.lang.Math.min($xa.length, $ya.length);
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -78,6 +98,20 @@ object CosineSimilarity {
       dot += x(i).toDouble * y(i).toDouble
       nx += x(i).toDouble * x(i).toDouble
       ny += y(i).toDouble * y(i).toDouble
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  /** Double-array twin, same accumulation order. */
+  def computeD(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i) * y(i)
+      nx += x(i) * x(i)
+      ny += y(i) * y(i)
       i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)

@@ -76,15 +76,11 @@ object LlmOps {
     inter / (size(a) + size(b) - inter)
   }
 
-  private def cosDouble(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot / sqrt(na * nb)
-  }
+  /** Codegen'd double cosine (graft_cosine accepts float/double arrays;
+    * identical accumulation order to the aggregate(zip_with(...)) fold the
+    * oracles mirror, so swapping it in is value-exact). */
+  private def cosD(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** IVF coarse-quantizer knobs: 10 cells, 2 Lloyd's iterations, 3-cell
     * probes. Seeds/iteration count are part of each key's deterministic
@@ -126,7 +122,7 @@ object LlmOps {
               transform(col("embedding"), x => round(x.cast("double"), 6)).as("cvec"))
     for (_ <- 1 to iters) {
       val assigned = e.crossJoin(broadcast(cen))
-        .withColumn("cell_cos", cosDouble(col("embedding"), col("cvec")))
+        .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"),
              first(col("embedding")).as("embedding"))
@@ -562,12 +558,13 @@ object LlmOps {
     // Centroid components rounded to 6dp BEFORE the cosine so Spark's and
     // the oracle's float-summation-order drift cannot flip an assignment.
     "llm_knn_centroids" -> ((s, d) => {
+      CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
       val centroids =
         centroidOf(e.select(col("label").as("clabel"), col("embedding")), "clabel")
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
       e.crossJoin(broadcast(centroids))
-        .withColumn("cos", cosDouble(col("embedding"), col("cvec")))
+        .withColumn("cos", cosD(col("embedding"), col("cvec")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .groupBy(col("label"), col("clabel").as("assigned_label"))
@@ -647,7 +644,7 @@ object LlmOps {
       // posting lists: every vector → its single nearest trained cell —
       // max_by argmax aggregate, not a per-vector window sort
       val posting = e.crossJoin(broadcast(cen))
-        .withColumn("cell_cos", cosDouble(col("embedding"), col("cvec")))
+        .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"),
              first(col("embedding")).as("n_emb"))
@@ -657,7 +654,7 @@ object LlmOps {
       val probes = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .crossJoin(broadcast(cen))
-        .withColumn("cell_cos", cosDouble(col("q_emb"), col("cvec")))
+        .withColumn("cell_cos", cosD(col("q_emb"), col("cvec")))
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= IvfProbes)
         .select(col("q_id"), col("q_emb"), col("cell"))
@@ -687,6 +684,7 @@ object LlmOps {
     // integers times a shared double scale, so both engines compute
     // bit-identical cosines and the order cannot drift.
     "llm_quantize_int8" -> ((s, d) => {
+      CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
       val dq = e.select(col("vec_id"),
           (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
@@ -701,7 +699,7 @@ object LlmOps {
       val c = dq.select(col("vec_id").as("n_id"), col("v").as("n_v"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
       q.join(broadcast(c), col("q_id") =!= col("n_id"))
-        .withColumn("cos", cosDouble(col("q_v"), col("n_v")))
+        .withColumn("cos", cosD(col("q_v"), col("n_v")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
@@ -766,8 +764,9 @@ object LlmOps {
       WHERE len(string_split(text,' ')) >= 3)"""
 
   /** DuckDB cosine between a float-list column and a double-list centroid —
-    * element order and double arithmetic mirror `cosDouble` exactly (the
-    * pattern llm_knn_centroids has verified cross-engine). */
+    * element order and double arithmetic mirror `cosD`/graft_cosine exactly (the
+    * pattern llm_knn_centroids has verified cross-engine; the Spark side
+    * now evaluates it via the codegen'd graft_cosine, same order). */
   private def cellCosSql(emb: String, cvec: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * $cvec[i]))
           / sqrt(list_sum(list_transform($emb, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
