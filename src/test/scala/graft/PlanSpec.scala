@@ -115,6 +115,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("llm_quantize_int8: double-array graft_cosine stays in codegen") {
+    // the float path is pinned via llm_knn_bruteforce; this pins the
+    // double[] specialization added for dequantized search — a silent
+    // fallback would re-interpret the hottest loop
+    val p = plan("llm_quantize_int8")
+    val projLines = p.linesIterator.filter(l =>
+      l.contains("graft_cosine") && l.contains("Project")).toSeq
+    assert(projLines.nonEmpty, s"no Project with graft_cosine in:\n$p")
+    assert(projLines.forall(_.contains("*(")),
+      s"double-array graft_cosine fell out of codegen:\n${projLines.mkString("\n")}")
+  }
+
   test("CosineSimilarity is not a CodegenFallback expression") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     assert(!classOf[CodegenFallback].isAssignableFrom(
