@@ -71,6 +71,23 @@ object AggOps {
         .orderBy("o_orderstatus")
     }),
 
+    // Sketch percentiles — the 100 TB path: approx_percentile keeps a
+    // bounded per-group sketch with map-side merge (one shuffle of sketch
+    // bytes), where the exact interpolating percentile above must shuffle
+    // every VALUE to its group. Accuracy 10000 ⇒ rank error ≤ n/10000 —
+    // algorithm-dependent values, so NO cross-engine oracle (DuckDB's
+    // approx_quantile is t-digest, Spark's is GK); the OperatorSpec
+    // tolerance test bounds it against the exact key instead.
+    "agg_approx_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).as("p50"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 2).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Exact percentiles (interpolating), not approx — matches quantile_cont.
     "agg_percentile" -> ((s, d) => {
       Tables.orders(s, d)

@@ -47,6 +47,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.count { case (n, l) => n == l } === 3)
   }
 
+  test("agg_approx_percentile tracks the exact percentile within 5% per group") {
+    // no cross-engine oracle (GK sketch vs DuckDB t-digest), so the
+    // accuracy contract is pinned here against the exact key instead
+    val ap = SparkEntry.queries("agg_approx_percentile")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val ex = SparkEntry.queries("agg_percentile")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(ap.keySet === ex.keySet)
+    ap.foreach { case (k, (p50, p90)) =>
+      val (e50, e90) = ex(k)
+      assert(math.abs(p50 - e50) <= 0.05 * e50, s"$k p50: sketch $p50 vs exact $e50")
+      assert(math.abs(p90 - e90) <= 0.05 * e90, s"$k p90: sketch $p90 vs exact $e90")
+    }
+  }
+
   test("cross-check: udf_scalar UDF twin equals native when-chain twin") {
     val rows = SparkEntry.queries("udf_scalar")(spark, d)
       .select("band_udf", "band_native").collect()
