@@ -144,6 +144,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("parquet file sink: batch read honors the commit log (exactly-once)") {
+    // the stream_file_sink exactly-once claim rests on the sink's
+    // _spark_metadata log: files a crashed batch wrote but never committed
+    // must be INVISIBLE to readers. Simulate exactly that — drop a rogue
+    // copy of a committed part file into the sink dir and assert the batch
+    // read still sees only the committed rows.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val srcDir = Files.createTempDirectory("graft-fsink-src-").toString
+    val outDir = Files.createTempDirectory("graft-fsink-out-").toString
+    val ckpt = Files.createTempDirectory("graft-fsink-ck-").toString
+    import spark.implicits._
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+    src.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(src.schema).parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(outDir).count() === 3L)
+    val committed = new java.io.File(outDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(committed.nonEmpty)
+    // a "crashed batch's" orphan: real parquet bytes, never committed
+    Files.copy(committed.head.toPath,
+      Paths.get(outDir, "part-99999-rogue-uncommitted.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(spark.read.parquet(outDir).count() === 3L,
+      "batch read counted rows from an uncommitted file — exactly-once broken")
+  }
+
   test("JDBC window upsert is idempotent under replay") {
     // the exactly-once claim of stream_jdbc_sink rests on this: a replayed
     // foreachBatch delivery (full or partial) must converge, not append
