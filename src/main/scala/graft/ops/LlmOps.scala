@@ -70,6 +70,14 @@ object LlmOps {
      Array.fill(MinhashK)(rnd.nextInt(P.toInt).toLong))
   }
 
+  /** Ordered (doc_a < doc_b) pair expansion of a SORTED posting list column
+    * `ids` — the in-bucket candidate generator shared by the minhash bands,
+    * the simhash bands, and the containment inverted index. */
+  private def orderedPairs: Column = explode(expr(
+    """flatten(transform(ids, (x, i) ->
+       transform(slice(ids, i + 2, size(ids)),
+                 y -> struct(x AS doc_a, y AS doc_b))))"""))
+
   /** Exact Jaccard between two pre-deduped string arrays. */
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -214,10 +222,7 @@ object LlmOps {
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-           transform(slice(ids, i + 2, size(ids)),
-                     y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(orderedPairs.as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
@@ -292,10 +297,7 @@ object LlmOps {
     val cand = banded.groupBy("band", "bv")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-           transform(slice(ids, i + 2, size(ids)),
-                     y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(orderedPairs.as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     cand
@@ -483,10 +485,7 @@ object LlmOps {
         .groupBy("sv")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids)),
-                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+        .select(orderedPairs.as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .agg(count(lit(1)).as("c"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")

@@ -207,13 +207,21 @@ object CosineBandedJoin extends Rule[LogicalPlan] with PredicateHelper {
     * null-on-out-of-bounds (NOT ANSI element_at, which would turn a valid
     * slow join over <64-dim embeddings into a runtime crash once this
     * opt-in rule fires): a missing element yields NULL, the comparison
-    * yields NULL, and the If degrades it safely to bit 0. */
-  private def signSig(emb: Expression): Expression =
+    * yields NULL, and the If degrades it safely to bit 0. The zero literal
+    * matches the array's ELEMENT type — this runs post-analysis, so no
+    * implicit cast would rescue a float literal against the double arrays
+    * graft_cosine also accepts. */
+  private def signSig(emb: Expression): Expression = {
+    val zero = emb.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) => Literal(0.0)
+      case _ => Literal(0.0f)
+    }
     (0 until Dims).map { i =>
-      If(GreaterThan(GetArrayItem(emb, Literal(i), failOnError = false),
-        Literal(0.0f)),
+      If(GreaterThan(GetArrayItem(emb, Literal(i), failOnError = false), zero),
         Literal(1L << i), Literal(0L)): Expression
     }.reduce(Add(_, _))
+  }
 
   private def findCosine(cond: Expression, l: LogicalPlan, r: LogicalPlan)
       : Option[(Expression, Expression)] = {

@@ -188,30 +188,55 @@ object StreamOps {
     * that constraint (no watermark, or output emitted as rows arrive)
     * group files to cut scaffolding cost — semantics are batch-equivalent
     * under any grouping. */
-  private def runStream(spark: SparkSession, rep: Replay, outputMode: String,
-                        filesPerTrigger: Int = 1)(
-      build: DataFrame => DataFrame): DataFrame = {
+  /** Builds the replay file source, pins 8 state partitions for the run
+    * (restored after), starts whatever query `start` assembles and waits
+    * for it — the scaffolding shared by the memory-sink runner and the
+    * file/JDBC sink keys. */
+  private def runReplay(spark: SparkSession, rep: Replay, filesPerTrigger: Int)(
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val src = spark.readStream
       .schema(rep.schema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(rep.srcDir)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", 8)
-    try {
-      val q = build(src).writeStream
+    try start(src).awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def runStream(spark: SparkSession, rep: Replay, outputMode: String,
+                        filesPerTrigger: Int = 1)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    runReplay(spark, rep, filesPerTrigger) { src =>
+      build(src).writeStream
         .format("memory").queryName(name)
         .outputMode(outputMode)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     spark.table(name)
   }
+
+  /** The tumbling-window aggregation both SINK keys stream — their shared
+    * oracle is the same tumbling SQL, so the transform must stay shared
+    * too (a divergence here would break one key's contract silently). */
+  private def windowAgg(src: DataFrame): DataFrame =
+    src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sv"))
+
+  /** Read-back normalization shared by the sink keys: drop sentinels,
+    * round, impose the oracle's total order. */
+  private def sinkResult(df: DataFrame): DataFrame =
+    df.filter(col("event_type") =!= "__flush__")
+      .select(col("window_start"), col("event_type"),
+              col("n"), round(col("sv"), 2).as("sum_value"))
+      .orderBy("window_start", "event_type")
 
   // ---- stateful-count plumbing (typed API) ----
   case class Ev(user_id: Long, value: Double)
@@ -502,31 +527,16 @@ object StreamOps {
       val rep = replay(s, d, "flush")
       val outDir = Files.createTempDirectory("graft-fsink-").toFile.getAbsolutePath
       val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
-      val src = s.readStream.schema(rep.schema)
-        .option("maxFilesPerTrigger", 1).parquet(rep.srcDir)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", 8)
-      try {
-        val q = src.withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
-          .select(col("window.start").as("window_start"), col("event_type"),
-                  col("n"), col("sv"))
+      runReplay(s, rep, 1) { src =>
+        windowAgg(src)
           .writeStream.format("parquet")
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      s.read.parquet(outDir)
-        .filter(col("event_type") =!= "__flush__")
-        .select(col("window_start"), col("event_type"),
-                col("n"), round(col("sv"), 2).as("sum_value"))
-        .orderBy("window_start", "event_type")
+      sinkResult(s.read.parquet(outDir))
     }),
 
     // Structured Streaming → JDBC sink — the reference's declared shape
@@ -559,16 +569,8 @@ object StreamOps {
         } finally conn.close()
       }
       val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
-      val src = s.readStream.schema(rep.schema)
-        .option("maxFilesPerTrigger", 1).parquet(rep.srcDir)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", 8)
-      try {
-        val q = src.withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
-          .select(col("window.start").as("window_start"), col("event_type"),
-                  col("n"), col("sv"))
+      runReplay(s, rep, 1) { src =>
+        windowAgg(src)
           .writeStream
           .outputMode("append")
           .option("checkpointLocation", ckpt)
@@ -581,17 +583,10 @@ object StreamOps {
             }
           }
           .start()
-        q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
-      s.read.jdbc(url, "win_counts", props)
-        .filter(col("event_type") =!= "__flush__")
-        .select(col("window_start"), col("event_type"),
-                col("n"), round(col("sv"), 2).as("sum_value"))
-        .orderBy("window_start", "event_type")
+      sinkResult(s.read.jdbc(url, "win_counts", props))
     }),
 
     // Stream ⋈ static dimension: per-micro-batch broadcast hash join.

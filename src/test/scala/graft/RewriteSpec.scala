@@ -70,6 +70,35 @@ class RewriteSpec extends AnyFunSuite {
     assert(viaRule.size <= exact)
   }
 
+  test("cosine rewrite fires on DOUBLE arrays too (element-typed sign bits)") {
+    // graft_cosine accepts array<double> since r4; the rule's sign-bit
+    // signature must compare against an element-typed zero (a float
+    // literal against double elements fails type-check POST-analysis and
+    // crashes the query the instant the opt-in conf is set)
+    CosineSimilarityRegistered()
+    val e = Tables.embeddings(spark, d)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    spark.conf.set(CosineBandedJoin.ConfKey, "true")
+    try {
+      val df = a.join(b, col("a_id") < col("b_id") &&
+          call_function("graft_cosine", col("a_emb"), col("b_emb")) >= 0.3)
+        .select(col("a_id"), col("b_id"),
+          round(call_function("graft_cosine", col("a_emb"), col("b_emb")), 4).as("cos"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+        "rule did not fire on double arrays")
+      val viaDouble = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // float→double is exact, so the double-array banded result must equal
+      // the float-array one bit-for-bit
+      val viaFloat = SparkEntry.queries("opt_cosine_rewrite")(spark, d)
+        .filter(col("a_id") < 1000) // same declared subset — embeddings at sf0.001 are all < 1000
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaDouble === viaFloat)
+      assert(viaDouble.nonEmpty, "no banded pairs — vacuous test")
+    } finally spark.conf.unset(CosineBandedJoin.ConfKey)
+  }
+
   private def CosineSimilarityRegistered(): Unit =
     graft.functions.CosineSimilarity.register(spark)
 
