@@ -571,6 +571,35 @@ object LlmOps {
         .orderBy("label", "assigned_label")
     }),
 
+    // Gopher-style repetition filter — the classic corpus-quality gate:
+    // drop documents dominated by one token (top_word_frac) or by repeated
+    // phrases (duplicate word-3-gram fraction). One explode feeds two
+    // map-side-combining hash-aggs for the token stats; the 3-gram
+    // fractions are per-row array expressions on the wide scan (no second
+    // explode). Thresholds are applied to the ROUNDED fractions so both
+    // engines compare identical doubles.
+    "llm_repetition_filter" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d)
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val stats = tf.groupBy("doc_id")
+        .agg(max("c").as("mx"), sum("c").as("n_words"))
+        .select(col("doc_id"), col("n_words"),
+                round(col("mx") / col("n_words"), 4).as("top_word_frac"))
+      val ws = split(col("text"), " ")
+      val g3 = docs.select(col("doc_id"),
+        when(size(ws) >= 3,
+          round(lit(1.0) - size(shingles(col("text"))).cast("double")
+                  / (size(ws) - lit(2)).cast("double"), 4))
+          .otherwise(lit(0.0)).as("dup3_frac"))
+      stats.join(g3, "doc_id")
+        .withColumn("keep",
+          col("top_word_frac") <= 0.12 && col("dup3_frac") <= 0.02)
+        .select(col("doc_id"), col("n_words"), col("top_word_frac"),
+                col("dup3_frac"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Per-language corpus stats + top-10 stopword-free words.
     "llm_text_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1016,6 +1045,30 @@ object LlmOps {
       FROM best WHERE rn = 1
       GROUP BY 1, 2
       ORDER BY label, assigned_label""",
+
+    "llm_repetition_filter" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+      stats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               round(max(c) * 1.0 / sum(c), 4) AS top_word_frac
+        FROM tf GROUP BY 1),
+      g3 AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+            round(1.0 - len(list_distinct(list_transform(
+                    range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' '
+                         || string_split(text, ' ')[i+1] || ' '
+                         || string_split(text, ' ')[i+2]))) * 1.0
+                  / (len(string_split(text, ' ')) - 2), 4)
+          ELSE 0.0 END AS dup3_frac
+        FROM documents)
+      SELECT s.doc_id, s.n_words, s.top_word_frac, g3.dup3_frac,
+             (s.top_word_frac <= 0.12 AND g3.dup3_frac <= 0.02) AS keep
+      FROM stats s JOIN g3 ON s.doc_id = g3.doc_id
+      ORDER BY s.doc_id""",
 
     "llm_text_stats" -> s"""
       WITH ls AS (

@@ -98,6 +98,15 @@ class GoldenSpec extends AnyFunSuite {
     assert(SparkEntry.queries("stream_jdbc_sink")(spark, d).count() === 868L)
   }
 
+  test("llm_repetition_filter: 392/500 kept; doc 0 rejected on top-word 0.1304") {
+    val rows = SparkEntry.queries("llm_repetition_filter")(spark, d).collect()
+    assert(rows.length === 500)
+    assert(rows.count(_.getBoolean(4)) === 392)
+    assert((rows(0).getLong(0), rows(0).getLong(1), rows(0).getDouble(2),
+            rows(0).getDouble(3), rows(0).getBoolean(4))
+      === ((0L, 23L, 0.1304, 0.0, false)))
+  }
+
   test("agg_hash_global: total lineitem quantity 152257.0") {
     import org.apache.spark.sql.functions._
     val s = Tables.lineitem(spark, d).agg(round(sum("l_quantity"), 2)).collect()(0).getDouble(0)
