@@ -327,6 +327,16 @@ object StreamOps {
     s.table(name)
   }
 
+  /** One embedded Derby database per JVM for the JDBC sink key (same
+    * rationale as the bucketed-table dir: Bench/Verify/tests each invoke
+    * the key, and a fresh database directory per invocation would pile up
+    * on disk and re-pay Derby bootstrap every run). The target table is
+    * dropped and recreated per invocation. */
+  private lazy val derbyUrl: String = {
+    val db = Files.createTempDirectory("graft-derby-stream-").toString + "/db"
+    s"jdbc:derby:$db;create=true"
+  }
+
   /** Idempotent keyed upsert of (window_start, event_type, n, sv) rows into
     * `win_counts`: DELETE+INSERT per key inside one transaction, so
     * replaying the same rows (a foreachBatch re-delivery after a crash
@@ -553,12 +563,13 @@ object StreamOps {
     // the batch key).
     "stream_jdbc_sink" -> ((s, d) => {
       val rep = replay(s, d, "flush")
-      val db = Files.createTempDirectory("graft-derby-stream-").toString + "/db"
-      val url = s"jdbc:derby:$db;create=true"
-      locally { // Derby lacks CREATE TABLE IF NOT EXISTS; dir is fresh
+      val url = derbyUrl
+      locally { // fresh table per run in the per-JVM database
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           val st = conn.createStatement()
+          try st.executeUpdate("DROP TABLE win_counts")
+          catch { case _: java.sql.SQLException => () } // first run: absent
           st.executeUpdate(
             """CREATE TABLE win_counts(
                  window_start TIMESTAMP NOT NULL,
