@@ -47,6 +47,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.count { case (n, l) => n == l } === 3)
   }
 
+  test("incremental dedup equals the full minhash pairs touching day 2") {
+    // consistency between the two dedup paths: probing the persisted day-1
+    // store plus day-2 self-banding must find exactly the pairs the full
+    // in-corpus plan finds among pairs with a day-2 member — Spark vs
+    // Spark, independent of the DuckDB oracle
+    def pairs(key: String) = SparkEntry.queries(key)(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairs("llm_dedup_incremental")
+    val full = pairs("llm_neardup_minhash")
+      .filter { case (a, b) => a % 4 == 0 || b % 4 == 0 }
+    assert(inc === full)
+    assert(inc.nonEmpty, "no day-2-touching pairs at sf0.001 — vacuous test")
+  }
+
   test("agg_approx_percentile tracks the exact percentile within 5% per group") {
     // no cross-engine oracle (GK sketch vs DuckDB t-digest), so the
     // accuracy contract is pinned here against the exact key instead
