@@ -25,9 +25,10 @@ object JoinOps {
   /** One fixed bucketed-table location per JVM: join_bucketed runs several
     * times a session (Bench ×3, Verify, PlanSpec) and `saveAsTable(overwrite)`
     * re-points the external tables — a fresh dir per invocation would orphan
-    * every previous run's data files (unbounded disk leak). Overwriting in
-    * place bounds disk use to exactly one table copy; the dir itself is OS
-    * tmp, reaped by the platform's tmp cleanup. */
+    * every previous run's data files (unbounded disk leak WITHIN a run).
+    * Overwriting in place bounds disk use to one table copy per JVM
+    * launch; the dirs live in OS tmp and are left to the platform's tmp
+    * reaper (a JVM shutdown hook cannot delete a non-empty directory). */
   private lazy val bucketBase: String =
     java.nio.file.Files.createTempDirectory("graft_bucket_").toString
 

@@ -86,7 +86,12 @@ object LlmOps {
 
   /** Codegen'd double cosine (graft_cosine accepts float/double arrays;
     * identical accumulation order to the aggregate(zip_with(...)) fold the
-    * oracles mirror, so swapping it in is value-exact). */
+    * oracles mirror, so swapping it in is value-exact FOR NONZERO VECTORS
+    * — the one divergence is zero-norm input, where the expression guards
+    * to 0.0 while the bare-division fold/oracles give NaN. No table here
+    * can produce a zero-norm vector: embeddings are nonzero by generation,
+    * int8 dequantization maps the max-|x| element to ±127 exactly, and
+    * 6dp-rounded centroids of nonzero vectors don't vanish. */
   private def cosD(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 

@@ -169,7 +169,9 @@ object StreamOps {
       Replay(srcDir.getAbsolutePath, schema, base.nBase, nExtra, mxUs)
     })
 
-  /** Run a file-replay stream to completion, return the memory-sink table.
+  /** Builds the replay file source, starts whatever query `start`
+    * assembles and waits for it — the scaffolding shared by the
+    * memory-sink runner and the file/JDBC sink keys.
     *
     * State-store partitioning: each stateful operator creates
     * `spark.sql.shuffle.partitions` state partitions PER MICRO-BATCH; with
@@ -188,10 +190,6 @@ object StreamOps {
     * that constraint (no watermark, or output emitted as rows arrive)
     * group files to cut scaffolding cost — semantics are batch-equivalent
     * under any grouping. */
-  /** Builds the replay file source, pins 8 state partitions for the run
-    * (restored after), starts whatever query `start` assembles and waits
-    * for it — the scaffolding shared by the memory-sink runner and the
-    * file/JDBC sink keys. */
   private def runReplay(spark: SparkSession, rep: Replay, filesPerTrigger: Int)(
       start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val src = spark.readStream
@@ -330,28 +328,30 @@ object StreamOps {
   /** One embedded Derby database per JVM for the JDBC sink key (same
     * rationale as the bucketed-table dir: Bench/Verify/tests each invoke
     * the key, and a fresh database directory per invocation would pile up
-    * on disk and re-pay Derby bootstrap every run). The target table is
-    * dropped and recreated per invocation. */
+    * on disk and re-pay Derby bootstrap every run). Each invocation gets
+    * its OWN counter-named table inside it, so overlapping invocations in
+    * one JVM cannot clobber each other's rows. */
   private lazy val derbyUrl: String = {
     val db = Files.createTempDirectory("graft-derby-stream-").toString + "/db"
     s"jdbc:derby:$db;create=true"
   }
 
   /** Idempotent keyed upsert of (window_start, event_type, n, sv) rows into
-    * `win_counts`: DELETE+INSERT per key inside one transaction, so
-    * replaying the same rows (a foreachBatch re-delivery after a crash
-    * between sink write and commit-log write) converges to the same table
-    * instead of double-counting. Runs executor-side — one connection per
-    * partition. StreamingSpec applies it twice to prove the idempotency. */
+    * `table`: DELETE+INSERT per key inside one transaction, so replaying
+    * the same rows (a foreachBatch re-delivery after a crash between sink
+    * write and commit-log write) converges to the same table instead of
+    * double-counting. Runs executor-side — one connection per partition.
+    * StreamingSpec applies it twice to prove the idempotency. */
   private[graft] def upsertWindowRows(
-      url: String, rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+      url: String, table: String,
+      rows: Iterator[org.apache.spark.sql.Row]): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
       val del = conn.prepareStatement(
-        "DELETE FROM win_counts WHERE window_start = ? AND event_type = ?")
+        s"DELETE FROM $table WHERE window_start = ? AND event_type = ?")
       val ins = conn.prepareStatement(
-        "INSERT INTO win_counts VALUES (?, ?, ?, ?)")
+        s"INSERT INTO $table VALUES (?, ?, ?, ?)")
       rows.foreach { r =>
         val ws = r.getTimestamp(0); val et = r.getString(1)
         del.setTimestamp(1, ws); del.setString(2, et); del.addBatch()
@@ -564,14 +564,13 @@ object StreamOps {
     "stream_jdbc_sink" -> ((s, d) => {
       val rep = replay(s, d, "flush")
       val url = derbyUrl
-      locally { // fresh table per run in the per-JVM database
+      val tbl = s"win_counts_${nameCounter.incrementAndGet()}"
+      locally { // fresh per-invocation table in the per-JVM database
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           val st = conn.createStatement()
-          try st.executeUpdate("DROP TABLE win_counts")
-          catch { case _: java.sql.SQLException => () } // first run: absent
           st.executeUpdate(
-            """CREATE TABLE win_counts(
+            s"""CREATE TABLE $tbl(
                  window_start TIMESTAMP NOT NULL,
                  event_type VARCHAR(64) NOT NULL,
                  n BIGINT, sv DOUBLE,
@@ -590,14 +589,14 @@ object StreamOps {
                            _: Long) =>
             batch.coalesce(1).foreachPartition {
               (rows: Iterator[org.apache.spark.sql.Row]) =>
-                upsertWindowRows(url, rows)
+                upsertWindowRows(url, tbl, rows)
             }
           }
           .start()
       }
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
-      sinkResult(s.read.jdbc(url, "win_counts", props))
+      sinkResult(s.read.jdbc(url, tbl, props))
     }),
 
     // Stream ⋈ static dimension: per-micro-batch broadcast hash join.

@@ -192,9 +192,9 @@ class StreamingSpec extends AnyFunSuite {
     val rows = Seq(
       Row(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "click", 3L, 1.5),
       Row(java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "click", 2L, 0.5))
-    StreamOps.upsertWindowRows(url, rows.iterator)
-    StreamOps.upsertWindowRows(url, rows.iterator)          // full replay
-    StreamOps.upsertWindowRows(url, Seq(rows(0)).iterator)  // partial replay
+    StreamOps.upsertWindowRows(url, "win_counts", rows.iterator)
+    StreamOps.upsertWindowRows(url, "win_counts", rows.iterator)         // full replay
+    StreamOps.upsertWindowRows(url, "win_counts", Seq(rows(0)).iterator) // partial replay
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
     val back = spark.read.jdbc(url, "win_counts", props)
