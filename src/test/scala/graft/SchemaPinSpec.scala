@@ -1,4 +1,5 @@
 package graft
+// (sigstore layout + widen-behavior pins added r4 at the bottom)
 
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -65,5 +66,26 @@ class SchemaPinSpec extends AnyFunSuite {
     assert(Tables.events(spark, d).count() === 1000)
     assert(Tables.documents(spark, d).count() === 500)
     assert(Tables.embeddings(spark, d).count() === 500)
+  }
+
+  test("schema pin: persisted signature store layout (cross-run contract)") {
+    // llm_dedup_incremental's store outlives the job that wrote it — a
+    // schema drift here silently breaks every older store a production
+    // deployment still probes, so the layout is pinned like a fixture
+    val store = graft.ops.LlmOps.sigStorePath(spark, d)
+    val bands = StructType(spark.read.parquet(s"$store/bands").schema.map(f =>
+      StructField(f.name, f.dataType)))
+    assert(bands === fields("doc_id" -> LongType,
+      "band" -> IntegerType, "bh" -> IntegerType))
+    val sh = StructType(spark.read.parquet(s"$store/sh").schema.map(f =>
+      StructField(f.name, f.dataType)))
+    assert(sh === fields("doc_id" -> LongType, "sh" -> ArrayType(StringType)))
+  }
+
+  test("documentsWide widens a narrow scan to session parallelism") {
+    val wide = Tables.documentsWide(spark, d)
+    assert(wide.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+    // and it must be a pure widen: same rows as the plain reader
+    assert(wide.count() === Tables.documents(spark, d).count())
   }
 }
