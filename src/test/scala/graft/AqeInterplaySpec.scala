@@ -46,9 +46,10 @@ class AqeInterplaySpec extends AnyFunSuite {
     // shape (at 100 TB the planner picks SMJ itself; at sf0.001 defaults
     // would broadcast the toy dim and bypass bucket reads entirely).
     SparkEntry.queries("join_bucketed")(spark, d).collect()
+    val (ordersTbl, custTbl) = graft.ops.JoinOps.bucketedTables(spark, d)
     withAqe {
-      val o = spark.table("graft_orders_b")
-      val c = spark.table("graft_customer_b")
+      val o = spark.table(ordersTbl)
+      val c = spark.table(custTbl)
       val j = o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
         .select(o("o_orderkey"), c("c_mktsegment"))
       j.collect() // finalize the adaptive plan

@@ -27,6 +27,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("containment df-cap: hot posting list dropped, pair output unchanged") {
+    // VERDICT r4 #5: plant a boilerplate shingle across every doc (df = 32,
+    // way over the cap) plus one genuine containment pair that qualifies
+    // through NON-hot shingles. The capped plan must drop the hot posting
+    // list from candidate generation yet report the identical pairs with
+    // the identical exact `cont` values (confirm reads the full shingle
+    // sets, hot shingle included).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, max, size}
+    val boiler = "all rights reserved"
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, Seq(boiler, s"alpha $i x", s"beta $i y", s"gamma $i z"))
+    } ++ Seq(
+      (100L, Seq(boiler, "dup one a", "dup one b", "dup one c")),
+      (101L, Seq(boiler, "dup one a", "dup one b", "dup one c", "an extra shingle"))
+    )).toDF("doc_id", "sh")
+    val cap = 10L
+    val maxDf = docs.select(explode(col("sh")).as("sv"))
+      .groupBy("sv").count().agg(max("count")).first().getLong(0)
+    assert(maxDf > cap, s"plant failed: max df $maxDf not over cap $cap")
+    def run(c: Option[Long]) =
+      graft.ops.LlmOps.containmentPairs(docs, tau = 0.8, dfCap = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = run(None)
+    val capped = run(Some(cap))
+    assert(uncapped === capped, "df-cap changed the pair output")
+    assert(capped === Set((100L, 101L, 1.0)), s"unexpected pairs: $capped")
+    // and the contract query honors the conf end-to-end. On a real corpus
+    // the design guarantee under a cap is PRECISION (capped ⊆ exact, with
+    // identical cont values on shared pairs), not equality — recall is the
+    // declared trade when every shared shingle of a pair is hot.
+    spark.conf.set(graft.ops.LlmOps.ContainmentDfCapKey, "3")
+    try {
+      val viaConf = SparkEntry.queries("llm_neardup_containment")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.conf.unset(graft.ops.LlmOps.ContainmentDfCapKey)
+      val default = SparkEntry.queries("llm_neardup_containment")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaConf.subsetOf(default),
+        s"capped pairs not a subset of exact: ${viaConf.diff(default)}")
+    } finally spark.conf.unset(graft.ops.LlmOps.ContainmentDfCapKey)
+  }
+
   test("resolveClusters: planted dup chains resolve to one keeper each") {
     import spark.implicits._
     // one 8-node path (worst case for propagation depth — exercises the

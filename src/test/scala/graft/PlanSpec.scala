@@ -169,8 +169,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the plan of the bare join (the query's agg adds its own exchange,
     // which is expected — the claim is about the JOIN inputs)
     SparkEntry.queries("join_bucketed")(spark, d).collect()
-    val o = spark.table("graft_orders_b")
-    val c = spark.table("graft_customer_b")
+    val (ordersTbl, custTbl) = graft.ops.JoinOps.bucketedTables(spark, d)
+    val o = spark.table(ordersTbl)
+    val c = spark.table(custTbl)
     def join = o.join(c, o("o_custkey") === c("c_custkey"))
       .select(o("o_orderkey"), c("c_mktsegment"))
     // at sf0.001 the dim auto-broadcasts (which bypasses bucket reads
@@ -237,6 +238,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("PartitionFilters: ["), p)
     assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(p).isDefined,
       s"o_year filter not in PartitionFilters — partition pruning lost:\n$p")
+  }
+
+  test("llm_neardup_containment: df-cap conf switches to the capped candidate plan") {
+    // Default: fused posting-count plan (no shingle-set confirm join).
+    // Capped: posting lists filtered by size before pair expansion, and the
+    // confirm reads full shingle sets via array_intersect. Pin both shapes
+    // so a refactor can't silently lose the cap or degrade the default.
+    val key = graft.ops.LlmOps.ContainmentDfCapKey
+    spark.conf.unset(key)
+    val def0 = plan("llm_neardup_containment")
+    assert(!def0.contains("array_intersect"),
+      s"default containment plan grew a shingle-set confirm join:\n$def0")
+    spark.conf.set(key, "17")
+    try {
+      val capped = plan("llm_neardup_containment")
+      assert(capped.contains("array_intersect"),
+        s"capped plan lost the exact shingle-set confirm:\n$capped")
+      assert("size\\(ids[^)]*\\) <= 17".r.findFirstIn(capped).isDefined,
+        s"capped plan lost the df filter on posting lists:\n$capped")
+    } finally spark.conf.unset(key)
+  }
+
+  test("sort_multi: count() elides the global sort entirely") {
+    // VERDICT r4 #3: Bench times `sort_multi.count()`; the optimizer's
+    // EliminateSorts must drop the order-irrelevant Sort under the count
+    // aggregate, leaving no Sort and no range exchange — the count then
+    // costs one scan. If this ever stops firing (a conf default change, a
+    // query edit that makes the sort semantically load-bearing), the 8×
+    // bench drift shows up here as a loud failure, not a bench mystery.
+    val counted = SparkEntry.queries("sort_multi")(spark, d).groupBy().count()
+    val p = planOf(counted)
+    assert(!p.contains("Sort "), s"count() path still sorts:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"count() path still range-shuffles:\n$p")
+    // and the un-counted query DOES sort (the elision is count-specific,
+    // not a lost ORDER BY)
+    val full = plan("sort_multi")
+    assert(full.contains("Sort "), s"sort_multi lost its sort:\n$full")
   }
 
   test("win_ntile_scalable: row-level data never funnels through one partition") {

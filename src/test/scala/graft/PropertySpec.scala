@@ -78,20 +78,43 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.checkpoint.reliable")
   }
 
-  test("llm_knn_ivf recall vs bruteforce beats the probed-fraction floor") {
+  test("llm_knn_ivf recall vs bruteforce: floor at nprobe=3, monotone in nprobe") {
     // nprobe/cells = 3/10: similarity-uncorrelated cells would give recall
     // ≈ 0.3; the trained k-means cells must do better (measured 0.61 at
     // sf0.001 and 0.64 at sf0.01 — vs 0.51 for the old label-derived
-    // cells). 0.4 is the regression floor, not the target.
+    // cells). 0.4 is the regression floor, not the target. VERDICT r4 #7:
+    // the tunable knob (`spark.graft.ivf.nprobe`) must trace the monotone
+    // recall-vs-nprobe curve — provably non-decreasing (a larger probe set
+    // is a candidate superset; only a true top-5 member can displace a
+    // true top-5 member under the same exact-cosine ranking), measured
+    // 0.61 → 0.81 at nprobe 3 → 5 on sf0.001.
     val spark = TestSpark.spark
     val d = TestSpark.sfDir
     val bf = SparkEntry.queries("llm_knn_bruteforce")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = SparkEntry.queries("llm_knn_ivf")(spark, d).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (ivf & bf).size.toDouble / bf.size
-    assert(recall >= 0.4, s"IVF recall regressed to $recall")
-    assert(recall <= 1.0)
+    def recallAt(nprobe: Int): Double = {
+      spark.conf.set(graft.ops.LlmOps.IvfNprobeKey, nprobe.toString)
+      try {
+        val ivf = SparkEntry.queries("llm_knn_ivf")(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(2))).toSet
+        (ivf & bf).size.toDouble / bf.size
+      } finally spark.conf.unset(graft.ops.LlmOps.IvfNprobeKey)
+    }
+    val r3 = recallAt(3)
+    assert(r3 >= 0.4, s"IVF recall at nprobe=3 regressed to $r3")
+    assert(r3 <= 1.0)
+    // the default (conf unset) IS nprobe=3 — the oracle-gated definition
+    val rDefault = {
+      val ivf = SparkEntry.queries("llm_knn_ivf")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (ivf & bf).size.toDouble / bf.size
+    }
+    assert(rDefault === r3, s"conf default diverged: $rDefault vs $r3")
+    val r5 = recallAt(5)
+    assert(r5 >= r3, s"recall not monotone: nprobe=5 gave $r5 < $r3")
+    assert(r5 >= 0.7, s"nprobe=5 recall regressed to $r5 (measured 0.81)")
+    val r10 = recallAt(10) // all cells probed ⇒ exhaustive ⇒ exact
+    assert(r10 === 1.0, s"probing every cell must recover bruteforce, got $r10")
   }
 
   test("int8 quantization: |cos_q - cos| bounded over all pairs") {
@@ -114,31 +137,52 @@ class PropertySpec extends AnyFunSuite {
     assert(maxErr <= 0.015, s"max quantization cosine error $maxErr")
   }
 
-  test("gate corpus keeps the LSH margin: no Jaccard mass in [0.2, 0.85)") {
-    // ADVICE r3: k=64 / 16×4 banding has P(detect) ≈ 0.89 for a pair AT
-    // J = τ = 0.6 — structurally safe only because the corpus's pair
-    // distribution is bimodal (planted dups at J ≥ 0.85, background ≈ 0).
-    // Pin that margin AT THE GATE SCALE FACTOR so regenerated testdata
-    // that fills the gap fails HERE, loudly, instead of silently breaking
-    // the hash-match gate. If this test ever fails: raise MinhashK/Bands
-    // (128 / 32×4 gives P(detect) = 0.996 at J = 0.6).
+  test("every corpus SF: banded minhash recovers the exhaustive J >= 0.6 pair set") {
+    // ADVICE r3/r4: k=64 / 16×4 banding has P(detect) ≈ 0.89 for a pair AT
+    // J = τ = 0.6, so the hash gate is only safe if the FIXED seeded hashes
+    // detect every qualifying pair of the actual corpus. The old pin
+    // asserted a proxy (no Jaccard mass in [0.2, 0.85)) at sf0.01 only;
+    // sweeping all SFs exposed an sf0.1 pair at J = 0.8 that the proxy
+    // would flag even though the bands detect it (P(miss) ≈ 2e-4 at
+    // J = 0.8, and deterministically found under our seeds). Pin the REAL
+    // invariant instead, at every SF present: the banded candidate plan's
+    // pair set equals the exhaustive exact-Jaccard oracle predicate. Any
+    // regenerated corpus whose Jaccard mass lands where the seeded bands
+    // miss fails HERE, loudly, instead of as a silent hash-gate mismatch.
+    // If this test ever fails: raise MinhashK/Bands (128 / 32×4 gives
+    // P(detect) = 0.996 at J = 0.6).
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
-    val docs = graft.ops.LlmOps.shingled(spark, "/root/testdata/sf0.01").cache()
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("sv"))
-    val jacs = inv.as("x").join(inv.as("y"),
-        col("x.sv") === col("y.sv") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .select((col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
-      .collect().map(_.getDouble(0))
-    docs.unpersist()
-    assert(jacs.count(j => j >= 0.2 && j < 0.85) === 0,
-      s"corpus margin violated: ${jacs.filter(j => j >= 0.2 && j < 0.85).sorted.mkString(", ")}")
-    assert(jacs.count(_ >= 0.85) > 0, "no planted near-dups — vacuous margin")
+    val sfDirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "documents.parquet").exists())
+      .map(_.getAbsolutePath).sorted
+    assert(sfDirs.nonEmpty, "no testdata SF dirs found")
+    sfDirs.foreach { sf =>
+      val docs = graft.ops.LlmOps.shingled(spark, sf).cache()
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("sv"))
+      // exhaustive exact pairs via the inverted index (no banding anywhere)
+      val exact = inv.as("x").join(inv.as("y"),
+          col("x.sv") === col("y.sv") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
+        .filter(col("jac") >= 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      docs.unpersist()
+      val banded = SparkEntry.queries("llm_neardup_minhash")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded === exact,
+        s"$sf: banded pairs diverge from exact (missed: ${exact.diff(banded)}, " +
+          s"extra: ${banded.diff(exact)})")
+      // sf0.001 legitimately has no qualifying pairs; larger SFs must have
+      // planted dups or the equality above is vacuous
+      if (!sf.endsWith("sf0.001"))
+        assert(exact.nonEmpty, s"$sf: no planted near-dups — vacuous check")
+    }
   }
 
   test("cosine(v, v) == 1 for non-zero v") {

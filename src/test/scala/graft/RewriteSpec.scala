@@ -70,6 +70,40 @@ class RewriteSpec extends AnyFunSuite {
     assert(viaRule.size <= exact)
   }
 
+  test("cosine rewrite: banded join runs hash-partitioned inside whole-stage codegen") {
+    // ADVICE r4: pin the PHYSICAL shape of the rewritten path so a future
+    // expression change that silently knocks the join out of codegen (or
+    // back to a nested loop) fails here instead of surfacing as a bench
+    // regression. Executes the join (AQE finalizes the plan) and asserts
+    // the band hash join and the graft_cosine confirm both sit inside a
+    // WholeStageCodegen stage (the `*(n)` node prefix).
+    CosineSimilarityRegistered()
+    val e = Tables.embeddingsWide(spark, d)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    spark.conf.set(CosineBandedJoin.ConfKey, "true")
+    try {
+      val df = a.join(b, col("a_id") < col("b_id") &&
+          call_function("graft_cosine", col("a_emb"), col("b_emb")) >= 0.3)
+        .select(col("a_id"), col("b_id"),
+          round(call_function("graft_cosine", col("a_emb"), col("b_emb")), 4).as("cos"))
+      // collect() drives df's OWN QueryExecution (count() would build a
+      // separate aggregate QE and leave this one un-finalized under AQE)
+      df.collect()
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"banded join degraded to a nested loop:\n$phys")
+      val hashJoinLine = phys.linesIterator
+        .find(l => l.contains("HashJoin") && l.contains(plans.BandedJoins.BandCol))
+      assert(hashJoinLine.exists(_.contains("*(")),
+        s"band hash join left whole-stage codegen:\n$phys")
+      val cosineProject = phys.linesIterator
+        .find(l => l.contains("Project") && l.contains("graft_cosine"))
+      assert(cosineProject.exists(_.contains("*(")),
+        s"graft_cosine projection left whole-stage codegen:\n$phys")
+    } finally spark.conf.unset(CosineBandedJoin.ConfKey)
+  }
+
   test("cosine rewrite fires on DOUBLE arrays too (element-typed sign bits)") {
     // graft_cosine accepts array<double> since r4; the rule's sign-bit
     // signature must compare against an element-typed zero (a float
