@@ -115,7 +115,26 @@ object StreamOps {
       val span = mxUs - mnUs + 1
       val srcDir =
         if (variant == "base") base.dir
-        else {
+        else if (variant == "flush") {
+          // Pairwise-merge the base chunks into 2 time-ordered files: the
+          // six flush-replay keys must keep maxFilesPerTrigger=1 (each of
+          // the 3 sentinels needs its OWN trailing batch — the executing
+          // watermark is two batches stale), so the only way to cut their
+          // dominant cost (micro-batch count) is fewer base files. Merging
+          // is semantics-preserving: batch-equivalence holds under any
+          // time-ordered grouping of the real data, and window
+          // finalization is driven entirely by the sentinel batches.
+          // 7 batches → 5 per flush key. ("late" keeps the 4-chunk layout:
+          // its late-vs-watermark margin is calibrated against chunk span.)
+          val d = Files.createTempDirectory(s"graft-stream-$variant-").toFile
+          val parts = Option(base.dir.listFiles()).getOrElse(Array.empty[File])
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          parts.grouped((parts.length + 1) / 2).zipWithIndex.foreach {
+            case (grp, i) =>
+              writeChunk(spark.read.parquet(grp.map(_.getAbsolutePath).toSeq: _*), d, i)
+          }
+          d
+        } else {
           val d = Files.createTempDirectory(s"graft-stream-$variant-").toFile
           Option(base.dir.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
             val dst = new File(d, f.getName)
