@@ -176,10 +176,69 @@ object AggOps {
             case (v, n) => coalesce(col(s"`$v`"), lit(0L)).as(n)
           }: _*)
         .orderBy("o_year")
+    }),
+
+    // Exact median + DETERMINISTIC mode per group. Spark's mode() leaves
+    // tie-breaking unspecified, so the mode is derived explicitly:
+    // count per (group, value), rank by (count DESC, value ASC), take the
+    // top row — reproducible on any engine. Scale: the rank runs over the
+    // group×distinct-value COUNTS (already aggregated, tiny), never the
+    // raw rows; median is the one full-shuffle agg and agg_approx_percentile
+    // is its documented 100 TB replacement.
+    "agg_mode_median" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      val mode = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+      li.groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
+        .join(mode, "l_returnflag")
+        .select("l_returnflag", "med_qty", "mode_qty", "n")
+        .orderBy("l_returnflag")
+    }),
+
+    // Mergeable Datasketches HLL: per-(group, half) sketches unioned into a
+    // per-group estimate. This is the 100 TB pre-aggregation pattern —
+    // persist sketch BYTES per partition/day, merge at query time; no raw
+    // re-scan, union cost ∝ #sketches. Estimate is algo-dependent ⇒ no
+    // cross-engine oracle; OperatorSpec bounds it against exact
+    // count-distinct and pins union-vs-direct consistency.
+    "agg_sketch_union" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("half", pmod(col("event_id"), lit(2)).cast("int"))
+        .groupBy("event_type", "half")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+             count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
+             sum("n").as("n_events"))
+        .orderBy("event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Same explicit deterministic-mode derivation; median interpolates on
+    // doubles in both engines.
+    "agg_mode_median" -> """
+      WITH c AS (
+        SELECT l_returnflag, l_quantity, count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      r AS (
+        SELECT l_returnflag, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, l_quantity ASC) AS rn
+        FROM c),
+      m AS (
+        SELECT l_returnflag, median(l_quantity) AS med_qty, count(*) AS n
+        FROM lineitem GROUP BY 1)
+      SELECT m.l_returnflag, m.med_qty, r.l_quantity AS mode_qty, m.n
+      FROM m JOIN r ON m.l_returnflag = r.l_returnflag AND r.rn = 1
+      ORDER BY m.l_returnflag""",
+
     // Portable UNION ALL formulation of the melt.
     "agg_unpivot" -> """
       WITH m AS (

@@ -109,6 +109,24 @@ object FnOps {
         round(least(col("c_acctbal"), lit(1000.0)), 2).as("capped"),
         nvl(nullif(col("c_name"), lit("")), lit("anon")).as("name_nn"))
         .orderBy("c_custkey")
+    }),
+
+    // Regex family: extract (group ref), extract-all count, global replace,
+    // boolean match, regex split. Patterns stay in the RE2∩Java-regex
+    // common subset ([a-z] classes, no backrefs/lookaround) so Spark and
+    // DuckDB agree byte-for-byte. All codegen'd built-ins over a pruned
+    // 2-column scan.
+    "fn_regex" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("head40", substring(col("text"), 1, 40))
+        .select(
+          col("doc_id"),
+          regexp_extract(col("head40"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          expr("size(regexp_extract_all(head40, '[a-z]+', 0))").as("n_words40"),
+          regexp_replace(col("head40"), "[aeiou]", "#").as("devoweled"),
+          col("text").rlike("table .* value").as("has_tv"),
+          size(split(col("text"), "\\s+")).as("n_split"))
+        .orderBy("doc_id")
     })
   )
 
@@ -192,6 +210,17 @@ object FnOps {
              round(least(c_acctbal, 1000.0), 2) AS capped,
              coalesce(nullif(c_name, ''), 'anon') AS name_nn
       FROM customer
-      ORDER BY c_custkey"""
+      ORDER BY c_custkey""",
+
+    "fn_regex" -> """
+      WITH h AS (SELECT doc_id, text, substring(text, 1, 40) AS head40 FROM documents)
+      SELECT doc_id,
+             coalesce(regexp_extract(head40, '([a-z]+) ([a-z]+)', 2), '') AS second_word,
+             CAST(len(regexp_extract_all(head40, '[a-z]+')) AS INTEGER) AS n_words40,
+             regexp_replace(head40, '[aeiou]', '#', 'g') AS devoweled,
+             regexp_matches(text, 'table .* value') AS has_tv,
+             CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_split
+      FROM h
+      ORDER BY doc_id"""
   )
 }

@@ -858,6 +858,40 @@ object LlmOps {
              round(avg("n_chars"), 2).as("avg_chars"),
              round(avg(norm), 4).as("avg_norm"))
         .orderBy("label", "lang")
+    }),
+
+    // Training-mixture sampling: downsample per language to target rates
+    // with a DETERMINISTIC hash gate — keep a doc iff the first 2 hex chars
+    // of md5(doc_id) fall below the language's threshold. Unlike
+    // df.sample(), the decision is a pure function of the row, so the
+    // sample is reproducible across runs/engines/cluster sizes and never
+    // shuffles: at 100 TB this is a codegen'd filter at the scan (only the
+    // audit agg below moves data). en is kept at 50%, the rest at 25%.
+    "llm_mixture_sample" -> ((s, d) => {
+      val gate = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val thresh = when(col("lang") === "en", "80").otherwise("40")
+      Tables.documents(s, d)
+        .filter(gate < thresh)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").as("sum_chars"),
+             min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
+
+    // Deterministic shard assignment for training-data output layout:
+    // shard = first hex nibble of md5(doc_id) → 16 shards. Emits per-shard
+    // doc/byte counts — the balance audit a 100 TB writer runs before
+    // committing a layout. Same hash-gate scale shape as above: stateless
+    // map + one tiny agg (16 rows), and the same expression drives a
+    // `.repartition(col)`/partitionBy in the real writer.
+    "llm_doc_shard" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("shard", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").as("sum_chars"))
+        .orderBy("shard")
     })
   )
 
@@ -903,6 +937,23 @@ object LlmOps {
           GROUP BY a$n.cell, pos) GROUP BY cell)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_mixture_sample" -> """
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             min(doc_id) AS first_doc
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < CASE WHEN lang = 'en' THEN '80' ELSE '40' END
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "llm_doc_shard" -> """
+      SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY shard
+      ORDER BY shard""",
+
     "llm_exact_dedup" -> """
       SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
              min(doc_id) AS keep_id, count(*) AS n_copies

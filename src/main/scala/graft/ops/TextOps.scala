@@ -103,6 +103,51 @@ object TextOps {
                 array_min(col("fps")).as("min_fp"),
                 array_max(col("fps")).as("max_fp"))
         .orderBy("doc_id")
+    }),
+
+    // PII redaction: regex scrub of emails/phones before a corpus ships to
+    // training. The synthetic corpus carries no PII, so a deterministic
+    // contact line is appended per doc first — the redactor then has real
+    // work whose output both engines must agree on. Patterns stay in the
+    // RE2∩Java common subset. Pure per-row map work: at 100 TB this is a
+    // codegen'd projection with zero shuffle (the orderBy is gate-only).
+    "llm_pii_redact" -> ((s, d) => {
+      val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val phone = "\\+1-555-[0-9]{4}"
+      Tables.documents(s, d)
+        .withColumn("txt", concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@ex"), pmod(col("doc_id"), lit(7)), lit(".org or call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("txt"), email, "[EMAIL]"), phone, "[PHONE]"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("txt"), lit(email)).cast("int").as("n_emails"),
+          regexp_count(col("txt"), lit(phone)).cast("int").as("n_phones"),
+          expr("right(redacted, 40)").as("tail40"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1
+    // adapted to this corpus): word-count bounds, mean-word-length band,
+    // and a distinct-word ratio (the repetition signal). Emits the signals
+    // plus the pass verdict so a filter pipeline can threshold or audit.
+    // Per-row map + no shuffle, same scale shape as llm_pii_redact.
+    "llm_gopher_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .withColumn("wc", size(toks).cast("long"))
+        .withColumn("uniq_ratio",
+          round(size(array_distinct(toks)).cast("double") / size(toks), 4))
+        .withColumn("mean_wlen",
+          round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
+        .withColumn("pass",
+          col("wc").between(30, 100000) &&
+          col("uniq_ratio") >= 0.2 &&
+          col("mean_wlen").between(3.0, 10.0))
+        .select("doc_id", "wc", "uniq_ratio", "mean_wlen", "pass")
+        .orderBy("doc_id")
     })
   )
 
@@ -140,6 +185,41 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "llm_pii_redact" -> """
+      WITH w AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@ex' || (doc_id % 7)
+                    || '.org or call +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        FROM documents),
+      r AS (
+        SELECT doc_id, txt,
+               regexp_replace(
+                 regexp_replace(txt, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
+                 '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        FROM w)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(txt, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones,
+             right(redacted, 40) AS tail40
+      FROM r
+      ORDER BY doc_id""",
+
+    "llm_gopher_quality" -> """
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS wc,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio,
+               round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 4) AS mean_wlen
+        FROM t)
+      SELECT doc_id, wc, uniq_ratio, mean_wlen,
+             (wc BETWEEN 30 AND 100000) AND uniq_ratio >= 0.2
+               AND (mean_wlen BETWEEN 3.0 AND 10.0) AS pass
+      FROM m
+      ORDER BY doc_id""",
+
     "llm_langid" -> """
       WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
       grams AS (

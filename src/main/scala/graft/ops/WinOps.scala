@@ -128,6 +128,29 @@ object WinOps {
         .withColumn("first_date", first("o_orderdate").over(w))
         .withColumn("last_date", last("o_orderdate").over(w))
         .orderBy("o_orderkey")
+    }),
+
+    // Gap-based sessionization (batch): a new session starts after a
+    // >30-min silence per user. The classic lag → flag → running-sum
+    // pattern; the per-user micros comparison is exact (both engines floor
+    // the parquet ns timestamps to µs). Scale: both windows and the final
+    // agg partition by user_id — one shuffle total, no global window. The
+    // streaming twin of this key is stream_session (session_window).
+    "win_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select("user_id", "event_id", "ts")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+               unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("new_s").over(run))
+        .groupBy("user_id")
+        .agg(max("sid").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
     })
   )
 
@@ -194,6 +217,23 @@ object WinOps {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    "win_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      s AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM s GROUP BY user_id ORDER BY user_id"""
   )
 }
