@@ -29,7 +29,77 @@ import org.apache.spark.sql.functions._
 object OptOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** lineitem partitioned by ship year, written ONCE per (JVM, sfDir) under
+    * a computeIfAbsent lock (same discipline as JoinOps.bucketedTables —
+    * strictly sequential harness use, and concurrent first calls serialize
+    * on the map entry). This is the fact-table layout opt_dpp_prune needs:
+    * partition dirs are the unit Spark's dynamic partition pruning skips. */
+  private val dppBase: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-dpp-")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+  private val dppFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def partitionedLineitem(s: SparkSession, d: String): String =
+    dppFor.computeIfAbsent(d, _ => {
+      val dir = s"$dppBase/${java.lang.Integer.toHexString(d.hashCode)}/lineitem_by_year"
+      Tables.lineitem(s, d)
+        .withColumn("yr", year(col("l_shipdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(dir)
+      dir
+    })
+
   val queries: Map[String, Q] = Map(
+    // Dynamic partition pruning: the fact scan (lineitem partitioned by
+    // ship year) is pruned at RUNTIME by the years surviving the dim
+    // side's filter — the dim subquery's result becomes a partition filter
+    // on the fact scan (dynamicpruningexpression in the plan; pinned in
+    // PlanSpec). At 100 TB this is the difference between scanning 7
+    // years and scanning 1: the pruning happens before fact I/O, not
+    // after. DPP is on by default; nothing here forces it beyond giving
+    // Spark the canonical star shape (partitioned fact ⋈ filtered dim).
+    "opt_dpp_prune" -> ((s, d) => {
+      val fact = s.read.parquet(partitionedLineitem(s, d))
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+                col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(year(col("o_orderdate")).as("yr")).distinct()
+      fact.join(dim, "yr")
+        .groupBy("yr")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("yr")
+    }),
+
+    // Runtime bloom-filter join (Spark's InjectRuntimeFilter): the
+    // selective predicate on orders builds a bloom filter that is pushed
+    // into the lineitem side of the shuffle join as might_contain(), so
+    // non-matching fact rows die at the scan instead of crossing the
+    // shuffle — the generic-join cousin of DPP (works on NON-partition
+    // keys). Confs are scoped and restored: broadcast is disabled to force
+    // the shuffle join bloom targets, and the application-side threshold
+    // drops to 0 because the heuristic's 10 GB floor would never trigger
+    // at test scale (at 100 TB the defaults fire on their own). The result
+    // materializes inside the conf scope (rewrites happen at action time).
+    "opt_runtime_bloom_join" -> ((s, d) => {
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = bloomJoin(s, d)
+        out.cache()
+        out.count()
+        out
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     // Naive all-pairs SimHash pair query (same signatures as llm_simhash):
     // a cross join with only `doc_a < doc_b AND bit_count(xor) <= 4` — no
     // equi key anywhere in the source. HammingBandedJoin turns it into the
@@ -81,7 +151,42 @@ object OptOps {
     })
   )
 
+  /** The uncached join body of opt_runtime_bloom_join — shared with
+    * PlanSpec's might_contain pin (the query key caches its result, so its
+    * returned plan is an InMemoryTableScan that would hide the filter). */
+  private[graft] def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("o_orderpriority")
+  }
+
   val oracle: Map[String, String] = Map(
+    "opt_dpp_prune" -> """
+      WITH dim AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'),
+      fact AS (
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, l_quantity FROM lineitem)
+      SELECT fact.yr, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM fact JOIN dim ON fact.yr = dim.yr
+      GROUP BY fact.yr
+      ORDER BY fact.yr""",
+
+    // Bloom injection is plumbing, not semantics — plain join+agg oracle.
+    "opt_runtime_bloom_join" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice), 2) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 450000.0
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     // Exact rewrite ⇒ the honest all-pairs predicate (same as llm_simhash).
     "opt_hamming_rewrite" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

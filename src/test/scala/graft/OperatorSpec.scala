@@ -119,6 +119,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_sketch_union: unioned HLL sketches match exact distinct within rsd") {
+    // lgConfigK=14 ⇒ relative error ~0.8%; allow 3σ (2.5%) with a floor of
+    // 2 for tiny groups. Also pin the MERGE path itself: the per-half
+    // sketch union must equal a direct single-pass sketch — the mergeability
+    // contract that makes pre-aggregated sketches usable at 100 TB.
+    import org.apache.spark.sql.functions._
+    val viaUnion = SparkEntry.queries("agg_sketch_union")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, d).groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaUnion.keySet === exact.keySet)
+    viaUnion.foreach { case (k, est) =>
+      val ex = exact(k)
+      assert(math.abs(est - ex) <= math.max(2L, (0.025 * ex).toLong),
+        s"$k: sketch $est vs exact $ex")
+    }
+    val direct = Tables.events(spark, d).groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaUnion === direct,
+      "union of per-half sketches diverges from the single-pass sketch")
+  }
+
   test("cross-check: udf_scalar UDF twin equals native when-chain twin") {
     val rows = SparkEntry.queries("udf_scalar")(spark, d)
       .select("band_udf", "band_native").collect()

@@ -278,6 +278,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.contains("Sort "), s"sort_multi lost its sort:\n$full")
   }
 
+  test("opt_dpp_prune: fact scan carries a dynamic partition pruning filter") {
+    val p = plan("opt_dpp_prune")
+    assert(p.contains("dynamicpruningexpression"),
+      s"no DPP filter on the partitioned fact scan:\n$p")
+    // the pruning must sit on the FACT side's partition filters, i.e. the
+    // scan over the yr-partitioned lineitem dir, not a post-scan Filter
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem_by_year"))
+      .orElse(p.linesIterator.find(l => l.contains("PartitionFilters") && l.contains("dynamicpruning")))
+    assert(scanLine.isDefined, s"DPP not attached to the fact scan:\n$p")
+  }
+
+  test("opt_runtime_bloom_join: bloom filter is injected on the fact side") {
+    // Pin on the UNCACHED join body under the key's exact conf scope (the
+    // key itself returns a cached result whose plan is an
+    // InMemoryTableScan). might_contain over a bloom_filter_agg subquery is
+    // InjectRuntimeFilter's signature.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val opt = graft.ops.OptOps.bloomJoin(spark, d)
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$opt")
+      assert(opt.contains("bloom_filter_agg"),
+        s"bloom creation-side aggregate missing:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("win_ntile_scalable: row-level data never funnels through one partition") {
     val p = plan("win_ntile_scalable")
     // The per-row Window must be partitioned (by bkt) — a global
