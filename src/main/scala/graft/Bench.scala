@@ -56,6 +56,7 @@ object Bench {
     quietly(graft.streaming.StreamOps.prewarm(spark, sfDir))
     quietly(graft.ops.LlmOps.sigStorePath(spark, sfDir))
     quietly(graft.ops.JoinOps.bucketedTables(spark, sfDir))
+    quietly(graft.ops.OptOps.partitionedLineitem(spark, sfDir))
     val setupSec = (System.nanoTime() - s0) / 1e9
 
     // optional trailing args restrict the run (local iteration); the
