@@ -1,0 +1,254 @@
+package graft.api
+
+import graft.functions.CosineSimilarity
+import graft.ops.{LlmOps, TextOps}
+import graft.plans.GraftRules
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public facade of the engine — the API a user programs against, as opposed
+  * to the keyed contract map in [[graft.SparkEntry]] (which exists for the
+  * correctness/bench harness). Everything here is a thin, typed adapter over
+  * the SAME plan builders the contract keys run — ApiSpec proves facade
+  * output ≡ contract-key output on the shared corpus — so the scale
+  * properties documented on the ops modules (bounded shuffles, broadcast
+  * directions, codegen'd cosine) hold identically.
+  *
+  * Conventions: document frames are addressed by an id column and a text
+  * column (defaults "doc_id"/"text"); vector frames by ("vec_id",
+  * "embedding": array<float|double>). Call [[Graft.register]] once per
+  * session (or set `spark.sql.extensions=graft.GraftExtensions`) before
+  * using cosine-based entry points.
+  */
+object Graft {
+  /** Register the engine's session extensions imperatively: the codegen'd
+    * `graft_cosine` function and the banded-join rewrite rules. Idempotent.
+    * (Sessions built with `spark.sql.extensions=graft.GraftExtensions` get
+    * both without calling this.) */
+  def register(spark: SparkSession): Unit = {
+    CosineSimilarity.register(spark)
+    GraftRules.install(spark)
+  }
+
+  /** Cosine similarity of two array<float>/array<double> columns via the
+    * native codegen'd Expression — never a UDF. Requires [[register]]. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+}
+
+/** Deduplication family. All pair outputs are (doc_a < doc_b) with the
+  * confirming exact score; feed them to [[Dedup.clusters]] for a complete
+  * per-corpus keep/drop decision. */
+object Dedup {
+  private def std(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"), col(text).as("text"))
+
+  /** Exact duplicates: normalize (lower, squash whitespace) → md5 → one
+    * hash-agg. Returns (h, keep_id, n_copies); keeper = min id. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    LlmOps.exactDedupOf(std(docs, idCol, textCol))
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard confirm ≥ tau.
+    * Banded candidates (16×4, k=64 seeded permutations), one signature row
+    * per doc crosses the shuffle. Returns (doc_a, doc_b, jac). */
+  def minhashPairs(docs: DataFrame, tau: Double = 0.6,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    LlmOps.neardupPairsOf(LlmOps.shingledOf(std(docs, idCol, textCol)), tau)
+
+  /** SimHash near-duplicate pairs: 60-bit token-vote signature, 5×12-bit
+    * bands, exact Hamming ≤ 4 confirm — recall 1.0 by pigeonhole. Uses the
+    * production xxhash64 token hash. Returns (doc_a, doc_b, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    LlmOps.simhashPairsOf(LlmOps.simhashSigsOf(
+      LlmOps.tokenHashesOf(std(docs, idCol, textCol), "xxhash64")))
+
+  /** Asymmetric containment pairs (|A∩B|/min ≥ tau) via an exact
+    * inverted-index join; `dfCap` drops hot posting lists from candidate
+    * generation only (see the ops module for the recall argument). */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.8,
+                       dfCap: Option[Long] = None,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    LlmOps.containmentPairs(
+      LlmOps.shingledOf(std(docs, idCol, textCol)).cache(), tau, dfCap)
+
+  /** Resolve duplicate pairs to connected components and a keep/drop
+    * verdict: (doc_id, cluster_id, keep). Docs absent from `pairs` are
+    * singleton keepers. Min-label propagation + pointer jumping — O(log n)
+    * join rounds, no driver-side union-find. */
+  def clusters(docs: DataFrame, pairs: DataFrame,
+               idCol: String = "doc_id"): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val labels = LlmOps.resolveClusters(pairs.select("doc_a", "doc_b"))
+    ids.join(labels, ids("doc_id") === labels("node"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+  }
+}
+
+/** Similarity search over embedding frames (vec_id, embedding). */
+object Similarity {
+  private def std(vecs: DataFrame, id: String, emb: String): DataFrame =
+    vecs.select(col(id).as("vec_id"), col(emb).as("embedding"))
+
+  /** Exact top-k cosine neighbors of each query vector against a broadcast
+    * corpus: (q_id, rk, n_id, cos). Corpus must fit in a broadcast; cap or
+    * partition the QUERY side at scale, or use [[trainCentroids]] +
+    * [[assignCells]] for an IVF-style index. Requires [[Graft.register]]. */
+  def knn(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    LlmOps.knnOf(
+      std(queries, idCol, embCol)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      std(corpus, idCol, embCol)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      k)
+
+  /** Seeded spherical k-means coarse quantizer (the IVF index build):
+    * returns k (cell, cvec) centroids after `iters` Lloyd's rounds.
+    * Deterministic — init is the first k vectors by id, no RNG. */
+  def trainCentroids(vecs: DataFrame, k: Int = 10, iters: Int = 2,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    LlmOps.kmeansCells(std(vecs, idCol, embCol), k, iters)
+
+  /** Nearest-centroid cell assignment (cos DESC, cell ASC tiebreak):
+    * (vec_id, cell). With [[trainCentroids]] output this builds the IVF
+    * posting lists a probed search scans. */
+  def assignCells(vecs: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    std(vecs, idCol, embCol)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cell_cos", Graft.cosine(col("embedding"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"))
+
+  /** Symmetric per-vector int8 quantization: (vec_id, scale, qvec, v) with
+    * v the dequantized doubles — 4× storage at ≤0.015 cosine error
+    * (PropertySpec bound). */
+  def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame =
+    LlmOps.quantizeInt8Of(std(vecs, idCol, embCol))
+}
+
+/** Text analysis / corpus hygiene over document frames. */
+object Text {
+  private def std(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"), col(text).as("text"))
+
+  /** Per-document quality signals: token count, mean token length,
+    * stopword/punctuation ratios, composite score — llm_quality_score's
+    * exact transform with n_chars derived from the text itself. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = split(col("text"), " ")
+    std(docs, idCol, textCol)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("avg_tok_len",
+        round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
+      .withColumn("stop_ratio", round(
+        size(filter(toks, t => t.isin(LlmOps.stopwords: _*))).cast("double")
+          / size(toks), 4))
+      .withColumn("punct_ratio", round(
+        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
+          / length(col("text")), 4))
+      .withColumn("quality", round(
+        lit(1.0)
+          - least(col("stop_ratio") * 2, lit(0.5))
+          - least(col("punct_ratio") * 5, lit(0.5)), 4))
+      .select("doc_id", "n_chars", "n_tok", "avg_tok_len",
+              "stop_ratio", "punct_ratio", "quality")
+  }
+
+  /** Gopher-style filter rules (word count / mean word length / distinct
+    * ratio): (doc_id, wc, uniq_ratio, mean_wlen, pass) —
+    * llm_gopher_quality's exact transform. */
+  def gopherRules(docs: DataFrame, minWords: Int = 30, maxWords: Int = 100000,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(col("text"), " ")
+    std(docs, idCol, textCol)
+      .withColumn("wc", size(toks).cast("long"))
+      .withColumn("uniq_ratio",
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4))
+      .withColumn("mean_wlen",
+        round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
+      .withColumn("pass",
+        col("wc").between(minWords, maxWords) &&
+        col("uniq_ratio") >= 0.2 &&
+        col("mean_wlen").between(3.0, 10.0))
+      .select("doc_id", "wc", "uniq_ratio", "mean_wlen", "pass")
+  }
+
+  /** Redact every match of `patterns` (pattern → replacement, applied in
+    * order) and count matches per pattern: (doc_id, redacted,
+    * n_redactions). Defaults cover the email/phone shapes of
+    * llm_pii_redact. */
+  def piiRedact(docs: DataFrame,
+                patterns: Seq[(String, String)] = Seq(
+                  "[a-z0-9]+@[a-z0-9]+\\.[a-z]+" -> "[EMAIL]",
+                  "\\+1-555-[0-9]{4}" -> "[PHONE]"),
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = std(docs, idCol, textCol)
+    val redacted = patterns.foldLeft(col("text")) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r)
+    }
+    val counts = patterns.map { case (p, _) => regexp_count(col("text"), lit(p)) }
+      .reduce(_ + _)
+    base.select(col("doc_id"), redacted.as("redacted"),
+                counts.cast("int").as("n_redactions"))
+  }
+
+  /** Winnowing fingerprint sets (k=8 char-grams, window w=4):
+    * (doc_id, fps). xxhash64 by default (production path). */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   hashImpl: String = "xxhash64"): DataFrame =
+    TextOps.fingerprintsOf(
+      std(docs, idCol, textCol).select(col("doc_id"), lower(col("text")).as("t")),
+      hashImpl)
+
+  /** Gap-based sessionization: assign a session id per (user, gap) run —
+    * (all input columns, session_id). Batch twin of a streaming
+    * session_window. One shuffle (everything partitions by the user col). */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol).asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(byUser))
+      .withColumn("__new_s",
+        when(col("__prev_us").isNull ||
+             unix_micros(col(tsCol)) - col("__prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum("__new_s").over(run))
+      .drop("__prev_us", "__new_s")
+  }
+}
+
+/** Deterministic sampling / sharding — hash gates, never RNG: the decision
+  * is a pure function of the row id, so samples reproduce across runs,
+  * engines and cluster sizes, and the filter runs at the scan. */
+object Sampling {
+  /** Keep each row of stratum s with probability ≈ rates(s) (granularity
+    * 1/256): gate = first 2 md5 hex chars of the id. Rows in strata absent
+    * from `rates` fall back to `defaultRate`. */
+  def mixture(df: DataFrame, stratumCol: String, rates: Map[String, Double],
+              defaultRate: Double = 1.0, idCol: String = "doc_id"): DataFrame = {
+    def hex2(r: Double): String =
+      f"${math.max(0, math.min(256, math.round(r * 256))).toInt}%02x"
+    val gate = substring(md5(col(idCol).cast("string")), 1, 2)
+    val thresh = rates.foldLeft(when(lit(false), "")) {
+      case (acc, (k, r)) => acc.when(col(stratumCol) === k, hex2(r))
+    }.otherwise(hex2(defaultRate))
+    df.filter(gate < thresh)
+  }
+
+  /** Deterministic shard assignment: (input columns, shard ∈ [0, nShards)).
+    * The same expression drives a balanced `repartition`/`partitionBy`
+    * write; llm_doc_shard is the 16-shard balance audit of this gate. */
+  def shard(df: DataFrame, nShards: Int = 16, idCol: String = "doc_id"): DataFrame =
+    df.withColumn("shard",
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+             .cast("long"), lit(nShards)).cast("int"))
+}

@@ -37,7 +37,7 @@ object LlmOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Stopword list shared by text ops (tiny, fixed — broadcastable). */
-  private[ops] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
   private[ops] val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Word 3-gram shingle set of `text` (array_distinct), empty if <3 words. */
@@ -157,6 +157,35 @@ object LlmOps {
   private def cosD(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Brute-force top-k cosine neighbors: queries (q_id, q_emb) × broadcast
+    * corpus (n_id, n_emb), window top-k with (cos DESC, n_id ASC) tiebreak.
+    * The declared exact baseline for the IVF path; the corpus side must fit
+    * in a broadcast — cap the query side, not this, at scale. Shared by
+    * llm_knn_bruteforce and graft.api.Similarity.knn (caller registers
+    * graft_cosine). */
+  private[graft] def knnOf(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    q.join(broadcast(c), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Symmetric per-vector int8 quantization over (vec_id, embedding):
+    * scale = max|x|/127, q = floor(x/scale + 0.5) TINYINT. Returns
+    * (vec_id, scale, qvec, v) with v the dequantized double vector —
+    * llm_quantize_int8's front half, exposed for graft.api. */
+  private[graft] def quantizeInt8Of(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
+          .as("scale"),
+        col("embedding"))
+      .withColumn("qvec", transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") + 0.5).cast("tinyint")))
+      .select(col("vec_id"), col("scale"), col("qvec"),
+        transform(col("qvec"), v => v.cast("double") * col("scale")).as("v"))
+
   /** IVF coarse-quantizer knobs: 10 cells, 2 Lloyd's iterations, 3-cell
     * probes. Seeds/iteration count are part of each key's deterministic
     * definition (the oracle unrolls the same rounds). nprobe is tunable via
@@ -178,7 +207,7 @@ object LlmOps {
     * array — the single hash-aggregate centroid build shared by the
     * k-means trainer and the per-label centroid key. The DuckDB twins
     * hard-code the matching `range(1, 65)` / `round(..., 6)` literals. */
-  private def centroidOf(df: DataFrame, keyCol: String): DataFrame = {
+  private[graft] def centroidOf(df: DataFrame, keyCol: String): DataFrame = {
     val avgCols = (1 to EmbDim).map(i =>
       round(avg(element_at(col("embedding"), i)), 6).as(s"c$i"))
     df.groupBy(col(keyCol))
@@ -199,7 +228,7 @@ object LlmOps {
     * Returns (cell: int, cvec: array<double>). A cell that loses all its
     * members simply drops out of the next round (same inner-join semantics
     * in the oracle). */
-  private def kmeansCells(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[graft] def kmeansCells(e: DataFrame, k: Int, iters: Int): DataFrame = {
     var cen = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"),
               transform(col("embedding"), x => round(x.cast("double"), 6)).as("cvec"))
@@ -250,12 +279,24 @@ object LlmOps {
       dir.toString
     })
 
-  /** (doc_id, sh): shingle sets of every document with ≥1 shingle (wide
-    * scan — see Tables.documentsWide). */
-  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documentsWide(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+  /** (doc_id, sh): shingle sets of every document with ≥1 shingle, over any
+    * (doc_id, text) frame — the graft.api entry point. */
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** Contract-key variant over the wide documents scan (Tables.documentsWide). */
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
+    shingledOf(Tables.documentsWide(s, d))
+
+  /** Exact-dedup keeper table over any (doc_id, text) frame: normalize
+    * (lower, squash whitespace) → md5 digest → min doc_id per digest. */
+  private[graft] def exactDedupOf(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"),
+              col("doc_id"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** (doc_id, band, bh): LSH band fingerprints of the MinHash signature.
     *
@@ -296,11 +337,15 @@ object LlmOps {
     * `llm_neardup_minhash` (pair report) and `llm_neardup_clusters`
     * (component resolution). See the minhash scale notes in the module doc.
     */
-  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
-    val tau = 0.6
+  private def neardupPairs(s: SparkSession, d: String): DataFrame =
+    neardupPairsOf(shingled(s, d), tau = 0.6)
+
+  /** Same plan over any shingled (doc_id, sh) frame — the graft.api entry
+    * point (Dedup.minhashPairs). */
+  private[graft] def neardupPairsOf(shingledDocs: DataFrame, tau: Double): DataFrame = {
     // cache(): referenced by the signature build AND both sides of the
     // exact-confirm join — uncached, the shingle transform runs 3×.
-    val docs = shingled(s, d).cache()
+    val docs = shingledDocs.cache()
     val banded = bandedSigs(docs)
 
     // Candidates via ONE shuffle: group each (band, bandHash) bucket,
@@ -347,12 +392,15 @@ object LlmOps {
     * pipeline into the 60-bit vote aggregate, recomputing it once PER BIT
     * (measured: 104 s vs ~4 s at sf0.1 on the md5 path). */
   private def tokenHashes(s: SparkSession, d: String, hashImpl: String): DataFrame =
+    tokenHashesOf(Tables.documentsWide(s, d), hashImpl)
+
+  private[graft] def tokenHashesOf(docs: DataFrame, hashImpl: String): DataFrame =
     hashImpl match {
       case "xxhash64" =>
-        Tables.documentsWide(s, d).select(col("doc_id"),
+        docs.select(col("doc_id"),
           expr(s"transform(split(text, ' '), t -> xxhash64(t) & $Mask60)").as("harr"))
       case _ =>
-        Tables.documentsWide(s, d)
+        docs
           .select(col("doc_id"),
             expr("transform(split(text, ' '), t -> md5(t))").as("hexes"))
           .withColumn("harr", expr(
@@ -366,7 +414,11 @@ object LlmOps {
     }
 
   /** (doc_id, sig): 60-bit SimHash signatures under the given hash impl. */
-  private[graft] def simhashSigs(s: SparkSession, d: String, hashImpl: String): DataFrame = {
+  private[graft] def simhashSigs(s: SparkSession, d: String, hashImpl: String): DataFrame =
+    simhashSigsOf(tokenHashes(s, d, hashImpl))
+
+  /** Same over any (doc_id, harr) token-hash frame (graft.api entry). */
+  private[graft] def simhashSigsOf(tokDf: DataFrame): DataFrame = {
     val sigExpr = expr(
       """aggregate(
            transform(sequence(0, 59), b -> CASE WHEN
@@ -374,16 +426,20 @@ object LlmOps {
                        (acc, x) -> acc + 2 * ((x >> b) & 1) - 1) > 0
              THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
            CAST(0 AS BIGINT), (a, b) -> a + b)""")
-    tokenHashes(s, d, hashImpl).cache()
+    tokDf.cache()
       .select(col("doc_id"), sigExpr.as("sig"))
       .cache()
   }
 
   /** Banded SimHash near-dup pairs (unordered): 5×12-bit bands → in-bucket
     * pair expansion → exact Hamming ≤ 4 confirm. */
-  private[graft] def simhashPairs(s: SparkSession, d: String, hashImpl: String): DataFrame = {
+  private[graft] def simhashPairs(s: SparkSession, d: String, hashImpl: String): DataFrame =
+    simhashPairsOf(simhashSigs(s, d, hashImpl))
+
+  /** Same over any (doc_id, sig) 60-bit signature frame (graft.api entry). */
+  private[graft] def simhashPairsOf(sigsIn: DataFrame): DataFrame = {
     val k = 4
-    val sigs = simhashSigs(s, d, hashImpl)
+    val sigs = sigsIn
     val banded = sigs.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, 4), j -> (sig >> (12 * j)) & 4095)")).as(Seq("band", "bv")))
     val cand = banded.groupBy("band", "bv")
@@ -472,14 +528,8 @@ object LlmOps {
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize (lower, squash whitespace) → digest → one
     // hash-agg keeping the minimum doc_id per digest.
-    "llm_exact_dedup" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"),
-                col("doc_id"))
-        .groupBy("h")
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("keep_id")
-    }),
+    "llm_exact_dedup" -> ((s, d) =>
+      exactDedupOf(Tables.documents(s, d)).orderBy("keep_id")),
 
     // Near-dup detection: MinHash + LSH banding, then exact-Jaccard confirm
     // on candidates only (shared plan in neardupPairs above). Oracle is the
@@ -622,13 +672,7 @@ object LlmOps {
         .filter(col("q_id") < 100)
       val c = Tables.embeddings(s, d)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-      q.join(broadcast(c), col("q_id") =!= col("n_id"))
-        .withColumn("cos", call_function("graft_cosine", col("q_emb"), col("n_emb")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
-        .orderBy("q_id", "rk")
+      knnOf(q, c, 5).orderBy("q_id", "rk")
     }),
 
     // Coarse-quantized kNN (the scale path): per-label centroid (single
@@ -795,14 +839,7 @@ object LlmOps {
     "llm_quantize_int8" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddingsWide(s, d) // probe side of the dequantized search
-      val dq = e.select(col("vec_id"),
-          (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
-            .as("scale"),
-          col("embedding"))
-        .withColumn("qvec", transform(col("embedding"),
-            x => floor(x.cast("double") / col("scale") + 0.5).cast("tinyint")))
-        .select(col("vec_id"),
-          transform(col("qvec"), v => v.cast("double") * col("scale")).as("v"))
+      val dq = quantizeInt8Of(e).select(col("vec_id"), col("v"))
       val q = dq.filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       val c = dq.select(col("vec_id").as("n_id"), col("v").as("n_v"))
