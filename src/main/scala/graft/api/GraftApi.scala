@@ -73,6 +73,33 @@ object Dedup {
     LlmOps.containmentPairs(
       LlmOps.shingledOf(std(docs, idCol, textCol)).cache(), tau, dfCap)
 
+  /** Build (or rebuild) a MinHash signature store at `path`: `bands/`
+    * holds (doc_id, band, bh) posting rows, `sh/` the shingle sets — the
+    * persisted index [[incrementalPairs]] probes, so stored text is never
+    * re-shingled on later days. Seeds are fixed, so signatures stay
+    * comparable across runs — the property an incremental store depends
+    * on. */
+  def buildSignatureStore(docs: DataFrame, path: String,
+                          idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val sh = LlmOps.shingledOf(std(docs, idCol, textCol)).cache()
+    LlmOps.bandedSigs(sh).write.mode("overwrite").parquet(s"$path/bands")
+    sh.write.mode("overwrite").parquet(s"$path/sh")
+    sh.unpersist()
+    ()
+  }
+
+  /** Dedup a NEW batch against a signature store built by
+    * [[buildSignatureStore]] (plus within itself), with exact-Jaccard
+    * confirm ≥ tau: (doc_a, doc_b, jac). The new batch is the broadcast
+    * side; the store only streams — the correct asymmetry when the store
+    * is the whole-history side. */
+  def incrementalPairs(spark: SparkSession, newDocs: DataFrame, path: String,
+                       tau: Double = 0.6, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    LlmOps.incrementalPairsOf(
+      spark.read.parquet(s"$path/bands"), spark.read.parquet(s"$path/sh"),
+      LlmOps.shingledOf(std(newDocs, idCol, textCol)), tau)
+
   /** Resolve duplicate pairs to connected components and a keep/drop
     * verdict: (doc_id, cluster_id, keep). Docs absent from `pairs` are
     * singleton keepers. Min-label propagation + pointer jumping — O(log n)
@@ -122,6 +149,17 @@ object Similarity {
       .withColumn("cell_cos", Graft.cosine(col("embedding"), col("cvec")))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"))
+
+  /** IVF-style approximate top-k: train-or-reuse centroids + probed search
+    * inside the `nprobe` nearest cells only — recall is monotone in
+    * nprobe (PropertySpec pins the curve on the test corpus). Pass the
+    * [[trainCentroids]] output to amortize the index build across query
+    * batches. Requires [[Graft.register]]. */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                k: Int = 5, nprobe: Int = 3,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    LlmOps.ivfSearchOf(std(queries, idCol, embCol), std(corpus, idCol, embCol),
+                       centroids, nprobe, k)
 
   /** Symmetric per-vector int8 quantization: (vec_id, scale, qvec, v) with
     * v the dequantized doubles — 4× storage at ≤0.015 cosine error

@@ -245,6 +245,39 @@ object LlmOps {
     cen.cache()
   }
 
+  /** IVF probed search core over (vec_id, embedding) frames + trained
+    * (cell, cvec) centroids. Posting lists: every corpus vector → its single
+    * nearest cell via a max_by argmax aggregate (not a per-vector window
+    * sort). Probes: each query's top-nprobe cells. The probe set
+    * (queries × nprobe) is the small side by definition — broadcast it over
+    * the posting scan; an unhinted equi-join on `cell` would shuffle the
+    * WHOLE posting table into ≤ #cells partitions (few-value key ⇒ maximal
+    * skew at 100 TB). Shared by llm_knn_ivf and graft.api.Similarity.ivfSearch. */
+  private[graft] def ivfSearchOf(queries: DataFrame, corpus: DataFrame,
+                                 cen: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val posting = corpus.crossJoin(broadcast(cen))
+      .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"),
+           first(col("embedding")).as("n_emb"))
+      .select(col("cell"), col("vec_id").as("n_id"), col("n_emb"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell").asc)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cen))
+      .withColumn("cell_cos", cosD(col("q_emb"), col("cvec")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    posting.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Day-1 MinHash signature store for `llm_dedup_incremental`, built once
     * per sfDir per JVM (the "day 1 job") and then only READ: bands/ holds
     * the exploded (doc_id, band, bh) posting rows new docs probe; sh/ holds
@@ -315,7 +348,7 @@ object LlmOps {
     * Shared by the in-corpus near-dup plan and the persisted signature
     * store of `llm_dedup_incremental` (same seeds ⇒ signatures comparable
     * across runs and days — the property an incremental store depends on). */
-  private def bandedSigs(docs: DataFrame): DataFrame = {
+  private[graft] def bandedSigs(docs: DataFrame): DataFrame = {
     val minCols = (0 until MinhashK).map { i =>
       min(pmod(col("h") * hashA(i) + hashB(i), lit(P))).as(s"sig$i")
     }
@@ -339,6 +372,35 @@ object LlmOps {
     */
   private def neardupPairs(s: SparkSession, d: String): DataFrame =
     neardupPairsOf(shingled(s, d), tau = 0.6)
+
+  /** Incremental dedup core: new docs (shingled) vs a persisted signature
+    * store (bands = (doc_id, band, bh) posting rows; sh = (doc_id, sh)
+    * shingle sets). New band rows are the SMALL side by definition in
+    * incremental ingestion — broadcast them and stream over the store scan
+    * (never shuffle or broadcast the store, which is the whole-history side
+    * at 100 TB); confirm reads old shingles from the store, so day-1 text
+    * is never re-shingled. Shared by llm_dedup_incremental and
+    * graft.api.Dedup.incrementalPairs. */
+  private[graft] def incrementalPairsOf(storeBands: DataFrame, storeSh: DataFrame,
+                                        newShingled: DataFrame, tau: Double): DataFrame = {
+    val day2 = newShingled.cache()
+    val newBands = bandedSigs(day2).cache()
+    val candOld = storeBands.as("o").join(broadcast(newBands.as("n")),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+              greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val candNew = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val allSh = storeSh.unionByName(day2)
+    candOld.unionByName(candNew).distinct()
+      .join(allSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(allSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
 
   /** Same plan over any shingled (doc_id, sh) frame — the graft.api entry
     * point (Dedup.minhashPairs). */
@@ -634,31 +696,11 @@ object LlmOps {
     // plus day-2 self-banding for new-vs-new dups. Exact-Jaccard confirm
     // reads old shingle sets from the store, new ones from the day-2 scan.
     "llm_dedup_incremental" -> ((s, d) => {
-      val tau = 0.6
       val store = sigStorePath(s, d)
-      val storeBands = s.read.parquet(s"$store/bands")
-      val storeSh = s.read.parquet(s"$store/sh")
-      val day2 = shingled(s, d).filter(pmod(col("doc_id"), lit(4)) === 0).cache()
-      val newBands = bandedSigs(day2).cache()
-      // the day's new band rows are the SMALL side by definition in
-      // incremental ingestion — broadcast them and stream over the store
-      // scan (never shuffle or broadcast the store, which is the
-      // whole-history side at 100 TB)
-      val candOld = storeBands.as("o").join(broadcast(newBands.as("n")),
-          col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
-        .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
-                greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-      val candNew = newBands.as("x").join(newBands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      val allSh = storeSh.unionByName(day2)
-      candOld.unionByName(candNew).distinct()
-        .join(allSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(allSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jac") >= tau)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      incrementalPairsOf(
+        s.read.parquet(s"$store/bands"), s.read.parquet(s"$store/sh"),
+        shingled(s, d).filter(pmod(col("doc_id"), lit(4)) === 0),
+        tau = 0.6)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -793,36 +835,8 @@ object LlmOps {
       CosineSimilarity.register(s)
       val e = Tables.embeddingsWide(s, d) // posting build + probe assignment side
       val cen = kmeansCells(e, IvfCells, IvfIters)
-      // posting lists: every vector → its single nearest trained cell —
-      // max_by argmax aggregate, not a per-vector window sort
-      val posting = e.crossJoin(broadcast(cen))
-        .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"),
-             first(col("embedding")).as("n_emb"))
-        .select(col("cell"), col("vec_id").as("n_id"), col("n_emb"))
-      // queries → top-nprobe probe cells each (conf-tunable; default 3)
       val nprobe = s.conf.getOption(IvfNprobeKey).map(_.toInt).getOrElse(IvfProbes)
-      val wProbe = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell").asc)
-      val probes = e.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .crossJoin(broadcast(cen))
-        .withColumn("cell_cos", cosD(col("q_emb"), col("cvec")))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= nprobe)
-        .select(col("q_id"), col("q_emb"), col("cell"))
-      // search only inside probed cells: the probe set (queries × nprobe)
-      // is the small side by definition — broadcast it over the posting
-      // scan. An unhinted equi-join on `cell` would shuffle the WHOLE
-      // posting table into ≤ #cells partitions (10-value key ⇒ maximal
-      // skew at 100 TB); broadcasting the probes leaves the index in place.
-      val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-      posting.join(broadcast(probes), "cell")
-        .filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos", call_function("graft_cosine", col("q_emb"), col("n_emb")))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+      ivfSearchOf(e.filter(col("vec_id") < 100), e, cen, nprobe, 5)
         .orderBy("q_id", "rk")
     }),
 

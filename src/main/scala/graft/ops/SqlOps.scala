@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2-M composite SQL queries — multi-join analytical shapes entered as SQL
+  * TEXT (`spark.sql` over temp views), proving the full SQL front end
+  * composes the operator surface end-to-end: parser → Catalyst join
+  * reordering/pushdown → the same physical operators the API keys pin.
+  *
+  * Scale notes (100 TB): both queries are canonical star joins — selective
+  * dim filters (mktsegment, region, date band) reach the scans as pushed
+  * predicates, dims broadcast (region/nation/customer are dimension-sized),
+  * and the one big shuffle is lineitem⋈orders on the orderkey. The GROUP BY
+  * output is bounded (orders for Q3's top-10, 25 nations for Q5), so the
+  * final agg never skews. Identical SQL runs on DuckDB — the oracle is the
+  * same text modulo timestamp-literal spelling.
+  */
+object SqlOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def views(s: SparkSession, d: String): Unit = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_m")
+    Tables.orders(s, d).createOrReplaceTempView("orders_m")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_m")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_m")
+    Tables.nation(s, d).createOrReplaceTempView("nation_m")
+    Tables.region(s, d).createOrReplaceTempView("region_m")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q3 shape: shipping-priority revenue — 3-way join, grouped
+    // revenue, deterministic top-10 (revenue DESC with unique tiebreaker).
+    "sql_q3_shipping" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer_m
+        JOIN orders_m   ON c_custkey = o_custkey
+        JOIN lineitem_m ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND l_shipdate  > TIMESTAMP '1996-07-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+      """)
+    }),
+
+    // TPC-H Q5 shape: local-supplier revenue per nation — 6-way star join
+    // (customer and supplier must share the nation), region + date filters.
+    "sql_q5_local_revenue" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer_m
+        JOIN orders_m   ON c_custkey = o_custkey
+        JOIN lineitem_m ON l_orderkey = o_orderkey
+        JOIN supplier_m ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation_m   ON s_nationkey = n_nationkey
+        JOIN region_m   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sql_q3_shipping" -> """
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND l_shipdate  > TIMESTAMP '1996-07-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""",
+
+    "sql_q5_local_revenue" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""
+  )
+}

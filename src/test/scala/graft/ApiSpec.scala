@@ -87,6 +87,28 @@ class ApiSpec extends AnyFunSuite {
     assert(assigned.select("cell").distinct().count() > 1)
   }
 
+  test("Similarity.ivfSearch with the key's knobs equals llm_knn_ivf") {
+    val cen = Similarity.trainCentroids(embs, k = 10, iters = 2)
+    val api = rowSet(Similarity.ivfSearch(
+      embs.filter(col("vec_id") < 100), embs, cen, k = 5, nprobe = 3))
+    val key = rowSet(SparkEntry.queries("llm_knn_ivf")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
+  test("Dedup signature store roundtrip: build + incremental probe") {
+    val path = java.nio.file.Files.createTempDirectory("graft-api-store-").toString
+    val day1 = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val day2 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    Dedup.buildSignatureStore(day1, path)
+    val api = rowSet(Dedup.incrementalPairs(spark, day2, path)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac")))
+    // same split as the contract key ⇒ identical pair set
+    val key = rowSet(SparkEntry.queries("llm_dedup_incremental")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
   test("Text.qualityScore equals llm_quality_score") {
     val api = rowSet(Text.qualityScore(docs))
     val key = rowSet(SparkEntry.queries("llm_quality_score")(spark, d))
