@@ -264,6 +264,61 @@ object Text {
   }
 }
 
+/** Ingestion plumbing — the reference pipeline's shape (JSON records →
+  * normalized columns → relational store), reusable batch or streaming:
+  * every transform here binds unchanged under `readStream` (pass the
+  * result to `writeStream.foreachBatch(Ingest.jdbcUpsert(...))` for the
+  * exactly-once JDBC path the `stream_jdbc_sink` contract key proves). */
+object Ingest {
+  /** Flatten a JSON-string column into typed top-level columns per the DDL
+    * schema (e.g. `"k INT, tag STRING"`). Unparseable rows yield nulls —
+    * filter on a mandatory field to quarantine them. */
+  def parseJson(df: DataFrame, jsonCol: String, ddl: String): DataFrame = {
+    val parsed = df.withColumn("__parsed",
+      from_json(col(jsonCol), org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    parsed.select((df.columns.map(col) :+ col("__parsed.*")): _*)
+  }
+
+  /** Idempotent keyed JDBC upsert as a `foreachBatch` body: per partition,
+    * one transaction of DELETE-by-key + INSERT-all-columns batches, so a
+    * REPLAYED micro-batch (failure recovery) converges instead of
+    * double-counting — the exactly-once JDBC sink recipe. The target table
+    * must exist with the batch's column order; `keyCols` should be its
+    * primary key. Each partition opens its own connection (executor-side;
+    * nothing routes through the driver). */
+  def jdbcUpsert(url: String, table: String, keyCols: Seq[String])
+                (batch: DataFrame, batchId: Long): Unit = {
+    val cols = batch.columns.toSeq
+    val keyIdx = keyCols.map(cols.indexOf)
+    require(keyIdx.forall(_ >= 0), s"keyCols $keyCols not all in $cols")
+    val delSql = s"DELETE FROM $table WHERE " +
+      keyCols.map(k => s"$k = ?").mkString(" AND ")
+    val insSql = s"INSERT INTO $table VALUES (" +
+      cols.map(_ => "?").mkString(", ") + ")"
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(delSql)
+          val ins = conn.prepareStatement(insSql)
+          rows.foreach { r =>
+            keyIdx.zipWithIndex.foreach { case (ki, i) =>
+              del.setObject(i + 1, r.get(ki))
+            }
+            del.addBatch()
+            cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+            ins.addBatch()
+          }
+          del.executeBatch(); ins.executeBatch()
+          conn.commit()
+          del.close(); ins.close()
+        } finally conn.close()
+      }
+    }
+  }
+}
+
 /** Deterministic sampling / sharding — hash gates, never RNG: the decision
   * is a pure function of the row id, so samples reproduce across runs,
   * engines and cluster sizes, and the filter runs at the scan. */

@@ -105,6 +105,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Perplexity-proxy quality scoring (the CCNet-style filter signal): a
+    // char-trigram unigram LM is trained per language ON THE CORPUS ITSELF
+    // (counts / total), and each doc is scored by the mean log-probability
+    // of its trigrams under its own language's model — low avg_ll = the
+    // doc's character statistics diverge from its language (boilerplate,
+    // noise, wrong-lang). Every doc trigram occurs in its own lang profile
+    // by construction, so no smoothing branch is needed and the SQL twin is
+    // exact. Scale: profile = one hash-agg bounded by the trigram vocab
+    // (≤ charset³ per lang — broadcastable at any corpus size); scoring is
+    // one join on (lang, g) + one avg.
+    "llm_perplexity_proxy" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      val grams = docs.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
+        .cache() // profile build AND probe side — uncached the explode runs twice
+      val profile = grams.groupBy("lang", "g").agg(count(lit(1)).as("cg"))
+      val totals = profile.groupBy("lang").agg(sum("cg").as("ct"))
+      grams.join(broadcast(profile), Seq("lang", "g"))
+        .join(broadcast(totals), "lang")
+        .withColumn("ll", log(col("cg").cast("double") / col("ct").cast("double")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), round(avg("ll"), 4).as("avg_ll"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction: regex scrub of emails/phones before a corpus ships to
     // training. The synthetic corpus carries no PII, so a deterministic
     // contact line is appended per doc first — the redactor then has real
@@ -185,6 +212,23 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "llm_perplexity_proxy" -> """
+      WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      grams AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                     i -> substr(t, i, 3))) AS g
+        FROM docs),
+      prof AS (SELECT lang, g, count(*) AS cg FROM grams GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(sum(cg) AS DOUBLE) AS ct FROM prof GROUP BY 1)
+      SELECT doc_id, count(*) AS n_grams,
+             round(avg(ln(CAST(cg AS DOUBLE) / ct)), 4) AS avg_ll
+      FROM grams
+      JOIN prof USING (lang, g)
+      JOIN tot  USING (lang)
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
     "llm_pii_redact" -> """
       WITH w AS (
         SELECT doc_id,

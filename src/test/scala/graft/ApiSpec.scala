@@ -158,6 +158,40 @@ class ApiSpec extends AnyFunSuite {
       s"shard skew: $counts")
   }
 
+  test("Ingest.parseJson flattens the events props column") {
+    val out = api.Ingest.parseJson(Tables.events(spark, d), "props", "k INT")
+    assert(out.columns.contains("k"))
+    val viaJson = Tables.events(spark, d)
+      .filter(get_json_object(col("props"), "$.k").isNotNull).count()
+    assert(out.filter(col("k").isNotNull).count() === viaJson)
+    assert(viaJson > 0)
+  }
+
+  test("Ingest.jdbcUpsert converges under replay (idempotent keyed write)") {
+    val db = java.nio.file.Files.createTempDirectory("graft-api-derby-").toString + "/apidb"
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE type_counts(
+             event_type VARCHAR(64) NOT NULL PRIMARY KEY,
+             n BIGINT, sv DOUBLE)""")
+      st.close()
+    } finally conn.close()
+    val agg = Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+    // write TWICE — a replayed batch must converge, not double-count
+    api.Ingest.jdbcUpsert(url, "type_counts", Seq("event_type"))(agg, 0L)
+    api.Ingest.jdbcUpsert(url, "type_counts", Seq("event_type"))(agg, 0L)
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val back = spark.read.jdbc(url, "type_counts", props)
+    assert(rowSet(back) === rowSet(agg))
+    assert(back.count() > 0)
+  }
+
   test("Text.piiRedact counts and redacts the planted contact line") {
     val planted = docs.select(col("doc_id"),
       concat(col("text"), lit(" mail me at agent"), col("doc_id"),
