@@ -911,6 +911,58 @@ object LlmOps {
         .orderBy("label", "lang")
     }),
 
+    // Benchmark decontamination (the GPT-3-style 13-gram rule): any corpus
+    // doc sharing a word-13-gram with the eval set (here: doc_id < 20 as
+    // the stand-in benchmark) is flagged. Eval 13-grams are one tiny
+    // distinct set — broadcast; the corpus side explodes its 13-grams and
+    // left-joins, so the whole check is one broadcast join + one hash-agg,
+    // no shuffle of corpus text. Output covers EVERY corpus doc (n_hits
+    // may be 0) so downstream can drop or audit.
+    "llm_decontaminate" -> ((s, d) => {
+      // guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) — docs under
+      // 13 words must produce an empty gram array, as the oracle's
+      // end-exclusive range() does naturally
+      val gram13 = expr(
+        """CASE WHEN size(split(text, ' ')) >= 13 THEN
+             transform(sequence(1, size(split(text, ' ')) - 12),
+               i -> array_join(slice(split(text, ' '), i, 13), ' '))
+           ELSE array() END""")
+      val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
+      val evalGrams = docs.filter(col("doc_id") < 20)
+        .select(explode(gram13).as("g")).distinct()
+      val corpusGrams = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(gram13).as("g"))
+      val hits = corpusGrams.join(broadcast(evalGrams), "g")
+        .groupBy("doc_id").agg(countDistinct("g").as("n_hits"))
+      docs.filter(col("doc_id") >= 20).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+                (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing audit — the "concatenate docs, chunk into
+    // fixed-token training sequences" layout: docs are packed contiguously
+    // per SHARD (md5-nibble, so packing parallelizes and no global window
+    // bottlenecks a 100 TB corpus) in doc_id order; a doc starts in bin
+    // floor(preceding_tokens / budget). Emits per-(shard, bin) doc/token
+    // counts — the fill-ratio audit run before cutting training shards.
+    "llm_pack_sequences" -> ((s, d) => {
+      val budget = 512
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+                size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("cum", sum("toks").over(w))
+        .withColumn("bin", floor((col("cum") - col("toks")) / budget))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))
+        .orderBy("shard", "bin")
+    }),
+
     // Training-mixture sampling: downsample per language to target rates
     // with a DETERMINISTIC hash gate — keep a doc iff the first 2 hex chars
     // of md5(doc_id) fall below the language's threshold. Unlike
@@ -988,6 +1040,44 @@ object LlmOps {
           GROUP BY a$n.cell, pos) GROUP BY cell)"""
 
   val oracle: Map[String, String] = Map(
+    "llm_decontaminate" -> """
+      WITH g13 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 12, 0) + 1),
+                 i -> array_to_string(list_slice(string_split(text, ' '), i, i + 12), ' ')))
+                 AS g
+        FROM documents),
+      ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id < 20),
+      hits AS (
+        SELECT c.doc_id, count(DISTINCT c.g) AS n_hits
+        FROM g13 c JOIN ev ON c.g = ev.g
+        WHERE c.doc_id >= 20
+        GROUP BY c.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id >= 20
+      ORDER BY d.doc_id""",
+
+    "llm_pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents),
+      c AS (
+        SELECT shard, toks,
+               sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT shard, CAST(floor((cum - toks) / 512) AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_toks
+      FROM c
+      GROUP BY shard, bin
+      ORDER BY shard, bin""",
+
     "llm_mixture_sample" -> """
       SELECT lang, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
