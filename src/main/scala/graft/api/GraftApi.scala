@@ -237,6 +237,23 @@ object Text {
                 counts.cast("int").as("n_redactions"))
   }
 
+  /** Benchmark decontamination (GPT-3-style n-gram rule): flag corpus docs
+    * sharing any word-n-gram with `evalDocs`. Output (doc_id, n_hits,
+    * contaminated) covers every corpus doc. Eval grams broadcast; corpus
+    * text never shuffles. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    LlmOps.decontaminateOf(std(corpus, idCol, textCol),
+                           std(evalDocs, idCol, textCol), n)
+
+  /** Training-sequence packing audit: docs packed contiguously per
+    * md5-nibble shard in id order, bin = floor(preceding_tokens/budget) —
+    * per-(shard, bin) doc/token counts, the fill-ratio check before
+    * cutting training shards. */
+  def packSequences(docs: DataFrame, budgetTokens: Int = 512,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    LlmOps.packAuditOf(std(docs, idCol, textCol), budgetTokens)
+
   /** Winnowing fingerprint sets (k=8 char-grams, window w=4):
     * (doc_id, fps). xxhash64 by default (production path). */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id",

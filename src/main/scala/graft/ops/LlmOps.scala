@@ -245,6 +245,50 @@ object LlmOps {
     cen.cache()
   }
 
+  /** Decontamination core over (doc_id, text) frames: flag every corpus doc
+    * sharing a word-n-gram with the eval set. Eval grams are one tiny
+    * distinct set — broadcast; the corpus side explodes and joins, so the
+    * check is one broadcast join + one hash-agg with no corpus-text
+    * shuffle. Output covers EVERY corpus doc (n_hits may be 0). Shared by
+    * llm_decontaminate and graft.api.Text.decontaminate. */
+  private[graft] def decontaminateOf(corpus: DataFrame, evalDocs: DataFrame,
+                                     n: Int): DataFrame = {
+    // guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) — docs under n
+    // words must produce an empty gram array, as an end-exclusive range does
+    val gramN = expr(
+      s"""CASE WHEN size(split(text, ' ')) >= $n THEN
+            transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+              i -> array_join(slice(split(text, ' '), i, $n), ' '))
+          ELSE array() END""")
+    val evalGrams = evalDocs.select(explode(gramN).as("g")).distinct()
+    val hits = corpus.select(col("doc_id"), explode(gramN).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(countDistinct("g").as("n_hits"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Sequence-packing audit core over (doc_id, text): docs packed
+    * contiguously per md5-nibble shard in doc_id order, bin =
+    * floor(preceding_tokens / budget); per-(shard, bin) doc/token counts.
+    * Per-shard windows — no global-window bottleneck. Shared by
+    * llm_pack_sequences and graft.api.Text.packSequences. */
+  private[graft] def packAuditOf(docs: DataFrame, budget: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+              substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+              size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("bin", floor((col("cum") - col("toks")) / budget))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))
+  }
+
   /** IVF probed search core over (vec_id, embedding) frames + trained
     * (cell, cvec) centroids. Posting lists: every corpus vector → its single
     * nearest cell via a max_by argmax aggregate (not a per-vector window
@@ -919,26 +963,9 @@ object LlmOps {
     // no shuffle of corpus text. Output covers EVERY corpus doc (n_hits
     // may be 0) so downstream can drop or audit.
     "llm_decontaminate" -> ((s, d) => {
-      // guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) — docs under
-      // 13 words must produce an empty gram array, as the oracle's
-      // end-exclusive range() does naturally
-      val gram13 = expr(
-        """CASE WHEN size(split(text, ' ')) >= 13 THEN
-             transform(sequence(1, size(split(text, ' ')) - 12),
-               i -> array_join(slice(split(text, ' '), i, 13), ' '))
-           ELSE array() END""")
       val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
-      val evalGrams = docs.filter(col("doc_id") < 20)
-        .select(explode(gram13).as("g")).distinct()
-      val corpusGrams = docs.filter(col("doc_id") >= 20)
-        .select(col("doc_id"), explode(gram13).as("g"))
-      val hits = corpusGrams.join(broadcast(evalGrams), "g")
-        .groupBy("doc_id").agg(countDistinct("g").as("n_hits"))
-      docs.filter(col("doc_id") >= 20).select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-                coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-                (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      decontaminateOf(docs.filter(col("doc_id") >= 20),
+                      docs.filter(col("doc_id") < 20), 13)
         .orderBy("doc_id")
     }),
 
@@ -948,20 +975,8 @@ object LlmOps {
     // bottlenecks a 100 TB corpus) in doc_id order; a doc starts in bin
     // floor(preceding_tokens / budget). Emits per-(shard, bin) doc/token
     // counts — the fill-ratio audit run before cutting training shards.
-    "llm_pack_sequences" -> ((s, d) => {
-      val budget = 512
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-                substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
-                size(split(col("text"), " ")).cast("long").as("toks"))
-        .withColumn("cum", sum("toks").over(w))
-        .withColumn("bin", floor((col("cum") - col("toks")) / budget))
-        .groupBy("shard", "bin")
-        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_toks"))
-        .orderBy("shard", "bin")
-    }),
+    "llm_pack_sequences" -> ((s, d) =>
+      packAuditOf(Tables.documents(s, d), 512).orderBy("shard", "bin")),
 
     // Training-mixture sampling: downsample per language to target rates
     // with a DETERMINISTIC hash gate — keep a doc iff the first 2 hex chars

@@ -158,6 +158,21 @@ class ApiSpec extends AnyFunSuite {
       s"shard skew: $counts")
   }
 
+  test("Text.decontaminate equals llm_decontaminate") {
+    val api = rowSet(Text.decontaminate(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20)))
+    val key = rowSet(SparkEntry.queries("llm_decontaminate")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
+  test("Text.packSequences equals llm_pack_sequences") {
+    val api = rowSet(Text.packSequences(docs))
+    val key = rowSet(SparkEntry.queries("llm_pack_sequences")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
   test("Ingest.parseJson flattens the events props column") {
     val out = api.Ingest.parseJson(Tables.events(spark, d), "props", "k INT")
     assert(out.columns.contains("k"))
