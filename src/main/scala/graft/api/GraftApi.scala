@@ -265,10 +265,15 @@ object Text {
 
   /** Gap-based sessionization: assign a session id per (user, gap) run —
     * (all input columns, session_id). Batch twin of a streaming
-    * session_window. One shuffle (everything partitions by the user col). */
+    * session_window. One shuffle (everything partitions by the user col).
+    * Pass `tieBreakCols` (e.g. an event id) when tsCol can tie within a
+    * user — without it, tied rows order arbitrarily and a session split
+    * landing between them is nondeterministic. */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
-                 gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol).asc)
+                 gapMinutes: Int = 30,
+                 tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+      .orderBy((col(tsCol) +: tieBreakCols.map(col)).map(_.asc): _*)
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = gapMinutes * 60000000L
     events
@@ -345,8 +350,12 @@ object Sampling {
     * from `rates` fall back to `defaultRate`. */
   def mixture(df: DataFrame, stratumCol: String, rates: Map[String, Double],
               defaultRate: Double = 1.0, idCol: String = "doc_id"): DataFrame = {
+    // rate ≥ 1.0 must keep EVERYTHING: its 2-hex threshold would be "100",
+    // which string-compares BELOW almost every gate ("ff" > "100") and
+    // silently drops rows — use a sentinel above any hex digit instead.
     def hex2(r: Double): String =
-      f"${math.max(0, math.min(256, math.round(r * 256))).toInt}%02x"
+      if (r >= 1.0) "zz"
+      else f"${math.max(0, math.round(r * 256)).toInt}%02x"
     val gate = substring(md5(col(idCol).cast("string")), 1, 2)
     val thresh = rates.foldLeft(when(lit(false), "")) {
       case (acc, (k, r)) => acc.when(col(stratumCol) === k, hex2(r))
@@ -356,7 +365,8 @@ object Sampling {
 
   /** Deterministic shard assignment: (input columns, shard ∈ [0, nShards)).
     * The same expression drives a balanced `repartition`/`partitionBy`
-    * write; llm_doc_shard is the 16-shard balance audit of this gate. */
+    * write. (Same md5 family as llm_doc_shard's nibble audit, but general
+    * over any shard count — 8 hex chars mod n, not the first nibble.) */
   def shard(df: DataFrame, nShards: Int = 16, idCol: String = "doc_id"): DataFrame =
     df.withColumn("shard",
       pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)

@@ -122,7 +122,8 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("Text.sessionize aggregates to win_sessionize") {
-    val api = Text.sessionize(Tables.events(spark, d), "user_id", "ts")
+    val api = Text.sessionize(Tables.events(spark, d), "user_id", "ts",
+        tieBreakCols = Seq("event_id"))
       .groupBy("user_id")
       .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
     val key = SparkEntry.queries("win_sessionize")(spark, d)
@@ -136,6 +137,14 @@ class ApiSpec extends AnyFunSuite {
            min("doc_id").as("first_doc"))
     val key = SparkEntry.queries("llm_mixture_sample")(spark, d)
     assert(rowSet(api) === rowSet(key))
+  }
+
+  test("Sampling.mixture rate 1.0 keeps everything, 0.0 keeps nothing") {
+    // regression: the naive 2-hex threshold for 1.0 is "100", which
+    // string-compares below "ff"-ish gates and silently drops rows
+    assert(Sampling.mixture(docs, "lang", Map.empty, defaultRate = 1.0).count()
+      === docs.count())
+    assert(Sampling.mixture(docs, "lang", Map.empty, defaultRate = 0.0).count() === 0)
   }
 
   test("Sampling.mixture is deterministic and monotone in rate") {
