@@ -38,7 +38,13 @@ object Graft {
 
 /** Deduplication family. All pair outputs are (doc_a < doc_b) with the
   * confirming exact score; feed them to [[Dedup.clusters]] for a complete
-  * per-corpus keep/drop decision. */
+  * per-corpus keep/drop decision.
+  *
+  * Caching note: the signature/shingle pipelines `.cache()` intermediate
+  * frames (they are consumed by 2–3 plan branches each). Spark evicts
+  * under memory pressure, but a long-lived session issuing MANY dedup
+  * calls should `spark.catalog.clearCache()` between batches — the cached
+  * plans are per-call and are not reused across invocations. */
 object Dedup {
   private def std(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("doc_id"), col(text).as("text"))
@@ -122,22 +128,40 @@ object Similarity {
   /** Exact top-k cosine neighbors of each query vector against a broadcast
     * corpus: (q_id, rk, n_id, cos). Corpus must fit in a broadcast; cap or
     * partition the QUERY side at scale, or use [[trainCentroids]] +
-    * [[assignCells]] for an IVF-style index. Requires [[Graft.register]]. */
+    * [[assignCells]] for an IVF-style index. Requires [[Graft.register]].
+    *
+    * `excludeSelfId` (default true) drops the corpus row whose id EQUALS
+    * the query id — right when the queries are a subset of the corpus
+    * (self-match is a trivial cos=1). Pass false when query and corpus are
+    * distinct frames that merely share an id domain, or the id-colliding
+    * true neighbor would be silently excluded. */
   def knn(queries: DataFrame, corpus: DataFrame, k: Int = 5,
-          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    LlmOps.knnOf(
+          idCol: String = "vec_id", embCol: String = "embedding",
+          excludeSelfId: Boolean = true): DataFrame = {
+    val out = LlmOps.knnOf(
       std(queries, idCol, embCol)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       std(corpus, idCol, embCol)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
-      k)
+      k, excludeSelfId)
+    out
+  }
 
   /** Seeded spherical k-means coarse quantizer (the IVF index build):
     * returns k (cell, cvec) centroids after `iters` Lloyd's rounds.
-    * Deterministic — init is the first k vectors by id, no RNG. */
+    * Deterministic — init is the first k vectors in id order (ANY numeric
+    * id domain: seeds come from an ordered rank, not an id < k filter),
+    * no RNG. */
   def trainCentroids(vecs: DataFrame, k: Int = 10, iters: Int = 2,
-                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    LlmOps.kmeansCells(std(vecs, idCol, embCol), k, iters)
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = std(vecs, idCol, embCol)
+    val wSeed = Window.orderBy("vec_id") // k rows post-limit — tiny window
+    val init = e.orderBy("vec_id").limit(k)
+      .withColumn("cell", (row_number().over(wSeed) - 1).cast("int"))
+      .select(col("cell"),
+              transform(col("embedding"), x => round(x.cast("double"), 6)).as("cvec"))
+    LlmOps.kmeansCellsFrom(e, init, iters)
+  }
 
   /** Nearest-centroid cell assignment (cos DESC, cell ASC tiebreak):
     * (vec_id, cell). With [[trainCentroids]] output this builds the IVF
@@ -157,9 +181,10 @@ object Similarity {
     * batches. Requires [[Graft.register]]. */
   def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                 k: Int = 5, nprobe: Int = 3,
-                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+                idCol: String = "vec_id", embCol: String = "embedding",
+                excludeSelfId: Boolean = true): DataFrame =
     LlmOps.ivfSearchOf(std(queries, idCol, embCol), std(corpus, idCol, embCol),
-                       centroids, nprobe, k)
+                       centroids, nprobe, k, excludeSelfId)
 
   /** Symmetric per-vector int8 quantization: (vec_id, scale, qvec, v) with
     * v the dequantized doubles — 4× storage at ≤0.015 cosine error
@@ -176,56 +201,28 @@ object Text {
 
   /** Per-document quality signals: token count, mean token length,
     * stopword/punctuation ratios, composite score — llm_quality_score's
-    * exact transform with n_chars derived from the text itself. */
+    * exact transform (shared core) with n_chars derived from the text. */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
-    val toks = split(col("text"), " ")
-    std(docs, idCol, textCol)
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_tok", size(toks).cast("long"))
-      .withColumn("avg_tok_len",
-        round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
-      .withColumn("stop_ratio", round(
-        size(filter(toks, t => t.isin(LlmOps.stopwords: _*))).cast("double")
-          / size(toks), 4))
-      .withColumn("punct_ratio", round(
-        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
-          / length(col("text")), 4))
-      .withColumn("quality", round(
-        lit(1.0)
-          - least(col("stop_ratio") * 2, lit(0.5))
-          - least(col("punct_ratio") * 5, lit(0.5)), 4))
-      .select("doc_id", "n_chars", "n_tok", "avg_tok_len",
-              "stop_ratio", "punct_ratio", "quality")
-  }
+                   textCol: String = "text"): DataFrame =
+    TextOps.qualityScoreOf(
+      std(docs, idCol, textCol)
+        .withColumn("n_chars", length(col("text")).cast("long")))
 
   /** Gopher-style filter rules (word count / mean word length / distinct
     * ratio): (doc_id, wc, uniq_ratio, mean_wlen, pass) —
-    * llm_gopher_quality's exact transform. */
+    * llm_gopher_quality's exact transform (shared core). */
   def gopherRules(docs: DataFrame, minWords: Int = 30, maxWords: Int = 100000,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = split(col("text"), " ")
-    std(docs, idCol, textCol)
-      .withColumn("wc", size(toks).cast("long"))
-      .withColumn("uniq_ratio",
-        round(size(array_distinct(toks)).cast("double") / size(toks), 4))
-      .withColumn("mean_wlen",
-        round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
-      .withColumn("pass",
-        col("wc").between(minWords, maxWords) &&
-        col("uniq_ratio") >= 0.2 &&
-        col("mean_wlen").between(3.0, 10.0))
-      .select("doc_id", "wc", "uniq_ratio", "mean_wlen", "pass")
-  }
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    TextOps.gopherOf(std(docs, idCol, textCol), minWords, maxWords)
 
   /** Redact every match of `patterns` (pattern → replacement, applied in
-    * order) and count matches per pattern: (doc_id, redacted,
-    * n_redactions). Defaults cover the email/phone shapes of
-    * llm_pii_redact. */
+    * order) and count matches: (doc_id, redacted, n_redactions). Defaults
+    * are the shared llm_pii_redact email/phone patterns. NOTE:
+    * `n_redactions` counts each pattern against the ORIGINAL text — with
+    * patterns whose replacements create or consume later patterns' matches,
+    * the count can differ from the rewrites actually applied. */
   def piiRedact(docs: DataFrame,
-                patterns: Seq[(String, String)] = Seq(
-                  "[a-z0-9]+@[a-z0-9]+\\.[a-z]+" -> "[EMAIL]",
-                  "\\+1-555-[0-9]{4}" -> "[PHONE]"),
+                patterns: Seq[(String, String)] = TextOps.PiiPatterns,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = std(docs, idCol, textCol)
     val redacted = patterns.foldLeft(col("text")) {
@@ -324,17 +321,28 @@ object Ingest {
           conn.setAutoCommit(false)
           val del = conn.prepareStatement(delSql)
           val ins = conn.prepareStatement(insSql)
-          rows.foreach { r =>
-            keyIdx.zipWithIndex.foreach { case (ki, i) =>
-              del.setObject(i + 1, r.get(ki))
+          try {
+            rows.foreach { r =>
+              keyIdx.zipWithIndex.foreach { case (ki, i) =>
+                del.setObject(i + 1, r.get(ki))
+              }
+              del.addBatch()
+              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+              ins.addBatch()
             }
-            del.addBatch()
-            cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
-            ins.addBatch()
+            del.executeBatch(); ins.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              // explicit rollback: close-with-open-transaction behavior is
+              // DRIVER-DEFINED (some drivers commit!) — a half-applied
+              // DELETE without its INSERT must never persist
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally {
+            try del.close() catch { case _: Throwable => () }
+            try ins.close() catch { case _: Throwable => () }
           }
-          del.executeBatch(); ins.executeBatch()
-          conn.commit()
-          del.close(); ins.close()
         } finally conn.close()
       }
     }
@@ -353,9 +361,12 @@ object Sampling {
     // rate ≥ 1.0 must keep EVERYTHING: its 2-hex threshold would be "100",
     // which string-compares BELOW almost every gate ("ff" > "100") and
     // silently drops rows — use a sentinel above any hex digit instead.
+    // The same overflow hides one ULP lower: round(r*256) = 256 for
+    // r ∈ [255.5/256, 1.0), so sub-1.0 rates clamp to 255 ("ff" keeps
+    // 255/256 — the gate's granularity floor).
     def hex2(r: Double): String =
       if (r >= 1.0) "zz"
-      else f"${math.max(0, math.round(r * 256)).toInt}%02x"
+      else f"${math.max(0, math.min(255, math.round(r * 256))).toInt}%02x"
     val gate = substring(md5(col(idCol).cast("string")), 1, 2)
     val thresh = rates.foldLeft(when(lit(false), "")) {
       case (acc, (k, r)) => acc.when(col(stratumCol) === k, hex2(r))

@@ -163,9 +163,13 @@ object LlmOps {
     * in a broadcast — cap the query side, not this, at scale. Shared by
     * llm_knn_bruteforce and graft.api.Similarity.knn (caller registers
     * graft_cosine). */
-  private[graft] def knnOf(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
+  private[graft] def knnOf(q: DataFrame, c: DataFrame, k: Int,
+                           excludeSelfId: Boolean = true): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    q.join(broadcast(c), col("q_id") =!= col("n_id"))
+    val joined =
+      if (excludeSelfId) q.join(broadcast(c), col("q_id") =!= col("n_id"))
+      else q.crossJoin(broadcast(c))
+    joined
       .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -181,8 +185,12 @@ object LlmOps {
         (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
           .as("scale"),
         col("embedding"))
+      // an all-zero vector has scale 0 and non-ANSI x/0 is NULL — divide by
+      // a placeholder 1.0 there so qvec/v round-trip to zeros, not nulls
+      // (dequant multiplies by the REAL scale 0, so v is exactly zero)
+      .withColumn("divScale", when(col("scale") === 0.0, 1.0).otherwise(col("scale")))
       .withColumn("qvec", transform(col("embedding"),
-          x => floor(x.cast("double") / col("scale") + 0.5).cast("tinyint")))
+          x => floor(x.cast("double") / col("divScale") + 0.5).cast("tinyint")))
       .select(col("vec_id"), col("scale"), col("qvec"),
         transform(col("qvec"), v => v.cast("double") * col("scale")).as("v"))
 
@@ -228,10 +236,20 @@ object LlmOps {
     * Returns (cell: int, cvec: array<double>). A cell that loses all its
     * members simply drops out of the next round (same inner-join semantics
     * in the oracle). */
-  private[graft] def kmeansCells(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cen = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cell"),
-              transform(col("embedding"), x => round(x.cast("double"), 6)).as("cvec"))
+  private[graft] def kmeansCells(e: DataFrame, k: Int, iters: Int): DataFrame =
+    // contract-key seed rule: ids 0..k-1 (this corpus is dense 0-based;
+    // the DuckDB oracle unrolls the identical filter). General callers go
+    // through kmeansCellsFrom with an explicit seed frame.
+    kmeansCellsFrom(e,
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"),
+                transform(col("embedding"), x => round(x.cast("double"), 6)).as("cvec")),
+      iters)
+
+  /** Lloyd's rounds from an explicit (cell, cvec) seed frame. */
+  private[graft] def kmeansCellsFrom(e: DataFrame, init: DataFrame,
+                                     iters: Int): DataFrame = {
+    var cen = init
     for (_ <- 1 to iters) {
       val assigned = e.crossJoin(broadcast(cen))
         .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
@@ -298,7 +316,8 @@ object LlmOps {
     * WHOLE posting table into ≤ #cells partitions (few-value key ⇒ maximal
     * skew at 100 TB). Shared by llm_knn_ivf and graft.api.Similarity.ivfSearch. */
   private[graft] def ivfSearchOf(queries: DataFrame, corpus: DataFrame,
-                                 cen: DataFrame, nprobe: Int, k: Int): DataFrame = {
+                                 cen: DataFrame, nprobe: Int, k: Int,
+                                 excludeSelfId: Boolean = true): DataFrame = {
     val posting = corpus.crossJoin(broadcast(cen))
       .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
       .groupBy(col("vec_id"))
@@ -314,8 +333,8 @@ object LlmOps {
       .filter(col("prn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cell"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    posting.join(broadcast(probes), "cell")
-      .filter(col("q_id") =!= col("n_id"))
+    val cand = posting.join(broadcast(probes), "cell")
+    (if (excludeSelfId) cand.filter(col("q_id") =!= col("n_id")) else cand)
       .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)

@@ -36,7 +36,15 @@ object OptOps {
     * partition dirs are the unit Spark's dynamic partition pruning skips. */
   private val dppBase: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-dpp-")
-    p.toFile.deleteOnExit()
+    // recursive shutdown delete — deleteOnExit on a dir that gets populated
+    // is a silent no-op (File.delete fails on non-empty), which would leak
+    // a full lineitem copy per JVM run
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      catch { case _: Throwable => () } // tmp reaper is the backstop
+    }))
     p.toString
   }
   private val dppFor = new java.util.concurrent.ConcurrentHashMap[String, String]()

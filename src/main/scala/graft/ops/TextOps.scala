@@ -54,26 +54,8 @@ object TextOps {
 
     // Per-document quality signals: char/token counts, mean token length,
     // stopword ratio, punctuation ratio, and a simple composite score.
-    "llm_quality_score" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      Tables.documents(s, d)
-        .withColumn("n_tok", size(toks).cast("long"))
-        .withColumn("avg_tok_len",
-          round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
-        .withColumn("stop_ratio", round(
-          size(filter(toks, t => t.isin(LlmOps.stopwords: _*))).cast("double")
-            / size(toks), 4))
-        .withColumn("punct_ratio", round(
-          expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("double")
-            / length(col("text")), 4))
-        .withColumn("quality", round(
-          lit(1.0)
-            - least(col("stop_ratio") * 2, lit(0.5))
-            - least(col("punct_ratio") * 5, lit(0.5)), 4))
-        .select("doc_id", "n_chars", "n_tok", "avg_tok_len",
-                "stop_ratio", "punct_ratio", "quality")
-        .orderBy("doc_id")
-    }),
+    "llm_quality_score" -> ((s, d) =>
+      qualityScoreOf(Tables.documents(s, d)).orderBy("doc_id")),
 
     // Tokenizer comparison: whitespace tokens vs a BPE-ish regex lexer
     // (letter runs / digit runs / single punctuation), per lang.
@@ -139,8 +121,7 @@ object TextOps {
     // RE2∩Java common subset. Pure per-row map work: at 100 TB this is a
     // codegen'd projection with zero shuffle (the orderBy is gate-only).
     "llm_pii_redact" -> ((s, d) => {
-      val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-      val phone = "\\+1-555-[0-9]{4}"
+      val Seq((email, _), (phone, _)) = PiiPatterns
       Tables.documents(s, d)
         .withColumn("txt", concat(
           col("text"), lit(" contact user"), col("doc_id"),
@@ -161,22 +142,57 @@ object TextOps {
     // and a distinct-word ratio (the repetition signal). Emits the signals
     // plus the pass verdict so a filter pipeline can threshold or audit.
     // Per-row map + no shuffle, same scale shape as llm_pii_redact.
-    "llm_gopher_quality" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      Tables.documents(s, d)
-        .withColumn("wc", size(toks).cast("long"))
-        .withColumn("uniq_ratio",
-          round(size(array_distinct(toks)).cast("double") / size(toks), 4))
-        .withColumn("mean_wlen",
-          round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
-        .withColumn("pass",
-          col("wc").between(30, 100000) &&
-          col("uniq_ratio") >= 0.2 &&
-          col("mean_wlen").between(3.0, 10.0))
-        .select("doc_id", "wc", "uniq_ratio", "mean_wlen", "pass")
-        .orderBy("doc_id")
-    })
+    "llm_gopher_quality" -> ((s, d) =>
+      gopherOf(Tables.documents(s, d), 30, 100000).orderBy("doc_id"))
   )
+
+  /** Default PII regex pairs (pattern → replacement) — shared by the
+    * llm_pii_redact contract key and graft.api.Text.piiRedact so the two
+    * can't drift. RE2∩Java common subset. */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9]+@[a-z0-9]+\\.[a-z]+" -> "[EMAIL]",
+    "\\+1-555-[0-9]{4}" -> "[PHONE]")
+
+  /** Quality-signal core over (doc_id, text, n_chars) — shared by the
+    * llm_quality_score key (stored n_chars) and graft.api.Text.qualityScore
+    * (n_chars derived from the text). */
+  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("avg_tok_len",
+        round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
+      .withColumn("stop_ratio", round(
+        size(filter(toks, t => t.isin(LlmOps.stopwords: _*))).cast("double")
+          / size(toks), 4))
+      .withColumn("punct_ratio", round(
+        expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("double")
+          / length(col("text")), 4))
+      .withColumn("quality", round(
+        lit(1.0)
+          - least(col("stop_ratio") * 2, lit(0.5))
+          - least(col("punct_ratio") * 5, lit(0.5)), 4))
+      .select("doc_id", "n_chars", "n_tok", "avg_tok_len",
+              "stop_ratio", "punct_ratio", "quality")
+  }
+
+  /** Gopher-rule core over (doc_id, text) — shared by llm_gopher_quality
+    * and graft.api.Text.gopherRules. */
+  private[graft] def gopherOf(docs: DataFrame, minWords: Int,
+                              maxWords: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("wc", size(toks).cast("long"))
+      .withColumn("uniq_ratio",
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4))
+      .withColumn("mean_wlen",
+        round((length(col("text")) - size(toks) + 1).cast("double") / size(toks), 4))
+      .withColumn("pass",
+        col("wc").between(minWords, maxWords) &&
+        col("uniq_ratio") >= 0.2 &&
+        col("mean_wlen").between(3.0, 10.0))
+      .select("doc_id", "wc", "uniq_ratio", "mean_wlen", "pass")
+  }
 
   /** (doc_id, fps): winnowing fingerprint sets (k=8 char-grams, window
     * w=4) under the given hash impl. Same cache barrier as llm_simhash:

@@ -281,13 +281,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("opt_dpp_prune: fact scan carries a dynamic partition pruning filter") {
     val p = plan("opt_dpp_prune")
     assert(p.contains("dynamicpruningexpression"),
-      s"no DPP filter on the partitioned fact scan:\n$p")
-    // the pruning must sit on the FACT side's partition filters, i.e. the
-    // scan over the yr-partitioned lineitem dir, not a post-scan Filter
-    val scanLine = p.linesIterator
+      s"no DPP filter anywhere in the plan:\n$p")
+    // the pruning must sit ON the fact scan's own line (its
+    // PartitionFilters), not merely somewhere in the plan — find the
+    // yr-partitioned lineitem FileScan and assert the dynamic filter is
+    // attached to IT
+    val factLine = p.linesIterator
       .find(l => l.contains("FileScan parquet") && l.contains("lineitem_by_year"))
-      .orElse(p.linesIterator.find(l => l.contains("PartitionFilters") && l.contains("dynamicpruning")))
-    assert(scanLine.isDefined, s"DPP not attached to the fact scan:\n$p")
+    assert(factLine.isDefined, s"partitioned fact scan missing from plan:\n$p")
+    assert(factLine.get.contains("dynamicpruning"),
+      s"DPP filter not attached to the fact scan's PartitionFilters:\n${factLine.get}\n$p")
   }
 
   test("opt_runtime_bloom_join: bloom filter is injected on the fact side") {
