@@ -201,6 +201,22 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Bivariate/statistical aggregates — population forms only: corr and
+    // the *_pop moments are plain closed formulas that match bit-for-bit
+    // across engines, where sample skewness/kurtosis use engine-specific
+    // bias corrections (DuckDB ≠ Spark) and can't be oracle-gated.
+    "agg_corr_stats" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(corr(col("o_totalprice"), col("o_custkey")), 4).as("price_cust_corr"),
+          round(covar_pop(col("o_totalprice"), col("o_custkey")), 2).as("cv_pop"),
+          round(stddev_pop(col("o_totalprice")), 2).as("sd_pop"),
+          round(var_pop(col("o_totalprice")), 2).as("v_pop"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Mergeable Datasketches HLL: per-(group, half) sketches unioned into a
     // per-group estimate. This is the 100 TB pre-aggregation pattern —
     // persist sketch BYTES per partition/day, merge at query time; no raw
@@ -221,6 +237,17 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_corr_stats" -> """
+      SELECT o_orderpriority,
+             round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr,
+             round(covar_pop(o_totalprice, o_custkey), 2) AS cv_pop,
+             round(stddev_pop(o_totalprice), 2) AS sd_pop,
+             round(var_pop(o_totalprice), 2) AS v_pop,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     // Same explicit deterministic-mode derivation; median interpolates on
     // doubles in both engines.
     "agg_mode_median" -> """

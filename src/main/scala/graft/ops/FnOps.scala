@@ -111,6 +111,22 @@ object FnOps {
         .orderBy("c_custkey")
     }),
 
+    // Bitwise surface: scalar shifts/xor plus the bit_and/or/xor
+    // AGGREGATES (bitmap-style rollups — flag unions over partitioned
+    // data, codegen'd with map-side partial aggregation like any hash agg).
+    "fn_bitwise" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bit_and(l_orderkey)").as("ba"),
+          expr("bit_or(l_orderkey)").as("bo"),
+          expr("bit_xor(l_orderkey)").as("bx"),
+          min(expr("shiftleft(l_orderkey, 2) ^ l_partkey")).as("mixed_min"),
+          max(expr("shiftright(l_orderkey, 1) | l_linenumber")).as("mixed_max"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Regex family: extract (group ref), extract-all count, global replace,
     // boolean match, regex split. Patterns stay in the RE2∩Java-regex
     // common subset ([a-z] classes, no backrefs/lookaround) so Spark and
@@ -211,6 +227,18 @@ object FnOps {
              coalesce(nullif(c_name, ''), 'anon') AS name_nn
       FROM customer
       ORDER BY c_custkey""",
+
+    "fn_bitwise" -> """
+      SELECT l_returnflag,
+             CAST(bit_and(l_orderkey) AS BIGINT) AS ba,
+             CAST(bit_or(l_orderkey) AS BIGINT) AS bo,
+             CAST(bit_xor(l_orderkey) AS BIGINT) AS bx,
+             CAST(min(xor(l_orderkey << 2, l_partkey)) AS BIGINT) AS mixed_min,
+             CAST(max((l_orderkey >> 1) | l_linenumber) AS BIGINT) AS mixed_max,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "fn_regex" -> """
       WITH h AS (SELECT doc_id, text, substring(text, 1, 40) AS head40 FROM documents)

@@ -98,6 +98,19 @@ object RelOps {
       val jan = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 1).select("o_custkey")
       val feb = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 2).select("o_custkey")
       jan.except(feb).orderBy("o_custkey")
+    }),
+
+    // MULTISET difference (EXCEPT ALL): keeps per-key multiplicity —
+    // jan-orders minus one occurrence per feb-order of the same customer.
+    // Result is re-aggregated (multiset row order is nondeterministic);
+    // same left-anti-with-counts plan DuckDB runs.
+    "set_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val jan = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 1).select("o_custkey")
+      val feb = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 2).select("o_custkey")
+      jan.exceptAll(feb)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -167,6 +180,16 @@ object RelOps {
       EXCEPT
       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2
       ORDER BY o_custkey
-      """
+      """,
+
+    "set_except_all" -> """
+      WITH m AS (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2)
+      SELECT o_custkey, count(*) AS n
+      FROM m
+      GROUP BY o_custkey
+      ORDER BY o_custkey"""
   )
 }

@@ -23,6 +23,21 @@ object ScanOps {
     p.toString
   }
 
+  /** Orders staged into a per-JVM Derby database, once per sfDir (the JDBC
+    * SOURCE for scan_jdbc_pushdown; same computeIfAbsent discipline as the
+    * other per-JVM fixtures). */
+  private val jdbcOrdersFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def jdbcOrdersUrl(s: SparkSession, d: String): String =
+    jdbcOrdersFor.computeIfAbsent(d, _ => {
+      val db = tmpDir("graft_derby_src") + "/ordersdb"
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      Tables.orders(s, d).coalesce(1)
+        .write.mode(SaveMode.Overwrite).jdbc(url, "orders_src", props)
+      url
+    })
+
   val queries: Map[String, Q] = Map(
     // Full scan. NOTE: (l_orderkey, l_linenumber) is NOT unique in this
     // testdata — the only safe total order is over every output column
@@ -102,6 +117,24 @@ object ScanOps {
       s.read.jdbc(url, "priority_totals", props).orderBy("o_orderpriority")
     }),
 
+    // JDBC SOURCE with predicate pushdown: the full orders table is staged
+    // into embedded Derby once per JVM, then read back with a filter +
+    // projection that Spark pushes INTO the JDBC query (PushedFilters on
+    // the JDBCRelation scan — at scale the database does the filtering and
+    // only qualifying rows cross the wire; PlanSpec pins it). The
+    // read-back aggregate hash-matches the same computation on parquet.
+    "scan_jdbc_pushdown" -> ((s, d) => {
+      val url = jdbcOrdersUrl(s, d)
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      s.read.jdbc(url, "orders_src", props)
+        .filter(col("o_totalprice") > 300000.0)
+        .select("o_orderstatus", "o_totalprice")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ORC sink + source roundtrip (the second columnar format Spark ships
     // natively). Same pushdown properties as parquet: the read-back filter
     // and 3-column projection reach the ORC reader (ORC predicate pushdown
@@ -160,6 +193,13 @@ object ScanOps {
       SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
       FROM orders
       WHERE o_totalprice > 50000.0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "scan_jdbc_pushdown" -> """
+      SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE o_totalprice > 300000.0
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""
   )

@@ -293,6 +293,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"DPP filter not attached to the fact scan's PartitionFilters:\n${factLine.get}\n$p")
   }
 
+  test("scan_jdbc_pushdown: the price predicate reaches the JDBC source") {
+    val p = plan("scan_jdbc_pushdown")
+    val scanLine = p.linesIterator.find(_.contains("JDBCRelation"))
+    assert(scanLine.isDefined, s"no JDBC scan in plan:\n$p")
+    assert(scanLine.get.contains("PushedFilters") &&
+           scanLine.get.toLowerCase.contains("o_totalprice"),
+      s"price filter not pushed into the JDBC read:\n${scanLine.get}")
+  }
+
   test("opt_runtime_bloom_join: bloom filter is injected on the fact side") {
     // Pin on the UNCACHED join body under the key's exact conf scope (the
     // key itself returns a cached result whose plan is an
