@@ -49,6 +49,25 @@ object SqlOps {
       """)
     }),
 
+    // Correlated scalar subquery (TPC-H Q17 flavor): lineitems priced above
+    // 1.5× their part's average. Catalyst decorrelates the subquery into an
+    // aggregate + join (RewriteCorrelatedScalarSubquery) — the same plan a
+    // hand-written join would give, proving subquery SQL costs nothing at
+    // scale. Output re-aggregated per part for determinism.
+    "sql_correlated_scalar" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT l_partkey, count(*) AS n_above,
+               round(sum(l_extendedprice), 2) AS rev_above
+        FROM lineitem_m l1
+        WHERE l_extendedprice > 1.5 * (
+          SELECT avg(l_extendedprice) FROM lineitem_m l2
+          WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        ORDER BY l_partkey
+      """)
+    }),
+
     // TPC-H Q5 shape: local-supplier revenue per nation — 6-way star join
     // (customer and supplier must share the nation), region + date filters.
     "sql_q5_local_revenue" -> ((s, d) => {
@@ -85,6 +104,16 @@ object SqlOps {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, o_orderdate, l_orderkey
       LIMIT 10""",
+
+    "sql_correlated_scalar" -> """
+      SELECT l_partkey, count(*) AS n_above,
+             round(sum(l_extendedprice), 2) AS rev_above
+      FROM lineitem l1
+      WHERE l_extendedprice > 1.5 * (
+        SELECT avg(l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey)
+      GROUP BY l_partkey
+      ORDER BY l_partkey""",
 
     "sql_q5_local_revenue" -> """
       SELECT n_name,

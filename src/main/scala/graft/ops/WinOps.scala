@@ -130,6 +130,25 @@ object WinOps {
         .orderBy("o_orderkey")
     }),
 
+    // Time-interval RANGE frame: per-user rolling 1-hour event count/sum —
+    // the batch twin of stream_sliding, expressed as a range frame over
+    // epoch seconds (RANGE frames take numeric offsets; both engines
+    // compute the identical frame over epoch(ts)). Ties on ts are fine: a
+    // RANGE frame includes ALL peer rows, so the result is order-
+    // independent within a timestamp.
+    "win_rolling_time" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_s").asc)
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+                expr("unix_micros(ts) div 1000000").as("ts_s")) // integer div — no double rounding
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", round(sum("value").over(w), 2))
+        .select("event_id", "user_id", "ts_s", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    }),
+
     // Gap-based sessionization (batch): a new session starts after a
     // >30-min silence per user. The classic lag → flag → running-sum
     // pattern; the per-user micros comparison is exact (both engines floor
@@ -218,6 +237,19 @@ object WinOps {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_orderkey""",
+
+    "win_rolling_time" -> """
+      WITH e AS (
+        SELECT event_id, user_id, value,
+               epoch_us(ts) // 1000000 AS ts_s
+        FROM events)
+      SELECT event_id, user_id, ts_s,
+             count(*) OVER w AS n_1h,
+             round(sum(value) OVER w, 2) AS sum_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
 
     "win_sessionize" -> """
       WITH g AS (
