@@ -202,9 +202,12 @@ object AggOps {
     }),
 
     // Bivariate/statistical aggregates — population forms only: corr and
-    // the *_pop moments are plain closed formulas that match bit-for-bit
-    // across engines, where sample skewness/kurtosis use engine-specific
-    // bias corrections (DuckDB ≠ Spark) and can't be oracle-gated.
+    // the *_pop moments share one closed formula across engines, where
+    // sample skewness/kurtosis use engine-specific bias corrections
+    // (DuckDB ≠ Spark) and can't be oracle-gated at all. (Accumulation
+    // order still differs — Spark merges partition co-moments — so like
+    // every float aggregate in this suite the gate relies on the rounding
+    // absorbing last-ULP drift, not on bit-identical arithmetic.)
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderpriority")

@@ -23,18 +23,38 @@ object ScanOps {
     p.toString
   }
 
+  /** tmpDir that actually deletes at exit even when populated —
+    * deleteOnExit on a dir that gains children is a silent no-op, which
+    * for the staged orders Derby DB would leak a full table copy per JVM. */
+  private def tmpDirRecursive(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      catch { case _: Throwable => () } // tmp reaper is the backstop
+    }))
+    p.toString
+  }
+
+  /** Shared embedded-Derby connection properties (driver class in one
+    * place — it appears in several keys). */
+  private[graft] def derbyProps: java.util.Properties = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    props
+  }
+
   /** Orders staged into a per-JVM Derby database, once per sfDir (the JDBC
     * SOURCE for scan_jdbc_pushdown; same computeIfAbsent discipline as the
     * other per-JVM fixtures). */
   private val jdbcOrdersFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def jdbcOrdersUrl(s: SparkSession, d: String): String =
     jdbcOrdersFor.computeIfAbsent(d, _ => {
-      val db = tmpDir("graft_derby_src") + "/ordersdb"
+      val db = tmpDirRecursive("graft_derby_src") + "/ordersdb"
       val url = s"jdbc:derby:$db;create=true"
-      val props = new java.util.Properties()
-      props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
       Tables.orders(s, d).coalesce(1)
-        .write.mode(SaveMode.Overwrite).jdbc(url, "orders_src", props)
+        .write.mode(SaveMode.Overwrite).jdbc(url, "orders_src", derbyProps)
       url
     })
 
@@ -107,8 +127,7 @@ object ScanOps {
     "sink_jdbc" -> ((s, d) => {
       val db = tmpDir("graft_derby") + "/sinkdb"
       val url = s"jdbc:derby:$db;create=true"
-      val props = new java.util.Properties()
-      props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      val props = derbyProps
       val agg = Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
@@ -124,10 +143,7 @@ object ScanOps {
     // only qualifying rows cross the wire; PlanSpec pins it). The
     // read-back aggregate hash-matches the same computation on parquet.
     "scan_jdbc_pushdown" -> ((s, d) => {
-      val url = jdbcOrdersUrl(s, d)
-      val props = new java.util.Properties()
-      props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
-      s.read.jdbc(url, "orders_src", props)
+      s.read.jdbc(jdbcOrdersUrl(s, d), "orders_src", derbyProps)
         .filter(col("o_totalprice") > 300000.0)
         .select("o_orderstatus", "o_totalprice")
         .groupBy("o_orderstatus")

@@ -294,6 +294,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("scan_jdbc_pushdown: the price predicate reaches the JDBC source") {
+    // EXCEPTION to plan()'s nothing-executes rule: the JDBC source needs
+    // its Derby fixture to exist before the relation can even resolve, so
+    // this test stages it explicitly (once per JVM) — the plan inspection
+    // itself still executes nothing.
+    graft.ops.ScanOps.jdbcOrdersUrl(spark, d)
     val p = plan("scan_jdbc_pushdown")
     val scanLine = p.linesIterator.find(_.contains("JDBCRelation"))
     assert(scanLine.isDefined, s"no JDBC scan in plan:\n$p")
