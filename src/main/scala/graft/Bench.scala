@@ -57,6 +57,7 @@ object Bench {
     quietly(graft.ops.LlmOps.sigStorePath(spark, sfDir))
     quietly(graft.ops.JoinOps.bucketedTables(spark, sfDir))
     quietly(graft.ops.OptOps.partitionedLineitem(spark, sfDir))
+    quietly(graft.ops.ScanOps.jdbcOrdersUrl(spark, sfDir))
     val setupSec = (System.nanoTime() - s0) / 1e9
 
     // optional trailing args restrict the run (local iteration); the
