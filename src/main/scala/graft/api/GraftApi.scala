@@ -106,6 +106,19 @@ object Dedup {
       spark.read.parquet(s"$path/bands"), spark.read.parquet(s"$path/sh"),
       LlmOps.shingledOf(std(newDocs, idCol, textCol)), tau)
 
+  /** One-call end-to-end near-dup removal: MinHash pairs → connected
+    * components → return only the KEPT rows of the input (cluster keeper =
+    * min id; singletons keep themselves). Equivalent to
+    * `clusters(docs, minhashPairs(docs, tau))` filtered to `keep` and
+    * joined back — use the pieces directly when you need the audit trail. */
+  def dedupe(docs: DataFrame, tau: Double = 0.6,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val verdict = clusters(docs, minhashPairs(docs, tau, idCol, textCol), idCol)
+    docs.join(
+      verdict.filter(col("keep")).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Resolve duplicate pairs to connected components and a keep/drop
     * verdict: (doc_id, cluster_id, keep). Docs absent from `pairs` are
     * singleton keepers. Min-label propagation + pointer jumping — O(log n)

@@ -63,6 +63,14 @@ class ApiSpec extends AnyFunSuite {
     assert(api.nonEmpty)
   }
 
+  test("Dedup.dedupe keeps exactly the cluster keepers") {
+    val kept = Dedup.dedupe(docs)
+    val verdict = Dedup.clusters(docs, Dedup.minhashPairs(docs).select("doc_a", "doc_b"))
+    assert(kept.count() === verdict.filter(col("keep")).count())
+    assert(kept.count() < docs.count(), "planted near-dups must be dropped")
+    assert(kept.columns.toSeq === docs.columns.toSeq, "input schema preserved")
+  }
+
   test("Similarity.knn equals llm_knn_bruteforce") {
     val api = rowSet(Similarity.knn(embs.filter(col("vec_id") < 100), embs, k = 5))
     val key = rowSet(SparkEntry.queries("llm_knn_bruteforce")(spark, d))
