@@ -103,7 +103,6 @@ object TextOps {
       val grams = docs.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
-        .cache() // profile build AND probe side — uncached the explode runs twice
       val profile = grams.groupBy("lang", "g").agg(count(lit(1)).as("cg"))
       val totals = profile.groupBy("lang").agg(sum("cg").as("ct"))
       grams.join(broadcast(profile), Seq("lang", "g"))
