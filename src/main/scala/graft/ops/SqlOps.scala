@@ -26,6 +26,7 @@ object SqlOps {
     Tables.supplier(s, d).createOrReplaceTempView("supplier_m")
     Tables.nation(s, d).createOrReplaceTempView("nation_m")
     Tables.region(s, d).createOrReplaceTempView("region_m")
+    Tables.events(s, d).createOrReplaceTempView("events_m")
   }
 
   val queries: Map[String, Q] = Map(
@@ -46,6 +47,56 @@ object SqlOps {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
+      """)
+    }),
+
+    // Event-funnel analysis — the classic product-analytics shape over the
+    // event log (the reference's query layer served exactly this kind of
+    // question): per user, earliest view → first click AFTER it → first
+    // purchase after THAT; one row of stage conversion counts. Three
+    // user-keyed aggregations + two broadcast-sized joins (per-user stage
+    // timestamps are one row each) — no window over the raw log.
+    "sql_event_funnel" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        WITH v AS (
+          SELECT user_id, min(ts) AS ts_v FROM events_m
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS ts_c
+          FROM events_m e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.ts_v
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS ts_p
+          FROM events_m e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.ts_c
+          GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click_after_view,
+               (SELECT count(*) FROM p) AS n_purchase_after_click
+      """)
+    }),
+
+    // Cohort retention over the event log: users active in a week who are
+    // active again the following week, per cohort week. distinct
+    // (user, week) pairs → one self-join on (user, week+7d) → per-week
+    // counts; at 100 TB the distinct is the only raw-log shuffle and it
+    // pre-aggregates map-side.
+    "sql_retention_cohort" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        WITH uw AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events_m)
+        SELECT a.wk AS cohort_week,
+               count(*) AS n_active,
+               CAST(count(b.user_id) AS BIGINT) AS n_retained,
+               round(count(b.user_id) / CAST(count(*) AS DOUBLE), 4) AS retention
+        FROM uw a
+        LEFT JOIN uw b
+          ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAYS
+        GROUP BY a.wk
+        ORDER BY cohort_week
       """)
     }),
 
@@ -104,6 +155,37 @@ object SqlOps {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, o_orderdate, l_orderkey
       LIMIT 10""",
+
+    "sql_event_funnel" -> """
+      WITH v AS (
+        SELECT user_id, min(ts) AS ts_v FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS ts_c
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.ts_v
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS ts_p
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ts_c
+        GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM v) AS n_view,
+             (SELECT count(*) FROM c) AS n_click_after_view,
+             (SELECT count(*) FROM p) AS n_purchase_after_click""",
+
+    "sql_retention_cohort" -> """
+      WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+      SELECT a.wk AS cohort_week,
+             count(*) AS n_active,
+             CAST(count(b.user_id) AS BIGINT) AS n_retained,
+             round(count(b.user_id) / CAST(count(*) AS DOUBLE), 4) AS retention
+      FROM uw a
+      LEFT JOIN uw b
+        ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+      GROUP BY a.wk
+      ORDER BY cohort_week""",
 
     "sql_correlated_scalar" -> """
       SELECT l_partkey, count(*) AS n_above,
