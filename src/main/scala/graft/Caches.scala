@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-lifetime registry of the engine's internal `.cache()` frames.
+  *
+  * The dedup/signature pipelines cache intermediates that feed 2–3 plan
+  * branches each; the frames are per-invocation and never reused across
+  * calls, so a long-lived session issuing many facade calls would accrete
+  * CacheManager entries until eviction pressure (ADVICE r5). Every internal
+  * cache site routes through [[track]], and [[graft.api.Graft.clearCaches]]
+  * (or [[clear]] directly) unpersists the lot — scoped to the engine's own
+  * frames, unlike `spark.catalog.clearCache()` which would also blow away
+  * the user's caches.
+  */
+private[graft] object GraftCaches {
+  private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Register a frame the caller has `.cache()`d (or is about to). */
+  def track(df: DataFrame): DataFrame = { frames.add(df); df }
+
+  /** Drop a frame from the registry after the caller unpersisted it
+    * itself (self-cleaning pipelines like buildSignatureStore). */
+  def untrack(df: DataFrame): Unit = { frames.remove(df); () }
+
+  /** Unpersist every tracked frame; returns how many were unpersisted.
+    * Safe to call mid-query: unpersist only re-enables recomputation. */
+  def clear(): Int = {
+    var n = 0
+    var df = frames.poll()
+    while (df != null) {
+      try df.unpersist() catch { case _: Throwable => () }
+      n += 1
+      df = frames.poll()
+    }
+    n
+  }
+
+  /** Number of currently tracked frames (test hook). */
+  def size: Int = frames.size
+}

@@ -34,6 +34,14 @@ object Graft {
   /** Cosine similarity of two array<float>/array<double> columns via the
     * native codegen'd Expression — never a UDF. Requires [[register]]. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Unpersist every intermediate frame the engine has `.cache()`d (the
+    * dedup/signature pipelines cache per-invocation intermediates that are
+    * never reused across calls). Call between batches in a long-lived
+    * session; scoped to the engine's own frames — a user's caches are
+    * untouched (unlike `spark.catalog.clearCache()`). Returns the number
+    * of frames released. */
+  def clearCaches(): Int = graft.GraftCaches.clear()
 }
 
 /** Deduplication family. All pair outputs are (doc_a < doc_b) with the
@@ -43,8 +51,9 @@ object Graft {
   * Caching note: the signature/shingle pipelines `.cache()` intermediate
   * frames (they are consumed by 2–3 plan branches each). Spark evicts
   * under memory pressure, but a long-lived session issuing MANY dedup
-  * calls should `spark.catalog.clearCache()` between batches — the cached
-  * plans are per-call and are not reused across invocations. */
+  * calls should call [[Graft.clearCaches]] between batches — the cached
+  * plans are per-call, are not reused across invocations, and are all
+  * tracked by the engine's cache registry (ApiSpec pins no-net-growth). */
 object Dedup {
   private def std(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("doc_id"), col(text).as("text"))
@@ -77,7 +86,8 @@ object Dedup {
                        dfCap: Option[Long] = None,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     LlmOps.containmentPairs(
-      LlmOps.shingledOf(std(docs, idCol, textCol)).cache(), tau, dfCap)
+      graft.GraftCaches.track(
+        LlmOps.shingledOf(std(docs, idCol, textCol)).cache()), tau, dfCap)
 
   /** Build (or rebuild) a MinHash signature store at `path`: `bands/`
     * holds (doc_id, band, bh) posting rows, `sh/` the shingle sets — the
@@ -282,6 +292,13 @@ object Text {
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
                  gapMinutes: Int = 30,
                  tieBreakCols: Seq[String] = Nil): DataFrame = {
+    // withColumn would silently OVERWRITE these if the input already has
+    // them (ADVICE r5) — fail fast instead of corrupting user columns.
+    val clash = Seq("session_id", "__prev_us", "__new_s")
+      .filter(events.columns.contains)
+    require(clash.isEmpty,
+      s"sessionize writes columns $clash which already exist on the input; " +
+      "rename or drop them first")
     val byUser = Window.partitionBy(userCol)
       .orderBy((col(tsCol) +: tieBreakCols.map(col)).map(_.asc): _*)
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -320,6 +337,15 @@ object Ingest {
     * nothing routes through the driver). */
   def jdbcUpsert(url: String, table: String, keyCols: Seq[String])
                 (batch: DataFrame, batchId: Long): Unit = {
+    // Identifiers are interpolated into SQL text — validate instead of
+    // trusting (ADVICE r5): plain identifiers only, table may be
+    // schema-qualified. Quoting would change case-folding semantics per
+    // backend; a strict allowlist sidesteps both injection and folding.
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    require(table.matches(s"$ident(\\.$ident)?"),
+      s"table '$table' is not a plain (optionally schema-qualified) identifier")
+    keyCols.foreach(k => require(k.matches(ident),
+      s"key column '$k' is not a plain identifier"))
     val cols = batch.columns.toSeq
     val keyIdx = keyCols.map(cols.indexOf)
     require(keyIdx.forall(_ >= 0), s"keyCols $keyCols not all in $cols")
@@ -327,7 +353,13 @@ object Ingest {
       keyCols.map(k => s"$k = ?").mkString(" AND ")
     val insSql = s"INSERT INTO $table VALUES (" +
       cols.map(_ => "?").mkString(", ") + ")"
-    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    // Co-locate each key in ONE partition: without this, a batch carrying
+    // the same key in two partitions runs concurrent DELETE+INSERT
+    // transactions on that key — PK violation or deadlock, not an upsert.
+    // (Rows DUPLICATED per keyCols within the batch still insert twice —
+    // pre-aggregate to one row per key before calling.)
+    batch.repartition(keyCols.map(col): _*)
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url)
         try {

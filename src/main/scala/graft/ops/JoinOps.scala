@@ -137,9 +137,12 @@ object JoinOps {
         .orderBy("c_custkey")
     }),
 
+    // Anti set restricted to 1998 orders so it is NON-empty at every SF
+    // (354 rows at sf0.01) — an all-orders anti set is empty in this data
+    // and would make the oracle pass vacuously.
     "join_anti" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1998)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
@@ -314,7 +317,8 @@ object JoinOps {
     "join_anti" -> """
       SELECT c_custkey, c_name, c_mktsegment
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
       ORDER BY c_custkey""",
 
     "join_cross_topk" -> """

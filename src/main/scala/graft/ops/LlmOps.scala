@@ -259,8 +259,9 @@ object LlmOps {
       cen = centroidOf(assigned, "cell")
     }
     // k rows; referenced by posting build AND probe assignment — cache so
-    // the iterative build doesn't re-execute per consumer.
-    cen.cache()
+    // the iterative build doesn't re-execute per consumer. Tracked so
+    // Graft.clearCaches() can release it (ADVICE r5 cache lifecycle).
+    graft.GraftCaches.track(cen.cache())
   }
 
   /** Decontamination core over (doc_id, text) frames: flag every corpus doc
@@ -446,8 +447,8 @@ object LlmOps {
     * graft.api.Dedup.incrementalPairs. */
   private[graft] def incrementalPairsOf(storeBands: DataFrame, storeSh: DataFrame,
                                         newShingled: DataFrame, tau: Double): DataFrame = {
-    val day2 = newShingled.cache()
-    val newBands = bandedSigs(day2).cache()
+    val day2 = graft.GraftCaches.track(newShingled.cache())
+    val newBands = graft.GraftCaches.track(bandedSigs(day2).cache())
     val candOld = storeBands.as("o").join(broadcast(newBands.as("n")),
         col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
       .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
@@ -470,7 +471,7 @@ object LlmOps {
   private[graft] def neardupPairsOf(shingledDocs: DataFrame, tau: Double): DataFrame = {
     // cache(): referenced by the signature build AND both sides of the
     // exact-confirm join — uncached, the shingle transform runs 3×.
-    val docs = shingledDocs.cache()
+    val docs = graft.GraftCaches.track(shingledDocs.cache())
     val banded = bandedSigs(docs)
 
     // Candidates via ONE shuffle: group each (band, bandHash) bucket,
@@ -551,9 +552,10 @@ object LlmOps {
                        (acc, x) -> acc + 2 * ((x >> b) & 1) - 1) > 0
              THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
            CAST(0 AS BIGINT), (a, b) -> a + b)""")
-    tokDf.cache()
-      .select(col("doc_id"), sigExpr.as("sig"))
-      .cache()
+    graft.GraftCaches.track(
+      graft.GraftCaches.track(tokDf.cache())
+        .select(col("doc_id"), sigExpr.as("sig"))
+        .cache())
   }
 
   /** Banded SimHash near-dup pairs (unordered): 5×12-bit bands → in-bucket
@@ -745,7 +747,8 @@ object LlmOps {
     // would otherwise expand O(df²) candidate pairs from one posting list.
     "llm_neardup_containment" -> ((s, d) => {
       val cap = s.conf.getOption(ContainmentDfCapKey).map(_.toLong)
-      containmentPairs(shingled(s, d).cache(), tau = 0.8, dfCap = cap)
+      containmentPairs(graft.GraftCaches.track(shingled(s, d).cache()),
+                       tau = 0.8, dfCap = cap)
         .orderBy("doc_a", "doc_b")
     }),
 

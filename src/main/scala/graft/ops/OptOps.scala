@@ -48,6 +48,21 @@ object OptOps {
     p.toString
   }
   private val dppFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The two conf-scoped keys below must materialize INTO a cache while
+    * their confs are set (rewrites happen at action time), so the cache is
+    * load-bearing — but left alone it outlives the call: a repeat
+    * invocation would read the CacheManager instead of re-running the
+    * (bloom/banded) join, and a long session accretes entries (ADVICE r5).
+    * Swap discipline: each call unpersists the PREVIOUS call's cached
+    * frame on entry, so at most one instance per key is ever resident and
+    * every invocation re-executes its join. */
+  private val lastCached = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def swapCached(key: String, df: DataFrame): DataFrame = {
+    Option(lastCached.put(key, df))
+      .foreach(old => try old.unpersist() catch { case _: Throwable => () })
+    df
+  }
   private[graft] def partitionedLineitem(s: SparkSession, d: String): String =
     dppFor.computeIfAbsent(d, _ => {
       val dir = s"$dppBase/${java.lang.Integer.toHexString(d.hashCode)}/lineitem_by_year"
@@ -99,6 +114,7 @@ object OptOps {
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       try {
         val out = bloomJoin(s, d)
+        swapCached("opt_runtime_bloom_join", out)
         out.cache()
         out.count()
         out
@@ -152,6 +168,7 @@ object OptOps {
           .select(col("a_id"), col("b_id"),
             round(call_function("graft_cosine", col("a_emb"), col("b_emb")), 4).as("cos"))
           .orderBy("a_id", "b_id")
+        swapCached("opt_cosine_rewrite", out)
         out.cache()
         out.count()
         out

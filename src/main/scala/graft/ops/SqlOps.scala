@@ -111,9 +111,9 @@ object SqlOps {
         SELECT l_partkey, count(*) AS n_above,
                round(sum(l_extendedprice), 2) AS rev_above
         FROM lineitem_m l1
-        WHERE l_extendedprice > 1.5 * (
+        WHERE l_extendedprice > round(1.5 * (
           SELECT avg(l_extendedprice) FROM lineitem_m l2
-          WHERE l2.l_partkey = l1.l_partkey)
+          WHERE l2.l_partkey = l1.l_partkey), 4)
         GROUP BY l_partkey
         ORDER BY l_partkey
       """)
@@ -191,9 +191,9 @@ object SqlOps {
       SELECT l_partkey, count(*) AS n_above,
              round(sum(l_extendedprice), 2) AS rev_above
       FROM lineitem l1
-      WHERE l_extendedprice > 1.5 * (
+      WHERE l_extendedprice > round(1.5 * (
         SELECT avg(l_extendedprice) FROM lineitem l2
-        WHERE l2.l_partkey = l1.l_partkey)
+        WHERE l2.l_partkey = l1.l_partkey), 4)
       GROUP BY l_partkey
       ORDER BY l_partkey""",
 

@@ -222,6 +222,7 @@ object TextOps {
                  CAST(0 AS BIGINT), (a, b) -> a * 16 + b))"""))
     }).select(col("doc_id"), col("harr"))
       .cache()
+    graft.GraftCaches.track(harrDf)
     harrDf.withColumn("fps", expr(
       "array_distinct(transform(sequence(1, size(harr) - 3), i -> array_min(slice(harr, i, 4))))"))
   }

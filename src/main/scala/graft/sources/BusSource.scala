@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** In-process streaming "bus": a custom DataSource V2 micro-batch SOURCE —
+  * the connector extension surface (alongside the engine's custom
+  * Expression and Rule[LogicalPlan]) that closes the no-Kafka ingest gap:
+  * `spark.readStream.format("graft-bus").option("topic", t).load()` is the
+  * same call shape as the Kafka source, with the broker replaced by an
+  * in-process topic registry (the offline environment ships no Kafka
+  * connector jar — README "Kafka binding" note).
+  *
+  * Semantics mirror Spark's own socket/rate sources: a topic is a fixed
+  * ordered sequence of row batches published once (driver-side, like
+  * MemoryStream — the bus stands in for an EXTERNAL system, so rows
+  * necessarily originate outside the executors); each micro-batch admits
+  * `batchesPerTrigger` queued batches via admission control; offsets are
+  * batch indices, so a restarted query resumes exactly where the
+  * checkpoint says. Partitions ship their rows serialized (UnsafeRow), the
+  * same contract the socket source uses — at 100 TB the bus is replaced by
+  * Kafka/files and every downstream transform binds unchanged.
+  */
+object BusRegistry {
+  final case class Topic(schema: StructType, batches: IndexedSeq[Array[InternalRow]])
+  private val topics = scala.collection.concurrent.TrieMap.empty[String, Topic]
+
+  /** Publish `df` as `topic`, split into `nBatches` equal index slices of
+    * its CURRENT ordering (order the frame before publishing). Replaces
+    * any existing topic of the same name. */
+  def publish(topic: String, df: DataFrame, nBatches: Int): Unit = {
+    val rows = df.queryExecution.executedPlan.executeCollect().map(_.copy())
+    val per = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
+    topics.put(topic, Topic(df.schema, rows.grouped(per).toIndexedSeq))
+    ()
+  }
+
+  def get(topic: String): Topic =
+    topics.getOrElse(topic,
+      throw new IllegalArgumentException(
+        s"graft-bus topic '$topic' not published; call BusRegistry.publish first"))
+
+  def contains(topic: String): Boolean = topics.contains(topic)
+}
+
+/** `format("graft-bus")` entry point (registered via
+  * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister). */
+class BusSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-bus"
+
+  private def topicOf(options: CaseInsensitiveStringMap): String = {
+    val t = options.get("topic")
+    require(t != null, "graft-bus requires .option(\"topic\", <name>)")
+    t
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BusRegistry.get(topicOf(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new BusTable(topicOf(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+class BusTable(topic: String, tschema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-bus:$topic"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val perTrigger = Option(options.get("batchesPerTrigger")).map(_.toInt).getOrElse(1)
+    () => new BusScan(topic, tschema, perTrigger)
+  }
+}
+
+class BusScan(topic: String, tschema: StructType, perTrigger: Int) extends Scan {
+  override def readSchema(): StructType = tschema
+  override def description(): String = s"GraftBusScan(topic=$topic)"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BusMicroBatchStream(topic, perTrigger)
+}
+
+/** Offset = number of bus batches fully consumed. */
+case class BusOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class BusMicroBatchStream(topic: String, perTrigger: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  private def total: Long = BusRegistry.get(topic).batches.length.toLong
+  // AvailableNow pins the end target at query start; a topic republished
+  // mid-query can then not move the goalposts.
+  @volatile private var target: Long = total
+
+  override def prepareForTriggerAvailableNow(): Unit = { target = total }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def initialOffset(): Offset = BusOffset(0L)
+  override def deserializeOffset(json: String): Offset = BusOffset(json.toLong)
+  override def reportLatestOffset(): Offset = BusOffset(target)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[BusOffset].n
+    BusOffset(math.min(s0 + perTrigger, target))
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-bus uses admission control; latestOffset(start, limit) is the entry point")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s0, e0) = (start.asInstanceOf[BusOffset].n.toInt,
+                    end.asInstanceOf[BusOffset].n.toInt)
+    BusRegistry.get(topic).batches.slice(s0, e0)
+      .map(rows => BusInputPartition(rows): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new BusReaderFactory
+  // The registry retains published batches (they are the replay source of
+  // truth, like Kafka's log) — commit has nothing to release.
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One queued bus batch = one Spark partition; rows ride in the partition
+  * (UnsafeRow is Externalizable), exactly like the socket source's slices. */
+case class BusInputPartition(rows: Array[InternalRow]) extends InputPartition
+
+class BusReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[BusInputPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -197,9 +197,27 @@ object StreamOps {
     * runs skip straight to the streaming query. */
   def prewarm(spark: SparkSession, sfDir: String): Unit = {
     Seq("base", "flush", "dup", "late").foreach(v => replay(spark, sfDir, v))
+    busTopic(spark, sfDir)
     val conn = java.sql.DriverManager.getConnection(derbyUrl)
     conn.close()
   }
+
+  /** Publish the events table to the in-process bus ONCE per (JVM, sfDir):
+    * 6 event-time-ordered batches — the graft-bus replay twin of the file
+    * chunk dirs. Collecting to the driver is inherent to an in-process
+    * bus (rows originate outside the executors, as with MemoryStream /
+    * the socket source); size = the events table, replay scaffolding only. */
+  private val busCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def busTopic(s: SparkSession, d: String): String =
+    busCache.getOrElseUpdate(d, {
+      val topic = s"events_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.sources.BusRegistry.publish(topic,
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .orderBy("ts", "event_id"),
+        nBatches = 6)
+      topic
+    })
 
   /** Builds the replay file source, starts whatever query `start`
     * assembles and waits for it — the scaffolding shared by the
@@ -642,6 +660,34 @@ object StreamOps {
           .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
       }
         .orderBy("event_id")
+    }),
+
+    // Custom DataSource V2 micro-batch SOURCE (graft.sources.BusSource —
+    // the connector extension surface, VERDICT r5 #2): events published
+    // once per (JVM, sfDir) to the in-process bus in event-time order,
+    // admitted one queued batch per trigger via admission control — the
+    // Kafka-shaped ingest call site with the broker swapped for the bus.
+    // Stateless filter+project so the oracle checks exactly the source's
+    // responsibility: every row flows through the micro-batch pipeline
+    // intact, across ≥6 separate batches (StreamingSpec pins the batch
+    // count and PlanSpec the custom scan node).
+    "stream_bus_source" -> ((s, d) => {
+      val topic = busTopic(s, d)
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+      s.readStream.format("graft-bus")
+        .option("topic", topic)
+        .option("batchesPerTrigger", 1)
+        .load()
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(name).orderBy("event_id")
     })
   )
 
@@ -755,6 +801,15 @@ object StreamOps {
     "stream_static_join" -> """
       SELECT event_id, user_id, c_mktsegment, value
       FROM events JOIN customer ON user_id = c_custkey
+      ORDER BY event_id""",
+
+    // The bus source must deliver every row intact across micro-batches;
+    // the transform is a plain filter+project, so the static table IS the
+    // expected stream output.
+    "stream_bus_source" -> """
+      SELECT event_id, user_id, value
+      FROM events
+      WHERE event_type = 'purchase'
       ORDER BY event_id"""
   )
 }

@@ -224,6 +224,39 @@ class ApiSpec extends AnyFunSuite {
     assert(back.count() > 0)
   }
 
+  test("Graft.clearCaches drains every engine-tracked cache (no net growth)") {
+    Graft.clearCaches() // start from a clean registry
+    assert(GraftCaches.size === 0)
+    // facade calls that cache intermediates internally
+    Dedup.minhashPairs(docs).count()
+    Dedup.containmentPairs(docs).count()
+    Dedup.simhashPairs(docs).count()
+    assert(GraftCaches.size > 0, "facade calls must register their caches")
+    val n = Graft.clearCaches()
+    assert(n > 0)
+    assert(GraftCaches.size === 0)
+    assert(Graft.clearCaches() === 0,
+      "a second clear must find nothing — no entry leaks the registry")
+  }
+
+  test("Text.sessionize fails fast on output-column collision") {
+    val ev = Tables.events(spark, d).withColumn("session_id", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Text.sessionize(ev, "user_id", "ts")
+    }
+    assert(e.getMessage.contains("session_id"))
+  }
+
+  test("Ingest.jdbcUpsert rejects non-identifier table/key names") {
+    val one = spark.range(1).selectExpr("id AS k", "id AS v")
+    intercept[IllegalArgumentException] {
+      api.Ingest.jdbcUpsert("jdbc:derby:memory:x", "t; DROP TABLE x", Seq("k"))(one.toDF(), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      api.Ingest.jdbcUpsert("jdbc:derby:memory:x", "t", Seq("k OR 1=1"))(one.toDF(), 0L)
+    }
+  }
+
   test("Text.piiRedact counts and redacts the planted contact line") {
     val planted = docs.select(col("doc_id"),
       concat(col("text"), lit(" mail me at agent"), col("doc_id"),

@@ -352,4 +352,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowWin.nonEmpty && rowWin.forall(_.contains("], [bkt")),
       s"row-level window lost its bucket partitioning:\n$p")
   }
+
+  test("graft-bus: readStream resolves to the custom DSv2 table") {
+    val topic = graft.streaming.StreamOps.busTopic(spark, d)
+    val df = spark.readStream.format("graft-bus").option("topic", topic).load()
+    assert(df.isStreaming)
+    val analyzed = df.queryExecution.analyzed.toString
+    // StreamingRelationV2 must carry OUR table (graft-bus:<topic> via
+    // BusSource), not a fallback V1 relation — the connector-registration
+    // path (META-INF/services) is part of what this pins.
+    assert(analyzed.contains("graft-bus"),
+      s"custom bus table missing from analyzed plan:\n$analyzed")
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
 }

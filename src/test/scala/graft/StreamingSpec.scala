@@ -214,4 +214,39 @@ class StreamingSpec extends AnyFunSuite {
       .collect()
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("stream_bus_source equals batch filter+project") {
+    val streamed = StreamOps.queries("stream_bus_source")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("graft-bus: admission control yields one queued batch per trigger") {
+    val topic = StreamOps.busTopic(spark, d)
+    val name = "bus_spec_sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bus-spec-")
+      .toFile.getAbsolutePath
+    val q = spark.readStream.format("graft-bus")
+      .option("topic", topic).option("batchesPerTrigger", 1).load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 6 published bus batches at 1 per trigger ⇒ 6 data-carrying batches
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 6, s"expected 6 micro-batches, saw $dataBatches")
+    // no row lost or duplicated across the batch boundaries
+    assert(spark.table(name).count() === Tables.events(spark, d).count())
+    // the physical plan of the executed micro-batches runs the custom scan
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(baos)) { q.explain() }
+    assert(baos.toString.contains("GraftBusScan"),
+      "custom DSv2 scan node missing from the streaming plan")
+  }
 }
