@@ -129,6 +129,17 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Span-level exact dedup (Lee et al. 2022 flavor): per-doc counts of
+    * `span`-word windows that recur in ANOTHER doc, with a drop verdict at
+    * dup_ratio > 0.5 — catches repeated paragraphs/boilerplate that
+    * doc-level dedup cannot see. Returns (doc_id, n_spans,
+    * n_repeated_spans, dup_ratio, drop_doc). No doc-pair enumeration:
+    * shuffle is bounded by the corpus span count. */
+  def substringVerdicts(docs: DataFrame, span: Int = 10,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    LlmOps.substringDedupOf(std(docs, idCol, textCol), span)
+
   /** Resolve duplicate pairs to connected components and a keep/drop
     * verdict: (doc_id, cluster_id, keep). Docs absent from `pairs` are
     * singleton keepers. Min-label propagation + pointer jumping — O(log n)
@@ -215,6 +226,22 @@ object Similarity {
   def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
                    embCol: String = "embedding"): DataFrame =
     LlmOps.quantizeInt8Of(std(vecs, idCol, embCol))
+
+  /** Train product-quantization codebooks (m=8 subspaces × 16 codes,
+    * seeded L2 Lloyd's — deterministic, no RNG): (sub, code, cvec).
+    * Train once, [[pqEncode]] many. */
+  def pqCodebooks(vecs: DataFrame, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame =
+    LlmOps.pqCodebooks(std(vecs, idCol, embCol))
+
+  /** PQ-encode vectors against trained codebooks: (vec_id, codes, vhat) —
+    * codes is the 8 B/vector index payload (32× vs fp32), vhat the
+    * reconstruction an ADC shortlist scores; rerank the shortlist against
+    * the fetched originals for the production two-stage search (the
+    * llm_quantize_pq contract key is that exact pipeline). */
+  def pqEncode(vecs: DataFrame, codebooks: DataFrame,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    LlmOps.pqEncode(std(vecs, idCol, embCol), codebooks)
 }
 
 /** Text analysis / corpus hygiene over document frames. */
@@ -282,6 +309,17 @@ object Text {
     TextOps.fingerprintsOf(
       std(docs, idCol, textCol).select(col("doc_id"), lower(col("text")).as("t")),
       hashImpl)
+
+  /** Train a deterministic BPE merge table on the corpus (rank = highest
+    * adjacent-pair count, lexicographic ties — retraining reproduces it
+    * bit-identically) and return (ranked merges, vocab frame) where the
+    * vocab's `syms` column IS each distinct word's tokenization. Training
+    * state is vocabulary-sized, never corpus-sized; see the README
+    * tokenizer-parity note for declared differences vs production
+    * tokenizers. */
+  def trainBpe(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): (Seq[(String, String)], DataFrame) =
+    TextOps.bpeTrain(std(docs, idCol, textCol))
 
   /** Gap-based sessionization: assign a session id per (user, gap) run —
     * (all input columns, session_id). Batch twin of a streaming

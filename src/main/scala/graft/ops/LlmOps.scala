@@ -194,6 +194,80 @@ object LlmOps {
       .select(col("vec_id"), col("scale"), col("qvec"),
         transform(col("qvec"), v => v.cast("double") * col("scale")).as("v"))
 
+  /** Product quantization (the 100 TB companion to int8): m=8 subspaces of
+    * 8 dims, k=16 codes each ⇒ 8 codes of 4 bits = 8 B per vector vs
+    * 256 B fp32 (32×) and 64 B int8 (8×). Codebooks are per-subspace
+    * seeded L2 Lloyd's — same no-RNG discipline as the IVF coarse
+    * quantizer: init = the first k vectors by vec_id, 2 iterations,
+    * centroids rounded to 6dp per round, argmin ties broken by code. The
+    * search is ADC-style: the EXACT query side scores against the
+    * RECONSTRUCTED (codeword-concatenated) corpus — at index scale the
+    * codebooks (8×16 rows) broadcast everywhere and the corpus holds only
+    * the 8-byte codes. Oracle: NONE (unrolling 16 per-subspace k-means in
+    * SQL is not tractable); PropertySpec pins determinism, code bounds,
+    * the recall floor vs exact brute force, and the reconstruction-error
+    * advantage over a rank-equal mean baseline. */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqIters = 2
+  // lazy: EmbDim is declared further down this object, and a strict val
+  // here would read it mid-initialization as 0 (and empty every codebook)
+  private lazy val PqSubDim = EmbDim / PqM
+
+  private def l2d(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, sub, sv): the m per-subspace double subvectors of each row. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, ${PqM - 1}),
+            j -> transform(slice(embedding, j * $PqSubDim + 1, $PqSubDim),
+                           x -> CAST(x AS DOUBLE)))""")).as(Seq("sub", "sv")))
+
+  /** Train the (sub, code, cvec) codebooks over an embedding frame. */
+  private[graft] def pqCodebooks(e: DataFrame): DataFrame = {
+    val sv = pqSubvectors(e)
+    val wSeed = Window.orderBy("vec_id") // PqK rows post-limit — tiny window
+    val seeds = e.orderBy("vec_id").limit(PqK)
+      .withColumn("code", (row_number().over(wSeed) - 1).cast("int"))
+      .select("vec_id", "code")
+    var cb = sv.join(broadcast(seeds), "vec_id")
+      .select(col("sub"), col("code"),
+              transform(col("sv"), x => round(x, 6)).as("cvec"))
+    for (_ <- 1 to PqIters) {
+      val assigned = sv.join(broadcast(cb), "sub")
+        .withColumn("dist", l2d(col("sv"), col("cvec")))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+             first(col("sv")).as("sv")) // sv constant within the group
+      val avgCols = (1 to PqSubDim).map(i =>
+        round(avg(element_at(col("sv"), i)), 6).as(s"c$i"))
+      cb = assigned.groupBy("sub", "code")
+        .agg(avgCols.head, avgCols.tail: _*)
+        .select(col("sub"), col("code"),
+                array((1 to PqSubDim).map(i => col(s"c$i")): _*).as("cvec"))
+    }
+    // 8×16 rows, read by encode AND search — cache like the IVF centroids
+    graft.GraftCaches.track(cb.cache())
+  }
+
+  /** Encode every vector: (vec_id, codes: array<int>, vhat: array<double>)
+    * with vhat the reconstruction (concatenated codewords) ADC scores
+    * against. codes is the 8 B payload a 100 TB index stores. */
+  private[graft] def pqEncode(e: DataFrame, cb: DataFrame): DataFrame =
+    pqSubvectors(e).join(broadcast(cb), "sub")
+      .withColumn("dist", l2d(col("sv"), col("cvec")))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code"), col("cvec")), struct(col("dist"), col("code"))).as("cc"))
+      .groupBy("vec_id")
+      // sort_array on (sub, ...) structs orders by sub ASC — deterministic
+      // subspace reassembly without a window
+      .agg(sort_array(collect_list(struct(col("sub"), col("cc")))).as("parts"))
+      .select(col("vec_id"),
+              expr("transform(parts, p -> p.cc.code)").as("codes"),
+              expr("flatten(transform(parts, p -> p.cc.cvec))").as("vhat"))
+
   /** IVF coarse-quantizer knobs: 10 cells, 2 Lloyd's iterations, 3-cell
     * probes. Seeds/iteration count are part of each key's deterministic
     * definition (the oracle unrolls the same rounds). nprobe is tunable via
@@ -652,6 +726,49 @@ object LlmOps {
     labels
   }
 
+  /** Span-level exact dedup core (Lee et al. 2022 "Deduplicating Training
+    * Data" flavor, re-expressed Spark-first): instead of a suffix array,
+    * hash every word-span of length `span` (stride 1) and flag spans that
+    * recur across DISTINCT docs — the paragraph/boilerplate granularity
+    * that doc-level dedup (exact/minhash/simhash/containment) cannot see.
+    * Emits one row per input doc: span counts, how many of its spans also
+    * appear in another doc, and a drop verdict (dup_ratio > 0.5).
+    *
+    * Scale shape: explode → ONE hash-agg on span hashes (map-side combine)
+    * → left join back on the hash. No doc-pair enumeration anywhere, so
+    * unlike containment there is no O(df²) candidate blow-up: a
+    * boilerplate span shared by a million docs is ONE row in `rep`, and
+    * the join back is 1:1 per span instance. Shuffle volume is bounded by
+    * the corpus span count (≈ token count), the same bound as the minhash
+    * shingle build. At 100 TB, raise the stride and/or swap md5 for
+    * xxhash64 (md5 here is the oracle-parity hash, as in the TextHash
+    * family) — the plan shape is unchanged. */
+  private[graft] def substringDedupOf(docs: DataFrame, span: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // sequence(1, n) needs n >= 1 (sequence(1, 0) counts DOWN) — the
+    // filter guards it and short docs rejoin with 0 counts below.
+    val spans = toks.filter(size(col("ws")) >= span)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${span - 1}),
+              i -> md5(concat_ws(' ', slice(ws, i, $span))))""")).as("h"))
+    val rep = spans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(1).as("isrep"))
+    val perDoc = spans.join(rep, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("isrep").isNotNull, 1L).otherwise(0L)).as("n_rep"))
+    val ratio = coalesce(col("n_rep") / col("n_spans"), lit(0.0))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+              coalesce(col("n_rep"), lit(0L)).as("n_repeated_spans"),
+              round(ratio, 4).as("dup_ratio"),
+              (ratio > 0.5).as("drop_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize (lower, squash whitespace) → digest → one
     // hash-agg keeping the minimum doc_id per digest.
@@ -932,6 +1049,36 @@ object LlmOps {
         .orderBy("q_id", "rk")
     }),
 
+    // Product-quantized top-5 search (codebooks/encode/ADC notes on
+    // pqCodebooks above), in the production two-stage shape: the FULL
+    // corpus is scanned only in its 8 B/vector quantized form (ADC top-25
+    // shortlist), then the 25 original vectors per query are fetched BY ID
+    // and exactly reranked — at 100 TB the codes live in RAM, the fp32
+    // vectors on disk, and the exact-read volume is bounded by
+    // shortlist × queries, not corpus size. Queries: vec_id < 100 (the
+    // shared probe cap).
+    "llm_quantize_pq" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddingsWide(s, d)
+      val enc = pqEncode(e, pqCodebooks(e))
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"),
+                transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+      val c = enc.select(col("vec_id").as("n_id"), col("vhat").as("n_emb"))
+      val shortlist = knnOf(q, c, 25).select(col("q_id"), col("n_id"))
+      val orig = e.select(col("vec_id").as("n_id"),
+                          transform(col("embedding"), x => x.cast("double")).as("n_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      shortlist
+        .join(broadcast(q), "q_id")
+        .join(orig, "n_id") // exact fetch, bounded by 25 × |queries|
+        .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
     // Multimodal ingest plumbing with a STUBBED decoder: treat document text
     // bytes as an opaque binary payload (stand-in for image/audio — no codec
     // libs ship in this container), process it in BATCHES through a typed
@@ -1032,7 +1179,15 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"),
              sum("n_chars").as("sum_chars"))
         .orderBy("shard")
-    })
+    }),
+
+    // Substring/paragraph-level exact dedup (core + scale notes above):
+    // 10-word spans, repeated ⇔ present in >1 distinct doc. The only
+    // dedup granularity the doc-level family cannot express — planted
+    // repeated paragraphs across distinct docs are invisible to
+    // llm_exact_dedup and below every minhash tau.
+    "llm_substring_dedup" -> ((s, d) =>
+      substringDedupOf(Tables.documentsWide(s, d), 10).orderBy("doc_id"))
   )
 
   /** DuckDB shingle-set CTE shared by the minhash oracle (same 3-gram def
@@ -1138,6 +1293,30 @@ object LlmOps {
       FROM documents
       GROUP BY 1
       ORDER BY keep_id""",
+
+    // Span hashes: list_slice is inclusive on both ends, so [i, i+9] is the
+    // 10-word span matching Spark's slice(ws, i, 10); range is
+    // end-exclusive, so spans-per-doc = len-9 on both sides.
+    "llm_substring_dedup" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8),
+          i -> md5(array_to_string(list_slice(ws, i, i + 9), ' ')))) AS h
+        FROM toks WHERE len(ws) >= 10),
+      rep AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      per AS (
+        SELECT sp.doc_id, count(*) AS n_spans,
+               CAST(sum(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rep
+        FROM sp LEFT JOIN rep ON sp.h = rep.h
+        GROUP BY sp.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(per.n_rep, 0) AS BIGINT) AS n_repeated_spans,
+             round(coalesce(per.n_rep / per.n_spans, 0.0), 4) AS dup_ratio,
+             coalesce(per.n_rep / per.n_spans, 0.0) > 0.5 AS drop_doc
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id""",
 
     // Honest all-pairs predicate: every pair with shingle Jaccard >= 0.6.
     // The Spark plan must recover exactly this set through LSH banding.

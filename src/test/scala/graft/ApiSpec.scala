@@ -224,6 +224,33 @@ class ApiSpec extends AnyFunSuite {
     assert(back.count() > 0)
   }
 
+  test("Dedup.substringVerdicts equals llm_substring_dedup") {
+    val api = rowSet(Dedup.substringVerdicts(docs).orderBy("doc_id"))
+    val key = rowSet(SparkEntry.queries("llm_substring_dedup")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
+  test("Similarity.pqCodebooks + pqEncode equal the llm_quantize_pq internals") {
+    val cb = Similarity.pqCodebooks(embs)
+    assert(cb.count() === 8L * 16L, "8 subspaces x 16 codes")
+    val api = rowSet(Similarity.pqEncode(embs, cb))
+    val internal = rowSet(graft.ops.LlmOps.pqEncode(
+      embs.select(col("vec_id"), col("embedding")),
+      graft.ops.LlmOps.pqCodebooks(embs.select(col("vec_id"), col("embedding")))))
+    assert(api === internal)
+    assert(api.nonEmpty)
+  }
+
+  test("Text.trainBpe returns the same merge table as the internal trainer") {
+    val (apiMerges, apiVocab) = Text.trainBpe(docs)
+    val (intMerges, _) = graft.ops.TextOps.bpeTrain(
+      docs.select(col("doc_id"), col("text")))
+    assert(apiMerges === intMerges)
+    assert(apiMerges.nonEmpty)
+    assert(apiVocab.filter(concat_ws("", col("syms")) =!= col("word")).count() === 0)
+  }
+
   test("Graft.clearCaches drains every engine-tracked cache (no net growth)") {
     Graft.clearCaches() // start from a clean registry
     assert(GraftCaches.size === 0)

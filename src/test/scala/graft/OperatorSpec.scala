@@ -17,14 +17,71 @@ class OperatorSpec extends AnyFunSuite {
     test(s"$key: non-empty and deterministic on sf0.001") {
       val fn = SparkEntry.queries(key)
       val a = fn(spark, d).collect()
-      // llm_neardup_minhash may legitimately be empty at tiny sf, and
-      // join_anti is empty by data construction (every customer has orders —
-      // the sf0.01 oracle agrees on 0 rows); all others must produce rows.
-      if (key != "llm_neardup_minhash" && key != "join_anti")
+      // llm_neardup_minhash may legitimately be empty at tiny sf; all
+      // others must produce rows (join_anti's 1998-filtered anti set is
+      // non-empty at every SF since r6 — the r5 vacuous-pass fix).
+      if (key != "llm_neardup_minhash")
         assert(a.nonEmpty, s"$key returned 0 rows")
       val b = fn(spark, d).collect()
       assert(a.toSeq === b.toSeq, s"$key is nondeterministic across runs")
     }
+  }
+
+  test("llm_substring_dedup: planted repeated paragraph flagged per span") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a 12-word paragraph shared verbatim by docs 0 and 1 ⇒ exactly 3
+    // identical 10-word spans in each (spans crossing the paragraph edge
+    // pick up different context words and must NOT match)
+    val para = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq(
+      (0L, para + " " + (1 to 10).map(i => s"tail$i").mkString(" ")), // 22 words
+      (1L, "pre " + para),                                  // 13 words
+      (2L, (1 to 40).map(i => s"uniq$i").mkString(" ")),    // all unique
+      (3L, (1 to 9).map(i => s"short$i").mkString(" "))     // < span: no spans
+    ).toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.substringDedupOf(docs, 10)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // (doc_id, n_spans, n_repeated_spans, dup_ratio, drop_doc)
+    assert(byId(0L).getLong(1) === 13 && byId(0L).getLong(2) === 3)
+    assert(byId(1L).getLong(1) === 4 && byId(1L).getLong(2) === 3)
+    assert(byId(2L).getLong(2) === 0, "unique doc wrongly flagged")
+    assert(byId(3L).getLong(1) === 0 && byId(3L).getLong(2) === 0,
+      "sub-span doc must report zero spans, not a reversed sequence()")
+    // verdict: doc1 is 3/4 repeated (drop), doc0 only 3/13 (keep)
+    assert(byId(1L).getBoolean(4) === true)
+    assert(byId(0L).getBoolean(4) === false)
+    // doc-level dedup cannot see this: no two texts are equal
+    assert(docs.select(col("text")).distinct().count() === 4)
+  }
+
+  test("BPE trainer: deterministic merges, round-trip detokenization, compression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, expr, size, sum}
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val (merges1, vocab1) = graft.ops.TextOps.bpeTrain(docs)
+    val (merges2, _) = graft.ops.TextOps.bpeTrain(docs)
+    assert(merges1 === merges2, "retraining must reproduce the merge table")
+    assert(merges1.nonEmpty, "corpus with repeated words must learn merges")
+    // round-trip: concatenating a word's BPE tokens restores the word
+    assert(vocab1.filter(concat_ws("", col("syms")) =!= col("word")).count() === 0)
+    // compression direction: word-count <= BPE tokens <= char count,
+    // and the learned merges must beat the char-split baseline strictly
+    val agg = vocab1.select(
+      sum(size(col("syms")) * col("cnt")).as("toks"),
+      sum(expr("length(word)") * col("cnt")).as("chars"),
+      sum(col("cnt")).as("words")).first()
+    assert(agg.getLong(0) < agg.getLong(1), "no compression vs chars")
+    assert(agg.getLong(0) >= agg.getLong(2), "fewer tokens than words")
+
+    // planted fixture: with 'ab' the dominant adjacent pair, the first
+    // learned merge must be (a, b)
+    val tiny = Seq((0L, "abc abc abd"), (1L, "abe xy")).toDF("doc_id", "text")
+    val (m, v) = graft.ops.TextOps.bpeTrain(tiny)
+    assert(m.head === ("a", "b"), s"expected (a,b) first, got ${m.head}")
+    // "abc" (cnt 2) tokenizes through the merge chain; round-trip holds
+    assert(v.filter(concat_ws("", col("syms")) =!= col("word")).count() === 0)
   }
 
   test("containment df-cap: hot posting list dropped, pair output unchanged") {

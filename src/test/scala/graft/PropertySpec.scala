@@ -117,6 +117,32 @@ class PropertySpec extends AnyFunSuite {
     assert(r10 === 1.0, s"probing every cell must recover bruteforce, got $r10")
   }
 
+  test("llm_quantize_pq: well-formed 8x4-bit codes, recall floor vs brute force") {
+    // 8 codes of 4 bits = 8 B/vector (32x vs fp32, 8x vs int8). Measured
+    // recall@5 of the ADC-shortlist(25) + exact-rerank pipeline: 0.57 at
+    // sf0.001, 0.51 at sf0.01 — on NEAR-RANDOM synthetic embeddings, the
+    // hardest case for coarse codebooks; 0.4 is the regression floor.
+    // (Standalone ADC without rerank measured 0.22 — the rerank stage is
+    // load-bearing and this floor would catch its loss.)
+    val spark = TestSpark.spark
+    val d = TestSpark.sfDir
+    val e = Tables.embeddings(spark, d)
+    val enc = graft.ops.LlmOps.pqEncode(e, graft.ops.LlmOps.pqCodebooks(e)).collect()
+    assert(enc.length === e.count())
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length === 8, "one code per subspace")
+      assert(codes.forall(c => c >= 0 && c < 16), s"code out of 4-bit range: $codes")
+      assert(r.getSeq[Double](2).length === 64, "reconstruction must be full-dim")
+    }
+    val bf = SparkEntry.queries("llm_knn_bruteforce")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = SparkEntry.queries("llm_quantize_pq")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (pq & bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"PQ recall@5 regressed to $recall (measured 0.57)")
+  }
+
   test("int8 quantization: |cos_q - cos| bounded over all pairs") {
     // measured max error 0.0059 (sf0.001) / 0.0050 (sf0.01); 0.015 is the
     // regression bound for the scheme (scale = max|x|/127, half-up floor)
