@@ -109,7 +109,8 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},""" +
-      s""""protocol":{"batch":"median of $Repeats","stream":"min of $StreamRepeats after prewarm"},""" +
+      s""""protocol":{"batch":"median of $Repeats","stream":"min of $StreamRepeats after prewarm""" +
+      s""" (3 reps for high-variance: ${HighVarianceStreams.mkString(",")})"},""" +
       s""""raw":$rawAll,"queries":$qs}"""
     quietly(java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),

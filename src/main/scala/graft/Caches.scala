@@ -16,12 +16,10 @@ import org.apache.spark.sql.DataFrame
 private[graft] object GraftCaches {
   private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Register a frame the caller has `.cache()`d (or is about to). */
+  /** Register a frame the caller has `.cache()`d (or is about to).
+    * Pipelines that unpersist their own cache before returning (e.g.
+    * buildSignatureStore's shingle frame) skip tracking entirely. */
   def track(df: DataFrame): DataFrame = { frames.add(df); df }
-
-  /** Drop a frame from the registry after the caller unpersisted it
-    * itself (self-cleaning pipelines like buildSignatureStore). */
-  def untrack(df: DataFrame): Unit = { frames.remove(df); () }
 
   /** Unpersist every tracked frame; returns how many were unpersisted.
     * Safe to call mid-query: unpersist only re-enables recomputation. */

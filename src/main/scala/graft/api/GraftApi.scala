@@ -332,8 +332,11 @@ object Text {
                  tieBreakCols: Seq[String] = Nil): DataFrame = {
     // withColumn would silently OVERWRITE these if the input already has
     // them (ADVICE r5) — fail fast instead of corrupting user columns.
+    // Case-insensitive: withColumn resolves under the analyzer's default
+    // caseInsensitive mode, so a user's `Session_ID` would be replaced too.
+    val lowered = events.columns.map(_.toLowerCase)
     val clash = Seq("session_id", "__prev_us", "__new_s")
-      .filter(events.columns.contains)
+      .filter(lowered.contains)
     require(clash.isEmpty,
       s"sessionize writes columns $clash which already exist on the input; " +
       "rename or drop them first")

@@ -243,10 +243,19 @@ object LlmOps {
              first(col("sv")).as("sv")) // sv constant within the group
       val avgCols = (1 to PqSubDim).map(i =>
         round(avg(element_at(col("sv"), i)), 6).as(s"c$i"))
-      cb = assigned.groupBy("sub", "code")
+      val means = assigned.groupBy("sub", "code")
         .agg(avgCols.head, avgCols.tail: _*)
         .select(col("sub"), col("code"),
-                array((1 to PqSubDim).map(i => col(s"c$i")): _*).as("cvec"))
+                array((1 to PqSubDim).map(i => col(s"c$i")): _*).as("mvec"))
+      // a code with zero members (e.g. duplicate seed vectors tying every
+      // argmin to the lower code) keeps its previous centroid instead of
+      // dropping out — the codebook must stay exactly m×k rows or encoded
+      // codes stop being 4-bit (unlike the IVF coarse quantizer, where a
+      // lost CELL just coarsens the partition)
+      cb = cb.select(col("sub"), col("code"), col("cvec").as("prev"))
+        .join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+                coalesce(col("mvec"), col("prev")).as("cvec"))
     }
     // 8×16 rows, read by encode AND search — cache like the IVF centroids
     graft.GraftCaches.track(cb.cache())
@@ -747,10 +756,16 @@ object LlmOps {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     // sequence(1, n) needs n >= 1 (sequence(1, 0) counts DOWN) — the
     // filter guards it and short docs rejoin with 0 counts below.
-    val spans = toks.filter(size(col("ws")) >= span)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(ws) - ${span - 1}),
-              i -> md5(concat_ws(' ', slice(ws, i, $span))))""")).as("h"))
+    // cache(): the md5-over-concat higher-order transform runs INTERPRETED
+    // (the measured cache-win class, BASELINE cache-barrier notes) and
+    // feeds both the rep aggregate and the join back — uncached it
+    // executes twice per invocation.
+    val spans = graft.GraftCaches.track(
+      toks.filter(size(col("ws")) >= span)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(ws) - ${span - 1}),
+                i -> md5(concat_ws(' ', slice(ws, i, $span))))""")).as("h"))
+        .cache())
     val rep = spans.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)

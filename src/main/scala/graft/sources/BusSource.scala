@@ -32,13 +32,18 @@ object BusRegistry {
   final case class Topic(schema: StructType, batches: IndexedSeq[Array[InternalRow]])
   private val topics = scala.collection.concurrent.TrieMap.empty[String, Topic]
 
-  /** Publish `df` as `topic`, split into `nBatches` equal index slices of
-    * its CURRENT ordering (order the frame before publishing). Replaces
-    * any existing topic of the same name. */
+  /** Publish `df` as `topic`, split into exactly `min(nBatches, rows)`
+    * contiguous index slices of its CURRENT ordering (order the frame
+    * before publishing) — index-range cuts, not `grouped(ceil)`, which
+    * yields FEWER batches for small row counts and would break the
+    * batch-count pins. Replaces any existing topic of the same name. */
   def publish(topic: String, df: DataFrame, nBatches: Int): Unit = {
     val rows = df.queryExecution.executedPlan.executeCollect().map(_.copy())
-    val per = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
-    topics.put(topic, Topic(df.schema, rows.grouped(per).toIndexedSeq))
+    val n = rows.length
+    val nB = math.max(1, math.min(nBatches, n))
+    val batches = (0 until nB).map(i =>
+      rows.slice(((i.toLong * n) / nB).toInt, (((i + 1).toLong * n) / nB).toInt))
+    topics.put(topic, Topic(df.schema, batches))
     ()
   }
 
@@ -109,7 +114,11 @@ class BusMicroBatchStream(topic: String, perTrigger: Int)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s0 = start.asInstanceOf[BusOffset].n
-    BusOffset(math.min(s0 + perTrigger, target))
+    // clamp below at start: a topic republished SMALLER while a query
+    // resumes from a checkpoint must not move the end offset backwards
+    // (offset regression trips MicroBatchExecution's log invariants) —
+    // the stream simply reports no new data instead
+    BusOffset(math.max(s0, math.min(s0 + perTrigger, target)))
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

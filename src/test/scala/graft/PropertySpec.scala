@@ -143,6 +143,24 @@ class PropertySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"PQ recall@5 regressed to $recall (measured 0.57)")
   }
 
+  test("pqCodebooks: empty clusters carry forward — codebook stays m x k rows") {
+    // 20 vectors whose first 16 (the seeds) are pairwise duplicates: both
+    // codes of a duplicated pair start with identical centroids, argmin
+    // ties collapse onto the lower code, and the higher code gets ZERO
+    // members in round 1 — without carry-forward it would drop out and
+    // shrink the codebook below 8x16 (breaking the 4-bit code contract).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = (0 until 10).map(i => Array.fill(64)((i + 1).toFloat))
+    val vecs = (0 until 20).map(i => (i.toLong, base(i / 2 % 10)))
+      .toDF("vec_id", "embedding")
+    val cb = graft.ops.LlmOps.pqCodebooks(vecs)
+    assert(cb.count() === 8L * 16L, "codebook lost empty clusters")
+    val enc = graft.ops.LlmOps.pqEncode(vecs, cb).collect()
+    assert(enc.length === 20)
+    enc.foreach(r => assert(r.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+  }
+
   test("int8 quantization: |cos_q - cos| bounded over all pairs") {
     // measured max error 0.0059 (sf0.001) / 0.0050 (sf0.01); 0.015 is the
     // regression bound for the scheme (scale = max|x|/127, half-up floor)
