@@ -242,6 +242,20 @@ object Similarity {
   def pqEncode(vecs: DataFrame, codebooks: DataFrame,
                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     LlmOps.pqEncode(std(vecs, idCol, embCol), codebooks)
+
+  /** Composed IVF-PQ search — the full 100 TB index layout: coarse cells
+    * ([[trainCentroids]]) bound which postings are scanned, PQ codes
+    * ([[pqCodebooks]]) are what a posting stores, and the ADC shortlist →
+    * exact rerank bounds fp32 reads to shortlist × queries. With nprobe =
+    * #cells and shortlist ≥ corpus it provably equals exact brute force.
+    * Requires [[Graft.register]]. */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
+                  centroids: DataFrame, codebooks: DataFrame,
+                  k: Int = 5, nprobe: Int = 3, shortlist: Int = 25,
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  excludeSelfId: Boolean = true): DataFrame =
+    LlmOps.ivfPqSearchOf(std(queries, idCol, embCol), std(corpus, idCol, embCol),
+                         centroids, codebooks, nprobe, shortlist, k, excludeSelfId)
 }
 
 /** Text analysis / corpus hygiene over document frames. */

@@ -425,6 +425,48 @@ object LlmOps {
       .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF-PQ search — the composed 100 TB index layout: the coarse
+    * quantizer's cells bound WHICH postings are scanned (nprobe of
+    * #cells), the PQ codes are WHAT a posting stores (8 B/vector; vhat is
+    * their reconstruction), and the ADC-shortlist → exact-rerank pair
+    * bounds the fp32 reads to shortlist × queries. With nprobe = #cells
+    * and shortlist ≥ corpus this provably degenerates to exact brute force
+    * (same tiebreaks) — PropertySpec pins that identity plus the
+    * default-knob recall floor. */
+  private[graft] def ivfPqSearchOf(queries: DataFrame, corpus: DataFrame,
+                                   cen: DataFrame, cb: DataFrame,
+                                   nprobe: Int, shortlist: Int, k: Int,
+                                   excludeSelfId: Boolean = true): DataFrame = {
+    val cells = corpus.crossJoin(broadcast(cen))
+      .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"))
+    val posting = cells.join(pqEncode(corpus, cb), "vec_id")
+      .select(col("cell"), col("vec_id").as("n_id"), col("vhat"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell").asc)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cen))
+      .withColumn("cell_cos", cosD(col("q_emb"), col("cvec")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("cos_adc").desc, col("n_id").asc)
+    val cand = posting.join(broadcast(probes), "cell")
+    val short = (if (excludeSelfId) cand.filter(col("q_id") =!= col("n_id")) else cand)
+      .withColumn("cos_adc", cosD(col("q_emb"), col("vhat")))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= shortlist)
+      .select(col("q_id"), col("q_emb"), col("n_id"))
+    val orig = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    short.join(orig, "n_id") // exact fetch, bounded by shortlist × queries
+      .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Day-1 MinHash signature store for `llm_dedup_incremental`, built once
     * per sfDir per JVM (the "day 1 job") and then only READ: bands/ holds
     * the exploded (doc_id, band, bh) posting rows new docs probe; sh/ holds
@@ -1091,6 +1133,20 @@ object LlmOps {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // Composed IVF-PQ search (core notes on ivfPqSearchOf): trained coarse
+    // cells (the llm_knn_ivf quantizer) × PQ posting payloads (the
+    // llm_quantize_pq codebooks) × ADC shortlist-25 × exact rerank top-5.
+    // Oracle: NONE (both trainers are iterative); PropertySpec pins the
+    // exhaustive-knob ≡ brute-force identity and the default-knob recall.
+    "llm_knn_ivfpq" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddingsWide(s, d)
+      ivfPqSearchOf(e.filter(col("vec_id") < 100), e,
+                    kmeansCells(e, IvfCells, IvfIters), pqCodebooks(e),
+                    nprobe = IvfProbes, shortlist = 25, k = 5)
         .orderBy("q_id", "rk")
     }),
 

@@ -47,6 +47,24 @@ object BusRegistry {
     ()
   }
 
+  /** Append `df` to an existing topic as `min(nBatches, rows)` NEW batches
+    * after the current ones — the live-ingest operation: published batches
+    * are immutable (like a Kafka log), so a query resuming from a
+    * checkpoint continues at its committed batch index and sees exactly
+    * the appended data (pinned by the StreamingSpec resume test). */
+  def append(topic: String, df: DataFrame, nBatches: Int): Unit = {
+    val existing = get(topic)
+    require(df.schema == existing.schema,
+      s"append schema ${df.schema.simpleString} != topic schema ${existing.schema.simpleString}")
+    val rows = df.queryExecution.executedPlan.executeCollect().map(_.copy())
+    val n = rows.length
+    val nB = math.max(1, math.min(nBatches, n))
+    val batches = (0 until nB).map(i =>
+      rows.slice(((i.toLong * n) / nB).toInt, (((i + 1).toLong * n) / nB).toInt))
+    topics.put(topic, existing.copy(batches = existing.batches ++ batches))
+    ()
+  }
+
   def get(topic: String): Topic =
     topics.getOrElse(topic,
       throw new IllegalArgumentException(

@@ -242,6 +242,16 @@ class ApiSpec extends AnyFunSuite {
     assert(api.nonEmpty)
   }
 
+  test("Similarity.ivfPqSearch with the key's knobs equals llm_knn_ivfpq") {
+    val cen = Similarity.trainCentroids(embs, k = 10, iters = 2)
+    val cb = Similarity.pqCodebooks(embs)
+    val api = rowSet(Similarity.ivfPqSearch(
+      embs.filter(col("vec_id") < 100), embs, cen, cb).orderBy("q_id", "rk"))
+    val key = rowSet(SparkEntry.queries("llm_knn_ivfpq")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
   test("Text.trainBpe returns the same merge table as the internal trainer") {
     val (apiMerges, apiVocab) = Text.trainBpe(docs)
     val (intMerges, _) = graft.ops.TextOps.bpeTrain(

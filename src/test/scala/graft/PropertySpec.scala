@@ -143,6 +143,34 @@ class PropertySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"PQ recall@5 regressed to $recall (measured 0.57)")
   }
 
+  test("llm_knn_ivfpq: exhaustive knobs equal brute force; default knobs recall") {
+    // nprobe = #cells makes the candidate set the whole corpus; shortlist
+    // >= corpus makes the exact rerank rank everything — so the composed
+    // index must reproduce llm_knn_bruteforce BIT-FOR-BIT (same
+    // tiebreaks), which pins every stage's plumbing at once. Verified
+    // equal at sf0.001 AND sf0.01; default knobs (nprobe=3, shortlist=25)
+    // measured recall@5 0.476-0.48 (≈ IVF cell recall x ADC survival).
+    val spark = TestSpark.spark
+    val d = TestSpark.sfDir
+    graft.functions.CosineSimilarity.register(spark)
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddingsWide(spark, d)
+    val bfRows = SparkEntry.queries("llm_knn_bruteforce")(spark, d).collect()
+    val cen = graft.ops.LlmOps.kmeansCells(e, 10, 2)
+    val cb = graft.ops.LlmOps.pqCodebooks(e)
+    val ex = graft.ops.LlmOps.ivfPqSearchOf(
+        e.filter(col("vec_id") < 100), e, cen, cb,
+        nprobe = 10, shortlist = e.count().toInt, k = 5)
+      .orderBy("q_id", "rk").collect()
+    assert(ex.map(_.mkString("|")).toSet === bfRows.map(_.mkString("|")).toSet,
+      "exhaustive IVF-PQ must degenerate to exact brute force")
+    val bf = bfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val dflt = SparkEntry.queries("llm_knn_ivfpq")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (dflt & bf).size.toDouble / bf.size
+    assert(recall >= 0.35, s"IVF-PQ default recall regressed to $recall")
+  }
+
   test("pqCodebooks: empty clusters carry forward — codebook stays m x k rows") {
     // 20 vectors whose first 16 (the seeds) are pairwise duplicates: both
     // codes of a duplicated pair start with identical centroids, argmin

@@ -249,4 +249,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(baos.toString.contains("GraftBusScan"),
       "custom DSv2 scan node missing from the streaming plan")
   }
+
+  test("graft-bus: checkpointed query resumes at its committed batch index") {
+    import graft.sources.BusRegistry
+    val ev = Tables.events(spark, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("ts", "event_id")
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    val topic = "resume_spec_topic"
+    BusRegistry.publish(topic, half1, nBatches = 3)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bus-resume-ck-")
+      .toFile.getAbsolutePath
+    val out = java.nio.file.Files.createTempDirectory("graft-bus-resume-out-")
+      .toFile.getAbsolutePath
+    // parquet sink: its _spark_metadata commit log survives restarts, so a
+    // re-run that wrongly REPLAYED batches would show up as duplicates
+    def run(): Unit =
+      spark.readStream.format("graft-bus")
+        .option("topic", topic).option("batchesPerTrigger", 1).load()
+        .select("event_id", "user_id", "value")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    run()
+    assert(spark.read.parquet(out).count() === half1.count())
+    // live ingest: 3 appended batches; the restarted query must consume
+    // ONLY them (offsets 3..6), not replay 0..3
+    BusRegistry.append(topic, half2, nBatches = 3)
+    run()
+    val back = spark.read.parquet(out)
+    assert(back.count() === ev.count(), "resume lost or duplicated rows")
+    assert(back.select("event_id").distinct().count() === ev.count())
+  }
 }
