@@ -112,4 +112,11 @@ class GoldenSpec extends AnyFunSuite {
     val s = Tables.lineitem(spark, d).agg(round(sum("l_quantity"), 2)).collect()(0).getDouble(0)
     assert(s === 152257.0)
   }
+
+  test("llm_substring_dedup: 45 of 500 docs carry the 1073 repeated spans") {
+    // frozen from an independent DuckDB computation at sf0.001
+    val rows = SparkEntry.queries("llm_substring_dedup")(spark, d).collect()
+    assert(rows.length === 500)
+    assert(rows.count(_.getLong(2) > 0) === 45)
+  }
 }

@@ -353,6 +353,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"row-level window lost its bucket partitioning:\n$p")
   }
 
+  test("llm_substring_dedup: no pair enumeration anywhere in the plan") {
+    // the scale claim: repeated-span detection is agg + join-back on the
+    // span hash — a doc-pair expansion (cartesian or nested-loop) would
+    // reintroduce the O(df²) hot-boilerplate blow-up containment needs a
+    // df-cap for
+    val p = plan("llm_substring_dedup")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+    // the repeated-span set joins back by hash equality
+    assert(p.contains("[h"), "span-hash join key missing from the plan")
+  }
+
   test("graft-bus: readStream resolves to the custom DSv2 table") {
     val topic = graft.streaming.StreamOps.busTopic(spark, d)
     val df = spark.readStream.format("graft-bus").option("topic", topic).load()
