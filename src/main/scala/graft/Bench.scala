@@ -62,6 +62,7 @@ object Bench {
     def quietly(f: => Any): Unit = try { f; () } catch { case _: Throwable => () }
     quietly(graft.streaming.StreamOps.prewarm(spark, sfDir))
     quietly(graft.ops.LlmOps.sigStorePath(spark, sfDir))
+    quietly(graft.ops.LlmOps.annIndexPath(spark, sfDir))
     quietly(graft.ops.JoinOps.bucketedTables(spark, sfDir))
     quietly(graft.ops.OptOps.partitionedLineitem(spark, sfDir))
     quietly(graft.ops.ScanOps.jdbcOrdersUrl(spark, sfDir))
