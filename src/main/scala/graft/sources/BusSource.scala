@@ -2,10 +2,12 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -71,6 +73,26 @@ object BusRegistry {
         s"graft-bus topic '$topic' not published; call BusRegistry.publish first"))
 
   def contains(topic: String): Boolean = topics.contains(topic)
+
+  // ---- sink side: epoch-idempotent appends ----
+  private val epochs = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val commitLock = new Object
+
+  /** Commit one sink epoch: append `rows` as ONE new batch of `topic`
+    * (creating it with `schema` on first write). IDEMPOTENT per epoch —
+    * a query restarted between the sink commit and the offset-log write
+    * re-runs the epoch, and the replayed commit must be a no-op (the same
+    * convergence contract as the JDBC keyed upsert). */
+  private[graft] def commitEpoch(topic: String, schema: StructType,
+                                 epochId: Long, rows: Array[InternalRow]): Unit =
+    commitLock.synchronized {
+      if (!epochs.get(topic).exists(_ >= epochId)) {
+        val t = topics.getOrElse(topic, Topic(schema, IndexedSeq.empty))
+        topics.put(topic, t.copy(batches = t.batches :+ rows))
+        epochs.put(topic, epochId)
+        ()
+      }
+    }
 }
 
 /** `format("graft-bus")` entry point (registered via
@@ -87,21 +109,64 @@ class BusSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     BusRegistry.get(topicOf(options)).schema
 
+  // writes carry the query's schema in getTable (so a SINK topic need not
+  // pre-exist); reads still resolve through inferSchema above
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new BusTable(topicOf(new CaseInsensitiveStringMap(properties)), schema)
 }
 
-class BusTable(topic: String, tschema: StructType) extends Table with SupportsRead {
+class BusTable(topic: String, tschema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-bus:$topic"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+                         TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val perTrigger = Option(options.get("batchesPerTrigger")).map(_.toInt).getOrElse(1)
     () => new BusScan(topic, tschema, perTrigger)
   }
+
+  // WriteBuilder.build() has a default impl, so no SAM conversion here
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new BusStreamingWrite(topic, info.schema())
+      }
+    }
+}
+
+/** Streaming SINK half of the connector: per-partition DataWriters buffer
+  * rows, the driver-side commit appends ONE batch per epoch through the
+  * registry's idempotent epoch log — a replayed micro-batch (restart
+  * between sink commit and offset-log write) converges instead of
+  * double-appending, the same exactly-once recipe as the JDBC upsert. */
+class BusStreamingWrite(topic: String, schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new BusWriterFactory
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    BusRegistry.commitEpoch(topic, schema, epochId,
+      messages.flatMap(_.asInstanceOf[BusCommitMessage].rows))
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class BusCommitMessage(rows: Array[InternalRow]) extends WriterCommitMessage
+
+class BusWriterFactory extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      override def write(r: InternalRow): Unit = { buf += r.copy(); () }
+      override def commit(): WriterCommitMessage = BusCommitMessage(buf.toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 class BusScan(topic: String, tschema: StructType, perTrigger: Int) extends Scan {

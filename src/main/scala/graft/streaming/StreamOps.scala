@@ -688,6 +688,34 @@ object StreamOps {
         .start()
         .awaitTermination()
       s.table(name).orderBy("event_id")
+    }),
+
+    // Write half of the connector: bus source → filter/project → bus SINK
+    // (StreamingWrite with epoch-idempotent driver-side commits — a
+    // replayed micro-batch converges, StreamingSpec pins it), then read
+    // the sink topic back through the source. The oracle checks the whole
+    // round trip: every row through BOTH connector halves intact.
+    "stream_bus_sink" -> ((s, d) => {
+      val topic = busTopic(s, d)
+      val nc = nameCounter.incrementAndGet()
+      val out = s"bus_sink_$nc"
+      val ckptW = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+      s.readStream.format("graft-bus")
+        .option("topic", topic).option("batchesPerTrigger", 2).load()
+        .filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "value")
+        .writeStream.format("graft-bus").option("topic", out)
+        .option("checkpointLocation", ckptW).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      val name = s"graft_stream_$nc"
+      val ckptR = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+      s.readStream.format("graft-bus").option("topic", out).load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckptR).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table(name).orderBy("event_id")
     })
   )
 
@@ -810,6 +838,13 @@ object StreamOps {
       SELECT event_id, user_id, value
       FROM events
       WHERE event_type = 'purchase'
+      ORDER BY event_id""",
+
+    // Round trip through BOTH connector halves must deliver every row once.
+    "stream_bus_sink" -> """
+      SELECT event_id, user_id, value
+      FROM events
+      WHERE event_type = 'signup'
       ORDER BY event_id"""
   )
 }

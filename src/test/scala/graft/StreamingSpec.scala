@@ -250,6 +250,45 @@ class StreamingSpec extends AnyFunSuite {
       "custom DSv2 scan node missing from the streaming plan")
   }
 
+  test("graft-bus sink: full connector round-trip, epoch commits idempotent") {
+    import graft.sources.BusRegistry
+    val topicIn = StreamOps.busTopic(spark, d)
+    val out = "bus_sink_out_spec"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bus-sink-ck-")
+      .toFile.getAbsolutePath
+    // bus source → bus SINK: 3 micro-batches (6 queued / 2 per trigger),
+    // each committed as one epoch-guarded batch of the out topic
+    spark.readStream.format("graft-bus")
+      .option("topic", topicIn).option("batchesPerTrigger", 2).load()
+      .writeStream.format("graft-bus").option("topic", out)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val nIn = Tables.events(spark, d).count()
+    def readBack(): Long = {
+      val name = s"bus_sink_back_${System.identityHashCode(new Object)}"
+      val ck2 = java.nio.file.Files.createTempDirectory("graft-bus-sink-rb-")
+        .toFile.getAbsolutePath
+      spark.readStream.format("graft-bus").option("topic", out).load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck2).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      spark.table(name).count()
+    }
+    assert(BusRegistry.get(out).batches.length === 3)
+    assert(readBack() === nIn, "sink lost or duplicated rows")
+    // a REPLAYED epoch (restart between sink commit and offset-log write)
+    // must be a no-op — commit epoch 0 again with fabricated rows
+    val sch = BusRegistry.get(out).schema
+    BusRegistry.commitEpoch(out, sch, 0L, Array.empty)
+    assert(BusRegistry.get(out).batches.length === 3,
+      "replayed epoch appended a duplicate batch")
+    // a NEW epoch appends
+    BusRegistry.commitEpoch(out, sch, 99L, Array.empty)
+    assert(BusRegistry.get(out).batches.length === 4)
+  }
+
   test("graft-bus: checkpointed query resumes at its committed batch index") {
     import graft.sources.BusRegistry
     val ev = Tables.events(spark, d)
