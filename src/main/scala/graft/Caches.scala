@@ -37,3 +37,25 @@ private[graft] object GraftCaches {
   /** Number of currently tracked frames (test hook). */
   def size: Int = frames.size
 }
+
+/** Shared builder for the per-(JVM, sfDir) persisted store dirs (the
+  * day-1 artifacts: dedup signature store, ANN index, BPE tokenizer).
+  * One implementation of the tempdir + recursive shutdown reaper so a
+  * reaper fix cannot drift across the three call sites. computeIfAbsent
+  * gives per-key build exclusivity — a concurrent first call blocks
+  * instead of building a second orphaned dir. */
+private[graft] object StoreDir {
+  def of(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+         key: String, prefix: String)(build: String => Unit): String =
+    cache.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(prefix)
+      build(dir.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        try Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        catch { case _: Throwable => () } // tmp reaper is the backstop
+      }))
+      dir.toString
+    })
+}

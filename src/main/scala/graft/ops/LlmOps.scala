@@ -399,25 +399,37 @@ object LlmOps {
     * the posting scan; an unhinted equi-join on `cell` would shuffle the
     * WHOLE posting table into ≤ #cells partitions (few-value key ⇒ maximal
     * skew at 100 TB). Shared by llm_knn_ivf and graft.api.Similarity.ivfSearch. */
-  private[graft] def ivfSearchOf(queries: DataFrame, corpus: DataFrame,
-                                 cen: DataFrame, nprobe: Int, k: Int,
-                                 excludeSelfId: Boolean = true): DataFrame = {
-    val posting = corpus.crossJoin(broadcast(cen))
-      .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"),
-           first(col("embedding")).as("n_emb"))
-      .select(col("cell"), col("vec_id").as("n_id"), col("n_emb"))
+  /** Shared argmax-cell tiebreak (best cosine, then LOWEST cell) and the
+    * per-query probe-cell selection — ONE definition for the IVF and
+    * IVF-PQ searches, so the tiebreak chain behind the "exhaustive knobs ≡
+    * brute force" property cannot drift between the two plans. */
+  private def nearestCellAgg =
+    max_by(col("cell"), struct(col("cell_cos"), -col("cell")))
+
+  /** (q_id, q_emb, cell): each query's `nprobe` best cells. */
+  private def probeCells(queries: DataFrame, cen: DataFrame,
+                         nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell").asc)
-    val probes = queries
+    queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cen))
       .withColumn("cell_cos", cosD(col("q_emb"), col("cvec")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cell"))
+  }
+
+  private[graft] def ivfSearchOf(queries: DataFrame, corpus: DataFrame,
+                                 cen: DataFrame, nprobe: Int, k: Int,
+                                 excludeSelfId: Boolean = true): DataFrame = {
+    val posting = corpus.crossJoin(broadcast(cen))
+      .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(nearestCellAgg.as("cell"),
+           first(col("embedding")).as("n_emb"))
+      .select(col("cell"), col("vec_id").as("n_id"), col("n_emb"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    val cand = posting.join(broadcast(probes), "cell")
+    val cand = posting.join(broadcast(probeCells(queries, cen, nprobe)), "cell")
     (if (excludeSelfId) cand.filter(col("q_id") =!= col("n_id")) else cand)
       .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
       .withColumn("rk", row_number().over(wTop))
@@ -433,26 +445,32 @@ object LlmOps {
     * and shortlist ≥ corpus this provably degenerates to exact brute force
     * (same tiebreaks) — PropertySpec pins that identity plus the
     * default-knob recall floor. */
+  /** (cell, n_id, vhat): the stored IVF-PQ index — each vector's coarse
+    * cell plus its PQ reconstruction. Persisted by [[annIndexPath]]. */
+  private[graft] def pqPosting(corpus: DataFrame, cen: DataFrame,
+                               cb: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cen))
+      .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(nearestCellAgg.as("cell"))
+      .join(pqEncode(corpus, cb), "vec_id")
+      .select(col("cell"), col("vec_id").as("n_id"), col("vhat"))
+
   private[graft] def ivfPqSearchOf(queries: DataFrame, corpus: DataFrame,
                                    cen: DataFrame, cb: DataFrame,
                                    nprobe: Int, shortlist: Int, k: Int,
-                                   excludeSelfId: Boolean = true): DataFrame = {
-    val cells = corpus.crossJoin(broadcast(cen))
-      .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"))
-    val posting = cells.join(pqEncode(corpus, cb), "vec_id")
-      .select(col("cell"), col("vec_id").as("n_id"), col("vhat"))
-    val wProbe = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell").asc)
-    val probes = queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cen))
-      .withColumn("cell_cos", cosD(col("q_emb"), col("cvec")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cell"))
+                                   excludeSelfId: Boolean = true): DataFrame =
+    ivfPqSearchPosting(queries, corpus, pqPosting(corpus, cen, cb), cen,
+                       nprobe, shortlist, k, excludeSelfId)
+
+  /** Search against an ALREADY-BUILT posting frame (the store-read path —
+    * a real deployment never rebuilds the index per query batch). */
+  private[graft] def ivfPqSearchPosting(queries: DataFrame, corpus: DataFrame,
+                                        posting: DataFrame, cen: DataFrame,
+                                        nprobe: Int, shortlist: Int, k: Int,
+                                        excludeSelfId: Boolean = true): DataFrame = {
     val wAdc = Window.partitionBy("q_id").orderBy(col("cos_adc").desc, col("n_id").asc)
-    val cand = posting.join(broadcast(probes), "cell")
+    val cand = posting.join(broadcast(probeCells(queries, cen, nprobe)), "cell")
     val short = (if (excludeSelfId) cand.filter(col("q_id") =!= col("n_id")) else cand)
       .withColumn("cos_adc", cosD(col("q_emb"), col("vhat")))
       .withColumn("srk", row_number().over(wAdc))
@@ -485,21 +503,13 @@ object LlmOps {
   private val sigStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def sigStorePath(s: SparkSession, d: String): String =
-    sigStoreCache.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-sigstore-")
+    graft.StoreDir.of(sigStoreCache, d, "graft-sigstore-") { dir =>
       val day1 = shingled(s, d).filter(pmod(col("doc_id"), lit(4)) =!= 0).cache()
       bandedSigs(day1).write.mode("overwrite").parquet(s"$dir/bands")
       day1.write.mode("overwrite").parquet(s"$dir/sh")
       day1.unpersist()
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        catch { case _: Throwable => () } // tmp reaper is the backstop
-      }))
-      dir.toString
-    })
+      ()
+    }
 
   /** Trained ANN index store for `llm_knn_ivfpq` — the same day-1/day-N
     * economics as the MinHash signature store above: the coarse centroids
@@ -513,20 +523,18 @@ object LlmOps {
   private val annIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def annIndexPath(s: SparkSession, d: String): String =
-    annIndexCache.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-annindex-")
+    graft.StoreDir.of(annIndexCache, d, "graft-annindex-") { dir =>
       val e = Tables.embeddingsWide(s, d)
-      kmeansCells(e, IvfCells, IvfIters).write.mode("overwrite").parquet(s"$dir/cen")
-      pqCodebooks(e).write.mode("overwrite").parquet(s"$dir/cb")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        catch { case _: Throwable => () } // tmp reaper is the backstop
-      }))
-      dir.toString
-    })
+      val cen = kmeansCells(e, IvfCells, IvfIters)
+      val cb = pqCodebooks(e)
+      cen.write.mode("overwrite").parquet(s"$dir/cen")
+      cb.write.mode("overwrite").parquet(s"$dir/cb")
+      // the posting list IS the stored index in a real IVF-PQ deployment:
+      // (cell, n_id, vhat) persisted so a search is read-only — the
+      // per-invocation corpus crossJoin + full pqEncode move to day 1
+      pqPosting(e, cen, cb).write.mode("overwrite").parquet(s"$dir/posting")
+      ()
+    }
 
   /** (doc_id, sh): shingle sets of every document with ≥1 shingle, over any
     * (doc_id, text) frame — the graft.api entry point. */
@@ -1144,7 +1152,10 @@ object LlmOps {
     "llm_quantize_pq" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddingsWide(s, d)
-      val enc = pqEncode(e, pqCodebooks(e))
+      // codebooks from the day-1 store (train-once economics; store-read ≡
+      // fresh-train is pinned by ApiSpec) — the ADC scan + rerank is the
+      // measured work
+      val enc = pqEncode(e, s.read.parquet(s"${annIndexPath(s, d)}/cb"))
       val q = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"),
                 transform(col("embedding"), x => x.cast("double")).as("q_emb"))
@@ -1175,9 +1186,9 @@ object LlmOps {
       CosineSimilarity.register(s)
       val idx = annIndexPath(s, d)
       val e = Tables.embeddingsWide(s, d)
-      ivfPqSearchOf(e.filter(col("vec_id") < 100), e,
-                    s.read.parquet(s"$idx/cen"), s.read.parquet(s"$idx/cb"),
-                    nprobe = IvfProbes, shortlist = 25, k = 5)
+      ivfPqSearchPosting(e.filter(col("vec_id") < 100), e,
+                         s.read.parquet(s"$idx/posting"), s.read.parquet(s"$idx/cen"),
+                         nprobe = IvfProbes, shortlist = 25, k = 5)
         .orderBy("q_id", "rk")
     }),
 

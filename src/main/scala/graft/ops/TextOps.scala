@@ -58,8 +58,7 @@ object TextOps {
   private val bpeStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def bpeStorePath(s: SparkSession, d: String): String =
-    bpeStoreCache.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bpestore-")
+    graft.StoreDir.of(bpeStoreCache, d, "graft-bpestore-") { dir =>
       val (merges, vocab) = bpeTrain(
         Tables.documentsWide(s, d).select(col("doc_id"), col("text")))
       vocab.write.mode("overwrite").parquet(s"$dir/vocab")
@@ -67,15 +66,8 @@ object TextOps {
       merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
         .toDF("rank", "a", "b")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        catch { case _: Throwable => () } // tmp reaper is the backstop
-      }))
-      dir.toString
-    })
+      ()
+    }
 
   /** Train up to [[BpeMerges]] merges (early-stop when no adjacent pair
     * recurs). Returns the ranked merge table and the final vocab frame —

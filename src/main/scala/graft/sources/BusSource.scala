@@ -33,19 +33,39 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object BusRegistry {
   final case class Topic(schema: StructType, batches: IndexedSeq[Array[InternalRow]])
   private val topics = scala.collection.concurrent.TrieMap.empty[String, Topic]
+  // all mutations (publish/append/commitEpoch/remove) serialize on one
+  // lock: an unsynchronized read-modify-write racing a sink commit would
+  // silently drop the committed batch while its epoch stays recorded
+  private val lock = new Object
+
+  /** Value-compatible schemas: same field names and types in order;
+    * top-level nullability and metadata are row-layout-irrelevant and
+    * must not block an ingest (a projected literal select is often
+    * non-nullable where the parquet original was nullable). */
+  private def compatible(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType))
+      .sameElements(b.fields.map(f => (f.name, f.dataType)))
+
+  private def sliced(df: DataFrame, nBatches: Int): IndexedSeq[Array[InternalRow]] = {
+    val rows = df.queryExecution.executedPlan.executeCollect().map(_.copy())
+    val n = rows.length
+    val nB = math.max(1, math.min(nBatches, n))
+    (0 until nB).map(i =>
+      rows.slice(((i.toLong * n) / nB).toInt, (((i + 1).toLong * n) / nB).toInt))
+  }
 
   /** Publish `df` as `topic`, split into exactly `min(nBatches, rows)`
     * contiguous index slices of its CURRENT ordering (order the frame
     * before publishing) — index-range cuts, not `grouped(ceil)`, which
     * yields FEWER batches for small row counts and would break the
-    * batch-count pins. Replaces any existing topic of the same name. */
+    * batch-count pins. Replaces any existing topic of the same name
+    * (including its sink epoch log — the replacement is a NEW log). */
   def publish(topic: String, df: DataFrame, nBatches: Int): Unit = {
-    val rows = df.queryExecution.executedPlan.executeCollect().map(_.copy())
-    val n = rows.length
-    val nB = math.max(1, math.min(nBatches, n))
-    val batches = (0 until nB).map(i =>
-      rows.slice(((i.toLong * n) / nB).toInt, (((i + 1).toLong * n) / nB).toInt))
-    topics.put(topic, Topic(df.schema, batches))
+    val batches = sliced(df, nBatches)
+    lock.synchronized {
+      topics.put(topic, Topic(df.schema, batches))
+      epochs.filterInPlace { case ((t, _), _) => t != topic }
+    }
     ()
   }
 
@@ -55,15 +75,20 @@ object BusRegistry {
     * checkpoint continues at its committed batch index and sees exactly
     * the appended data (pinned by the StreamingSpec resume test). */
   def append(topic: String, df: DataFrame, nBatches: Int): Unit = {
-    val existing = get(topic)
-    require(df.schema == existing.schema,
-      s"append schema ${df.schema.simpleString} != topic schema ${existing.schema.simpleString}")
-    val rows = df.queryExecution.executedPlan.executeCollect().map(_.copy())
-    val n = rows.length
-    val nB = math.max(1, math.min(nBatches, n))
-    val batches = (0 until nB).map(i =>
-      rows.slice(((i.toLong * n) / nB).toInt, (((i + 1).toLong * n) / nB).toInt))
-    topics.put(topic, existing.copy(batches = existing.batches ++ batches))
+    val batches = sliced(df, nBatches)
+    lock.synchronized {
+      val existing = get(topic)
+      require(compatible(df.schema, existing.schema),
+        s"append schema ${df.schema.simpleString} != topic schema ${existing.schema.simpleString}")
+      topics.put(topic, existing.copy(batches = existing.batches ++ batches))
+    }
+    ()
+  }
+
+  /** Drop a topic and its epoch log, releasing the driver-held rows. */
+  def remove(topic: String): Unit = lock.synchronized {
+    topics.remove(topic)
+    epochs.filterInPlace { case ((t, _), _) => t != topic }
     ()
   }
 
@@ -75,21 +100,28 @@ object BusRegistry {
   def contains(topic: String): Boolean = topics.contains(topic)
 
   // ---- sink side: epoch-idempotent appends ----
-  private val epochs = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private val commitLock = new Object
+  // keyed by (topic, queryId): two INDEPENDENT queries writing one topic
+  // both restart their epochs at 0 — a per-topic high-water mark would
+  // silently swallow the second query's entire early output
+  private val epochs = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
-  /** Commit one sink epoch: append `rows` as ONE new batch of `topic`
-    * (creating it with `schema` on first write). IDEMPOTENT per epoch —
-    * a query restarted between the sink commit and the offset-log write
-    * re-runs the epoch, and the replayed commit must be a no-op (the same
-    * convergence contract as the JDBC keyed upsert). */
-  private[graft] def commitEpoch(topic: String, schema: StructType,
+  /** Commit one sink epoch of `queryId`: append `rows` as ONE new batch of
+    * `topic` (creating it with `schema` on first write). IDEMPOTENT per
+    * (query, epoch) — a query restarted between the sink commit and the
+    * offset-log write re-runs the epoch, and the replayed commit must be
+    * a no-op (the same convergence contract as the JDBC keyed upsert). */
+  private[graft] def commitEpoch(topic: String, queryId: String, schema: StructType,
                                  epochId: Long, rows: Array[InternalRow]): Unit =
-    commitLock.synchronized {
-      if (!epochs.get(topic).exists(_ >= epochId)) {
+    lock.synchronized {
+      if (!epochs.get((topic, queryId)).exists(_ >= epochId)) {
         val t = topics.getOrElse(topic, Topic(schema, IndexedSeq.empty))
+        // a sink writing a pre-existing topic must match its row layout —
+        // readers resolve the TOPIC's schema, and mismatched UnsafeRow
+        // field offsets would read as garbage, not as a clean error
+        require(compatible(schema, t.schema),
+          s"sink schema ${schema.simpleString} != topic schema ${t.schema.simpleString}")
         topics.put(topic, t.copy(batches = t.batches :+ rows))
-        epochs.put(topic, epochId)
+        epochs.put((topic, queryId), epochId)
         ()
       }
     }
@@ -136,7 +168,7 @@ class BusTable(topic: String, tschema: StructType)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
-          new BusStreamingWrite(topic, info.schema())
+          new BusStreamingWrite(topic, info.queryId(), info.schema())
       }
     }
 }
@@ -146,11 +178,12 @@ class BusTable(topic: String, tschema: StructType)
   * registry's idempotent epoch log — a replayed micro-batch (restart
   * between sink commit and offset-log write) converges instead of
   * double-appending, the same exactly-once recipe as the JDBC upsert. */
-class BusStreamingWrite(topic: String, schema: StructType) extends StreamingWrite {
+class BusStreamingWrite(topic: String, queryId: String,
+                        schema: StructType) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new BusWriterFactory
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    BusRegistry.commitEpoch(topic, schema, epochId,
+    BusRegistry.commitEpoch(topic, queryId, schema, epochId,
       messages.flatMap(_.asInstanceOf[BusCommitMessage].rows))
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -185,11 +218,16 @@ class BusMicroBatchStream(topic: String, perTrigger: Int)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private def total: Long = BusRegistry.get(topic).batches.length.toLong
-  // AvailableNow pins the end target at query start; a topic republished
-  // mid-query can then not move the goalposts.
-  @volatile private var target: Long = total
+  // Under AvailableNow the end target is PINNED at query start (the
+  // trigger's contract: drain what exists, then stop — a topic mutated
+  // mid-run cannot move the goalposts). Under a live trigger
+  // (ProcessingTime) no pin exists and every latestOffset call re-reads
+  // the CURRENT batch count, so BusRegistry.append-ed batches flow to a
+  // running query — the tailing behavior the Kafka analogy implies.
+  @volatile private var pinned: Option[Long] = None
+  private def target: Long = pinned.getOrElse(total)
 
-  override def prepareForTriggerAvailableNow(): Unit = { target = total }
+  override def prepareForTriggerAvailableNow(): Unit = { pinned = Some(total) }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def initialOffset(): Offset = BusOffset(0L)
   override def deserializeOffset(json: String): Offset = BusOffset(json.toLong)

@@ -715,6 +715,9 @@ object StreamOps {
         .option("checkpointLocation", ckptR).outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
+      // the memory-sink table now holds the result; drop the per-invocation
+      // sink topic so repeated invocations don't accrete driver-held rows
+      graft.sources.BusRegistry.remove(out)
       s.table(name).orderBy("event_id")
     })
   )

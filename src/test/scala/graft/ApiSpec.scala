@@ -259,6 +259,12 @@ class ApiSpec extends AnyFunSuite {
     assert(apiMerges === intMerges)
     assert(apiMerges.nonEmpty)
     assert(apiVocab.filter(concat_ws("", col("syms")) =!= col("word")).count() === 0)
+    // the persisted tokenizer store must carry the SAME merge table — the
+    // store-read ≡ fresh-train determinism claim, pinned on the artifact
+    val storeMerges = spark.read
+      .parquet(s"${graft.ops.TextOps.bpeStorePath(spark, d)}/merges")
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(storeMerges === apiMerges)
   }
 
   test("Graft.clearCaches drains every engine-tracked cache (no net growth)") {

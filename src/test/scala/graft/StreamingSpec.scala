@@ -278,15 +278,62 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(BusRegistry.get(out).batches.length === 3)
     assert(readBack() === nIn, "sink lost or duplicated rows")
-    // a REPLAYED epoch (restart between sink commit and offset-log write)
-    // must be a no-op — commit epoch 0 again with fabricated rows
     val sch = BusRegistry.get(out).schema
-    BusRegistry.commitEpoch(out, sch, 0L, Array.empty)
-    assert(BusRegistry.get(out).batches.length === 3,
-      "replayed epoch appended a duplicate batch")
-    // a NEW epoch appends
-    BusRegistry.commitEpoch(out, sch, 99L, Array.empty)
+    // idempotence is keyed per (query, epoch): a REPLAYED epoch of the
+    // same query no-ops; the SAME epoch number from a DIFFERENT query
+    // (fresh checkpoint, epochs restart at 0) must still append
+    BusRegistry.commitEpoch(out, "spec-q1", sch, 0L, Array.empty)
     assert(BusRegistry.get(out).batches.length === 4)
+    BusRegistry.commitEpoch(out, "spec-q1", sch, 0L, Array.empty)
+    assert(BusRegistry.get(out).batches.length === 4,
+      "replayed (query, epoch) appended a duplicate batch")
+    BusRegistry.commitEpoch(out, "spec-q2", sch, 0L, Array.empty)
+    assert(BusRegistry.get(out).batches.length === 5,
+      "an independent query's epoch 0 was swallowed by another query's log")
+    // mismatched sink schema must fail loudly, not corrupt the row layout
+    intercept[IllegalArgumentException] {
+      BusRegistry.commitEpoch(out, "spec-q3",
+        new org.apache.spark.sql.types.StructType().add("only_col", "long"),
+        0L, Array.empty)
+    }
+    BusRegistry.remove(out)
+    assert(!BusRegistry.contains(out))
+  }
+
+  test("graft-bus: a live-trigger query tails BusRegistry.append") {
+    import graft.sources.BusRegistry
+    val ev = Tables.events(spark, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("ts", "event_id")
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    val topic = "live_tail_spec"
+    BusRegistry.publish(topic, half1, nBatches = 2)
+    val name = "live_tail_sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bus-live-ck-")
+      .toFile.getAbsolutePath
+    val q = spark.readStream.format("graft-bus")
+      .option("topic", topic).option("batchesPerTrigger", 2).load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      def awaitCount(want: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (spark.table(name).count() != want && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(spark.table(name).count() === want)
+      }
+      awaitCount(half1.count())
+      // appended batches must reach the ALREADY-RUNNING query (no
+      // AvailableNow pin exists under a live trigger)
+      BusRegistry.append(topic, half2, nBatches = 2)
+      awaitCount(ev.count())
+    } finally {
+      q.stop()
+      BusRegistry.remove(topic)
+    }
   }
 
   test("graft-bus: checkpointed query resumes at its committed batch index") {
