@@ -49,13 +49,18 @@ private[graft] object StoreDir {
          key: String, prefix: String)(build: String => Unit): String =
     cache.computeIfAbsent(key, _ => {
       val dir = java.nio.file.Files.createTempDirectory(prefix)
-      build(dir.toString)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def reap(): Unit = {
         import java.nio.file.{Files, Path}
         try Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(p => { Files.deleteIfExists(p); () })
         catch { case _: Throwable => () } // tmp reaper is the backstop
-      }))
+      }
+      // hook registered BEFORE the build: a build that fails mid-write
+      // (disk full, job error) must not orphan the half-populated dir —
+      // and it is also reaped eagerly so a retry doesn't accrete dirs
+      Runtime.getRuntime.addShutdownHook(new Thread(() => reap()))
+      try build(dir.toString)
+      catch { case e: Throwable => reap(); throw e }
       dir.toString
     })
 }

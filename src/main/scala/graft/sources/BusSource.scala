@@ -38,13 +38,18 @@ object BusRegistry {
   // silently drop the committed batch while its epoch stays recorded
   private val lock = new Object
 
-  /** Value-compatible schemas: same field names and types in order;
-    * top-level nullability and metadata are row-layout-irrelevant and
-    * must not block an ingest (a projected literal select is often
-    * non-nullable where the parquet original was nullable). */
-  private def compatible(a: StructType, b: StructType): Boolean =
-    a.fields.map(f => (f.name, f.dataType))
-      .sameElements(b.fields.map(f => (f.name, f.dataType)))
+  /** Value-compatible write: same field names and types in order, and
+    * nullability relaxed ONE-directionally — non-nullable data may enter
+    * a nullable topic (a projected literal select is often non-nullable
+    * where the parquet original was nullable), but nullable data must NOT
+    * enter a non-nullable topic: readers resolve the topic's schema and
+    * Catalyst elides null checks on non-nullable attributes, so nulls
+    * would read as 0/""/false garbage instead of erroring. */
+  private def compatible(incoming: StructType, topic: StructType): Boolean =
+    incoming.length == topic.length &&
+    incoming.fields.zip(topic.fields).forall { case (i, t) =>
+      i.name == t.name && i.dataType == t.dataType && (t.nullable || !i.nullable)
+    }
 
   private def sliced(df: DataFrame, nBatches: Int): IndexedSeq[Array[InternalRow]] = {
     val rows = df.queryExecution.executedPlan.executeCollect().map(_.copy())
@@ -75,9 +80,13 @@ object BusRegistry {
     * checkpoint continues at its committed batch index and sees exactly
     * the appended data (pinned by the StreamingSpec resume test). */
   def append(topic: String, df: DataFrame, nBatches: Int): Unit = {
+    // validate BEFORE collecting: a typo'd topic or bad schema must fail
+    // fast, not after materializing the whole frame on the driver
+    require(compatible(df.schema, get(topic).schema),
+      s"append schema ${df.schema.simpleString} != topic schema ${get(topic).schema.simpleString}")
     val batches = sliced(df, nBatches)
     lock.synchronized {
-      val existing = get(topic)
+      val existing = get(topic) // re-read under the lock (publish may race)
       require(compatible(df.schema, existing.schema),
         s"append schema ${df.schema.simpleString} != topic schema ${existing.schema.simpleString}")
       topics.put(topic, existing.copy(batches = existing.batches ++ batches))
@@ -85,7 +94,14 @@ object BusRegistry {
     ()
   }
 
-  /** Drop a topic and its epoch log, releasing the driver-held rows. */
+  /** Drop a topic and its epoch log, releasing the driver-held rows.
+    * A live query still tailing the topic goes quiet (its source reports
+    * no new data — see BusMicroBatchStream.total) rather than crashing,
+    * but a RESTART of that query can no longer replay uncommitted
+    * batches; stop consumers before removing their topic. The same
+    * applies to `publish` replacing a tailed topic: committed offsets
+    * point into the OLD log and the replacement is only safe for
+    * queries started afterwards. */
   def remove(topic: String): Unit = lock.synchronized {
     topics.remove(topic)
     epochs.filterInPlace { case ((t, _), _) => t != topic }
@@ -217,7 +233,11 @@ case class BusOffset(n: Long) extends Offset {
 class BusMicroBatchStream(topic: String, perTrigger: Int)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
-  private def total: Long = BusRegistry.get(topic).batches.length.toLong
+  // a topic removed mid-tail reads as "no new data" (the latestOffset
+  // clamp keeps the offset at start) instead of crashing the query
+  private def total: Long =
+    if (BusRegistry.contains(topic)) BusRegistry.get(topic).batches.length.toLong
+    else 0L
   // Under AvailableNow the end target is PINNED at query start (the
   // trigger's contract: drain what exists, then stop — a topic mutated
   // mid-run cannot move the goalposts). Under a live trigger

@@ -300,6 +300,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(!BusRegistry.contains(out))
   }
 
+  test("graft-bus: nullability is one-directional into a topic") {
+    import graft.sources.BusRegistry
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val nn = spark.range(3).toDF("id") // id is NON-nullable
+    BusRegistry.publish("nn_topic_spec", nn, 1)
+    try {
+      // nullable data into a non-nullable topic: readers would elide null
+      // checks and read garbage — must fail loudly
+      val nullable = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(1L)),
+        new StructType().add("id", LongType, nullable = true))
+      intercept[IllegalArgumentException] {
+        BusRegistry.append("nn_topic_spec", nullable, 1)
+      }
+      // the benign direction (non-nullable into nullable) is exercised by
+      // every sink test: projected write schemas are non-nullable where
+      // the parquet-derived topic schema is nullable
+      BusRegistry.append("nn_topic_spec", nn.filter(col("id") === 0), 1)
+      assert(BusRegistry.get("nn_topic_spec").batches.length === 2)
+    } finally BusRegistry.remove("nn_topic_spec")
+  }
+
   test("graft-bus: a live-trigger query tails BusRegistry.append") {
     import graft.sources.BusRegistry
     val ev = Tables.events(spark, d)
