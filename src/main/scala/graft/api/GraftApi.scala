@@ -140,6 +140,15 @@ object Dedup {
                         textCol: String = "text"): DataFrame =
     LlmOps.substringDedupOf(std(docs, idCol, textCol), span)
 
+  /** The remediation for [[substringVerdicts]]: rebuild each doc with
+    * every word position covered by a cross-doc-repeated span REMOVED —
+    * (doc_id, n_words, n_kept, n_dropped, cleaned). Lee et al. 2022's
+    * "remove the duplicated substring" as a distributed transform. */
+  def substringDrop(docs: DataFrame, span: Int = 10,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    LlmOps.substringDropOf(std(docs, idCol, textCol), span)
+
   /** Resolve duplicate pairs to connected components and a keep/drop
     * verdict: (doc_id, cluster_id, keep). Docs absent from `pairs` are
     * singleton keepers. Min-label propagation + pointer jumping — O(log n)

@@ -861,6 +861,49 @@ object LlmOps {
               (ratio > 0.5).as("drop_doc"))
   }
 
+  /** The TRANSFORM companion to [[substringDedupOf]] (Lee et al. 2022's
+    * actual remediation): rebuild each document with every word position
+    * covered by a cross-doc-repeated span REMOVED. Same span definition
+    * (length-`span` word windows, repeated ⇔ >1 distinct doc), then:
+    * covered positions = union of [i, i+span) over repeated spans →
+    * cleaned text = uncovered words rejoined in order. Shuffles stay
+    * bounded by span/word counts (hash-agg + anti-join on positions — no
+    * pair enumeration, same scale argument as the verdict operator). */
+  private[graft] def substringDropOf(docs: DataFrame, span: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // (doc_id, i, h): span-start index + hash — cached like the verdict's
+    // span frame (interpreted md5 HOF feeding two branches)
+    val spans = graft.GraftCaches.track(
+      toks.filter(size(col("ws")) >= span)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(ws) - ${span - 1}),
+                i -> named_struct('i', i, 'h',
+                       md5(concat_ws(' ', slice(ws, i, $span)))))""")).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+        .cache())
+    val rep = spans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val covered = spans.join(rep, "h")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${span - 1})")).as("pos"))
+      .distinct()
+    val words = toks
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+           concat_ws(" ", expr(
+             "transform(sort_array(collect_list(struct(pos, w))), x -> x.w)"))
+             .as("cleaned"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+              coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize (lower, squash whitespace) → digest → one
     // hash-agg keeping the minimum doc_id per digest.
@@ -1300,7 +1343,14 @@ object LlmOps {
     // repeated paragraphs across distinct docs are invisible to
     // llm_exact_dedup and below every minhash tau.
     "llm_substring_dedup" -> ((s, d) =>
-      substringDedupOf(Tables.documentsWide(s, d), 10).orderBy("doc_id"))
+      substringDedupOf(Tables.documentsWide(s, d), 10).orderBy("doc_id")),
+
+    // The remediation transform for the verdicts above: repeated-span
+    // word positions excised, documents rebuilt (core + scale notes on
+    // substringDropOf). Cleaned text hash-matches the oracle STRING —
+    // the strongest possible parity check for a rewrite operator.
+    "llm_substring_drop" -> ((s, d) =>
+      substringDropOf(Tables.documentsWide(s, d), 10).orderBy("doc_id"))
   )
 
   /** DuckDB shingle-set CTE shared by the minhash oracle (same 3-gram def
@@ -1429,6 +1479,42 @@ object LlmOps {
              round(coalesce(per.n_rep / per.n_spans, 0.0), 4) AS dup_ratio,
              coalesce(per.n_rep / per.n_spans, 0.0) > 0.5 AS drop_doc
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id""",
+
+    // Span-drop transform: covered = union of [i, i+9] over repeated
+    // spans; cleaned = uncovered words rejoined in order (string_agg with
+    // ORDER BY mirrors Spark's sorted-collect rebuild exactly).
+    "llm_substring_drop" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sp AS (
+        SELECT doc_id, u.i AS i, u.h AS h FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8),
+            i -> struct_pack(i := i,
+                   h := md5(array_to_string(list_slice(ws, i, i + 9), ' '))))) AS u
+          FROM toks WHERE len(ws) >= 10)),
+      rep AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      cov AS (SELECT DISTINCT doc_id, pos FROM (
+        SELECT sp.doc_id, unnest(range(sp.i, sp.i + 10)) AS pos
+        FROM sp JOIN rep ON sp.h = rep.h)),
+      words AS (
+        SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> struct_pack(pos := i, w := ws[i]))) AS u
+          FROM toks)),
+      kept AS (
+        SELECT words.doc_id, count(*) AS n_kept,
+               string_agg(words.w, ' ' ORDER BY words.pos) AS cleaned
+        FROM words LEFT JOIN cov
+          ON words.doc_id = cov.doc_id AND words.pos = cov.pos
+        WHERE cov.pos IS NULL
+        GROUP BY words.doc_id)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS BIGINT)
+               AS n_dropped,
+             coalesce(k.cleaned, '') AS cleaned
+      FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
       ORDER BY d.doc_id""",
 
     // Honest all-pairs predicate: every pair with shingle Jaccard >= 0.6.

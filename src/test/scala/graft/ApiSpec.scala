@@ -231,6 +231,13 @@ class ApiSpec extends AnyFunSuite {
     assert(api.nonEmpty)
   }
 
+  test("Dedup.substringDrop equals llm_substring_drop") {
+    val api = rowSet(Dedup.substringDrop(docs).orderBy("doc_id"))
+    val key = rowSet(SparkEntry.queries("llm_substring_drop")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
   test("Similarity.pqCodebooks + pqEncode equal the llm_quantize_pq internals") {
     val cb = Similarity.pqCodebooks(embs)
     assert(cb.count() === 8L * 16L, "8 subspaces x 16 codes")

@@ -84,6 +84,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(v.filter(concat_ws("", col("syms")) =!= col("word")).count() === 0)
   }
 
+  test("llm_substring_drop: excises exactly the shared paragraph, leaves clean docs byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val para = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val tail10 = (1 to 10).map(i => s"tail$i").mkString(" ")
+    val uniq = (1 to 40).map(i => s"uniq$i").mkString(" ")
+    val docs = Seq(
+      (0L, para + " " + tail10), // shared paragraph + unique tail
+      (1L, "pre " + para),       // same paragraph, different context
+      (2L, uniq)                 // untouched
+    ).toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.substringDropOf(docs, 10)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // covered = union of the 3 repeated spans' positions = the 12
+    // paragraph words exactly (spans crossing the edge differ by context)
+    assert(byId(0L).getLong(3) === 12 && byId(0L).getString(4) === tail10)
+    assert(byId(1L).getLong(3) === 12 && byId(1L).getString(4) === "pre")
+    assert(byId(2L).getLong(3) === 0 && byId(2L).getString(4) === uniq,
+      "clean doc must come back byte-identical")
+  }
+
   test("containment df-cap: hot posting list dropped, pair output unchanged") {
     // VERDICT r4 #5: plant a boilerplate shingle across every doc (df = 32,
     // way over the cap) plus one genuine containment pair that qualifies
