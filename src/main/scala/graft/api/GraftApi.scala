@@ -344,6 +344,15 @@ object Text {
                textCol: String = "text"): (Seq[(String, String)], DataFrame) =
     TextOps.bpeTrain(std(docs, idCol, textCol))
 
+  /** Tokenize any word frame by replaying a trained merge table in rank
+    * order — covers words the training corpus never saw (a SHIPPED
+    * tokenizer's merge table drops in here unchanged; the apply path is
+    * tokenizer-agnostic). For corpus words this equals [[trainBpe]]'s
+    * vocab exactly. Returns (word, syms). */
+  def applyBpe(words: DataFrame, merges: Seq[(String, String)],
+               wordCol: String = "word"): DataFrame =
+    TextOps.bpeApplyOf(words.select(col(wordCol).as("word")), merges)
+
   /** Gap-based sessionization: assign a session id per (user, gap) run —
     * (all input columns, session_id). Batch twin of a streaming
     * session_window. One shuffle (everything partitions by the user col).

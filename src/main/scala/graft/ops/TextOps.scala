@@ -91,19 +91,37 @@ object TextOps {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val (aL, bL, abL) = (lit(a), lit(b), lit(a + b))
-        // leftmost non-overlapping replace of adjacent (a, b) with "ab" —
-        // lit() parameters, so corpus symbols never splice into SQL text
-        val newSyms = aggregate(col("syms"), array().cast("array<string>"),
-          (acc, x) => when(size(acc) > 0 &&
-                           element_at(acc, -1) === aL && x === bL,
-                           concat(slice(acc, lit(1), size(acc) - 1), array(abL)))
-                      .otherwise(concat(acc, array(x))))
-        words = LlmOps.cutLineage(words.withColumn("syms", newSyms))
+        words = LlmOps.cutLineage(words.withColumn("syms", mergeOnce(a, b)))
       }
     }
     (merges.toSeq, words)
   }
+
+  /** One BPE merge applied to a `syms` column: leftmost non-overlapping
+    * replace of adjacent (a, b) with "ab" — lit() parameters, so corpus
+    * symbols never splice into SQL text. Shared by the trainer and
+    * [[bpeApplyOf]], which keeps replay ≡ training by construction. */
+  private def mergeOnce(a: String, b: String): org.apache.spark.sql.Column = {
+    val (aL, bL, abL) = (lit(a), lit(b), lit(a + b))
+    aggregate(col("syms"), array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+                       element_at(acc, -1) === aL && x === bL,
+                       concat(slice(acc, lit(1), size(acc) - 1), array(abL)))
+                  .otherwise(concat(acc, array(x))))
+  }
+
+  /** Tokenize ANY (word) frame by replaying a trained merge table in rank
+    * order from the char split — the BPE tokenize algorithm, covering
+    * words the training corpus never saw. For corpus words this provably
+    * equals the trainer's stored vocab: training mutates the word frame
+    * with the same [[mergeOnce]] sequence the replay applies (ApiSpec
+    * pins replay ≡ stored). Returns (word, syms). */
+  private[graft] def bpeApplyOf(words: DataFrame,
+                                merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      words.select(col("word"), split(col("word"), "").as("syms"))) {
+      case (df, (a, b)) => df.withColumn("syms", mergeOnce(a, b))
+    }
 
   val queries: Map[String, Q] = Map(
     // Language ID by character-trigram profile overlap: per-lang top-50

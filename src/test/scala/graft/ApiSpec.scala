@@ -274,6 +274,22 @@ class ApiSpec extends AnyFunSuite {
     assert(storeMerges === apiMerges)
   }
 
+  test("Text.applyBpe: replay equals stored vocab; unseen words round-trip") {
+    val (merges, vocab) = Text.trainBpe(docs)
+    // replay-from-scratch must land on the trainer's stored tokenization
+    // for every corpus word (training IS the same mergeOnce sequence)
+    val replayed = rowSet(Text.applyBpe(vocab.select("word"), merges))
+    val stored = rowSet(vocab.select("word", "syms"))
+    assert(replayed === stored)
+    // unseen words: tokenization still round-trips and never crosses
+    // word boundaries
+    import spark.implicits._
+    val unseen = Seq("zzzunseen", "keyvalue9x", "q").toDF("word")
+    val out = Text.applyBpe(unseen, merges)
+    assert(out.filter(concat_ws("", col("syms")) =!= col("word")).count() === 0)
+    assert(out.count() === 3)
+  }
+
   test("Graft.clearCaches drains every engine-tracked cache (no net growth)") {
     Graft.clearCaches() // start from a clean registry
     assert(GraftCaches.size === 0)
