@@ -345,10 +345,13 @@ object Text {
     TextOps.bpeTrain(std(docs, idCol, textCol))
 
   /** Tokenize any word frame by replaying a trained merge table in rank
-    * order — covers words the training corpus never saw (a SHIPPED
-    * tokenizer's merge table drops in here unchanged; the apply path is
-    * tokenizer-agnostic). For corpus words this equals [[trainBpe]]'s
-    * vocab exactly. Returns (word, syms). */
+    * order — covers words the training corpus never saw. The replay is
+    * algorithm-agnostic but NOT alphabet-agnostic: the merge table must
+    * be over this char-split symbol set (a shipped byte-level table —
+    * word-start markers, UTF-8 byte symbols — needs its matching
+    * pre-tokenizer applied first, or its tokens silently diverge from
+    * the shipped tokenizer's). For corpus words this equals
+    * [[trainBpe]]'s vocab exactly. Returns (word, syms). */
   def applyBpe(words: DataFrame, merges: Seq[(String, String)],
                wordCol: String = "word"): DataFrame =
     TextOps.bpeApplyOf(words.select(col(wordCol).as("word")), merges)

@@ -829,20 +829,32 @@ object LlmOps {
     * shingle build. At 100 TB, raise the stride and/or swap md5 for
     * xxhash64 (md5 here is the oracle-parity hash, as in the TextHash
     * family) — the plan shape is unchanged. */
-  private[graft] def substringDedupOf(docs: DataFrame, span: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    // sequence(1, n) needs n >= 1 (sequence(1, 0) counts DOWN) — the
-    // filter guards it and short docs rejoin with 0 counts below.
-    // cache(): the md5-over-concat higher-order transform runs INTERPRETED
-    // (the measured cache-win class, BASELINE cache-barrier notes) and
-    // feeds both the rep aggregate and the join back — uncached it
-    // executes twice per invocation.
-    val spans = graft.GraftCaches.track(
-      toks.filter(size(col("ws")) >= span)
+  /** (doc_id, ws): whitespace-tokenized docs — shared by the two span
+    * operators so their tokenization cannot drift. */
+  private def spanToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+
+  /** (doc_id, i, h): every length-`span` word window's start index + md5 —
+    * the ONE span definition behind both the verdict and the drop
+    * operator. sequence(1, n) needs n >= 1 (sequence(1, 0) counts DOWN) —
+    * the filter guards it; short docs rejoin with 0 counts downstream.
+    * cache(): the md5-over-concat higher-order transform runs INTERPRETED
+    * (the measured cache-win class, BASELINE cache-barrier notes) and
+    * feeds 2 plan branches per operator — and because both operators
+    * build the IDENTICAL analyzed plan, the CacheManager serves the
+    * second operator from the first one's cache. */
+  private def spanHashes(docs: DataFrame, span: Int): DataFrame =
+    graft.GraftCaches.track(
+      spanToks(docs).filter(size(col("ws")) >= span)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(ws) - ${span - 1}),
-                i -> md5(concat_ws(' ', slice(ws, i, $span))))""")).as("h"))
+                i -> named_struct('i', i, 'h',
+                       md5(concat_ws(' ', slice(ws, i, $span)))))""")).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
         .cache())
+
+  private[graft] def substringDedupOf(docs: DataFrame, span: Int): DataFrame = {
+    val spans = spanHashes(docs, span).select("doc_id", "h")
     val rep = spans.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
@@ -870,17 +882,8 @@ object LlmOps {
     * bounded by span/word counts (hash-agg + anti-join on positions — no
     * pair enumeration, same scale argument as the verdict operator). */
   private[graft] def substringDropOf(docs: DataFrame, span: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    // (doc_id, i, h): span-start index + hash — cached like the verdict's
-    // span frame (interpreted md5 HOF feeding two branches)
-    val spans = graft.GraftCaches.track(
-      toks.filter(size(col("ws")) >= span)
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(ws) - ${span - 1}),
-                i -> named_struct('i', i, 'h',
-                       md5(concat_ws(' ', slice(ws, i, $span)))))""")).as("p"))
-        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
-        .cache())
+    val toks = spanToks(docs)
+    val spans = spanHashes(docs, span)
     val rep = spans.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select("h")
@@ -896,7 +899,7 @@ object LlmOps {
            concat_ws(" ", expr(
              "transform(sort_array(collect_list(struct(pos, w))), x -> x.w)"))
              .as("cleaned"))
-    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
               coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -115,12 +115,21 @@ object TextOps {
     * words the training corpus never saw. For corpus words this provably
     * equals the trainer's stored vocab: training mutates the word frame
     * with the same [[mergeOnce]] sequence the replay applies (ApiSpec
-    * pins replay ≡ stored). Returns (word, syms). */
+    * pins replay ≡ stored). Lineage is cut every 16 merges — the trainer
+    * needs a cut per round for the same reason, and an uncut fold over a
+    * production-sized table (10k+ merges) would stack interpreted HOFs
+    * into one Catalyst tree deep enough to break analysis. The merge
+    * table must be over THIS char-split alphabet: a byte-level table
+    * (word-start markers, UTF-8 byte symbols) needs its matching
+    * pre-tokenizer first — the replay is algorithm-agnostic, not
+    * alphabet-agnostic. Returns (word, syms). */
   private[graft] def bpeApplyOf(words: DataFrame,
                                 merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(
+    merges.zipWithIndex.foldLeft(
       words.select(col("word"), split(col("word"), "").as("syms"))) {
-      case (df, (a, b)) => df.withColumn("syms", mergeOnce(a, b))
+      case (df, ((a, b), r)) =>
+        val stepped = df.withColumn("syms", mergeOnce(a, b))
+        if ((r + 1) % 16 == 0) LlmOps.cutLineage(stepped) else stepped
     }
 
   val queries: Map[String, Q] = Map(
