@@ -2,33 +2,43 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints ONE JSON line to stdout for the driver and writes
-  * the complete, untruncated measurement record to BENCH_FULL.json in the
-  * repo (the driver's bench capture keeps only the last ~2000 chars of the
-  * stdout line — r3/r4's files each lost the first ~30 alphabetical keys —
-  * so the stdout line is ordered to put the per-key medians and the
-  * diagnostics at the END, and the file carries everything).
+/** Benchmark main. Prints the complete compact JSON record as the FIRST
+  * stdout line AND a short (<1 KB) summary line as the LAST stdout line,
+  * then writes the full, untruncated measurement record to BENCH_FULL.json.
+  * Rationale (VERDICT r6 #2): the driver's bench capture keeps a bounded
+  * window of stdout — r6's single ~3 KB line came back head-truncated and
+  * unparseable (`parsed: null`). Whichever end of the stream survives now
+  * contains a parseable record: head capture gets the full per-key line,
+  * tail capture gets the short summary (with the watch keys inline) plus
+  * the BENCH_FULL.json pointer.
   *
-  * Measurement protocol (VERDICT r4 #1/#4):
+  * Measurement protocol (VERDICT r4 #1/#4, r6 #1):
   *  - a WARMUP phase first builds every piece of per-JVM scaffolding the
   *    queries cache — streaming replay dirs + Derby (StreamOps.prewarm),
-  *    the day-1 signature store, the bucketed tables — and its cost is
-  *    reported separately as `setup`, so per-key numbers measure the query,
-  *    not first-touch chunk writes;
-  *  - batch keys run 3× and report the MEDIAN (round-2 showed ±20 %
-  *    scheduler noise on single shots);
-  *  - streaming keys run 2× and report the MIN: after prewarm both runs are
-  *    steady-state (each still replays every micro-batch through a fresh
-  *    checkpoint — that replay IS the measured work), so min discards
-  *    residual FS jitter without cherry-picking across distinct workloads;
-  *  - RAW per-repeat times for every key are in BENCH_FULL.json and, for
-  *    the keys VERDICT r4 flagged as driver-run mysteries, inline in the
-  *    stdout tail (`watch`) — a judge can now tell box noise (one wild
-  *    repeat) from a real regression (all repeats slow) without diffing
-  *    source. */
+  *    the day-1 signature store, the ANN index store, the BPE store, the
+  *    bucketed tables — and its cost is reported separately as `setup`;
+  *  - KEY ORDER IS RANDOMIZED per run (seed recorded). r5/r6 driver runs
+  *    each showed one alphabetically CONTIGUOUS block regressed 5-12×
+  *    while the builder box ran the same tree clean — consistent with the
+  *    box slowing down during one stretch of the alphabetical sweep, not
+  *    with a code regression. Randomizing the order decorrelates wall-
+  *    clock position from key name, so a drifting box smears noise across
+  *    random keys instead of faking a subsystem regression;
+  *  - a DRIFT SENTINEL — one fixed cheap query (scan_parquet's plan,
+  *    single shot) — is re-timed before the run and after every 15 keys;
+  *    its trace rides in both the full record and the short line. A flat
+  *    sentinel with slow keys = real regression; a sentinel that drifts
+  *    with them = box noise (the adjudication instrument VERDICT r6 #1
+  *    asked for);
+  *  - batch keys run 3× and report the MEDIAN; streaming keys run 2× and
+  *    report the MIN after prewarm (steady-state; each run still replays
+  *    every micro-batch through a fresh checkpoint), high-variance
+  *    streaming keys run 3×;
+  *  - RAW per-repeat times for every key are in BENCH_FULL.json. */
 object Bench {
   private val Repeats = 3
   private val StreamRepeats = 2
+  private val SentinelEvery = 15
 
   /** Streaming keys whose r5 driver repeats spread >1.5× (stream_stream_outer:
     * raw [8.96, 17.69] — fresh checkpoint dirs per run, so the spread is
@@ -36,12 +46,14 @@ object Bench {
     * so these run 3× to make the reported min trustworthy (VERDICT r5 #5). */
   private val HighVarianceStreams = Set("stream_stream_outer")
 
-  /** r4's five >2× driver-vs-builder divergences (+ the r5 spread key) —
-    * raw repeats for these ride in the stdout tail so the driver-captured
-    * file alone can adjudicate environment vs regression. */
-  private val Watchlist = Seq("stream_static_join", "stream_stateful_tws",
-    "src_csv_roundtrip", "opt_cosine_rewrite", "sort_multi",
-    "stream_stream_outer")
+  /** The r6 driver-box anomaly block (7 keys 5-12× vs r5, VERDICT r6 #1)
+    * plus r4/r5's watch keys — raw repeats for these ride in the SHORT
+    * last line so a tail-truncated capture alone can adjudicate
+    * environment vs regression. */
+  private val Watchlist = Seq(
+    "limit_topn", "join_semi", "join_theta_range", "join_shuffle_hash",
+    "join_skew_salted", "join_sortmerge", "llm_multimodal_join",
+    "stream_stream_outer", "sort_multi")
 
   private def fmt(x: Double): String = f"$x%.3f"
 
@@ -69,14 +81,33 @@ object Bench {
     quietly(graft.ops.ScanOps.jdbcOrdersUrl(spark, sfDir))
     val setupSec = (System.nanoTime() - s0) / 1e9
 
+    // Drift sentinel: one fixed cheap plan, timed single-shot. Uses the
+    // scan_parquet contract plan so the sentinel exercises scan + codegen +
+    // scheduling, the fixed-cost path every key pays.
+    val sentinelFn = SparkEntry.queries("scan_parquet")
+    def sentinelShot(): Double = {
+      val t0 = System.nanoTime()
+      try { sentinelFn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // optional trailing args restrict the run (local iteration); the
     // driver always runs with none.
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
 
+    // Randomized execution order (seed recorded in BENCH_FULL for replay).
+    val seed = System.nanoTime()
+    val order = new scala.util.Random(seed)
+      .shuffle(selected.toSeq.sortBy(_._1))
+
+    val sentinel = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    sentinel += ((0, sentinelShot())) // pre-run baseline (post-warmup)
+
     val results: Seq[(String, Double, Seq[Double])] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      order.zipWithIndex.map { case ((name, fn), idx) =>
         val streaming = name.startsWith("stream_")
         val reps =
           if (HighVarianceStreams.contains(name)) 3
@@ -92,41 +123,52 @@ object Bench {
           try spark.catalog.clearCache() catch { case _: Throwable => () }
           dt
         }
+        if ((idx + 1) % SentinelEvery == 0) sentinel += ((idx + 1, sentinelShot()))
         val sorted = times.sorted
         val value = if (streaming) sorted.head else sorted(sorted.length / 2)
         (name, value, times)
       }
+    sentinel += ((order.length, sentinelShot())) // post-run closing shot
 
-    val qs = results.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
+    val byName = results.sortBy(_._1)
+    val qs = byName.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val rawAll = results.map { case (k, _, raw) =>
+    val rawAll = byName.map { case (k, _, raw) =>
       s"\"$k\":[${raw.map(fmt).mkString(",")}]"
     }.mkString("{", ",", "}")
-    val watch = results.filter(r => Watchlist.contains(r._1))
+    val watch = results.filter(r => Watchlist.contains(r._1)).sortBy(_._1)
       .map { case (k, _, raw) => s"\"$k\":[${raw.map(fmt).mkString(",")}]" }
       .mkString("{", ",", "}")
+    val sentinelJson = sentinel
+      .map { case (at, t) => s"""{"after":$at,"sec":${fmt(t)}}""" }
+      .mkString("[", ",", "]")
+    val orderJson = order.map { case (k, _) => s"\"$k\"" }.mkString("[", ",", "]")
 
-    // Full record → repo file (never truncated).
-    val full =
+    val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-      s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},""" +
-      s""""protocol":{"batch":"median of $Repeats","stream":"min of $StreamRepeats after prewarm""" +
-      s""" (3 reps for high-variance: ${HighVarianceStreams.mkString(",")})"},""" +
-      s""""raw":$rawAll,"queries":$qs}"""
+      s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"sentinel":$sentinelJson,""" +
+      s""""queries":$qs}"""
+
+    // Full record → repo file (never truncated): compact fields + raw
+    // repeats + the randomized execution order and its seed.
+    val full =
+      compact.dropRight(1) +
+      s""","protocol":{"batch":"median of $Repeats","stream":"min of $StreamRepeats after prewarm""" +
+      s""" (3 reps for high-variance: ${HighVarianceStreams.mkString(",")})","order":"shuffled"},""" +
+      s""""order_seed":$seed,"order":$orderJson,"raw":$rawAll}"""
     quietly(java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8")))
 
-    // Driver line: the driver's capture keeps only the LAST ~2000 chars, so
-    // field order is survival order — diagnostics (watch raw repeats, setup
-    // split, full-record pointer) go at the very END, the per-key map just
-    // before them (its first ~15 alphabetical keys may be truncated away;
-    // BENCH_FULL.json has them all).
+    // FIRST stdout line: the complete compact record (head-capture wins).
+    println(compact)
+    // LAST stdout line: short summary (<1 KB — tail-capture wins): total,
+    // sentinel trace, and raw repeats for the watch keys only.
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-      s""""queries":$qs,"watch":$watch,""" +
-      s""""setup_sec":${fmt(setupSec)},"full":"BENCH_FULL.json"}""")
+      s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"n_keys":${results.length},""" +
+      s""""sentinel":$sentinelJson,"watch":$watch,"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

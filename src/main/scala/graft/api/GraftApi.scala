@@ -367,11 +367,14 @@ object Text {
                  tieBreakCols: Seq[String] = Nil): DataFrame = {
     // withColumn would silently OVERWRITE these if the input already has
     // them (ADVICE r5) — fail fast instead of corrupting user columns.
-    // Case-insensitive: withColumn resolves under the analyzer's default
-    // caseInsensitive mode, so a user's `Session_ID` would be replaced too.
-    val lowered = events.columns.map(_.toLowerCase)
+    // The comparison follows the SESSION's resolver (ADVICE r6): under the
+    // default caseInsensitive analysis a user's `Session_ID` would be
+    // replaced too, so it must be rejected — but under
+    // spark.sql.caseSensitive=true withColumn would NOT touch it, and
+    // rejecting it would be a false-positive fail-fast.
+    val resolver = events.sparkSession.sessionState.analyzer.resolver
     val clash = Seq("session_id", "__prev_us", "__new_s")
-      .filter(lowered.contains)
+      .filter(w => events.columns.exists(c => resolver(c, w)))
     require(clash.isEmpty,
       s"sessionize writes columns $clash which already exist on the input; " +
       "rename or drop them first")

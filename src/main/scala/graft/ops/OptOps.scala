@@ -56,12 +56,16 @@ object OptOps {
     * (bloom/banded) join, and a long session accretes entries (ADVICE r5).
     * Swap discipline: each call unpersists the PREVIOUS call's cached
     * frame on entry, so at most one instance per key is ever resident and
-    * every invocation re-executes its join. */
+    * every invocation re-executes its join. The swapped frame is ALSO
+    * registered in GraftCaches (ADVICE r6): Graft.clearCaches() documents
+    * itself as draining every engine cache, so the last frame per key must
+    * not outlive it — the double-unpersist when both paths fire is a
+    * harmless no-op (unpersist is idempotent). */
   private val lastCached = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def swapCached(key: String, df: DataFrame): DataFrame = {
     Option(lastCached.put(key, df))
       .foreach(old => try old.unpersist() catch { case _: Throwable => () })
-    df
+    graft.GraftCaches.track(df)
   }
   private[graft] def partitionedLineitem(s: SparkSession, d: String): String =
     dppFor.computeIfAbsent(d, _ => {

@@ -207,9 +207,13 @@ object StreamOps {
     * chunk dirs. Collecting to the driver is inherent to an in-process
     * bus (rows originate outside the executors, as with MemoryStream /
     * the socket source); size = the events table, replay scaffolding only. */
-  private val busCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  // computeIfAbsent for publish exclusivity (ADVICE r6): TrieMap's
+  // getOrElseUpdate evaluates the thunk OUTSIDE its lock, so concurrent
+  // first calls could publish twice — and the second publish clears the
+  // topic's sink-epoch log mid-flight. Same discipline as StoreDir.
+  private val busCache = new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def busTopic(s: SparkSession, d: String): String =
-    busCache.getOrElseUpdate(d, {
+    busCache.computeIfAbsent(d, _ => {
       val topic = s"events_${java.lang.Integer.toHexString(d.hashCode)}"
       graft.sources.BusRegistry.publish(topic,
         Tables.events(s, d)

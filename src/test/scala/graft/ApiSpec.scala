@@ -313,6 +313,25 @@ class ApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("session_id"))
   }
 
+  test("Text.sessionize clash guard follows the session resolver (ADVICE r6)") {
+    // `Session_ID` clashes under the default case-INSENSITIVE analyzer
+    // (withColumn would overwrite it) but is a DIFFERENT column under
+    // spark.sql.caseSensitive=true — the guard must not false-positive.
+    val ev = Tables.events(spark, d).withColumn("Session_ID", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Text.sessionize(ev, "user_id", "ts")
+    }
+    assert(e.getMessage.contains("session_id"))
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val out = Text.sessionize(ev, "user_id", "ts",
+        tieBreakCols = Seq("event_id"))
+      // both columns present: the user's untouched, the new one appended
+      assert(out.columns.count(_.equalsIgnoreCase("session_id")) === 2)
+      assert(out.filter(col("Session_ID") =!= 1).count() === 0)
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("Ingest.jdbcUpsert rejects non-identifier table/key names") {
     val one = spark.range(1).selectExpr("id AS k", "id AS v")
     intercept[IllegalArgumentException] {

@@ -392,4 +392,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.count() === ev.count(), "resume lost or duplicated rows")
     assert(back.select("event_id").distinct().count() === ev.count())
   }
+
+  test("graft-bus: each micro-batch fans out across slicesPerBatch partitions") {
+    // VERDICT r6 #5: one bus batch must NOT equal one input partition —
+    // downstream per-trigger parallelism would be bounded by
+    // batchesPerTrigger until the first shuffle. Each admitted batch is
+    // sliced into up to slicesPerBatch partitions; foreachBatch observes
+    // the source RDD's partition count per micro-batch.
+    val topic = StreamOps.busTopic(spark, d)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bus-slice-ck-")
+      .toFile.getAbsolutePath
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long)]
+    spark.readStream.format("graft-bus")
+      .option("topic", topic).option("batchesPerTrigger", 1)
+      .option("slicesPerBatch", 4).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.add((id, df.rdd.getNumPartitions, df.count())); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val dataBatches = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(seen).asScala.toSeq.filter(_._3 > 0)
+    assert(dataBatches.size === 6, s"expected 6 data micro-batches: $dataBatches")
+    dataBatches.foreach { case (id, parts, rows) =>
+      assert(parts === 4,
+        s"micro-batch $id ($rows rows) ran with $parts partitions, want 4")
+    }
+    // total rows conserved across the slicing
+    assert(dataBatches.map(_._3).sum === Tables.events(spark, d).count())
+  }
+
+  test("graft-bus: replay beyond the registry log fails with a clear message") {
+    import graft.sources.{BusMicroBatchStream, BusOffset, BusRegistry}
+    val topic = "replay_guard_spec"
+    BusRegistry.publish(topic, spark.range(10).toDF("id"), nBatches = 2)
+    try {
+      val stream = new BusMicroBatchStream(topic, perTrigger = 1)
+      // in-range replay works
+      assert(stream.planInputPartitions(BusOffset(0), BusOffset(2)).nonEmpty)
+      // checkpoint claims more batches than the (republished-smaller) log
+      val short = intercept[IllegalStateException] {
+        stream.planInputPartitions(BusOffset(0), BusOffset(5))
+      }
+      assert(short.getMessage.contains("republished"),
+        s"want the checkpoint-vs-registry mismatch named: ${short.getMessage}")
+      // topic removed entirely: the error names the missing log, not a
+      // generic "not published"
+      BusRegistry.remove(topic)
+      val gone = intercept[IllegalStateException] {
+        stream.planInputPartitions(BusOffset(0), BusOffset(2))
+      }
+      assert(gone.getMessage.contains("checkpoint"),
+        s"want the checkpoint replay named: ${gone.getMessage}")
+    } finally BusRegistry.remove(topic)
+  }
 }
