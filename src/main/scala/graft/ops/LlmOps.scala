@@ -873,6 +873,48 @@ object LlmOps {
               (ratio > 0.5).as("drop_doc"))
   }
 
+  /** Multi-length span dedup (VERDICT r6 #7): a fixed `span`-word window
+    * catches any repeat of ≥ `span` words but is BLIND to shorter
+    * boilerplate — a 6-word sentence repeated across docs never yields an
+    * identical 10-word window because each window drags in non-repeated
+    * context. Running the same span machinery at several lengths (the
+    * contract key uses {5, 10}) closes the 5–9-word gap: per doc, span and
+    * repeat counts PER LENGTH plus a combined verdict on the worst ratio.
+    * Cost is additive (sum of span counts ≈ |lengths| × token count) and
+    * the plan shape per length is identical to [[substringDedupOf]] — one
+    * hash-agg + one join back, no pair enumeration at any length. The
+    * span=10 branch builds the same analyzed plan as the single-length
+    * operators, so the CacheManager serves all three from one cache. */
+  private[graft] def substringDedupMultiOf(docs: DataFrame,
+                                           spanLens: Seq[Int]): DataFrame = {
+    val lens = spanLens.distinct.sorted
+    require(lens.nonEmpty, "substringDedupMultiOf needs >= 1 span length")
+    val perLen = lens.map { sp =>
+      val spans = spanHashes(docs, sp).select("doc_id", "h")
+      val rep = spans.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("h"), lit(1).as("isrep"))
+      spans.join(rep, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as(s"n_spans_$sp"),
+             sum(when(col("isrep").isNotNull, 1L).otherwise(0L)).as(s"n_rep_$sp"))
+    }
+    val joined = perLen.foldLeft(docs.select(col("doc_id"))) {
+      (acc, p) => acc.join(p, Seq("doc_id"), "left")
+    }
+    val worst = lens.map(sp =>
+      coalesce(col(s"n_rep_$sp") / col(s"n_spans_$sp"), lit(0.0)))
+      .reduce(greatest(_, _))
+    joined.select(
+      col("doc_id") +:
+      lens.flatMap(sp => Seq(
+        coalesce(col(s"n_spans_$sp"), lit(0L)).as(s"n_spans_$sp"),
+        coalesce(col(s"n_rep_$sp"), lit(0L)).as(s"n_rep_$sp"))) :+
+      round(worst, 4).as("dup_ratio") :+
+      (worst > 0.5).as("drop_doc"): _*)
+  }
+
   /** The TRANSFORM companion to [[substringDedupOf]] (Lee et al. 2022's
     * actual remediation): rebuild each document with every word position
     * covered by a cross-doc-repeated span REMOVED. Same span definition
@@ -1353,7 +1395,16 @@ object LlmOps {
     // substringDropOf). Cleaned text hash-matches the oracle STRING —
     // the strongest possible parity check for a rewrite operator.
     "llm_substring_drop" -> ((s, d) =>
-      substringDropOf(Tables.documentsWide(s, d), 10).orderBy("doc_id"))
+      substringDropOf(Tables.documentsWide(s, d), 10).orderBy("doc_id")),
+
+    // Multi-length span dedup (core + blind-spot notes on
+    // substringDedupMultiOf): spans of 5 AND 10 words, per-length counts +
+    // a combined verdict — the 5-window closes the 5–9-word boilerplate
+    // gap the fixed 10-window provably misses (OperatorSpec plants a
+    // 6-word cross-doc repeat that llm_substring_dedup scores 0).
+    "llm_substring_dedup_multi" -> ((s, d) =>
+      substringDedupMultiOf(Tables.documentsWide(s, d), Seq(5, 10))
+        .orderBy("doc_id"))
   )
 
   /** DuckDB shingle-set CTE shared by the minhash oracle (same 3-gram def
@@ -1482,6 +1533,50 @@ object LlmOps {
              round(coalesce(per.n_rep / per.n_spans, 0.0), 4) AS dup_ratio,
              coalesce(per.n_rep / per.n_spans, 0.0) > 0.5 AS drop_doc
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id""",
+
+    // Two span lengths, same window definition per length (list_slice is
+    // inclusive: [i, i+4] = 5 words, [i, i+9] = 10). The combined verdict
+    // compares the UNROUNDED worst per-length ratio against 0.5, exactly
+    // as the Spark side does.
+    "llm_substring_dedup_multi" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sp5 AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+          i -> md5(array_to_string(list_slice(ws, i, i + 4), ' ')))) AS h
+        FROM toks WHERE len(ws) >= 5),
+      rep5 AS (SELECT h FROM sp5 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      per5 AS (
+        SELECT sp5.doc_id, count(*) AS n_spans,
+               CAST(sum(CASE WHEN rep5.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rep
+        FROM sp5 LEFT JOIN rep5 ON sp5.h = rep5.h
+        GROUP BY sp5.doc_id),
+      sp10 AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8),
+          i -> md5(array_to_string(list_slice(ws, i, i + 9), ' ')))) AS h
+        FROM toks WHERE len(ws) >= 10),
+      rep10 AS (SELECT h FROM sp10 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      per10 AS (
+        SELECT sp10.doc_id, count(*) AS n_spans,
+               CAST(sum(CASE WHEN rep10.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rep
+        FROM sp10 LEFT JOIN rep10 ON sp10.h = rep10.h
+        GROUP BY sp10.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(per5.n_spans, 0) AS BIGINT) AS n_spans_5,
+             CAST(coalesce(per5.n_rep, 0) AS BIGINT) AS n_rep_5,
+             CAST(coalesce(per10.n_spans, 0) AS BIGINT) AS n_spans_10,
+             CAST(coalesce(per10.n_rep, 0) AS BIGINT) AS n_rep_10,
+             round(greatest(coalesce(per5.n_rep / per5.n_spans, 0.0),
+                            coalesce(per10.n_rep / per10.n_spans, 0.0)), 4)
+               AS dup_ratio,
+             greatest(coalesce(per5.n_rep / per5.n_spans, 0.0),
+                      coalesce(per10.n_rep / per10.n_spans, 0.0)) > 0.5
+               AS drop_doc
+      FROM documents d
+      LEFT JOIN per5 ON d.doc_id = per5.doc_id
+      LEFT JOIN per10 ON d.doc_id = per10.doc_id
       ORDER BY d.doc_id""",
 
     // Span-drop transform: covered = union of [i, i+9] over repeated

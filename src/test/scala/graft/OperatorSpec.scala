@@ -56,6 +56,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(docs.select(col("text")).distinct().count() === 4)
   }
 
+  test("llm_substring_dedup_multi: 5-window catches the 6-word repeat the 10-window provably misses") {
+    import spark.implicits._
+    // a 6-word sentence shared verbatim by docs 0 and 1, wrapped in
+    // doc-unique context: every 10-word window crossing it drags in
+    // context words, so the single-length span=10 operator MUST score 0
+    // repeats — the 5–9-word blind spot VERDICT r6 #7 names. The 5-window
+    // sees the repeat twice per doc (positions 1..2 of the 6-word run).
+    val six = (1 to 6).map(i => s"boil$i").mkString(" ")
+    val docs = Seq(
+      (0L, (1 to 8).map(i => s"a$i").mkString(" ") + " " + six + " " +
+           (1 to 8).map(i => s"b$i").mkString(" ")),            // 22 words
+      (1L, (1 to 8).map(i => s"c$i").mkString(" ") + " " + six + " " +
+           (1 to 8).map(i => s"e$i").mkString(" ")),            // 22 words
+      (2L, (1 to 20).map(i => s"u$i").mkString(" "))            // unique
+    ).toDF("doc_id", "text")
+    // the blind spot is real: span=10 sees nothing
+    val single = graft.ops.LlmOps.substringDedupOf(docs, 10)
+      .orderBy("doc_id").collect()
+    assert(single.forall(_.getLong(2) === 0L),
+      "span=10 unexpectedly caught the 6-word repeat — fixture broken")
+    // the multi-length operator closes it via its 5-window branch
+    val multi = graft.ops.LlmOps.substringDedupMultiOf(docs, Seq(5, 10))
+      .orderBy("doc_id").collect()
+    val byId = multi.map(r => r.getLong(0) -> r).toMap
+    // (doc_id, n_spans_5, n_rep_5, n_spans_10, n_rep_10, dup_ratio, drop_doc)
+    assert(byId(0L).getLong(2) === 2 && byId(1L).getLong(2) === 2,
+      s"each doc holds two repeated 5-windows inside the 6-word run: $multi")
+    assert(byId(0L).getLong(4) === 0 && byId(1L).getLong(4) === 0)
+    assert(byId(2L).getLong(2) === 0, "unique doc wrongly flagged")
+    // span counts per length: 22 words ⇒ 18 5-windows, 13 10-windows
+    assert(byId(0L).getLong(1) === 18 && byId(0L).getLong(3) === 13)
+    // verdict stays keep (2/18 < 0.5) — the signal is the count, not drop
+    assert(byId(0L).getBoolean(6) === false)
+  }
+
   test("BPE trainer: deterministic merges, round-trip detokenization, compression") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws, expr, size, sum}

@@ -365,6 +365,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("[h"), "span-hash join key missing from the plan")
   }
 
+  test("substring operators share ONE span cache (plan-fingerprint pin)") {
+    // llm_substring_dedup and llm_substring_drop each cache() the span-hash
+    // build, and their costs are budgeted on the CacheManager serving BOTH
+    // from one entry — which holds only while the two operators construct
+    // the IDENTICAL analyzed subtree (VERDICT r6 #8). This pins it: after
+    // planning both keys, every InMemoryRelation across the two optimized
+    // plans must resolve to the same cached plan (one fingerprint), so an
+    // edit that silently forks the span build fails here instead of
+    // doubling the other operator's cost.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    spark.catalog.clearCache()
+    try {
+      val dedup = SparkEntry.queries("llm_substring_dedup")(spark, d)
+      val drop = SparkEntry.queries("llm_substring_drop")(spark, d)
+      val imrs = Seq(dedup, drop).flatMap(_.queryExecution.optimizedPlan.collect {
+        case r: InMemoryRelation => r
+      })
+      assert(imrs.size >= 2, "span cache missing from the substring plans")
+      val fingerprints = imrs.map(_.cachedPlan.canonicalized.toString).toSet
+      assert(fingerprints.size === 1,
+        s"substring span builds diverged into ${fingerprints.size} distinct " +
+        "cached plans — the shared-cache cost model is broken")
+    } finally spark.catalog.clearCache()
+  }
+
   test("graft-bus: readStream resolves to the custom DSv2 table") {
     val topic = graft.streaming.StreamOps.busTopic(spark, d)
     val df = spark.readStream.format("graft-bus").option("topic", topic).load()
