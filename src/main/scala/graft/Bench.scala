@@ -75,6 +75,7 @@ object Bench {
     quietly(graft.streaming.StreamOps.prewarm(spark, sfDir))
     quietly(graft.ops.LlmOps.sigStorePath(spark, sfDir))
     quietly(graft.ops.LlmOps.annIndexPath(spark, sfDir))
+    quietly(graft.ops.LlmOps.annIncPath(spark, sfDir))
     quietly(graft.ops.TextOps.bpeStorePath(spark, sfDir))
     quietly(graft.ops.JoinOps.bucketedTables(spark, sfDir))
     quietly(graft.ops.OptOps.partitionedLineitem(spark, sfDir))

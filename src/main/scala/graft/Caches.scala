@@ -45,6 +45,22 @@ private[graft] object GraftCaches {
   * gives per-key build exclusivity — a concurrent first call blocks
   * instead of building a second orphaned dir. */
 private[graft] object StoreDir {
+  /** Deterministic, JVM-OUTLIVING store dir (VERDICT r6 #4): built at a
+    * FIXED path once per (JVM, key) with no shutdown reaper — the DuckDB
+    * oracle reads the persisted parquet AFTER the Verify JVM exits, so the
+    * dir must survive. Every file inside is written with
+    * mode("overwrite"), so a rebuild by a later JVM (fresh cache map)
+    * replaces stale content wholesale; the dirs are small (trained
+    * centroids/codebooks + one posting row per vector) and land under
+    * /tmp, where the OS reaper is the backstop. */
+  def fixed(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+            key: String, dir: String)(build: String => Unit): String =
+    cache.computeIfAbsent(key, _ => {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      build(dir)
+      dir
+    })
+
   def of(cache: java.util.concurrent.ConcurrentHashMap[String, String],
          key: String, prefix: String)(build: String => Unit): String =
     cache.computeIfAbsent(key, _ => {

@@ -520,10 +520,16 @@ object LlmOps {
     * 6dp-rounded doubles exactly, so a store read is value-identical to a
     * fresh deterministic training run — ApiSpec pins facade-trained ≡
     * store-read output. Same staleness/exclusivity notes as sigStoreCache. */
+  /** Deterministic path (VERDICT r6 #4): `/tmp/graft-annindex-<sf>` with no
+    * exit reaper, so the DuckDB oracle can mirror the SEARCH halves of
+    * llm_quantize_pq / llm_knn_ivfpq over the same persisted index after
+    * the Verify JVM exits — the half-gate that turns those keys' searches
+    * from rows-only to hash-matched. */
   private val annIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def annIndexPath(s: SparkSession, d: String): String =
-    graft.StoreDir.of(annIndexCache, d, "graft-annindex-") { dir =>
+    graft.StoreDir.fixed(annIndexCache, d,
+        s"/tmp/graft-annindex-${new java.io.File(d).getName}") { dir =>
       val e = Tables.embeddingsWide(s, d)
       val cen = kmeansCells(e, IvfCells, IvfIters)
       val cb = pqCodebooks(e)
@@ -533,6 +539,46 @@ object LlmOps {
       // (cell, n_id, vhat) persisted so a search is read-only — the
       // per-invocation corpus crossJoin + full pqEncode move to day 1
       pqPosting(e, cen, cb).write.mode("overwrite").parquet(s"$dir/posting")
+      ()
+    }
+
+  /** Incremental ANN index store (VERDICT r6 #3) — the day-2 economics the
+    * dedup signature store already has, applied to the ANN index: day-1
+    * vectors (vec_id % 4 != 0) train the coarse cells and PQ codebooks and
+    * build `posting1`; day-2 vectors (vec_id % 4 == 0) are then encoded
+    * with the FROZEN day-1 artifacts — assigned to frozen cells, coded
+    * against frozen codebooks — and appended as `posting2`, with NO
+    * retraining and no day-1 re-encode. At 100 TB this is the production
+    * append path: a nightly batch encodes only the new vectors
+    * (O(delta) work) and the searcher probes the merged posting.
+    * PropertySpec pins store+append ≡ a full rebuild against the same
+    * frozen artifacts, bit-for-bit, at two SFs — encoding is per-row with
+    * broadcast cen/cb, so the identity is structural, and the pin keeps it
+    * that way. Same fixed-path/no-reaper contract as [[annIndexPath]]
+    * (the search half is hash-gated by a DuckDB mirror over the store). */
+  private val annIncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def annIncPath(s: SparkSession, d: String): String =
+    graft.StoreDir.fixed(annIncCache, d,
+        s"/tmp/graft-anninc-${new java.io.File(d).getName}") { dir =>
+      val e = Tables.embeddingsWide(s, d)
+      val day1 = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+      val day2 = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+      // day-1 seeds must come from day-1 ids (the slice is NOT dense
+      // 0-based, so kmeansCells' `vec_id < k` contract seed is wrong here):
+      // first IvfCells day-1 vectors by vec_id, rank-numbered as cells
+      val wSeed = Window.orderBy("vec_id") // IvfCells rows post-limit
+      val init = day1.orderBy("vec_id").limit(IvfCells)
+        .withColumn("cell", (row_number().over(wSeed) - 1).cast("int"))
+        .select(col("cell"),
+                transform(col("embedding"), x => round(x.cast("double"), 6)).as("cvec"))
+      val cen = kmeansCellsFrom(day1, init, IvfIters)
+      val cb = pqCodebooks(day1)
+      cen.write.mode("overwrite").parquet(s"$dir/cen")
+      cb.write.mode("overwrite").parquet(s"$dir/cb")
+      pqPosting(day1, cen, cb).write.mode("overwrite").parquet(s"$dir/posting1")
+      // the day-2 append: frozen cen/cb, delta-only encode
+      pqPosting(day2, cen, cb).write.mode("overwrite").parquet(s"$dir/posting2")
       ()
     }
 
@@ -1240,14 +1286,18 @@ object LlmOps {
     "llm_quantize_pq" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddingsWide(s, d)
-      // codebooks from the day-1 store (train-once economics; store-read ≡
-      // fresh-train is pinned by ApiSpec) — the ADC scan + rerank is the
-      // measured work
-      val enc = pqEncode(e, s.read.parquet(s"${annIndexPath(s, d)}/cb"))
+      // quantized corpus from the day-1 store (train-once economics;
+      // store-read ≡ fresh-train is pinned by ApiSpec): the posting's
+      // `vhat` IS the PQ-encoded corpus reconstruction, so the FULL scan
+      // below touches only the stored 8 B/vector form — the ADC scan +
+      // exact rerank is the measured work, and since r7 the store path is
+      // deterministic so DuckDB hash-gates this whole search half
+      // (VERDICT r6 #4) by mirroring ADC + rerank over the same parquet.
+      val enc = s.read.parquet(s"${annIndexPath(s, d)}/posting")
       val q = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"),
                 transform(col("embedding"), x => x.cast("double")).as("q_emb"))
-      val c = enc.select(col("vec_id").as("n_id"), col("vhat").as("n_emb"))
+      val c = enc.select(col("n_id"), col("vhat").as("n_emb"))
       val shortlist = knnOf(q, c, 25).select(col("q_id"), col("n_id"))
       val orig = e.select(col("vec_id").as("n_id"),
                           transform(col("embedding"), x => x.cast("double")).as("n_emb"))
@@ -1276,6 +1326,27 @@ object LlmOps {
       val e = Tables.embeddingsWide(s, d)
       ivfPqSearchPosting(e.filter(col("vec_id") < 100), e,
                          s.read.parquet(s"$idx/posting"), s.read.parquet(s"$idx/cen"),
+                         nprobe = IvfProbes, shortlist = 25, k = 5)
+        .orderBy("q_id", "rk")
+    }),
+
+    // Incremental ANN index (store notes on annIncPath): day-1 trains and
+    // builds posting1; day-2 vectors are encoded with the FROZEN day-1
+    // cells/codebooks and appended as posting2 — no retraining, no day-1
+    // re-encode (O(delta) append work). The search probes the MERGED
+    // posting through the same ivfPqSearchPosting core as llm_knn_ivfpq,
+    // so every appended vector is a first-class neighbor candidate.
+    // Oracle: DuckDB mirrors probe + ADC + rerank over the persisted
+    // store (both posting halves unioned) — the search half is
+    // hash-gated; PropertySpec pins append ≡ full-rebuild bit-for-bit.
+    "llm_ann_incremental" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val idx = annIncPath(s, d)
+      val e = Tables.embeddingsWide(s, d)
+      val posting = s.read.parquet(s"$idx/posting1")
+        .unionByName(s.read.parquet(s"$idx/posting2"))
+      ivfPqSearchPosting(e.filter(col("vec_id") < 100), e,
+                         posting, s.read.parquet(s"$idx/cen"),
                          nprobe = IvfProbes, shortlist = 25, k = 5)
         .orderBy("q_id", "rk")
     }),
@@ -1426,6 +1497,71 @@ object LlmOps {
     s"""list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * $cvec[i]))
           / sqrt(list_sum(list_transform($emb, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
                * list_sum(list_transform($cvec, e -> e * e)))"""
+
+  /** DuckDB cosine between two FLOAT lists (per-element double widening,
+    * sequential sum — the graft_cosine/computeD order), as verified by the
+    * llm_knn_bruteforce oracle. */
+  private def ffCosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+
+  /** The ANN stores' deterministic locations AT THE ORACLE SCALE FACTOR:
+    * the driver's correctness gate always runs at sf0.01 (BASELINE.json
+    * contract; tools/selfcheck.py mirrors it), and oracle SQL is a static
+    * string, so the store-reading oracles below bake in the sf0.01 dirs
+    * that annIndexPath/annIncPath produce for that input. */
+  private val OracleAnnDir = "/tmp/graft-annindex-sf0.01"
+  private val OracleAnnIncDir = "/tmp/graft-anninc-sf0.01"
+
+  /** DuckDB mirror of [[ivfPqSearchPosting]] over a persisted store
+    * (VERDICT r6 #4): probe cells (top-nprobe by cell cosine, cell-asc
+    * ties) → ADC shortlist-25 over the stored vhat reconstructions
+    * (n_id-asc ties) → exact float rerank top-5 — every stage's tiebreak
+    * chain matches the Spark plan, so the hash gate covers the full
+    * search half. `postingSql` lets the incremental key union its two
+    * posting halves. */
+  private def ivfPqSearchStoreSql(cenPath: String, postingSql: String): String = s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < 100),
+      cen AS (SELECT cell, cvec FROM read_parquet('$cenPath/*.parquet')),
+      posting AS ($postingSql),
+      pscore AS (
+        SELECT q.q_id, q.q_emb, cen.cell,
+               ${cellCosSql("q.q_emb", "cen.cvec")} AS cell_cos
+        FROM q, cen),
+      probes AS (
+        SELECT q_id, q_emb, cell FROM (
+          SELECT q_id, q_emb, cell,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cell_cos DESC, cell) AS prn
+          FROM pscore)
+        WHERE prn <= 3),
+      adc AS (
+        SELECT p.q_id, p.q_emb, posting.n_id,
+               ${cellCosSql("p.q_emb", "posting.vhat")} AS cos_adc
+        FROM probes p JOIN posting ON p.cell = posting.cell
+        WHERE p.q_id <> posting.n_id),
+      short AS (
+        SELECT q_id, q_emb, n_id FROM (
+          SELECT q_id, q_emb, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_adc DESC, n_id) AS srk
+          FROM adc)
+        WHERE srk <= 25),
+      rr AS (
+        SELECT s.q_id, s.n_id,
+               ${ffCosSql("s.q_emb", "e.embedding")} AS cos
+        FROM short s JOIN embeddings e ON e.vec_id = s.n_id),
+      r AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM rr)
+      SELECT q_id, rk, n_id, round(cos, 4) AS cos
+      FROM r WHERE rk <= 5
+      ORDER BY q_id, rk"""
 
   /** One unrolled Lloyd's round for the llm_knn_ivf oracle: s$n scores every
     * vector against the previous round's centroids, a$n takes the argmax
@@ -1809,6 +1945,51 @@ object LlmOps {
       SELECT q_id, rk, n_id, round(cos, 4) AS cos
       FROM r WHERE rk <= 5
       ORDER BY q_id, rk""",
+
+    // PQ search half (training stays no-oracle): ADC over the persisted
+    // posting's vhat reconstructions — the WHOLE quantized corpus, no cell
+    // filter — then exact rerank, mirroring the Spark two-stage shape over
+    // the same store parquet (deterministic path notes on OracleAnnDir).
+    "llm_quantize_pq" -> s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < 100),
+      posting AS (
+        SELECT n_id, vhat FROM read_parquet('$OracleAnnDir/posting/*.parquet')),
+      adc AS (
+        SELECT q.q_id, q.q_emb, posting.n_id,
+               ${cellCosSql("q.q_emb", "posting.vhat")} AS cos_adc
+        FROM q, posting WHERE q.q_id <> posting.n_id),
+      short AS (
+        SELECT q_id, q_emb, n_id FROM (
+          SELECT q_id, q_emb, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_adc DESC, n_id) AS srk
+          FROM adc)
+        WHERE srk <= 25),
+      rr AS (
+        SELECT s.q_id, s.n_id,
+               ${ffCosSql("s.q_emb", "e.embedding")} AS cos
+        FROM short s JOIN embeddings e ON e.vec_id = s.n_id),
+      r AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM rr)
+      SELECT q_id, rk, n_id, round(cos, 4) AS cos
+      FROM r WHERE rk <= 5
+      ORDER BY q_id, rk""",
+
+    // IVF-PQ search half over the same persisted store (probe + ADC +
+    // rerank mirror, tiebreaks matched stage by stage).
+    "llm_knn_ivfpq" -> ivfPqSearchStoreSql(s"$OracleAnnDir/cen",
+      s"SELECT cell, n_id, vhat FROM read_parquet('$OracleAnnDir/posting/*.parquet')"),
+
+    // Incremental store: the searcher's posting is the UNION of the day-1
+    // build and the frozen-artifact day-2 append.
+    "llm_ann_incremental" -> ivfPqSearchStoreSql(s"$OracleAnnIncDir/cen",
+      s"""SELECT cell, n_id, vhat FROM read_parquet('$OracleAnnIncDir/posting1/*.parquet')
+          UNION ALL
+          SELECT cell, n_id, vhat FROM read_parquet('$OracleAnnIncDir/posting2/*.parquet')"""),
 
     "llm_knn_centroids" -> """
       WITH x AS (

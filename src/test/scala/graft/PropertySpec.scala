@@ -171,6 +171,32 @@ class PropertySpec extends AnyFunSuite {
     assert(recall >= 0.35, s"IVF-PQ default recall regressed to $recall")
   }
 
+  test("incremental ANN append equals full rebuild against frozen artifacts (2 SFs)") {
+    // VERDICT r6 #3: the store's day-2 append (encode ONLY the delta with
+    // the FROZEN day-1 cells/codebooks, append as posting2) must produce
+    // the identical index a full one-pass rebuild against the same frozen
+    // artifacts would — bit-for-bit, at both test SFs. Encoding is
+    // per-row with broadcast cen/cb, so the identity is structural; this
+    // pin keeps a future edit from accidentally coupling rows (e.g. a
+    // normalization over the batch).
+    val spark = TestSpark.spark
+    graft.functions.CosineSimilarity.register(spark)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val idx = graft.ops.LlmOps.annIncPath(spark, d)
+      val stored = spark.read.parquet(s"$idx/posting1")
+        .unionByName(spark.read.parquet(s"$idx/posting2"))
+        .collect().map(_.mkString("|")).toSet
+      val rebuilt = graft.ops.LlmOps.pqPosting(
+          Tables.embeddingsWide(spark, d),
+          spark.read.parquet(s"$idx/cen"),
+          spark.read.parquet(s"$idx/cb"))
+        .collect().map(_.mkString("|")).toSet
+      assert(stored === rebuilt,
+        s"incremental append diverged from the full rebuild at $d")
+      assert(stored.nonEmpty)
+    }
+  }
+
   test("pqCodebooks: empty clusters carry forward — codebook stays m x k rows") {
     // 20 vectors whose first 16 (the seeds) are pairwise duplicates: both
     // codes of a duplicated pair start with identical centroids, argmin
