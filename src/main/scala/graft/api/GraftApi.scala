@@ -356,6 +356,27 @@ object Text {
                wordCol: String = "word"): DataFrame =
     TextOps.bpeApplyOf(words.select(col(wordCol).as("word")), merges)
 
+  /** Byte-level BPE training: the same deterministic trainer core over
+    * UTF-8 BYTE symbols under the regex pre-tokenizer
+    * (letter runs / digit runs / single non-alnum char), so multi-byte
+    * codepoints merge below the character level and no input is ever
+    * out-of-alphabet — the production (GPT-style) tokenizer shape.
+    * Returns (ranked merges, vocab) like [[trainBpe]]; symbols are
+    * lowercase hex byte strings, so
+    * `decode(unhex(concat_ws('', syms)), 'UTF-8')` reconstructs any word
+    * from its tokens. */
+  def trainBpeBytes(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): (Seq[(String, String)], DataFrame) =
+    TextOps.bpeTrainWords(TextOps.byteWords(std(docs, idCol, textCol)))
+
+  /** Replay a BYTE-level merge table from [[trainBpeBytes]] on any word
+    * frame (words must come from the same pre-tokenizer — see
+    * [[applyBpe]]'s alphabet note, which this variant resolves for the
+    * byte alphabet). Returns (word, syms). */
+  def applyBpeBytes(words: DataFrame, merges: Seq[(String, String)],
+                    wordCol: String = "word"): DataFrame =
+    TextOps.bpeApplyBytesOf(words.select(col(wordCol).as("word")), merges)
+
   /** Gap-based sessionization: assign a session id per (user, gap) run —
     * (all input columns, session_id). Batch twin of a streaming
     * session_window. One shuffle (everything partitions by the user col).

@@ -48,6 +48,34 @@ object TextOps {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("syms", split(col("word"), ""))
 
+  /** Byte-level pre-tokenizer (VERDICT r6 #6): the GPT-style regex lexer —
+    * letter runs / digit runs / single non-alnum char (which is where
+    * multi-byte codepoints land) — replacing the whitespace split of the
+    * char-level variant. Kept in the RE2∩Java subset like every other
+    * pattern in this repo. */
+  private[graft] val BytePretokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** UTF-8 byte symbols of `word`: one lowercase 2-hex-char symbol per
+    * byte, so a multi-byte codepoint contributes one symbol PER BYTE and
+    * merges operate below the character level — the byte-level BPE
+    * alphabet. Merged symbols concatenate hex strings, so
+    * `decode(unhex(concat_ws('', syms)), 'UTF-8')` reconstructs the word
+    * from ANY merge state (the round-trip property OperatorSpec pins on
+    * multi-byte text). */
+  private[graft] def byteSyms(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bin = encode(word, "UTF-8")
+    transform(sequence(lit(1), length(bin)),
+              i => lower(hex(substring(bin, i, lit(1)))))
+  }
+
+  /** (word, cnt, syms): distinct pre-tokenized words with byte symbols. */
+  private[graft] def byteWords(docs: DataFrame): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(col("text"), lit(BytePretokenPattern), lit(0))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", byteSyms(col("word")))
+
   /** Trained-tokenizer store: merges + tokenized vocab persisted ONCE per
     * (JVM, sfDir) — a tokenizer is the canonical day-1 artifact (trained
     * once, shipped, applied forever), so the contract key reads the store
@@ -59,21 +87,34 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def bpeStorePath(s: SparkSession, d: String): String =
     graft.StoreDir.of(bpeStoreCache, d, "graft-bpestore-") { dir =>
-      val (merges, vocab) = bpeTrain(
-        Tables.documentsWide(s, d).select(col("doc_id"), col("text")))
-      vocab.write.mode("overwrite").parquet(s"$dir/vocab")
       import s.implicits._
-      merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
-        .toDF("rank", "a", "b")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+      def writeMerges(merges: Seq[(String, String)], sub: String): Unit =
+        merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+          .toDF("rank", "a", "b")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$sub")
+      val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
+      val (merges, vocab) = bpeTrain(docs)
+      vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+      writeMerges(merges, "merges")
+      // byte-level variant (VERDICT r6 #6): same trainer core, byte
+      // alphabet + regex pre-tokenizer — one store build carries both
+      val (bMerges, bVocab) = bpeTrainWords(byteWords(docs))
+      bVocab.write.mode("overwrite").parquet(s"$dir/vocab_bytes")
+      writeMerges(bMerges, "merges_bytes")
       ()
     }
 
   /** Train up to [[BpeMerges]] merges (early-stop when no adjacent pair
     * recurs). Returns the ranked merge table and the final vocab frame —
     * whose `syms` IS the BPE tokenization of each corpus word. */
-  private[graft] def bpeTrain(docs: DataFrame): (Seq[(String, String)], DataFrame) = {
-    var words = LlmOps.cutLineage(bpeWords(docs))
+  private[graft] def bpeTrain(docs: DataFrame): (Seq[(String, String)], DataFrame) =
+    bpeTrainWords(bpeWords(docs))
+
+  /** The trainer core over ANY (word, cnt, syms) frame — the alphabet
+    * (char split vs UTF-8 byte symbols) is the caller's choice, the merge
+    * loop is shared, so the two variants cannot drift algorithmically. */
+  private[graft] def bpeTrainWords(words0: DataFrame): (Seq[(String, String)], DataFrame) = {
+    var words = LlmOps.cutLineage(words0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
     while (continue && merges.length < BpeMerges) {
@@ -125,8 +166,21 @@ object TextOps {
     * alphabet-agnostic. Returns (word, syms). */
   private[graft] def bpeApplyOf(words: DataFrame,
                                 merges: Seq[(String, String)]): DataFrame =
-    merges.zipWithIndex.foldLeft(
-      words.select(col("word"), split(col("word"), "").as("syms"))) {
+    bpeApplyFrom(
+      words.select(col("word"), split(col("word"), "").as("syms")), merges)
+
+  /** Byte-alphabet replay twin of [[bpeApplyOf]]: starts from UTF-8 byte
+    * symbols, so it replays merge tables trained by [[byteWords]] — pass
+    * words produced by the SAME pre-tokenizer ([[BytePretokenPattern]])
+    * or the vocab lookup misses. */
+  private[graft] def bpeApplyBytesOf(words: DataFrame,
+                                     merges: Seq[(String, String)]): DataFrame =
+    bpeApplyFrom(
+      words.select(col("word"), byteSyms(col("word")).as("syms")), merges)
+
+  private def bpeApplyFrom(init: DataFrame,
+                           merges: Seq[(String, String)]): DataFrame =
+    merges.zipWithIndex.foldLeft(init) {
       case (df, ((a, b), r)) =>
         val stepped = df.withColumn("syms", mergeOnce(a, b))
         if ((r + 1) % 16 == 0) LlmOps.cutLineage(stepped) else stepped
@@ -200,6 +254,32 @@ object TextOps {
              count(lit(1)).as("n_words"),
              sum("n_tok").as("n_tokens"))
         .withColumn("tokens_per_word", round(col("n_tokens") / col("n_words"), 4))
+        .orderBy("lang")
+    }),
+
+    // Byte-level trained BPE (alphabet notes on byteSyms/byteWords): the
+    // production-tokenizer shape — UTF-8 byte symbols under a regex
+    // pre-tokenizer, so multi-byte codepoints merge below the character
+    // level and NO word is out-of-alphabet (any byte sequence tokenizes).
+    // Same deterministic trainer core as llm_bpe_tokenize; per-lang audit
+    // of learned-token vs pre-token counts + bytes per learned token.
+    // Oracle: NONE (iterative trainer); OperatorSpec pins the multi-byte
+    // round-trip and replay ≡ stored vocab for the byte alphabet.
+    "llm_bpe_bytes" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d)
+      val vocab = s.read.parquet(s"${bpeStorePath(s, d)}/vocab_bytes")
+      val wordTok = vocab.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+      docs.select(col("doc_id"), col("lang"), explode(
+          regexp_extract_all(col("text"), lit(BytePretokenPattern), lit(0))).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(wordTok), "word")
+        .groupBy("lang")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_words"),
+             sum("n_tok").as("n_tokens"),
+             sum(length(encode(col("word"), "UTF-8")).cast("long")).as("n_bytes"))
+        .withColumn("tokens_per_word", round(col("n_tokens") / col("n_words"), 4))
+        .withColumn("bytes_per_token", round(col("n_bytes") / col("n_tokens"), 4))
         .orderBy("lang")
     }),
 

@@ -290,6 +290,23 @@ class ApiSpec extends AnyFunSuite {
     assert(out.count() === 3)
   }
 
+  test("Text.applyBpeBytes: byte-alphabet replay equals the stored vocab") {
+    // VERDICT r6 #6's pin for the byte alphabet, mirroring the char-level
+    // one above: replay-from-scratch over the trained byte merge table
+    // must land on the trainer's stored tokenization for every
+    // pre-tokenized corpus word, and the persisted store must carry the
+    // same artifacts.
+    val (merges, vocab) = Text.trainBpeBytes(docs)
+    assert(merges.nonEmpty)
+    val replayed = rowSet(Text.applyBpeBytes(vocab.select("word"), merges))
+    val stored = rowSet(vocab.select("word", "syms"))
+    assert(replayed === stored)
+    val storeMerges = spark.read
+      .parquet(s"${graft.ops.TextOps.bpeStorePath(spark, d)}/merges_bytes")
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(storeMerges === merges)
+  }
+
   test("Graft.clearCaches drains every engine-tracked cache (no net growth)") {
     Graft.clearCaches() // start from a clean registry
     assert(GraftCaches.size === 0)

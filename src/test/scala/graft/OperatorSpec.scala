@@ -91,6 +91,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(byId(0L).getBoolean(6) === false)
   }
 
+  test("byte-level BPE: multi-byte round-trip, sub-character merges, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, expr}
+    // multi-byte text: 2-byte (é/í/ï), 3-byte CJK, 4-byte emoji — the
+    // alphabet the char-split variant cannot represent byte-level merges
+    // over. Repeats make pairs recur so the trainer has real work.
+    val docs = Seq(
+      (0L, "café café café día día 汉字 naïve"),
+      (1L, "café día 汉字 汉字 ok 😀 😀 naïve naïve")
+    ).toDF("doc_id", "text")
+    val (merges, vocab) = graft.ops.TextOps.bpeTrainWords(
+      graft.ops.TextOps.byteWords(docs))
+    assert(merges.nonEmpty, "repeated multi-byte words must yield merges")
+    // determinism: retraining reproduces the identical merge table
+    val (merges2, _) = graft.ops.TextOps.bpeTrainWords(
+      graft.ops.TextOps.byteWords(docs))
+    assert(merges === merges2)
+    // round-trip: concatenated hex symbols decode back to the exact word,
+    // for EVERY vocab word at EVERY merge state (stored vocab + replay)
+    def roundTrips(df: org.apache.spark.sql.DataFrame): Unit = {
+      val bad = df.withColumn("rt",
+        expr("decode(unhex(concat_ws('', syms)), 'UTF-8')"))
+        .filter(col("rt") =!= col("word"))
+      assert(bad.count() === 0, s"round-trip broke: ${bad.collect().mkString}")
+    }
+    roundTrips(vocab)
+    roundTrips(graft.ops.TextOps.bpeApplyBytesOf(vocab.select("word"), merges))
+    // unseen word containing unseen multi-byte codepoints still tokenizes
+    // (byte alphabet ⇒ nothing is out-of-vocabulary) and round-trips
+    val unseen = Seq("über", "日本語x", "zzz").toDF("word")
+    roundTrips(graft.ops.TextOps.bpeApplyBytesOf(unseen, merges))
+    // sub-character merge really happened: "café"'s é is c3a9 — its two
+    // bytes start as separate symbols and some vocab word must now hold a
+    // merged symbol longer than one byte (4+ hex chars)
+    val merged = vocab.filter(expr("exists(syms, s -> length(s) >= 4)"))
+    assert(merged.count() > 0, "no multi-byte symbol was ever merged")
+  }
+
   test("BPE trainer: deterministic merges, round-trip detokenization, compression") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws, expr, size, sum}
