@@ -82,11 +82,16 @@ object TextOps {
     * and measures TOKENIZATION, not training (same economics as the dedup
     * signature store and the ANN index store). Parquet round-trips
     * strings/longs exactly, so store-read ≡ fresh-train (the trainer is
-    * deterministic); OperatorSpec's determinism test pins it. */
+    * deterministic); OperatorSpec's determinism test pins it.
+    * Deterministic path with no exit reaper (r7, same contract as
+    * annIndexPath): DuckDB mirrors the TOKENIZATION halves of the two BPE
+    * keys over the persisted vocab after the Verify JVM exits — training
+    * stays no-oracle, the corpus audit is hash-gated. */
   private val bpeStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def bpeStorePath(s: SparkSession, d: String): String =
-    graft.StoreDir.of(bpeStoreCache, d, "graft-bpestore-") { dir =>
+    graft.StoreDir.fixed(bpeStoreCache, d,
+        s"/tmp/graft-bpestore-${new java.io.File(d).getName}") { dir =>
       import s.implicits._
       def writeMerges(merges: Seq[(String, String)], sub: String): Unit =
         merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
@@ -437,7 +442,51 @@ object TextOps {
       "array_distinct(transform(sequence(1, size(harr) - 3), i -> array_min(slice(harr, i, 4))))"))
   }
 
+  /** The tokenizer store's deterministic location at the ORACLE scale
+    * factor (the driver's correctness gate always runs at sf0.01 —
+    * same contract note as LlmOps.OracleAnnDir). */
+  private val OracleBpeDir = "/tmp/graft-bpestore-sf0.01"
+
   val oracle: Map[String, String] = Map(
+    // Tokenization halves of the two BPE keys (training stays no-oracle):
+    // DuckDB replays the corpus audit over the PERSISTED vocab — the same
+    // store the Spark keys read, at its deterministic path.
+    "llm_bpe_tokenize" -> s"""
+      WITH vocab AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_tok
+        FROM read_parquet('$OracleBpeDir/vocab/*.parquet')),
+      w AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      j AS (
+        SELECT doc_id, lang, n_tok
+        FROM w JOIN vocab USING (word)
+        WHERE len(word) > 0)
+      SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS tokens_per_word
+      FROM j GROUP BY lang ORDER BY lang""",
+
+    "llm_bpe_bytes" -> s"""
+      WITH vocab AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_tok
+        FROM read_parquet('$OracleBpeDir/vocab_bytes/*.parquet')),
+      w AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS word
+        FROM documents),
+      j AS (
+        SELECT doc_id, lang, word, n_tok
+        FROM w JOIN vocab USING (word)
+        WHERE len(word) > 0)
+      SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(octet_length(encode(word))) AS BIGINT) AS n_bytes,
+             round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS tokens_per_word,
+             round(CAST(sum(octet_length(encode(word))) AS DOUBLE) / sum(n_tok), 4)
+               AS bytes_per_token
+      FROM j GROUP BY lang ORDER BY lang""",
+
     "llm_perplexity_proxy" -> """
       WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
       grams AS (
