@@ -47,13 +47,16 @@ object Bench {
   private val HighVarianceStreams = Set("stream_stream_outer")
 
   /** The r6 driver-box anomaly block (7 keys 5-12× vs r5, VERDICT r6 #1)
-    * plus r4/r5's watch keys — raw repeats for these ride in the SHORT
-    * last line so a tail-truncated capture alone can adjudicate
-    * environment vs regression. */
+    * plus ALL of r4/r5's watch keys — raw repeats for these ride in the
+    * SHORT last line so a tail-truncated capture alone can adjudicate
+    * environment vs regression (~45 B per key; 13 keys keep the line
+    * comfortably under the ~2 KB capture window). */
   private val Watchlist = Seq(
     "limit_topn", "join_semi", "join_theta_range", "join_shuffle_hash",
     "join_skew_salted", "join_sortmerge", "llm_multimodal_join",
-    "stream_stream_outer", "sort_multi")
+    "stream_stream_outer", "sort_multi",
+    "stream_static_join", "stream_stateful_tws", "src_csv_roundtrip",
+    "opt_cosine_rewrite")
 
   private def fmt(x: Double): String = f"$x%.3f"
 
@@ -124,7 +127,11 @@ object Bench {
           try spark.catalog.clearCache() catch { case _: Throwable => () }
           dt
         }
-        if ((idx + 1) % SentinelEvery == 0) sentinel += ((idx + 1, sentinelShot()))
+        // the closing shot below covers the final position — skip the
+        // in-loop shot when the run length is a SentinelEvery multiple,
+        // or the trace would carry two entries at one index
+        if ((idx + 1) % SentinelEvery == 0 && (idx + 1) < order.length)
+          sentinel += ((idx + 1, sentinelShot()))
         val sorted = times.sorted
         val value = if (streaming) sorted.head else sorted(sorted.length / 2)
         (name, value, times)

@@ -21,6 +21,11 @@ private[graft] object GraftCaches {
     * buildSignatureStore's shingle frame) skip tracking entirely. */
   def track(df: DataFrame): DataFrame = { frames.add(df); df }
 
+  /** Drop a frame the caller has already unpersisted itself (reference
+    * match) — keeps swap-style call sites from accreting superseded
+    * entries between clearCaches() calls. */
+  def untrack(df: DataFrame): Unit = { frames.remove(df); () }
+
   /** Unpersist every tracked frame; returns how many were unpersisted.
     * Safe to call mid-query: unpersist only re-enables recomputation. */
   def clear(): Int = {
@@ -38,26 +43,49 @@ private[graft] object GraftCaches {
   def size: Int = frames.size
 }
 
-/** Shared builder for the per-(JVM, sfDir) persisted store dirs (the
-  * day-1 artifacts: dedup signature store, ANN index, BPE tokenizer).
-  * One implementation of the tempdir + recursive shutdown reaper so a
-  * reaper fix cannot drift across the three call sites. computeIfAbsent
-  * gives per-key build exclusivity — a concurrent first call blocks
-  * instead of building a second orphaned dir. */
+/** Shared builders for the per-(JVM, sfDir) persisted store dirs (the
+  * day-1 artifacts). Two contracts: [[of]] = unique tempdir + recursive
+  * shutdown reaper (stores only this JVM reads — the dedup signature
+  * store); [[fixed]] = deterministic path that OUTLIVES the JVM (stores a
+  * later DuckDB oracle process must read — the ANN indexes and the BPE
+  * tokenizer). computeIfAbsent gives per-key in-JVM build exclusivity;
+  * fixed() additionally takes an OS file lock for cross-process safety. */
 private[graft] object StoreDir {
-  /** Deterministic, JVM-OUTLIVING store dir (VERDICT r6 #4): built at a
-    * FIXED path once per (JVM, key) with no shutdown reaper — the DuckDB
-    * oracle reads the persisted parquet AFTER the Verify JVM exits, so the
-    * dir must survive. Every file inside is written with
-    * mode("overwrite"), so a rebuild by a later JVM (fresh cache map)
-    * replaces stale content wholesale; the dirs are small (trained
-    * centroids/codebooks + one posting row per vector) and land under
-    * /tmp, where the OS reaper is the backstop. */
+  /** Deterministic, JVM-OUTLIVING store dir (VERDICT r6 #4): built ONCE
+    * per (JVM, key) at a FIXED path with no shutdown reaper — the DuckDB
+    * oracle reads the persisted parquet AFTER the Verify JVM exits, so
+    * the dir must survive. The fixed path is shared across processes, so
+    * unlike [[of]]'s unique tempdirs two JVMs could race here; the build
+    * therefore (a) serializes on an OS file lock (`<dir>.lock`) and
+    * (b) writes into a process-unique staging dir that is RENAMED into
+    * place, so the canonical path only ever holds a complete store — a
+    * JVM killed mid-build leaves staging litter, never a half-written
+    * store. Each JVM rebuilds on first touch (stale stores from older
+    * code die on the swap); dirs are small (trained centroids/codebooks +
+    * one posting row per vector) and /tmp's reaper is the backstop. */
   def fixed(cache: java.util.concurrent.ConcurrentHashMap[String, String],
             key: String, dir: String)(build: String => Unit): String =
     cache.computeIfAbsent(key, _ => {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      build(dir)
+      import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+      val target = Paths.get(dir)
+      val lockCh = java.nio.channels.FileChannel.open(
+        Paths.get(dir + ".lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lock = lockCh.lock() // blocks until any other process's build ends
+      try {
+        val staging = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
+        def rmTree(p: Path): Unit =
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(f => { Files.deleteIfExists(f); () })
+        rmTree(staging) // litter from a previous killed build of this pid
+        Files.createDirectories(staging)
+        try {
+          build(staging.toString)
+          rmTree(target)
+          Files.move(staging, target) // same-fs dir rename — atomic swap
+        } catch { case e: Throwable => rmTree(staging); throw e }
+      } finally { lock.release(); lockCh.close() }
       dir
     })
 

@@ -899,16 +899,24 @@ object LlmOps {
         .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
         .cache())
 
-  private[graft] def substringDedupOf(docs: DataFrame, span: Int): DataFrame = {
+  /** (doc_id, n_spans, n_rep) for one span length — THE repeat definition
+    * (a span repeats ⇔ it occurs in >1 distinct doc), shared by the
+    * single-length and multi-length operators so the semantics cannot
+    * fork between them. */
+  private def spanRepeatCounts(docs: DataFrame, span: Int): DataFrame = {
     val spans = spanHashes(docs, span).select("doc_id", "h")
     val rep = spans.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
       .select(col("h"), lit(1).as("isrep"))
-    val perDoc = spans.join(rep, Seq("h"), "left")
+    spans.join(rep, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
            sum(when(col("isrep").isNotNull, 1L).otherwise(0L)).as("n_rep"))
+  }
+
+  private[graft] def substringDedupOf(docs: DataFrame, span: Int): DataFrame = {
+    val perDoc = spanRepeatCounts(docs, span)
     val ratio = coalesce(col("n_rep") / col("n_spans"), lit(0.0))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -936,15 +944,9 @@ object LlmOps {
     val lens = spanLens.distinct.sorted
     require(lens.nonEmpty, "substringDedupMultiOf needs >= 1 span length")
     val perLen = lens.map { sp =>
-      val spans = spanHashes(docs, sp).select("doc_id", "h")
-      val rep = spans.groupBy("h")
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1)
-        .select(col("h"), lit(1).as("isrep"))
-      spans.join(rep, Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as(s"n_spans_$sp"),
-             sum(when(col("isrep").isNotNull, 1L).otherwise(0L)).as(s"n_rep_$sp"))
+      spanRepeatCounts(docs, sp)
+        .withColumnRenamed("n_spans", s"n_spans_$sp")
+        .withColumnRenamed("n_rep", s"n_rep_$sp")
     }
     val joined = perLen.foldLeft(docs.select(col("doc_id"))) {
       (acc, p) => acc.join(p, Seq("doc_id"), "left")

@@ -63,8 +63,10 @@ object OptOps {
     * harmless no-op (unpersist is idempotent). */
   private val lastCached = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def swapCached(key: String, df: DataFrame): DataFrame = {
-    Option(lastCached.put(key, df))
-      .foreach(old => try old.unpersist() catch { case _: Throwable => () })
+    Option(lastCached.put(key, df)).foreach { old =>
+      try old.unpersist() catch { case _: Throwable => () }
+      graft.GraftCaches.untrack(old) // swap already released it — don't accrete
+    }
     graft.GraftCaches.track(df)
   }
   private[graft] def partitionedLineitem(s: SparkSession, d: String): String =

@@ -64,8 +64,13 @@ object TextOps {
     * multi-byte text). */
   private[graft] def byteSyms(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bin = encode(word, "UTF-8")
-    transform(sequence(lit(1), length(bin)),
-              i => lower(hex(substring(bin, i, lit(1)))))
+    // sequence(1, 0) counts DOWN — an empty word (possible through the
+    // public applyBpeBytes; byteWords filters them) must yield an empty
+    // symbol array, not two bogus '' symbols
+    when(length(bin) > 0,
+         transform(sequence(lit(1), length(bin)),
+                   i => lower(hex(substring(bin, i, lit(1))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** (word, cnt, syms): distinct pre-tokenized words with byte symbols. */
