@@ -45,6 +45,28 @@ object ScanOps {
     props
   }
 
+  /** Per-doc binary files staged once per (JVM, sfDir) — the raw-asset
+    * layout a multimodal corpus arrives in (one image/audio blob per
+    * file): doc_id < 50's text bytes written as `doc_<id>.bin`, plus one
+    * decoy `.skip` file the pathGlobFilter must exclude. Driver-side file
+    * writes are scaffolding (the fixture stands in for an external object
+    * store), like BusRegistry.publish. */
+  private val binFilesFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def binFilesDir(s: SparkSession, d: String): String =
+    binFilesFor.computeIfAbsent(d, _ => {
+      val dir = tmpDirRecursive("graft_binfiles")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 50).collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "ignore_me.skip"),
+        "decoy".getBytes("UTF-8"))
+      dir
+    })
+
   /** Orders staged into a per-JVM Derby database, once per sfDir (the JDBC
     * SOURCE for scan_jdbc_pushdown; same computeIfAbsent discipline as the
     * other per-JVM fixtures). */
@@ -164,6 +186,30 @@ object ScanOps {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Raw binary-file ingest — Spark's native distributed read for the
+    // opaque blobs a multimodal corpus arrives as (one image/audio file
+    // per asset; llm_multimodal_features is the downstream decode stage).
+    // `binaryFile` partitions work by FILES (each a task unit, driver
+    // lists once) and `pathGlobFilter` prunes non-matching paths at the
+    // listing — at 100 TB the glob is the difference between reading the
+    // asset set and reading the whole bucket. The key stages doc texts as
+    // .bin files plus a decoy the glob must skip, then emits per-file
+    // byte counts + content digests; the oracle derives the identical
+    // rows from the documents table (same bytes by construction), so the
+    // whole read path — listing, glob pruning, content fetch — is
+    // hash-gated.
+    "src_binary_files" -> ((s, d) => {
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(binFilesDir(s, d))
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_hash"))
+        .orderBy("doc_id")
     })
   )
 
@@ -190,6 +236,18 @@ object ScanOps {
 
     "src_csv_roundtrip" -> """
       SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // The staged .bin files hold exactly documents.text's UTF-8 bytes for
+    // doc_id < 50, so byte counts and md5 digests derive straight from
+    // the table; a glob failure (decoy read, or a lost file) breaks the
+    // row count or a hash.
+    "src_binary_files" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS content_hash
+      FROM documents
+      WHERE doc_id < 50
+      ORDER BY doc_id""",
 
     "sink_parquet_partitioned" -> """
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
