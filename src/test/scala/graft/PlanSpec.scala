@@ -390,6 +390,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.catalog.clearCache()
   }
 
+  test("r7 keys: no pair enumeration; probes broadcast over the merged posting") {
+    // llm_substring_dedup_multi inherits the no-pair-enumeration scale
+    // claim at every span length; llm_ann_incremental must keep the
+    // ivfPqSearchPosting shape over the UNIONED posting — probe set
+    // broadcast (BroadcastHashJoin on cell), never the posting shuffled
+    // into <= #cells skewed partitions or a nested-loop fallback.
+    val multi = plan("llm_substring_dedup_multi")
+    assert(!multi.contains("CartesianProduct") &&
+           !multi.contains("BroadcastNestedLoopJoin"),
+      multi.linesIterator.take(5).mkString("\n"))
+    val inc = plan("llm_ann_incremental")
+    assert(!inc.contains("CartesianProduct"),
+      inc.linesIterator.take(5).mkString("\n"))
+    assert(inc.contains("BroadcastHashJoin [cell"),
+      s"probe set must broadcast over the posting scan:\n$inc")
+    assert(inc.contains("Union"), "merged posting lost its union")
+  }
+
   test("graft-bus: readStream resolves to the custom DSv2 table") {
     val topic = graft.streaming.StreamOps.busTopic(spark, d)
     val df = spark.readStream.format("graft-bus").option("topic", topic).load()
