@@ -42,6 +42,23 @@ object Graft {
     * untouched (unlike `spark.catalog.clearCache()`). Returns the number
     * of frames released. */
   def clearCaches(): Int = graft.GraftCaches.clear()
+
+  /** Native backward as-of join (inner, inclusive): each left row pairs
+    * with the right row sharing the by-keys that has the greatest
+    * `rightTsCol <= leftTsCol`; unmatched left rows drop. Plans as the
+    * custom [[graft.plans.AsOfJoinExec]] operator — one hash shuffle per
+    * side on the by-keys plus a streaming O(1)-state merge, instead of the
+    * union-tag + window composition (`join_asof`) that buffers whole key
+    * groups in the window frame. The right side is re-aliased internally
+    * (fresh exprIds), so self-as-of joins on one source frame are safe;
+    * output = left columns ++ right columns in order, right names as given
+    * — rename overlapping right columns first if you need to reference
+    * them downstream. Null by-keys match each other (sort-order equality,
+    * like groupBy); filter them beforehand for SQL-join semantics. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftOn: Seq[String], rightOn: Seq[String],
+               leftTsCol: String, rightTsCol: String): DataFrame =
+    graft.plans.AsOfJoin.frame(left, right, leftOn, rightOn, leftTsCol, rightTsCol)
 }
 
 /** Deduplication family. All pair outputs are (doc_a < doc_b) with the
@@ -189,6 +206,24 @@ object Similarity {
       k, excludeSelfId)
     out
   }
+
+  /** LSH-bucketed approximate top-k: sign-band hash tables (`nBands` ×
+    * `bandBits` bits over the leading dims), exact cosine on candidates
+    * sharing >= 1 whole band, (cos DESC, id ASC) top-k. The banded
+    * candidate set is the operator's DEFINITION (sign-LSH cannot be exact
+    * for cosine top-k); recall/selectivity dial = bands × width — this
+    * corpus is near-random so the 16×4 default favors recall, while real
+    * correlated embeddings want wider bands (8×8+). Self-matches (equal
+    * ids) are always excluded. */
+  def lshSearch(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                nBands: Int = 16, bandBits: Int = 4,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    LlmOps.lshKnnOf(
+      std(queries, idCol, embCol)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      std(corpus, idCol, embCol)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      k, nBands, bandBits)
 
   /** Seeded spherical k-means coarse quantizer (the IVF index build):
     * returns k (cell, cvec) centroids after `iters` Lloyd's rounds.

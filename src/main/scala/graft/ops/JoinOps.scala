@@ -212,6 +212,26 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // Native as-of join — the same query as `join_asof`, planned through
+    // the engine's whole-operator extension tier (graft.plans.AsOfJoin →
+    // AsOfJoinStrategy → AsOfJoinExec): one hash shuffle per side on
+    // user_id, then a streaming two-pointer merge holding ONE candidate
+    // row — vs the composed key's union + window pass that buffers each
+    // user's frame. OperatorSpec pins native ≡ composed bit-for-bit;
+    // PlanSpec pins the AsOfJoinExec node and its two-exchange shape.
+    "join_asof_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val sign = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+      graft.plans.AsOfJoin.frame(purch, sign,
+          Seq("user_id"), Seq("s_user_id"), "ts", "s_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("s_ts").as("signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // Skew-mitigated join via key salting — the manual 100 TB pattern for
     // when AQE's skew split can't help (e.g. the skewed side feeds a
     // downstream agg on the same key). A deliberately skewed key
@@ -346,6 +366,16 @@ object JoinOps {
       ORDER BY o_year""",
 
     "join_asof" -> """
+      SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
+    // Identical semantics to join_asof — the key differs only in HOW the
+    // plan is produced (native operator vs composition), so the oracle is
+    // the same ASOF JOIN.
+    "join_asof_native" -> """
       SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s

@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => LogicalBinaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Whole-operator extension tier (SURVEY §7.3c): a native backward as-of
+  * join as a custom `LogicalPlan` + `SparkStrategy` + physical `SparkPlan`
+  * — the operator family Spark's DataFrame API genuinely lacks (the
+  * composed alternative is `join_asof`'s union-tag + window plan; pandas
+  * API-on-Spark ships `merge_asof` but there is no Scala/SQL primitive).
+  *
+  * Semantics (inner, backward, inclusive): for every left row, the single
+  * right row with equal by-keys and the greatest `rightTs <= leftTs`;
+  * left rows with no such match are dropped. Equal by-key null handling
+  * follows sort-order equality (nulls group together, like groupBy — note
+  * the difference from SQL join equality); callers with nullable keys
+  * should filter first. Ties on `rightTs` keep the last row in (key, ts)
+  * sort order — output-stable whenever the projected right columns are,
+  * which is how DuckDB's `ASOF JOIN` (the oracle twin) behaves too.
+  *
+  * Scale shape: ONE hash shuffle per side on the by-keys (exactly a
+  * sort-merge join's movement — `ClusteredDistribution` lets
+  * EnsureRequirements reuse any compatible existing partitioning, e.g.
+  * bucketed tables), then a single streaming two-pointer merge per
+  * partition holding ONE candidate row — no window buffering the whole
+  * key group, no state beyond 2 rows, no skew amplification beyond what
+  * the key distribution itself carries. 100 TB cost = the two shuffles.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression) extends LogicalBinaryNode {
+
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    s"as-of join needs matching by-key lists, got $leftKeys vs $rightKeys")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level builder: the path `Graft.asofJoin` (and the
+  * `join_asof_native` contract key) goes through. */
+object AsOfJoin {
+  /** Build the as-of join frame from column NAMES, resolved with the
+    * session's resolver (caseSensitive-aware). The right side is wrapped
+    * in an all-alias Project (fresh exprIds): the analyzer dedups
+    * conflicting attribute ids for built-in Join nodes only, so a custom
+    * binary node must guarantee disjoint ids itself — self-joins of one
+    * source frame would otherwise reuse the same relation attributes
+    * verbatim on both sides. */
+  def frame(left: DataFrame, right: DataFrame,
+            leftOn: Seq[String], rightOn: Seq[String],
+            leftTsCol: String, rightTsCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    require(leftOn.length == rightOn.length,
+      s"asofJoin: leftOn (${leftOn.length}) and rightOn (${rightOn.length}) differ in length")
+    val spark = left.sparkSession
+    GraftRules.install(spark)
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(out: Seq[Attribute], name: String, side: String): Attribute =
+      out.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"asofJoin: no column '$name' on the $side side (have ${out.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"asofJoin: ambiguous column '$name' on the $side side (${many.size} matches)")
+      }
+    val lPlan = left.queryExecution.analyzed
+    val rAliases = right.queryExecution.analyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, right.queryExecution.analyzed)
+    val rOut = rAliases.map(_.toAttribute)
+    val node = AsOfJoin(
+      lPlan, rPlan,
+      leftOn.map(attr(lPlan.output, _, "left")), rightOn.map(attr(rOut, _, "right")),
+      attr(lPlan.output, leftTsCol, "left"), attr(rOut, rightTsCol, "right"))
+    org.apache.spark.sql.graftbridge.PlanDataset.ofRows(spark, node)
+  }
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; injected by GraftExtensions /
+  * GraftRules.install. Everything else falls through to Spark's own
+  * strategies (`Nil`). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical backward as-of join. Children are hash-clustered on the
+  * by-keys and sorted by (keys, ts) — declared via
+  * `requiredChildDistribution`/`requiredChildOrdering` so EnsureRequirements
+  * inserts (or elides, when a child is already co-partitioned/sorted) the
+  * exchanges and sorts. The merge itself is a per-partition two-pointer
+  * pass: the right iterator is consumed at most once, and the only
+  * buffered state is the latest right row whose ts has been passed
+  * (`cand`) plus its projected key — O(1) memory per partition regardless
+  * of group sizes. Not whole-stage-codegen'd (a custom `doExecute`
+  * operator is a codegen boundary); the fused probe loop is the interpreted
+  * part, while both inputs' scans/filters/sorts stay inside their own
+  * codegen stages.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  // Rows stream out in left order, partitioned as the left child was
+  // (post-EnsureRequirements: hash on the by-keys) — downstream per-key
+  // aggs can reuse it shuffle-free, like sort-merge join declares.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def keyTsOrder(keys: Seq[Expression], ts: Expression): Seq[SortOrder] =
+    (keys :+ ts).map(SortOrder(_, Ascending))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keyTsOrder(leftKeys, leftTs), keyTsOrder(rightKeys, rightTs))
+
+  override def outputOrdering: Seq[SortOrder] = keyTsOrder(leftKeys, leftTs)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTs = leftTs; val rTs = rightTs
+    val lOut = left.output; val rOut = right.output
+    val keyTypes = lKeys.map(_.dataType)
+    val tsType = lTs.dataType
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val candKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
+      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // Latest right row already passed whose key might still match, plus
+      // its own projected key (copied: projections reuse their buffers).
+      var cand: UnsafeRow = null
+      var candKey: UnsafeRow = null
+      lIter.map { l =>
+        val lk = lKeyProj(l) // valid until the next lKeyProj call (next l)
+        val lt = lTsProj(l)
+        var scanning = true
+        while (scanning && rBuf.hasNext) {
+          val c = keyOrd.compare(rKeyProj(rBuf.head), lk)
+          if (c < 0) {
+            // Right key below every remaining left key (left is sorted):
+            // can never match — discard without copying.
+            rBuf.next()
+          } else if (c == 0 && tsOrd.compare(rTsProj(rBuf.head), lt) <= 0) {
+            val r = rBuf.next().asInstanceOf[UnsafeRow]
+            cand = r.copy()
+            candKey = candKeyProj(cand).copy()
+          } else {
+            scanning = false // right head is ahead of l; keep it for later
+          }
+        }
+        if (cand != null && keyOrd.compare(candKey, lk) == 0) {
+          numOutputRows += 1
+          resultProj(joined(l, cand)): InternalRow
+        } else null
+      }.filter(_ != null)
+    }
+  }
+}

@@ -78,6 +78,13 @@ class ApiSpec extends AnyFunSuite {
     assert(api.nonEmpty)
   }
 
+  test("Similarity.lshSearch equals llm_knn_lsh") {
+    val api = rowSet(Similarity.lshSearch(embs.filter(col("vec_id") < 100), embs))
+    val key = rowSet(SparkEntry.queries("llm_knn_lsh")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
   test("Similarity.quantizeInt8 roundtrip bounded (same core as the key)") {
     val rows = Similarity.quantizeInt8(embs)
       .join(embs.select("vec_id", "embedding"), "vec_id")

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of join (graft.plans.AsOfJoin → AsOfJoinExec): semantics
+  * pins for the whole-operator extension tier. The DuckDB ASOF JOIN oracle
+  * hash-gates the contract key at sf0.01; these tests pin what the oracle
+  * can't see — identity with the composed window formulation, the edge
+  * cases (unmatched rows, empty build side, inclusive ties), and that the
+  * operator survives arbitrary input partitioning (EnsureRequirements
+  * aligns both sides). */
+class AsOfJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native as-of equals the composed union+window key bit-for-bit (2 SFs)") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val native = SparkEntry.queries("join_asof_native")(spark, d)
+        .collect().map(_.mkString("|"))
+      val composed = SparkEntry.queries("join_asof")(spark, d)
+        .collect().map(_.mkString("|"))
+      assert(native.nonEmpty, s"as-of join returned no rows at $d")
+      assert(native.toSeq === composed.toSeq,
+        s"native as-of diverged from the composed formulation at $d")
+    }
+  }
+
+  test("backward inclusive semantics: latest <= match, unmatched rows drop") {
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 50L))
+      .toDF("id", "k", "t")
+    val r = Seq((10L, 8L, "early"), (10L, 100L, "attime"), (30L, 1L, "otherkey"))
+      .toDF("rk", "rt", "tag")
+    val out = graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("id", "rt", "tag").orderBy("id").collect()
+    // id=1: rt=100 matches inclusively (t >= rt picks the LATEST at-or-
+    // before, so the boundary row wins over rt=8); id=2 precedes every
+    // right row; id=3's key has no right rows at all.
+    assert(out.toSeq === Seq(Row(1L, 100L, "attime")))
+  }
+
+  test("empty right side yields an empty (not failing) inner result") {
+    val l = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    val r = Seq((10L, 8L, "x")).toDF("rk", "rt", "tag").filter(lit(false))
+    assert(graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .count() === 0L)
+  }
+
+  test("self-as-of on one frame is exprId-safe and matches each row to itself") {
+    // Both sides are the SAME analyzed frame — without the builder's
+    // fresh-alias Project the by-key attributes would collide and either
+    // mis-bind or fail analysis. Every purchase's latest same-user
+    // purchase at-or-before itself is itself (ts values are unique per
+    // user in the fixture corpus), so signup side ts == left ts.
+    val e = Tables.events(spark, TestSpark.sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val out = graft.api.Graft.asofJoin(
+        e, e.select(col("event_id").as("rid"), col("user_id").as("ru"),
+                    col("ts").as("rts")),
+        Seq("user_id"), Seq("ru"), "ts", "rts")
+      .select(col("event_id"), col("ts"), col("rts"))
+    assert(out.count() === e.count(), "self-as-of must match every row")
+    assert(out.filter(col("ts") =!= col("rts")).count() === 0L,
+      "self-as-of must pick the row itself at the inclusive boundary")
+  }
+
+  test("mismatched pre-partitioning is realigned, result unchanged") {
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 50L), (4L, 30L, 9L))
+      .toDF("id", "k", "t")
+    val r = Seq((10L, 60L, "a"), (10L, 40L, "b"), (20L, 50L, "c"), (30L, 10L, "d"))
+      .toDF("rk", "rt", "tag")
+    val base = graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("id", "tag").orderBy("id").collect().toSeq
+    assert(base === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    val skewed = graft.api.Graft.asofJoin(
+        l.repartition(3, col("k")), r.repartition(5, col("rk")),
+        Seq("k"), Seq("rk"), "t", "rt")
+      .select("id", "tag").orderBy("id").collect().toSeq
+    assert(skewed === base,
+      "EnsureRequirements must co-align differently-partitioned children")
+  }
+
+  test("null by-keys group together (sort-order equality, as documented)") {
+    val l = Seq((1L, Option(10L), 100L), (2L, Option.empty[Long], 100L))
+      .toDF("id", "k", "t")
+    val r = Seq((Option(10L), 50L, "real"), (Option.empty[Long], 60L, "nullkey"))
+      .toDF("rk", "rt", "tag")
+    val out = graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("id", "tag").orderBy("id").collect().toSeq
+    assert(out === Seq(Row(1L, "real"), Row(2L, "nullkey")))
+  }
+
+  test("unknown / ambiguous column names fail fast with a named error") {
+    val l = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    val r = Seq((10L, 8L)).toDF("rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Graft.asofJoin(l, r, Seq("nope"), Seq("rk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("no column 'nope'"))
+    val amb = intercept[IllegalArgumentException] {
+      // select (not withColumn, which REPLACES case-insensitive matches)
+      // so both "rt" and "RT" exist and the default resolver sees two.
+      graft.api.Graft.asofJoin(l, r.select(col("*"), lit(1L).as("RT")),
+        Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(amb.getMessage.contains("ambiguous"))
+  }
+}

@@ -421,4 +421,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.schema.fieldNames.toSeq ===
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
+
+  test("join_asof_native plans AsOfJoinExec: 2 key exchanges, no window") {
+    val p = plan("join_asof_native")
+    assert(p.contains("AsOfJoin"), s"native as-of operator missing:\n$p")
+    // Exactly the sort-merge-join movement: one hash exchange per side on
+    // the by-key, plus the final orderBy's range exchange — nothing else.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    // The composed join_asof pays a WindowExec buffering each user's
+    // frame; the native operator must not.
+    assert(!p.contains("Window"), s"native as-of fell back to a window:\n$p")
+    // Both event scans keep their pushed event_type predicate.
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(event_type".r
+      .findAllIn(p).length === 2, s"event_type filters not pushed:\n$p")
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.CosineSimilarity
 import graft.ops.UdfOps
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -115,6 +116,38 @@ class PropertySpec extends AnyFunSuite {
     assert(r5 >= 0.7, s"nprobe=5 recall regressed to $r5 (measured 0.81)")
     val r10 = recallAt(10) // all cells probed ⇒ exhaustive ⇒ exact
     assert(r10 === 1.0, s"probing every cell must recover bruteforce, got $r10")
+  }
+
+  test("llm_knn_lsh recall floor vs brute force; band refinement is monotone") {
+    // Sign-band LSH with the 16×4 default. Band refinement argument:
+    // splitting every w-bit band into its halves can only ADD candidates
+    // (two vectors sharing a w-bit band share both halves, so the refined
+    // scheme's candidate set is a superset over the SAME 64 dims) — recall
+    // at 32×2 must therefore dominate 16×4, and 64×1 dominate 32×2, under
+    // the shared exact-cosine ranking. Measured at sf0.01: recall@5 0.93
+    // with a 0.646 candidate rate at 16×4 (near-random corpus — the dial
+    // deliberately sits at the recall end; see lshKnnOf's scaladoc);
+    // 0.5 is the regression floor, not the target.
+    val spark = TestSpark.spark
+    val d = TestSpark.sfDir
+    graft.functions.CosineSimilarity.register(spark)
+    val bf = SparkEntry.queries("llm_knn_bruteforce")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val e = Tables.embeddings(spark, d)
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .filter(col("q_id") < 100)
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    def recallAt(nBands: Int, bandBits: Int): Double = {
+      val got = graft.ops.LlmOps.lshKnnOf(q, c, 5, nBands, bandBits).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (got & bf).size.toDouble / bf.size
+    }
+    val r16x4 = recallAt(16, 4)
+    assert(r16x4 >= 0.5, s"LSH 16x4 recall regressed to $r16x4")
+    val r32x2 = recallAt(32, 2)
+    assert(r32x2 >= r16x4, s"refining 16x4 -> 32x2 lost recall: $r32x2 < $r16x4")
+    val r64x1 = recallAt(64, 1)
+    assert(r64x1 >= r32x2, s"refining 32x2 -> 64x1 lost recall: $r64x1 < $r32x2")
   }
 
   test("llm_quantize_pq: well-formed 8x4-bit codes, recall floor vs brute force") {
