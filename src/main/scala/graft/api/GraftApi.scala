@@ -54,7 +54,11 @@ object Graft {
     * output = left columns ++ right columns in order, right names as given
     * — rename overlapping right columns first if you need to reference
     * them downstream. Null by-keys match each other (sort-order equality,
-    * like groupBy); filter them beforehand for SQL-join semantics. */
+    * like groupBy); filter them beforehand for SQL-join semantics. Null
+    * TIMESTAMPS keep SQL semantics: a null right ts is never a candidate
+    * and a null left ts matches nothing. By-key and ts types must match
+    * pairwise between the sides (cast explicitly; the operator refuses
+    * rather than silently comparing mismatched widths). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftOn: Seq[String], rightOn: Seq[String],
                leftTsCol: String, rightTsCol: String): DataFrame =
@@ -214,7 +218,9 @@ object Similarity {
     * for cosine top-k); recall/selectivity dial = bands × width — this
     * corpus is near-random so the 16×4 default favors recall, while real
     * correlated embeddings want wider bands (8×8+). Self-matches (equal
-    * ids) are always excluded. */
+    * ids) are always excluded. Requires [[Graft.register]] (the exact
+    * cosine stage uses the native `graft_cosine` Expression, like
+    * [[knn]]). */
   def lshSearch(queries: DataFrame, corpus: DataFrame, k: Int = 5,
                 nBands: Int = 16, bandBits: Int = 4,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =

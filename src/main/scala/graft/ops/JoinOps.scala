@@ -217,7 +217,7 @@ object JoinOps {
     // AsOfJoinStrategy → AsOfJoinExec): one hash shuffle per side on
     // user_id, then a streaming two-pointer merge holding ONE candidate
     // row — vs the composed key's union + window pass that buffers each
-    // user's frame. OperatorSpec pins native ≡ composed bit-for-bit;
+    // user's frame. AsOfJoinSpec pins native ≡ composed bit-for-bit;
     // PlanSpec pins the AsOfJoinExec node and its two-exchange shape.
     "join_asof_native" -> ((s, d) => {
       val e = Tables.events(s, d)

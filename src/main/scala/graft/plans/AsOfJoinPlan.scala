@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, BinaryNode => L
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.DataType
 
 /** Whole-operator extension tier (SURVEY §7.3c): a native backward as-of
   * join as a custom `LogicalPlan` + `SparkStrategy` + physical `SparkPlan`
@@ -20,7 +21,10 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * left rows with no such match are dropped. Equal by-key null handling
   * follows sort-order equality (nulls group together, like groupBy — note
   * the difference from SQL join equality); callers with nullable keys
-  * should filter first. Ties on `rightTs` keep the last row in (key, ts)
+  * should filter first. NULL timestamps follow SQL comparison semantics
+  * on BOTH sides — a NULL right ts is never a match candidate and a NULL
+  * left ts matches nothing (exactly what the composed twin's isNotNull
+  * filter and DuckDB's `p.ts >= s.ts` predicate do). Ties on `rightTs` keep the last row in (key, ts)
   * sort order — output-stable whenever the projected right columns are,
   * which is how DuckDB's `ASOF JOIN` (the oracle twin) behaves too.
   *
@@ -42,6 +46,19 @@ case class AsOfJoin(
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     s"as-of join needs matching by-key lists, got $leftKeys vs $rightKeys")
+  // The physical comparators are built from the LEFT types and applied to
+  // RIGHT-side rows, so mismatched widths would silently misread fields
+  // (an int read as a long compares -1 as 4294967295). A built-in join
+  // gets implicit casts from the analyzer; a custom node must insist the
+  // caller casts explicitly. Nullability may differ; types may not.
+  leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+    require(DataType.equalsIgnoreNullability(lk.dataType, rk.dataType),
+      s"as-of join by-key type mismatch: ${lk.dataType.simpleString} vs " +
+        s"${rk.dataType.simpleString} (cast one side explicitly)")
+  }
+  require(DataType.equalsIgnoreNullability(leftTs.dataType, rightTs.dataType),
+    s"as-of join ts type mismatch: ${leftTs.dataType.simpleString} vs " +
+      s"${rightTs.dataType.simpleString} (cast one side explicitly)")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -107,8 +124,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   * exchanges and sorts. The merge itself is a per-partition two-pointer
   * pass: the right iterator is consumed at most once, and the only
   * buffered state is the latest right row whose ts has been passed
-  * (`cand`) plus its projected key — O(1) memory per partition regardless
-  * of group sizes. Not whole-stage-codegen'd (a custom `doExecute`
+  * (`cand`) — O(1) memory per partition regardless of group sizes. Not whole-stage-codegen'd (a custom `doExecute`
   * operator is a codegen boundary); the fused probe loop is the interpreted
   * part, while both inputs' scans/filters/sorts stay inside their own
   * codegen stages.
@@ -156,7 +172,6 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
-      val candKeyProj = UnsafeProjection.create(rKeys, rOut)
       val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
       val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
@@ -164,13 +179,13 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // Latest right row already passed whose key might still match, plus
-      // its own projected key (copied: projections reuse their buffers).
+      // Latest right row already passed whose key might still match
+      // (copied: UnsafeRow iterators reuse their backing buffer).
       var cand: UnsafeRow = null
-      var candKey: UnsafeRow = null
       lIter.map { l =>
         val lk = lKeyProj(l) // valid until the next lKeyProj call (next l)
-        val lt = lTsProj(l)
+        val ltRow = lTsProj(l)
+        val ltNull = ltRow.isNullAt(0)
         var scanning = true
         while (scanning && rBuf.hasNext) {
           val c = keyOrd.compare(rKeyProj(rBuf.head), lk)
@@ -178,15 +193,25 @@ case class AsOfJoinExec(
             // Right key below every remaining left key (left is sorted):
             // can never match — discard without copying.
             rBuf.next()
-          } else if (c == 0 && tsOrd.compare(rTsProj(rBuf.head), lt) <= 0) {
-            val r = rBuf.next().asInstanceOf[UnsafeRow]
-            cand = r.copy()
-            candKey = candKeyProj(cand).copy()
+          } else if (c == 0 && rTsProj(rBuf.head).isNullAt(0)) {
+            // A NULL right ts never matches (SQL comparison semantics —
+            // the composed twin's isNotNull filter and DuckDB ASOF JOIN
+            // both reject it); NULLs sort FIRST within the key, so
+            // discard and keep scanning this key's non-null rows.
+            rBuf.next()
+          } else if (c == 0 && !ltNull &&
+                     tsOrd.compare(rTsProj(rBuf.head), ltRow) <= 0) {
+            cand = rBuf.next().asInstanceOf[UnsafeRow].copy()
           } else {
             scanning = false // right head is ahead of l; keep it for later
           }
         }
-        if (cand != null && keyOrd.compare(candKey, lk) == 0) {
+        // A NULL left ts matches nothing (p.ts >= s.ts is never true).
+        // One rKeyProj call per left row re-derives the candidate's key:
+        // cand is a stable copy and the inner scan — the projection's
+        // other user — has already exited, so no buffer aliasing.
+        if (!ltNull && cand != null &&
+            keyOrd.compare(rKeyProj(cand), lk) == 0) {
           numOutputRows += 1
           resultProj(joined(l, cand)): InternalRow
         } else null

@@ -92,6 +92,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out === Seq(Row(1L, "real"), Row(2L, "nullkey")))
   }
 
+  test("null timestamps follow SQL semantics: never candidates, never matched") {
+    // Right ts NULL must not become a candidate even though nulls sort
+    // first (<= everything) in the merge's natural ordering; left ts NULL
+    // must match nothing. Both mirror the composed twin's isNotNull
+    // filter and the DuckDB ASOF JOIN predicate.
+    val l = Seq((1L, Option(10L), Option(100L)), (2L, Option(10L), Option.empty[Long]))
+      .toDF("id", "k", "t")
+    val r = Seq((Option(10L), Option.empty[Long], "nullts"), (Option(10L), Option(40L), "real"))
+      .toDF("rk", "rt", "tag")
+    val out = graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("id", "tag").orderBy("id").collect().toSeq
+    assert(out === Seq(Row(1L, "real")),
+      "null-ts rows must be invisible to the as-of match")
+  }
+
+  test("mismatched key/ts types are refused, not silently miscompared") {
+    // The physical comparators are built from the LEFT types and applied
+    // to RIGHT rows — an int read as a long would compare -1 as 2^32-1.
+    // The logical node must refuse instead of corrupting.
+    val l = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    val r = Seq((10, 8L, "x")).toDF("rk", "rt", "tag") // rk is INT
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt").collect()
+    }
+    assert(e.getMessage.contains("type mismatch"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.api.Graft.asofJoin(l, r.select(col("rk").cast("long").as("rk"),
+          col("rt").cast("int").as("rt"), col("tag")),
+        Seq("k"), Seq("rk"), "t", "rt").collect()
+    }
+    assert(e2.getMessage.contains("ts type mismatch"), e2.getMessage)
+  }
+
   test("unknown / ambiguous column names fail fast with a named error") {
     val l = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
     val r = Seq((10L, 8L)).toDF("rk", "rt")
