@@ -170,6 +170,24 @@ object Dedup {
                     textCol: String = "text"): DataFrame =
     LlmOps.substringDropOf(std(docs, idCol, textCol), span)
 
+  /** Multi-length [[substringVerdicts]]: per-length span/repeat counts +
+    * a combined worst-ratio verdict — a 5-window alongside the 10 closes
+    * the 5–9-word boilerplate blind spot a single fixed window provably
+    * has. Additive cost per length; no pair enumeration at any length. */
+  def substringVerdictsMulti(docs: DataFrame, spanLens: Seq[Int] = Seq(5, 10),
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame =
+    LlmOps.substringDedupMultiOf(std(docs, idCol, textCol), spanLens)
+
+  /** Multi-length [[substringDrop]]: rebuild with every position covered
+    * by a cross-doc repeat at ANY of `spanLens` removed — the remediation
+    * twin of [[substringVerdictsMulti]]. One anti-join + one rebuild pass
+    * however many lengths run. */
+  def substringDropMulti(docs: DataFrame, spanLens: Seq[Int] = Seq(5, 10),
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    LlmOps.substringDropMultiOf(std(docs, idCol, textCol), spanLens)
+
   /** Resolve duplicate pairs to connected components and a keep/drop
     * verdict: (doc_id, cluster_id, keep). Docs absent from `pairs` are
     * singleton keepers. Min-label propagation + pointer jumping — O(log n)
@@ -468,6 +486,19 @@ object Ingest {
       from_json(col(jsonCol), org.apache.spark.sql.types.StructType.fromDDL(ddl)))
     parsed.select((df.columns.map(col) :+ col("__parsed.*")): _*)
   }
+
+  /** Stub-codec frame sampling over a document/asset frame: cut each
+    * payload into `frameLen`-char frames, keep every `stride`-th with its
+    * md5 digest — the video-keyframe access pattern with the container's
+    * declared stub codec (frames window the DECODED text; raw-byte ingest
+    * is the binaryFile source). Per-row codegen'd exprs, explode bounded
+    * by ceil(len/frameLen)/stride rows per doc, no shuffle; the stride is
+    * the I/O dial at scale. Same core as `llm_multimodal_framesample`. */
+  def frameSample(docs: DataFrame, frameLen: Int = 64, stride: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    LlmOps.frameSampleOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      frameLen, stride)
 
   /** Idempotent keyed JDBC upsert as a `foreachBatch` body: per partition,
     * one transaction of DELETE-by-key + INSERT-all-columns batches, so a

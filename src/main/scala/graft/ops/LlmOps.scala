@@ -229,6 +229,29 @@ object LlmOps {
       .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Frame sampling over (doc_id, text): cut each payload into `frameLen`-
+    * char frames, keep every `stride`-th, emit (doc_id, n_frames,
+    * frame_idx, frame_chars, frame_md5). See the llm_multimodal_framesample
+    * key comment for the stub-codec contract and scale shape. */
+  private[graft] def frameSampleOf(docs: DataFrame, frameLen: Int = 64,
+                                   stride: Int = 2): DataFrame = {
+    require(frameLen > 0 && stride > 0, s"bad frame knobs: $frameLen/$stride")
+    docs
+      .select(col("doc_id"), col("text"),
+        ceil(length(col("text")).cast("double") / frameLen).cast("long")
+          .as("n_frames"))
+      .withColumn("frame_idx", explode(when(col("n_frames") > 0,
+          filter(sequence(lit(0L), col("n_frames") - 1),
+                 i => i % stride === 0))
+        .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        expr(s"substring(text, cast(frame_idx * $frameLen + 1 as int), $frameLen)")
+          .as("frame"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_chars"),
+        md5(col("frame")).as("frame_md5"))
+  }
+
   /** Symmetric per-vector int8 quantization over (vec_id, embedding):
     * scale = max|x|/127, q = floor(x/scale + 0.5) TINYINT. Returns
     * (vec_id, scale, qvec, v) with v the dequantized double vector —
@@ -1040,15 +1063,32 @@ object LlmOps {
     * invisible to either formulation at threshold L — run
     * [[substringDedupMultiOf]]'s multi-length variant to audit several
     * thresholds at additive cost. */
-  private[graft] def substringDropOf(docs: DataFrame, span: Int): DataFrame = {
+  private[graft] def substringDropOf(docs: DataFrame, span: Int): DataFrame =
+    substringDropMultiOf(docs, Seq(span))
+
+  /** Multi-length span excision: a word position covered by a cross-doc
+    * repeat at ANY of the `spanLens` is dropped and documents are rebuilt
+    * — the remediation twin of [[substringDedupMultiOf]], closing the
+    * 5–9-word blind spot for the REWRITE path too (the single-length drop
+    * is the one-element case, so the two cannot drift). Per length the
+    * cost is one span hash-agg + a covered-position explode; the unioned
+    * position set is deduped once before the single anti-join, so the
+    * rebuild pays one pass however many lengths run. The span frames are
+    * the SAME analyzed plans the verdict operators cache — CacheManager
+    * serves them, nothing recomputes. */
+  private[graft] def substringDropMultiOf(docs: DataFrame,
+                                          spanLens: Seq[Int]): DataFrame = {
+    require(spanLens.nonEmpty, "need at least one span length")
     val toks = spanToks(docs)
-    val spans = spanHashes(docs, span)
-    val rep = spans.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("h")
-    val covered = spans.join(rep, "h")
-      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${span - 1})")).as("pos"))
-      .distinct()
+    val covered = spanLens.map { span =>
+      val spans = spanHashes(docs, span)
+      val rep = spans.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("h")
+      spans.join(rep, "h")
+        .select(col("doc_id"),
+                explode(expr(s"sequence(i, i + ${span - 1})")).as("pos"))
+    }.reduce(_.unionByName(_)).distinct()
     val words = toks
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
@@ -1464,6 +1504,20 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling — the remaining multimodal verb (decode / feature-
+    // extract / frame-sample): each asset's decoded payload is cut into
+    // fixed 64-char frames and every 2nd frame is kept with its digest —
+    // the video-keyframe access pattern with the STUB codec this container
+    // dictates (frames window the decoded text; the raw-byte ingest half
+    // is src_binary_files). Pure per-row codegen'd exprs: the explode is
+    // bounded by ceil(len/64)/2 rows per doc, nothing shuffles until the
+    // output sort, and the sampled-frame bytes (not whole payloads) are
+    // what flows downstream — at 100 TB the stride is the I/O dial.
+    // sequence() guard: Spark counts DOWN when end < start, so an empty
+    // payload must short-circuit to an empty array, not sequence(0,-1).
+    "llm_multimodal_framesample" -> ((s, d) =>
+      frameSampleOf(Tables.documents(s, d)).orderBy("doc_id", "frame_idx")),
+
     // Multimodal row: text metadata ⋈ vector on aligned ids, grouped stats.
     "llm_multimodal_join" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1558,6 +1612,14 @@ object LlmOps {
     // 6-word cross-doc repeat that llm_substring_dedup scores 0).
     "llm_substring_dedup_multi" -> ((s, d) =>
       substringDedupMultiOf(Tables.documentsWide(s, d), Seq(5, 10))
+        .orderBy("doc_id")),
+
+    // Multi-length excision (core notes on substringDropMultiOf): rebuild
+    // with every position covered at EITHER length removed — the
+    // remediation for llm_substring_dedup_multi's verdicts. Cleaned text
+    // hash-matches the oracle STRING, same parity bar as the single drop.
+    "llm_substring_drop_multi" -> ((s, d) =>
+      substringDropMultiOf(Tables.documentsWide(s, d), Seq(5, 10))
         .orderBy("doc_id"))
   )
 
@@ -1801,6 +1863,52 @@ object LlmOps {
     // Span-drop transform: covered = union of [i, i+9] over repeated
     // spans; cleaned = uncovered words rejoined in order (string_agg with
     // ORDER BY mirrors Spark's sorted-collect rebuild exactly).
+    // Two-length twin of llm_substring_drop: cov is the UNION of the
+    // per-length covered-position sets (5-word and 10-word windows, same
+    // md5-of-space-joined-slice hash), everything downstream identical.
+    "llm_substring_drop_multi" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sp5 AS (
+        SELECT doc_id, u.i AS i, u.h AS h FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+            i -> struct_pack(i := i,
+                   h := md5(array_to_string(list_slice(ws, i, i + 4), ' '))))) AS u
+          FROM toks WHERE len(ws) >= 5)),
+      sp10 AS (
+        SELECT doc_id, u.i AS i, u.h AS h FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8),
+            i -> struct_pack(i := i,
+                   h := md5(array_to_string(list_slice(ws, i, i + 9), ' '))))) AS u
+          FROM toks WHERE len(ws) >= 10)),
+      rep5 AS (SELECT h FROM sp5 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      rep10 AS (SELECT h FROM sp10 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      cov AS (SELECT DISTINCT doc_id, pos FROM (
+        SELECT sp5.doc_id, unnest(range(sp5.i, sp5.i + 5)) AS pos
+        FROM sp5 JOIN rep5 ON sp5.h = rep5.h
+        UNION ALL
+        SELECT sp10.doc_id, unnest(range(sp10.i, sp10.i + 10)) AS pos
+        FROM sp10 JOIN rep10 ON sp10.h = rep10.h)),
+      words AS (
+        SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> struct_pack(pos := i, w := ws[i]))) AS u
+          FROM toks)),
+      kept AS (
+        SELECT words.doc_id, count(*) AS n_kept,
+               string_agg(words.w, ' ' ORDER BY words.pos) AS cleaned
+        FROM words LEFT JOIN cov
+          ON words.doc_id = cov.doc_id AND words.pos = cov.pos
+        WHERE cov.pos IS NULL
+        GROUP BY words.doc_id)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS BIGINT)
+               AS n_dropped,
+             coalesce(k.cleaned, '') AS cleaned
+      FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+      ORDER BY d.doc_id""",
+
     "llm_substring_drop" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       sp AS (
@@ -2256,6 +2364,28 @@ object LlmOps {
                       + ascii(substr(content_hash, 4, 1))) % 1024 AS BIGINT) AS fake_h
       FROM f
       ORDER BY doc_id""",
+
+    // Mirrors frameSampleOf: generate_series is INCLUSIVE (0, n-1) and
+    // empty for n=0, matching the guarded Spark sequence; substring and
+    // length are char-based in both engines, and md5 hashes the identical
+    // UTF-8 bytes of the identical char window.
+    "llm_multimodal_framesample" -> """
+      WITH f AS (
+        SELECT doc_id, text,
+               CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+        FROM documents),
+      ix AS (
+        SELECT doc_id, text, n_frames,
+               unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        FROM f),
+      fr AS (
+        SELECT doc_id, n_frames, frame_idx,
+               substring(text, CAST(frame_idx*64 + 1 AS BIGINT), 64) AS frame
+        FROM ix WHERE frame_idx % 2 = 0)
+      SELECT doc_id, n_frames, frame_idx,
+             CAST(length(frame) AS BIGINT) AS frame_chars,
+             md5(frame) AS frame_md5
+      FROM fr ORDER BY doc_id, frame_idx""",
 
     "llm_multimodal_join" -> """
       SELECT label, lang, count(*) AS n,

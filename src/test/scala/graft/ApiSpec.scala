@@ -85,6 +85,22 @@ class ApiSpec extends AnyFunSuite {
     assert(api.nonEmpty)
   }
 
+  test("Dedup.substringVerdictsMulti / substringDropMulti equal their keys") {
+    val apiV = rowSet(Dedup.substringVerdictsMulti(docs))
+    val keyV = rowSet(SparkEntry.queries("llm_substring_dedup_multi")(spark, d))
+    assert(apiV === keyV && apiV.nonEmpty)
+    val apiD = rowSet(Dedup.substringDropMulti(docs))
+    val keyD = rowSet(SparkEntry.queries("llm_substring_drop_multi")(spark, d))
+    assert(apiD === keyD && apiD.nonEmpty)
+  }
+
+  test("Ingest.frameSample equals llm_multimodal_framesample") {
+    val api = rowSet(graft.api.Ingest.frameSample(docs))
+    val key = rowSet(SparkEntry.queries("llm_multimodal_framesample")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
   test("Similarity.quantizeInt8 roundtrip bounded (same core as the key)") {
     val rows = Similarity.quantizeInt8(embs)
       .join(embs.select("vec_id", "embedding"), "vec_id")

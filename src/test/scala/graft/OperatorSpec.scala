@@ -89,6 +89,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(byId(0L).getLong(1) === 18 && byId(0L).getLong(3) === 13)
     // verdict stays keep (2/18 < 0.5) — the signal is the count, not drop
     assert(byId(0L).getBoolean(6) === false)
+
+    // The REWRITE path has the same blind spot and the same fix: the
+    // single-length drop must leave every doc byte-identical (no 10-word
+    // cross-doc repeat exists), while the multi-length drop excises
+    // exactly the 6-word run from docs 0 and 1 and nothing else.
+    val textOf = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val singleDrop = graft.ops.LlmOps.substringDropOf(docs, 10)
+      .orderBy("doc_id").collect()
+    assert(singleDrop.forall(r => r.getString(4) === textOf(r.getLong(0))),
+      "span=10 drop must not touch docs with only a 6-word repeat")
+    val multiDrop = graft.ops.LlmOps.substringDropMultiOf(docs, Seq(5, 10))
+      .orderBy("doc_id").collect()
+    val dropById = multiDrop.map(r => r.getLong(0) -> r).toMap
+    assert(dropById(0L).getString(4) === textOf(0L).replace(" " + six, ""),
+      s"multi drop must excise exactly the planted run: ${dropById(0L)}")
+    assert(dropById(0L).getLong(3) === 6 && dropById(1L).getLong(3) === 6)
+    assert(dropById(2L).getString(4) === textOf(2L) &&
+           dropById(2L).getLong(3) === 0, "unique doc must be untouched")
   }
 
   test("byte-level BPE: multi-byte round-trip, sub-character merges, determinism") {
@@ -361,5 +379,25 @@ class OperatorSpec extends AnyFunSuite {
 
   test("entry: flagship smoke returns rows") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
+  }
+
+  test("frameSampleOf: boundaries, stride, and the empty-payload guard") {
+    import spark.implicits._
+    // 130 chars = frames of 64+64+2 → n_frames 3, stride 2 keeps idx 0, 2
+    // (the tail frame is SHORT, not padded); 128 chars is an exact
+    // boundary → 2 frames, only idx 0 kept; empty text must emit NOTHING
+    // (the unguarded sequence(0, -1) would count down and explode).
+    val docs = Seq(
+      (1L, "a" * 130), (2L, "b" * 128), (3L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.LlmOps.frameSampleOf(docs)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq((1L, 3L, 0L, 64L), (1L, 3L, 2L, 2L), (2L, 2L, 0L, 64L)))
+    // digest of the short tail frame is the digest of exactly those 2 chars
+    val tail = out.find(r => r.getLong(0) == 1L && r.getLong(2) == 2L).get
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = md.digest("aa".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(tail.getString(4) === exp, "tail frame must hash its own chars only")
   }
 }
