@@ -1079,8 +1079,9 @@ object LlmOps {
   private[graft] def substringDropMultiOf(docs: DataFrame,
                                           spanLens: Seq[Int]): DataFrame = {
     require(spanLens.nonEmpty, "need at least one span length")
+    val lens = spanLens.distinct.sorted // same normalization as the verdict twin
     val toks = spanToks(docs)
-    val covered = spanLens.map { span =>
+    val covered = lens.map { span =>
       val spans = spanHashes(docs, span)
       val rep = spans.groupBy("h")
         .agg(count_distinct(col("doc_id")).as("nd"))
