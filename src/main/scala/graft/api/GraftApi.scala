@@ -229,6 +229,43 @@ object Similarity {
     out
   }
 
+  /** Build (or rebuild) a persisted LSH index at `path` — the day-1 store
+    * for [[lshSearch]]'s layout: `bands/` holds the (n_id, band_idx,
+    * band_val) posting (nBands small ints per vector, the multi-table LSH
+    * index), `vecs/` the vectors the exact stage fetches, `meta/` the
+    * band knobs so a probe with mismatched knobs fails fast instead of
+    * silently losing recall. Unlike the IVF-PQ store there is NOTHING
+    * trained here — sign bands are stateless — so day-2 append is just
+    * writing the delta's posting + vectors under the same path. */
+  def buildLshStore(corpus: DataFrame, path: String,
+                    nBands: Int = 16, bandBits: Int = 4,
+                    idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val c = std(corpus, idCol, embCol)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    LlmOps.lshBandsOf(c, "n_id", "n_emb", nBands, bandBits)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    c.write.mode("overwrite").parquet(s"$path/vecs")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((nBands, bandBits)).toDF("n_bands", "band_bits")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a store built by [[buildLshStore]]: day-2 queries band-join the
+    * PERSISTED posting and fetch only candidate vectors — no corpus
+    * recompute. ApiSpec pins probe-over-store ≡ direct [[lshSearch]]. */
+  def lshProbe(spark: SparkSession, queries: DataFrame, path: String,
+               k: Int = 5, idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val (nBands, bandBits) = (meta.getInt(0), meta.getInt(1))
+    val q = std(queries, idCol, embCol)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    LlmOps.lshSearchPosting(q, spark.read.parquet(s"$path/vecs"),
+      LlmOps.lshBandsOf(q, "q_id", "q_emb", nBands, bandBits),
+      spark.read.parquet(s"$path/bands"), k)
+  }
+
   /** LSH-bucketed approximate top-k: sign-band hash tables (`nBands` ×
     * `bandBits` bits over the leading dims), exact cosine on candidates
     * sharing >= 1 whole band, (cos DESC, id ASC) top-k. The banded

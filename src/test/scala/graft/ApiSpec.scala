@@ -94,6 +94,18 @@ class ApiSpec extends AnyFunSuite {
     assert(apiD === keyD && apiD.nonEmpty)
   }
 
+  test("Similarity.lshProbe over a persisted store equals direct lshSearch") {
+    // The store path must serve day-2 queries from parquet postings with
+    // NO corpus recompute and NO result drift vs the inline search.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshstore-").toString
+    Similarity.buildLshStore(embs, dir)
+    val probe = rowSet(Similarity.lshProbe(
+      spark, embs.filter(col("vec_id") < 100), dir))
+    val direct = rowSet(Similarity.lshSearch(embs.filter(col("vec_id") < 100), embs))
+    assert(probe === direct)
+    assert(probe.nonEmpty)
+  }
+
   test("Ingest.frameSample equals llm_multimodal_framesample") {
     val api = rowSet(graft.api.Ingest.frameSample(docs))
     val key = rowSet(SparkEntry.queries("llm_multimodal_framesample")(spark, d))

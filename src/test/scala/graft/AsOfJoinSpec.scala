@@ -125,6 +125,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ts type mismatch"), e2.getMessage)
   }
 
+  test("result is AQE-invariant (coalesced shuffle reads stay co-partitioned)") {
+    // AQE coalesces the two key exchanges feeding AsOfJoinExec; the
+    // ClusteredDistribution declaration obliges it to coalesce them
+    // IDENTICALLY (the sort-merge-join contract). A divergence would
+    // surface as a zipPartitions arity error or wrong matches — pin the
+    // collected result against the AQE-off plan.
+    val d = TestSpark.sfDir
+    val withAqe = SparkEntry.queries("join_asof_native")(spark, d)
+      .collect().map(_.mkString("|")).toSeq
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noAqe = SparkEntry.queries("join_asof_native")(spark, d)
+        .collect().map(_.mkString("|")).toSeq
+      assert(withAqe === noAqe, "as-of result changed under AQE re-planning")
+      assert(withAqe.nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("unknown / ambiguous column names fail fast with a named error") {
     val l = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
     val r = Seq((10L, 8L)).toDF("rk", "rt")
