@@ -66,28 +66,39 @@ private[graft] object StoreDir {
   def fixed(cache: java.util.concurrent.ConcurrentHashMap[String, String],
             key: String, dir: String)(build: String => Unit): String =
     cache.computeIfAbsent(key, _ => {
-      import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-      val target = Paths.get(dir)
+      import java.nio.file.{Paths, StandardOpenOption}
       val lockCh = java.nio.channels.FileChannel.open(
         Paths.get(dir + ".lock"),
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       val lock = lockCh.lock() // blocks until any other process's build ends
-      try {
-        val staging = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
-        def rmTree(p: Path): Unit =
-          if (Files.exists(p))
-            Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-              .forEach(f => { Files.deleteIfExists(f); () })
-        rmTree(staging) // litter from a previous killed build of this pid
-        Files.createDirectories(staging)
-        try {
-          build(staging.toString)
-          rmTree(target)
-          Files.move(staging, target) // same-fs dir rename — atomic swap
-        } catch { case e: Throwable => rmTree(staging); throw e }
-      } finally { lock.release(); lockCh.close() }
+      try atomicSwap(dir)(build)
+      finally { lock.release(); lockCh.close() }
       dir
     })
+
+  /** Build into a process-unique staging dir, then rename over `dir` —
+    * the canonical path only ever holds a COMPLETE store; a build killed
+    * mid-write leaves staging litter, never a torn store. Shared by
+    * [[fixed]] (which adds the cross-process lock its shared fixed paths
+    * need) and the caller-named facade stores (whose path the caller
+    * owns, so no lock). */
+  def atomicSwap(dir: String)(build: String => Unit): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val target = Paths.get(dir)
+    val staging = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
+    def rmTree(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    rmTree(staging) // litter from a previous killed build of this pid
+    Files.createDirectories(staging)
+    try {
+      build(staging.toString)
+      rmTree(target)
+      Files.move(staging, target) // same-fs dir rename — atomic swap
+      ()
+    } catch { case e: Throwable => rmTree(staging); throw e }
+  }
 
   def of(cache: java.util.concurrent.ConcurrentHashMap[String, String],
          key: String, prefix: String)(build: String => Unit): String =

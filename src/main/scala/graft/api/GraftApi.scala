@@ -230,40 +230,74 @@ object Similarity {
   }
 
   /** Build (or rebuild) a persisted LSH index at `path` — the day-1 store
-    * for [[lshSearch]]'s layout: `bands/` holds the (n_id, band_idx,
-    * band_val) posting (nBands small ints per vector, the multi-table LSH
-    * index), `vecs/` the vectors the exact stage fetches, `meta/` the
-    * band knobs so a probe with mismatched knobs fails fast instead of
-    * silently losing recall. Unlike the IVF-PQ store there is NOTHING
-    * trained here — sign bands are stateless — so day-2 append is just
-    * writing the delta's posting + vectors under the same path. */
+    * for [[lshSearch]]'s layout: `vecs/` holds the vectors the exact
+    * stage fetches, `bands/` the (n_id, band_idx, band_val) posting
+    * (nBands small ints per vector, the multi-table LSH index — derived
+    * from the written `vecs/`, so the corpus lineage evaluates ONCE and
+    * the two halves cannot diverge), `meta/` the band knobs probes adopt.
+    * The whole store is written into a staging dir and atomically renamed
+    * over `path` (StoreDir.atomicSwap): the canonical path never holds a
+    * torn store whose posting and meta disagree. Sign bands are
+    * stateless — nothing is trained — so growing the index is
+    * [[appendLshStore]], no rebuild. */
   def buildLshStore(corpus: DataFrame, path: String,
                     nBands: Int = 16, bandBits: Int = 4,
                     idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
     val c = std(corpus, idCol, embCol)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    LlmOps.lshBandsOf(c, "n_id", "n_emb", nBands, bandBits)
-      .write.mode("overwrite").parquet(s"$path/bands")
-    c.write.mode("overwrite").parquet(s"$path/vecs")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    Seq((nBands, bandBits)).toDF("n_bands", "band_bits")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    graft.StoreDir.atomicSwap(path) { staging =>
+      c.write.mode("overwrite").parquet(s"$staging/vecs")
+      LlmOps.lshBandsOf(spark.read.parquet(s"$staging/vecs"),
+          "n_id", "n_emb", nBands, bandBits)
+        .write.mode("overwrite").parquet(s"$staging/bands")
+      import spark.implicits._
+      Seq((nBands, bandBits)).toDF("n_bands", "band_bits")
+        .write.mode("overwrite").parquet(s"$staging/meta")
+    }
+  }
+
+  /** Append a day-2 delta to a store built by [[buildLshStore]]: the
+    * delta's posting is encoded with the STORED band knobs and appended —
+    * O(delta) work, nothing retrained, no day-1 re-encode (the LSH twin
+    * of the incremental ANN append). Write order is `vecs/` then
+    * `bands/`: a crash in between leaves unreferenced vectors (invisible
+    * to probes — candidates come from the posting), never posting rows
+    * whose vectors are missing. Ids are the caller's to keep disjoint
+    * from day-1 — duplicated ids would double-post. */
+  def appendLshStore(delta: DataFrame, path: String,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val c = std(delta, idCol, embCol)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")).cache()
+    try {
+      c.write.mode("append").parquet(s"$path/vecs")
+      LlmOps.lshBandsOf(c, "n_id", "n_emb",
+          meta.getAs[Int]("n_bands"), meta.getAs[Int]("band_bits"))
+        .write.mode("append").parquet(s"$path/bands")
+    } finally { c.unpersist(); () }
   }
 
   /** Probe a store built by [[buildLshStore]]: day-2 queries band-join the
-    * PERSISTED posting and fetch only candidate vectors — no corpus
-    * recompute. ApiSpec pins probe-over-store ≡ direct [[lshSearch]]. */
+    * PERSISTED posting (with the store's own band knobs, from `meta/`)
+    * and fetch only candidate vectors — no corpus recompute. ApiSpec pins
+    * probe-over-store ≡ direct [[lshSearch]] and append ≡ full rebuild;
+    * PlanSpec pins the posting comes from the store scan. Set
+    * `excludeSelfId=false` when the queries are a different frame that
+    * merely shares the corpus id domain — the default would silently drop
+    * an id-colliding true neighbor (same hazard [[knn]]'s flag names). */
   def lshProbe(spark: SparkSession, queries: DataFrame, path: String,
-               k: Int = 5, idCol: String = "vec_id",
-               embCol: String = "embedding"): DataFrame = {
+               k: Int = 5, excludeSelfId: Boolean = true,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
-    val (nBands, bandBits) = (meta.getInt(0), meta.getInt(1))
     val q = std(queries, idCol, embCol)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     LlmOps.lshSearchPosting(q, spark.read.parquet(s"$path/vecs"),
-      LlmOps.lshBandsOf(q, "q_id", "q_emb", nBands, bandBits),
-      spark.read.parquet(s"$path/bands"), k)
+      LlmOps.lshBandsOf(q, "q_id", "q_emb",
+        meta.getAs[Int]("n_bands"), meta.getAs[Int]("band_bits")),
+      spark.read.parquet(s"$path/bands"), k, excludeSelfId)
   }
 
   /** LSH-bucketed approximate top-k: sign-band hash tables (`nBands` ×
@@ -272,19 +306,21 @@ object Similarity {
     * candidate set is the operator's DEFINITION (sign-LSH cannot be exact
     * for cosine top-k); recall/selectivity dial = bands × width — this
     * corpus is near-random so the 16×4 default favors recall, while real
-    * correlated embeddings want wider bands (8×8+). Self-matches (equal
-    * ids) are always excluded. Requires [[Graft.register]] (the exact
-    * cosine stage uses the native `graft_cosine` Expression, like
-    * [[knn]]). */
+    * correlated embeddings want wider bands (8×8+). `excludeSelfId`
+    * defaults to dropping id-equal pairs (self-search); pass false when
+    * queries and corpus are different frames sharing an id domain, like
+    * [[knn]]'s flag. Requires [[Graft.register]] (the exact cosine stage
+    * uses the native `graft_cosine` Expression, like [[knn]]). */
   def lshSearch(queries: DataFrame, corpus: DataFrame, k: Int = 5,
                 nBands: Int = 16, bandBits: Int = 4,
+                excludeSelfId: Boolean = true,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     LlmOps.lshKnnOf(
       std(queries, idCol, embCol)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       std(corpus, idCol, embCol)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
-      k, nBands, bandBits)
+      k, nBands, bandBits, excludeSelfId)
 
   /** Seeded spherical k-means coarse quantizer (the IVF index build):
     * returns k (cell, cvec) centroids after `iters` Lloyd's rounds.

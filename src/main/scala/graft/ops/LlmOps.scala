@@ -176,6 +176,49 @@ object LlmOps {
       .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** (id, band_idx, band_val) sign-band posting of a vector frame — the
+    * row an LSH hash table stores; `idCol` names the id as it should
+    * appear in the posting. */
+  private[graft] def lshBandsOf(vecs: DataFrame, idCol: String, embCol: String,
+                                nBands: Int, bandBits: Int): DataFrame = {
+    val emb = col(embCol)
+    val bands = array((0 until nBands).map { j =>
+      (0 until bandBits).map { b =>
+        when(element_at(emb, j * bandBits + b + 1) > lit(0f),
+             lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    vecs.select(col(idCol), posexplode(bands))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
+  }
+
+  /** Search core over MATERIALIZED postings: candidates share >= 1 band,
+    * dedup, fetch both vectors, exact cosine, (cos DESC, n_id) top-k.
+    * Taking the corpus posting as an input (rather than deriving it) is
+    * what lets a persisted day-1 LSH index serve day-2 queries — the
+    * store path hands the parquet posting straight in.
+    * `excludeSelfId=false` keeps id-equal pairs: day-2 queries that are a
+    * DIFFERENT frame merely sharing the corpus id domain would otherwise
+    * silently lose their id-colliding true neighbor (same hazard knn's
+    * flag documents). */
+  private[graft] def lshSearchPosting(q: DataFrame, cVecs: DataFrame,
+                                      qPost: DataFrame, cPost: DataFrame,
+                                      k: Int,
+                                      excludeSelfId: Boolean = true): DataFrame = {
+    val pairs = qPost.join(cPost, Seq("band_idx", "band_val"))
+    val cand = (if (excludeSelfId) pairs.filter(col("q_id") =!= col("n_id"))
+                else pairs)
+      .select("q_id", "n_id").distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    cand
+      .join(q, "q_id")
+      .join(cVecs, "n_id")
+      .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Sign-bit LSH-bucketed top-k — the hash-TABLE ANN layout, completing
     * the brief's "IVF or LSH-bucketed" pair (llm_knn_ivf* is the
     * partition-the-corpus path; this is index-the-corpus-16-ways). Each
@@ -204,48 +247,12 @@ object LlmOps {
     * embeddings want wider bands (8×8+) for sub-percent candidate rates
     * — both measured: 0.93 recall@5 at 0.646 candidate rate (16×4,
     * sf0.01). */
-  /** (id, band_idx, band_val) sign-band posting of a vector frame — the
-    * row an LSH hash table stores; `idCol` names the id as it should
-    * appear in the posting. */
-  private[graft] def lshBandsOf(vecs: DataFrame, idCol: String, embCol: String,
-                                nBands: Int, bandBits: Int): DataFrame = {
-    val emb = col(embCol)
-    val bands = array((0 until nBands).map { j =>
-      (0 until bandBits).map { b =>
-        when(element_at(emb, j * bandBits + b + 1) > lit(0f),
-             lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
-    vecs.select(col(idCol), posexplode(bands))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
-  }
-
-  /** Search core over MATERIALIZED postings: candidates share >= 1 band,
-    * dedup, fetch both vectors, exact cosine, (cos DESC, n_id) top-k.
-    * Taking the corpus posting as an input (rather than deriving it) is
-    * what lets a persisted day-1 LSH index serve day-2 queries — the
-    * store path hands the parquet posting straight in. */
-  private[graft] def lshSearchPosting(q: DataFrame, cVecs: DataFrame,
-                                      qPost: DataFrame, cPost: DataFrame,
-                                      k: Int): DataFrame = {
-    val cand = qPost.join(cPost, Seq("band_idx", "band_val"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id").distinct()
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    cand
-      .join(q, "q_id")
-      .join(cVecs, "n_id")
-      .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
-  }
-
   private[graft] def lshKnnOf(q: DataFrame, c: DataFrame, k: Int = 5,
-                              nBands: Int = 16, bandBits: Int = 4): DataFrame =
+                              nBands: Int = 16, bandBits: Int = 4,
+                              excludeSelfId: Boolean = true): DataFrame =
     lshSearchPosting(q, c,
       lshBandsOf(q, "q_id", "q_emb", nBands, bandBits),
-      lshBandsOf(c, "n_id", "n_emb", nBands, bandBits), k)
+      lshBandsOf(c, "n_id", "n_emb", nBands, bandBits), k, excludeSelfId)
 
   /** Frame sampling over (doc_id, text): cut each payload into `frameLen`-
     * char frames, keep every `stride`-th, emit (doc_id, n_frames,

@@ -106,6 +106,26 @@ class ApiSpec extends AnyFunSuite {
     assert(probe.nonEmpty)
   }
 
+  test("appendLshStore equals a full rebuild (index bit-for-bit, same results)") {
+    // Day-2 append with the STORED knobs must produce the identical index
+    // a one-pass rebuild over the union would — sign bands are stateless,
+    // so this is structural; the pin keeps a future edit from coupling
+    // rows (e.g. a normalization over the batch). Same day split as
+    // llm_dedup_incremental / llm_ann_incremental.
+    val incDir = java.nio.file.Files.createTempDirectory("graft-lshinc-").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-lshfull-").toString
+    Similarity.buildLshStore(embs.filter(pmod(col("vec_id"), lit(4)) =!= 0), incDir)
+    Similarity.appendLshStore(embs.filter(pmod(col("vec_id"), lit(4)) === 0), incDir)
+    Similarity.buildLshStore(embs, fullDir)
+    assert(rowSet(spark.read.parquet(s"$incDir/bands"))
+      === rowSet(spark.read.parquet(s"$fullDir/bands")), "posting diverged")
+    assert(rowSet(spark.read.parquet(s"$incDir/vecs"))
+      === rowSet(spark.read.parquet(s"$fullDir/vecs")), "vectors diverged")
+    val q = embs.filter(col("vec_id") < 100)
+    assert(rowSet(Similarity.lshProbe(spark, q, incDir))
+      === rowSet(Similarity.lshProbe(spark, q, fullDir)))
+  }
+
   test("Ingest.frameSample equals llm_multimodal_framesample") {
     val api = rowSet(graft.api.Ingest.frameSample(docs))
     val key = rowSet(SparkEntry.queries("llm_multimodal_framesample")(spark, d))

@@ -422,6 +422,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
 
+  test("lshProbe reads the persisted posting — one Generate, two store scans") {
+    // The store's value is that day-2 probes do NOT rebuild the corpus
+    // posting: the only Generate (posexplode) in the probe plan is the
+    // query side's own bands; the corpus posting and vectors come from
+    // parquet scans of the store path.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshplan-").toString
+    graft.api.Similarity.buildLshStore(Tables.embeddings(spark, d), dir)
+    val p = planOf(graft.api.Similarity.lshProbe(
+      spark, Tables.embeddings(spark, d).filter(col("vec_id") < 100), dir))
+    val generates = "Generate ".r.findAllIn(p).length
+    assert(generates === 1, s"expected only the query-side posexplode:\n$p")
+    assert("graft-lshplan-".r.findAllIn(p).length >= 2,
+      s"store parquet scans missing from probe plan:\n$p")
+  }
+
   test("join_asof_native plans AsOfJoinExec: 2 key exchanges, no window") {
     val p = plan("join_asof_native")
     assert(p.contains("AsOfJoin"), s"native as-of operator missing:\n$p")
