@@ -43,9 +43,10 @@ object Graft {
     * of frames released. */
   def clearCaches(): Int = graft.GraftCaches.clear()
 
-  /** Native backward as-of join (inner, inclusive): each left row pairs
-    * with the right row sharing the by-keys that has the greatest
-    * `rightTsCol <= leftTsCol`; unmatched left rows drop. Plans as the
+  /** Native backward as-of join (inclusive): each left row pairs with the
+    * right row sharing the by-keys that has the greatest
+    * `rightTsCol <= leftTsCol`; unmatched left rows drop (inner, the
+    * default) or keep null right columns (`outer = true`). Plans as the
     * custom [[graft.plans.AsOfJoinExec]] operator — one hash shuffle per
     * side on the by-keys plus a streaming O(1)-state merge, instead of the
     * union-tag + window composition (`join_asof`) that buffers whole key
@@ -61,8 +62,10 @@ object Graft {
     * rather than silently comparing mismatched widths). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftOn: Seq[String], rightOn: Seq[String],
-               leftTsCol: String, rightTsCol: String): DataFrame =
-    graft.plans.AsOfJoin.frame(left, right, leftOn, rightOn, leftTsCol, rightTsCol)
+               leftTsCol: String, rightTsCol: String,
+               outer: Boolean = false): DataFrame =
+    graft.plans.AsOfJoin.frame(left, right, leftOn, rightOn,
+      leftTsCol, rightTsCol, outer)
 }
 
 /** Deduplication family. All pair outputs are (doc_a < doc_b) with the

@@ -232,6 +232,23 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // LEFT-OUTER variant of the native as-of operator: purchases with no
+    // prior signup survive with a null signup_ts — the feature-store
+    // enrichment shape (enrich every event, never silently drop). Same
+    // exec, null-fill emit under outer; DuckDB ASOF LEFT JOIN oracle.
+    "join_asof_outer" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val sign = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+      graft.plans.AsOfJoin.frame(purch, sign,
+          Seq("user_id"), Seq("s_user_id"), "ts", "s_ts", outer = true)
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("s_ts").as("signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // Skew-mitigated join via key salting — the manual 100 TB pattern for
     // when AQE's skew split can't help (e.g. the skewed side feeds a
     // downstream agg on the same key). A deliberately skewed key
@@ -369,6 +386,15 @@ object JoinOps {
       SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
+    // The outer variant keeps every purchase; DuckDB's ASOF LEFT JOIN is
+    // the exact twin.
+    "join_asof_outer" -> """
+      SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id AND p.ts >= s.ts
       ORDER BY p.event_id""",
 

@@ -16,9 +16,11 @@ import org.apache.spark.sql.types.DataType
   * composed alternative is `join_asof`'s union-tag + window plan; pandas
   * API-on-Spark ships `merge_asof` but there is no Scala/SQL primitive).
   *
-  * Semantics (inner, backward, inclusive): for every left row, the single
-  * right row with equal by-keys and the greatest `rightTs <= leftTs`;
-  * left rows with no such match are dropped. Equal by-key null handling
+  * Semantics (backward, inclusive): for every left row, the single right
+  * row with equal by-keys and the greatest `rightTs <= leftTs`; left rows
+  * with no such match are dropped (inner, the default) or emitted with
+  * null right columns (`outer = true` — DuckDB's `ASOF LEFT JOIN`, the
+  * feature-store enrichment shape where unmatched rows must survive). Equal by-key null handling
   * follows sort-order equality (nulls group together, like groupBy — note
   * the difference from SQL join equality); callers with nullable keys
   * should filter first. NULL timestamps follow SQL comparison semantics
@@ -42,7 +44,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression,
-    rightTs: Expression) extends LogicalBinaryNode {
+    rightTs: Expression,
+    outer: Boolean = false) extends LogicalBinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     s"as-of join needs matching by-key lists, got $leftKeys vs $rightKeys")
@@ -60,7 +63,9 @@ case class AsOfJoin(
     s"as-of join ts type mismatch: ${leftTs.dataType.simpleString} vs " +
       s"${rightTs.dataType.simpleString} (cast one side explicitly)")
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -79,7 +84,8 @@ object AsOfJoin {
     * verbatim on both sides. */
   def frame(left: DataFrame, right: DataFrame,
             leftOn: Seq[String], rightOn: Seq[String],
-            leftTsCol: String, rightTsCol: String): DataFrame = {
+            leftTsCol: String, rightTsCol: String,
+            outer: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     require(leftOn.length == rightOn.length,
       s"asofJoin: leftOn (${leftOn.length}) and rightOn (${rightOn.length}) differ in length")
@@ -101,7 +107,8 @@ object AsOfJoin {
     val node = AsOfJoin(
       lPlan, rPlan,
       leftOn.map(attr(lPlan.output, _, "left")), rightOn.map(attr(rOut, _, "right")),
-      attr(lPlan.output, leftTsCol, "left"), attr(rOut, rightTsCol, "right"))
+      attr(lPlan.output, leftTsCol, "left"), attr(rOut, rightTsCol, "right"),
+      outer)
     org.apache.spark.sql.graftbridge.PlanDataset.ofRows(spark, node)
   }
 }
@@ -111,8 +118,8 @@ object AsOfJoin {
   * strategies (`Nil`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, outer) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -134,10 +141,13 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
+    outer: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -164,6 +174,7 @@ case class AsOfJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    val isOuter = outer
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTs = leftTs; val rTs = rightTs
     val lOut = left.output; val rOut = right.output
@@ -176,7 +187,11 @@ case class AsOfJoinExec(
       val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
-      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      // Bind the NODE's output (right side nullability-adjusted under
+      // outer) against the concrete child attributes — same exprIds, so
+      // the positional binding is unchanged, but null writes are legal.
+      val resultProj = UnsafeProjection.create(output, lOut ++ rOut)
+      val nullRight = new GenericInternalRow(rOut.length) // all-null fill
       val joined = new JoinedRow
       val rBuf = rIter.buffered
       // Latest right row already passed whose key might still match
@@ -214,6 +229,9 @@ case class AsOfJoinExec(
             keyOrd.compare(rKeyProj(cand), lk) == 0) {
           numOutputRows += 1
           resultProj(joined(l, cand)): InternalRow
+        } else if (isOuter) {
+          numOutputRows += 1
+          resultProj(joined(l, nullRight)): InternalRow
         } else null
       }.filter(_ != null)
     }

@@ -92,6 +92,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out === Seq(Row(1L, "real"), Row(2L, "nullkey")))
   }
 
+  test("outer keeps every left row; matched subset equals the inner result") {
+    // The outer variant must be the inner result plus null-filled rows
+    // for every unmatched purchase — nothing reordered, nothing dropped.
+    val d = "/root/testdata/sf0.01"
+    val outer = SparkEntry.queries("join_asof_outer")(spark, d).collect()
+    val inner = SparkEntry.queries("join_asof_native")(spark, d).collect()
+    val purchases = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count()
+    assert(outer.length.toLong === purchases, "outer must keep every purchase")
+    assert(outer.length > inner.length,
+      "fixture must contain purchases before any signup (else outer ≡ inner)")
+    val matched = outer.filter(!_.isNullAt(3)).map(_.mkString("|")).toSeq
+    assert(matched === inner.map(_.mkString("|")).toSeq,
+      "outer's matched subset must equal the inner result")
+    outer.filter(_.isNullAt(3)).foreach(r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(2), s"left columns must survive: $r"))
+  }
+
+  test("outer null-fill on tiny frames: unmatched key and too-early ts") {
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 50L))
+      .toDF("id", "k", "t")
+    val r = Seq((10L, 8L, "early"), (10L, 100L, "attime"))
+      .toDF("rk", "rt", "tag")
+    val out = graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        outer = true)
+      .select("id", "tag").orderBy("id").collect().toSeq
+    assert(out === Seq(Row(1L, "attime"), Row(2L, null), Row(3L, null)))
+  }
+
   test("null timestamps follow SQL semantics: never candidates, never matched") {
     // Right ts NULL must not become a candidate even though nulls sort
     // first (<= everything) in the merge's natural ordering; left ts NULL
