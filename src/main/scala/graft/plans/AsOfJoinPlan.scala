@@ -175,6 +175,7 @@ case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val isOuter = outer
+    val outAttrs = output // local: keep `this` out of the task closure
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTs = leftTs; val rTs = rightTs
     val lOut = left.output; val rOut = right.output
@@ -187,10 +188,13 @@ case class AsOfJoinExec(
       val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
-      // Bind the NODE's output (right side nullability-adjusted under
-      // outer) against the concrete child attributes — same exprIds, so
-      // the positional binding is unchanged, but null writes are legal.
-      val resultProj = UnsafeProjection.create(output, lOut ++ rOut)
+      // Bind the node's output against ITSELF, not against lOut ++ rOut:
+      // UnsafeProjection takes each column's nullability from the INPUT
+      // schema attr, so binding the child attributes would keep a
+      // non-nullable right column non-nullable and the outer null-fill
+      // would silently materialize 0/false (or NPE on strings) instead
+      // of NULL. Positions and exprIds are identical either way.
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rOut.length) // all-null fill
       val joined = new JoinedRow
       val rBuf = rIter.buffered

@@ -117,8 +117,15 @@ class AsOfJoinSpec extends AnyFunSuite {
       .toDF("rk", "rt", "tag")
     val out = graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
         outer = true)
-      .select("id", "tag").orderBy("id").collect().toSeq
-    assert(out === Seq(Row(1L, "attime"), Row(2L, null), Row(3L, null)))
+      .select("id", "tag", "rt").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "attime"), (2L, null), (3L, null)))
+    // rt is a NON-nullable long on the right child: the null-fill must
+    // surface as NULL, not a silently materialized 0 (the projection has
+    // to bind the nullability-ADJUSTED output schema for this).
+    assert(!out(0).isNullAt(2) && out(0).getLong(2) === 100L)
+    assert(out(1).isNullAt(2) && out(2).isNullAt(2),
+      s"unmatched rows must carry NULL rt, got ${out.toSeq}")
   }
 
   test("null timestamps follow SQL semantics: never candidates, never matched") {
