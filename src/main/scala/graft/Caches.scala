@@ -65,39 +65,49 @@ private[graft] object StoreDir {
     * one posting row per vector) and /tmp's reaper is the backstop. */
   def fixed(cache: java.util.concurrent.ConcurrentHashMap[String, String],
             key: String, dir: String)(build: String => Unit): String =
-    cache.computeIfAbsent(key, _ => {
-      import java.nio.file.{Paths, StandardOpenOption}
-      val lockCh = java.nio.channels.FileChannel.open(
-        Paths.get(dir + ".lock"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      val lock = lockCh.lock() // blocks until any other process's build ends
-      try atomicSwap(dir)(build)
-      finally { lock.release(); lockCh.close() }
-      dir
-    })
+    cache.computeIfAbsent(key, _ => { atomicSwap(dir)(build); dir })
 
-  /** Build into a process-unique staging dir, then rename over `dir` —
+  /** Build into a process-unique staging dir, then swap it over `dir` —
     * the canonical path only ever holds a COMPLETE store; a build killed
-    * mid-write leaves staging litter, never a torn store. Shared by
-    * [[fixed]] (which adds the cross-process lock its shared fixed paths
-    * need) and the caller-named facade stores (whose path the caller
-    * owns, so no lock). */
+    * mid-write leaves staging litter, never a torn store. The whole
+    * build+swap serializes on an OS file lock (`<dir>.lock`), so
+    * concurrent builders of the same path — other processes, or this
+    * one's [[fixed]] callers — queue instead of racing the swap (two
+    * threads of ONE JVM contending surface as Java's
+    * OverlappingFileLockException: a named error, never a torn store).
+    * Replacement is rename-aside + rename-into-place: the window where
+    * the canonical path is missing is two directory renames, not a
+    * recursive delete — readers of a live store being rebuilt can still
+    * observe it briefly absent (retry at the caller), but never
+    * half-written. */
   def atomicSwap(dir: String)(build: String => Unit): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    val target = Paths.get(dir)
-    val staging = Paths.get(s"$dir.build-${ProcessHandle.current().pid()}")
-    def rmTree(p: Path): Unit =
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(f => { Files.deleteIfExists(f); () })
-    rmTree(staging) // litter from a previous killed build of this pid
-    Files.createDirectories(staging)
+    import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+    val lockCh = java.nio.channels.FileChannel.open(
+      Paths.get(dir + ".lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = lockCh.lock() // blocks until any other process's build ends
     try {
-      build(staging.toString)
-      rmTree(target)
-      Files.move(staging, target) // same-fs dir rename — atomic swap
-      ()
-    } catch { case e: Throwable => rmTree(staging); throw e }
+      val pid = ProcessHandle.current().pid()
+      val target = Paths.get(dir)
+      val staging = Paths.get(s"$dir.build-$pid")
+      def rmTree(p: Path): Unit =
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => { Files.deleteIfExists(f); () })
+      rmTree(staging) // litter from a previous killed build of this pid
+      Files.createDirectories(staging)
+      try {
+        build(staging.toString)
+        if (Files.exists(target)) {
+          val old = Paths.get(s"$dir.old-$pid")
+          rmTree(old)
+          Files.move(target, old)
+          Files.move(staging, target) // same-fs dir rename
+          rmTree(old)
+        } else Files.move(staging, target)
+        ()
+      } catch { case e: Throwable => rmTree(staging); throw e }
+    } finally { lock.release(); lockCh.close() }
   }
 
   def of(cache: java.util.concurrent.ConcurrentHashMap[String, String],

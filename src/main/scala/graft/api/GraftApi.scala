@@ -260,47 +260,65 @@ object Similarity {
     }
   }
 
-  /** Append a day-2 delta to a store built by [[buildLshStore]]: the
-    * delta's posting is encoded with the STORED band knobs and appended —
-    * O(delta) work, nothing retrained, no day-1 re-encode (the LSH twin
-    * of the incremental ANN append). Write order is `vecs/` then
-    * `bands/`: a crash in between leaves unreferenced vectors (invisible
-    * to probes — candidates come from the posting), never posting rows
-    * whose vectors are missing. Ids are the caller's to keep disjoint
-    * from day-1 — duplicated ids would double-post. */
-  def appendLshStore(delta: DataFrame, path: String,
+  /** Append a delta batch to a store built by [[buildLshStore]]: the
+    * delta's posting is encoded with the STORED band knobs — O(delta)
+    * work, nothing retrained, no day-1 re-encode (the LSH twin of the
+    * incremental ANN append). Each batch lands as its own
+    * `delta-<batchId>/{vecs,bands}` unit, built in staging and atomically
+    * renamed into place, so a crash never publishes half a batch — and a
+    * RETRY of the same batchId atomically replaces its own delta instead
+    * of double-appending (the same replayed-batch convergence contract as
+    * the streaming sinks; batchIds are the caller's idempotence key).
+    * Ids should stay disjoint from day-1 — a duplicated id is two
+    * legitimate index entries and will double-post. */
+  def appendLshStore(delta: DataFrame, path: String, batchId: String,
                      idCol: String = "vec_id",
                      embCol: String = "embedding"): Unit = {
+    require(batchId.matches("[A-Za-z0-9_-]+"),
+      s"batchId '$batchId' must be a plain [A-Za-z0-9_-]+ token (it names a store subdir)")
     val spark = delta.sparkSession
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val c = std(delta, idCol, embCol)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")).cache()
-    try {
-      c.write.mode("append").parquet(s"$path/vecs")
-      LlmOps.lshBandsOf(c, "n_id", "n_emb",
-          meta.getAs[Int]("n_bands"), meta.getAs[Int]("band_bits"))
-        .write.mode("append").parquet(s"$path/bands")
-    } finally { c.unpersist(); () }
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    graft.StoreDir.atomicSwap(s"$path/delta-$batchId") { staging =>
+      c.write.mode("overwrite").parquet(s"$staging/vecs")
+      LlmOps.lshBandsOf(spark.read.parquet(s"$staging/vecs"),
+          "n_id", "n_emb", meta.getAs[Int]("n_bands"), meta.getAs[Int]("band_bits"))
+        .write.mode("overwrite").parquet(s"$staging/bands")
+    }
   }
 
-  /** Probe a store built by [[buildLshStore]]: day-2 queries band-join the
-    * PERSISTED posting (with the store's own band knobs, from `meta/`)
-    * and fetch only candidate vectors — no corpus recompute. ApiSpec pins
-    * probe-over-store ≡ direct [[lshSearch]] and append ≡ full rebuild;
-    * PlanSpec pins the posting comes from the store scan. Set
-    * `excludeSelfId=false` when the queries are a different frame that
-    * merely shares the corpus id domain — the default would silently drop
-    * an id-colliding true neighbor (same hazard [[knn]]'s flag names). */
-  def lshProbe(spark: SparkSession, queries: DataFrame, path: String,
+  /** The store's physical parts for one half (`vecs` or `bands`): the
+    * base dir plus every published `delta-*` batch. */
+  private[graft] def lshParts(path: String, half: String): Seq[String] = {
+    val deltas = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-"))
+      .map(f => s"${f.getAbsolutePath}/$half")
+    s"$path/$half" +: deltas.sorted
+  }
+
+  /** Probe a store built by [[buildLshStore]] (plus any
+    * [[appendLshStore]] deltas): queries band-join the PERSISTED posting
+    * (with the store's own band knobs, from `meta/`) and fetch only
+    * candidate vectors — no corpus recompute. ApiSpec pins
+    * probe-over-store ≡ direct [[lshSearch]], append ≡ full rebuild, and
+    * append-retry idempotence; PlanSpec pins the posting comes from the
+    * store scan. Set `excludeSelfId=false` when the queries are a
+    * different frame that merely shares the corpus id domain — the
+    * default would silently drop an id-colliding true neighbor (same
+    * hazard [[knn]]'s flag names). */
+  def lshProbe(queries: DataFrame, path: String,
                k: Int = 5, excludeSelfId: Boolean = true,
                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val q = std(queries, idCol, embCol)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    LlmOps.lshSearchPosting(q, spark.read.parquet(s"$path/vecs"),
+    LlmOps.lshSearchPosting(q,
+      spark.read.parquet(lshParts(path, "vecs"): _*),
       LlmOps.lshBandsOf(q, "q_id", "q_emb",
         meta.getAs[Int]("n_bands"), meta.getAs[Int]("band_bits")),
-      spark.read.parquet(s"$path/bands"), k, excludeSelfId)
+      spark.read.parquet(lshParts(path, "bands"): _*), k, excludeSelfId)
   }
 
   /** LSH-bucketed approximate top-k: sign-band hash tables (`nBands` ×

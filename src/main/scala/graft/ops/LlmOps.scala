@@ -181,6 +181,11 @@ object LlmOps {
     * appear in the posting. */
   private[graft] def lshBandsOf(vecs: DataFrame, idCol: String, embCol: String,
                                 nBands: Int, bandBits: Int): DataFrame = {
+    // nBands*bandBits must also be <= the embedding dimension — a runtime
+    // data property this plan-build guard cannot see; ANSI element_at
+    // makes an overrun a loud error, not silent zero bits.
+    require(nBands > 0 && bandBits > 0 && bandBits <= 30,
+      s"bad LSH band knobs: $nBands bands x $bandBits bits")
     val emb = col(embCol)
     val bands = array((0 until nBands).map { j =>
       (0 until bandBits).map { b =>

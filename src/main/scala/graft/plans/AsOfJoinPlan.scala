@@ -198,9 +198,14 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.length) // all-null fill
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // Latest right row already passed whose key might still match
-      // (copied: UnsafeRow iterators reuse their backing buffer).
-      var cand: UnsafeRow = null
+      // Latest right row already passed whose key might still match.
+      // UnsafeRow iterators reuse their backing buffer, so the candidate
+      // must be copied out — into ONE persistent holder (copyFrom grows
+      // and reuses its buffer) rather than a fresh allocation per
+      // consumed right row: this is the merge's innermost loop.
+      val candHolder = new UnsafeRow(rOut.length)
+      candHolder.pointTo(new Array[Byte](64), 0) // copyFrom needs a byte[] base
+      var cand: UnsafeRow = null // null until the first candidate, then candHolder
       lIter.map { l =>
         val lk = lKeyProj(l) // valid until the next lKeyProj call (next l)
         val ltRow = lTsProj(l)
@@ -212,17 +217,22 @@ case class AsOfJoinExec(
             // Right key below every remaining left key (left is sorted):
             // can never match — discard without copying.
             rBuf.next()
-          } else if (c == 0 && rTsProj(rBuf.head).isNullAt(0)) {
-            // A NULL right ts never matches (SQL comparison semantics —
-            // the composed twin's isNotNull filter and DuckDB ASOF JOIN
-            // both reject it); NULLs sort FIRST within the key, so
-            // discard and keep scanning this key's non-null rows.
-            rBuf.next()
-          } else if (c == 0 && !ltNull &&
-                     tsOrd.compare(rTsProj(rBuf.head), ltRow) <= 0) {
-            cand = rBuf.next().asInstanceOf[UnsafeRow].copy()
+          } else if (c == 0) {
+            val rt = rTsProj(rBuf.head) // project once per head row
+            if (rt.isNullAt(0)) {
+              // A NULL right ts never matches (SQL comparison semantics —
+              // the composed twin's isNotNull filter and DuckDB ASOF JOIN
+              // both reject it); NULLs sort FIRST within the key, so
+              // discard and keep scanning this key's non-null rows.
+              rBuf.next()
+            } else if (!ltNull && tsOrd.compare(rt, ltRow) <= 0) {
+              candHolder.copyFrom(rBuf.next().asInstanceOf[UnsafeRow])
+              cand = candHolder
+            } else {
+              scanning = false // head is ahead of l (or l's ts is null)
+            }
           } else {
-            scanning = false // right head is ahead of l; keep it for later
+            scanning = false // right head's key is ahead of l's
           }
         }
         // A NULL left ts matches nothing (p.ts >= s.ts is never true).

@@ -99,8 +99,7 @@ class ApiSpec extends AnyFunSuite {
     // NO corpus recompute and NO result drift vs the inline search.
     val dir = java.nio.file.Files.createTempDirectory("graft-lshstore-").toString
     Similarity.buildLshStore(embs, dir)
-    val probe = rowSet(Similarity.lshProbe(
-      spark, embs.filter(col("vec_id") < 100), dir))
+    val probe = rowSet(Similarity.lshProbe(embs.filter(col("vec_id") < 100), dir))
     val direct = rowSet(Similarity.lshSearch(embs.filter(col("vec_id") < 100), embs))
     assert(probe === direct)
     assert(probe.nonEmpty)
@@ -112,18 +111,22 @@ class ApiSpec extends AnyFunSuite {
     // so this is structural; the pin keeps a future edit from coupling
     // rows (e.g. a normalization over the batch). Same day split as
     // llm_dedup_incremental / llm_ann_incremental.
-    val incDir = java.nio.file.Files.createTempDirectory("graft-lshinc-").toString
-    val fullDir = java.nio.file.Files.createTempDirectory("graft-lshfull-").toString
+    val incDir = java.nio.file.Files.createTempDirectory("graft-lshinc-").toString + "/store"
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-lshfull-").toString + "/store"
     Similarity.buildLshStore(embs.filter(pmod(col("vec_id"), lit(4)) =!= 0), incDir)
-    Similarity.appendLshStore(embs.filter(pmod(col("vec_id"), lit(4)) === 0), incDir)
+    val day2 = embs.filter(pmod(col("vec_id"), lit(4)) === 0)
+    Similarity.appendLshStore(day2, incDir, "day2")
+    // a RETRY of the same batch must atomically replace its delta, not
+    // double-append (the replayed-batch convergence contract)
+    Similarity.appendLshStore(day2, incDir, "day2")
     Similarity.buildLshStore(embs, fullDir)
-    assert(rowSet(spark.read.parquet(s"$incDir/bands"))
-      === rowSet(spark.read.parquet(s"$fullDir/bands")), "posting diverged")
-    assert(rowSet(spark.read.parquet(s"$incDir/vecs"))
-      === rowSet(spark.read.parquet(s"$fullDir/vecs")), "vectors diverged")
+    def half(dir: String, h: String) =
+      rowSet(spark.read.parquet(Similarity.lshParts(dir, h): _*))
+    assert(half(incDir, "bands") === half(fullDir, "bands"), "posting diverged")
+    assert(half(incDir, "vecs") === half(fullDir, "vecs"), "vectors diverged")
     val q = embs.filter(col("vec_id") < 100)
-    assert(rowSet(Similarity.lshProbe(spark, q, incDir))
-      === rowSet(Similarity.lshProbe(spark, q, fullDir)))
+    assert(rowSet(Similarity.lshProbe(q, incDir))
+      === rowSet(Similarity.lshProbe(q, fullDir)))
   }
 
   test("Ingest.frameSample equals llm_multimodal_framesample") {

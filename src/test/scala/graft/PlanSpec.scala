@@ -430,7 +430,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = java.nio.file.Files.createTempDirectory("graft-lshplan-").toString
     graft.api.Similarity.buildLshStore(Tables.embeddings(spark, d), dir)
     val p = planOf(graft.api.Similarity.lshProbe(
-      spark, Tables.embeddings(spark, d).filter(col("vec_id") < 100), dir))
+      Tables.embeddings(spark, d).filter(col("vec_id") < 100), dir))
     val generates = "Generate ".r.findAllIn(p).length
     assert(generates === 1, s"expected only the query-side posexplode:\n$p")
     assert("graft-lshplan-".r.findAllIn(p).length >= 2,
