@@ -43,10 +43,12 @@ object Graft {
     * of frames released. */
   def clearCaches(): Int = graft.GraftCaches.clear()
 
-  /** Native backward as-of join (inclusive): each left row pairs with the
-    * right row sharing the by-keys that has the greatest
-    * `rightTsCol <= leftTsCol`; unmatched left rows drop (inner, the
-    * default) or keep null right columns (`outer = true`). Plans as the
+  /** Native as-of join (inclusive): each left row pairs with the right
+    * row sharing the by-keys that has the greatest `rightTsCol <=
+    * leftTsCol` (backward, the default) or the smallest `rightTsCol >=
+    * leftTsCol` (`forward = true` — the event-to-next-outcome join);
+    * unmatched left rows drop (inner, the default) or keep null right
+    * columns (`outer = true`). Plans as the
     * custom [[graft.plans.AsOfJoinExec]] operator — one hash shuffle per
     * side on the by-keys plus a streaming O(1)-state merge, instead of the
     * union-tag + window composition (`join_asof`) that buffers whole key
@@ -63,9 +65,9 @@ object Graft {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftOn: Seq[String], rightOn: Seq[String],
                leftTsCol: String, rightTsCol: String,
-               outer: Boolean = false): DataFrame =
+               outer: Boolean = false, forward: Boolean = false): DataFrame =
     graft.plans.AsOfJoin.frame(left, right, leftOn, rightOn,
-      leftTsCol, rightTsCol, outer)
+      leftTsCol, rightTsCol, outer, forward)
 }
 
 /** Deduplication family. All pair outputs are (doc_a < doc_b) with the

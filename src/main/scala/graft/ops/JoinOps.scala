@@ -232,6 +232,24 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // FORWARD variant of the native as-of operator: each purchase joined
+    // to the user's NEXT signup at-or-after it — the event-to-next-
+    // outcome join training-data pipelines build labels with. The forward
+    // merge matches the un-consumed right head (no candidate buffer, no
+    // copies); DuckDB expresses it as ASOF ... ON p.ts <= s.ts.
+    "join_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val sign = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+      graft.plans.AsOfJoin.frame(purch, sign,
+          Seq("user_id"), Seq("s_user_id"), "ts", "s_ts", forward = true)
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("s_ts").as("next_signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // LEFT-OUTER variant of the native as-of operator: purchases with no
     // prior signup survive with a null signup_ts — the feature-store
     // enrichment shape (enrich every event, never silently drop). Same
@@ -387,6 +405,15 @@ object JoinOps {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
+    // Forward direction: DuckDB infers it from the flipped inequality
+    // (smallest s.ts >= p.ts).
+    "join_asof_forward" -> """
+      SELECT p.event_id, p.user_id, p.ts, s.ts AS next_signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts <= s.ts
       ORDER BY p.event_id""",
 
     // The outer variant keeps every purchase; DuckDB's ASOF LEFT JOIN is

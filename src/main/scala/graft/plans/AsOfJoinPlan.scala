@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.DataType
   * row with equal by-keys and the greatest `rightTs <= leftTs`; left rows
   * with no such match are dropped (inner, the default) or emitted with
   * null right columns (`outer = true` — DuckDB's `ASOF LEFT JOIN`, the
-  * feature-store enrichment shape where unmatched rows must survive). Equal by-key null handling
+  * feature-store enrichment shape where unmatched rows must survive).
+  * `forward = true` flips the direction: the single right row with the
+  * SMALLEST `rightTs >= leftTs` (DuckDB `ASOF ... ON l.ts <= r.ts` — the
+  * event-to-next-outcome join), matched as the un-consumed right head so
+  * the forward merge buffers and copies nothing. Equal by-key null handling
   * follows sort-order equality (nulls group together, like groupBy — note
   * the difference from SQL join equality); callers with nullable keys
   * should filter first. NULL timestamps follow SQL comparison semantics
@@ -45,7 +49,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    outer: Boolean = false) extends LogicalBinaryNode {
+    outer: Boolean = false,
+    forward: Boolean = false) extends LogicalBinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     s"as-of join needs matching by-key lists, got $leftKeys vs $rightKeys")
@@ -85,7 +90,7 @@ object AsOfJoin {
   def frame(left: DataFrame, right: DataFrame,
             leftOn: Seq[String], rightOn: Seq[String],
             leftTsCol: String, rightTsCol: String,
-            outer: Boolean = false): DataFrame = {
+            outer: Boolean = false, forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     require(leftOn.length == rightOn.length,
       s"asofJoin: leftOn (${leftOn.length}) and rightOn (${rightOn.length}) differ in length")
@@ -108,7 +113,7 @@ object AsOfJoin {
       lPlan, rPlan,
       leftOn.map(attr(lPlan.output, _, "left")), rightOn.map(attr(rOut, _, "right")),
       attr(lPlan.output, leftTsCol, "left"), attr(rOut, rightTsCol, "right"),
-      outer)
+      outer, forward)
     org.apache.spark.sql.graftbridge.PlanDataset.ofRows(spark, node)
   }
 }
@@ -118,8 +123,8 @@ object AsOfJoin {
   * strategies (`Nil`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, outer, forward) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, forward, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -142,6 +147,7 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     outer: Boolean,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -175,6 +181,7 @@ case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val isOuter = outer
+    val isFwd = forward
     val outAttrs = output // local: keep `this` out of the task closure
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTs = leftTs; val rTs = rightTs
@@ -206,7 +213,38 @@ case class AsOfJoinExec(
       val candHolder = new UnsafeRow(rOut.length)
       candHolder.pointTo(new Array[Byte](64), 0) // copyFrom needs a byte[] base
       var cand: UnsafeRow = null // null until the first candidate, then candHolder
-      lIter.map { l =>
+      if (isFwd) lIter.map { l =>
+        // FORWARD merge: the match for l is the FIRST right row with equal
+        // key and rt >= lt — exactly the right head once every same-key
+        // row with rt < lt is discarded (useless for this and all later
+        // left rows: lt only grows within a key). The head is matched
+        // WITHOUT being consumed — the next left row may share it — so
+        // the forward path buffers nothing and copies nothing.
+        val lk = lKeyProj(l)
+        val ltRow = lTsProj(l)
+        val ltNull = ltRow.isNullAt(0)
+        var decided = false
+        var hit = false
+        while (!decided && rBuf.hasNext) {
+          val c = keyOrd.compare(rKeyProj(rBuf.head), lk)
+          if (c < 0) rBuf.next() // stale key: discard
+          else if (c == 0) {
+            val rt = rTsProj(rBuf.head)
+            if (rt.isNullAt(0)) rBuf.next() // NULL ts never matches
+            else if (ltNull) decided = true // NULL left ts matches nothing
+            else if (tsOrd.compare(rt, ltRow) < 0) rBuf.next() // too early forever
+            else { hit = true; decided = true }
+          } else decided = true // head's key is ahead of l's
+        }
+        if (hit) {
+          numOutputRows += 1
+          resultProj(joined(l, rBuf.head)): InternalRow
+        } else if (isOuter) {
+          numOutputRows += 1
+          resultProj(joined(l, nullRight)): InternalRow
+        } else null
+      }.filter(_ != null)
+      else lIter.map { l =>
         val lk = lKeyProj(l) // valid until the next lKeyProj call (next l)
         val ltRow = lTsProj(l)
         val ltNull = ltRow.isNullAt(0)

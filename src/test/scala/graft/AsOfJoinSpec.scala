@@ -128,6 +128,39 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"unmatched rows must carry NULL rt, got ${out.toSeq}")
   }
 
+  test("forward direction: first at-or-after match; negated-ts duality with backward") {
+    val l = Seq((1L, 10L, 50L), (2L, 10L, 101L), (3L, 20L, 5L))
+      .toDF("id", "k", "t")
+    val r = Seq((10L, 50L, "attime"), (10L, 100L, "later"), (20L, 1L, "early"))
+      .toDF("rk", "rt", "tag")
+    // id=1 matches rt=50 inclusively (not 100); id=2 is past every right
+    // row; id=3's only same-key row is in the past.
+    val fwd = graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        forward = true)
+      .select("id", "tag").orderBy("id").collect().toSeq
+    assert(fwd === Seq(Row(1L, "attime")))
+    // Duality: forward on ts ≡ backward on negated ts — pinned on the
+    // corpus so the two merge paths cannot drift semantically.
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d)
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val sign = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("ru"), unix_micros(col("ts")).as("rt"))
+    val viaFwd = graft.api.Graft.asofJoin(purch, sign,
+        Seq("user_id"), Seq("ru"), "t", "rt", forward = true)
+      .select(col("event_id"), col("rt")).orderBy("event_id")
+      .collect().map(_.mkString("|")).toSeq
+    val viaNegBwd = graft.api.Graft.asofJoin(
+        purch.withColumn("t", -col("t")),
+        sign.withColumn("rt", -col("rt")),
+        Seq("user_id"), Seq("ru"), "t", "rt")
+      .select(col("event_id"), (-col("rt")).as("rt")).orderBy("event_id")
+      .collect().map(_.mkString("|")).toSeq
+    assert(viaFwd === viaNegBwd, "forward must equal backward on negated ts")
+    assert(viaFwd.nonEmpty)
+  }
+
   test("null timestamps follow SQL semantics: never candidates, never matched") {
     // Right ts NULL must not become a candidate even though nulls sort
     // first (<= everything) in the merge's natural ordering; left ts NULL
