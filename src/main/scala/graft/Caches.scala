@@ -88,21 +88,39 @@ private[graft] object StoreDir {
     val lock = lockCh.lock() // blocks until any other process's build ends
     try {
       val pid = ProcessHandle.current().pid()
-      val target = Paths.get(dir)
-      val staging = Paths.get(s"$dir.build-$pid")
+      val target = Paths.get(dir).toAbsolutePath
+      val baseName = target.getFileName.toString
       def rmTree(p: Path): Unit =
         if (Files.exists(p))
           Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
             .forEach(f => { Files.deleteIfExists(f); () })
-      rmTree(staging) // litter from a previous killed build of this pid
+      def siblings(marker: String): Seq[Path] =
+        Option(target.getParent.toFile.listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith(baseName + marker)).map(_.toPath)
+      // Crash recovery (under the lock, so no build races it): a JVM
+      // killed between the two publish renames leaves the store in
+      // `<dir>.old-<pid>` with the canonical path MISSING — restore it
+      // before anything else, then clear remaining aside/staging litter
+      // from any pid (a killed build's staging would otherwise persist
+      // forever; pids recycle, so "this pid's litter" is not enough).
+      if (!Files.exists(target))
+        siblings(".old-").headOption.foreach(o => Files.move(o, target))
+      siblings(".old-").foreach(rmTree)
+      siblings(".build-").foreach(rmTree)
+      val staging = Paths.get(s"$dir.build-$pid")
       Files.createDirectories(staging)
       try {
         build(staging.toString)
         if (Files.exists(target)) {
           val old = Paths.get(s"$dir.old-$pid")
-          rmTree(old)
           Files.move(target, old)
-          Files.move(staging, target) // same-fs dir rename
+          try Files.move(staging, target) // same-fs dir rename
+          catch { case e: Throwable =>
+            // the old store is complete — put it back rather than leave
+            // the canonical path empty, then surface the real failure
+            try Files.move(old, target) catch { case _: Throwable => () }
+            throw e
+          }
           rmTree(old)
         } else Files.move(staging, target)
         ()

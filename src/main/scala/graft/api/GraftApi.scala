@@ -293,8 +293,12 @@ object Similarity {
   /** The store's physical parts for one half (`vecs` or `bands`): the
     * base dir plus every published `delta-*` batch. */
   private[graft] def lshParts(path: String, half: String): Seq[String] = {
+    // Exact-match the PUBLISHED delta name shape: atomicSwap's staging
+    // (`delta-<id>.build-<pid>`) and aside (`delta-<id>.old-<pid>`) dirs
+    // contain a '.' the batchId charset forbids, so in-flight or crashed
+    // swap litter is never read as a batch.
     val deltas = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-"))
+      .filter(f => f.isDirectory && f.getName.matches("delta-[A-Za-z0-9_-]+"))
       .map(f => s"${f.getAbsolutePath}/$half")
     s"$path/$half" +: deltas.sorted
   }

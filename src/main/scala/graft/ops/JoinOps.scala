@@ -59,6 +59,27 @@ object JoinOps {
       (s"graft_orders_b_$tag", s"graft_customer_b_$tag")
     })
 
+  /** Shared body of the three native as-of contract keys: purchases
+    * as-of-joined to signups on user_id, differing only in direction /
+    * outer-ness and the output alias. Calls the plans-layer builder
+    * directly (the facade Graft.asofJoin is a one-line delegate to the
+    * same frame(); going through it here would put a graft.ops ->
+    * graft.api -> graft.ops import cycle into the build). */
+  private def asofEventsKey(s: SparkSession, d: String, outAlias: String,
+                            outer: Boolean = false,
+                            forward: Boolean = false): DataFrame = {
+    val e = Tables.events(s, d)
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val sign = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+    graft.plans.AsOfJoin.frame(purch, sign,
+        Seq("user_id"), Seq("s_user_id"), "ts", "s_ts", outer, forward)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("s_ts").as(outAlias))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "join_broadcast" -> ((s, d) => {
       val n = Tables.nation(s, d)
@@ -219,53 +240,23 @@ object JoinOps {
     // row — vs the composed key's union + window pass that buffers each
     // user's frame. AsOfJoinSpec pins native ≡ composed bit-for-bit;
     // PlanSpec pins the AsOfJoinExec node and its two-exchange shape.
-    "join_asof_native" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val purch = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val sign = e.filter(col("event_type") === "signup")
-        .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
-      graft.plans.AsOfJoin.frame(purch, sign,
-          Seq("user_id"), Seq("s_user_id"), "ts", "s_ts")
-        .select(col("event_id"), col("user_id"), col("ts"),
-                col("s_ts").as("signup_ts"))
-        .orderBy("event_id")
-    }),
+    "join_asof_native" -> ((s, d) =>
+      asofEventsKey(s, d, "signup_ts")),
 
     // FORWARD variant of the native as-of operator: each purchase joined
     // to the user's NEXT signup at-or-after it — the event-to-next-
     // outcome join training-data pipelines build labels with. The forward
     // merge matches the un-consumed right head (no candidate buffer, no
     // copies); DuckDB expresses it as ASOF ... ON p.ts <= s.ts.
-    "join_asof_forward" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val purch = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val sign = e.filter(col("event_type") === "signup")
-        .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
-      graft.plans.AsOfJoin.frame(purch, sign,
-          Seq("user_id"), Seq("s_user_id"), "ts", "s_ts", forward = true)
-        .select(col("event_id"), col("user_id"), col("ts"),
-                col("s_ts").as("next_signup_ts"))
-        .orderBy("event_id")
-    }),
+    "join_asof_forward" -> ((s, d) =>
+      asofEventsKey(s, d, "next_signup_ts", forward = true)),
 
     // LEFT-OUTER variant of the native as-of operator: purchases with no
     // prior signup survive with a null signup_ts — the feature-store
     // enrichment shape (enrich every event, never silently drop). Same
     // exec, null-fill emit under outer; DuckDB ASOF LEFT JOIN oracle.
-    "join_asof_outer" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val purch = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val sign = e.filter(col("event_type") === "signup")
-        .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
-      graft.plans.AsOfJoin.frame(purch, sign,
-          Seq("user_id"), Seq("s_user_id"), "ts", "s_ts", outer = true)
-        .select(col("event_id"), col("user_id"), col("ts"),
-                col("s_ts").as("signup_ts"))
-        .orderBy("event_id")
-    }),
+    "join_asof_outer" -> ((s, d) =>
+      asofEventsKey(s, d, "signup_ts", outer = true)),
 
     // Skew-mitigated join via key salting — the manual 100 TB pattern for
     // when AQE's skew split can't help (e.g. the skewed side feeds a

@@ -139,6 +139,15 @@ class AsOfJoinSpec extends AnyFunSuite {
         forward = true)
       .select("id", "tag").orderBy("id").collect().toSeq
     assert(fwd === Seq(Row(1L, "attime")))
+    // forward + outer: both unmatched shapes (past every right row /
+    // same-key rows only in the past) must survive with nulls, and the
+    // non-nullable right long must read as NULL through the null-fill.
+    val fwdOuter = graft.api.Graft.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        outer = true, forward = true)
+      .select("id", "tag", "rt").orderBy("id").collect()
+    assert(fwdOuter.map(x => (x.getLong(0), x.getString(1))).toSeq
+      === Seq((1L, "attime"), (2L, null), (3L, null)))
+    assert(fwdOuter(1).isNullAt(2) && fwdOuter(2).isNullAt(2))
     // Duality: forward on ts ≡ backward on negated ts — pinned on the
     // corpus so the two merge paths cannot drift semantically.
     val d = "/root/testdata/sf0.001"
