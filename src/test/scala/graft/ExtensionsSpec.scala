@@ -16,6 +16,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("AsOfJoinStrategy rides the injected planner-strategy path") {
+    // GraftRules.install (the imperative fallback) also registers the
+    // strategy via experimental.extraStrategies, so a planned AsOfJoin
+    // alone cannot prove injection worked — assert the extensions-built
+    // session carries it in extraPlanningStrategies directly.
+    assert(spark.sessionState.planner.extraPlanningStrategies
+      .contains(graft.plans.AsOfJoinStrategy),
+      "planner strategy missing from the SparkSessionExtensions path")
+  }
+
   test("injected expression participates in codegen over a real table") {
     val d = TestSpark.sfDir
     Tables.embeddings(spark, d).createOrReplaceTempView("emb_ext_test")
