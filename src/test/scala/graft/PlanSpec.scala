@@ -450,5 +450,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Both event scans keep their pushed event_type predicate.
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(event_type".r
       .findAllIn(p).length === 2, s"event_type filters not pushed:\n$p")
+    // The outer and forward variants must keep the identical physical
+    // shape — same exec node, same two key exchanges, still no window.
+    for (k <- Seq("join_asof_outer", "join_asof_forward")) {
+      val pv = plan(k)
+      assert(pv.contains("AsOfJoin"), s"$k lost the native operator:\n$pv")
+      val ex = "Exchange hashpartitioning".r.findAllIn(pv).length
+      assert(ex === 2, s"$k: expected 2 hash exchanges, got $ex:\n$pv")
+      assert(!pv.contains("Window"), s"$k fell back to a window:\n$pv")
+    }
   }
 }
