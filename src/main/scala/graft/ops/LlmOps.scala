@@ -1549,6 +1549,33 @@ object LlmOps {
     "llm_multimodal_framesample" -> ((s, d) =>
       frameSampleOf(Tables.documents(s, d)).orderBy("doc_id", "frame_idx")),
 
+    // Resize — the last multimodal verb (decode / feature-extract /
+    // frame-sample / resize): fit each asset's (stub-decoded) W×H into a
+    // 256-box preserving aspect ratio with INTEGER arithmetic (`div`
+    // floors identically in both engines), emitting the scaled dims + a
+    // deterministic thumb digest standing in for the resized payload.
+    // Same honest-stub contract as the features key: the codec is fake,
+    // the Spark-side shape (pure per-row codegen'd exprs, zero shuffle
+    // before the output sort, digest-keyed output) is real.
+    "llm_multimodal_resize" -> ((s, d) => {
+      val box = 256
+      val dims = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .withColumn("fake_w", (lit(64) +
+          (ascii(substring(col("content_hash"), 1, 1)) * 256 +
+           ascii(substring(col("content_hash"), 2, 1))) % 1024).cast("long"))
+        .withColumn("fake_h", (lit(64) +
+          (ascii(substring(col("content_hash"), 3, 1)) * 256 +
+           ascii(substring(col("content_hash"), 4, 1))) % 1024).cast("long"))
+      dims
+        .withColumn("out_w", expr(s"(fake_w * $box) div greatest(fake_w, fake_h)"))
+        .withColumn("out_h", expr(s"(fake_h * $box) div greatest(fake_w, fake_h)"))
+        .withColumn("thumb_hash",
+          md5(concat_ws(":", col("content_hash"), col("out_w"), col("out_h"))))
+        .select("doc_id", "fake_w", "fake_h", "out_w", "out_h", "thumb_hash")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal row: text metadata ⋈ vector on aligned ids, grouped stats.
     "llm_multimodal_join" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -2417,6 +2444,28 @@ object LlmOps {
              CAST(length(frame) AS BIGINT) AS frame_chars,
              md5(frame) AS frame_md5
       FROM fr ORDER BY doc_id, frame_idx""",
+
+    // Mirrors the resize key: same hash-derived dims as the features
+    // oracle, `//` = Spark's `div` (both floor non-negative integers),
+    // `||':'||` with VARCHAR casts = concat_ws(":").
+    "llm_multimodal_resize" -> """
+      WITH f AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      dims AS (
+        SELECT doc_id, content_hash,
+          CAST(64 + (ascii(substr(content_hash, 1, 1)) * 256
+                   + ascii(substr(content_hash, 2, 1))) % 1024 AS BIGINT) AS fake_w,
+          CAST(64 + (ascii(substr(content_hash, 3, 1)) * 256
+                   + ascii(substr(content_hash, 4, 1))) % 1024 AS BIGINT) AS fake_h
+        FROM f),
+      rs AS (
+        SELECT doc_id, content_hash, fake_w, fake_h,
+               (fake_w * 256) // greatest(fake_w, fake_h) AS out_w,
+               (fake_h * 256) // greatest(fake_w, fake_h) AS out_h
+        FROM dims)
+      SELECT doc_id, fake_w, fake_h, out_w, out_h,
+             md5(content_hash || ':' || CAST(out_w AS VARCHAR)
+                              || ':' || CAST(out_h AS VARCHAR)) AS thumb_hash
+      FROM rs ORDER BY doc_id""",
 
     "llm_multimodal_join" -> """
       SELECT label, lang, count(*) AS n,

@@ -381,6 +381,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }
 
+  test("llm_multimodal_resize: fit-box invariants hold for every asset") {
+    // The oracle hash-gates the exact values; this pins the SEMANTICS the
+    // arithmetic is supposed to encode: the longer edge lands exactly on
+    // the 256 box, nothing exceeds it, and the aspect ratio survives up
+    // to integer-floor error (|out_w*h - out_h*w| < max(w,h)).
+    val out = SparkEntry.queries("llm_multimodal_resize")(spark, TestSpark.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h, ow, oh) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.max(ow, oh) === 256L, s"longer edge must hit the box: $r")
+      assert(ow <= 256 && oh <= 256, s"dims exceed the box: $r")
+      assert(math.abs(ow * h - oh * w) < math.max(w, h),
+        s"aspect ratio lost beyond floor error: $r")
+    }
+  }
+
   test("frameSampleOf: boundaries, stride, and the empty-payload guard") {
     import spark.implicits._
     // 130 chars = frames of 64+64+2 → n_frames 3, stride 2 keeps idx 0, 2
