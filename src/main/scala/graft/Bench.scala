@@ -12,45 +12,52 @@ import org.apache.spark.sql.SparkSession
   * tail capture gets the short summary (with the watch keys inline) plus
   * the BENCH_FULL.json pointer.
   *
-  * Measurement protocol (VERDICT r4 #1/#4, r6 #1):
+  * Measurement protocol (VERDICT r4 #1/#4, r6 #1, r7 #1/#2):
   *  - a WARMUP phase first builds every piece of per-JVM scaffolding the
   *    queries cache — streaming replay dirs + Derby (StreamOps.prewarm),
   *    the day-1 signature store, the ANN index store, the BPE store, the
   *    bucketed tables — and its cost is reported separately as `setup`;
-  *  - KEY ORDER IS RANDOMIZED per run (seed recorded). r5/r6 driver runs
-  *    each showed one alphabetically CONTIGUOUS block regressed 5-12×
-  *    while the builder box ran the same tree clean — consistent with the
-  *    box slowing down during one stretch of the alphabetical sweep, not
-  *    with a code regression. Randomizing the order decorrelates wall-
-  *    clock position from key name, so a drifting box smears noise across
-  *    random keys instead of faking a subsystem regression;
+  *  - INTERLEAVED SWEEPS (r7 #1): the full key set runs SWEEPS=3 times,
+  *    each sweep in an independently re-shuffled order (seed+sweepIdx,
+  *    seeds recorded), ONE repeat per key per sweep — instead of 3
+  *    consecutive repeats per key. r5-r7 driver runs each had one box-load
+  *    episode inflate a contiguous wall-clock stretch; with consecutive
+  *    repeats that poisoned every repeat of the keys in the stretch, so
+  *    the median itself was contaminated and each round needed manual
+  *    adjudication. Interleaving bounds an episode's blast radius to ONE
+  *    repeat of any key, so min-across-sweeps is load-robust by
+  *    construction: the headline per-key value is the MIN across sweeps
+  *    (a key's best sweep ran it on a quiet box); the per-key MEDIAN and
+  *    all raw per-sweep times stay in BENCH_FULL.json for drift checks;
   *  - a DRIFT SENTINEL — one fixed cheap query (scan_parquet's plan,
-  *    single shot) — is re-timed before the run and after every 15 keys;
-  *    its trace rides in both the full record and the short line. A flat
+  *    single shot) — is re-timed at each sweep boundary and after every
+  *    15 keys within a sweep; its trace rides in the full record. A flat
   *    sentinel with slow keys = real regression; a sentinel that drifts
   *    with them = box noise (the adjudication instrument VERDICT r6 #1
   *    asked for);
-  *  - batch keys run 3× and report the MEDIAN; streaming keys run 2× and
-  *    report the MIN after prewarm (steady-state; each run still replays
-  *    every micro-batch through a fresh checkpoint), high-variance
-  *    streaming keys run 3×;
-  *  - RAW per-repeat times for every key are in BENCH_FULL.json. */
+  *  - SUSPECT MARKING (r7 #2): any sentinel shot > 3× the run's sentinel
+  *    median marks the key segments adjacent to it (the keys between the
+  *    previous shot and the next shot in that sweep) as suspect; the
+  *    union rides in the record as `"suspect":[keys]` — empty on a clean
+  *    run — so the driver record self-adjudicates without cross-round
+  *    inference;
+  *  - streaming keys report the MIN across sweeps after prewarm
+  *    (steady-state; each sweep still replays every micro-batch through
+  *    a fresh checkpoint);
+  *  - RAW per-sweep times for every key are in BENCH_FULL.json. */
 object Bench {
-  private val Repeats = 3
-  private val StreamRepeats = 2
+  private val Sweeps = 3
   private val SentinelEvery = 15
+  /** Sentinel shot > SuspectFactor × run-median sentinel ⇒ adjacent key
+    * segments are flagged. 3× clears normal jitter (r7 builder trace
+    * spread 0.11-0.24 s ≈ 2.2× max/median) but catches the r7 driver
+    * episode (0.118 → 0.580 ≈ 4.9×). */
+  private val SuspectFactor = 3.0
 
-  /** Streaming keys whose r5 driver repeats spread >1.5× (stream_stream_outer:
-    * raw [8.96, 17.69] — fresh checkpoint dirs per run, so the spread is
-    * box noise, not dir collision): min-of-2 can land on the wild repeat,
-    * so these run 3× to make the reported min trustworthy (VERDICT r5 #5). */
-  private val HighVarianceStreams = Set("stream_stream_outer")
-
-  /** The r6 driver-box anomaly block (7 keys 5-12× vs r5, VERDICT r6 #1)
-    * plus ALL of r4/r5's watch keys — raw repeats for these ride in the
-    * SHORT last line so a tail-truncated capture alone can adjudicate
-    * environment vs regression (~45 B per key; 13 keys keep the line
-    * comfortably under the ~2 KB capture window). */
+  /** Keys whose raw repeats ride in the SHORT last line so a
+    * tail-truncated capture alone can adjudicate environment vs
+    * regression (~45 B per key; 13 keys keep the line comfortably under
+    * the ~2 KB capture window). Union of the r4-r6 watch keys. */
   private val Watchlist = Seq(
     "limit_topn", "join_semi", "join_theta_range", "join_shuffle_hash",
     "join_skew_salted", "join_sortmerge", "llm_multimodal_join",
@@ -101,70 +108,107 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val keys = selected.toSeq.sortBy(_._1)
 
-    // Randomized execution order (seed recorded in BENCH_FULL for replay).
+    // Independently re-shuffled order per sweep (seeds recorded for replay).
     val seed = System.nanoTime()
-    val order = new scala.util.Random(seed)
-      .shuffle(selected.toSeq.sortBy(_._1))
+    val sweepOrders = (0 until Sweeps).map { s =>
+      new scala.util.Random(seed + s).shuffle(keys)
+    }
 
-    val sentinel = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    sentinel += ((0, sentinelShot())) // pre-run baseline (post-warmup)
+    // (sweep, afterKeyIdx, sec) sentinel trace, and the key segments
+    // between consecutive shots (a segment is suspect iff the shot at
+    // either of its ends is hot — a load episode visible AT a shot
+    // plausibly overlaps the keys on both sides of it).
+    val sentinel = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    // (leftShotSec-index-in-sentinel, rightShot-index, keys in between)
+    val segments = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Seq[String])]
+    val raw = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
+    keys.foreach { case (k, _) => raw(k) = Array.fill(Sweeps)(0.0) }
 
-    val results: Seq[(String, Double, Seq[Double])] =
-      order.zipWithIndex.map { case ((name, fn), idx) =>
-        val streaming = name.startsWith("stream_")
-        val reps =
-          if (HighVarianceStreams.contains(name)) 3
-          else if (streaming) StreamRepeats else Repeats
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // CacheManager matches by analyzed plan, so without this a repeat
-          // run of any query that calls .cache() (minhash/simhash/
-          // fingerprint) would silently reuse run 1's cached data and
-          // report a hot-cache number as if it were cold.
-          try spark.catalog.clearCache() catch { case _: Throwable => () }
-          dt
-        }
-        // the closing shot below covers the final position — skip the
-        // in-loop shot when the run length is a SentinelEvery multiple,
+    for (s <- 0 until Sweeps) {
+      val order = sweepOrders(s)
+      var segStartKey = 0
+      sentinel += ((s, 0, sentinelShot()))
+      var lastShotIdx = sentinel.length - 1
+      order.zipWithIndex.foreach { case ((name, fn), idx) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // CacheManager matches by analyzed plan, so without this a later
+        // sweep of any query that calls .cache() (minhash/simhash/
+        // fingerprint) would silently reuse sweep 1's cached data and
+        // report a hot-cache number as if it were cold.
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        raw(name)(s) = dt
+        // the closing shot below covers the final segment — skip the
+        // in-loop shot when the sweep length is a SentinelEvery multiple,
         // or the trace would carry two entries at one index
-        if ((idx + 1) % SentinelEvery == 0 && (idx + 1) < order.length)
-          sentinel += ((idx + 1, sentinelShot()))
-        val sorted = times.sorted
-        val value = if (streaming) sorted.head else sorted(sorted.length / 2)
-        (name, value, times)
+        if ((idx + 1) % SentinelEvery == 0 && (idx + 1) < order.length) {
+          sentinel += ((s, idx + 1, sentinelShot()))
+          segments += ((lastShotIdx, sentinel.length - 1,
+            order.slice(segStartKey, idx + 1).map(_._1)))
+          lastShotIdx = sentinel.length - 1
+          segStartKey = idx + 1
+        }
       }
-    sentinel += ((order.length, sentinelShot())) // post-run closing shot
+      sentinel += ((s, order.length, sentinelShot()))
+      segments += ((lastShotIdx, sentinel.length - 1,
+        order.slice(segStartKey, order.length).map(_._1)))
+    }
 
-    val byName = results.sortBy(_._1)
-    val qs = byName.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
+    // Suspect adjudication: hot shot = > SuspectFactor × run median.
+    val shotSecs = sentinel.map(_._3).toSeq.sorted
+    val sentMedian = shotSecs(shotSecs.length / 2)
+    val hot = sentinel.zipWithIndex.collect {
+      case ((_, _, sec), i) if sec > SuspectFactor * sentMedian => i
+    }.toSet
+    val suspect = segments.collect {
+      case (l, r, segKeys) if hot(l) || hot(r) => segKeys
+    }.flatten.toSet.toSeq.sorted
+
+    val streamingKey = (k: String) => k.startsWith("stream_")
+    // Headline per key: MIN across sweeps (load-robust — see scaladoc);
+    // the median rides in the full record for drift comparison.
+    val results: Seq[(String, Double, Double, Seq[Double])] = keys.map {
+      case (name, _) =>
+        val times = raw(name).toSeq
+        val sorted = times.sorted
+        (name, sorted.head, sorted(sorted.length / 2), times)
+    }
+
+    val qs = results.map { case (k, mn, _, _) => s"\"$k\":${fmt(mn)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val rawAll = byName.map { case (k, _, raw) =>
-      s"\"$k\":[${raw.map(fmt).mkString(",")}]"
+    val medJson = results.map { case (k, _, md, _) => s"\"$k\":${fmt(md)}" }
+      .mkString("{", ",", "}")
+    val rawAll = results.map { case (k, _, _, ts) =>
+      s"\"$k\":[${ts.map(fmt).mkString(",")}]"
     }.mkString("{", ",", "}")
-    val watch = results.filter(r => Watchlist.contains(r._1)).sortBy(_._1)
-      .map { case (k, _, raw) => s"\"$k\":[${raw.map(fmt).mkString(",")}]" }
+    val watch = results.filter(r => Watchlist.contains(r._1))
+      .map { case (k, _, _, ts) => s"\"$k\":[${ts.map(fmt).mkString(",")}]" }
       .mkString("{", ",", "}")
     val sentinelJson = sentinel
-      .map { case (at, t) => s"""{"after":$at,"sec":${fmt(t)}}""" }
+      .map { case (sw, at, t) => s"""{"sweep":$sw,"after":$at,"sec":${fmt(t)}}""" }
       .mkString("[", ",", "]")
-    val orderJson = order.map { case (k, _) => s"\"$k\"" }.mkString("[", ",", "]")
+    val suspectJson = suspect.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val ordersJson = sweepOrders
+      .map(o => o.map { case (k, _) => s"\"$k\"" }.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
 
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-      s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"sentinel":$sentinelJson,""" +
-      s""""queries":$qs}"""
+      s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"suspect":$suspectJson,""" +
+      s""""sentinel":$sentinelJson,"queries":$qs}"""
 
-    // Full record → repo file (never truncated): compact fields + raw
-    // repeats + the randomized execution order and its seed.
+    // Full record → repo file (never truncated): compact fields + per-key
+    // medians + raw per-sweep times + each sweep's execution order + seed.
     val full =
       compact.dropRight(1) +
-      s""","protocol":{"batch":"median of $Repeats","stream":"min of $StreamRepeats after prewarm""" +
-      s""" (3 reps for high-variance: ${HighVarianceStreams.mkString(",")})","order":"shuffled"},""" +
-      s""""order_seed":$seed,"order":$orderJson,"raw":$rawAll}"""
+      s""","protocol":{"sweeps":$Sweeps,"per_key":"min across $Sweeps interleaved""" +
+      s""" independently-shuffled sweeps (1 repeat/key/sweep)","median_in":"median",""" +
+      s""""suspect_rule":"sentinel shot > ${SuspectFactor}x run median flags adjacent segments"},""" +
+      s""""order_seed":$seed,"orders":$ordersJson,"median":$medJson,"raw":$rawAll}"""
     quietly(java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8")))
@@ -172,11 +216,13 @@ object Bench {
     // FIRST stdout line: the complete compact record (head-capture wins).
     println(compact)
     // LAST stdout line: short summary (<1 KB — tail-capture wins): total,
-    // sentinel trace, and raw repeats for the watch keys only.
+    // sentinel median/max, suspect list, raw sweeps for the watch keys.
+    val sentMax = shotSecs.last
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"n_keys":${results.length},""" +
-      s""""sentinel":$sentinelJson,"watch":$watch,"full":"BENCH_FULL.json"}""")
+      s""""sentinel_median":${fmt(sentMedian)},"sentinel_max":${fmt(sentMax)},""" +
+      s""""suspect":$suspectJson,"watch":$watch,"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
