@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // §7.3c whole-operator tier: plans graft.plans.AsOfJoin nodes (built by
     // Graft.asofJoin) as the native AsOfJoinExec physical operator.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL-text front end for the same operator: `... ASOF [LEFT] JOIN ...`
+    // parses to the native node (AsOfSqlParser); every other statement
+    // delegates untouched to Spark's parser.
+    ext.injectParser((session, delegate) =>
+      new graft.plans.AsOfSqlParser(session, delegate))
   }
 }

@@ -11,6 +11,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // production registration path — the ASOF JOIN SQL front end
+      // (sql_asof) needs the injected parser, which only a session BUILT
+      // with extensions can carry; rules/strategies are also installed
+      // per-key via GraftRules.install for sessions without it
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

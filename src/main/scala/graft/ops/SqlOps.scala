@@ -138,10 +138,37 @@ object SqlOps {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
       """)
+    }),
+
+    // The native as-of join entered as SQL TEXT — the §7.3c operator
+    // reached the way a user actually queries. The injected AsOfSqlParser
+    // (GraftExtensions.injectParser) recognizes the ASOF JOIN clause and
+    // plans it straight to AsOfJoinExec (PlanSpec pins the node); the
+    // session must be BUILT with spark.sql.extensions=graft.GraftExtensions
+    // (Verify/Bench/TestSpark all are — a parser cannot be injected into an
+    // existing session). Same query and oracle as join_asof_native.
+    "sql_asof" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+        FROM (SELECT * FROM events_m WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events_m WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id
+      """)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Same oracle as join_asof_native: DuckDB's ASOF JOIN is the exact
+    // semantic twin of the clause our parser extension accepts.
+    "sql_asof" -> """
+      SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
     "sql_q3_shipping" -> """
       SELECT l_orderkey,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
