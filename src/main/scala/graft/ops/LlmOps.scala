@@ -635,7 +635,7 @@ object LlmOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def annIndexPath(s: SparkSession, d: String): String =
     graft.StoreDir.fixed(annIndexCache, d,
-        s"/tmp/graft-annindex-${new java.io.File(d).getName}") { dir =>
+        graft.StoreDir.fixedPath("graft-annindex", d)) { dir =>
       val e = Tables.embeddingsWide(s, d)
       val cen = kmeansCells(e, IvfCells, IvfIters)
       val cb = pqCodebooks(e)
@@ -666,7 +666,7 @@ object LlmOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def annIncPath(s: SparkSession, d: String): String =
     graft.StoreDir.fixed(annIncCache, d,
-        s"/tmp/graft-anninc-${new java.io.File(d).getName}") { dir =>
+        graft.StoreDir.fixedPath("graft-anninc", d)) { dir =>
       val e = Tables.embeddingsWide(s, d)
       val day1 = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
       val day2 = e.filter(pmod(col("vec_id"), lit(4)) === 0)
@@ -1711,12 +1711,15 @@ object LlmOps {
                * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
 
   /** The ANN stores' deterministic locations AT THE ORACLE SCALE FACTOR:
-    * the driver's correctness gate always runs at sf0.01 (BASELINE.json
-    * contract; tools/selfcheck.py mirrors it), and oracle SQL is a static
-    * string, so the store-reading oracles below bake in the sf0.01 dirs
-    * that annIndexPath/annIncPath produce for that input. */
-  private val OracleAnnDir = "/tmp/graft-annindex-sf0.01"
-  private val OracleAnnIncDir = "/tmp/graft-anninc-sf0.01"
+    * the driver's correctness gate always runs at sf0.01 over
+    * `/root/testdata/sf0.01` (BASELINE.json / TESTDATA.md contract;
+    * tools/selfcheck.py mirrors it), and oracle SQL is a static string, so
+    * the store-reading oracles below recompute — via the SAME
+    * StoreDir.fixedPath the Spark side uses — the dirs that
+    * annIndexPath/annIncPath produce for that input. */
+  private val OracleSfDir = "/root/testdata/sf0.01"
+  private val OracleAnnDir = graft.StoreDir.fixedPath("graft-annindex", OracleSfDir)
+  private val OracleAnnIncDir = graft.StoreDir.fixedPath("graft-anninc", OracleSfDir)
 
   /** DuckDB mirror of [[ivfPqSearchPosting]] over a persisted store
     * (VERDICT r6 #4): probe cells (top-nprobe by cell cosine, cell-asc

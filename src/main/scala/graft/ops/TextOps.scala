@@ -96,7 +96,7 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def bpeStorePath(s: SparkSession, d: String): String =
     graft.StoreDir.fixed(bpeStoreCache, d,
-        s"/tmp/graft-bpestore-${new java.io.File(d).getName}") { dir =>
+        graft.StoreDir.fixedPath("graft-bpestore", d)) { dir =>
       import s.implicits._
       def writeMerges(merges: Seq[(String, String)], sub: String): Unit =
         merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
@@ -448,9 +448,11 @@ object TextOps {
   }
 
   /** The tokenizer store's deterministic location at the ORACLE scale
-    * factor (the driver's correctness gate always runs at sf0.01 —
-    * same contract note as LlmOps.OracleAnnDir). */
-  private val OracleBpeDir = "/tmp/graft-bpestore-sf0.01"
+    * factor (the driver's correctness gate always runs at sf0.01 over
+    * /root/testdata/sf0.01 — same contract note as LlmOps.OracleAnnDir;
+    * recomputed via the same StoreDir.fixedPath the Spark side uses). */
+  private val OracleBpeDir =
+    graft.StoreDir.fixedPath("graft-bpestore", "/root/testdata/sf0.01")
 
   val oracle: Map[String, String] = Map(
     // Tokenization halves of the two BPE keys (training stays no-oracle):
