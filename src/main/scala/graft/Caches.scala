@@ -64,8 +64,11 @@ private[graft] object StoreDir {
     * code die on the swap); dirs are small (trained centroids/codebooks +
     * one posting row per vector) and /tmp's reaper is the backstop. */
   def fixed(cache: java.util.concurrent.ConcurrentHashMap[String, String],
-            key: String, dir: String)(build: String => Unit): String =
-    cache.computeIfAbsent(key, _ => { atomicSwap(dir)(build); dir })
+            dir: String)(build: String => Unit): String =
+    // keyed on the computed fixedPath (ADVICE r9): two raw spellings of
+    // one data dir resolve to the same path, so they share one build
+    // instead of each missing the in-JVM cache and rebuilding.
+    cache.computeIfAbsent(dir, _ => { atomicSwap(dir)(build); dir })
 
   /** Canonical fixed-store path for `prefix` over data dir `d`:
     * `/tmp/<prefix>-<basename>-<8-hex path hash>`. The basename keeps the
@@ -85,7 +88,10 @@ private[graft] object StoreDir {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
-    s"/tmp/$prefix-${f.getName}-$h"
+    // basename from the CANONICAL path too (ADVICE r9): a symlink whose
+    // leaf name differs from its target's must still land on the one
+    // store the oracle constants compute from the literal dir.
+    s"/tmp/$prefix-${new java.io.File(canon).getName}-$h"
   }
 
   /** Build into a process-unique staging dir, then swap it over `dir` —

@@ -59,27 +59,38 @@ object Tables {
     * exchange ahead of a broadcast or a hash-agg buys nothing. */
   def embeddingsWide(s: SparkSession, d: String): DataFrame = wide(s, d, "embeddings")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark 4.x refuses
-    * to read by default (PARQUET_TYPE_ILLEGAL). Verified workaround: read the
-    * nanos as Long, then floor-divide to micros in INTEGER arithmetic (a
-    * double division would lose precision above 2^53; `ts div 1000` alone
-    * truncates toward zero, which differs from floor for pre-epoch negative
-    * nanos — `(ts - pmod(ts,1000)) div 1000` is exact floor for any sign) and
-    * rebuild a TimestampType column. DuckDB floors ns→µs the same way, so
-    * event-level timestamp comparisons are exact across engines.
+  /** `events.parquet`'s `ts` physical type has varied across testdata
+    * generations — INT64 TIMESTAMP(NANOS) originally, TIMESTAMP_NTZ(µs)
+    * since the r9/r10 refresh — so this reader normalizes whatever it
+    * finds to ONE canonical shape every downstream query (and the DuckDB
+    * oracle, which reads the same file) agrees on: a session-TZ
+    * TimestampType column at µs precision.
     *
-    * Invariant: `nanosAsLong` is set SESSION-WIDE here and never unset. That
-    * is safe in this codebase because events.parquet is the only table with
-    * an INT64 TIMESTAMP(NANOS) column (SchemaPinSpec pins every other
+    *  - INT64 nanos: Spark 4.x refuses the column by default
+    *    (PARQUET_TYPE_ILLEGAL); `nanosAsLong` reads it as Long, then
+    *    INTEGER floor-division rebuilds µs (a double division would lose
+    *    precision above 2^53; `ts div 1000` alone truncates toward zero,
+    *    which differs from floor for pre-epoch negative nanos —
+    *    `(ts - pmod(ts,1000)) div 1000` is exact floor for any sign).
+    *    DuckDB floors ns→µs the same way.
+    *  - TIMESTAMP_NTZ (the current files): cast to TimestampType. The
+    *    session TZ is pinned UTC by every entry point, so the cast is
+    *    wall-clock-identity and matches DuckDB's naive TIMESTAMP read.
+    *
+    * Invariant: `nanosAsLong` is set SESSION-WIDE here and never unset.
+    * That is safe in this codebase because no OTHER table carries an
+    * INT64 TIMESTAMP(NANOS) column (SchemaPinSpec pins every other
     * table's schema, so a ns column sneaking into one of them fails the
-    * suite rather than silently reading as Long). If a future table
-    * legitimately adds a ns timestamp, give it its own ns→µs conversion like
-    * the one below — don't rely on the raw Long that this flag exposes.
-    */
+    * suite rather than silently reading as Long). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already session-TZ µs
+    }
   }
 }

@@ -88,6 +88,27 @@ object LlmOps {
     * (VERDICT r4 #5). Unset/0 = off (the exact inverted-index plan). */
   val ContainmentDfCapKey = "spark.graft.containment.dfCap"
 
+  /** Opt-in hot-bucket cap for the BANDED candidate generators — minhash
+    * bands, simhash bands, and the LSH kNN band join (VERDICT r8 #1; the
+    * containment dfCap's analogue). A band bucket holding n docs expands
+    * n·(n−1)/2 candidate pairs, so one degenerate bucket (millions of
+    * near-identical docs that survive exact-dedup — boilerplate pages,
+    * templated spam) is quadratic in that bucket and, in the minhash/
+    * simhash shape, `collect_list` materializes the whole posting in one
+    * row. With the cap set, buckets whose posting exceeds it are dropped
+    * from CANDIDATE GENERATION only; surviving candidates still get the
+    * exact confirm (Jaccard / Hamming / cosine), so precision is
+    * untouched and capped output ⊆ uncapped output by construction. The
+    * recall bound mirrors dfCap's: a qualifying pair is missed only if
+    * EVERY band the two docs agree on is hotter than the cap — i.e. the
+    * pair is indistinguishable from a mass-duplicated template in every
+    * band, exactly the content to route through exact-dedup first.
+    * Unset/0 = off (the oracle-checked exact-banding plan). */
+  val BandingBucketCapKey = "spark.graft.banding.bucketCap"
+
+  private def bandingBucketCap(s: SparkSession): Option[Long] =
+    s.conf.getOption(BandingBucketCapKey).map(_.toLong).filter(_ > 0)
+
   /** Containment-similarity pairs (cont = |A∩B| / min(|A|,|B|) ≥ τ) over
     * shingled docs `(doc_id, sh)`.
     *
@@ -210,7 +231,20 @@ object LlmOps {
                                       qPost: DataFrame, cPost: DataFrame,
                                       k: Int,
                                       excludeSelfId: Boolean = true): DataFrame = {
-    val pairs = qPost.join(cPost, Seq("band_idx", "band_val"))
+    // Opt-in hot-bucket cap (BandingBucketCapKey): a corpus bucket holding
+    // n vectors contributes n candidate rows PER QUERY that hashes there —
+    // a degenerate bucket (mass-duplicated embeddings, or a band too
+    // narrow for the corpus) makes the band join the bottleneck. Dropping
+    // buckets over the cap from the CORPUS posting only bounds the join
+    // fan-out; survivors still get the exact-cosine rerank, so capped
+    // top-k ⊆-candidates of uncapped (a neighbor is lost only if EVERY
+    // band it shares with the query is hotter than the cap).
+    val cKept = bandingBucketCap(cVecs.sparkSession).map { cMax =>
+      val wb = Window.partitionBy("band_idx", "band_val")
+      cPost.withColumn("bdf", count(lit(1)).over(wb))
+        .filter(col("bdf") <= cMax).drop("bdf")
+    }.getOrElse(cPost)
+    val pairs = qPost.join(cKept, Seq("band_idx", "band_val"))
     val cand = (if (excludeSelfId) pairs.filter(col("q_id") =!= col("n_id"))
                 else pairs)
       .select("q_id", "n_id").distinct()
@@ -634,7 +668,7 @@ object LlmOps {
   private val annIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def annIndexPath(s: SparkSession, d: String): String =
-    graft.StoreDir.fixed(annIndexCache, d,
+    graft.StoreDir.fixed(annIndexCache,
         graft.StoreDir.fixedPath("graft-annindex", d)) { dir =>
       val e = Tables.embeddingsWide(s, d)
       val cen = kmeansCells(e, IvfCells, IvfIters)
@@ -665,7 +699,7 @@ object LlmOps {
   private val annIncCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def annIncPath(s: SparkSession, d: String): String =
-    graft.StoreDir.fixed(annIncCache, d,
+    graft.StoreDir.fixed(annIncCache,
         graft.StoreDir.fixedPath("graft-anninc", d)) { dir =>
       val e = Tables.embeddingsWide(s, d)
       val day1 = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
@@ -790,13 +824,17 @@ object LlmOps {
     // expand ordered pairs inside the bucket (sorted ids ⇒ a < b), then
     // dedupe across bands. A self-join would shuffle the banded table
     // twice and recompute the signature pipeline per side. Bucket
-    // cardinality is the near-dup group size — tiny by construction; a
-    // corpus with a degenerate hot bucket (millions of identical docs)
-    // should run llm_exact_dedup first, which collapses exact copies.
-    val cand = banded
+    // cardinality is the near-dup group size — tiny by construction after
+    // llm_exact_dedup collapses exact copies; the opt-in bucketCap (see
+    // BandingBucketCapKey) is the guard for the degenerate tail a
+    // dirty corpus can still produce.
+    val buckets = banded
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val kept = bandingBucketCap(docs.sparkSession)
+      .map(c => buckets.filter(size(col("ids")) <= c)).getOrElse(buckets)
+    val cand = kept
       .select(orderedPairs.as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
@@ -881,9 +919,12 @@ object LlmOps {
     val sigs = sigsIn
     val banded = sigs.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, 4), j -> (sig >> (12 * j)) & 4095)")).as(Seq("band", "bv")))
-    val cand = banded.groupBy("band", "bv")
+    val buckets = banded.groupBy("band", "bv")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val kept = bandingBucketCap(sigsIn.sparkSession)
+      .map(c => buckets.filter(size(col("ids")) <= c)).getOrElse(buckets)
+    val cand = kept
       .select(orderedPairs.as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()

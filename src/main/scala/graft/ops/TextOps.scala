@@ -95,7 +95,7 @@ object TextOps {
   private val bpeStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def bpeStorePath(s: SparkSession, d: String): String =
-    graft.StoreDir.fixed(bpeStoreCache, d,
+    graft.StoreDir.fixed(bpeStoreCache,
         graft.StoreDir.fixedPath("graft-bpestore", d)) { dir =>
       import s.implicits._
       def writeMerges(merges: Seq[(String, String)], sub: String): Unit =

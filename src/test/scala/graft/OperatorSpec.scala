@@ -240,6 +240,101 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.ops.LlmOps.ContainmentDfCapKey)
   }
 
+  test("banding bucket-cap: minhash hot bucket dropped, survivors exact") {
+    // VERDICT r8 #1: 12 docs with IDENTICAL shingle sets land in one
+    // bucket of EVERY band (signatures equal); a genuine near-dup pair
+    // lives in its own size-2 buckets. Cap 8 must drop all 66 template
+    // pairs from candidate generation while the genuine pair survives
+    // with its exact Jaccard — capped ⊆ uncapped by construction.
+    import spark.implicits._
+    val hotSh = (1 to 10).map(i => s"hot$i")
+    val base = (1 to 19).map(i => s"p$i")
+    val docs = ((0 until 12).map(i => (i.toLong, hotSh)) ++ Seq(
+      (100L, base :+ "t"), (101L, base :+ "u")
+    )).toDF("doc_id", "sh")
+    def run() = graft.ops.LlmOps.neardupPairsOf(docs, tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run()
+    assert(uncapped.contains((100L, 101L)), "genuine pair missing uncapped")
+    assert(uncapped.count(p => p._1 < 12 && p._2 < 12) === 66,
+      "plant failed: template docs must all pair uncapped")
+    spark.conf.set(graft.ops.LlmOps.BandingBucketCapKey, "8")
+    try {
+      val capped = run()
+      assert(capped === Set((100L, 101L)),
+        s"cap must drop exactly the hot-bucket pairs: $capped")
+      assert(capped.subsetOf(uncapped))
+    } finally spark.conf.unset(graft.ops.LlmOps.BandingBucketCapKey)
+    // real corpus: no bucket is anywhere near a 1000-doc posting at this
+    // SF, so a high cap must leave the contract key's output unchanged
+    spark.conf.set(graft.ops.LlmOps.BandingBucketCapKey, "1000")
+    try {
+      val viaConf = SparkEntry.queries("llm_neardup_minhash")(spark, d)
+        .collect().map(_.toString).toSet
+      spark.conf.unset(graft.ops.LlmOps.BandingBucketCapKey)
+      val default = SparkEntry.queries("llm_neardup_minhash")(spark, d)
+        .collect().map(_.toString).toSet
+      assert(viaConf === default, "high cap changed real-corpus output")
+    } finally spark.conf.unset(graft.ops.LlmOps.BandingBucketCapKey)
+  }
+
+  test("banding bucket-cap: simhash hot bucket dropped, survivors exact") {
+    import spark.implicits._
+    // 12 identical signatures (sig 0) fill one bucket of every 12-bit
+    // band; the genuine pair's sigs set bit 12*j in every band (band
+    // value 1 ≠ 0, so their buckets stay size 2) and differ only in bit 1
+    // (Hamming 1, shared buckets in bands 1–4).
+    val v = (0 until 5).map(j => 1L << (12 * j)).sum
+    val sigs = ((0 until 12).map(i => (i.toLong, 0L)) ++ Seq(
+      (100L, v), (101L, v | 2L)
+    )).toDF("doc_id", "sig")
+    def run() = graft.ops.LlmOps.simhashPairsOf(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run()
+    assert(uncapped.count(p => p._1 < 12 && p._2 < 12) === 66)
+    assert(uncapped.contains((100L, 101L)))
+    spark.conf.set(graft.ops.LlmOps.BandingBucketCapKey, "8")
+    try {
+      val capped = run()
+      assert(capped === Set((100L, 101L)),
+        s"cap must drop exactly the hot-bucket pairs: $capped")
+    } finally spark.conf.unset(graft.ops.LlmOps.BandingBucketCapKey)
+  }
+
+  test("banding bucket-cap: LSH corpus hot bucket dropped, cold buckets untouched") {
+    import spark.implicits._
+    // 12 all-positive corpus vectors share the 0b1111 bucket of all 16
+    // bands; 2 "mixed" vectors (dim%4==0 negative → band value 0b1110)
+    // live in their own size-2 buckets. An all-positive query sees the 12
+    // hot neighbors uncapped and ZERO candidates at cap 8 (every band it
+    // hashes to is hot); a mixed query keeps its 2 neighbors under the
+    // same cap — the drop is per-bucket, not global.
+    def vec(mixed: Boolean, seed: Int): Array[Float] =
+      Array.tabulate(64) { i =>
+        val base = 0.3f + 0.01f * ((seed + i) % 7)
+        if (mixed && i % 4 == 0) -base else base
+      }
+    val corpus = ((0 until 12).map(i => (i.toLong, vec(mixed = false, i))) ++
+      Seq((100L, vec(mixed = true, 1)), (101L, vec(mixed = true, 2))))
+      .toDF("n_id", "n_emb")
+    val queries = Seq((0L, vec(mixed = false, 3)), (1L, vec(mixed = true, 4)))
+      .toDF("q_id", "q_emb")
+    def run() = graft.ops.LlmOps.lshKnnOf(queries, corpus, k = 5,
+        excludeSelfId = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val uncapped = run()
+    assert(uncapped.count(_._1 == 0L) === 5, "hot query must fill top-5 uncapped")
+    assert(uncapped.filter(_._1 == 1L).map(_._2) === Set(100L, 101L))
+    spark.conf.set(graft.ops.LlmOps.BandingBucketCapKey, "8")
+    try {
+      val capped = run()
+      assert(!capped.exists(_._1 == 0L),
+        s"hot query must lose its (all-hot) candidates: $capped")
+      assert(capped.filter(_._1 == 1L).map(_._2) === Set(100L, 101L),
+        "cold buckets must be untouched by the cap")
+    } finally spark.conf.unset(graft.ops.LlmOps.BandingBucketCapKey)
+  }
+
   test("resolveClusters: planted dup chains resolve to one keeper each") {
     import spark.implicits._
     // one 8-node path (worst case for propagation depth — exercises the
