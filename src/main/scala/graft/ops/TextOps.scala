@@ -273,8 +273,10 @@ object TextOps {
     // level and NO word is out-of-alphabet (any byte sequence tokenizes).
     // Same deterministic trainer core as llm_bpe_tokenize; per-lang audit
     // of learned-token vs pre-token counts + bytes per learned token.
-    // Oracle: NONE (iterative trainer); OperatorSpec pins the multi-byte
-    // round-trip and replay ≡ stored vocab for the byte alphabet.
+    // Oracle: TRAINING half none (iterative trainer; OperatorSpec pins the
+    // multi-byte round-trip and replay ≡ stored vocab for the byte
+    // alphabet); the TOKENIZATION half below is hash-gated since r7 —
+    // DuckDB replays this audit over the persisted vocab_bytes store.
     "llm_bpe_bytes" -> ((s, d) => {
       val docs = Tables.documentsWide(s, d)
       val vocab = s.read.parquet(s"${bpeStorePath(s, d)}/vocab_bytes")

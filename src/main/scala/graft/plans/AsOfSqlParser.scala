@@ -42,9 +42,11 @@ import org.apache.spark.sql.types.StructType
   * Documented grammar bounds (errors are loud, never silently wrong):
   * exactly one ASOF JOIN at the top level, not mixed with other top-level
   * joins (pre-join in a subquery instead), ON conjuncts are plain column
-  * references, the ts bound is inclusive (`>=`/`<=` — DuckDB's strict
-  * variants are rejected), and side relations cannot reference the
-  * statement's own CTEs (use a temp view or inline subquery).
+  * references, and the ts bound is inclusive (`>=`/`<=` — DuckDB's strict
+  * variants are rejected). Side relations MAY reference the statement's
+  * own CTEs (r10): a leading WITH clause is carried into each side's
+  * re-entrant analysis; an ASOF JOIN *inside* a CTE body is still
+  * rejected (hoist it, or use Graft.asofJoin).
   */
 class AsOfSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -180,11 +182,23 @@ private[graft] object AsOfSqlRewrite {
     if (leftText.isEmpty || rightText.isEmpty || condText.isEmpty)
       fail("malformed ASOF JOIN clause (empty side or ON condition)")
 
+    // CTE side-relations (VERDICT r8 #8): a statement-leading depth-0 WITH
+    // clause ends where the MAIN query's SELECT begins (the first depth-0
+    // SELECT — every CTE body's is inside its parens). Prepending that
+    // prefix to each side's re-entrant analysis lets sides reference the
+    // statement's own CTEs; the stitched outer statement keeps the same
+    // prefix, where now-unreferenced defs are legal and pruned.
+    val withPrefix =
+      if (toks.headOption.exists(_.word == "WITH"))
+        toks.find(_.word == "SELECT")
+          .map(t => sqlText.substring(0, t.start) + " ").getOrElse("")
+      else ""
+
     // Analyze each side through the session: views resolve, subqueries
     // analyze, and the outputs carry the side alias as their qualifier.
     // The re-entrant parse cannot recurse (nested ASOF was rejected above).
-    val lPlan = session.sql(s"SELECT * FROM $leftText").queryExecution.analyzed
-    val rAnalyzed = session.sql(s"SELECT * FROM $rightText").queryExecution.analyzed
+    val lPlan = session.sql(s"${withPrefix}SELECT * FROM $leftText").queryExecution.analyzed
+    val rAnalyzed = session.sql(s"${withPrefix}SELECT * FROM $rightText").queryExecution.analyzed
     // Fresh exprIds on the right, qualifiers preserved — the same self-join
     // guard AsOfJoin.frame documents (the analyzer dedups conflicting ids
     // for built-in Join nodes only; a custom node must guarantee its own).

@@ -102,6 +102,42 @@ class AsOfSqlSpec extends AnyFunSuite {
     assert(out.toSeq === Seq("1|10|m0", "1|20|m1"))
   }
 
+  test("CTE side-relations resolve; ASOF inside a CTE body still rejected") {
+    // VERDICT r8 #8: a statement-leading WITH clause is carried into each
+    // side's re-entrant analysis, so sides may name the statement's own
+    // CTEs — the result must equal the same query written with inline
+    // subqueries (the hash-gated backward shape).
+    events()
+    val viaCte = spark.sql("""
+      WITH p AS (SELECT * FROM events_m WHERE event_type = 'purchase'),
+           s AS (SELECT * FROM events_m WHERE event_type = 'signup')
+      SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+      FROM p ASOF JOIN s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""").collect().map(_.mkString("|"))
+    val inline = spark.sql(backwardSql).collect().map(_.mkString("|"))
+    assert(viaCte.nonEmpty && viaCte.toSeq === inline.toSeq,
+      "CTE-sided ASOF JOIN diverged from the inline-subquery form")
+    // one CTE side + one inline side also composes
+    val mixed = spark.sql("""
+      WITH p AS (SELECT * FROM events_m WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+      FROM p ASOF JOIN (SELECT * FROM events_m WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""").collect().map(_.mkString("|"))
+    assert(mixed.toSeq === inline.toSeq)
+    // an ASOF JOIN *inside* a CTE body stays out of grammar — loud reject
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("""
+        WITH j AS (
+          SELECT p.event_id FROM events_m p
+          ASOF JOIN events_m s ON p.user_id = s.user_id AND p.ts >= s.ts)
+        SELECT * FROM j""")
+    }
+    assert(e.getMessage.contains("subquery or CTE body"),
+      s"want the CTE-body rejection named: ${e.getMessage}")
+  }
+
   test("malformed asof clauses fail loudly") {
     events()
     def bad(sql: String, needle: String): Unit = {
