@@ -198,6 +198,7 @@ object StreamOps {
   def prewarm(spark: SparkSession, sfDir: String): Unit = {
     Seq("base", "flush", "dup", "late").foreach(v => replay(spark, sfDir, v))
     busTopic(spark, sfDir)
+    busTopicPartitioned(spark, sfDir)
     val conn = java.sql.DriverManager.getConnection(derbyUrl)
     conn.close()
   }
@@ -220,6 +221,22 @@ object StreamOps {
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .orderBy("ts", "event_id"),
         nBatches = 6)
+      topic
+    })
+
+  /** The PARTITIONED twin of [[busTopic]] (VERDICT r8 #6): the same events
+    * published once per (JVM, sfDir) as a 3-partition topic — rows dealt
+    * round-robin across three independent batch logs, 4 batches each, so
+    * the source's per-partition offset merge carries real traffic. */
+  private val busPartCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def busTopicPartitioned(s: SparkSession, d: String): String =
+    busPartCache.computeIfAbsent(d, _ => {
+      val topic = s"events_part_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.sources.BusRegistry.publishPartitioned(topic,
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .orderBy("ts", "event_id"),
+        nParts = 3, nBatches = 4)
       topic
     })
 
@@ -694,6 +711,32 @@ object StreamOps {
       s.table(name).orderBy("event_id")
     }),
 
+    // Partitioned-topic twin of stream_bus_source (VERDICT r8 #6): the
+    // same events ride a 3-partition topic — per-partition batch logs,
+    // per-partition offsets merged into one source offset, one batch per
+    // partition admitted per trigger. The oracle checks exactly the
+    // multi-partition source's responsibility: every row from every
+    // partition log delivered exactly once; StreamingSpec pins the
+    // per-partition resume mechanics this key can't see.
+    "stream_bus_partitioned" -> ((s, d) => {
+      val topic = busTopicPartitioned(s, d)
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+      s.readStream.format("graft-bus")
+        .option("topic", topic)
+        .option("batchesPerTrigger", 1)
+        .load()
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "value")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(name).orderBy("event_id")
+    }),
+
     // Write half of the connector: bus source → filter/project → bus SINK
     // (StreamingWrite with epoch-idempotent driver-side commits — a
     // replayed micro-batch converges, StreamingSpec pins it), then read
@@ -845,6 +888,13 @@ object StreamOps {
       SELECT event_id, user_id, value
       FROM events
       WHERE event_type = 'purchase'
+      ORDER BY event_id""",
+
+    // Every row of every partition log must arrive exactly once.
+    "stream_bus_partitioned" -> """
+      SELECT event_id, user_id, value
+      FROM events
+      WHERE event_type = 'click'
       ORDER BY event_id""",
 
     // Round trip through BOTH connector halves must deliver every row once.
