@@ -243,6 +243,35 @@ class OperatorSpec extends AnyFunSuite {
       "byte-BPE merge table diverges from the independent re-derivation")
   }
 
+  test("gated corpus is BMP-only (llm_bpe_bytes oracle precondition, VERDICT r8 #7)") {
+    // The byte-BPE DuckDB gate pre-tokenizes `documents.text` with the
+    // same regex in Java (Spark) and RE2 (DuckDB). Both engines treat a
+    // negated class as one CODEPOINT, but surrogate-handling differences
+    // outside the BMP are not contractually identical across them — so
+    // the invariant that keeps the corner moot is pinned here: the gated
+    // corpus holds no supplementary-plane codepoints at either gate SF.
+    // If testdata ever gains non-BMP text, this fails loudly instead of
+    // the hash gate mysteriously diverging (see the oracle-side note at
+    // TextOps.oracle("llm_bpe_bytes")). The SPARK tokenizer itself is
+    // non-BMP-safe (the CJK/emoji round-trip test above).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val detector = "[\\x{10000}-\\x{10FFFF}]"
+    // the detector itself must fire on a planted supplementary char, or
+    // the corpus sweep below would pass vacuously
+    val planted = Seq("bmp only", "emoji 💙 here").toDF("text")
+    assert(planted.filter(col("text").rlike(detector)).count() === 1L,
+      "non-BMP detector regex failed on a planted supplementary codepoint")
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonBmp = Tables.documentsWide(spark, sf)
+        .filter(col("text").rlike(detector))
+      assert(nonBmp.count() === 0L,
+        s"non-BMP codepoints entered $sf/documents — the llm_bpe_bytes " +
+        "oracle's BMP precondition no longer holds; make the pre-tokenizer " +
+        "codepoint-contract explicit before trusting the hash gate")
+    }
+  }
+
   test("llm_substring_drop: excises exactly the shared paragraph, leaves clean docs byte-identical") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
