@@ -388,6 +388,16 @@ object Similarity {
     LlmOps.ivfSearchOf(std(queries, idCol, embCol), std(corpus, idCol, embCol),
                        centroids, nprobe, k, excludeSelfId)
 
+  /** Semantic dedup (the SemDeDup shape) — llm_semdedup's exact transform
+    * (shared core): per-vector (vec_id, cell, dup_of, keep) verdict where
+    * keep ⇔ no smaller-id neighbor with cos ≥ τ INSIDE the vector's
+    * trained cell. Candidates are cluster-bounded, never corpus-wide —
+    * size `k` in [[trainCentroids]] with the corpus so cells stay
+    * bounded. Requires [[Graft.register]]. */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double = 0.3,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    LlmOps.semDedupOf(std(corpus, idCol, embCol), centroids, tau)
+
   /** Symmetric per-vector int8 quantization: (vec_id, scale, qvec, v) with
     * v the dequantized doubles — 4× storage at ≤0.015 cosine error
     * (PropertySpec bound). */
@@ -439,6 +449,20 @@ object Text {
     TextOps.qualityScoreOf(
       std(docs, idCol, textCol)
         .withColumn("n_chars", length(col("text")).cast("long")))
+
+  /** Quality-ranked token-budget cut — llm_token_budget's exact transform
+    * (shared core): per-doc (doc_id, lang, toks, quality, keep) where
+    * keep ⇔ the doc fits the per-`langCol` running token budget when
+    * ranked by (quality DESC, doc_id ASC). Two-phase scalable plan — no
+    * language-sized window partition anywhere. */
+  def tokenBudget(docs: DataFrame, budget: Long = 2000,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  langCol: String = "lang"): DataFrame =
+    TextOps.tokenBudgetOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+                  col(langCol).as("lang"))
+          .withColumn("n_chars", length(col("text")).cast("long")),
+      budget)
 
   /** Gopher-style filter rules (word count / mean word length / distinct
     * ratio): (doc_id, wc, uniq_ratio, mean_wlen, pass) —
@@ -599,6 +623,16 @@ object Ingest {
     LlmOps.frameSampleOf(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       frameLen, stride)
+
+  /** Copy-on-write MERGE/upsert over snapshot frames — sink_merge_upsert's
+    * exact core: `updates` rows replace base rows sharing `keyCols`,
+    * unmatched updates insert; write the result back partitioned to
+    * complete the rewrite. The updates side is broadcast (a CDC delta is
+    * the small side by definition), so the base snapshot never shuffles.
+    * Both frames must share a schema. */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+                  keyCols: Seq[String]): DataFrame =
+    graft.ops.ScanOps.mergeUpsertOf(base, updates, keyCols)
 
   /** Idempotent keyed JDBC upsert as a `foreachBatch` body: per partition,
     * one transaction of DELETE-by-key + INSERT-all-columns batches, so a

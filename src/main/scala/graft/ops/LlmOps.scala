@@ -577,6 +577,44 @@ object LlmOps {
       .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Semantic dedup (the SemDeDup shape): the exact all-pairs cosine
+    * near-dup predicate, restricted to pairs sharing a trained k-means
+    * cell — candidate generation is CLUSTER-BOUNDED, never corpus-wide.
+    * Verdict per vector: keep ⇔ no SMALLER-ID in-cell neighbor with
+    * cos ≥ τ (deterministic keeper choice; `dup_of` names the smallest
+    * such neighbor for audit — it may itself be dropped transitively,
+    * which is exactly SemDeDup's "keep one representative per chain").
+    *
+    * Scale contract (100 TB): the per-cell pair expansion is quadratic in
+    * CELL size, not corpus size — the published SemDeDup economics, where
+    * #cells grows with the corpus (50k clusters at web scale) so cells
+    * stay bounded. The cell equi-join is few-key only at toy cell counts;
+    * at production cell counts it is a balanced shuffle, and a degenerate
+    * hot cell is the same tail the banded families cap
+    * ([[BandingBucketCapKey]] applies upstream of any such corpus).
+    * Recall vs the honest all-pairs predicate (llm_neardup_embedding) is
+    * bounded by cluster assignment: a qualifying pair split across cells
+    * is missed — the measured trade the SemDeDup paper makes. */
+  private[graft] def semDedupOf(corpus: DataFrame, cen: DataFrame,
+                                tau: Double): DataFrame = {
+    val asg = corpus.crossJoin(broadcast(cen))
+      .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(nearestCellAgg.as("cell"), first(col("embedding")).as("emb"))
+    val a = asg.select(col("cell"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = asg.select(col("cell"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosD(col("a_emb"), col("b_emb")) >= tau)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+      .withColumnRenamed("b_id", "vec_id")
+    asg.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+              col("dup_of").isNull.as("keep"))
+  }
+
   /** IVF-PQ search — the composed 100 TB index layout: the coarse
     * quantizer's cells bound WHICH postings are scanned (nprobe of
     * #cells), the PQ codes are WHAT a posting stores (8 B/vector; vhat is
@@ -1239,6 +1277,21 @@ object LlmOps {
         .filter(col("cos") >= 0.3)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // Semantic dedup (SemDeDup): cluster-bounded embedding near-dup with a
+    // per-vector keep/drop verdict — the REMEDIATION operator the exact
+    // all-pairs key above only diagnoses. Cells come from the same trained
+    // coarse quantizer the IVF search uses (kmeansCells — its cached frame
+    // is shared when both run in one session); candidates are in-cell only,
+    // so pair expansion is quadratic per CELL, not per corpus (scale notes
+    // on semDedupOf). τ = 0.3 matches llm_neardup_embedding's predicate, so
+    // the two keys' outputs are directly comparable recall evidence.
+    "llm_semdedup" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddingsWide(s, d)
+      semDedupOf(e, kmeansCells(e, IvfCells, IvfIters), 0.3)
+        .orderBy("vec_id")
     }),
 
     // Exact pairwise token-set Jaccard on a capped subset — the quadratic
@@ -2136,6 +2189,35 @@ object LlmOps {
       FROM pairs
       WHERE cos >= 0.3
       ORDER BY a_id, b_id""",
+
+    // Mirrors semDedupOf stage for stage: the same unrolled k-means rounds
+    // as llm_knn_ivf's oracle (6dp-rounded centroids each round, so both
+    // engines assign from bit-identical cells), top-1 cell per vector with
+    // the (cc DESC, cell ASC) tiebreak, in-cell a<b pairs under the exact
+    // double cosine, dup_of = min qualifying smaller id.
+    "llm_semdedup" -> s"""
+      WITH init AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+        FROM embeddings WHERE vec_id < 10),
+      ${kmeansRoundSql(1, "init")},
+      ${kmeansRoundSql(2, "c1")},
+      sc AS (
+        SELECT v.vec_id, v.embedding, c.cell, ${cellCosSql("v.embedding", "c.cvec")} AS cc
+        FROM embeddings v CROSS JOIN c2 c),
+      asg AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT vec_id, embedding, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+          FROM sc) WHERE rn = 1),
+      dropped AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${ffCosSql("a.embedding", "b.embedding")} >= 0.3
+        GROUP BY b.vec_id)
+      SELECT asg.vec_id, asg.cell, d.dup_of, d.dup_of IS NULL AS keep
+      FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id
+      ORDER BY asg.vec_id""",
 
     "llm_jaccard_pairs" -> """
       WITH toks AS (

@@ -23,6 +23,21 @@ object ScanOps {
     p.toString
   }
 
+  /** Copy-on-write MERGE core: `updates` rows replace base rows sharing
+    * the key columns, unmatched updates insert. Both frames must share a
+    * schema (updates may carry extra marker columns the base also has).
+    * The updates side is broadcast — a CDC delta is the small side by
+    * definition, so the base snapshot never shuffles; drop the broadcast
+    * hint at the call site if the delta outgrows the threshold and the
+    * plan degrades to a shuffled anti-join on the merge key (the
+    * Delta/Iceberg MERGE shape). Shared by sink_merge_upsert and
+    * graft.api.Ingest.mergeUpsert. */
+  private[graft] def mergeUpsertOf(base: DataFrame, updates: DataFrame,
+                                   keys: Seq[String]): DataFrame =
+    base.join(broadcast(updates.select(keys.head, keys.tail: _*)),
+              keys, "left_anti")
+      .unionByName(updates)
+
   /** tmpDir that actually deletes at exit even when populated —
     * deleteOnExit on a dir that gains children is a silent no-op, which
     * for the staged orders Derby DB would leak a full table copy per JVM. */
@@ -138,6 +153,36 @@ object ScanOps {
         .groupBy("o_year")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_year")
+    }),
+
+    // Copy-on-write MERGE/upsert (the Delta/Iceberg MERGE shape without a
+    // table format): updates matched on the merge key replace base rows,
+    // unmatched updates insert; the merged snapshot is rewritten
+    // partitioned and read back for the audit. Scale contract: the CDC
+    // delta is the SMALL side by definition, so the base snapshot never
+    // shuffles — one broadcast ANTI join + union + write; a
+    // non-broadcastable delta degrades to the same plan with a shuffled
+    // anti-join on the merge key. The update rule is an exact double add
+    // (+1000.0, no per-row rounding), so the audit sums are bit-stable
+    // across engines. Base = keys with o_orderkey % 5 != 0 (yesterday's
+    // snapshot); delta = keys % 2 == 0 — overlapping keys exercise the
+    // update arm, % 10 == 0 keys the insert arm.
+    "sink_merge_upsert" -> ((s, d) => {
+      val dir = tmpDir("graft_merge")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("src", lit("upd"))
+      val merged = mergeUpsertOf(base.withColumn("src", lit("base")), upd,
+                                 Seq("o_orderkey"))
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("o_orderstatus", "src")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus", "src")
     }),
 
     // Real JDBC sink + source roundtrip against embedded Derby (on the
@@ -256,6 +301,28 @@ object ScanOps {
       WHERE year(o_orderdate) >= 1996
       GROUP BY 1
       ORDER BY o_year""",
+
+    // Same MERGE semantics, declaratively: updates win on key overlap,
+    // anti-joined base rows survive, inserts are the update keys absent
+    // from base.
+    "sink_merge_upsert" -> """
+      WITH upd AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+               'upd' AS src
+        FROM orders WHERE o_orderkey % 2 = 0),
+      base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'base' AS src
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey))
+      SELECT o_orderstatus, src, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM merged
+      GROUP BY 1, 2
+      ORDER BY o_orderstatus, src""",
 
     "sink_jdbc" -> """
       SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total

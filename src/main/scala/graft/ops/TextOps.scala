@@ -230,6 +230,14 @@ object TextOps {
     "llm_quality_score" -> ((s, d) =>
       qualityScoreOf(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // Quality-ranked token-budget cut: per language, keep the
+    // highest-quality documents until 2000 tokens are spent (two-phase
+    // scalable plan — notes on tokenBudgetOf). The budget deliberately
+    // bites at every SF (the smallest corpus has >4k tokens/lang), so the
+    // verdict column is discriminating wherever the gate runs.
+    "llm_token_budget" -> ((s, d) =>
+      tokenBudgetOf(Tables.documents(s, d), 2000).orderBy("doc_id")),
+
     // Tokenizer comparison: whitespace tokens vs a BPE-ish regex lexer
     // (letter runs / digit runs / single punctuation), per lang.
     "llm_token_count" -> ((s, d) => {
@@ -395,6 +403,39 @@ object TextOps {
           - least(col("punct_ratio") * 5, lit(0.5)), 4))
       .select("doc_id", "n_chars", "n_tok", "avg_tok_len",
               "stop_ratio", "punct_ratio", "quality")
+  }
+
+  /** Quality-ranked selection under a per-language token budget — the
+    * "keep the best N tokens per language" cut every mixture build runs
+    * after scoring. Verdict: rank docs within a language by
+    * (quality DESC, doc_id ASC); keep ⇔ the running token total up to and
+    * including the doc is ≤ budget.
+    *
+    * Scale shape: the NAIVE plan is one window per language — #languages
+    * partitions, so one hot language (English ≈ half of web text) lands on
+    * one task at 100 TB. This implementation is the two-phase
+    * win_ntile_scalable pattern instead: (1) a per-(lang, quality-value)
+    * token-sum aggregate (map-side combinable; the bucket frame is tiny —
+    * quality is 4dp-rounded) carries the language-wide running total, and
+    * (2) the only window over DOC rows is partitioned by
+    * (lang, quality) — fine-grained keys, no language-sized partition
+    * anywhere. Both phases together visit each doc row once. */
+  private[graft] def tokenBudgetOf(docs: DataFrame, budget: Long): DataFrame = {
+    val perDoc = qualityScoreOf(docs)
+      .select(col("doc_id"), col("n_tok").as("toks"), col("quality"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val wB = Window.partitionBy("lang").orderBy(col("quality").desc)
+    val buckets = perDoc.groupBy("lang", "quality")
+      .agg(sum("toks").as("btoks"))
+      .withColumn("cum_before", coalesce(
+        sum("btoks").over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "quality", "cum_before")
+    val wD = Window.partitionBy("lang", "quality").orderBy(col("doc_id").asc)
+    perDoc.join(broadcast(buckets), Seq("lang", "quality"))
+      .withColumn("cum", col("cum_before")
+        + sum("toks").over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("lang"), col("toks"), col("quality"),
+              (col("cum") <= budget).as("keep"))
   }
 
   /** Gopher-rule core over (doc_id, text) — shared by llm_gopher_quality
@@ -606,6 +647,32 @@ object TextOps {
                - least(round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) * 5, 0.5),
                4) AS quality
       FROM x
+      ORDER BY doc_id""",
+
+    // Mirrors tokenBudgetOf's verdict with the equivalent single-window
+    // formulation: the two-phase bucket plan keeps iff the language-wide
+    // running total over (quality DESC, doc_id ASC) is within budget —
+    // exactly this cumulative sum.
+    "llm_token_budget" -> s"""
+      WITH x AS (
+        SELECT doc_id, lang, text,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents),
+      q AS (
+        SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS toks,
+               round(1.0
+                 - least(round(len(list_filter(toks, t -> t IN $stopwordsSql)) * 1.0 / n_tok, 4) * 2, 0.5)
+                 - least(round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) * 5, 0.5),
+                 4) AS quality
+        FROM x),
+      r AS (
+        SELECT *, sum(toks) OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM q)
+      SELECT doc_id, lang, toks, quality, cum <= 2000 AS keep
+      FROM r
       ORDER BY doc_id""",
 
     "llm_token_count" -> """

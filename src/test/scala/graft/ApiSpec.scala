@@ -417,6 +417,40 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity.semDedup with the key's quantizer equals llm_semdedup") {
+    // the contract key seeds cells from ids < k (dense 0-based corpus);
+    // trainCentroids seeds from ordered rank — identical on this corpus
+    val cen = Similarity.trainCentroids(embs, k = 10, iters = 2)
+    val api = rowSet(Similarity.semDedup(embs, cen))
+    val key = rowSet(SparkEntry.queries("llm_semdedup")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
+  test("Text.tokenBudget equals llm_token_budget") {
+    val api = rowSet(Text.tokenBudget(docs))
+    val key = rowSet(SparkEntry.queries("llm_token_budget")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
+  test("Ingest.mergeUpsert reproduces sink_merge_upsert's audit") {
+    val orders = Tables.orders(spark, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .withColumn("src", lit("base"))
+    val upd = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("src", lit("upd"))
+    val audit = api.Ingest.mergeUpsert(base, upd, Seq("o_orderkey"))
+      .groupBy("o_orderstatus", "src")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    val apiSet = rowSet(audit)
+    val key = rowSet(SparkEntry.queries("sink_merge_upsert")(spark, d))
+    assert(apiSet === key)
+    assert(apiSet.nonEmpty)
+  }
+
   test("Text.piiRedact counts and redacts the planted contact line") {
     val planted = docs.select(col("doc_id"),
       concat(col("text"), lit(" mail me at agent"), col("doc_id"),

@@ -610,4 +610,76 @@ class OperatorSpec extends AnyFunSuite {
     val exp = md.digest("aa".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(tail.getString(4) === exp, "tail frame must hash its own chars only")
   }
+
+  test("llm_semdedup: verdict covers the corpus; drops are cluster-bounded all-pairs drops") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("llm_semdedup")(spark, d).collect()
+    val corpusN = graft.Tables.embeddings(spark, d).count()
+    assert(out.length.toLong === corpusN, "one verdict row per vector")
+    // dropped ⇒ a named smaller in-cell culprit; kept ⇒ no culprit
+    out.foreach { r =>
+      val (id, keep) = (r.getLong(0), r.getBoolean(3))
+      if (keep) assert(r.isNullAt(2), s"kept $id carries dup_of")
+      else assert(!r.isNullAt(2) && r.getLong(2) < id,
+        s"dropped $id needs a smaller dup_of: $r")
+    }
+    assert(out.exists(!_.getBoolean(3)), "tau=0.3 must drop something")
+    assert(out.exists(_.getBoolean(3)), "tau=0.3 must keep something")
+    // cluster-bounded ⊆ all-pairs: every (dup_of, vec_id) pair the verdict
+    // names must appear in the exact all-pairs ≥0.3 set
+    val allPairs = SparkEntry.queries("llm_neardup_embedding")(spark, d)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.filterNot(_.getBoolean(3)).foreach { r =>
+      assert(allPairs.contains((r.getLong(2), r.getLong(0))),
+        s"semdedup named a pair the exact predicate rejects: $r")
+    }
+  }
+
+  test("llm_token_budget: two-phase verdict equals the naive single-window prefix") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("llm_token_budget")(spark, d)
+    // naive formulation: one window per language over (quality DESC, doc_id)
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = out.drop("keep")
+      .withColumn("keep", sum("toks").over(w) <= 2000)
+    assert(out.orderBy("doc_id").collect().toSeq
+      === naive.orderBy("doc_id").collect().toSeq,
+      "bucketed two-phase plan diverged from the defining window")
+    // the budget itself holds per language
+    val spent = out.filter(col("keep")).groupBy("lang")
+      .agg(sum("toks").as("t")).collect()
+    assert(spent.nonEmpty)
+    spent.foreach(r => assert(r.getLong(1) <= 2000L, s"budget exceeded: $r"))
+  }
+
+  test("sink_merge_upsert: update arm wins every overlapping key, insert arm lands") {
+    import org.apache.spark.sql.functions._
+    // the audit aggregate is the gated surface; this pins the MERGE row
+    // semantics on the underlying frames at sf0.001
+    val orders = graft.Tables.orders(spark, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val nOrders = orders.count()
+    val nUpd = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0).count()
+    val nBaseOnly = orders
+      .filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .filter(pmod(col("o_orderkey"), lit(2)) =!= 0).count()
+    val audit = SparkEntry.queries("sink_merge_upsert")(spark, d).collect()
+    val bySrc = audit.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySrc("upd") === nUpd, "every delta key must survive as 'upd'")
+    assert(bySrc("base") === nBaseOnly,
+      "exactly the non-overlapping base keys survive as 'base'")
+    // the insert arm is live, not vacuous: keys with % 10 == 0 are in the
+    // delta but in no base partition, and they all landed under 'upd'
+    val nInserts = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0).count()
+    assert(nInserts > 0, "fixture must exercise the insert arm")
+    assert(bySrc("upd") + bySrc("base") ===
+      orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0).count() + nInserts,
+      "merged row count = base snapshot + inserted keys")
+    assert(nOrders > 0)
+  }
 }
