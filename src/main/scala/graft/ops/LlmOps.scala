@@ -597,10 +597,14 @@ object LlmOps {
     * is missed — the measured trade the SemDeDup paper makes. */
   private[graft] def semDedupOf(corpus: DataFrame, cen: DataFrame,
                                 tau: Double): DataFrame = {
-    val asg = corpus.crossJoin(broadcast(cen))
+    // three consumers (both pair sides + the verdict join) — cache so the
+    // assignment aggregate runs once, not per consumer (tracked for
+    // Graft.clearCaches, same lifecycle as the shingle frames)
+    val asg = graft.GraftCaches.track(corpus.crossJoin(broadcast(cen))
       .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
       .groupBy(col("vec_id"))
       .agg(nearestCellAgg.as("cell"), first(col("embedding")).as("emb"))
+      .cache())
     val a = asg.select(col("cell"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
     val b = asg.select(col("cell"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
     val dropped = a.join(b, Seq("cell"))
