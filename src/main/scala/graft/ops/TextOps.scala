@@ -385,7 +385,12 @@ object TextOps {
   /** Quality-signal core over (doc_id, text, n_chars) — shared by the
     * llm_quality_score key (stored n_chars) and graft.api.Text.qualityScore
     * (n_chars derived from the text). */
-  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame = {
+  /** Appends the quality-signal columns (n_tok, avg_tok_len, stop_ratio,
+    * punct_ratio, quality) to `docs`, keeping every input column — the ONE
+    * definition of the quality formula, shared by qualityScoreOf and
+    * tokenBudgetOf so the budget cut can carry extra columns (lang)
+    * through the scoring pass instead of joining them back. */
+  private def withQualitySignals(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     docs
       .withColumn("n_tok", size(toks).cast("long"))
@@ -401,9 +406,12 @@ object TextOps {
         lit(1.0)
           - least(col("stop_ratio") * 2, lit(0.5))
           - least(col("punct_ratio") * 5, lit(0.5)), 4))
+  }
+
+  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame =
+    withQualitySignals(docs)
       .select("doc_id", "n_chars", "n_tok", "avg_tok_len",
               "stop_ratio", "punct_ratio", "quality")
-  }
 
   /** Quality-ranked selection under a per-language token budget — the
     * "keep the best N tokens per language" cut every mixture build runs
@@ -421,9 +429,13 @@ object TextOps {
     * (lang, quality) — fine-grained keys, no language-sized partition
     * anywhere. Both phases together visit each doc row once. */
   private[graft] def tokenBudgetOf(docs: DataFrame, budget: Long): DataFrame = {
-    val perDoc = qualityScoreOf(docs)
-      .select(col("doc_id"), col("n_tok").as("toks"), col("quality"))
-      .join(docs.select("doc_id", "lang"), "doc_id")
+    // score + lang in ONE corpus pass (no join-back), then cache the
+    // 4-column text-free frame: it feeds both the bucket aggregate and
+    // the doc-row window — uncached each would rescan the corpus
+    val perDoc = graft.GraftCaches.track(withQualitySignals(docs)
+      .select(col("doc_id"), col("lang"), col("n_tok").as("toks"),
+              col("quality"))
+      .cache())
     val wB = Window.partitionBy("lang").orderBy(col("quality").desc)
     val buckets = perDoc.groupBy("lang", "quality")
       .agg(sum("toks").as("btoks"))

@@ -460,4 +460,65 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!pv.contains("Window"), s"$k fell back to a window:\n$pv")
     }
   }
+
+  test("sink_merge_upsert: the anti-join broadcasts the delta keys") {
+    // the scale claim: the base snapshot never shuffles — the MERGE's
+    // only movement is the broadcast of the delta's key column. A plain
+    // anti-join would print a SortMergeJoin/ShuffledHashJoin LeftAnti
+    // with a hash exchange on the snapshot side.
+    val orders = Tables.orders(spark, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .withColumn("src", lit("base"))
+    val upd = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("src", lit("upd"))
+    val p = planOf(graft.ops.ScanOps.mergeUpsertOf(base, upd, Seq("o_orderkey")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"merge anti-join must broadcast the delta keys:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"base snapshot must not shuffle in a broadcast MERGE:\n$p")
+  }
+
+  test("llm_token_budget: no language-sized window partition over doc rows") {
+    val p = plan("llm_token_budget")
+    val lines = p.linesIterator.toIndexedSeq
+    // Two windows total: the language-running-total over the BUCKET frame
+    // (partitioned by lang alone — legal: its input is a HashAggregate of
+    // (lang, quality) rows, never doc rows) and the doc-row cumulative
+    // (must be partitioned by lang AND quality). Pin both properties.
+    val winLines = lines.zipWithIndex
+      .filter(_._1.contains("Window [sum("))
+    assert(winLines.length === 2, s"expected 2 windows:\n$p")
+    // the doc-row window carries the fine-grained two-column partitioning
+    val docWin = winLines.filter { case (l, _) =>
+      l.contains("windowspecdefinition(lang") && l.contains("quality") &&
+        l.contains("doc_id")
+    }
+    assert(docWin.length === 1,
+      s"doc-row window lost its (lang, quality) partitioning:\n$p")
+    // the other window is lang-only and must sit over the bucket
+    // aggregate, never raw doc rows: a HashAggregate appears in its
+    // subtree before any scan (parquet or the cached per-doc frame)
+    winLines.filterNot(docWin.contains).foreach { case (_, i) =>
+      val below = lines.drop(i + 1)
+        .takeWhile(l => !l.contains("FileScan") && !l.contains("InMemoryTableScan"))
+        .mkString("\n")
+      assert(below.contains("HashAggregate"),
+        s"lang-only window must sit over the bucket aggregate:\n$p")
+    }
+  }
+
+  test("llm_semdedup: centroids broadcast; assignment cache shared by all consumers") {
+    val df = SparkEntry.queries("llm_semdedup")(spark, d)
+    val p = planOf(df)
+    // centroid side of the assignment is a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$p")
+    // the cached assignment frame serves the pair sides and the verdict
+    // join — all three consumers read the InMemoryRelation, so the
+    // crossJoin+argmax aggregate appears ONLY under the cache build
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(scans >= 3, s"expected >=3 cache reads (a, b, verdict), got $scans:\n$p")
+  }
 }
