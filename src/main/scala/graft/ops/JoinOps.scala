@@ -284,6 +284,53 @@ object JoinOps {
         .orderBy("k")
     }),
 
+    // Skew-mitigated AS-OF join — time-slice splitting for the hot-by-key
+    // tail that neither AQE nor salting can touch (AqeInterplaySpec pins
+    // that AsOfJoinExec's exchanges are never skew-split, and plain salting
+    // breaks an ordered merge: the match may carry ANY salt). Both sides
+    // slice on date_trunc(day, ts), so one hot user_id spreads over
+    // #distinct-day partitions instead of piling into one. Right rows from
+    // earlier slices are represented by one CARRY row per (user, slice) —
+    // the latest signup strictly before the slice start — computed from
+    // per-(user, slice) maxima: the only per-user window runs over
+    // users × slices rows (bounded by the calendar, never by event count).
+    // Exact by slice disjointness: a purchase's backward match is either
+    // in its own slice or is precisely the carry row; AsOfJoinSpec pins
+    // bit-for-bit equality with the unsliced keys under a planted hot key.
+    "join_asof_skew" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val slice = date_trunc("day", col("ts"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+                col("event_id").as("p_id"), slice.as("slice"))
+      val sign = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+                lit(null).cast("long").as("p_id"), slice.as("slice"))
+      // latest signup per (user, slice): ONE map-side-combinable agg
+      val perSlice = sign.groupBy("user_id", "slice").agg(max("ts").as("sig_ts"))
+      // every (user, slice) a purchase or signup touches needs a carry
+      val wCarry = Window.partitionBy("user_id").orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = purch.select("user_id", "slice").distinct()
+        .unionByName(perSlice.select("user_id", "slice")).distinct()
+        .join(perSlice, Seq("user_id", "slice"), "left")
+        .withColumn("carry_ts", max("sig_ts").over(wCarry))
+        .filter(col("carry_ts").isNotNull)
+        .select(col("user_id"), col("carry_ts").as("ts"), lit(0).as("side"),
+                lit(null).cast("long").as("p_id"), col("slice"))
+      // same union-tag window as join_asof, but partitioned by (user, slice)
+      val w = Window.partitionBy("user_id", "slice")
+        .orderBy(col("ts").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sign.unionByName(carry).unionByName(purch)
+        .withColumn("signup_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("signup_ts").isNotNull)
+        .select(col("p_id").as("event_id"), col("user_id"), col("ts"),
+                col("signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // Bucketed co-located join — THE canonical 100 TB shuffle eliminator:
     // both tables are written bucketed+sorted on the join key (8 buckets),
     // so the SortMergeJoin reads each bucket pair directly with NO Exchange
@@ -420,6 +467,15 @@ object JoinOps {
     // plan is produced (native operator vs composition), so the oracle is
     // the same ASOF JOIN.
     "join_asof_native" -> """
+      SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
+    // The time slicing is plumbing, not semantics: the oracle is the same
+    // ASOF JOIN as the unsliced keys.
+    "join_asof_skew" -> """
       SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s

@@ -27,6 +27,54 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("time-sliced skew as-of equals the unsliced keys bit-for-bit (2 SFs)") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val sliced = SparkEntry.queries("join_asof_skew")(spark, d)
+        .collect().map(_.mkString("|"))
+      val composed = SparkEntry.queries("join_asof")(spark, d)
+        .collect().map(_.mkString("|"))
+      assert(sliced.nonEmpty, s"sliced as-of returned no rows at $d")
+      assert(sliced.toSeq === composed.toSeq,
+        s"time-sliced as-of diverged from the composed formulation at $d")
+    }
+  }
+
+  test("time-sliced as-of: planted hot key still exact, carries cross slices") {
+    // ALL purchases on one user — the distribution that piles the whole
+    // corpus into a single partition for every per-user formulation. The
+    // signup the early-day purchases must see lives days earlier (carry
+    // path), and day-boundary purchases must prefer an in-slice signup
+    // over the carry. Baseline = the defining join+max formulation.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Long) = new java.sql.Timestamp(ts0.getTime + h * 3600 * 1000)
+    val hot = 7L
+    val purch = (0 until 200).map(i => (1000L + i, hot, at(i)))
+      .toDF("event_id", "user_id", "ts")
+    val sign = Seq((hot, at(2)), (hot, at(49)), (hot, at(50)), (99L, at(0)))
+      .toDF("user_id", "s_ts")
+    val events = purch.select(col("event_id"), col("ts"), col("user_id"),
+        lit("purchase").as("event_type"), lit(0.0).as("value"),
+        lit("").as("props"))
+      .unionByName(sign.select(monotonically_increasing_id().as("event_id"),
+        col("s_ts").as("ts"), col("user_id"),
+        lit("signup").as("event_type"), lit(0.0).as("value"),
+        lit("").as("props")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_hot_").toString
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("join_asof_skew")(spark, dir)
+      .collect().map(_.mkString("|"))
+    val base = purch
+      .join(sign, Seq("user_id"))
+      .filter(col("s_ts") <= col("ts"))
+      .groupBy("event_id", "user_id", "ts")
+      .agg(max("s_ts").as("signup_ts"))
+      .orderBy("event_id")
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .collect().map(_.mkString("|"))
+    assert(out.nonEmpty && out.toSeq === base.toSeq,
+      "time-sliced as-of diverged on the planted hot key")
+  }
+
   test("backward inclusive semantics: latest <= match, unmatched rows drop") {
     val l = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 50L))
       .toDF("id", "k", "t")

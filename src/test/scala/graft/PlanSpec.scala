@@ -480,6 +480,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"base snapshot must not shuffle in a broadcast MERGE:\n$p")
   }
 
+  test("join_asof_skew: no per-user window partition over event rows") {
+    val p = plan("join_asof_skew")
+    val lines = p.linesIterator.toIndexedSeq
+    // The event-row window (the union-tag last() pass) must carry the
+    // (user_id, slice) partitioning — a user-only spec here is exactly
+    // the hot-key pile-up the key exists to avoid.
+    val lastWin = lines.filter(_.contains("Window [last("))
+    assert(lastWin.length === 1, s"expected one last() window:\n$p")
+    assert(lastWin.head.contains("windowspecdefinition(user_id") &&
+             lastWin.head.contains("slice"),
+      s"event-row window lost its (user_id, slice) partitioning:\n$p")
+    // The only user-only window is the carry pass, and it must sit over
+    // aggregated (user, slice) rows — a HashAggregate below it before any
+    // scan — never over raw event rows.
+    lines.zipWithIndex.filter(_._1.contains("Window [max(")).foreach {
+      case (l, i) =>
+        assert(l.contains("windowspecdefinition(user_id"), s"carry window:\n$p")
+        val below = lines.drop(i + 1)
+          .takeWhile(l => !l.contains("FileScan") && !l.contains("InMemoryTableScan"))
+          .mkString("\n")
+        assert(below.contains("HashAggregate"),
+          s"carry window must sit over the per-slice aggregate:\n$p")
+    }
+  }
+
   test("llm_token_budget: no language-sized window partition over doc rows") {
     val p = plan("llm_token_budget")
     val lines = p.linesIterator.toIndexedSeq
