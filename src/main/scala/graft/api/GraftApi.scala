@@ -464,6 +464,30 @@ object Text {
           .withColumn("n_chars", length(col("text")).cast("long")),
       budget)
 
+  /** DSIR-style importance resampling (llm_dsir's shared core): per-doc
+    * (doc_id, n_grams, weight, keep) importance weights toward the target
+    * sub-corpus selected by `isTarget` (a boolean Column over the doc
+    * row), over 256 hashed unigram+bigram feature buckets. keep ⇔ the
+    * doc's hashed-feature distribution is closer to the target's than to
+    * the raw corpus's. */
+  def dsir(docs: DataFrame, isTarget: Column,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    TextOps.dsirOf(
+      docs.withColumn("doc_id", col(idCol)).withColumn("text", col(textCol)),
+      isTarget)
+
+  /** Temperature-scaled mixture quotas (llm_mixture_temperature's shared
+    * core, α = 0.5): per-`langCol` stratum (lang, n_docs, rate, thresh,
+    * n_kept, kept_chars) under `budget` target docs — √n sampling shares
+    * with the deterministic md5 doc gate. */
+  def mixtureTemperature(docs: DataFrame, budget: Double = 300.0,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         langCol: String = "lang"): DataFrame =
+    TextOps.mixtureTemperatureOf(
+      docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+                  length(col(textCol)).cast("long").as("n_chars")),
+      budget)
+
   /** Gopher-style filter rules (word count / mean word length / distinct
     * ratio): (doc_id, wc, uniq_ratio, mean_wlen, pass) —
     * llm_gopher_quality's exact transform (shared core). */

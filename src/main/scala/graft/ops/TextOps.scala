@@ -196,6 +196,85 @@ object TextOps {
         if ((r + 1) % 16 == 0) LlmOps.cutLineage(stepped) else stepped
     }
 
+  /** DSIR-style importance resampling core (Xie et al. 2023,
+    * arXiv:2302.03169): per-doc importance weight of `docs` toward the
+    * TARGET sub-corpus selected by `isTarget`, over hashed n-gram
+    * features. Features = word unigrams + adjacent bigrams hashed into
+    * 256 buckets (md5 2-hex prefix — the cross-engine hash); bucket
+    * importance = add-1-smoothed ln(p_target/p_raw); doc weight = mean
+    * bucket log-ratio over the doc's gram instances (4dp), keep ⇔
+    * weight > 0. Scale shape: the feature table is ALWAYS 256 rows —
+    * hashing bounds vocabulary growth, which is DSIR's point — so
+    * scoring is one broadcast join over the exploded grams plus a
+    * map-side-combinable per-doc avg; corpus text never shuffles.
+    * Expects (doc_id, text) plus whatever columns `isTarget` reads. */
+  private[graft] def dsirOf(docsIn: DataFrame,
+                            isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), isTarget.as("tgt"),
+              split(lower(col("text")), " ").as("ws"))
+    // bigram guard: sequence() counts DOWN for start > stop (the same
+    // trap the framesample key pins), so 1-word docs get array() not
+    // a descending range over missing elements
+    val grams = docs.select(col("doc_id"), col("tgt"), explode(concat(
+        col("ws"),
+        expr("if(size(ws) < 2, array(), transform(sequence(1, size(ws) - 1), " +
+             "i -> concat(ws[i-1], '_', ws[i])))"))).as("g"))
+      .select(col("doc_id"), col("tgt"),
+              substring(md5(col("g")), 1, 2).as("b"))
+    val raw = grams.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = grams.filter(col("tgt"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = grams.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
+    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+             (col("nt") + lit(256L)).cast("double")) -
+         log((col("cr") + lit(1L)).cast("double") /
+             (col("nr") + lit(256L)).cast("double"))).as("lr"))
+    grams.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), round(avg("lr"), 4).as("weight"))
+      .withColumn("keep", col("weight") > 0)
+  }
+
+  /** Temperature-scaled mixture quota core (the XLM-R/mT5 α-sampling
+    * shape, α = 0.5): per-language sampling rates q_l ∝ √n_l boost
+    * low-resource languages; `budget` docs total turn shares into
+    * per-lang keep rates, and the keep decision is the same
+    * deterministic md5 gate as llm_mixture_sample — floor(rate·256) is
+    * an INTEGER threshold on the doc's 2-hex-char hash fold, so the cut
+    * reproduces across runs, engines, and cluster sizes (no df.sample()
+    * RNG). sqrt/div/mul are correctly-rounded IEEE ops evaluated in the
+    * same order in both engines, so the floor cannot straddle. Scale:
+    * lang stats are a #langs-row broadcast; the gate is a stateless
+    * per-row filter at the scan. Expects (doc_id, lang, n_chars). */
+  private[graft] def mixtureTemperatureOf(docs: DataFrame,
+                                          budget: Double): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("q", sqrt(col("n_docs").cast("double")))
+    val sumQ = counts.agg(sum("q").as("sum_q"))
+    val rates = counts.crossJoin(broadcast(sumQ))
+      .withColumn("rate",
+        least(lit(1.0), lit(budget) * (col("q") / col("sum_q")) / col("n_docs")))
+      .withColumn("thresh", floor(col("rate") * 256.0).cast("int"))
+      .select("lang", "n_docs", "rate", "thresh")
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    def nib(i: Int) = {
+      val a = ascii(substring(h, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    docs.join(broadcast(rates), "lang")
+      .withColumn("kept", (nib(1) * 16 + nib(2)) < col("thresh"))
+      .groupBy("lang", "n_docs", "thresh")
+      .agg(round(first("rate"), 4).as("rate"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .select("lang", "n_docs", "rate", "thresh", "n_kept", "kept_chars")
+  }
+
   val queries: Map[String, Q] = Map(
     // Language ID by character-trigram profile overlap: per-lang top-50
     // trigram profiles (trained on the corpus itself — deterministic),
@@ -342,6 +421,36 @@ object TextOps {
         .agg(count(lit(1)).as("n_grams"), round(avg("ll"), 4).as("avg_ll"))
         .orderBy("doc_id")
     }),
+
+    // DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    // the data-SELECTION step after scoring — re-weight raw docs toward a
+    // target distribution using hashed n-gram features. Features = word
+    // unigrams + adjacent bigrams hashed into 256 buckets (md5 2-hex
+    // prefix — the cross-engine hash); target = the curated sources
+    // src0–src3, raw = the whole corpus; bucket importance = add-1-
+    // smoothed log-ratio ln(p_target/p_raw); doc weight = mean bucket
+    // log-ratio over its gram instances, keep ⇔ weight > 0 (closer to
+    // target than raw). Scale: the feature table is ALWAYS 256 rows
+    // (hashing bounds vocabulary growth — DSIR's point), so scoring is
+    // one broadcast join over the exploded grams + a map-side-combinable
+    // per-doc avg; no corpus-text shuffle anywhere.
+    "llm_dsir" -> ((s, d) =>
+      dsirOf(Tables.documentsWide(s, d),
+             col("source").isin("src0", "src1", "src2", "src3"))
+        .orderBy("doc_id")),
+
+    // Temperature-scaled mixture quotas (the XLM-R/mT5 α-sampling shape,
+    // α = 0.5): per-language sampling rates q_l ∝ n_l^α boost low-resource
+    // languages; a 300-doc budget turns shares into per-lang keep rates,
+    // and the keep decision is the same deterministic md5 gate as
+    // llm_mixture_sample — floor(rate·256) is an INTEGER threshold on the
+    // doc's 2-hex-char hash fold, so the cut is reproducible across runs,
+    // engines, and cluster sizes (no df.sample() RNG). sqrt/div/mul are
+    // all correctly-rounded IEEE ops evaluated in the same order in both
+    // engines, so the floor cannot straddle. Scale: lang stats are a
+    // 5-row broadcast; the gate is a stateless per-row filter at the scan.
+    "llm_mixture_temperature" -> ((s, d) =>
+      mixtureTemperatureOf(Tables.documents(s, d), 300.0).orderBy("lang")),
 
     // PII redaction: regex scrub of emails/phones before a corpus ships to
     // training. The synthetic corpus carries no PII, so a deterministic
@@ -574,6 +683,73 @@ object TextOps {
       JOIN tot  USING (lang)
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // Buckets: md5 2-hex prefix = 256 feature buckets, same hash text as
+    // Spark's md5(g). DuckDB range() is end-exclusive so the bigram list
+    // needs no short-doc guard; the +1/+256 smoothing and the ln ratio
+    // mirror the Spark expressions term for term.
+    "llm_dsir" -> """
+      WITH docs AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+        FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+               substring(md5(g), 1, 2) AS b
+        FROM (
+          SELECT doc_id, source, unnest(list_concat(ws,
+                 list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1]))) AS g
+          FROM docs)),
+      raw AS (SELECT b, count(*) AS cr FROM grams GROUP BY b),
+      tgt AS (SELECT b, count(*) AS ct FROM grams
+              WHERE source IN ('src0','src1','src2','src3') GROUP BY b),
+      tot AS (SELECT count(*) AS nr,
+                     sum(CASE WHEN source IN ('src0','src1','src2','src3')
+                         THEN 1 ELSE 0 END) AS nt
+              FROM grams),
+      lr AS (
+        SELECT raw.b,
+               ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + 256 AS DOUBLE))
+             - ln(CAST(raw.cr + 1 AS DOUBLE) / CAST(tot.nr + 256 AS DOUBLE)) AS lr
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+      SELECT doc_id, count(*) AS n_grams,
+             round(avg(lr), 4) AS weight,
+             round(avg(lr), 4) > 0 AS keep
+      FROM grams JOIN lr ON grams.b = lr.b
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    // The same 2-hex md5 gate as llm_mixture_sample, folded to an integer
+    // with the simhash family's ascii arithmetic; sqrt/div/mul are
+    // correctly-rounded IEEE ops written in the same order as the Spark
+    // side, so floor(rate*256) cannot straddle an engine boundary.
+    "llm_mixture_temperature" -> """
+      WITH counts AS (
+        SELECT lang, count(*) AS n_docs, sqrt(CAST(count(*) AS DOUBLE)) AS q
+        FROM documents GROUP BY lang),
+      rates AS (
+        SELECT lang, n_docs,
+               least(CAST(1.0 AS DOUBLE),
+                     CAST(300.0 AS DOUBLE) * (q / (SELECT sum(q) FROM counts)) / n_docs) AS rate
+        FROM counts),
+      r2 AS (
+        SELECT lang, n_docs, rate,
+               CAST(floor(rate * 256.0) AS INT) AS thresh FROM rates),
+      gated AS (
+        SELECT d.lang, r2.n_docs, r2.thresh, r2.rate, d.n_chars,
+               ((CASE WHEN ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) >= 97
+                      THEN ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 87
+                      ELSE ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 48 END) * 16
+              + (CASE WHEN ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) >= 97
+                      THEN ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 87
+                      ELSE ascii(substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 48 END))
+               < r2.thresh AS kept
+        FROM documents d JOIN r2 ON d.lang = r2.lang)
+      SELECT lang, n_docs, round(rate, 4) AS rate, thresh,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM gated
+      GROUP BY lang, n_docs, thresh, rate
+      ORDER BY lang""",
 
     "llm_pii_redact" -> """
       WITH w AS (

@@ -434,6 +434,23 @@ class ApiSpec extends AnyFunSuite {
     assert(api.nonEmpty)
   }
 
+  test("Text.dsir equals llm_dsir") {
+    val api = rowSet(Text.dsir(docs,
+      col("source").isin("src0", "src1", "src2", "src3")))
+    val key = rowSet(SparkEntry.queries("llm_dsir")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
+  test("Text.mixtureTemperature equals llm_mixture_temperature") {
+    // the facade derives n_chars from the text; the corpus's n_chars
+    // column IS length(text) (SchemaPinSpec), so the two agree
+    val api = rowSet(Text.mixtureTemperature(docs))
+    val key = rowSet(SparkEntry.queries("llm_mixture_temperature")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
   test("Ingest.mergeUpsert reproduces sink_merge_upsert's audit") {
     val orders = Tables.orders(spark, d)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")

@@ -656,6 +656,48 @@ class OperatorSpec extends AnyFunSuite {
     spent.foreach(r => assert(r.getLong(1) <= 2000L, s"budget exceeded: $r"))
   }
 
+  test("llm_dsir: full coverage; target docs score higher; keep tracks weight") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("llm_dsir")(spark, d)
+    val docs = graft.Tables.documents(spark, d)
+    assert(out.count() === docs.count(), "one weight row per doc")
+    // keep ⇔ weight > 0 (the operator's declared verdict)
+    out.collect().foreach { r =>
+      assert(r.getBoolean(3) === (r.getDouble(2) > 0), s"keep drifted: $r")
+    }
+    // the defining direction: the target sub-corpus must score higher on
+    // average than the rest — the importance weight estimates exactly the
+    // doc's log-likelihood ratio toward the target feature distribution
+    val scored = out.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("tgt", col("source").isin("src0", "src1", "src2", "src3"))
+      .groupBy("tgt").agg(avg("weight").as("w")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scored(true) > scored(false),
+      s"target docs must outscore non-target: $scored")
+  }
+
+  test("llm_mixture_temperature: sqrt flattening; rates and counts bounded") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("llm_mixture_temperature")(spark, d).collect()
+    val langs = graft.Tables.documents(spark, d)
+      .select("lang").distinct().count()
+    assert(out.length.toLong === langs, "one quota row per language")
+    out.foreach { r =>
+      val (n, rate, thresh, kept) =
+        (r.getLong(1), r.getDouble(2), r.getInt(3), r.getLong(4))
+      assert(rate > 0 && rate <= 1.0, s"rate out of range: $r")
+      // thresh = floor(unrounded_rate * 256); the output rate is 4dp, so
+      // pin the ±1 band around the rounded value rather than equality
+      assert(thresh >= 0 && thresh <= 256, s"thresh out of range: $r")
+      assert(math.abs(thresh - rate * 256) <= 1.0, s"thresh drifted: $r")
+      assert(kept <= n, s"kept more than exist: $r")
+    }
+    // temperature flattening: more docs ⇒ never a HIGHER sampling rate
+    for (a <- out; b <- out if a.getLong(1) > b.getLong(1))
+      assert(a.getDouble(2) <= b.getDouble(2),
+        s"sqrt flattening violated: $a vs $b")
+  }
+
   test("sink_merge_upsert: update arm wins every overlapping key, insert arm lands") {
     import org.apache.spark.sql.functions._
     // the audit aggregate is the gated surface; this pins the MERGE row
