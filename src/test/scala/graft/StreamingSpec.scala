@@ -215,6 +215,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream_asof equals the batch as-of join (stateless interval form)") {
+    val streamed = StreamOps.queries("stream_asof")(spark, d).collect()
+    val batch = SparkEntry.queries("join_asof")(spark, d).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streaming interval as-of diverged from the batch as-of join")
+    // every purchase matches AT MOST one validity interval — the property
+    // that makes the streaming join stateless-exact: no duplicate event_ids
+    val ids = streamed.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length,
+      "interval compilation emitted overlapping intervals")
+  }
+
   test("stream_bus_source equals batch filter+project") {
     val streamed = StreamOps.queries("stream_bus_source")(spark, d).collect()
     val batch = Tables.events(spark, d)
