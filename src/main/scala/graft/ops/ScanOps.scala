@@ -233,6 +233,24 @@ object ScanOps {
         .orderBy("o_orderstatus")
     }),
 
+    // XML roundtrip over Spark 4's NATIVE xml datasource (the spark-xml
+    // integration that moved into core): nation written as <nation> rows,
+    // read back with an explicit schema (inference would sample-scan — at
+    // 100 TB always pin the schema) + rowTag, then joined against the
+    // parquet original so the gate hashes the full read path. XML is the
+    // interchange format feeds/dumps still arrive in; the writer/parser
+    // are distributed per-partition like csv/json.
+    "src_xml_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("graft_xml")
+      val n = Tables.nation(s, d)
+      n.write.mode(SaveMode.Overwrite).option("rowTag", "nation").xml(dir)
+      val back = s.read.schema(n.schema).option("rowTag", "nation").xml(dir)
+      back.join(n, Seq("n_nationkey"))
+        .select(col("n_nationkey"), back("n_name").as("n_name"),
+                back("n_regionkey").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // Raw binary-file ingest — Spark's native distributed read for the
     // opaque blobs a multimodal corpus arrives as (one image/audio file
     // per asset; llm_multimodal_features is the downstream decode stage).
@@ -281,6 +299,10 @@ object ScanOps {
 
     "src_csv_roundtrip" -> """
       SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // The XML writer/reader are plumbing; the oracle is the table itself.
+    "src_xml_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
 
     // The staged .bin files hold exactly documents.text's UTF-8 bytes for
     // doc_id < 50, so byte counts and md5 digests derive straight from
