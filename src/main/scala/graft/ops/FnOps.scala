@@ -100,6 +100,25 @@ object FnOps {
         .orderBy("event_id")
     }),
 
+    // Spark 4's VARIANT type — the open-format semi-structured path (the
+    // same binary-variant design parquet adopted): parse ONCE into the
+    // typed binary encoding, then field accesses are O(field) reads of the
+    // encoded value, not per-access string re-parses like get_json_object.
+    // At 100 TB the difference is parsing the JSON blob once per row vs
+    // once per extracted field per row. schema_of_variant documents the
+    // inferred shape; the typed variant_get gives post-cast SQL types.
+    "fn_variant" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_int"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("variant_get(v, '$.missing', 'string')").as("absent"),
+          expr("schema_of_variant(v)").as("vschema"))
+        .orderBy("event_id")
+    }),
+
     "fn_conditional" -> ((s, d) => {
       Tables.customer(s, d).select(
         col("c_custkey"),
@@ -215,6 +234,17 @@ object FnOps {
              json_extract_string(props, '$.k') AS k_str,
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
              json_extract_string(props, '$.missing') AS absent
+      FROM events
+      ORDER BY event_id""",
+
+    // DuckDB has no VARIANT; the oracle checks the VALUES the variant path
+    // must produce — json extraction + the known object shape.
+    "fn_variant" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+             json_extract_string(props, '$.k') AS k_str,
+             json_extract_string(props, '$.missing') AS absent,
+             'OBJECT<k: BIGINT>' AS vschema
       FROM events
       ORDER BY event_id""",
 

@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
 object ScanOps {
   type Q = (SparkSession, String) => DataFrame
 
+  private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     p.toFile.deleteOnExit()
@@ -167,6 +169,39 @@ object ScanOps {
     // across engines. Base = keys with o_orderkey % 5 != 0 (yesterday's
     // snapshot); delta = keys % 2 == 0 — overlapping keys exercise the
     // update arm, % 10 == 0 keys the insert arm.
+    // Single-pass audit metrics via `Dataset.observe` (CollectMetrics):
+    // the 100 TB pattern for "process the data AND collect quality
+    // counters" in ONE scan — a separate audit aggregation would be a
+    // second full pass over the corpus. The metrics ride the existing
+    // plan as accumulator-style aggregates evaluated where the rows
+    // already flow (CollectMetricsExec passes rows through untouched);
+    // any action materializes them. In production the same Observation
+    // hangs off a streaming sink or an ETL write; here the audited "job"
+    // is a count over the filtered scan, and the key RETURNS the observed
+    // metrics row — so the oracle hash-checks that the in-flight counters
+    // equal the ground-truth aggregation.
+    "obs_metrics" -> ((s, d) => {
+      val o = new org.apache.spark.sql.Observation(
+        s"graft_obs_${obsCounter.incrementAndGet()}")
+      val audited = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 10.0)
+        .observe(o,
+          count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          // DISTINCT aggregates are rejected in observed metrics
+          // (INVALID_OBSERVED_METRICS) — bounds stand in for cardinality
+          max(col("l_orderkey")).as("max_order"))
+      audited.write.format("noop").mode(SaveMode.Overwrite).save()
+      val m = o.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+           m("sum_qty").asInstanceOf[Double],
+           m("avg_disc").asInstanceOf[Double],
+           m("max_order").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "avg_disc", "max_order")
+    }),
+
     "sink_merge_upsert" -> ((s, d) => {
       val dir = tmpDir("graft_merge")
       val orders = Tables.orders(s, d)
@@ -327,6 +362,16 @@ object ScanOps {
     // Same MERGE semantics, declaratively: updates win on key overlap,
     // anti-joined base rows survive, inserts are the update keys absent
     // from base.
+    // The observed counters must equal the ground-truth aggregation over
+    // the same filter — that equality IS what the key demonstrates.
+    "obs_metrics" -> """
+      SELECT count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             max(l_orderkey) AS max_order
+      FROM lineitem
+      WHERE l_quantity > 10.0""",
+
     "sink_merge_upsert" -> """
       WITH upd AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
