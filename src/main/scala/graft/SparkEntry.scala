@@ -28,6 +28,7 @@ object SparkEntry {
       (LlmOps.queries, LlmOps.oracle),
       (TextOps.queries, TextOps.oracle),
       (OptOps.queries, OptOps.oracle),
+      (GraphOps.queries, GraphOps.oracle),
       (SqlOps.queries, SqlOps.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle)
     )

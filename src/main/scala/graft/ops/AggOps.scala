@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2-D aggregation surface.
@@ -16,6 +16,97 @@ import org.apache.spark.sql.functions._
   */
 object AggOps {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Misra–Gries heavy-hitter summary state: `keys` sorted ascending (for
+    * the O(log k) membership probe), `counts` parallel. Arrays are mutated
+    * in place on the hot paths (hit increment, full-table decrement) —
+    * safe because udaf(Aggregator) is object-based aggregation
+    * (TypedImperativeAggregate): the buffer lives as this object per
+    * partition and only serializes at the partial/final boundary. */
+  case class MgState(keys: Array[String], counts: Array[Long])
+  /** finish() wrapper so the result is a product (Encoders.product) whose
+    * one field is a SQL array<string> the caller can explode. */
+  case class MgOut(cands: Seq[String])
+
+  /** Misra–Gries with k=256 counters over a stream of strings. Classic
+    * update: hit → +1; miss with spare room → insert at 1; miss while full
+    * → decrement ALL by 1, dropping zeros (the new item is not inserted).
+    * merge = sum-combine the two summaries, then if over k entries subtract
+    * the (k+1)-th largest count from all and keep positives — the
+    * mergeable-summaries reduction (Agarwal et al., PODS'12), which keeps
+    * the combined undercount ≤ n/(k+1) REGARDLESS of merge order/tree
+    * shape. Hence the candidate set provably contains every item with true
+    * frequency > n/(k+1) ⊇ { freq > n/k } — nondeterministic partials, a
+    * deterministic guarantee, which is what lets the exact second pass
+    * produce a hash-gated answer. */
+  object MisraGries extends org.apache.spark.sql.expressions.Aggregator[String, MgState, MgOut] {
+    val K = 256
+    override def zero: MgState = MgState(Array.empty, Array.empty)
+    override def reduce(b: MgState, x: String): MgState = {
+      val i = java.util.Arrays.binarySearch(b.keys.asInstanceOf[Array[AnyRef]], x)
+      if (i >= 0) { b.counts(i) += 1; b }
+      else if (b.keys.length < K) {
+        val at = -i - 1
+        val nk = new Array[String](b.keys.length + 1)
+        val nc = new Array[Long](b.keys.length + 1)
+        System.arraycopy(b.keys, 0, nk, 0, at); System.arraycopy(b.counts, 0, nc, 0, at)
+        nk(at) = x; nc(at) = 1L
+        System.arraycopy(b.keys, at, nk, at + 1, b.keys.length - at)
+        System.arraycopy(b.counts, at, nc, at + 1, b.keys.length - at)
+        MgState(nk, nc)
+      } else {
+        // full-table decrement: in place when nothing hits zero (the
+        // common case under near-uniform load), compact otherwise
+        var zeros = 0
+        var j = 0
+        while (j < b.counts.length) { if (b.counts(j) == 1L) zeros += 1; j += 1 }
+        if (zeros == 0) {
+          j = 0; while (j < b.counts.length) { b.counts(j) -= 1L; j += 1 }
+          b
+        } else {
+          val nk = new Array[String](b.keys.length - zeros)
+          val nc = new Array[Long](b.keys.length - zeros)
+          var o = 0; j = 0
+          while (j < b.counts.length) {
+            if (b.counts(j) > 1L) { nk(o) = b.keys(j); nc(o) = b.counts(j) - 1L; o += 1 }
+            j += 1
+          }
+          MgState(nk, nc)
+        }
+      }
+    }
+    override def merge(a: MgState, b: MgState): MgState = {
+      // merge two sorted summaries, summing shared keys
+      val mk = new Array[String](a.keys.length + b.keys.length)
+      val mc = new Array[Long](mk.length)
+      var i = 0; var j = 0; var o = 0
+      while (i < a.keys.length && j < b.keys.length) {
+        val c = a.keys(i).compareTo(b.keys(j))
+        if (c == 0) { mk(o) = a.keys(i); mc(o) = a.counts(i) + b.counts(j); i += 1; j += 1 }
+        else if (c < 0) { mk(o) = a.keys(i); mc(o) = a.counts(i); i += 1 }
+        else { mk(o) = b.keys(j); mc(o) = b.counts(j); j += 1 }
+        o += 1
+      }
+      while (i < a.keys.length) { mk(o) = a.keys(i); mc(o) = a.counts(i); i += 1; o += 1 }
+      while (j < b.keys.length) { mk(o) = b.keys(j); mc(o) = b.counts(j); j += 1; o += 1 }
+      if (o <= K) MgState(mk.take(o), mc.take(o))
+      else {
+        // subtract the (K+1)-th largest count; strictly-greater entries
+        // number ≤ K by construction, ties drop to zero and vanish
+        val sorted = mc.take(o); java.util.Arrays.sort(sorted)
+        val v = sorted(o - K - 1)
+        var keep = 0; var t = 0
+        while (t < o) { if (mc(t) > v) keep += 1; t += 1 }
+        val nk = new Array[String](keep); val nc = new Array[Long](keep)
+        var p = 0; t = 0
+        while (t < o) { if (mc(t) > v) { nk(p) = mk(t); nc(p) = mc(t) - v; p += 1 }; t += 1 }
+        MgState(nk, nc)
+      }
+    }
+    override def finish(b: MgState): MgOut = MgOut(b.keys.toSeq)
+    override def bufferEncoder: Encoder[MgState] = Encoders.product[MgState]
+    override def outputEncoder: Encoder[MgOut] = Encoders.product[MgOut]
+  }
 
   val queries: Map[String, Q] = Map(
     "agg_hash_global" -> ((s, d) => {
@@ -236,6 +327,37 @@ object AggOps {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
              sum("n").as("n_events"))
         .orderBy("event_type")
+    }),
+
+    // Heavy hitters with an EXACT hash-gated answer from a sketch-first
+    // plan: pass 1 = Misra–Gries (k=256) + total count in ONE aggregation
+    // over the char-4-gram stream (map-side partials of ≤k counters, the
+    // shuffle carries k rows per partition — never the full gram
+    // cardinality); pass 2 = exact counts restricted to the ≤k candidates
+    // via a broadcast semi-join (shuffle ≤k distinct keys). MG guarantees
+    // candidates ⊇ {freq > n/(k+1)} ⊇ {freq > n/k}, so the exact pass's
+    // `cnt*k > n` filter yields precisely the true heavy-hitter set — the
+    // 100 TB shape for "top substrings/URLs/tokens" where a full groupBy
+    // would shuffle billions of distinct keys to find a few hundred.
+    "agg_heavy_hitters" -> ((s, d) => {
+      val mg = udaf(MisraGries)
+      val grams = Tables.documentsWide(s, d)
+        .filter(length(col("text")) >= 4)
+        .select(lower(col("text")).as("t"))
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("g"))
+      // 1-row driver scalar between the passes (same discipline as the BPE
+      // trainer's per-round winner): ≤k candidate strings + the total
+      val first = grams.agg(mg(col("g")).as("mg"), count(lit(1)).as("n_total")).head()
+      val cands = first.getStruct(0).getSeq[String](0)
+      val nTotal = first.getLong(1)
+      // exact pass restricted to candidates: isin over ≤k strings compiles
+      // to an InSet pushed into the scan — no join, no full-key shuffle
+      grams.filter(col("g").isin(cands: _*))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .withColumn("n_total", lit(nTotal))
+        .filter(col("cnt") * MisraGries.K > col("n_total"))
+        .orderBy("g")
     })
   )
 
@@ -364,6 +486,19 @@ object AggOps {
              count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    // Exact definition the sketch-first plan must reproduce: every 4-gram
+    // with count*k > n. DuckDB just does the full groupBy (fine at oracle
+    // scale); the Spark side's MG guarantee is what makes the two agree.
+    "agg_heavy_hitters" -> """
+      WITH d AS (SELECT lower(text) AS t FROM documents WHERE length(text) >= 4),
+      w AS (SELECT unnest(list_transform(range(1, len(t) - 2), i -> substr(t, i, 4))) AS g
+            FROM d),
+      n AS (SELECT count(*) AS n_total FROM w)
+      SELECT g, count(*) AS cnt, (SELECT n_total FROM n) AS n_total
+      FROM w GROUP BY g
+      HAVING count(*) * 256 > (SELECT n_total FROM n)
+      ORDER BY g"""
   )
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the star schema's implicit graphs. The dedup
+  * family already carries connected components (LlmOps.resolveClusters);
+  * this module adds the other canonical iterative-graph shape, PageRank,
+  * expressed as pure DataFrame joins/aggregations so the same code runs
+  * unchanged on a cluster.
+  *
+  * Scale notes (100 TB):
+  *  - the edge list is built ONCE, repartitioned on `src` and cached: every
+  *    iteration's join then reuses that partitioning (EnsureRequirements
+  *    inserts no new exchange on the edge side), so the per-iteration cost
+  *    is one shuffle of the rank frame (nodes-sized, orders of magnitude
+  *    smaller than edges) plus the contribution aggregation;
+  *  - ranks are lineage-cut per iteration (LlmOps.cutLineage — reliable
+  *    checkpoint under `spark.graft.checkpoint.reliable` for real
+  *    clusters); without a cut the plan doubles per round and iteration 20
+  *    would compile a 2^20-node tree;
+  *  - a fixed iteration count (not convergence-to-epsilon) keeps the job a
+  *    deterministic DAG — the production pattern for bounded-latency rank
+  *    refreshes; the oracle unrolls the same three rounds in SQL.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Damping factor and iteration count of the contract key — shared with
+    * the oracle SQL (unrolled) and the OperatorSpec fixpoint sanity test. */
+  private[graft] val Damping = 0.85
+  private[graft] val Iterations = 3
+
+  /** Customer–supplier trade edges: distinct (o_custkey, l_suppkey) pairs
+    * observed in lineitem ⋈ orders, node ids namespaced `c<id>` / `s<id>`,
+    * both directions emitted so the bipartite graph is symmetric (every
+    * node has out-degree ≥ 1 ⇒ no dangling-mass redistribution term). */
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cust"),
+              concat(lit("s"), col("l_suppkey")).as("supp"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  /** Scaled PageRank (ranks sum to N, init 1.0):
+    * rank'(v) = (1-d) + d * Σ_{u→v} rank(u) / outdeg(u), run for `iters`
+    * rounds over an edge frame pre-partitioned on `src`. Returns
+    * (node, rank). Every node appears on both sides here (symmetric
+    * edges), so the contribution aggregation covers all nodes — a graph
+    * with sources/sinks would need the left-join-from-nodes guard. */
+  private[graft] def pageRankOf(edges0: DataFrame, iters: Int): DataFrame = {
+    val s = edges0.sparkSession
+    // one hash partitioning on src, reused by every iteration's join; the
+    // out-degree frame rides the same layout
+    val edges = edges0.repartition(col("src")).cache()
+    graft.GraftCaches.track(edges)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(deg, "src").cache()
+    graft.GraftCaches.track(withDeg)
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      // literal 0.15, not (1.0 - 0.85): the subtraction is 1 ulp off the
+      // nearest double to 0.15, which is what the oracle's literal parses to
+      ranks = LlmOps.cutLineage(
+        contrib.select(col("dst").as("node"),
+                       (lit(0.15) + lit(Damping) * col("contrib")).as("rank")))
+    }
+    ranks
+  }
+
+  val queries: Map[String, Q] = Map(
+    // PageRank over the customer–supplier trade graph, 3 fixed iterations;
+    // output = the 100 supplier nodes' ranks (ranks ~N-scaled so the 4-dp
+    // rounding keeps ~6 significant digits). The rank column is a sum of
+    // a few hundred IEEE doubles — round(,4) absorbs reassociation noise
+    // (same policy as every double aggregate in this repo).
+    "graph_pagerank" -> ((s, d) => {
+      pageRankOf(tradeEdges(s, d), Iterations)
+        .filter(col("node").startsWith("s"))
+        .select(col("node"), round(col("rank"), 4).as("rank"))
+        .orderBy("node")
+    })
+  )
+
+  /** Oracle: the same three rounds unrolled as chained CTEs (DuckDB has no
+    * iterative DataFrame loop; recursion with per-round global aggregation
+    * does not fit a plain recursive CTE's single-reference rule). */
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> """
+      WITH pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM pairs),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      e AS (SELECT edges.src, edges.dst, deg.outdeg
+            FROM edges JOIN deg ON edges.src = deg.src),
+      r0 AS (SELECT src AS node, 1.0 AS rank FROM deg),
+      r1 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r0.rank / e.outdeg) AS rank
+             FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+      r2 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r1.rank / e.outdeg) AS rank
+             FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+      r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r2.rank / e.outdeg) AS rank
+             FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
+      SELECT node, round(rank, 4) AS rank
+      FROM r3 WHERE node LIKE 's%' ORDER BY node"""
+  )
+}
