@@ -441,6 +441,18 @@ object Text {
   private def std(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("doc_id"), col(text).as("text"))
 
+  /** Sliding-window chunking (RAG / context-window prep) —
+    * llm_chunk_overlap's exact core: `len`-char chunks every `stride`
+    * chars (overlap = len - stride), each with 1-based offset, length,
+    * text and an md5-prefix fingerprint; the last chunk always ends at the
+    * text's end. Stateless per-row arithmetic, zero shuffle. */
+  def chunk(docs: DataFrame, len: Int = 120, stride: Int = 80,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(len > 0 && stride > 0 && stride <= len,
+      s"need 0 < stride <= len, got len=$len stride=$stride")
+    TextOps.chunkOf(std(docs, idCol, textCol), len, stride)
+  }
+
   /** Per-document quality signals: token count, mean token length,
     * stopword/punctuation ratios, composite score — llm_quality_score's
     * exact transform (shared core) with n_chars derived from the text. */
@@ -757,4 +769,52 @@ object Sampling {
     df.withColumn("shard",
       pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
              .cast("long"), lit(nShards)).cast("int"))
+
+  /** Deterministic train/valid/test assignment (~80/10/10): appends
+    * `bucket` (0..255, the id's first md5 byte) and `split`. Salt-free and
+    * content-independent — membership is stable under corpus growth and
+    * re-partitioning. llm_stratified_split's exact core. */
+  def split(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    TextOps.splitAssignOf(df, idCol)
+}
+
+/** Frequency statistics at cardinalities where a full groupBy is the
+  * bottleneck. */
+object Stats {
+  /** EXACT heavy hitters (frequency > n/256) of `valueCol`, via a k=256
+    * Misra–Gries sketch pass + an exact candidate-restricted recount —
+    * output (valueCol, cnt, n_total) is deterministic and provably
+    * complete (mergeable-summaries bound; see AggOps.MisraGries). The
+    * shuffle carries ≤k rows per partition, never the full distinct-key
+    * set — the "top tokens/URLs over billions of distinct keys" shape. */
+  def heavyHitters(df: DataFrame, valueCol: String): DataFrame =
+    graft.ops.AggOps.heavyHittersOf(df, valueCol)
+}
+
+/** Graph analytics over (src, dst) edge frames. */
+object Graph {
+  /** Scaled PageRank (d = 0.85, ranks sum to N) after `iters` fixed
+    * rounds — graph_pagerank's exact core. The edge frame is hash-
+    * partitioned on src once and cached (every round's join reuses the
+    * exchange); ranks are lineage-cut per round, with the reliable-
+    * checkpoint conf (`spark.graft.checkpoint.reliable`) honored for real
+    * clusters. Every node must have out-degree ≥ 1 (emit both directions
+    * for an undirected graph); dangling nodes would leak rank mass. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.pageRankOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters)
+}
+
+/** Data-layout levers for write-side clustering. */
+object Layout {
+  /** Z-order (Morton) clustering over two numeric/date dims: each dim is
+    * quantized to its 0..255 equal-width bucket over the frame's observed
+    * min/max (one tiny driver agg), bit-interleaved, and the frame is
+    * range-partitioned into `files` + sorted — write the result and every
+    * file's parquet min/max envelope is tight on BOTH dims, so 2-dim box
+    * predicates prune row groups (opt_zorder's exact core; see its note on
+    * DATE-vs-TIMESTAMP stats before choosing the time column's type). */
+  def zorderBy(df: DataFrame, dim1: String, dim2: String, files: Int = 8): DataFrame =
+    graft.ops.OptOps.zorderByOf(df, dim1, dim2, files)
 }

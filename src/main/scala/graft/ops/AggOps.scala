@@ -108,6 +108,26 @@ object AggOps {
     override def outputEncoder: Encoder[MgOut] = Encoders.product[MgOut]
   }
 
+  /** Exact heavy hitters over `valueCol` of `items` — the one definition
+    * shared by the agg_heavy_hitters key and Stats.heavyHitters: pass 1 =
+    * Misra–Gries + total in one aggregation (the 1-row head() is the same
+    * driver-scalar discipline as the BPE trainer's per-round winner); pass
+    * 2 = exact recount restricted to the ≤k candidates (isin compiles to
+    * an InSet — no join, no full-cardinality shuffle), filtered to
+    * `cnt·k > n`. Output: (valueCol, cnt, n_total), exactly the items with
+    * frequency > n/k (see MisraGries for the guarantee). */
+  private[graft] def heavyHittersOf(items: DataFrame, valueCol: String): DataFrame = {
+    val mg = udaf(MisraGries)
+    val v = col(valueCol)
+    val first = items.agg(mg(v).as("mg"), count(lit(1)).as("n_total")).head()
+    val cands = first.getStruct(0).getSeq[String](0)
+    val nTotal = first.getLong(1)
+    items.filter(v.isin(cands: _*))
+      .groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+      .withColumn("n_total", lit(nTotal))
+      .filter(col("cnt") * MisraGries.K > col("n_total"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_hash_global" -> ((s, d) => {
       Tables.lineitem(s, d).agg(
@@ -340,24 +360,12 @@ object AggOps {
     // 100 TB shape for "top substrings/URLs/tokens" where a full groupBy
     // would shuffle billions of distinct keys to find a few hundred.
     "agg_heavy_hitters" -> ((s, d) => {
-      val mg = udaf(MisraGries)
       val grams = Tables.documentsWide(s, d)
         .filter(length(col("text")) >= 4)
         .select(lower(col("text")).as("t"))
         .select(explode(expr(
           "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("g"))
-      // 1-row driver scalar between the passes (same discipline as the BPE
-      // trainer's per-round winner): ≤k candidate strings + the total
-      val first = grams.agg(mg(col("g")).as("mg"), count(lit(1)).as("n_total")).head()
-      val cands = first.getStruct(0).getSeq[String](0)
-      val nTotal = first.getLong(1)
-      // exact pass restricted to candidates: isin over ≤k strings compiles
-      // to an InSet pushed into the scan — no join, no full-key shuffle
-      grams.filter(col("g").isin(cands: _*))
-        .groupBy("g").agg(count(lit(1)).as("cnt"))
-        .withColumn("n_total", lit(nTotal))
-        .filter(col("cnt") * MisraGries.K > col("n_total"))
-        .orderBy("g")
+      heavyHittersOf(grams, "g").orderBy("g")
     })
   )
 

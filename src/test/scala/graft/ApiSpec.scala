@@ -477,4 +477,51 @@ class ApiSpec extends AnyFunSuite {
     assert(out.filter(col("redacted").contains("@")).count() === 0)
     assert(out.filter(col("redacted").contains("[EMAIL]")).count() === out.count())
   }
+
+  test("Text.chunk equals llm_chunk_overlap") {
+    val api = rowSet(Text.chunk(docs))
+    val key = rowSet(SparkEntry.queries("llm_chunk_overlap")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
+  test("Sampling.split audit equals llm_stratified_split") {
+    val api = rowSet(Sampling.split(docs.select("doc_id", "lang", "n_chars"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+           round(avg("n_chars"), 2).as("avg_chars")))
+    val key = rowSet(SparkEntry.queries("llm_stratified_split")(spark, d))
+    assert(api === key)
+    assert(api.nonEmpty)
+  }
+
+  test("Stats.heavyHitters equals agg_heavy_hitters") {
+    val grams = docs.filter(length(col("text")) >= 4)
+      .select(lower(col("text")).as("t"))
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("g"))
+    val apiSet = rowSet(api.Stats.heavyHitters(grams, "g"))
+    val key = rowSet(SparkEntry.queries("agg_heavy_hitters")(spark, d))
+    assert(apiSet === key)
+    assert(apiSet.nonEmpty)
+  }
+
+  test("Graph.pageRank equals graph_pagerank (custom column names)") {
+    val edges = graft.ops.GraphOps.tradeEdges(spark, d)
+      .select(col("src").as("from_node"), col("dst").as("to_node"))
+    val apiSet = rowSet(api.Graph.pageRank(edges, srcCol = "from_node", dstCol = "to_node")
+      .filter(col("node").startsWith("s"))
+      .select(col("node"), round(col("rank"), 4).as("rank")))
+    val key = rowSet(SparkEntry.queries("graph_pagerank")(spark, d))
+    assert(apiSet === key)
+    assert(apiSet.nonEmpty)
+  }
+
+  test("Layout.zorderBy preserves content and clusters both dims") {
+    val orders = Tables.orders(spark, d)
+      .withColumn("o_odate", col("o_orderdate").cast("date"))
+    val laid = api.Layout.zorderBy(orders, "o_custkey", "o_odate")
+    assert(!laid.columns.contains("__z"), "helper column must not leak")
+    assert(rowSet(laid) === rowSet(orders), "layout must be a pure reorder")
+  }
 }

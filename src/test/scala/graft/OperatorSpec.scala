@@ -724,4 +724,117 @@ class OperatorSpec extends AnyFunSuite {
       "merged row count = base snapshot + inserted keys")
     assert(nOrders > 0)
   }
+
+  test("MisraGries: candidate set covers every exact heavy hitter under forced merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 5 planted heavies (400 each) drowned in 4000 singleton keys:
+    // n = 6000, k = 256 ⇒ threshold n/k ≈ 23 — the sketch must evict
+    // constantly (4005 distinct ≫ 256 counters) yet keep the heavies.
+    // repartition(7) forces cross-partition summary merges.
+    val rows = (1 to 5).flatMap(h => Seq.fill(400)(s"hot$h")) ++
+      (1 to 4000).map(i => s"cold$i")
+    val df = rows.toDF("g").repartition(7)
+    val mg = udaf(graft.ops.AggOps.MisraGries)
+    val cands = df.agg(mg(col("g")).as("mg"))
+      .select(explode(col("mg.cands")).as("g")).as[String].collect().toSet
+    assert(cands.size <= graft.ops.AggOps.MisraGries.K, "summary exceeded k entries")
+    (1 to 5).foreach(h => assert(cands.contains(s"hot$h"),
+      s"heavy key hot$h evicted — MG guarantee broken"))
+  }
+
+  test("graph_pagerank: hand-computed star graph and corpus mass conservation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // star a–b, a–c (symmetric): 3 analytic iterations give
+    // a = 1.741625, b = c = 0.6291875
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val r = graft.ops.GraphOps.pageRankOf(edges, 3).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 1.741625) < 1e-9, s"a rank ${r("a")}")
+    assert(math.abs(r("b") - 0.6291875) < 1e-9, s"b rank ${r("b")}")
+    assert(math.abs(r("c") - 0.6291875) < 1e-9, s"c rank ${r("c")}")
+    // scaled PR with no dangling nodes conserves total mass = node count
+    val full = graft.ops.GraphOps.tradeEdges(spark, d)
+    val n = full.select("src").distinct().count()
+    val mass = graft.ops.GraphOps.pageRankOf(full, 3)
+      .agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(mass - n) / n < 1e-9, s"mass $mass drifted from N=$n")
+  }
+
+  test("llm_chunk_overlap: every chunk is the exact substring at its declared offset") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = SparkEntry.queries("llm_chunk_overlap")(spark, d).collect()
+    assert(chunks.nonEmpty)
+    val perDoc = chunks.groupBy(_.getLong(0))
+    perDoc.foreach { case (id, cs) =>
+      val t = texts(id)
+      val sorted = cs.sortBy(_.getInt(1))
+      // indices are consecutive from 0 and cover the text's tail
+      assert(sorted.map(_.getInt(1)).toSeq === (0 until sorted.length),
+        s"doc $id chunk indices not consecutive")
+      // the final chunk must end exactly at the text's end (full coverage)
+      val last = sorted.last
+      assert(last.getInt(2) - 1 + last.getInt(3) === t.length,
+        s"doc $id tail not covered by the last chunk")
+      sorted.foreach { c =>
+        val start = c.getInt(2) - 1 // 1-based offset
+        val expect = t.substring(start, math.min(start + 120, t.length))
+        assert(c.getString(4) === expect, s"doc $id chunk@$start mismatch")
+        assert(c.getInt(3) === expect.length)
+      }
+    }
+  }
+
+  test("llm_stratified_split: the three splits partition the corpus exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, d)
+    val out = SparkEntry.queries("llm_stratified_split")(spark, d).collect()
+    val splits = out.map(_.getString(1)).toSet
+    assert(splits === Set("train", "valid", "test"),
+      s"expected all three splits to be non-empty at sf0.001, got $splits")
+    assert(out.map(_.getLong(2)).sum === docs.count(), "split doc counts must sum to corpus")
+    assert(out.map(_.getLong(3)).sum ===
+      docs.agg(sum("n_chars")).head().getLong(0), "split char totals must sum to corpus")
+  }
+
+  test("llm_bpe_merge_audit: audited rounds are a prefix of the stored merge table") {
+    val audit = SparkEntry.queries("llm_bpe_merge_audit")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(audit.length === graft.ops.TextOps.BpeAuditRounds)
+    val stored = spark.read
+      .parquet(s"${graft.ops.TextOps.bpeStorePath(spark, d)}/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .take(graft.ops.TextOps.BpeAuditRounds)
+    assert(audit.toSeq === stored.toSeq,
+      "independent re-derivation disagrees with the persisted merge table prefix")
+  }
+
+  test("opt_zorder: the Morton layout prunes row groups the query box misses") {
+    import org.apache.spark.sql.functions._
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = graft.ops.OptOps.zorderedOrders(spark, d)
+      val q = spark.read.parquet(dir)
+        .filter(col("o_custkey").between(30, 90) &&
+                col("o_odate") >= lit("1996-01-01").cast("date") &&
+                col("o_odate") < lit("1997-01-01").cast("date"))
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScan in plan"))
+      val scanned = scan.metrics("numOutputRows").value
+      val total = graft.Tables.orders(spark, d).count()
+      assert(scanned < total,
+        s"scan read all $total rows — no row group was pruned by the z-layout stats")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }
