@@ -89,6 +89,26 @@ object GraphOps {
         .filter(col("node").startsWith("s"))
         .select(col("node"), round(col("rank"), 4).as("rank"))
         .orderBy("node")
+    }),
+
+    // Connected components over the REPEAT-trade graph (pairs with ≥3
+    // lineitems — the sparse thresholded subgraph, so components are
+    // non-trivial at sparse SFs and propagation depth is exercised at
+    // dense ones). Reuses the llm_neardup_clusters core verbatim
+    // (min-label propagation + pointer jumping, O(log n) rounds, no
+    // driver-side union-find); labels are lexicographic-min node ids in
+    // BOTH engines, so the gate is exact.
+    "graph_components" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+        .select(concat(lit("c"), col("o_custkey")).as("doc_a"),
+                concat(lit("s"), col("l_suppkey")).as("doc_b"))
+      LlmOps.resolveClusters(pairs)
+        .select(col("node"), col("lbl").as("component"))
+        .orderBy("node")
     })
   )
 
@@ -115,6 +135,23 @@ object GraphOps {
       r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r2.rank / e.outdeg) AS rank
              FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
       SELECT node, round(rank, 4) AS rank
-      FROM r3 WHERE node LIKE 's%' ORDER BY node"""
+      FROM r3 WHERE node LIKE 's%' ORDER BY node""",
+
+    // Transitive closure by recursive CTE (UNION-deduped label spread to
+    // fixpoint), component = min reachable label — the same
+    // lexicographic-min convention as the Spark propagation. Closure size
+    // is bounded by nodes × component size: fine at oracle scale, which is
+    // exactly why the SPARK side uses O(log n) pointer jumping instead.
+    "graph_components" -> """
+      WITH RECURSIVE p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s AS src, c AS dst FROM p),
+      reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+      SELECT node, min(lbl) AS component FROM reach GROUP BY node ORDER BY node"""
   )
 }

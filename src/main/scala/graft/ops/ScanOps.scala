@@ -54,6 +54,21 @@ object ScanOps {
     p.toString
   }
 
+  private val compactFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** sink_compaction's layout pair, built ONCE per (JVM, sfDir): orders
+    * fragmented into 64 shards under `<base>/small`, then compacted to 4
+    * right-sized files under `<base>/compact` (returned). The fragmented
+    * write exists only to be compacted — both halves under one
+    * recursively-reaped temp root. */
+  private[graft] def compactedOrders(s: SparkSession, d: String): String =
+    compactFor.computeIfAbsent(d, _ => {
+      val base = tmpDirRecursive("graft_compact")
+      Tables.orders(s, d).repartition(64).write.parquet(s"$base/small")
+      s.read.parquet(s"$base/small").repartition(4).write.parquet(s"$base/compact")
+      s"$base/compact"
+    })
+
   /** Shared embedded-Derby connection properties (driver class in one
     * place — it appears in several keys). */
   private[graft] def derbyProps: java.util.Properties = {
@@ -141,6 +156,72 @@ object ScanOps {
       back.join(r, Seq("r_regionkey"))
         .select(col("r_regionkey"), back("r_name").as("r_name"))
         .orderBy("r_regionkey")
+    }),
+
+    // Schema evolution read: generation 1 (even keys) lacks
+    // o_orderpriority, generation 2 (odd keys) carries it; mergeSchema
+    // unions the footers into one frame where the missing column is NULL
+    // for gen-1 rows — the 100 TB reality that a corpus accretes columns
+    // over time and history cannot be rewritten. Pinned-schema reads stay
+    // the default everywhere else (mergeSchema costs a footer pass per
+    // file at listing); this key is the explicit evolution path.
+    "src_schema_evolution" -> ((s, d) => {
+      val dir = tmpDir("graft_evo")
+      val o = Tables.orders(s, d)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/gen1")
+      o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/gen1", s"$dir/gen2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("gen"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("gen")
+    }),
+
+    // Small-file compaction — the table-maintenance pass every long-lived
+    // 100 TB dataset needs: a fragmented write (64 shards here; in
+    // production, thousands of per-minute micro-batch files whose
+    // per-file overhead dominates scan cost) is rewritten into a few
+    // right-sized files. repartition(4) is a full round-robin shuffle —
+    // the balanced choice; coalesce(4) would skip the shuffle but inherit
+    // input skew. The audit aggregate hash-matches the ORIGINAL orders,
+    // proving compaction moved bytes, not semantics; OperatorSpec pins the
+    // actual file counts on both sides.
+    "sink_compaction" -> ((s, d) => {
+      val dir = compactedOrders(s, d)
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n"),
+             round(sum("o_totalprice"), 2).as("total"),
+             min("o_orderkey").as("min_key"),
+             max("o_orderkey").as("max_key"))
+    }),
+
+    // Text sink + source roundtrip — the last native file source
+    // (parquet/csv/json/orc/xml/binaryFile/jdbc are the other keys).
+    // Lines are `doc_id|lang|text`; the read-back split carries limit=3,
+    // so a '|' INSIDE the text cannot shear the payload (only the two
+    // leading fields must be separator-free: a numeric id and a lang
+    // code). The audit folds an md5 prefix of every text into the sum, so
+    // the gate covers payload bytes end-to-end, not just counts.
+    "src_text_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("graft_text")
+      Tables.documents(s, d)
+        .select(concat_ws("|", col("doc_id"), col("lang"), col("text")).as("value"))
+        .write.mode(SaveMode.Overwrite).text(dir)
+      s.read.text(dir)
+        .select(split(col("value"), "\\|", 3).as("p"))
+        .select(col("p").getItem(0).cast("long").as("doc_id"),
+                col("p").getItem(1).as("lang"),
+                col("p").getItem(2).as("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct("doc_id").as("n_ids"),
+             sum(length(col("text"))).as("total_chars"),
+             sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+               .as("content_sum"))
+        .orderBy("lang")
     }),
 
     // Partitioned parquet sink + read-back aggregation. The read-back
@@ -331,6 +412,37 @@ object ScanOps {
              event_type
       FROM events
       ORDER BY event_id""",
+
+    // gen-1 rows (even keys) read back with a NULL priority — the CASE
+    // reconstructs exactly what mergeSchema produces.
+    "src_schema_evolution" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                  ELSE o_orderpriority END AS gen,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY 1
+      ORDER BY gen""",
+
+    // Compaction is plumbing — the audit over the original orders; a
+    // mismatch means the rewrite lost or duplicated rows.
+    "sink_compaction" -> """
+      SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders""",
+
+    // Roundtrip is plumbing — the audit over the documents table itself;
+    // the md5-prefix fold is the same ascii trick as llm_fingerprint's.
+    "src_text_roundtrip" -> """
+      SELECT lang, count(*) AS n_docs, count(DISTINCT doc_id) AS n_ids,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
+             CAST(sum(list_reduce(list_transform(range(1, 9), j ->
+               CAST(CASE WHEN ascii(substr(md5(text), j, 1)) >= 97
+                         THEN ascii(substr(md5(text), j, 1)) - 87
+                         ELSE ascii(substr(md5(text), j, 1)) - 48 END AS BIGINT)),
+               (a, b) -> a * 16 + b)) AS BIGINT) AS content_sum
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
 
     "src_csv_roundtrip" -> """
       SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",

@@ -617,6 +617,47 @@ object TextOps {
     "llm_gopher_quality" -> ((s, d) =>
       gopherOf(Tables.documents(s, d), 30, 100000).orderBy("doc_id")),
 
+    // End-to-end corpus build pipeline — the capstone composition of the
+    // shared cores: Gopher-rule quality gate → exact dedup (min-doc_id
+    // keeper per text digest) → deterministic md5 split → per-(split,
+    // lang) doc/token audit. Each stage is the SAME core its standalone
+    // key gates (gopherOf / one hash-agg on md5(text) / splitAssignOf),
+    // so the composite inherits their scale shapes: row-local gates at the
+    // scan, one digest shuffle, then a tiny audit agg — the whole corpus
+    // build is two shuffles end to end.
+    "llm_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val passing = docs.join(
+        gopherOf(docs, 30, 100000).filter(col("pass")).select("doc_id"), "doc_id")
+      val keepers = passing
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      splitAssignOf(passing.join(keepers, "doc_id"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+             sum("n_chars").as("n_chars"))
+        .orderBy("split", "lang")
+    }),
+
+    // Deterministic uniform per-group sample: the k=5 docs with the
+    // smallest md5(doc_id) per language. The hash is a fixed random
+    // permutation of ids, so "smallest k by hash" IS a uniform sample —
+    // but reproducible across runs/engines/cluster sizes, stable under
+    // re-partitioning, and (unlike df.sample) exactly-k per group. One
+    // shuffle on the group key; at billions of rows per group, pre-filter
+    // by a hash-prefix band first so the window sees a bounded slice.
+    "llm_group_sample" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    }),
+
     // Independent trainer audit — see bpeMergeAudit's doc. Runs the first
     // 4 merge rounds from the raw corpus (driver-scalar winner per round,
     // the trainer's own discipline), so the key measures real training
@@ -1064,6 +1105,50 @@ object TextOps {
       ORDER BY doc_id""",
 
     "llm_bpe_merge_audit" -> bpeAuditOracleSql,
+
+    "llm_group_sample" -> """
+      SELECT doc_id, lang, n_chars, rk FROM (
+        SELECT doc_id, lang, n_chars,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS rk
+        FROM documents)
+      WHERE rk <= 5
+      ORDER BY lang, rk""",
+
+    // The same three stages as chained CTEs — quality predicate literals
+    // mirror gopherOf(30, 100000), the keeper rule mirrors llm_exact_dedup,
+    // the bucket fold mirrors splitAssignOf.
+    "llm_corpus_pipeline" -> """
+      WITH t AS (
+        SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, lang, n_chars, text, CAST(len(toks) AS BIGINT) AS wc
+        FROM t
+        WHERE (len(toks) BETWEEN 30 AND 100000)
+          AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) >= 0.2
+          AND (round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 4)
+                 BETWEEN 3.0 AND 10.0)),
+      k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+      s AS (
+        SELECT g.lang, g.n_chars, g.text,
+               ((CASE WHEN ascii(substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1)) >= 97
+                      THEN ascii(substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1)) - 87
+                      ELSE ascii(substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1)) - 48 END) * 16
+              + (CASE WHEN ascii(substr(md5(CAST(g.doc_id AS VARCHAR)), 2, 1)) >= 97
+                      THEN ascii(substr(md5(CAST(g.doc_id AS VARCHAR)), 2, 1)) - 87
+                      ELSE ascii(substr(md5(CAST(g.doc_id AS VARCHAR)), 2, 1)) - 48 END))
+                 AS bucket
+        FROM g JOIN k USING (doc_id))
+      SELECT CASE WHEN bucket < 204 THEN 'train'
+                  WHEN bucket < 230 THEN 'valid'
+                  ELSE 'test' END AS split,
+             lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM s
+      GROUP BY 1, 2
+      ORDER BY split, lang""",
 
     "llm_chunk_overlap" -> s"""
       WITH d AS (

@@ -762,6 +762,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(mass - n) / n < 1e-9, s"mass $mass drifted from N=$n")
   }
 
+  test("graph_components: every edge's endpoints share a component; labels are roots") {
+    import org.apache.spark.sql.functions._
+    val labels = SparkEntry.queries("graph_components")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels.nonEmpty)
+    // labels are component minima: every label is itself a node labeling itself
+    labels.values.toSet.foreach { (c: String) => assert(labels(c) === c, s"label $c not a root") }
+    // endpoint agreement on the same thresholded edge set the key uses
+    val li = graft.Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey")
+    val o = graft.Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 3).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { e =>
+      val (c, s2) = (s"c${e.getLong(0)}", s"s${e.getLong(1)}")
+      assert(labels(c) === labels(s2), s"edge ($c,$s2) split across components")
+    }
+  }
+
   test("llm_chunk_overlap: every chunk is the exact substring at its declared offset") {
     import org.apache.spark.sql.functions.col
     val texts = graft.Tables.documents(spark, d)
@@ -812,6 +832,36 @@ class OperatorSpec extends AnyFunSuite {
       .take(graft.ops.TextOps.BpeAuditRounds)
     assert(audit.toSeq === stored.toSeq,
       "independent re-derivation disagrees with the persisted merge table prefix")
+  }
+
+  test("sink_compaction: 64 fragments become 4 files with identical content") {
+    import org.apache.spark.sql.functions._
+    val compactDir = graft.ops.ScanOps.compactedOrders(spark, d)
+    val smallDir = compactDir.stripSuffix("/compact") + "/small"
+    def parts(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts(smallDir) === 64, "fragmented layout must have 64 shards")
+    assert(parts(compactDir) === 4, "compacted layout must have 4 files")
+    val a = spark.read.parquet(compactDir)
+    val o = graft.Tables.orders(spark, d)
+    assert(a.count() === o.count())
+    assert(a.agg(round(sum("o_totalprice"), 2)).head() ===
+           o.agg(round(sum("o_totalprice"), 2)).head())
+  }
+
+  test("llm_group_sample: exactly 5 per lang, stable under re-partitioning") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("llm_group_sample")(spark, d).collect()
+    val perLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ === 5), s"per-lang counts: $perLang")
+    // same sample regardless of physical layout
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    val reparted = graft.Tables.documents(spark, d).repartition(13)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .orderBy("lang", "rk").collect()
+    assert(out.toSeq === reparted.toSeq, "sample must not depend on layout")
   }
 
   test("opt_zorder: the Morton layout prunes row groups the query box misses") {
