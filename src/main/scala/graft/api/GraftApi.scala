@@ -804,6 +804,18 @@ object Graph {
                srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     graft.ops.GraphOps.pageRankOf(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters)
+
+  /** Connected components of an undirected pair list → (node, component),
+    * component = the component's minimum node id. The llm_neardup_clusters
+    * / graph_components core: min-label propagation + pointer jumping run
+    * to fixpoint — O(log n) rounds of joins, no driver-side union-find.
+    * Pass each undirected edge once (either direction); both directions
+    * are derived internally. */
+  def components(edges: DataFrame,
+                 srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.LlmOps.resolveClusters(
+        edges.select(col(srcCol).as("doc_a"), col(dstCol).as("doc_b")))
+      .select(col("node"), col("lbl").as("component"))
 }
 
 /** Data-layout levers for write-side clustering. */

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the star schema's implicit graphs. The dedup
@@ -53,20 +54,34 @@ object GraphOps {
     * (node, rank). Every node appears on both sides here (symmetric
     * edges), so the contribution aggregation covers all nodes — a graph
     * with sources/sinks would need the left-join-from-nodes guard. */
+  /** Rank frames at or under this node count are broadcast into the
+    * per-iteration join (a 5M-node rank frame is ~100 MB — at the edge of
+    * sane broadcast); bigger graphs fall back to the shuffle join on the
+    * cached src-partitioned edge frame, which scales to any node count. */
+  private[graft] val BroadcastNodeCap = 5000000L
+
   private[graft] def pageRankOf(edges0: DataFrame, iters: Int): DataFrame = {
-    val s = edges0.sparkSession
-    // one hash partitioning on src, reused by every iteration's join; the
-    // out-degree frame rides the same layout
-    val edges = edges0.repartition(col("src")).cache()
-    graft.GraftCaches.track(edges)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(deg, "src").cache()
+    // out-degree via a whole-partition window — ONE shuffle on src builds
+    // the (src, dst, outdeg) frame directly (the previous groupBy+join
+    // formulation materialized the edge frame twice); the window's
+    // exchange leaves it hash-partitioned on src, which every fallback-
+    // path iteration join then reuses
+    val withDeg = edges0
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
+      .cache()
     graft.GraftCaches.track(withDeg)
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1.0))
+    // nodes-sized, not edges-sized: for any graph below the cap the rank
+    // frame broadcasts and an iteration costs one map-side join plus one
+    // partially-aggregated shuffle of contributions — the edge frame
+    // never re-shuffles. Past the cap the join degrades gracefully to
+    // shuffle-on-src (ranks are small relative to edges by definition).
+    val broadcastRanks = ranks.count() <= BroadcastNodeCap
     for (_ <- 1 to iters) {
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
       val contrib = withDeg
-        .join(ranks, col("src") === col("node"))
+        .join(r, col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
       // literal 0.15, not (1.0 - 0.85): the subtraction is 1 ulp off the

@@ -517,6 +517,20 @@ class ApiSpec extends AnyFunSuite {
     assert(apiSet.nonEmpty)
   }
 
+  test("Graph.components equals graph_components") {
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+              concat(lit("s"), col("l_suppkey")).as("b"))
+    val apiSet = rowSet(api.Graph.components(edges, srcCol = "a", dstCol = "b"))
+    val key = rowSet(SparkEntry.queries("graph_components")(spark, d))
+    assert(apiSet === key)
+    assert(apiSet.nonEmpty)
+  }
+
   test("Layout.zorderBy preserves content and clusters both dims") {
     val orders = Tables.orders(spark, d)
       .withColumn("o_odate", col("o_orderdate").cast("date"))
