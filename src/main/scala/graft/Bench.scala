@@ -57,13 +57,16 @@ object Bench {
   /** Keys whose raw repeats ride in the SHORT last line so a
     * tail-truncated capture alone can adjudicate environment vs
     * regression (~45 B per key; 13 keys keep the line comfortably under
-    * the ~2 KB capture window). Union of the r4-r6 watch keys. */
+    * the ~2 KB capture window). Union of the r4-r6 watch keys, plus the
+    * r10 iterative-graph pair (the two most expensive new keys — their
+    * raws let a tail-only capture tell load spikes from regressions in
+    * the rounds that follow). */
   private val Watchlist = Seq(
     "limit_topn", "join_semi", "join_theta_range", "join_shuffle_hash",
     "join_skew_salted", "join_sortmerge", "llm_multimodal_join",
     "stream_stream_outer", "sort_multi",
     "stream_static_join", "stream_stateful_tws", "src_csv_roundtrip",
-    "opt_cosine_rewrite")
+    "opt_cosine_rewrite", "graph_pagerank", "graph_components")
 
   private def fmt(x: Double): String = f"$x%.3f"
 

@@ -349,6 +349,94 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Theta-sketch set operations (Datasketches): the cardinality algebra
+    // HLL cannot do — |A ∪ B|, |A ∩ B|, |A \ B| from mergeable per-set
+    // sketches. The production shape: persist per-day/per-segment theta
+    // bytes, answer "users who signed up but never errored" at query time
+    // with no raw re-scan. Per-HALF sketches are theta_union_agg-merged
+    // first (the mergeable path is the point), then combined. EXACTNESS
+    // PRECONDITION (pinned in OperatorSpec): a theta sketch is exact below
+    // its nominal capacity (lgK=12 ⇒ 4096) and the corpus has ≤1500
+    // distinct users at every SF, so the estimates are exact integers and
+    // the gate hash-matches DuckDB's exact distinct counts; beyond
+    // capacity the same plan degrades to ±1.6 % estimates.
+    "agg_theta_setops" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("graft_theta_events")
+      s.sql("""
+        WITH halves AS (
+          SELECT event_type, pmod(event_id, 2) AS half,
+                 theta_sketch_agg(user_id, 12) AS sk
+          FROM graft_theta_events
+          WHERE event_type IN ('signup', 'error')
+          GROUP BY event_type, pmod(event_id, 2)),
+        merged AS (
+          SELECT event_type, theta_union_agg(sk, 12) AS sk
+          FROM halves GROUP BY event_type),
+        s AS (SELECT sk FROM merged WHERE event_type = 'signup'),
+        e AS (SELECT sk FROM merged WHERE event_type = 'error')
+        SELECT
+          CAST(theta_sketch_estimate((SELECT sk FROM s)) AS BIGINT) AS n_signup,
+          CAST(theta_sketch_estimate((SELECT sk FROM e)) AS BIGINT) AS n_error,
+          CAST(theta_sketch_estimate(theta_union((SELECT sk FROM s), (SELECT sk FROM e), 12)) AS BIGINT) AS n_union,
+          CAST(theta_sketch_estimate(theta_intersection((SELECT sk FROM s), (SELECT sk FROM e))) AS BIGINT) AS n_intersect,
+          CAST(theta_sketch_estimate(theta_difference((SELECT sk FROM s), (SELECT sk FROM e))) AS BIGINT) AS n_signup_only
+      """)
+    }),
+
+    // Datasketches frequent-items via approx_top_k, run at FULL capacity:
+    // maxItemsTracked (100k) far exceeds the gram vocabulary, so the
+    // sketch never evicts and the counts are exact — the same
+    // exact-below-capacity gate pattern as agg_theta_setops; production
+    // sizing (items ≫ capacity) degrades to guaranteed-error estimates.
+    // Re-sorted by item so ties in count cannot reorder the output.
+    "agg_approx_topk" -> ((s, d) => {
+      val grams = Tables.documentsWide(s, d)
+        .filter(length(col("text")) >= 4)
+        .select(lower(col("text")).as("t"))
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("g"))
+      grams.agg(expr("approx_top_k(g, 1000, 100000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("g"), col("e.count").as("cnt"))
+        .orderBy("g")
+    }),
+
+    // Mergeable KLL quantile sketches per group, merged across halves.
+    // EXACTNESS PRECONDITION (pinned in OperatorSpec): with k=65535 a KLL
+    // sketch stays in exact mode until it holds more items than capacity;
+    // every (returnflag) group is under that at the oracle SFs, so the
+    // quantiles are exact discrete quantiles (bit-identical to DuckDB's
+    // quantile_disc — verified) AND deterministic. Past capacity the same
+    // plan answers with rank-error bounds but randomized compaction —
+    // which is why the contract pins the exact regime and documents the
+    // approximate one instead of hash-gating it.
+    "agg_kll_quantiles" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_kll_lineitem")
+      s.sql("""
+        WITH halves AS (
+          SELECT l_returnflag, pmod(l_orderkey, 2) AS half,
+                 kll_sketch_agg_double(l_extendedprice, 65535) AS sk,
+                 count(*) AS n
+          FROM graft_kll_lineitem
+          GROUP BY l_returnflag, pmod(l_orderkey, 2)),
+        merged AS (
+          -- kll_sketch_merge_double is a two-sketch scalar (not an agg):
+          -- pair the two halves per group; exactly one non-null per arm
+          SELECT l_returnflag,
+                 kll_sketch_merge_double(
+                   first(CASE WHEN half = 0 THEN sk END, true),
+                   first(CASE WHEN half = 1 THEN sk END, true)) AS sk,
+                 CAST(sum(n) AS BIGINT) AS n
+          FROM halves GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round(kll_sketch_get_quantile_double(sk, 0.01), 2) AS q01,
+               round(kll_sketch_get_quantile_double(sk, 0.5), 2) AS median,
+               round(kll_sketch_get_quantile_double(sk, 0.9), 2) AS q90,
+               round(kll_sketch_get_quantile_double(sk, 0.99), 2) AS q99
+        FROM merged ORDER BY l_returnflag
+      """)
+    }),
+
     // Heavy hitters with an EXACT hash-gated answer from a sketch-first
     // plan: pass 1 = Misra–Gries (k=256) + total count in ONE aggregation
     // over the char-4-gram stream (map-side partials of ≤k counters, the
@@ -495,6 +583,35 @@ object AggOps {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    // Exact distinct-count algebra the theta estimates must reproduce
+    // (exact-below-capacity precondition; see the key).
+    "agg_theta_setops" -> """
+      WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+      e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      SELECT (SELECT count(*) FROM s) AS n_signup,
+             (SELECT count(*) FROM e) AS n_error,
+             (SELECT count(*) FROM (SELECT user_id FROM s UNION SELECT user_id FROM e)) AS n_union,
+             (SELECT count(*) FROM s WHERE user_id IN (SELECT user_id FROM e)) AS n_intersect,
+             (SELECT count(*) FROM s WHERE user_id NOT IN (SELECT user_id FROM e)) AS n_signup_only""",
+
+    // Full-capacity approx_top_k is the exact frequency table.
+    "agg_approx_topk" -> """
+      WITH d AS (SELECT lower(text) AS t FROM documents WHERE length(text) >= 4),
+      w AS (SELECT unnest(list_transform(range(1, len(t) - 2), i -> substr(t, i, 4))) AS g
+            FROM d)
+      SELECT g, count(*) AS cnt FROM w GROUP BY g ORDER BY g""",
+
+    // Exact-mode KLL ≡ discrete quantiles (verified bit-identical).
+    "agg_kll_quantiles" -> """
+      SELECT l_returnflag, count(*) AS n,
+             round(quantile_disc(l_extendedprice, 0.01), 2) AS q01,
+             round(quantile_disc(l_extendedprice, 0.5), 2) AS median,
+             round(quantile_disc(l_extendedprice, 0.9), 2) AS q90,
+             round(quantile_disc(l_extendedprice, 0.99), 2) AS q99
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     // Exact definition the sketch-first plan must reproduce: every 4-gram
     // with count*k > n. DuckDB just does the full groupBy (fine at oracle

@@ -158,6 +158,24 @@ object ScanOps {
         .orderBy("r_regionkey")
     }),
 
+    // JSON-lines FILE sink + source roundtrip (src_jsonlines parses a JSON
+    // string column; this is the json datasource itself): nation written
+    // as .json lines, read back with an EXPLICIT schema — inference would
+    // sample-scan the corpus (at 100 TB always pin the schema; same rule
+    // as the XML key) — and join-verified against the parquet original so
+    // the gate covers the full write+read path.
+    "src_json_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("graft_json")
+      val n = Tables.nation(s, d)
+      n.write.mode(SaveMode.Overwrite).json(dir)
+      val back = s.read.schema(n.schema).json(dir)
+      back.join(n.select(col("n_nationkey"), col("n_name").as("orig_name")),
+                "n_nationkey")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+                (col("n_name") === col("orig_name")).as("name_ok"))
+        .orderBy("n_nationkey")
+    }),
+
     // Schema evolution read: generation 1 (even keys) lacks
     // o_orderpriority, generation 2 (odd keys) carries it; mergeSchema
     // unions the footers into one frame where the missing column is NULL
@@ -412,6 +430,13 @@ object ScanOps {
              event_type
       FROM events
       ORDER BY event_id""",
+
+    // Roundtrip is plumbing — the table itself, name_ok true by
+    // construction.
+    "src_json_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey, true AS name_ok
+      FROM nation
+      ORDER BY n_nationkey""",
 
     // gen-1 rows (even keys) read back with a NULL priority — the CASE
     // reconstructs exactly what mergeSchema produces.

@@ -834,6 +834,53 @@ class OperatorSpec extends AnyFunSuite {
       "independent re-derivation disagrees with the persisted merge table prefix")
   }
 
+  test("sketch exactness preconditions hold at both oracle SFs (loud canary)") {
+    import org.apache.spark.sql.functions._
+    // The three r10 Datasketches keys are hash-gated BECAUSE the corpus
+    // sits inside each sketch's exact regime. If testdata ever outgrows
+    // one, this fails with a pointer instead of a mystery hash mismatch.
+    Seq(d, "/root/testdata/sf0.01").foreach { dir =>
+      val users = Tables.events(spark, dir).select("user_id").distinct().count()
+      assert(users <= 4096, s"$dir: $users users exceed theta lgK=12 capacity " +
+        "- agg_theta_setops estimates go approximate (see its doc)")
+      val maxGroup = Tables.lineitem(spark, dir).groupBy("l_returnflag")
+        .count().agg(max("count")).head().getLong(0)
+      assert(maxGroup <= 65535, s"$dir: returnflag group of $maxGroup rows " +
+        "exceeds KLL k=65535 exact mode - agg_kll_quantiles goes approximate")
+      val grams = Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 4).select(lower(col("text")).as("t"))
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("g"))
+        .distinct().count()
+      assert(grams <= 1000, s"$dir: $grams distinct grams exceed approx_top_k " +
+        "k=1000 - agg_approx_topk output becomes a true (lossy) top-k")
+    }
+  }
+
+  test("approx_top_k accumulate+combine equals the one-shot aggregation") {
+    import org.apache.spark.sql.functions._
+    // the persist-sketch-bytes path (per-half accumulate, combine at
+    // query time) must agree with the direct aggregation — the same
+    // mergeable-sketch pattern agg_sketch_union pins for HLL
+    Tables.documents(spark, d)
+      .filter(length(col("text")) >= 4).select(lower(col("text")).as("t"), col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("g"))
+      .createOrReplaceTempView("graft_topk_grams")
+    val combined = spark.sql("""
+      WITH halves AS (
+        SELECT pmod(doc_id, 2) AS half, approx_top_k_accumulate(g, 100000) AS st
+        FROM graft_topk_grams GROUP BY pmod(doc_id, 2)),
+      c AS (SELECT approx_top_k_combine(st, 100000) AS st FROM halves)
+      SELECT explode(approx_top_k_estimate(st, 1000)) AS e FROM c""")
+      .select(col("e.item"), col("e.count")).orderBy("item").collect()
+    val oneShot = spark.sql("""
+      SELECT explode(approx_top_k(g, 1000, 100000)) AS e FROM graft_topk_grams""")
+      .select(col("e.item"), col("e.count")).orderBy("item").collect()
+    assert(combined.toSeq === oneShot.toSeq)
+    assert(combined.nonEmpty)
+  }
+
   test("sink_compaction: 64 fragments become 4 files with identical content") {
     import org.apache.spark.sql.functions._
     val compactDir = graft.ops.ScanOps.compactedOrders(spark, d)
