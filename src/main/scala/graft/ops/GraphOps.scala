@@ -33,6 +33,29 @@ object GraphOps {
   private[graft] val Damping = 0.85
   private[graft] val Iterations = 3
 
+  /** graph_bfs hop cap — shared with the oracle's recursion bound. */
+  private[graft] val BfsRounds = 6
+
+  /** One row per undirected REPEAT-trade edge: (cust, supp) pairs with ≥3
+    * lineitems — the sparse thresholded subgraph graph_components and
+    * graph_bfs both run on. */
+  private[graft] def repeatTradePairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+      .select(concat(lit("c"), col("o_custkey")).as("doc_a"),
+              concat(lit("s"), col("l_suppkey")).as("doc_b"))
+  }
+
+  /** [[repeatTradePairs]] in symmetric (src, dst) form. */
+  private[graft] def repeatTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val p = repeatTradePairs(s, d)
+    p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  }
+
   /** Customer–supplier trade edges: distinct (o_custkey, l_suppkey) pairs
     * observed in lineitem ⋈ orders, node ids namespaced `c<id>` / `s<id>`,
     * both directions emitted so the bipartite graph is symmetric (every
@@ -106,6 +129,32 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    // Bounded BFS: hop distance from the graph's lexicographically
+    // smallest node over the sparse repeat-trade graph, capped at
+    // [[BfsRounds]] hops. Frontier expansion is one join + min-agg per
+    // round (the rank frame stays nodes-sized; same broadcast-under-cap
+    // economics as PageRank would apply — here the per-round frame is
+    // tiny), lineage-cut per round; a FIXED round count keeps the job a
+    // deterministic DAG and the oracle's recursion finite (the cap bounds
+    // (node, dist) recursion that a cyclic graph would otherwise grow
+    // forever). Nodes farther than the cap are absent from BOTH sides by
+    // the same clamp.
+    "graph_bfs" -> ((s, d) => {
+      val edges = repeatTradeEdges(s, d).cache()
+      graft.GraftCaches.track(edges)
+      val nodes = edges.select("src").distinct()
+      val seed = nodes.agg(min("src")).head().getString(0)
+      var dist = nodes.filter(col("src") === seed)
+        .select(col("src").as("node"), lit(0).as("dist"))
+      for (_ <- 1 to BfsRounds) {
+        val step = edges.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        dist = LlmOps.cutLineage(
+          dist.unionByName(step).groupBy("node").agg(min("dist").as("dist")))
+      }
+      dist.orderBy("node")
+    }),
+
     // Connected components over the REPEAT-trade graph (pairs with ≥3
     // lineitems — the sparse thresholded subgraph, so components are
     // non-trivial at sparse SFs and propagation depth is exercised at
@@ -114,14 +163,7 @@ object GraphOps {
     // driver-side union-find); labels are lexicographic-min node ids in
     // BOTH engines, so the gate is exact.
     "graph_components" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey"), col("l_suppkey"))
-        .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
-        .select(concat(lit("c"), col("o_custkey")).as("doc_a"),
-                concat(lit("s"), col("l_suppkey")).as("doc_b"))
-      LlmOps.resolveClusters(pairs)
+      LlmOps.resolveClusters(repeatTradePairs(s, d))
         .select(col("node"), col("lbl").as("component"))
         .orderBy("node")
     })
@@ -151,6 +193,24 @@ object GraphOps {
              FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
       SELECT node, round(rank, 4) AS rank
       FROM r3 WHERE node LIKE 's%' ORDER BY node""",
+
+    // Recursive frontier expansion, capped at the same hop bound as the
+    // Spark rounds — the cap is what keeps (node, dist) recursion finite
+    // on a cyclic graph.
+    "graph_bfs" -> s"""
+      WITH RECURSIVE p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s AS src, c AS dst FROM p),
+      seed AS (SELECT min(src) AS node FROM e),
+      reach(node, dist) AS (
+        SELECT node, 0 FROM seed
+        UNION
+        SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+        WHERE r.dist < $BfsRounds)
+      SELECT node, CAST(min(dist) AS INTEGER) AS dist
+      FROM reach GROUP BY node ORDER BY node""",
 
     // Transitive closure by recursive CTE (UNION-deduped label spread to
     // fixpoint), component = min reachable label — the same

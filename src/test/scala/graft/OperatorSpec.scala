@@ -782,6 +782,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_bfs: seed at 0; adjacent reachable nodes differ by at most one hop") {
+    import org.apache.spark.sql.functions._
+    val dist = SparkEntry.queries("graph_bfs")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dist.nonEmpty)
+    assert(dist(dist.keys.min) === 0, "lexicographic-min seed must be at distance 0")
+    assert(dist.values.forall(v => v >= 0 && v <= graft.ops.GraphOps.BfsRounds))
+    val edges = graft.ops.GraphOps.repeatTradeEdges(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    edges.foreach { case (u, v) =>
+      (dist.get(u), dist.get(v)) match {
+        case (Some(du), Some(dv)) =>
+          assert(math.abs(du - dv) <= 1, s"edge ($u,$v) dists $du/$dv not adjacent")
+        case (Some(du), None) =>
+          // a reachable node's neighbor can only be missing at the cap
+          assert(du === graft.ops.GraphOps.BfsRounds,
+            s"$v unreachable though neighbor $u is at $du < cap")
+        case _ => ()
+      }
+    }
+  }
+
   test("llm_chunk_overlap: every chunk is the exact substring at its declared offset") {
     import org.apache.spark.sql.functions.col
     val texts = graft.Tables.documents(spark, d)
