@@ -743,6 +743,35 @@ class OperatorSpec extends AnyFunSuite {
       s"heavy key hot$h evicted — MG guarantee broken"))
   }
 
+  test("MisraGries: merged-summary undercount stays within n/(k+1) for every key") {
+    // the quantitative mergeable-summaries bound (Agarwal et al.) the
+    // coverage test relies on — checked directly on the raw counters.
+    // Zipf-ish synthetic stream, merged across an adversarial partition mix.
+    val rnd = new scala.util.Random(42)
+    val stream = (1 to 20000).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 30) s"k${rnd.nextInt(5)}"        // 5 hot keys share 30%
+      else s"cold${rnd.nextInt(5000)}"
+    }
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val k = graft.ops.AggOps.MisraGries.K
+    // simulate partitioned aggregation: uneven slices, pairwise merges
+    val slices = Seq(0 -> 137, 137 -> 5000, 5000 -> 5003, 5003 -> 20000)
+    val summaries = slices.map { case (a, b) =>
+      stream.slice(a, b).foldLeft(graft.ops.AggOps.MisraGries.zero)(
+        graft.ops.AggOps.MisraGries.reduce)
+    }
+    val merged = summaries.reduce(graft.ops.AggOps.MisraGries.merge)
+    val mg = merged.keys.zip(merged.counts).toMap
+    val bound = n / (k + 1) + 1
+    exact.foreach { case (key, cnt) =>
+      val est = mg.getOrElse(key, 0L)
+      assert(est <= cnt, s"$key overcounted: $est > $cnt")
+      assert(cnt - est <= bound, s"$key undercount ${cnt - est} exceeds n/(k+1)=$bound")
+    }
+  }
+
   test("graph_pagerank: hand-computed star graph and corpus mass conservation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
