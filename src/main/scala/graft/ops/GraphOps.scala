@@ -142,15 +142,22 @@ object GraphOps {
     "graph_bfs" -> ((s, d) => {
       val edges = repeatTradeEdges(s, d).cache()
       graft.GraftCaches.track(edges)
-      val nodes = edges.select("src").distinct()
-      val seed = nodes.agg(min("src")).head().getString(0)
-      var dist = nodes.filter(col("src") === seed)
+      val seed = edges.agg(min("src")).head().getString(0)
+      var dist = edges.select("src").distinct().filter(col("src") === seed)
         .select(col("src").as("node"), lit(0).as("dist"))
+      // classic frontier expansion: only nodes settled THIS round join the
+      // edge frame next round — per-round work is O(frontier), not
+      // O(all reached so far); the anti-join against the settled set keeps
+      // each node's FIRST (= minimal, BFS invariant) distance
+      var frontier = dist
       for (_ <- 1 to BfsRounds) {
-        val step = edges.join(dist, col("src") === col("node"))
+        val candidates = edges.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-        dist = LlmOps.cutLineage(
-          dist.unionByName(step).groupBy("node").agg(min("dist").as("dist")))
+          .groupBy("node").agg(min("dist").as("dist"))
+        frontier = LlmOps.cutLineage(
+          candidates.join(dist.select(col("node").as("seen")),
+                          col("node") === col("seen"), "left_anti"))
+        dist = LlmOps.cutLineage(dist.unionByName(frontier))
       }
       dist.orderBy("node")
     }),
