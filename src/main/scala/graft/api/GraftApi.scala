@@ -446,7 +446,8 @@ object Text {
     * chars (overlap = len - stride), each with 1-based offset, length,
     * text and an md5-prefix fingerprint; the last chunk always ends at the
     * text's end. Stateless per-row arithmetic, zero shuffle. */
-  def chunk(docs: DataFrame, len: Int = 120, stride: Int = 80,
+  def chunk(docs: DataFrame, len: Int = TextOps.ChunkLen,
+            stride: Int = TextOps.ChunkStride,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(len > 0 && stride > 0 && stride <= len,
       s"need 0 < stride <= len, got len=$len stride=$stride")
@@ -786,7 +787,9 @@ object Stats {
     * output (valueCol, cnt, n_total) is deterministic and provably
     * complete (mergeable-summaries bound; see AggOps.MisraGries). The
     * shuffle carries ≤k rows per partition, never the full distinct-key
-    * set — the "top tokens/URLs over billions of distinct keys" shape. */
+    * set — the "top tokens/URLs over billions of distinct keys" shape.
+    * `valueCol` must be a string column; null values carry no frequency
+    * and are ignored by both passes. */
   def heavyHitters(df: DataFrame, valueCol: String): DataFrame =
     graft.ops.AggOps.heavyHittersOf(df, valueCol)
 }
@@ -799,7 +802,9 @@ object Graph {
     * exchange); ranks are lineage-cut per round, with the reliable-
     * checkpoint conf (`spark.graft.checkpoint.reliable`) honored for real
     * clusters. Every node must have out-degree ≥ 1 (emit both directions
-    * for an undirected graph); dangling nodes would leak rank mass. */
+    * for an undirected graph) — dangling nodes would leak rank mass;
+    * in-degree-0 sources are fine: each round re-anchors on the node
+    * universe, so they keep their (1-d) base rank and keep contributing. */
   def pageRank(edges: DataFrame, iters: Int = 3,
                srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     graft.ops.GraphOps.pageRankOf(

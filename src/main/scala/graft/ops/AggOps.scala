@@ -43,6 +43,8 @@ object AggOps {
     val K = 256
     override def zero: MgState = MgState(Array.empty, Array.empty)
     override def reduce(b: MgState, x: String): MgState = {
+      if (x == null) return b // nulls carry no frequency; also guards the
+                              // compareTo probes below against NPE
       val i = java.util.Arrays.binarySearch(b.keys.asInstanceOf[Array[AnyRef]], x)
       if (i >= 0) { b.counts(i) += 1; b }
       else if (b.keys.length < K) {
@@ -116,9 +118,12 @@ object AggOps {
     * an InSet — no join, no full-cardinality shuffle), filtered to
     * `cnt·k > n`. Output: (valueCol, cnt, n_total), exactly the items with
     * frequency > n/k (see MisraGries for the guarantee). */
-  private[graft] def heavyHittersOf(items: DataFrame, valueCol: String): DataFrame = {
+  private[graft] def heavyHittersOf(items0: DataFrame, valueCol: String): DataFrame = {
     val mg = udaf(MisraGries)
     val v = col(valueCol)
+    // nulls are not countable items: drop them from BOTH passes so n_total
+    // and the threshold agree (reduce also skips them defensively)
+    val items = items0.filter(v.isNotNull)
     val first = items.agg(mg(v).as("mg"), count(lit(1)).as("n_total")).head()
     val cands = first.getStruct(0).getSeq[String](0)
     val nTotal = first.getLong(1)

@@ -36,40 +36,41 @@ object GraphOps {
   /** graph_bfs hop cap — shared with the oracle's recursion bound. */
   private[graft] val BfsRounds = 6
 
-  /** One row per undirected REPEAT-trade edge: (cust, supp) pairs with ≥3
-    * lineitems — the sparse thresholded subgraph graph_components and
-    * graph_bfs both run on. */
-  private[graft] def repeatTradePairs(s: SparkSession, d: String): DataFrame = {
+  /** One row per undirected REPEAT-trade edge (threshold 3) — the sparse
+    * subgraph graph_components and graph_bfs both run on. */
+  private[graft] def repeatTradePairs(s: SparkSession, d: String): DataFrame =
+    custSuppPairs(s, d, 3L)
+
+  /** [[repeatTradePairs]] in symmetric (src, dst) form. */
+  private[graft] def repeatTradeEdges(s: SparkSession, d: String): DataFrame =
+    symmetric(repeatTradePairs(s, d))
+
+  /** One row per undirected customer–supplier pair with ≥ `minLineitems`
+    * supporting lineitems, node ids namespaced `c<id>` / `s<id>` — the ONE
+    * pair builder behind every graph key (threshold 1 = the dense trade
+    * graph, 3 = the sparse repeat-trade subgraph), so the graph
+    * definitions cannot drift apart. */
+  private def custSuppPairs(s: SparkSession, d: String,
+                            minLineitems: Long): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"), col("l_suppkey"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minLineitems)
       .select(concat(lit("c"), col("o_custkey")).as("doc_a"),
               concat(lit("s"), col("l_suppkey")).as("doc_b"))
   }
 
-  /** [[repeatTradePairs]] in symmetric (src, dst) form. */
-  private[graft] def repeatTradeEdges(s: SparkSession, d: String): DataFrame = {
-    val p = repeatTradePairs(s, d)
-    p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-  }
+  /** Undirected pairs in symmetric (src, dst) form. */
+  private def symmetric(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
 
-  /** Customer–supplier trade edges: distinct (o_custkey, l_suppkey) pairs
-    * observed in lineitem ⋈ orders, node ids namespaced `c<id>` / `s<id>`,
-    * both directions emitted so the bipartite graph is symmetric (every
-    * node has out-degree ≥ 1 ⇒ no dangling-mass redistribution term). */
-  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cust"),
-              concat(lit("s"), col("l_suppkey")).as("supp"))
-      .distinct()
-    pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-  }
+  /** Customer–supplier trade edges (threshold 1), both directions emitted
+    * so the bipartite graph is symmetric (every node has out-degree ≥ 1 ⇒
+    * no dangling-mass redistribution term). */
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame =
+    symmetric(custSuppPairs(s, d, 1L))
 
   /** Scaled PageRank (ranks sum to N, init 1.0):
     * rank'(v) = (1-d) + d * Σ_{u→v} rank(u) / outdeg(u), run for `iters`
@@ -93,14 +94,19 @@ object GraphOps {
       .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
       .cache()
     graft.GraftCaches.track(withDeg)
-    var ranks = withDeg.select(col("src").as("node")).distinct()
-      .withColumn("rank", lit(1.0))
+    // the node UNIVERSE (every src; out-degree ≥ 1 is the documented
+    // precondition, so this covers all nodes) — each round re-anchors on
+    // it so a node with NO in-edges keeps its (1-d) base rank and keeps
+    // contributing, instead of silently vanishing after round 1
+    val nodes = withDeg.select(col("src").as("node")).distinct().cache()
+    graft.GraftCaches.track(nodes)
+    var ranks = nodes.withColumn("rank", lit(1.0))
     // nodes-sized, not edges-sized: for any graph below the cap the rank
     // frame broadcasts and an iteration costs one map-side join plus one
     // partially-aggregated shuffle of contributions — the edge frame
     // never re-shuffles. Past the cap the join degrades gracefully to
     // shuffle-on-src (ranks are small relative to edges by definition).
-    val broadcastRanks = ranks.count() <= BroadcastNodeCap
+    val broadcastRanks = nodes.count() <= BroadcastNodeCap
     for (_ <- 1 to iters) {
       val r = if (broadcastRanks) broadcast(ranks) else ranks
       val contrib = withDeg
@@ -110,8 +116,10 @@ object GraphOps {
       // literal 0.15, not (1.0 - 0.85): the subtraction is 1 ulp off the
       // nearest double to 0.15, which is what the oracle's literal parses to
       ranks = LlmOps.cutLineage(
-        contrib.select(col("dst").as("node"),
-                       (lit(0.15) + lit(Damping) * col("contrib")).as("rank")))
+        nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+                  (lit(0.15) + lit(Damping) *
+                     coalesce(col("contrib"), lit(0.0))).as("rank")))
     }
     ranks
   }
@@ -143,8 +151,11 @@ object GraphOps {
       val edges = repeatTradeEdges(s, d).cache()
       graft.GraftCaches.track(edges)
       val seed = edges.agg(min("src")).head().getString(0)
-      var dist = edges.select("src").distinct().filter(col("src") === seed)
-        .select(col("src").as("node"), lit(0).as("dist"))
+      // the seed is already a driver scalar — a literal 1-row frame, not
+      // a distinct scan of the edge set
+      val sp = edges.sparkSession
+      import sp.implicits._
+      var dist = Seq((seed, 0)).toDF("node", "dist")
       // classic frontier expansion: only nodes settled THIS round join the
       // edge frame next round — per-round work is O(frontier), not
       // O(all reached so far); the anti-join against the settled set keeps

@@ -19,9 +19,19 @@ object ScanOps {
 
   private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Temp dir with a RECURSIVE shutdown delete — File.deleteOnExit on a
+    * dir that gains children is a silent no-op (delete fails on
+    * non-empty), which leaked one table copy per roundtrip-key invocation
+    * per JVM until the OS reaper ran. One definition for every sink/
+    * roundtrip key. */
   private def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    p.toFile.deleteOnExit()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      catch { case _: Throwable => () } // tmp reaper is the backstop
+    }))
     p.toString
   }
 
@@ -40,20 +50,6 @@ object ScanOps {
               keys, "left_anti")
       .unionByName(updates)
 
-  /** tmpDir that actually deletes at exit even when populated —
-    * deleteOnExit on a dir that gains children is a silent no-op, which
-    * for the staged orders Derby DB would leak a full table copy per JVM. */
-  private def tmpDirRecursive(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => { Files.deleteIfExists(f); () })
-      catch { case _: Throwable => () } // tmp reaper is the backstop
-    }))
-    p.toString
-  }
-
   private val compactFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** sink_compaction's layout pair, built ONCE per (JVM, sfDir): orders
@@ -63,7 +59,7 @@ object ScanOps {
     * recursively-reaped temp root. */
   private[graft] def compactedOrders(s: SparkSession, d: String): String =
     compactFor.computeIfAbsent(d, _ => {
-      val base = tmpDirRecursive("graft_compact")
+      val base = tmpDir("graft_compact")
       Tables.orders(s, d).repartition(64).write.parquet(s"$base/small")
       s.read.parquet(s"$base/small").repartition(4).write.parquet(s"$base/compact")
       s"$base/compact"
@@ -86,7 +82,7 @@ object ScanOps {
   private val binFilesFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def binFilesDir(s: SparkSession, d: String): String =
     binFilesFor.computeIfAbsent(d, _ => {
-      val dir = tmpDirRecursive("graft_binfiles")
+      val dir = tmpDir("graft_binfiles")
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 50).collect().foreach { r =>
           java.nio.file.Files.write(
@@ -105,7 +101,7 @@ object ScanOps {
   private val jdbcOrdersFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def jdbcOrdersUrl(s: SparkSession, d: String): String =
     jdbcOrdersFor.computeIfAbsent(d, _ => {
-      val db = tmpDirRecursive("graft_derby_src") + "/ordersdb"
+      val db = tmpDir("graft_derby_src") + "/ordersdb"
       val url = s"jdbc:derby:$db;create=true"
       Tables.orders(s, d).coalesce(1)
         .write.mode(SaveMode.Overwrite).jdbc(url, "orders_src", derbyProps)

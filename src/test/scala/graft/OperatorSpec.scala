@@ -885,6 +885,41 @@ class OperatorSpec extends AnyFunSuite {
       "independent re-derivation disagrees with the persisted merge table prefix")
   }
 
+  test("src_text_roundtrip precondition: corpus is newline-free with non-null fields (loud canary)") {
+    import org.apache.spark.sql.functions._
+    // a \n or \r inside `text` would shear a written line into two
+    // records on read-back, and a null field would shift concat_ws's
+    // output — same canary pattern as the BMP pin: if testdata ever gains
+    // either, this fails with a pointer instead of an opaque hash mismatch
+    Seq(d, "/root/testdata/sf0.01").foreach { dir =>
+      val bad = Tables.documents(spark, dir).filter(
+        col("text").isNull || col("lang").isNull || col("doc_id").isNull ||
+        col("text").contains("\n") || col("text").contains("\r")).count()
+      assert(bad === 0, s"$dir: $bad docs break the text-sink line invariant " +
+        "- src_text_roundtrip's gate assumes newline-free, non-null fields")
+    }
+  }
+
+  test("pageRankOf: an in-degree-0 source keeps its base rank and its contribution") {
+    import spark.implicits._
+    // c -> a only (c has out-degree 1, in-degree 0); a <-> b symmetric.
+    // c must stay in the output at the base rank 0.15 + 0.85*0 each round,
+    // and its contribution must keep flowing into a.
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val r = graft.ops.GraphOps.pageRankOf(edges, 3).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set("a", "b", "c"), s"node set ${r.keySet}")
+    assert(math.abs(r("c") - 0.15) < 1e-12, s"source rank ${r("c")}")
+    // hand-rolled 3 rounds: a gets b's rank + c's 0.15 every round
+    var (ra, rb, rc) = (1.0, 1.0, 1.0)
+    for (_ <- 1 to 3) {
+      val (na, nb) = (0.15 + 0.85 * (rb + rc), 0.15 + 0.85 * ra)
+      ra = na; rb = nb; rc = 0.15
+    }
+    assert(math.abs(r("a") - ra) < 1e-9, s"a ${r("a")} vs $ra")
+    assert(math.abs(r("b") - rb) < 1e-9, s"b ${r("b")} vs $rb")
+  }
+
   test("sketch exactness preconditions hold at both oracle SFs (loud canary)") {
     import org.apache.spark.sql.functions._
     // The three r10 Datasketches keys are hash-gated BECAUSE the corpus
