@@ -415,11 +415,14 @@ object TextOps {
     // each doc classified by overlap of its top-30 trigrams; output is the
     // confusion matrix against the labeled lang.
     "llm_langid" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
         .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-      val grams = docs.select(col("doc_id"), col("lang"),
+      // two consumers (doc-top grams + per-lang profiles) — cache the
+      // exploded trigram frame once (see llm_perplexity_proxy's note)
+      val grams = graft.GraftCaches.track(docs.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
+        .cache())
       val wDoc = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g").asc)
       val docTop = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(wDoc)).filter(col("rk") <= 30)
@@ -543,9 +546,13 @@ object TextOps {
     "llm_perplexity_proxy" -> ((s, d) => {
       val docs = Tables.documentsWide(s, d)
         .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-      val grams = docs.select(col("doc_id"), col("lang"),
+      // two consumers (profile training + doc scoring) — cache so the
+      // trigram explode runs once, not per consumer (tracked for
+      // Graft.clearCaches; same multi-consumer pattern as semDedupOf)
+      val grams = graft.GraftCaches.track(docs.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
+        .cache())
       val profile = grams.groupBy("lang", "g").agg(count(lit(1)).as("cg"))
       val totals = profile.groupBy("lang").agg(sum("cg").as("ct"))
       grams.join(broadcast(profile), Seq("lang", "g"))
