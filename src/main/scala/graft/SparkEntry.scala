@@ -29,6 +29,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracle),
       (OptOps.queries, OptOps.oracle),
       (GraphOps.queries, GraphOps.oracle),
+      (WebOps.queries, WebOps.oracle),
       (SqlOps.queries, SqlOps.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle)
     )

@@ -821,6 +821,16 @@ object Graph {
     graft.ops.LlmOps.resolveClusters(
         edges.select(col(srcCol).as("doc_a"), col(dstCol).as("doc_b")))
       .select(col("node"), col("lbl").as("component"))
+
+  /** Per-node triangle counts → (node, triangles) — graph_triangles's
+    * exact core. Pass each undirected edge ONCE, oriented src < dst (the
+    * orientation is what makes each triangle enumerate exactly once);
+    * wedge-join fan-out is bounded by out-degree, so orient by degree
+    * then id on graphs with hubs. Nodes in no triangle are absent. */
+  def triangles(edges: DataFrame,
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.perNodeTriangles(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
 }
 
 /** Data-layout levers for write-side clustering. */
@@ -834,4 +844,36 @@ object Layout {
     * DATE-vs-TIMESTAMP stats before choosing the time column's type). */
   def zorderBy(df: DataFrame, dim1: String, dim2: String, files: Int = 8): DataFrame =
     graft.ops.OptOps.zorderByOf(df, dim1, dim2, files)
+}
+
+/** Web-corpus curation — the crawl-side half of the pipeline (WebOps). */
+object Web {
+  /** Canonical form of a URL column (llm_url_dedup's exact
+    * canonicalization): fragment dropped, scheme://host lowercased, https
+    * default port stripped, `utm*` query params removed (survivor order
+    * kept). Pure codegen'd string/array expressions. */
+  def canonicalUrl(url: Column): Column = graft.ops.WebOps.canonicalUrl(url)
+
+  /** Canonical-URL dedup groups → (canon_url, n_dups, first_doc =
+    * min id). One linear hash-agg shuffle on the canonical url. */
+  def urlDedup(df: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame =
+    graft.ops.WebOps.urlDedupOf(df, urlCol, idCol)
+
+  /** Rows whose lowercased `hostCol` is NOT blocklisted — broadcast
+    * anti-join (llm_domain_filter's filter half): a production blocklist
+    * is millions of domains but still MBs, so it broadcasts while the
+    * corpus side never shuffles. */
+  def blockHosts(df: DataFrame, blocked: Seq[String],
+                 hostCol: String = "host"): DataFrame =
+    graft.ops.WebOps.blockHosts(df, hostCol, blocked)
+
+  /** BM25 scores (rounded to 4 dp) per document for a bag of query terms
+    * over whitespace tokens → (doc_id, score) — llm_bm25_topk's exact
+    * scoring core; order by (score desc, id) and limit for top-k. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = graft.ops.WebOps.Bm25K1,
+           b: Double = graft.ops.WebOps.Bm25B,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.ops.WebOps.bm25Of(docs, idCol, textCol, terms, k1, b)
 }

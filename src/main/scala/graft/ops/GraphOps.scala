@@ -124,6 +124,21 @@ object GraphOps {
     ranks
   }
 
+  /** (node, triangles) over an ORIENTED edge frame (each undirected edge
+    * exactly once as a < b): wedge join on the pivot + closing-edge
+    * existence join enumerates each triangle once as a<b<c; the per-node
+    * count unions the three corners. Shared with the OperatorSpec
+    * hand-graph test (planted K4 ⇒ every node counts 3). */
+  private[graft] def perNodeTriangles(e: DataFrame): DataFrame = {
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PageRank over the customer–supplier trade graph, 3 fixed iterations;
     // output = the 100 supplier nodes' ranks (ranks ~N-scaled so the 4-dp
@@ -171,6 +186,30 @@ object GraphOps {
         dist = LlmOps.cutLineage(dist.unionByName(frontier))
       }
       dist.orderBy("node")
+    }),
+
+    // Per-node triangle counts over the CO-SUPPLY graph (suppliers sharing
+    // ≥2 repeat customers — the bipartite trade graph has no triangles, so
+    // the key first projects it to its supplier side). Edges are oriented
+    // low-id → high-id, so each triangle materializes exactly once as
+    // (a<b<c): the classic enumeration shape where the wedge join's
+    // fan-out is bounded by out-degree — at real scale the orientation is
+    // by DEGREE then id (caps out-degree at ~√m on any graph); id-order is
+    // kept here because both engines must agree on it exactly and the
+    // co-supply graph has no hubs by construction (the ≥2-shared-customer
+    // threshold is the densification cap, same role as containment's
+    // dfCap). Two shuffles: the wedge join on the pivot node and the
+    // closing edge's existence join.
+    "graph_triangles" -> ((s, d) => {
+      val p = repeatTradePairs(s, d)
+      val e = p.as("p1")
+        .join(p.as("p2"),
+              col("p1.doc_a") === col("p2.doc_a") && col("p1.doc_b") < col("p2.doc_b"))
+        .groupBy(col("p1.doc_b").as("a"), col("p2.doc_b").as("b"))
+        .agg(count(lit(1)).as("shared")).filter(col("shared") >= 2)
+        .select("a", "b").cache()
+      graft.GraftCaches.track(e)
+      perNodeTriangles(e).orderBy("node")
     }),
 
     // Connected components over the REPEAT-trade graph (pairs with ≥3
@@ -229,6 +268,26 @@ object GraphOps {
         WHERE r.dist < $BfsRounds)
       SELECT node, CAST(min(dist) AS INTEGER) AS dist
       FROM reach GROUP BY node ORDER BY node""",
+
+    // Same orientation (string < on namespaced ids), same wedge+closure
+    // joins; the per-node count unions each triangle's three corners.
+    "graph_triangles" -> """
+      WITH p AS (
+        SELECT o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (
+        SELECT p1.s AS a, p2.s AS b FROM p p1 JOIN p p2
+        ON p1.c = p2.c AND p1.s < p2.s
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      t AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT node, count(*) AS triangles
+      FROM (SELECT x AS node FROM t UNION ALL
+            SELECT y FROM t UNION ALL SELECT z FROM t)
+      GROUP BY node ORDER BY node""",
 
     // Transitive closure by recursive CTE (UNION-deduped label spread to
     // fixpoint), component = min reachable label — the same

@@ -140,6 +140,30 @@ object SqlOps {
       """)
     }),
 
+    // TPC-H Q18 shape: large-quantity orders — a HAVING-qualified
+    // aggregation feeding a semi-join back into the star join. Catalyst
+    // plans the IN subquery as a LeftSemi against the grouped lineitem
+    // aggregate; the qualifying-orderkey side is tiny BY CONSTRUCTION
+    // (HAVING > 250 keeps ~1% of orders), so AQE converts the semi-join to
+    // a broadcast at runtime — the big tables shuffle once for their own
+    // join, never for the qualification.
+    "sql_q18_large_orders" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer_m
+        JOIN orders_m   ON c_custkey = o_custkey
+        JOIN lineitem_m ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem_m
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+      """)
+    }),
+
     // The native as-of join entered as SQL TEXT — the §7.3c operator
     // reached the way a user actually queries. The injected AsOfSqlParser
     // (GraftExtensions.injectParser) recognizes the ASOF JOIN clause and
@@ -168,6 +192,20 @@ object SqlOps {
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id AND p.ts >= s.ts
       ORDER BY p.event_id""",
+
+    // Identical text (no timestamp literals to respell).
+    "sql_q18_large_orders" -> """
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             round(sum(l_quantity), 2) AS total_qty
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""",
 
     "sql_q3_shipping" -> """
       SELECT l_orderkey,

@@ -1,0 +1,259 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators — the crawl-side half of an LLM data
+  * pipeline (the LlmOps family assumes documents already selected; this
+  * module is how they got selected): URL component extraction, URL
+  * canonicalization + dedup, domain-blocklist filtering, and BM25
+  * retrieval over the corpus.
+  *
+  * The testdata documents table carries no URL column, so every key here
+  * derives a deterministic synthetic `url` from (source, lang, doc_id) via
+  * [[urls]] — mixed-case hosts, default ports, utm tracking params and
+  * fragments included ON PURPOSE so canonicalization has real work to do.
+  * The oracle SQL mirrors the same derivation in a CTE; the operators
+  * themselves read only the `url` STRING (no peeking at the components
+  * that built it), exactly as they would on a real crawl table.
+  *
+  * Scale notes (100 TB):
+  *  - URL parsing/normalization is pure per-row string work — codegen'd
+  *    `regexp_*`/higher-order-array expressions, no shuffle, no UDF;
+  *  - url-dedup's one shuffle is the groupBy on the canonical url (the
+  *    same linear hash-agg shape as llm_exact_dedup);
+  *  - the domain blocklist joins as a BROADCAST anti-join: a real
+  *    blocklist is millions of domains — still MBs, broadcastable — while
+  *    the corpus side never shuffles (a `NOT IN` literal list, the naive
+  *    spelling, would not scale past a few hundred entries);
+  *  - BM25's per-term statistics (df, N, avgdl) are tiny aggregates that
+  *    broadcast back into the per-doc scoring join; the only corpus-sized
+  *    shuffle is the (doc, term) tf aggregation, pre-filtered to the query
+  *    terms so the explode never materializes non-query tokens past the
+  *    filter (predicate sits directly on the generator output).
+  */
+object WebOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BM25 parameters + query terms of the contract key — shared with the
+    * oracle SQL and the OperatorSpec bounds test. */
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  private[graft] val Bm25Terms = Seq("hash", "vector", "stream")
+  private[graft] val Bm25TopK = 20
+
+  /** Blocked hosts of llm_domain_filter (lowercase canonical form). */
+  private[graft] val BlockedHosts =
+    Seq("src3.example.com", "src7.example.com", "src11.example.com", "src15.example.com")
+
+  /** Deterministic synthetic crawl URL per document: mixed-case host every
+    * 3rd doc, explicit default `:443` every 4th, utm tracking params every
+    * 2nd, `#top` fragment every 5th. Path + id param depend only on
+    * (lang, doc_id mod 10, doc_id mod 5), so distinct doc_ids DO collapse
+    * to one canonical URL — url-dedup finds real duplicate groups, not
+    * just spelling variants of singletons. */
+  private[graft] def urls(s: SparkSession, d: String): DataFrame = {
+    val host = concat(col("source"), lit(".example.com"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, upper(host)).otherwise(host),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc"), (col("doc_id") % 10).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&utm_campaign=w1&id="))
+          .otherwise(lit("?id=")),
+        (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit(""))
+      ).as("url"))
+  }
+
+  /** The oracle-side mirror of [[urls]] as a DuckDB CTE body. */
+  private val UrlCte = """
+    SELECT doc_id, lang, n_chars,
+           'https://'
+           || CASE WHEN doc_id % 3 = 0 THEN upper(source || '.example.com')
+                   ELSE source || '.example.com' END
+           || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+           || '/' || lang || '/doc' || CAST(doc_id % 10 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=w1&id='
+                   ELSE '?id=' END
+           || CAST(doc_id % 5 AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+    FROM documents"""
+
+  /** Canonical URL from the raw url STRING only (never from the components
+    * that built it): drop the fragment, lowercase the scheme://host[:port]
+    * prefix and strip the https default port, keep the path verbatim, and
+    * drop `utm*` tracking params from the query string (preserving the
+    * order of the survivors). All codegen'd string/array expressions. */
+  private[graft] def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix = regexp_replace(
+      lower(regexp_extract(noFrag, "^https://[^/]*", 0)), ":443$", "")
+    val path = regexp_extract(noFrag, "^https://[^/]*(/[^?]*)", 1)
+    val kept = array_join(
+      filter(split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+             p => !startswith(p, lit("utm"))), "&")
+    concat(prefix, path,
+           when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** (canon_url, n_dups, first_doc) groups over any (url, id) frame — the
+    * canonicalize-then-dedup core behind llm_url_dedup and the Web facade. */
+  private[graft] def urlDedupOf(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(canonicalUrl(col(urlCol)).as("canon_url"), col(idCol))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dups"), min(idCol).as("first_doc"))
+
+  /** Rows whose lowercased `hostCol` is NOT in `blocked` — broadcast
+    * anti-join (the scale spelling of NOT IN; see class doc). */
+  private[graft] def blockHosts(df: DataFrame, hostCol: String,
+                                blocked: Seq[String]): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.join(broadcast(blocked.toDF("blocked_host")),
+            lower(col(hostCol)) === col("blocked_host"), "left_anti")
+  }
+
+  /** (id, score) BM25 scores over whitespace-tokenized `textCol` for the
+    * given query terms — df/N/avgdl broadcast, one (doc, term) tf shuffle
+    * pre-filtered to the terms. Shared by llm_bm25_topk and Web.bm25. */
+  private[graft] def bm25Of(docs: DataFrame, idCol: String, textCol: String,
+                            terms: Seq[String], k1: Double, b: Double): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    val dl = base.select(col("doc_id"), size(col("ws")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfr), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * norm).as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 4).as("score"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // URL component extraction via the native parse_url expression (HOST
+    // excludes the port, REF = fragment, the 3-arg form plucks one query
+    // param) — per-row codegen'd work, no shuffle. NULL components (no
+    // fragment) are coalesced to '' on both sides so the gate compares
+    // values, not the engines' no-match conventions.
+    "fn_url_parse" -> ((s, d) => {
+      urls(s, d).select(
+        col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        coalesce(parse_url(col("url"), lit("QUERY")), lit("")).as("query"),
+        coalesce(parse_url(col("url"), lit("REF")), lit("")).as("frag"),
+        coalesce(parse_url(col("url"), lit("QUERY"), lit("id")), lit("")).as("id_param")
+      ).orderBy("doc_id")
+    }),
+
+    // Canonicalize-then-dedup — the first pass of every crawl pipeline
+    // (casing/port/tracking-param/fragment variants of one resource must
+    // collapse BEFORE content dedup ever sees them; exact text dedup
+    // cannot catch re-crawls whose boilerplate differs). One linear
+    // hash-agg shuffle on the canonical url; representative = min doc_id
+    // (the deterministic keep-first rule llm_exact_dedup also uses).
+    "llm_url_dedup" -> ((s, d) =>
+      urlDedupOf(urls(s, d), "url", "doc_id").orderBy("canon_url")),
+
+    // Domain-blocklist filter + per-host corpus stats. The blocklist joins
+    // as a broadcast ANTI-join on the lowercased host — the scale spelling
+    // of `WHERE host NOT IN (...)`: a production blocklist (spam/SEO/adult
+    // domain lists run to millions of rows) broadcasts in MBs while the
+    // corpus never shuffles for the filter; the only shuffle is the
+    // bounded per-host aggregation after it.
+    "llm_domain_filter" -> ((s, d) => {
+      val hosts = urls(s, d)
+        .select(lower(parse_url(col("url"), lit("HOST"))).as("host"),
+                col("n_chars"), col("lang"))
+      blockHosts(hosts, "host", BlockedHosts)
+        .groupBy("host")
+        .agg(count(lit(1)).as("docs"),
+             round(avg("n_chars"), 2).as("avg_chars"),
+             countDistinct("lang").as("langs"))
+        .orderBy("host")
+    }),
+
+    // BM25 retrieval over the corpus for a fixed query-term set — the
+    // lexical half of retrieval (llm_knn_* is the dense half). Statistics
+    // side: df per query term, N and avgdl — three tiny aggregates that
+    // broadcast into the scoring join; corpus side: one (doc, term) tf
+    // hash-agg over tokens pre-filtered to the query terms (the filter
+    // sits on the exploded generator output, so non-query tokens die
+    // before the shuffle). idf = ln((N-df+.5)/(df+.5)+1) — the
+    // Lucene-style floor-at-zero-free variant, positive for any df. Output
+    // ordered by the ROUNDED score (both engines round before ranking, so
+    // sub-round reassociation noise cannot reorder the top-k cutoff).
+    "llm_bm25_topk" -> ((s, d) =>
+      bm25Of(Tables.documents(s, d), "doc_id", "text", Bm25Terms, Bm25K1, Bm25B)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25TopK))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_url_parse" -> s"""
+      WITH u AS ($UrlCte)
+      SELECT doc_id,
+             regexp_extract(url, '^https://([^/:#?]+)', 1) AS host,
+             regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS path,
+             coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query,
+             coalesce(regexp_extract(url, '#(.*)$$', 1), '') AS frag,
+             coalesce(regexp_extract(url, '[?&]id=([^&#]*)', 1), '') AS id_param
+      FROM u ORDER BY doc_id""",
+
+    "llm_url_dedup" -> s"""
+      WITH u AS ($UrlCte),
+      nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u),
+      canon AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_extract(nf, '^https://[^/]*')), ':443$$', '')
+               || regexp_extract(nf, '^https://[^/]*(/[^?]*)', 1)
+               || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+        FROM (SELECT doc_id, nf,
+                     array_to_string(
+                       list_filter(string_split(regexp_extract(nf, '\\?(.*)$$', 1), '&'),
+                                   p -> p NOT LIKE 'utm%'), '&') AS cq
+              FROM nf))
+      SELECT canon_url, count(*) AS n_dups, min(doc_id) AS first_doc
+      FROM canon GROUP BY canon_url ORDER BY canon_url""",
+
+    "llm_domain_filter" -> s"""
+      WITH u AS ($UrlCte)
+      SELECT lower(regexp_extract(url, '^https://([^/:#?]+)', 1)) AS host,
+             count(*) AS docs,
+             round(avg(n_chars), 2) AS avg_chars,
+             count(DISTINCT lang) AS langs
+      FROM u
+      WHERE lower(regexp_extract(url, '^https://([^/:#?]+)', 1))
+            NOT IN (${BlockedHosts.map(h => s"'$h'").mkString(", ")})
+      GROUP BY 1 ORDER BY 1""",
+
+    "llm_bm25_topk" -> s"""
+      WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, term),
+      dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      SELECT doc_id,
+             round(sum(ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                       * tf.tf * ($Bm25K1 + 1.0)
+                       / (tf.tf + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * dl.dl / stats.avgdl))), 4) AS score
+      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id, stats.n, stats.avgdl
+      ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+  )
+}

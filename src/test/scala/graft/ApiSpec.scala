@@ -538,4 +538,45 @@ class ApiSpec extends AnyFunSuite {
     assert(!laid.columns.contains("__z"), "helper column must not leak")
     assert(rowSet(laid) === rowSet(orders), "layout must be a pure reorder")
   }
+
+  test("Graph.triangles equals graph_triangles (custom column names)") {
+    val p = graft.ops.GraphOps.repeatTradePairs(spark, d)
+    val e = p.as("p1")
+      .join(p.as("p2"),
+            col("p1.doc_a") === col("p2.doc_a") && col("p1.doc_b") < col("p2.doc_b"))
+      .groupBy(col("p1.doc_b").as("lo"), col("p2.doc_b").as("hi"))
+      .agg(count(lit(1)).as("shared")).filter(col("shared") >= 2)
+      .select("lo", "hi")
+    val apiSet = rowSet(api.Graph.triangles(e, srcCol = "lo", dstCol = "hi"))
+    val key = rowSet(SparkEntry.queries("graph_triangles")(spark, d))
+    assert(apiSet === key)
+    assert(apiSet.nonEmpty)
+  }
+
+  test("Web.urlDedup equals llm_url_dedup (custom column names)") {
+    val u = graft.ops.WebOps.urls(spark, d)
+      .select(col("url").as("page"), col("doc_id").as("id"))
+    val apiSet = rowSet(api.Web.urlDedup(u, urlCol = "page", idCol = "id"))
+    val key = rowSet(SparkEntry.queries("llm_url_dedup")(spark, d))
+    assert(apiSet === key)
+    assert(apiSet.nonEmpty)
+  }
+
+  test("Web.bm25 top-k equals llm_bm25_topk") {
+    val scored = api.Web.bm25(Tables.documents(spark, d), graft.ops.WebOps.Bm25Terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(graft.ops.WebOps.Bm25TopK)
+    val key = rowSet(SparkEntry.queries("llm_bm25_topk")(spark, d))
+    assert(rowSet(scored) === key)
+    assert(key.nonEmpty)
+  }
+
+  test("Web.blockHosts: case-insensitive block, pass-through schema") {
+    import spark.implicits._
+    val hosts = Seq(("A.example.com", 1), ("b.example.com", 2), ("c.example.com", 3))
+      .toDF("host", "v")
+    val out = api.Web.blockHosts(hosts, Seq("a.example.com", "b.example.com"))
+    assert(out.columns.toSeq === Seq("host", "v"), "anti-join must not add columns")
+    assert(rowSet(out) === rowSet(Seq(("c.example.com", 3)).toDF("host", "v")))
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted properties for the web-curation family (WebOps) and the
+  * triangle counter — beyond OperatorSpec's generic non-empty/determinism
+  * loop and the driver's oracle gate. */
+class WebGraphSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+  import spark.implicits._
+
+  test("canonicalUrl collapses case/port/utm/fragment variants to one spelling") {
+    val variants = Seq(
+      "https://SRC2.Example.COM:443/en/doc4?utm_source=feed&utm_campaign=w1&id=3#top",
+      "https://src2.example.com/en/doc4?id=3",
+      "https://src2.example.com:443/en/doc4?utm_medium=mail&id=3",
+      "https://src2.example.com/en/doc4?id=3#section-9")
+    val out = variants.toDF("url")
+      .select(graft.ops.WebOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("https://src2.example.com/en/doc4?id=3"))
+    // non-variants must NOT collapse: different id param / different path
+    val distinct = Seq(
+      "https://src2.example.com/en/doc4?id=4",
+      "https://src2.example.com/en/doc5?id=3",
+      "https://src3.example.com/en/doc4?id=3")
+      .toDF("url").select(graft.ops.WebOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(distinct.size === 3 && !distinct.contains("https://src2.example.com/en/doc4?id=3"))
+  }
+
+  test("llm_url_dedup partitions the corpus: n_dups sums to the doc count, groups > 1 exist") {
+    val out = SparkEntry.queries("llm_url_dedup")(spark, d).collect()
+    val total = out.map(_.getAs[Long]("n_dups")).sum
+    val docs = Tables.documents(spark, d).count()
+    assert(total === docs, "every document lands in exactly one canonical group")
+    assert(out.exists(_.getAs[Long]("n_dups") > 1), "the derivation plants real dup groups")
+  }
+
+  test("llm_domain_filter drops exactly the blocklisted hosts") {
+    val hosts = SparkEntry.queries("llm_domain_filter")(spark, d)
+      .collect().map(_.getAs[String]("host")).toSet
+    assert(graft.ops.WebOps.BlockedHosts.forall(b => !hosts.contains(b)))
+    assert(hosts.forall(_.endsWith(".example.com")))
+    // at sf0.001 only a subset of the 20 sources may appear, but none blocked
+    assert(hosts.nonEmpty)
+  }
+
+  test("fn_url_parse components recompose to the original URL") {
+    val parsed = SparkEntry.queries("fn_url_parse")(spark, d)
+    val rebuilt = parsed
+      .join(graft.ops.WebOps.urls(spark, d), "doc_id")
+      .withColumn("again", concat(
+        lit("https://"), col("host"),
+        when(col("url").contains(":443"), lit(":443")).otherwise(lit("")),
+        col("path"), lit("?"), col("query"),
+        when(col("frag") === "", lit("")).otherwise(concat(lit("#"), col("frag")))))
+      .filter(col("again") =!= col("url"))
+    assert(rebuilt.count() === 0)
+  }
+
+  test("llm_bm25_topk: scores positive, sorted, and bounded by the saturation ceiling") {
+    val rows = SparkEntry.queries("llm_bm25_topk")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= graft.ops.WebOps.Bm25TopK)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    // ceiling: tf-saturation bounds each term's contribution by idf*(k1+1);
+    // idf ≤ ln(1 + (N+0.5)/0.5) with N docs
+    val n = Tables.documents(spark, d).count().toDouble
+    val ceiling = graft.ops.WebOps.Bm25Terms.size *
+      math.log(1.0 + (n + 0.5) / 0.5) * (graft.ops.WebOps.Bm25K1 + 1.0)
+    assert(scores.forall(_ <= ceiling))
+  }
+
+  test("perNodeTriangles: planted K4 gives every node 3 triangles, path graph gives none") {
+    val k4 = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
+      .toDF("a", "b")
+    val out = graft.ops.GraphOps.perNodeTriangles(k4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    val path = Seq(("a","b"),("b","c"),("c","d")).toDF("a", "b")
+    assert(graft.ops.GraphOps.perNodeTriangles(path).count() === 0)
+  }
+
+  test("graph_triangles total is divisible by 3 and nodes are suppliers") {
+    val rows = SparkEntry.queries("graph_triangles")(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("triangles")).sum % 3 === 0)
+    assert(rows.forall(_.getAs[String]("node").startsWith("s")))
+  }
+
+  test("sql_q18_large_orders: every returned order's quantity exceeds the threshold") {
+    val rows = SparkEntry.queries("sql_q18_large_orders")(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("total_qty") > 250.0))
+  }
+}
