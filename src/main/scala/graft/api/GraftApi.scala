@@ -876,4 +876,21 @@ object Web {
            b: Double = graft.ops.WebOps.Bm25B,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.ops.WebOps.bm25Of(docs, idCol, textCol, terms, k1, b)
+
+  /** Build the persisted BM25 inverted index under `path`: term-bucketed
+    * posting lists (term, doc_id, tf, dl — norms denormalized so scoring
+    * never joins a corpus-sized side), per-term df, and one (n, avgdl)
+    * stats row. Day-1 batch job; searches then never read the corpus. */
+  def buildBm25Index(docs: DataFrame, path: String,
+                     idCol: String = "doc_id", textCol: String = "text"): Unit =
+    graft.ops.WebOps.buildBm25Index(docs, path, idCol, textCol)
+
+  /** BM25 scores from a [[buildBm25Index]] store — the scan reads only
+    * the query terms' partition buckets (driver-computed bucket literals
+    * become PartitionFilters), so per-query cost is posting-proportional,
+    * not corpus-proportional. Identical scores to [[bm25]] (ApiSpec). */
+  def bm25IndexSearch(spark: SparkSession, path: String, terms: Seq[String],
+                      k1: Double = graft.ops.WebOps.Bm25K1,
+                      b: Double = graft.ops.WebOps.Bm25B): DataFrame =
+    graft.ops.WebOps.bm25IndexSearch(spark, path, terms, k1, b)
 }

@@ -75,6 +75,34 @@ class WebGraphSpec extends AnyFunSuite {
     assert(scores.forall(_ <= ceiling))
   }
 
+  test("llm_bm25_index equals llm_bm25_topk; search plan never reads the corpus") {
+    val viaIndex = SparkEntry.queries("llm_bm25_index")(spark, d)
+    val viaScan = SparkEntry.queries("llm_bm25_topk")(spark, d)
+    assert(viaIndex.collect().toSeq === viaScan.collect().toSeq)
+    // the whole point of the index: per-query work is posting-proportional
+    // — the corpus parquet must be absent from the search plan, and the
+    // posting scan must carry partition filters on the term buckets
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), "index search must not scan the corpus")
+    assert(plan.contains("PartitionFilters: [tb"), "bucket literals must prune partitions")
+  }
+
+  test("Web.buildBm25Index + bm25IndexSearch round-trip equals Web.bm25 (custom store)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx-test").toString
+    try {
+      val docs = Tables.documents(spark, d)
+      graft.api.Web.buildBm25Index(docs, dir)
+      val idx = graft.api.Web.bm25IndexSearch(spark, dir, graft.ops.WebOps.Bm25Terms)
+        .orderBy(col("doc_id")).collect().toSeq
+      val scan = graft.api.Web.bm25(docs, graft.ops.WebOps.Bm25Terms)
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(idx === scan && idx.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("perNodeTriangles: planted K4 gives every node 3 triangles, path graph gives none") {
     val k4 = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
       .toDF("a", "b")
