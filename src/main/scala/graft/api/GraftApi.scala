@@ -893,4 +893,20 @@ object Web {
                       k1: Double = graft.ops.WebOps.Bm25K1,
                       b: Double = graft.ops.WebOps.Bm25B): DataFrame =
     graft.ops.WebOps.bm25IndexSearch(spark, path, terms, k1, b)
+
+  /** Write one incremental index batch under `path` as `posting<part>` +
+    * `stats<part>` — O(batch) work, no re-read of prior batches and no
+    * frozen df/avgdl to restate (both are re-derived at search time). */
+  def appendBm25Batch(docs: DataFrame, path: String, part: String,
+                      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    graft.ops.WebOps.buildBm25Delta(docs, path, part, idCol, textCol)
+
+  /** Search a set of [[appendBm25Batch]] batches — bit-for-bit identical
+    * to a single-batch rebuild over the union (integer-exact stat
+    * merges; WebGraphSpec pins the identity). */
+  def bm25IncrementalSearch(spark: SparkSession, path: String,
+                            parts: Seq[String], terms: Seq[String],
+                            k1: Double = graft.ops.WebOps.Bm25K1,
+                            b: Double = graft.ops.WebOps.Bm25B): DataFrame =
+    graft.ops.WebOps.bm25IncSearch(spark, path, parts, terms, k1, b)
 }

@@ -221,6 +221,68 @@ object WebOps {
       buildBm25Index(Tables.documentsWide(s, d), dir, "doc_id", "text")
     }
 
+  /** One BATCH of the incremental index under `dir/posting<part>` +
+    * `dir/stats<part>`: term-bucketed postings for `docs` only (O(batch)
+    * work — no re-read of prior batches) and the batch's (n, sum_dl)
+    * moments. Unlike [[buildBm25Index]], NO df/avgdl are frozen into the
+    * store: df is re-derived at search time from the PRUNED postings
+    * (posting-proportional, exact over any batch set) and avgdl from the
+    * summed moments — so an append needs no restatement of day-1
+    * artifacts and search over [batch1, batch2] is IDENTICAL to a
+    * single-batch rebuild (WebGraphSpec pins it bit-for-bit). */
+  private[graft] def buildBm25Delta(docs: DataFrame, dir: String, part: String,
+                                    idCol: String, textCol: String): Unit = {
+    val base = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    val dl = base.select(col("doc_id"), size(col("ws")).as("dl"))
+    base.select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("tb", bucketCol(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/posting$part")
+    dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats$part")
+  }
+
+  /** Search a set of incremental batches: postings of ALL named parts are
+    * scanned (each pruned to the query terms' buckets), df comes from the
+    * pruned postings themselves, (n, avgdl) from the summed batch
+    * moments — integer-exact merges, so batch count cannot perturb
+    * scores. */
+  private[graft] def bm25IncSearch(s: SparkSession, dir: String,
+                                   parts: Seq[String], terms: Seq[String],
+                                   k1: Double, b: Double): DataFrame = {
+    val buckets = terms.map(bucketOfTerm).distinct
+    // one partitioned root per batch (each with its own tb= layout), so
+    // the batches load separately — each scan still partition-prunes to
+    // the query buckets — and union; a single multi-root read would trip
+    // partition-structure inference (CONFLICTING_DIRECTORY_STRUCTURES)
+    val posting = parts.map { p =>
+      s.read.parquet(s"$dir/posting$p")
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("term").isin(terms: _*))
+    }.reduce(_ unionByName _)
+    val dfr = posting.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = s.read.parquet(parts.map(p => s"$dir/stats$p"): _*)
+      .agg(sum("n").as("n"), (sum("sdl") / sum("n")).as("avgdl"))
+    posting.join(broadcast(dfr), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), bm25ScoreExpr(k1, b).as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 4).as("score"))
+  }
+
+  /** Day-1/day-2 incremental index store: batch 1 = doc_id % 4 != 0,
+    * batch 2 = the % 4 == 0 delta appended with NO re-read of batch 1 —
+    * the same split and append discipline as llm_ann_incremental. */
+  private val bm25IncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def bm25IncPath(s: SparkSession, d: String): String =
+    graft.StoreDir.fixed(bm25IncCache,
+        graft.StoreDir.fixedPath("graft-bm25inc", d)) { dir =>
+      val docs = Tables.documentsWide(s, d)
+      buildBm25Delta(docs.filter(col("doc_id") % 4 =!= 0), dir, "1", "doc_id", "text")
+      buildBm25Delta(docs.filter(col("doc_id") % 4 === 0), dir, "2", "doc_id", "text")
+    }
+
   val queries: Map[String, Q] = Map(
     // URL component extraction via the native parse_url expression (HOST
     // excludes the port, REF = fragment, the 3-arg form plucks one query
@@ -291,6 +353,17 @@ object WebOps {
     "llm_bm25_index" -> ((s, d) =>
       bm25IndexSearch(s, bm25IndexPath(s, d), Bm25Terms, Bm25K1, Bm25B)
         .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25TopK)),
+
+    // The day-2 economics of the inverted index: batch 2's postings are
+    // appended with O(delta) work and NO day-1 re-read or artifact
+    // restatement (df/avgdl are derived at search time — df from the
+    // pruned postings, avgdl from integer-exact summed moments), and the
+    // merged search is bit-for-bit a single-batch rebuild (WebGraphSpec).
+    // Same oracle again: two-batch store + search ≡ raw-corpus compute.
+    "llm_bm25_incremental" -> ((s, d) =>
+      bm25IncSearch(s, bm25IncPath(s, d), Seq("1", "2"), Bm25Terms, Bm25K1, Bm25B)
+        .orderBy(col("score").desc, col("doc_id"))
         .limit(Bm25TopK))
   )
 
@@ -335,8 +408,10 @@ object WebOps {
     "llm_bm25_topk" -> Bm25OracleSql,
     // Independent re-derivation from the RAW corpus (identical SQL): the
     // gate proves the persisted index + pruned search reproduces the
-    // scan-side computation exactly.
-    "llm_bm25_index" -> Bm25OracleSql
+    // scan-side computation exactly — for the one-shot index AND the
+    // two-batch incremental store.
+    "llm_bm25_index" -> Bm25OracleSql,
+    "llm_bm25_incremental" -> Bm25OracleSql
   )
 
   private lazy val Bm25OracleSql: String = s"""

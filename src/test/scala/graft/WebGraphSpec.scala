@@ -103,6 +103,25 @@ class WebGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_bm25_incremental: two-batch append is bit-for-bit a single-batch rebuild") {
+    val viaInc = SparkEntry.queries("llm_bm25_incremental")(spark, d).collect().toSeq
+    val viaScan = SparkEntry.queries("llm_bm25_topk")(spark, d).collect().toSeq
+    assert(viaInc === viaScan, "incremental search must equal the scan-side key")
+    // and against a fresh SINGLE-batch store over the same corpus
+    val dir = java.nio.file.Files.createTempDirectory("bm25inc-test").toString
+    try {
+      graft.api.Web.appendBm25Batch(Tables.documents(spark, d), dir, "all")
+      val single = graft.api.Web.bm25IncrementalSearch(
+          spark, dir, Seq("all"), graft.ops.WebOps.Bm25Terms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(graft.ops.WebOps.Bm25TopK).collect().toSeq
+      assert(single === viaInc, "batch count must not perturb scores")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("perNodeTriangles: planted K4 gives every node 3 triangles, path graph gives none") {
     val k4 = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
       .toDF("a", "b")
