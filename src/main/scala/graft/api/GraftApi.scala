@@ -909,4 +909,17 @@ object Web {
                             k1: Double = graft.ops.WebOps.Bm25K1,
                             b: Double = graft.ops.WebOps.Bm25B): DataFrame =
     graft.ops.WebOps.bm25IncSearch(spark, path, parts, terms, k1, b)
+
+  /** Build the POSITIONAL index under `path`: per-(term, doc) sorted token
+    * offsets, term-bucketed — the artifact [[phraseSearch]] reads. */
+  def buildPositionalIndex(docs: DataFrame, path: String,
+                           idCol: String = "doc_id", textCol: String = "text"): Unit =
+    graft.ops.WebOps.buildPositionalIndex(docs, path, idCol, textCol)
+
+  /** Exact phrase occurrences per doc from a [[buildPositionalIndex]]
+    * store → (doc_id, occurrences > 0): shifted-offset-set intersection,
+    * overlapping matches counted, text never re-read. */
+  def phraseSearch(spark: SparkSession, path: String,
+                   phrase: Seq[String]): DataFrame =
+    graft.ops.WebOps.phraseSearch(spark, path, phrase)
 }

@@ -270,6 +270,63 @@ object WebOps {
       .groupBy("doc_id").agg(round(sum("s"), 4).as("score"))
   }
 
+  /** The contract phrase of llm_phrase_search (present at every SF). */
+  private[graft] val PhraseTerms = Seq("hash", "join")
+
+  /** Build the POSITIONAL index under `dir/posting`: (term, doc_id,
+    * positions) with the term's sorted 0-based token offsets per doc,
+    * term-bucketed like [[buildBm25Index]]. Positions are what turn an
+    * inverted index into a phrase/proximity index — adjacency is decided
+    * from the stored offsets alone, never by re-reading text. Posting
+    * size is corpus-token-bounded (each token contributes one array
+    * slot), the same budget as the BM25 postings. */
+  private[graft] def buildPositionalIndex(docs: DataFrame, dir: String,
+                                          idCol: String, textCol: String): Unit =
+    docs.select(col(idCol).as("doc_id"),
+                posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      // collect_list order is partition-dependent — sort for a
+      // deterministic stored artifact (and exact store equality in specs)
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("tb", bucketCol(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/posting")
+
+  /** Exact phrase occurrences per doc → (doc_id, occurrences > 0): slot i
+    * of the phrase shifts its positions by -i, so an occurrence at start
+    * q means q survives the intersection of all shifted sets — k-1
+    * codegen'd array_intersect ops after a doc_id-keyed join of k
+    * one-row-per-doc posting frames (no position explosion, no text
+    * re-scan; the scan prunes to the phrase terms' buckets). Overlapping
+    * occurrences count individually — the token-adjacency definition,
+    * which substring-replace counting would get wrong. */
+  private[graft] def phraseSearch(s: SparkSession, dir: String,
+                                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val buckets = phrase.map(bucketOfTerm).distinct
+    val posting = s.read.parquet(s"$dir/posting")
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      posting.filter(col("term") === t)
+        .select(col("doc_id"),
+                transform(col("positions"), p => p - i).as(s"p$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
+    val starts = (1 until phrase.length)
+      .foldLeft(col("p0")) { (acc, i) => array_intersect(acc, col(s"p$i")) }
+    joined.select(col("doc_id"), size(starts).cast("long").as("occurrences"))
+      .filter(col("occurrences") > 0)
+  }
+
+  /** Per-(JVM, sfDir) positional index store (StoreDir.fixed contract). */
+  private val posIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def posIndexPath(s: SparkSession, d: String): String =
+    graft.StoreDir.fixed(posIdxCache,
+        graft.StoreDir.fixedPath("graft-posidx", d)) { dir =>
+      buildPositionalIndex(Tables.documentsWide(s, d), dir, "doc_id", "text")
+    }
+
   /** Day-1/day-2 incremental index store: batch 1 = doc_id % 4 != 0,
     * batch 2 = the % 4 == 0 delta appended with NO re-read of batch 1 —
     * the same split and append discipline as llm_ann_incremental. */
@@ -364,7 +421,17 @@ object WebOps {
     "llm_bm25_incremental" -> ((s, d) =>
       bm25IncSearch(s, bm25IncPath(s, d), Seq("1", "2"), Bm25Terms, Bm25K1, Bm25B)
         .orderBy(col("score").desc, col("doc_id"))
-        .limit(Bm25TopK))
+        .limit(Bm25TopK)),
+
+    // Exact phrase search from the POSITIONAL index — what separates a
+    // retrieval index from a bag-of-words one: per-doc token offsets are
+    // stored once at build time, and "hash join" adjacency is decided by
+    // intersecting shifted offset sets, never by re-reading text (the
+    // plan touches only the two terms' partition buckets; WebGraphSpec
+    // pins overlap semantics on planted docs). The oracle re-derives
+    // token positions from the raw corpus and joins adjacency directly.
+    "llm_phrase_search" -> ((s, d) =>
+      phraseSearch(s, posIndexPath(s, d), PhraseTerms).orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -411,7 +478,23 @@ object WebOps {
     // scan-side computation exactly — for the one-shot index AND the
     // two-batch incremental store.
     "llm_bm25_index" -> Bm25OracleSql,
-    "llm_bm25_incremental" -> Bm25OracleSql
+    "llm_bm25_incremental" -> Bm25OracleSql,
+
+    // Token positions re-derived from the raw corpus (generate_subscripts
+    // zips with unnest in DuckDB); adjacency joined directly — positions
+    // are unique per (term, doc), so the pair count equals the Spark
+    // side's shifted-set intersection size. 1- vs 0-based offsets cancel
+    // in the difference.
+    "llm_phrase_search" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      t0 AS (SELECT doc_id, pos FROM toks WHERE term = '${PhraseTerms(0)}'),
+      t1 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = '${PhraseTerms(1)}')
+      SELECT t0.doc_id, count(*) AS occurrences
+      FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos
+      GROUP BY t0.doc_id ORDER BY t0.doc_id"""
   )
 
   private lazy val Bm25OracleSql: String = s"""

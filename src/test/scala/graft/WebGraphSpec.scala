@@ -122,6 +122,37 @@ class WebGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseSearch: planted docs pin adjacency, overlap, and absence semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("posidx-test").toString
+    try {
+      val docs = Seq(
+        (1L, "x a b y a b z"),   // two clean occurrences of "a b"
+        (2L, "a a a"),           // overlapping "a a" occurs twice
+        (3L, "b a"),             // reversed — NOT a match for "a b"
+        (4L, "a x b")            // gap — not adjacent
+      ).toDF("doc_id", "text")
+      graft.api.Web.buildPositionalIndex(docs, dir)
+      def occ(phrase: Seq[String]) =
+        graft.api.Web.phraseSearch(spark, dir, phrase).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(occ(Seq("a", "b")) === Map(1L -> 2L))
+      assert(occ(Seq("a", "a")) === Map(2L -> 2L))
+      assert(occ(Seq("b", "a")) === Map(3L -> 1L), "doc 1 has 'a b' twice but never 'b a'")
+      assert(occ(Seq("a", "x", "b")) === Map(4L -> 1L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("llm_phrase_search plan prunes to term buckets and never reads the corpus") {
+    val q = SparkEntry.queries("llm_phrase_search")(spark, d)
+    assert(q.collect().nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), "phrase search must not scan the corpus")
+    assert(plan.contains("PartitionFilters: [tb"), "bucket literals must prune partitions")
+  }
+
   test("perNodeTriangles: planted K4 gives every node 3 triangles, path graph gives none") {
     val k4 = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
       .toDF("a", "b")
