@@ -667,6 +667,16 @@ object Ingest {
     * complete the rewrite. The updates side is broadcast (a CDC delta is
     * the small side by definition), so the base snapshot never shuffles.
     * Both frames must share a schema. */
+  /** (keys..., change ∈ added|deleted|changed) between two snapshot
+    * versions of one table — the reverse of [[mergeUpsert]]: recover the
+    * CDC delta when upstream only republishes full snapshots. Each side
+    * collapses to (key, md5 row fingerprint) at the scan, so the one
+    * full-outer shuffle moves 16-byte fingerprints, not payloads;
+    * unchanged keys are dropped in the same stage (set_snapshot_diff's
+    * exact core, analytically oracle-gated). */
+  def snapshotDiff(base: DataFrame, next: DataFrame, keys: Seq[String]): DataFrame =
+    graft.ops.RelOps.snapshotDiff(base, next, keys)
+
   def mergeUpsert(base: DataFrame, updates: DataFrame,
                   keyCols: Seq[String]): DataFrame =
     graft.ops.ScanOps.mergeUpsertOf(base, updates, keyCols)

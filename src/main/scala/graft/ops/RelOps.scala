@@ -111,8 +111,53 @@ object RelOps {
       jan.exceptAll(feb)
         .groupBy("o_custkey").agg(count(lit(1)).as("n"))
         .orderBy("o_custkey")
+    }),
+
+    // Snapshot diff / CDC derivation — the reverse of sink_merge_upsert:
+    // given two full table versions, emit WHICH keys were added, deleted
+    // or changed (the delta a downstream incremental consumer needs when
+    // upstream only republishes snapshots). The next snapshot is derived
+    // deterministically from orders (keys %13 dropped, %7 repriced, %11
+    // cloned under shifted keys), so the oracle can state the expected
+    // delta analytically — an independent derivation, not a re-run of the
+    // diff. See [[snapshotDiff]] for the one-shuffle mechanics.
+    "set_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      val kept = base.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      val added = base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      snapshotDiff(base, kept.unionByName(added), Seq("o_orderkey"))
+        .orderBy("o_orderkey", "change")
     })
   )
+
+  /** (keys..., change ∈ added|deleted|changed) between two snapshot
+    * versions of one table. Each side collapses to (key, row fingerprint)
+    * AT THE SCAN — md5(to_json(non-key struct)), a codegen'd per-row
+    * expression, so the one full-outer shuffle joins key+16-byte rows,
+    * never the payload. At 100 TB both snapshots shuffle once on the key —
+    * the floor for snapshot CDC; co-bucketed layouts (join_bucketed)
+    * remove even that exchange. Unchanged keys (fingerprints equal) are
+    * dropped in the same stage. Equal rows serialize to equal JSON, so
+    * the classification is exact up to md5 collision. */
+  private[graft] def snapshotDiff(base: DataFrame, next: DataFrame,
+                                  keys: Seq[String]): DataFrame = {
+    def fp(df: DataFrame, as: String): DataFrame = {
+      val others = df.columns.filterNot(keys.contains).sorted
+      df.select(keys.map(col) :+
+        md5(to_json(struct(others.map(col): _*))).as(as): _*)
+    }
+    fp(base, "bh").join(fp(next, "nh"), keys, "full_outer")
+      .withColumn("change",
+        when(col("bh").isNull, "added")
+          .when(col("nh").isNull, "deleted")
+          .when(col("bh") =!= col("nh"), "changed"))
+      .filter(col("change").isNotNull)
+      .select((keys.map(col) :+ col("change")): _*)
+  }
 
   val oracle: Map[String, String] = Map(
     "proj_expr" -> """
@@ -190,6 +235,19 @@ object RelOps {
       SELECT o_custkey, count(*) AS n
       FROM m
       GROUP BY o_custkey
-      ORDER BY o_custkey"""
+      ORDER BY o_custkey""",
+
+    // The EXPECTED delta stated analytically from the derivation rules —
+    // an independent statement of what the diff must find, not a re-run
+    // of the fingerprint join.
+    "set_snapshot_diff" -> """
+      SELECT o_orderkey + 10000000 AS o_orderkey, 'added' AS change
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, 'deleted' FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, 'changed'
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+      ORDER BY o_orderkey, change"""
   )
 }

@@ -170,6 +170,26 @@ class WebGraphSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("node").startsWith("s")))
   }
 
+  test("snapshotDiff: planted add/delete/change/unchanged classify exactly; null payloads compare") {
+    val base = Seq((1L, Some("a"), 10), (2L, Some("b"), 20),
+                   (3L, Option.empty[String], 30), (4L, Some("d"), 40))
+      .toDF("k", "s", "v")
+    val next = Seq((2L, Some("b"), 99),                    // changed value
+                   (3L, Option.empty[String], 30),        // unchanged (null payload)
+                   (4L, Some("d"), 40),                   // unchanged
+                   (5L, Some("e"), 50))                   // added
+      .toDF("k", "s", "v")
+    val out = graft.api.Ingest.snapshotDiff(base, next, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "deleted", 2L -> "changed", 5L -> "added"))
+    // a null payload turning non-null MUST classify as changed (the
+    // to_json fingerprint distinguishes absent from present fields)
+    val next2 = Seq((3L, Some("x"), 30)).toDF("k", "s", "v")
+    val out2 = graft.api.Ingest.snapshotDiff(base.filter($"k" === 3), next2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 === Map(3L -> "changed"))
+  }
+
   test("sql_q18_large_orders: every returned order's quantity exceeds the threshold") {
     val rows = SparkEntry.queries("sql_q18_large_orders")(spark, d).collect()
     assert(rows.nonEmpty)
