@@ -832,6 +832,17 @@ object Graph {
         edges.select(col(srcCol).as("doc_a"), col(dstCol).as("doc_b")))
       .select(col("node"), col("lbl").as("component"))
 
+  /** Personalized PageRank from a single seed node → (node, rank), the
+    * "related entities" primitive: restart mass concentrates at `seed`
+    * instead of spreading uniformly, so ranks measure importance RELATIVE
+    * to the seed. Same per-iteration mechanics (cached src-partitioned
+    * edges, nodes-sized rank frame, lineage cuts) as [[pageRank]];
+    * graph_ppr's exact core. Unreached nodes hold exactly 0.0. */
+  def personalizedPageRank(edges: DataFrame, seed: String, iters: Int = 3,
+                           srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.pprOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), seed, iters)
+
   /** Per-node triangle counts → (node, triangles) — graph_triangles's
     * exact core. Pass each undirected edge ONCE, oriented src < dst (the
     * orientation is what makes each triangle enumerate exactly once);

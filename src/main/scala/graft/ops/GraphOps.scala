@@ -124,6 +124,41 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank from a single seed: rank'(v) = d·Σ contrib +
+    * (1-d)·[v = seed], init = the restart distribution [v = seed]. Same
+    * per-iteration mechanics as [[pageRankOf]] — one cached src-
+    * partitioned edge frame, nodes-sized rank frame (broadcast under the
+    * cap), lineage cut per round — the restart mass is just concentrated
+    * at the seed instead of spread uniformly, which is what turns global
+    * importance into importance RELATIVE to the seed (the "related
+    * entities" primitive). Unreachable nodes hold exactly 0.0 in every
+    * round (products and sums of zeros — exact in IEEE), so the
+    * rank > 0 output filter is engine-stable. */
+  private[graft] def pprOf(edges0: DataFrame, seed: String, iters: Int): DataFrame = {
+    val withDeg = edges0
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
+      .cache()
+    graft.GraftCaches.track(withDeg)
+    val nodes = withDeg.select(col("src").as("node")).distinct().cache()
+    graft.GraftCaches.track(nodes)
+    val restart = when(col("node") === seed, lit(1.0)).otherwise(lit(0.0))
+    var ranks = nodes.withColumn("rank", restart)
+    val broadcastRanks = nodes.count() <= BroadcastNodeCap
+    for (_ <- 1 to iters) {
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
+      val contrib = withDeg
+        .join(r, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      ranks = LlmOps.cutLineage(
+        nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+                  (lit(Damping) * coalesce(col("contrib"), lit(0.0)) +
+                     lit(0.15) * restart).as("rank")))
+    }
+    ranks
+  }
+
   /** (node, triangles) over an ORIENTED edge frame (each undirected edge
     * exactly once as a < b): wedge join on the pivot + closing-edge
     * existence join enumerates each triangle once as a<b<c; the per-node
@@ -212,6 +247,24 @@ object GraphOps {
       perNodeTriangles(e).orderBy("node")
     }),
 
+    // Personalized PageRank over the sparse repeat-trade graph, seeded at
+    // the lexicographically smallest SUPPLIER node (same deterministic
+    // seed rule as graph_bfs), 3 fixed iterations — "which entities are
+    // important RELATIVE to this one", the related-items primitive global
+    // PageRank can't answer. Probability-scale ranks (they sum to ≤ 1)
+    // emitted at 6 dp; only reached nodes (rank > 0, an exact-in-IEEE
+    // predicate) appear, so output size is neighborhood- not graph-sized.
+    "graph_ppr" -> ((s, d) => {
+      val edges = repeatTradeEdges(s, d).cache()
+      graft.GraftCaches.track(edges)
+      val seed = edges.filter(col("src").startsWith("s"))
+        .agg(min("src")).head().getString(0)
+      pprOf(edges, seed, Iterations)
+        .filter(col("rank") > 0)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     // Connected components over the REPEAT-trade graph (pairs with ≥3
     // lineitems — the sparse thresholded subgraph, so components are
     // non-trivial at sparse SFs and propagation depth is exercised at
@@ -225,6 +278,16 @@ object GraphOps {
         .orderBy("node")
     })
   )
+
+  /** One unrolled PPR round as a DuckDB CTE block (see graph_ppr). */
+  private def pprRoundSql(i: Int): String = s"""r$i AS (
+        SELECT n.node,
+               0.85 * coalesce(c.s, 0) +
+               0.15 * CASE WHEN n.node = (SELECT sn FROM seed) THEN 1.0 ELSE 0.0 END AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, sum(r${i - 1}.rank / e.outdeg) AS s
+          FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY e.dst) c
+        ON n.node = c.node)"""
 
   /** Oracle: the same three rounds unrolled as chained CTEs (DuckDB has no
     * iterative DataFrame loop; recursion with per-round global aggregation
@@ -268,6 +331,26 @@ object GraphOps {
         WHERE r.dist < $BfsRounds)
       SELECT node, CAST(min(dist) AS INTEGER) AS dist
       FROM reach GROUP BY node ORDER BY node""",
+
+    // The same 3 rounds unrolled (generated one CTE block per round):
+    // restart mass at the seed instead of uniform, LEFT join keeps
+    // contribution-less nodes at their restart-only rank.
+    "graph_ppr" -> s"""
+      WITH p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e0 AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s AS src, c AS dst FROM p),
+      deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+      e AS (SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg ON e0.src = deg.src),
+      seed AS (SELECT min(src) AS sn FROM e0 WHERE src LIKE 's%'),
+      nodes AS (SELECT src AS node FROM deg),
+      r0 AS (SELECT node,
+               CASE WHEN node = (SELECT sn FROM seed) THEN 1.0 ELSE 0.0 END AS rank
+             FROM nodes),
+      ${(1 to Iterations).map(pprRoundSql).mkString(",\n      ")}
+      SELECT node, round(rank, 6) AS rank
+      FROM r$Iterations WHERE rank > 0 ORDER BY node""",
 
     // Same orientation (string < on namespaced ids), same wedge+closure
     // joins; the per-node count unions each triangle's three corners.

@@ -163,6 +163,24 @@ class WebGraphSpec extends AnyFunSuite {
     assert(graft.ops.GraphOps.perNodeTriangles(path).count() === 0)
   }
 
+  test("personalizedPageRank: analytic 2-node chain values; corpus rank mass bounded by 1") {
+    // symmetric chain a—b seeded at a: r1 = (0.15, 0.85),
+    // r2 = (0.8725, 0.1275), r3 = (0.258375, 0.741625) by hand
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val out = graft.api.Graph.personalizedPageRank(edges, "a", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 0.258375) < 1e-12)
+    assert(math.abs(out("b") - 0.741625) < 1e-12)
+    // corpus key: probability-scale — mass conserves at 1 over the reached
+    // set (every node has out-degree ≥ 1, so nothing leaks; tolerance =
+    // the 6-dp per-node output rounding summed)
+    val corpus = SparkEntry.queries("graph_ppr")(spark, d).collect()
+    assert(corpus.nonEmpty)
+    val mass = corpus.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(mass - 1.0) < 1e-3)
+    assert(corpus.forall(_.getAs[Double]("rank") > 0.0), "only reached nodes appear")
+  }
+
   test("graph_triangles total is divisible by 3 and nodes are suppliers") {
     val rows = SparkEntry.queries("graph_triangles")(spark, d).collect()
     assert(rows.nonEmpty)
