@@ -124,6 +124,20 @@ object ScanOps {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // Hidden file-metadata columns (`_metadata.file_name` etc., constant
+    // per split — no I/O beyond the listing the scan already did): the
+    // provenance primitive at 100 TB — "which file did this corrupt row
+    // come from", per-file row audits, incremental-load bookkeeping — all
+    // without a filename column baked into the data. The oracle reads the
+    // same parquet with DuckDB's filename=true projection.
+    "scan_metadata_cols" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("_metadata.file_name").as("file_name"), col("doc_id"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"), min("doc_id").as("first_doc"))
+        .orderBy("file_name")
+    }),
+
     // Predicate pushdown: the timestamp filter lands in PushedFilters and
     // skips row groups at scale.
     "scan_filter_pushdown" -> ((s, d) => {
@@ -413,6 +427,14 @@ object ScanOps {
     "scan_pruned" -> """
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
+
+    // The oracle always runs over the harness's fixed sf0.01 dir (same
+    // convention as every store-path oracle constant).
+    "scan_metadata_cols" -> """
+      SELECT parse_filename(filename) AS file_name,
+             count(*) AS n_rows, min(doc_id) AS first_doc
+      FROM read_parquet('/root/testdata/sf0.01/documents.parquet', filename=true)
+      GROUP BY 1 ORDER BY 1""",
 
     "scan_filter_pushdown" -> """
       SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
