@@ -667,19 +667,19 @@ object Ingest {
     * complete the rewrite. The updates side is broadcast (a CDC delta is
     * the small side by definition), so the base snapshot never shuffles.
     * Both frames must share a schema. */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+                  keyCols: Seq[String]): DataFrame =
+    graft.ops.ScanOps.mergeUpsertOf(base, updates, keyCols)
+
   /** (keys..., change ∈ added|deleted|changed) between two snapshot
     * versions of one table — the reverse of [[mergeUpsert]]: recover the
     * CDC delta when upstream only republishes full snapshots. Each side
     * collapses to (key, md5 row fingerprint) at the scan, so the one
-    * full-outer shuffle moves 16-byte fingerprints, not payloads;
-    * unchanged keys are dropped in the same stage (set_snapshot_diff's
-    * exact core, analytically oracle-gated). */
+    * full-outer shuffle moves 16-byte fingerprints, not payloads; key
+    * equality is NULL-SAFE, and unchanged keys are dropped in the same
+    * stage (set_snapshot_diff's exact core, analytically oracle-gated). */
   def snapshotDiff(base: DataFrame, next: DataFrame, keys: Seq[String]): DataFrame =
     graft.ops.RelOps.snapshotDiff(base, next, keys)
-
-  def mergeUpsert(base: DataFrame, updates: DataFrame,
-                  keyCols: Seq[String]): DataFrame =
-    graft.ops.ScanOps.mergeUpsertOf(base, updates, keyCols)
 
   /** Idempotent keyed JDBC upsert as a `foreachBatch` body: per partition,
     * one transaction of DELETE-by-key + INSERT-all-columns batches, so a

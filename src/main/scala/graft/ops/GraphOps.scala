@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,28 +84,42 @@ object GraphOps {
     * cached src-partitioned edge frame, which scales to any node count. */
   private[graft] val BroadcastNodeCap = 5000000L
 
-  private[graft] def pageRankOf(edges0: DataFrame, iters: Int): DataFrame = {
-    // out-degree via a whole-partition window — ONE shuffle on src builds
-    // the (src, dst, outdeg) frame directly (the previous groupBy+join
-    // formulation materialized the edge frame twice); the window's
-    // exchange leaves it hash-partitioned on src, which every fallback-
-    // path iteration join then reuses
+  private[graft] def pageRankOf(edges0: DataFrame, iters: Int): DataFrame =
+    rankRounds(edges0, lit(1.0), iters)
+
+  /** The ONE power-iteration loop behind pageRankOf AND pprOf — they
+    * differ only in the restart distribution (uniform 1.0 vs concentrated
+    * at a seed); init = restart in both conventions.
+    *
+    * Mechanics: out-degree via a whole-partition window — ONE shuffle on
+    * src builds the (src, dst, outdeg) frame directly (a groupBy+join
+    * formulation would materialize the edge frame twice); the window's
+    * exchange leaves it hash-partitioned on src, which every fallback-path
+    * iteration join then reuses. The node UNIVERSE is every src
+    * (out-degree ≥ 1 is the documented precondition of both callers, so
+    * this covers all nodes) — each round re-anchors on it so a node with
+    * NO in-edges keeps its restart-only rank instead of silently vanishing
+    * after round 1. The rank frame is nodes-sized, not edges-sized: below
+    * the cap it broadcasts and an iteration costs one map-side join plus
+    * one partially-aggregated contribution shuffle — the edge frame never
+    * re-shuffles; past the cap the join degrades gracefully to
+    * shuffle-on-src. `requireNode` fails fast (on the small cached node
+    * frame, not the edges) when a caller's seed has no out-edges — the
+    * rank would silently be all-zero otherwise. */
+  private def rankRounds(edges0: DataFrame, restart: Column, iters: Int,
+                         requireNode: Option[String] = None): DataFrame = {
     val withDeg = edges0
       .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
       .cache()
     graft.GraftCaches.track(withDeg)
-    // the node UNIVERSE (every src; out-degree ≥ 1 is the documented
-    // precondition, so this covers all nodes) — each round re-anchors on
-    // it so a node with NO in-edges keeps its (1-d) base rank and keeps
-    // contributing, instead of silently vanishing after round 1
     val nodes = withDeg.select(col("src").as("node")).distinct().cache()
     graft.GraftCaches.track(nodes)
-    var ranks = nodes.withColumn("rank", lit(1.0))
-    // nodes-sized, not edges-sized: for any graph below the cap the rank
-    // frame broadcasts and an iteration costs one map-side join plus one
-    // partially-aggregated shuffle of contributions — the edge frame
-    // never re-shuffles. Past the cap the join degrades gracefully to
-    // shuffle-on-src (ranks are small relative to edges by definition).
+    requireNode.foreach { sd =>
+      require(nodes.filter(col("node") === sd).count() == 1,
+        s"seed '$sd' has no out-edges (the node universe is distinct src; " +
+          "emit both directions for undirected graphs)")
+    }
+    var ranks = nodes.withColumn("rank", restart)
     val broadcastRanks = nodes.count() <= BroadcastNodeCap
     for (_ <- 1 to iters) {
       val r = if (broadcastRanks) broadcast(ranks) else ranks
@@ -114,12 +128,14 @@ object GraphOps {
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
       // literal 0.15, not (1.0 - 0.85): the subtraction is 1 ulp off the
-      // nearest double to 0.15, which is what the oracle's literal parses to
+      // nearest double to 0.15, which is what the oracle's literal parses
+      // to; + is commutative in IEEE, so this term order reproduces both
+      // callers' oracles bit-for-bit
       ranks = LlmOps.cutLineage(
         nodes.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
-                  (lit(0.15) + lit(Damping) *
-                     coalesce(col("contrib"), lit(0.0))).as("rank")))
+                  (lit(Damping) * coalesce(col("contrib"), lit(0.0)) +
+                     lit(0.15) * restart).as("rank")))
     }
     ranks
   }
@@ -134,30 +150,10 @@ object GraphOps {
     * entities" primitive). Unreachable nodes hold exactly 0.0 in every
     * round (products and sums of zeros — exact in IEEE), so the
     * rank > 0 output filter is engine-stable. */
-  private[graft] def pprOf(edges0: DataFrame, seed: String, iters: Int): DataFrame = {
-    val withDeg = edges0
-      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
-      .cache()
-    graft.GraftCaches.track(withDeg)
-    val nodes = withDeg.select(col("src").as("node")).distinct().cache()
-    graft.GraftCaches.track(nodes)
-    val restart = when(col("node") === seed, lit(1.0)).otherwise(lit(0.0))
-    var ranks = nodes.withColumn("rank", restart)
-    val broadcastRanks = nodes.count() <= BroadcastNodeCap
-    for (_ <- 1 to iters) {
-      val r = if (broadcastRanks) broadcast(ranks) else ranks
-      val contrib = withDeg
-        .join(r, col("src") === col("node"))
-        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
-        .groupBy("dst").agg(sum("c").as("contrib"))
-      ranks = LlmOps.cutLineage(
-        nodes.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-                  (lit(Damping) * coalesce(col("contrib"), lit(0.0)) +
-                     lit(0.15) * restart).as("rank")))
-    }
-    ranks
-  }
+  private[graft] def pprOf(edges0: DataFrame, seed: String, iters: Int): DataFrame =
+    rankRounds(edges0,
+      when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)),
+      iters, requireNode = Some(seed))
 
   /** (node, triangles) over an ORIENTED edge frame (each undirected edge
     * exactly once as a < b): wedge join on the pivot + closing-edge

@@ -127,8 +127,14 @@ object RelOps {
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
             .otherwise(col("o_totalprice")))
+      // clone keys mapped to -k-1: strictly negative for every real key
+      // (orderkeys are ≥ 0 — the corpus DOES carry key 0, whose plain
+      // negation is itself), so clones can never collide with real keys
+      // at ANY scale factor, where a fixed +10M shift would overlap real
+      // keys from sf≈2 up and silently turn expected 'added' rows into
+      // fan-out 'changed' ones
       val added = base.filter(col("o_orderkey") % 11 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1)
       snapshotDiff(base, kept.unionByName(added), Seq("o_orderkey"))
         .orderBy("o_orderkey", "change")
     })
@@ -145,18 +151,25 @@ object RelOps {
     * the classification is exact up to md5 collision. */
   private[graft] def snapshotDiff(base: DataFrame, next: DataFrame,
                                   keys: Seq[String]): DataFrame = {
-    def fp(df: DataFrame, as: String): DataFrame = {
+    def fp(df: DataFrame, keyAs: String => String, h: String): DataFrame = {
       val others = df.columns.filterNot(keys.contains).sorted
-      df.select(keys.map(col) :+
-        md5(to_json(struct(others.map(col): _*))).as(as): _*)
+      df.select(keys.map(k => col(k).as(keyAs(k))) :+
+        md5(to_json(struct(others.map(col): _*))).as(h): _*)
     }
-    fp(base, "bh").join(fp(next, "nh"), keys, "full_outer")
+    // NULL-SAFE key equality (<=>): a plain equi-join never matches NULL
+    // keys, which would misreport an unchanged null-keyed row as a
+    // deleted+added pair; the output key coalesces the two sides
+    val b = fp(base, k => s"${k}__b", "bh")
+    val n = fp(next, k => s"${k}__n", "nh")
+    val cond = keys.map(k => col(s"${k}__b") <=> col(s"${k}__n")).reduce(_ && _)
+    b.join(n, cond, "full_outer")
       .withColumn("change",
         when(col("bh").isNull, "added")
           .when(col("nh").isNull, "deleted")
           .when(col("bh") =!= col("nh"), "changed"))
       .filter(col("change").isNotNull)
-      .select((keys.map(col) :+ col("change")): _*)
+      .select(keys.map(k =>
+        coalesce(col(s"${k}__b"), col(s"${k}__n")).as(k)) :+ col("change"): _*)
   }
 
   val oracle: Map[String, String] = Map(
@@ -241,7 +254,7 @@ object RelOps {
     // an independent statement of what the diff must find, not a re-run
     // of the fingerprint join.
     "set_snapshot_diff" -> """
-      SELECT o_orderkey + 10000000 AS o_orderkey, 'added' AS change
+      SELECT -o_orderkey - 1 AS o_orderkey, 'added' AS change
       FROM orders WHERE o_orderkey % 11 = 0
       UNION ALL
       SELECT o_orderkey, 'deleted' FROM orders WHERE o_orderkey % 13 = 0

@@ -85,19 +85,30 @@ object WebOps {
 
   /** Canonical URL from the raw url STRING only (never from the components
     * that built it): drop the fragment, lowercase the scheme://host[:port]
-    * prefix and strip the https default port, keep the path verbatim, and
-    * drop `utm*` tracking params from the query string (preserving the
-    * order of the survivors). All codegen'd string/array expressions. */
+    * prefix and strip the scheme's default port (443 for https, 80 for
+    * http), keep the path verbatim (possibly empty), and drop `utm*`
+    * tracking params from the query string (preserving the order of the
+    * survivors). Any scheme parses; a string with NO scheme://host shape
+    * falls back to fragment-stripping only (identity is safer than
+    * collapsing unparseable rows into one '' group). All codegen'd
+    * string/array expressions. */
   private[graft] def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val prefix = regexp_replace(
-      lower(regexp_extract(noFrag, "^https://[^/]*", 0)), ":443$", "")
-    val path = regexp_extract(noFrag, "^https://[^/]*(/[^?]*)", 1)
+    val SchemeHost = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"
+    val rawPrefix = lower(regexp_extract(noFrag, SchemeHost, 0))
+    val prefix =
+      when(startswith(rawPrefix, lit("https://")),
+           regexp_replace(rawPrefix, ":443$", ""))
+        .when(startswith(rawPrefix, lit("http://")),
+              regexp_replace(rawPrefix, ":80$", ""))
+        .otherwise(rawPrefix)
+    val path = regexp_extract(noFrag, s"$SchemeHost([^?]*)", 1)
     val kept = array_join(
       filter(split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
              p => !startswith(p, lit("utm"))), "&")
-    concat(prefix, path,
-           when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+    when(rawPrefix === "", noFrag)
+      .otherwise(concat(prefix, path,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 
   /** (canon_url, n_dups, first_doc) groups over any (url, id) frame — the
@@ -113,8 +124,10 @@ object WebOps {
                                 blocked: Seq[String]): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    df.join(broadcast(blocked.toDF("blocked_host")),
-            lower(col(hostCol)) === col("blocked_host"), "left_anti")
+    // internal join-column name prefixed so an input frame that happens to
+    // carry a same-named column cannot make the condition ambiguous
+    df.join(broadcast(blocked.toDF("__graft_blocked_host")),
+            lower(col(hostCol)) === col("__graft_blocked_host"), "left_anti")
   }
 
   /** The BM25 per-(doc, term) contribution over columns
@@ -176,18 +189,28 @@ object WebOps {
   private[graft] def buildBm25Index(docs: DataFrame, dir: String,
                                     idCol: String, textCol: String): Unit = {
     val base = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-    val dl = base.select(col("doc_id"), size(col("ws")).as("dl"))
-    val posting = base
-      .select(col("doc_id"), explode(col("ws")).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .join(dl, "doc_id")
-      .withColumn("tb", bucketCol(col("term")))
-    posting.write.mode("overwrite").partitionBy("tb").parquet(s"$dir/posting")
-    posting.groupBy("term").agg(count(lit(1)).as("df"))
+    // cached: dl feeds the posting join AND the stats write; without the
+    // cache the corpus would tokenize once per consumer (3× the most
+    // expensive pass of a day-1 index build)
+    val dl = base.select(col("doc_id"), size(col("ws")).as("dl")).cache()
+    graft.GraftCaches.track(dl)
+    posting(base, dl).write.mode("overwrite").partitionBy("tb").parquet(s"$dir/posting")
+    // df re-derives from the postings just WRITTEN — a term-bucketed read
+    // of (term, doc) pairs, not a third corpus tokenization
+    docs.sparkSession.read.parquet(s"$dir/posting")
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/df")
     dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
+
+  /** (term, doc_id, tf, dl, tb) posting rows — shared by the one-shot and
+    * incremental index builders. */
+  private def posting(base: DataFrame, dl: DataFrame): DataFrame =
+    base.select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("tb", bucketCol(col("term")))
 
   /** Search the persisted index: the scan touches ONLY the query terms'
     * partition buckets (driver-computed [[bucketOfTerm]] literals become
@@ -233,11 +256,10 @@ object WebOps {
   private[graft] def buildBm25Delta(docs: DataFrame, dir: String, part: String,
                                     idCol: String, textCol: String): Unit = {
     val base = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-    val dl = base.select(col("doc_id"), size(col("ws")).as("dl"))
-    base.select(col("doc_id"), explode(col("ws")).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .join(dl, "doc_id")
-      .withColumn("tb", bucketCol(col("term")))
+    // cached for the same reason as buildBm25Index's dl (two consumers)
+    val dl = base.select(col("doc_id"), size(col("ws")).as("dl")).cache()
+    graft.GraftCaches.track(dl)
+    posting(base, dl)
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/posting$part")
     dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
       .write.mode("overwrite").parquet(s"$dir/stats$part")
@@ -251,6 +273,7 @@ object WebOps {
   private[graft] def bm25IncSearch(s: SparkSession, dir: String,
                                    parts: Seq[String], terms: Seq[String],
                                    k1: Double, b: Double): DataFrame = {
+    require(parts.nonEmpty, "need at least one index batch to search")
     val buckets = terms.map(bucketOfTerm).distinct
     // one partitioned root per batch (each with its own tb= layout), so
     // the batches load separately — each scan still partition-prunes to

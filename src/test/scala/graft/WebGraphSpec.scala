@@ -31,6 +31,20 @@ class WebGraphSpec extends AnyFunSuite {
     assert(distinct.size === 3 && !distinct.contains("https://src2.example.com/en/doc4?id=3"))
   }
 
+  test("canonicalUrl generalizes: http default port, path-less, scheme-less inputs") {
+    def canon(u: String) =
+      Seq(u).toDF("url").select(graft.ops.WebOps.canonicalUrl(col("url")))
+        .head().getString(0)
+    assert(canon("http://A.Example.COM:80/x?utm_x=1&p=1") === "http://a.example.com/x?p=1")
+    assert(canon("http://a.example.com:443/x") === "http://a.example.com:443/x",
+      ":443 is NOT http's default port and must survive")
+    assert(canon("https://Host.Com?x=1") === "https://host.com?x=1",
+      "path-less URLs must not duplicate their query")
+    assert(canon("ftp://Files.Example.com/pub") === "ftp://files.example.com/pub")
+    assert(canon("no scheme here#frag") === "no scheme here",
+      "unparseable rows fall back to fragment-stripping, never collapse to ''")
+  }
+
   test("llm_url_dedup partitions the corpus: n_dups sums to the doc count, groups > 1 exist") {
     val out = SparkEntry.queries("llm_url_dedup")(spark, d).collect()
     val total = out.map(_.getAs[Long]("n_dups")).sum
@@ -206,6 +220,21 @@ class WebGraphSpec extends AnyFunSuite {
     val out2 = graft.api.Ingest.snapshotDiff(base.filter($"k" === 3), next2, Seq("k"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out2 === Map(3L -> "changed"))
+    // NULL keys join null-safely: an unchanged null-keyed row emits
+    // nothing (a plain equi-join would misreport it as deleted+added)
+    val nb = Seq((Option.empty[Long], "a", 1), (Some(7L), "b", 2)).toDF("k", "s", "v")
+    val nn = Seq((Option.empty[Long], "a", 1), (Some(7L), "b", 9)).toDF("k", "s", "v")
+    val out3 = graft.api.Ingest.snapshotDiff(nb, nn, Seq("k")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(out3 === Map(7L -> "changed"))
+  }
+
+  test("personalizedPageRank rejects a seed with no out-edges") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Graph.personalizedPageRank(edges, "b").collect()
+    }
+    assert(e.getMessage.contains("no out-edges"))
   }
 
   test("sql_q18_large_orders: every returned order's quantity exceeds the threshold") {
