@@ -98,6 +98,7 @@ object Bench {
     quietly(graft.ops.WebOps.bm25IndexPath(spark, sfDir))
     quietly(graft.ops.WebOps.bm25IncPath(spark, sfDir))
     quietly(graft.ops.WebOps.posIndexPath(spark, sfDir))
+    quietly(graft.ops.WebOps.streamIndexPath(spark, sfDir))
     val setupSec = (System.nanoTime() - s0) / 1e9
 
     // Drift sentinel: one fixed cheap plan, timed single-shot. Uses the

@@ -350,6 +350,60 @@ object WebOps {
       buildPositionalIndex(Tables.documentsWide(s, d), dir, "doc_id", "text")
     }
 
+  /** Chunk count of the streamed-index replay (3 micro-batches). */
+  private[graft] val IndexStreamChunks = 3
+
+  /** The batch parts present under an incremental index store dir —
+    * enumerated from the store itself, so search stays correct however
+    * the ingest stream happened to batch the corpus. */
+  private[graft] def indexParts(dir: String): Seq[String] =
+    Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("posting")).map(_.stripPrefix("posting")).sorted.toSeq
+
+  /** STREAMED index maintenance — the production crawl→index pipeline:
+    * documents replayed as a file-stream (one chunk per micro-batch),
+    * each micro-batch appended to the store via [[buildBm25Delta]] inside
+    * foreachBatch. Exactly-once economics: a batch writes ONLY its own
+    * `posting<batchId>`/`stats<batchId>` in overwrite mode, so a replayed
+    * batch (crash between sink write and commit-log write) overwrites its
+    * own output and converges — the same idempotency discipline as the
+    * JDBC stream sink's keyed upsert, applied to index artifacts. Search
+    * over the accumulated parts equals the batch-built index exactly
+    * (df/avgdl re-derive from the merged postings — nothing restated,
+    * nothing order-dependent). */
+  private val streamIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def streamIndexPath(s: SparkSession, d: String): String =
+    graft.StoreDir.fixed(streamIdxCache,
+        graft.StoreDir.fixedPath("graft-bm25stream", d)) { dir =>
+      val docs = Tables.documents(s, d)
+      // stage the corpus as one-file chunks — the replay source
+      val stage = java.nio.file.Files.createTempDirectory("graft-docstage-").toFile
+      for (i <- 0 until IndexStreamChunks) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-docchunk-").toFile
+        docs.filter(pmod(col("doc_id"), lit(IndexStreamChunks)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stage, f"c$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-idxckpt-").toFile.getAbsolutePath
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.getAbsolutePath)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         id: Long) =>
+          buildBm25Delta(batch.toDF(), dir, id.toString, "doc_id", "text")
+        }
+        .start()
+      q.awaitTermination()
+    }
+
   /** Day-1/day-2 incremental index store: batch 1 = doc_id % 4 != 0,
     * batch 2 = the % 4 == 0 delta appended with NO re-read of batch 1 —
     * the same split and append discipline as llm_ann_incremental. */
@@ -446,6 +500,19 @@ object WebOps {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(Bm25TopK)),
 
+    // The crawl→index pipeline end to end: documents STREAMED through a
+    // file source, each micro-batch appended to the persisted index
+    // inside foreachBatch (own posting<id>/stats<id> in overwrite mode =
+    // idempotent under replay), then searched over whatever parts the
+    // stream produced — same oracle as the batch paths: streamed
+    // maintenance ≡ batch build ≡ raw-corpus compute.
+    "stream_index_sink" -> ((s, d) => {
+      val dir = streamIndexPath(s, d)
+      bm25IncSearch(s, dir, indexParts(dir), Bm25Terms, Bm25K1, Bm25B)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25TopK)
+    }),
+
     // Exact phrase search from the POSITIONAL index — what separates a
     // retrieval index from a bag-of-words one: per-doc token offsets are
     // stored once at build time, and "hash join" adjacency is decided by
@@ -502,6 +569,7 @@ object WebOps {
     // two-batch incremental store.
     "llm_bm25_index" -> Bm25OracleSql,
     "llm_bm25_incremental" -> Bm25OracleSql,
+    "stream_index_sink" -> Bm25OracleSql,
 
     // Token positions re-derived from the raw corpus (generate_subscripts
     // zips with unnest in DuckDB); adjacency joined directly — positions

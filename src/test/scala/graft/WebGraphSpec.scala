@@ -136,6 +136,26 @@ class WebGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_index_sink: streamed index maintenance equals the batch scan; replayed batch is idempotent") {
+    val viaStream = SparkEntry.queries("stream_index_sink")(spark, d).collect().toSeq
+    val viaScan = SparkEntry.queries("llm_bm25_topk")(spark, d).collect().toSeq
+    assert(viaStream === viaScan, "streamed maintenance must equal the scan-side key")
+    // replay idempotency: re-appending one batch's part over itself (the
+    // crash-between-write-and-commit case) must not change the search
+    val dir = graft.ops.WebOps.streamIndexPath(spark, d)
+    val parts = graft.ops.WebOps.indexParts(dir)
+    assert(parts.size === graft.ops.WebOps.IndexStreamChunks)
+    val docs = Tables.documents(spark, d)
+      .filter(pmod(col("doc_id"), lit(graft.ops.WebOps.IndexStreamChunks)) === 0)
+    graft.api.Web.appendBm25Batch(docs, dir, "0")
+    val replayed = graft.ops.WebOps
+      .bm25IncSearch(spark, dir, parts, graft.ops.WebOps.Bm25Terms,
+                     graft.ops.WebOps.Bm25K1, graft.ops.WebOps.Bm25B)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(graft.ops.WebOps.Bm25TopK).collect().toSeq
+    assert(replayed === viaStream, "a replayed batch must converge, not double-count")
+  }
+
   test("phraseSearch: planted docs pin adjacency, overlap, and absence semantics") {
     val dir = java.nio.file.Files.createTempDirectory("posidx-test").toString
     try {
