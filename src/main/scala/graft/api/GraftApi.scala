@@ -931,6 +931,14 @@ object Web {
                             b: Double = graft.ops.WebOps.Bm25B): DataFrame =
     graft.ops.WebOps.bm25IncSearch(spark, path, parts, terms, k1, b)
 
+  /** Compact an incremental index's batch parts into one part named
+    * `outPart`, deleting the originals — the maintenance pass a
+    * stream-appended index eventually needs. Pure layout work: search
+    * before ≡ search after (llm_index_compact's exact core). */
+  def compactBm25Index(spark: SparkSession, path: String,
+                       outPart: String = "c"): Unit =
+    graft.ops.WebOps.compactIndex(spark, path, outPart)
+
   /** Build the POSITIONAL index under `path`: per-(term, doc) sorted token
     * offsets, term-bucketed — the artifact [[phraseSearch]] reads. */
   def buildPositionalIndex(docs: DataFrame, path: String,

@@ -404,6 +404,49 @@ object WebOps {
       q.awaitTermination()
     }
 
+  /** Compact an incremental index's accumulated parts into ONE batch —
+    * the maintenance pass a stream-appended index eventually needs (the
+    * sink_compaction discipline applied to index artifacts): N tiny
+    * posting parts mean N scans + a union per query and N footer reads;
+    * compaction unions them ONCE, rewrites the result as a single
+    * term-bucketed part `posting<outPart>` + integer-exact merged
+    * `stats<outPart>`, then deletes the originals. Pure layout work:
+    * postings move, content doesn't — search before ≡ search after
+    * (df/avgdl re-derive from the same merged rows either way). */
+  private[graft] def compactIndex(s: SparkSession, dir: String,
+                                  outPart: String): Unit = {
+    val parts = indexParts(dir).filter(_ != outPart)
+    require(parts.nonEmpty, s"no index parts to compact under $dir")
+    parts.map(p => s.read.parquet(s"$dir/posting$p")).reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/posting$outPart")
+    parts.map(p => s.read.parquet(s"$dir/stats$p")).reduce(_ unionByName _)
+      .agg(sum("n").as("n"), sum("sdl").as("sdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats$outPart")
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    parts.foreach { p =>
+      rmTree(java.nio.file.Paths.get(s"$dir/posting$p"))
+      rmTree(java.nio.file.Paths.get(s"$dir/stats$p"))
+    }
+  }
+
+  /** Two-batch store compacted to one part at build time — the contract
+    * key's fixture (own store: compaction MUTATES parts, and the
+    * incremental/stream keys must keep theirs). */
+  private val cmpIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def compactIndexPath(s: SparkSession, d: String): String =
+    graft.StoreDir.fixed(cmpIdxCache,
+        graft.StoreDir.fixedPath("graft-bm25cmp", d)) { dir =>
+      val docs = Tables.documentsWide(s, d)
+      buildBm25Delta(docs.filter(col("doc_id") % 4 =!= 0), dir, "1", "doc_id", "text")
+      buildBm25Delta(docs.filter(col("doc_id") % 4 === 0), dir, "2", "doc_id", "text")
+      compactIndex(s, dir, "c")
+    }
+
   /** Day-1/day-2 incremental index store: batch 1 = doc_id % 4 != 0,
     * batch 2 = the % 4 == 0 delta appended with NO re-read of batch 1 —
     * the same split and append discipline as llm_ann_incremental. */
@@ -513,6 +556,17 @@ object WebOps {
         .limit(Bm25TopK)
     }),
 
+    // Index-part compaction: two appended batches rewritten as ONE
+    // term-bucketed part, originals deleted — layout changes, content
+    // doesn't, so the same oracle gates the compacted search. The spec
+    // additionally pins that exactly one part remains.
+    "llm_index_compact" -> ((s, d) => {
+      val dir = compactIndexPath(s, d)
+      bm25IncSearch(s, dir, indexParts(dir), Bm25Terms, Bm25K1, Bm25B)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25TopK)
+    }),
+
     // Exact phrase search from the POSITIONAL index — what separates a
     // retrieval index from a bag-of-words one: per-doc token offsets are
     // stored once at build time, and "hash join" adjacency is decided by
@@ -570,6 +624,7 @@ object WebOps {
     "llm_bm25_index" -> Bm25OracleSql,
     "llm_bm25_incremental" -> Bm25OracleSql,
     "stream_index_sink" -> Bm25OracleSql,
+    "llm_index_compact" -> Bm25OracleSql,
 
     // Token positions re-derived from the raw corpus (generate_subscripts
     // zips with unnest in DuckDB); adjacency joined directly — positions

@@ -156,6 +156,15 @@ class WebGraphSpec extends AnyFunSuite {
     assert(replayed === viaStream, "a replayed batch must converge, not double-count")
   }
 
+  test("llm_index_compact: compacted search equals the scan key and exactly one part remains") {
+    val viaCompact = SparkEntry.queries("llm_index_compact")(spark, d).collect().toSeq
+    val viaScan = SparkEntry.queries("llm_bm25_topk")(spark, d).collect().toSeq
+    assert(viaCompact === viaScan, "compaction must move bytes, not change content")
+    val dir = graft.ops.WebOps.compactIndexPath(spark, d)
+    assert(graft.ops.WebOps.indexParts(dir) === Seq("c"),
+      "the original batch parts must be gone after compaction")
+  }
+
   test("phraseSearch: planted docs pin adjacency, overlap, and absence semantics") {
     val dir = java.nio.file.Files.createTempDirectory("posidx-test").toString
     try {
