@@ -951,4 +951,12 @@ object Web {
   def phraseSearch(spark: SparkSession, path: String,
                    phrase: Seq[String]): DataFrame =
     graft.ops.WebOps.phraseSearch(spark, path, phrase)
+
+  /** Ordered proximity from a [[buildPositionalIndex]] store → (doc_id,
+    * pairs > 0): occurrences of `b` within `slop` tokens AFTER `a` —
+    * Lucene's sloppy-phrase primitive (slop 1 = the exact 2-term
+    * phrase); llm_proximity_search's exact core. */
+  def proximitySearch(spark: SparkSession, path: String, a: String, b: String,
+                      slop: Int = graft.ops.WebOps.ProximitySlop): DataFrame =
+    graft.ops.WebOps.proximitySearch(spark, path, a, b, slop)
 }

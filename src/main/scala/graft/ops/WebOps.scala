@@ -341,6 +341,32 @@ object WebOps {
       .filter(col("occurrences") > 0)
   }
 
+  /** Proximity slop of the llm_proximity_search contract key. */
+  private[graft] val ProximitySlop = 5
+
+  /** Ordered proximity pairs from the positional index: per doc, the
+    * number of (a-position, b-position) pairs with 0 < pb − pa ≤ slop —
+    * "b follows a within k tokens", Lucene's sloppy-phrase primitive
+    * (slop 1 degenerates to the exact 2-term phrase). Same pruned-scan +
+    * doc-keyed join shape as [[phraseSearch]]; the pair count is one
+    * nested higher-order aggregate over the two offset arrays — no
+    * position explosion. */
+  private[graft] def proximitySearch(s: SparkSession, dir: String,
+                                     a: String, b: String, slop: Int): DataFrame = {
+    require(slop >= 1, "slop must be >= 1")
+    val buckets = Seq(a, b).map(bucketOfTerm).distinct
+    val posting = s.read.parquet(s"$dir/posting")
+      .filter(col("tb").isin(buckets: _*))
+    val fa = posting.filter(col("term") === a).select(col("doc_id"), col("positions").as("pa"))
+    val fb = posting.filter(col("term") === b).select(col("doc_id"), col("positions").as("pb"))
+    fa.join(fb, "doc_id")
+      .select(col("doc_id"),
+        aggregate(col("pa"), lit(0L),
+          (acc, x) => acc + size(filter(col("pb"),
+            y => y > x && y - x <= slop)).cast("long")).as("pairs"))
+      .filter(col("pairs") > 0)
+  }
+
   /** Per-(JVM, sfDir) positional index store (StoreDir.fixed contract). */
   private val posIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -567,6 +593,14 @@ object WebOps {
         .limit(Bm25TopK)
     }),
 
+    // Sloppy-phrase proximity from the same positional store: "join"
+    // within 5 tokens AFTER "hash" — the relevance primitive between
+    // bag-of-words and exact phrase. Oracle re-derives positions and
+    // joins the distance band directly.
+    "llm_proximity_search" -> ((s, d) =>
+      proximitySearch(s, posIndexPath(s, d),
+        PhraseTerms(0), PhraseTerms(1), ProximitySlop).orderBy("doc_id")),
+
     // Exact phrase search from the POSITIONAL index — what separates a
     // retrieval index from a bag-of-words one: per-doc token offsets are
     // stored once at build time, and "hash join" adjacency is decided by
@@ -625,6 +659,21 @@ object WebOps {
     "llm_bm25_incremental" -> Bm25OracleSql,
     "stream_index_sink" -> Bm25OracleSql,
     "llm_index_compact" -> Bm25OracleSql,
+
+    // Positions re-derived raw; the 0<diff<=slop band joined directly
+    // (positions unique per (term, doc) ⇒ pair count = the Spark side's
+    // nested-aggregate count).
+    "llm_proximity_search" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      t0 AS (SELECT doc_id, pos FROM toks WHERE term = '${PhraseTerms(0)}'),
+      t1 AS (SELECT doc_id, pos FROM toks WHERE term = '${PhraseTerms(1)}')
+      SELECT t0.doc_id, count(*) AS pairs
+      FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id
+        AND t1.pos > t0.pos AND t1.pos - t0.pos <= $ProximitySlop
+      GROUP BY t0.doc_id ORDER BY t0.doc_id""",
 
     // Token positions re-derived from the raw corpus (generate_subscripts
     // zips with unnest in DuckDB); adjacency joined directly — positions

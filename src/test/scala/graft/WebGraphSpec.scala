@@ -188,6 +188,30 @@ class WebGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("proximitySearch: planted pair counts per slop; slop 1 equals the exact phrase") {
+    val dir = java.nio.file.Files.createTempDirectory("proxidx-test").toString
+    try {
+      val docs = Seq((1L, "a b c a b"), (2L, "b x x x a"), (3L, "a x x x x x b"))
+        .toDF("doc_id", "text")
+      graft.api.Web.buildPositionalIndex(docs, dir)
+      def pairs(slop: Int) =
+        graft.api.Web.proximitySearch(spark, dir, "a", "b", slop)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(pairs(2) === Map(1L -> 2L), "a@{0,3}, b@{1,4}: diffs 1,1 qualify; 4 does not")
+      assert(pairs(4) === Map(1L -> 3L), "slop 4 admits the (0,4) pair")
+      assert(pairs(6) === Map(1L -> 3L, 3L -> 1L), "doc 3's distance-6 pair needs slop 6")
+      // doc 2 has b BEFORE a — ordered proximity must never match it
+      assert(!pairs(10).contains(2L))
+      // slop 1 degenerates to the exact 2-term phrase
+      val phrase = graft.api.Web.phraseSearch(spark, dir, Seq("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(pairs(1) === phrase)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("llm_phrase_search plan prunes to term buckets and never reads the corpus") {
     val q = SparkEntry.queries("llm_phrase_search")(spark, d)
     assert(q.collect().nonEmpty)
