@@ -959,4 +959,23 @@ object Web {
   def proximitySearch(spark: SparkSession, path: String, a: String, b: String,
                       slop: Int = graft.ops.WebOps.ProximitySlop): DataFrame =
     graft.ops.WebOps.proximitySearch(spark, path, a, b, slop)
+
+  /** (doc_id, snippet) around the FIRST occurrence of the 2-term phrase,
+    * `ctx` tokens of context each side — the display/RAG primitive after
+    * retrieval; run it on the hit set phraseSearch narrowed, not the
+    * corpus. Zero shuffle (llm_snippet_extract's exact core). */
+  def snippets(docs: DataFrame, a: String, b: String,
+               ctx: Int = graft.ops.WebOps.SnippetContext,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.ops.WebOps.snippetOf(docs, idCol, textCol, a, b, ctx)
+
+  /** Top co-occurring terms with `anchor` by document-level PMI over
+    * presence counts → (term, pmi, cooc) — query expansion / collocation
+    * mining (llm_pmi_terms's exact core). `minCooc` is the noise floor
+    * keeping rare-pair PMI spikes out of the top-k. */
+  def pmiTerms(docs: DataFrame, anchor: String,
+               minCooc: Long = graft.ops.WebOps.PmiMinCooc,
+               topK: Int = graft.ops.WebOps.PmiTopK,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.ops.WebOps.pmiTerms(docs, idCol, textCol, anchor, minCooc, topK)
 }

@@ -367,6 +367,71 @@ object WebOps {
       .filter(col("pairs") > 0)
   }
 
+  /** PMI key parameters: anchor term, noise floor, output size. */
+  private[graft] val PmiAnchor = "hash"
+  private[graft] val PmiMinCooc = 5L
+  private[graft] val PmiTopK = 20
+
+  /** Top co-occurring terms with `anchor` by document-level pointwise
+    * mutual information: pmi(a,b) = ln(N·c_ab / (c_a·c_b)) over PRESENCE
+    * counts (docs containing the term) — the query-expansion /
+    * collocation-mining primitive. One corpus shuffle (the distinct
+    * (doc, term) presence pairs, cached across its three consumers);
+    * everything downstream is vocabulary- or 1-row-sized and joins under
+    * AQE's size rules (the anchor posting is NOT force-broadcast — for a
+    * stopword-grade anchor it is corpus-sized). The noise floor
+    * (c_ab ≥ minCooc) keeps rare-pair PMI spikes out of the top-k. */
+  private[graft] def pmiTerms(docs: DataFrame, idCol: String, textCol: String,
+                              anchor: String, minCooc: Long, topK: Int): DataFrame = {
+    val p = docs
+      .select(col(idCol).as("doc_id"),
+              explode(split(col(textCol), " ")).as("term"))
+      .distinct().cache()
+    graft.GraftCaches.track(p)
+    val nDocs = p.agg(countDistinct("doc_id").as("n"))
+    val cb = p.groupBy("term").agg(count(lit(1)).as("cb"))
+    val anchors = p.filter(col("term") === anchor).select("doc_id")
+    val cab = p.join(anchors, "doc_id").filter(col("term") =!= anchor)
+      .groupBy("term").agg(count(lit(1)).as("cooc"))
+    val caF = cb.filter(col("term") === anchor).select(col("cb").as("ca"))
+    cab.join(cb, "term")
+      .crossJoin(broadcast(caF)).crossJoin(broadcast(nDocs))
+      .filter(col("cooc") >= minCooc)
+      .select(col("term"),
+              round(log(col("cooc") * col("n") / (col("ca") * col("cb"))), 4).as("pmi"),
+              col("cooc"))
+      .orderBy(col("pmi").desc, col("term")).limit(topK)
+  }
+
+  /** Snippet context window (tokens on each side of the match). */
+  private[graft] val SnippetContext = 3
+
+  /** (doc_id, snippet) for docs containing the 2-term phrase: the tokens
+    * around the FIRST occurrence, `ctx` on each side — the display/RAG
+    * primitive after retrieval. Pure per-row array expressions (find the
+    * first adjacency index with a higher-order filter over an index
+    * sequence, slice, re-join): zero shuffle, zero UDF; composes after
+    * [[phraseSearch]] has already narrowed WHICH docs to snippet, so the
+    * text scan runs on the hit set, not the corpus. */
+  private[graft] def snippetOf(docs: DataFrame, idCol: String, textCol: String,
+                               a: String, b: String, ctx: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    // 1-based index i of the first token pair (ws[i], ws[i+1]) == (a, b)
+    val starts = filter(sequence(lit(1), size(ws) - 1),
+      i => element_at(ws, i) === a && element_at(ws, i + 1) === b)
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"), starts.as("starts"))
+      .filter(size(col("starts")) > 0)
+      .select(col("doc_id"),
+        array_join(
+          slice(col("ws"),
+                greatest(lit(1), element_at(col("starts"), 1) - ctx),
+                // window = ctx + 2-token phrase + ctx, clipped at the left
+                // edge so the slice never starts before token 1
+                element_at(col("starts"), 1) + 1 + ctx -
+                  greatest(lit(1), element_at(col("starts"), 1) - ctx) + 1),
+          " ").as("snippet"))
+  }
+
   /** Per-(JVM, sfDir) positional index store (StoreDir.fixed contract). */
   private val posIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -593,6 +658,21 @@ object WebOps {
         .limit(Bm25TopK)
     }),
 
+    // Document-level PMI collocations with the anchor term — query
+    // expansion / collocation mining over presence counts.
+    "llm_pmi_terms" -> ((s, d) =>
+      pmiTerms(Tables.documents(s, d), "doc_id", "text",
+               PmiAnchor, PmiMinCooc, PmiTopK)),
+
+    // Snippet extraction around the first "hash join" occurrence — the
+    // display/RAG primitive after retrieval. Keyed off the corpus here so
+    // the oracle can mirror it; in production it composes AFTER
+    // phraseSearch has narrowed the hit set.
+    "llm_snippet_extract" -> ((s, d) =>
+      snippetOf(Tables.documents(s, d), "doc_id", "text",
+                PhraseTerms(0), PhraseTerms(1), SnippetContext)
+        .orderBy("doc_id")),
+
     // Sloppy-phrase proximity from the same positional store: "join"
     // within 5 tokens AFTER "hash" — the relevance primitive between
     // bag-of-words and exact phrase. Oracle re-derives positions and
@@ -659,6 +739,41 @@ object WebOps {
     "llm_bm25_incremental" -> Bm25OracleSql,
     "stream_index_sink" -> Bm25OracleSql,
     "llm_index_compact" -> Bm25OracleSql,
+
+    // Identical presence/count algebra; both engines' `/` on integers is
+    // fractional division, so the pmi doubles match at 4 dp.
+    "llm_pmi_terms" -> s"""
+      WITH p AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM p),
+      cb AS (SELECT term, count(*) AS cb FROM p GROUP BY term),
+      a AS (SELECT doc_id FROM p WHERE term = '$PmiAnchor'),
+      cab AS (
+        SELECT term, count(*) AS cooc FROM p JOIN a USING (doc_id)
+        WHERE term <> '$PmiAnchor' GROUP BY term),
+      ca AS (SELECT cb AS ca FROM cb WHERE term = '$PmiAnchor')
+      SELECT cab.term, round(ln(cab.cooc * n.n / (ca.ca * cb.cb)), 4) AS pmi,
+             cab.cooc
+      FROM cab JOIN cb USING (term) CROSS JOIN ca CROSS JOIN n
+      WHERE cab.cooc >= $PmiMinCooc
+      ORDER BY pmi DESC, term LIMIT $PmiTopK""",
+
+    // Same first-adjacency-index + clipped slice in DuckDB list algebra
+    // (list_slice is begin..end INCLUSIVE where Spark's slice is
+    // start+length — both clip at the array edges).
+    "llm_snippet_extract" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      m AS (SELECT doc_id, ws,
+              list_filter(range(1, len(ws)),
+                          i -> ws[i] = '${PhraseTerms(0)}'
+                           AND ws[i + 1] = '${PhraseTerms(1)}') AS starts
+            FROM t)
+      SELECT doc_id,
+             array_to_string(
+               list_slice(ws, greatest(1, starts[1] - $SnippetContext),
+                          starts[1] + ${1 + SnippetContext}), ' ') AS snippet
+      FROM m WHERE len(starts) > 0 ORDER BY doc_id""",
 
     // Positions re-derived raw; the 0<diff<=slop band joined directly
     // (positions unique per (term, doc) ⇒ pair count = the Spark side's

@@ -212,6 +212,33 @@ class WebGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("snippets: edge clipping, first-occurrence-only, non-matches absent") {
+    val docs = Seq(
+      (1L, "w1 w2 hash join w5 w6 w7 w8"),   // interior match, left edge clips
+      (2L, "hash join x"),                   // match at the very start
+      (3L, "p q r s t u hash join"),         // match at the very end
+      (4L, "hash join y hash join"),         // TWO matches — first one wins
+      (5L, "no match here")
+    ).toDF("doc_id", "text")
+    val out = graft.api.Web.snippets(docs, "hash", "join")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "w1 w2 hash join w5 w6 w7",
+      2L -> "hash join x",
+      3L -> "s t u hash join",
+      4L -> "hash join y hash join"))
+  }
+
+  test("pmiTerms: hand-computed PMI on a planted corpus") {
+    val docs = Seq(
+      (1L, "q a"), (2L, "q a"), (3L, "q b"), (4L, "a b"), (5L, "c d")
+    ).toDF("doc_id", "text")
+    val out = graft.api.Web.pmiTerms(docs, "q", minCooc = 1L)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toList
+    // N=5, c(q)=3; a: c=3, cooc=2 -> ln(10/9)=0.1054; b: c=2, cooc=1 -> ln(5/6)=-0.1823
+    assert(out === List(("a", 0.1054, 2L), ("b", -0.1823, 1L)))
+  }
+
   test("llm_phrase_search plan prunes to term buckets and never reads the corpus") {
     val q = SparkEntry.queries("llm_phrase_search")(spark, d)
     assert(q.collect().nonEmpty)
