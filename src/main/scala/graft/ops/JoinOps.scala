@@ -258,6 +258,30 @@ object JoinOps {
     "join_asof_outer" -> ((s, d) =>
       asofEventsKey(s, d, "signup_ts", outer = true)),
 
+    // NEAREST variant: each purchase joined to the signup CLOSEST in time
+    // in EITHER direction (ties → the earlier/backward one) — the sensor-
+    // alignment shape (match each reading to the nearest reference
+    // sample, before or after). Composed from TWO native as-of passes
+    // (backward + forward, both outer) joined on the unique left key —
+    // each pass is the O(1)-state streaming merge, and the recombination
+    // is a co-keyed join of two left-sized frames. DuckDB has no NEAREST
+    // asof, so the oracle ranks the full per-user candidate set by
+    // absolute distance with the same backward tie-break.
+    "join_asof_nearest" -> ((s, d) => {
+      val back = asofEventsKey(s, d, "bts", outer = true)
+      val fwd = asofEventsKey(s, d, "fts", outer = true, forward = true)
+        .select("event_id", "fts")
+      val db = unix_micros(col("ts")) - unix_micros(col("bts"))
+      val df_ = unix_micros(col("fts")) - unix_micros(col("ts"))
+      back.join(fwd, "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("bts").isNull, col("fts"))
+            .when(col("fts").isNull, col("bts"))
+            .when(db <= df_, col("bts"))
+            .otherwise(col("fts")).as("nearest_ts"))
+        .orderBy("event_id")
+    }),
+
     // Skew-mitigated join via key salting — the manual 100 TB pattern for
     // when AQE's skew split can't help (e.g. the skewed side feeds a
     // downstream agg on the same key). A deliberately skewed key
@@ -461,6 +485,22 @@ object JoinOps {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
+    // DuckDB has no NEAREST asof — rank the full per-user candidate set
+    // by absolute time distance with the backward tie-break (≤ sorts
+    // first), LEFT-joined so signup-less purchases survive with null.
+    "join_asof_nearest" -> """
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      sg AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+      cand AS (
+        SELECT p.event_id, sg.ts AS sts,
+               row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY abs(epoch_us(p.ts) - epoch_us(sg.ts)),
+                          CASE WHEN sg.ts <= p.ts THEN 0 ELSE 1 END, sg.ts) AS rk
+        FROM p JOIN sg ON p.user_id = sg.user_id)
+      SELECT p.event_id, p.user_id, p.ts, c.sts AS nearest_ts
+      FROM p LEFT JOIN (SELECT event_id, sts FROM cand WHERE rk = 1) c USING (event_id)
       ORDER BY p.event_id""",
 
     // Identical semantics to join_asof — the key differs only in HOW the

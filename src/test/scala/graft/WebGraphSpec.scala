@@ -317,6 +317,32 @@ class WebGraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no out-edges"))
   }
 
+  test("join_asof_nearest: always the closer of the two directional candidates, ties backward") {
+    val e = Tables.events(spark, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts").as("sts"))
+    def side(fwd: Boolean) = graft.api.Graft
+      .asofJoin(p, sg, Seq("user_id"), Seq("su"), "ts", "sts",
+                outer = true, forward = fwd)
+      .select(col("event_id").as("eid"), col("sts"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    val back = side(fwd = false); val fwd = side(fwd = true)
+    val near = SparkEntry.queries("join_asof_nearest")(spark, d).collect()
+    assert(near.nonEmpty)
+    near.foreach { r =>
+      val (eid, ts, n) = (r.getLong(0), r.getTimestamp(2), Option(r.getTimestamp(3)))
+      val (b, f) = (back(eid), fwd(eid))
+      def dist(o: Option[java.sql.Timestamp]) =
+        o.map(x => math.abs(x.getTime - ts.getTime)).getOrElse(Long.MaxValue)
+      val expect =
+        if (b.isEmpty && f.isEmpty) None
+        else if (dist(b) <= dist(f)) b else f
+      assert(n === expect, s"event $eid: nearest $n, backward $b, forward $f")
+    }
+  }
+
   test("sql_q18_large_orders: every returned order's quantity exceeds the threshold") {
     val rows = SparkEntry.queries("sql_q18_large_orders")(spark, d).collect()
     assert(rows.nonEmpty)
