@@ -261,6 +261,33 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    // INCREMENTAL connected components — the day-2 economics for graphs:
+    // day-1 components are summarized by their LABEL FOREST (one
+    // node→component-root edge per node, a nodes-sized frame), and the
+    // day-2 update runs propagation over (day-2 edges ∪ label forest)
+    // only. Correct by contraction: within a day-1 component every node
+    // links to the same root, so the forest carries exactly day-1's
+    // connectivity, and components of the union equal components of the
+    // FULL edge set — labels stay global min node ids, so the result is
+    // BIT-FOR-BIT the full rebuild (WebGraphSpec pins it against
+    // graph_components, same oracle). At 100 TB: day-2 work is
+    // O(new edges + total NODES), never a re-walk of day-1's edge set
+    // (edges ≫ nodes on dense graphs). The day split is an md5 gate on
+    // the pair — deterministic, layout-independent.
+    "graph_components_incremental" -> ((s, d) => {
+      val pairs = repeatTradePairs(s, d)
+      val gate = pmod(conv(substring(
+        md5(concat_ws("|", col("doc_a"), col("doc_b"))), 1, 2), 16, 10)
+        .cast("int"), lit(4))
+      val day1 = pairs.filter(gate =!= 0)
+      val day2 = pairs.filter(gate === 0)
+      val forest = LlmOps.resolveClusters(day1)
+        .select(col("node").as("doc_a"), col("lbl").as("doc_b"))
+      LlmOps.resolveClusters(day2.unionByName(forest))
+        .select(col("node"), col("lbl").as("component"))
+        .orderBy("node")
+    }),
+
     // Connected components over the REPEAT-trade graph (pairs with ≥3
     // lineitems — the sparse thresholded subgraph, so components are
     // non-trivial at sparse SFs and propagation depth is exercised at
@@ -374,6 +401,21 @@ object GraphOps {
     // is bounded by nodes × component size: fine at oracle scale, which is
     // exactly why the SPARK side uses O(log n) pointer jumping instead.
     "graph_components" -> """
+      WITH RECURSIVE p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s AS src, c AS dst FROM p),
+      reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+      SELECT node, min(lbl) AS component FROM reach GROUP BY node ORDER BY node""",
+
+    // Incremental ≡ full rebuild by the contraction argument (key doc),
+    // so the oracle IS the full-graph closure — an independent derivation
+    // that never sees the day split.
+    "graph_components_incremental" -> """
       WITH RECURSIVE p AS (
         SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey

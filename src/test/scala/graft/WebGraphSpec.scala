@@ -275,6 +275,22 @@ class WebGraphSpec extends AnyFunSuite {
     assert(corpus.forall(_.getAs[Double]("rank") > 0.0), "only reached nodes appear")
   }
 
+  test("graph_components_incremental is bit-for-bit the full rebuild; planted merge case") {
+    val inc = SparkEntry.queries("graph_components_incremental")(spark, d).collect().toSeq
+    val full = SparkEntry.queries("graph_components")(spark, d).collect().toSeq
+    assert(inc === full && inc.nonEmpty)
+    // planted: two day-1 components {a,b} and {c,d} merged by one day-2
+    // edge b—c; the label forest alone must carry day-1 connectivity
+    val day1 = Seq(("a", "b"), ("c", "d")).toDF("doc_a", "doc_b")
+    val forest = graft.api.Graph.components(day1, srcCol = "doc_a", dstCol = "doc_b")
+      .select(col("node").as("doc_a"), col("component").as("doc_b"))
+    val day2 = Seq(("b", "c")).toDF("doc_a", "doc_b")
+    val merged = graft.api.Graph.components(
+        day2.unionByName(forest), srcCol = "doc_a", dstCol = "doc_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+  }
+
   test("graph_triangles total is divisible by 3 and nodes are suppliers") {
     val rows = SparkEntry.queries("graph_triangles")(spark, d).collect()
     assert(rows.nonEmpty)
