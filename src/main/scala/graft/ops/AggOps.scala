@@ -187,6 +187,32 @@ object AggOps {
         .orderBy("o_orderstatus")
     }),
 
+    // Spark 4's native LISTAGG (SQL:2023) — ordered within-group string
+    // concatenation, the report/export shape agg_collect approximates via
+    // collect_set+sort_array; the WITHIN GROUP order makes the result
+    // deterministic without a post-sort of arrays.
+    "agg_listagg" -> ((s, d) => {
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+             count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    }),
+
+    // The SQL FILTER clause on aggregates — per-predicate conditional
+    // aggregation in ONE pass over the group (the spelling that replaces
+    // N self-joins or sum(CASE...) towers); all filters evaluate inside
+    // the same hash aggregate, so the corpus is read and shuffled once.
+    "agg_filter_clause" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
+             expr("round(sum(l_extendedprice) FILTER (WHERE l_discount = 0), 2)").as("rev_nodisc"),
+             expr("count(*) FILTER (WHERE l_tax > 0.05)").as("n_hitax"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Sketch percentiles — the 100 TB path: approx_percentile keeps a
     // bounded per-group sketch with map-side merge (one shuffle of sketch
     // bytes), where the exact interpolating percentile above must shuffle
@@ -556,6 +582,25 @@ object AggOps {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    "agg_listagg" -> """
+      SELECT n_regionkey,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(*) AS n
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey""",
+
+    // Identical FILTER-clause SQL runs in DuckDB.
+    "agg_filter_clause" -> """
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+             round(sum(l_extendedprice) FILTER (WHERE l_discount = 0), 2) AS rev_nodisc,
+             count(*) FILTER (WHERE l_tax > 0.05) AS n_hitax,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "agg_percentile" -> """
       SELECT o_orderpriority,

@@ -17,6 +17,23 @@ object FnOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Spark 4 COLLATIONS: UTF8_LCASE comparisons/distincts evaluate
+    // case-insensitively IN the operators (hash-agg keys, equality) —
+    // no lower() rewrite of the data, and unlike a lower() projection the
+    // collation survives into every downstream comparison. A third of the
+    // segments are lowercased first so the two collations genuinely
+    // disagree; DuckDB mirrors with lower()-folded equivalents.
+    "fn_collation" -> ((s, d) => {
+      val segs = Tables.customer(s, d).withColumn("seg",
+        when(col("c_custkey") % 3 === 0, lower(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      segs.agg(
+        countDistinct(col("seg")).as("distinct_binary"),
+        countDistinct(collate(col("seg"), "UTF8_LCASE")).as("distinct_lcase"),
+        count(when(col("seg") === "BUILDING", 1)).as("eq_binary"),
+        count(when(collate(col("seg"), "UTF8_LCASE") === "building", 1)).as("eq_lcase"))
+    }),
+
     "fn_string" -> ((s, d) => {
       Tables.part(s, d).select(
         col("p_partkey"),
@@ -166,6 +183,17 @@ object FnOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_collation" -> """
+      WITH segs AS (
+        SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg
+        FROM customer)
+      SELECT count(DISTINCT seg) AS distinct_binary,
+             count(DISTINCT lower(seg)) AS distinct_lcase,
+             count(*) FILTER (WHERE seg = 'BUILDING') AS eq_binary,
+             count(*) FILTER (WHERE lower(seg) = 'building') AS eq_lcase
+      FROM segs""",
+
     "fn_string" -> """
       SELECT p_partkey,
              lower(p_name) AS lo,
