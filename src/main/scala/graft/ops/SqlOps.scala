@@ -164,6 +164,27 @@ object SqlOps {
       """)
     }),
 
+    // LATERAL correlated subquery — per-row top-k entered the way SQL
+    // users write it (the alternative spelling of topk_per_group's
+    // window). Catalyst decorrelates the LATERAL into a join/window plan
+    // — the correlated per-row subquery costs nothing extra at scale.
+    // Scoped to one mktsegment's customers so output stays bounded.
+    "sql_lateral_topk" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_m c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_m o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+      """)
+    }),
+
     // The native as-of join entered as SQL TEXT — the §7.3c operator
     // reached the way a user actually queries. The injected AsOfSqlParser
     // (GraftExtensions.injectParser) recognizes the ASOF JOIN clause and
@@ -192,6 +213,19 @@ object SqlOps {
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id AND p.ts >= s.ts
       ORDER BY p.event_id""",
+
+    // Identical LATERAL text runs in DuckDB.
+    "sql_lateral_topk" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+      ) t
+      WHERE c.c_mktsegment = 'MACHINERY'
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
 
     // Identical text (no timestamp literals to respell).
     "sql_q18_large_orders" -> """

@@ -66,6 +66,24 @@ object UdfOps {
         .orderBy("o_orderkey")
     }),
 
+    // Spark 4 SQL-DECLARED UDF (CREATE FUNCTION ... RETURN <expr>): the
+    // body is SQL, so Catalyst INLINES it into the plan — full codegen,
+    // pushdown and vectorization, none of a JVM closure's serialization
+    // wall (udf_scalar documents that cost; this is the spelling that
+    // avoids it while keeping the reusable-function ergonomics).
+    "udf_sql_declared" -> ((s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+               RETURNS DOUBLE RETURN p * (1 - d)""")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_u")
+      s.sql("""
+        SELECT l_returnflag, round(sum(graft_disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem_u
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    }),
+
     // Typed Aggregator: qty-weighted mean price per return flag.
     "udaf_typed" -> ((s, d) => {
       val wmean = udaf(WeightedMean)
@@ -111,6 +129,15 @@ object UdfOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // The SQL body inlined — what Catalyst does with the declared UDF.
+    "udf_sql_declared" -> """
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     "udf_scalar" -> """
       SELECT o_orderkey, round(o_totalprice, 2) AS price,
              CASE WHEN o_totalprice < 50000 THEN 'low'
