@@ -421,22 +421,15 @@ object GraphOps {
     // lexicographic-min convention as the Spark propagation. Closure size
     // is bounded by nodes × component size: fine at oracle scale, which is
     // exactly why the SPARK side uses O(log n) pointer jumping instead.
-    "graph_components" -> """
-      WITH RECURSIVE p AS (
-        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1, 2 HAVING count(*) >= 3),
-      e AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s AS src, c AS dst FROM p),
-      reach(node, lbl) AS (
-        SELECT DISTINCT src, src FROM e
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
-      SELECT node, min(lbl) AS component FROM reach GROUP BY node ORDER BY node""",
+    "graph_components" -> ComponentsOracleSql,
 
     // Incremental ≡ full rebuild by the contraction argument (key doc),
-    // so the oracle IS the full-graph closure — an independent derivation
-    // that never sees the day split.
-    "graph_components_incremental" -> """
+    // so the oracle IS the full-graph closure — ONE constant for both
+    // keys (an independent derivation that never sees the day split).
+    "graph_components_incremental" -> ComponentsOracleSql
+  )
+
+  private lazy val ComponentsOracleSql: String = """
       WITH RECURSIVE p AS (
         SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -447,5 +440,4 @@ object GraphOps {
         UNION
         SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
       SELECT node, min(lbl) AS component FROM reach GROUP BY node ORDER BY node"""
-  )
 }

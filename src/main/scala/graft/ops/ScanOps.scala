@@ -24,7 +24,7 @@ object ScanOps {
     * non-empty), which leaked one table copy per roundtrip-key invocation
     * per JVM until the OS reaper ran. One definition for every sink/
     * roundtrip key. */
-  private def tmpDir(prefix: String): String = {
+  private[graft] def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}

@@ -416,9 +416,14 @@ object WebOps {
   private[graft] def snippetOf(docs: DataFrame, idCol: String, textCol: String,
                                a: String, b: String, ctx: Int): DataFrame = {
     val ws = split(col(textCol), " ")
-    // 1-based index i of the first token pair (ws[i], ws[i+1]) == (a, b)
-    val starts = filter(sequence(lit(1), size(ws) - 1),
-      i => element_at(ws, i) === a && element_at(ws, i + 1) === b)
+    // 1-based index i of the first token pair (ws[i], ws[i+1]) == (a, b).
+    // The size >= 2 guard matters: sequence(1, 0) DESCENDS to [1, 0] and
+    // the lambda would evaluate element_at(ws, 0) — a hard error — on any
+    // single-token doc (same guard idiom as llm_ngram's bigram builder).
+    val starts = when(size(ws) >= 2,
+      filter(sequence(lit(1), size(ws) - 1),
+        i => element_at(ws, i) === a && element_at(ws, i + 1) === b))
+      .otherwise(array().cast("array<int>"))
     docs.select(col(idCol).as("doc_id"), ws.as("ws"), starts.as("starts"))
       .filter(size(col("starts")) > 0)
       .select(col("doc_id"),
@@ -468,10 +473,13 @@ object WebOps {
     graft.StoreDir.fixed(streamIdxCache,
         graft.StoreDir.fixedPath("graft-bm25stream", d)) { dir =>
       val docs = Tables.documents(s, d)
-      // stage the corpus as one-file chunks — the replay source
-      val stage = java.nio.file.Files.createTempDirectory("graft-docstage-").toFile
+      // stage the corpus as one-file chunks — the replay source. All temp
+      // dirs come from ScanOps.tmpDir (recursive shutdown reaper): the
+      // stage holds a full corpus copy and would otherwise outlive the
+      // JVM until the OS reaper ran.
+      val stage = new java.io.File(graft.ops.ScanOps.tmpDir("graft-docstage-"))
       for (i <- 0 until IndexStreamChunks) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-docchunk-").toFile
+        val tmp = new java.io.File(graft.ops.ScanOps.tmpDir("graft-docchunk-"))
         docs.filter(pmod(col("doc_id"), lit(IndexStreamChunks)) === i)
           .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
         val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -479,8 +487,7 @@ object WebOps {
         java.nio.file.Files.move(part.toPath, dst.toPath)
         dst.setLastModified(1700000000000L + i * 60000L)
       }
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-idxckpt-").toFile.getAbsolutePath
+      val ckpt = graft.ops.ScanOps.tmpDir("graft-idxckpt-")
       val q = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage.getAbsolutePath)
@@ -506,13 +513,24 @@ object WebOps {
     * (df/avgdl re-derive from the same merged rows either way). */
   private[graft] def compactIndex(s: SparkSession, dir: String,
                                   outPart: String): Unit = {
-    val parts = indexParts(dir).filter(_ != outPart)
+    // ALL live parts compact — including a prior compaction's outPart
+    // (excluding it would silently destroy it when outPart is rewritten:
+    // the repeated-default-compaction footgun). Spark cannot overwrite a
+    // path it is lazily reading, so the union lands in DOT-PREFIXED
+    // staging dirs (invisible to indexParts), the originals are deleted,
+    // and staging renames into place: no torn part, no double-count
+    // window. Like any file-level compaction (sink_compaction), run it
+    // without concurrent searchers — a search between delete and rename
+    // can briefly see a reduced part set (never an inflated one).
+    val parts = indexParts(dir)
     require(parts.nonEmpty, s"no index parts to compact under $dir")
+    val stagingP = s"$dir/.compact-posting"
+    val stagingS = s"$dir/.compact-stats"
     parts.map(p => s.read.parquet(s"$dir/posting$p")).reduce(_ unionByName _)
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/posting$outPart")
+      .write.mode("overwrite").partitionBy("tb").parquet(stagingP)
     parts.map(p => s.read.parquet(s"$dir/stats$p")).reduce(_ unionByName _)
       .agg(sum("n").as("n"), sum("sdl").as("sdl"))
-      .write.mode("overwrite").parquet(s"$dir/stats$outPart")
+      .write.mode("overwrite").parquet(stagingS)
     def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p))
         java.nio.file.Files.walk(p)
@@ -522,6 +540,10 @@ object WebOps {
       rmTree(java.nio.file.Paths.get(s"$dir/posting$p"))
       rmTree(java.nio.file.Paths.get(s"$dir/stats$p"))
     }
+    java.nio.file.Files.move(java.nio.file.Paths.get(stagingP),
+      java.nio.file.Paths.get(s"$dir/posting$outPart"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(stagingS),
+      java.nio.file.Paths.get(s"$dir/stats$outPart"))
   }
 
   /** Two-batch store compacted to one part at build time — the contract

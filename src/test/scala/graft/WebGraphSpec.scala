@@ -165,6 +165,27 @@ class WebGraphSpec extends AnyFunSuite {
       "the original batch parts must be gone after compaction")
   }
 
+  test("compactIndex: repeated compaction folds prior compacted content in, never drops it") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25recompact").toString
+    try {
+      val docs = Tables.documents(spark, d)
+      graft.api.Web.appendBm25Batch(docs.filter($"doc_id" % 2 === 1), dir, "1")
+      graft.api.Web.compactBm25Index(spark, dir)          // parts -> ["c"]
+      graft.api.Web.appendBm25Batch(docs.filter($"doc_id" % 2 === 0), dir, "2")
+      graft.api.Web.compactBm25Index(spark, dir)          // MUST keep batch-1 docs
+      assert(graft.ops.WebOps.indexParts(dir) === Seq("c"))
+      val viaStore = graft.api.Web.bm25IncrementalSearch(
+          spark, dir, Seq("c"), graft.ops.WebOps.Bm25Terms)
+        .orderBy($"doc_id").collect().toSeq
+      val viaScan = graft.api.Web.bm25(docs, graft.ops.WebOps.Bm25Terms)
+        .orderBy($"doc_id").collect().toSeq
+      assert(viaStore === viaScan && viaStore.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("phraseSearch: planted docs pin adjacency, overlap, and absence semantics") {
     val dir = java.nio.file.Files.createTempDirectory("posidx-test").toString
     try {
@@ -218,7 +239,8 @@ class WebGraphSpec extends AnyFunSuite {
       (2L, "hash join x"),                   // match at the very start
       (3L, "p q r s t u hash join"),         // match at the very end
       (4L, "hash join y hash join"),         // TWO matches — first one wins
-      (5L, "no match here")
+      (5L, "no match here"),
+      (6L, "hash")                           // single token — must not crash
     ).toDF("doc_id", "text")
     val out = graft.api.Web.snippets(docs, "hash", "join")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
