@@ -242,6 +242,19 @@ object GraphOps {
       dist.orderBy("node")
     }),
 
+    // Degree distribution of the trade graph — the first diagnostic run
+    // on any production graph (it decides every downstream strategy:
+    // broadcast vs shuffle, salting, orientation). Two bounded
+    // aggregations: per-node degree (nodes-sized), then the histogram
+    // (distinct-degrees-sized); the corpus-scale shuffle is only the
+    // first, on the node key.
+    "graph_degree_hist" -> ((s, d) => {
+      tradeEdges(s, d)
+        .groupBy("src").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
     // Per-node triangle counts over the CO-SUPPLY graph (suppliers sharing
     // ≥2 repeat customers — the bipartite trade graph has no triangles, so
     // the key first projects it to its supplier side). Edges are oriented
@@ -395,6 +408,18 @@ object GraphOps {
       ${(1 to Iterations).map(pprRoundSql).mkString(",\n      ")}
       SELECT node, round(rank, 6) AS rank
       FROM r$Iterations WHERE rank > 0 ORDER BY node""",
+
+    "graph_degree_hist" -> """
+      WITH pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (
+        SELECT cust AS src FROM pairs
+        UNION ALL
+        SELECT supp AS src FROM pairs),
+      deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+      SELECT degree, count(*) AS n_nodes
+      FROM deg GROUP BY degree ORDER BY degree""",
 
     // Same orientation (string < on namespaced ids), same wedge+closure
     // joins; the per-node count unions each triangle's three corners.
