@@ -197,7 +197,7 @@ object TextOps {
     * island reproduces the trainer's left fold exactly. */
   private def bpeOracleRound(r: Int): String = s"""
       p$r AS (
-        SELECT u.a, u.b, sum(u.cnt) AS n FROM (
+        SELECT u.a, u.b, CAST(sum(u.cnt) AS BIGINT) AS n FROM (
           SELECT cnt,
                  unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS a,
                  unnest(list_transform(range(1, len(syms)), i -> syms[i + 1])) AS b

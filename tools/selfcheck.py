@@ -30,6 +30,12 @@ def compare(name, spark_df, duck_df):
         return f"ROWS spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Typed comparison: the driver hashes TYPED values, so int64 4568 vs
+        # float64 4568.0 is a driver FAIL even though values are ==. Reject
+        # numeric-kind drift here so the local gate can't pass what the
+        # driver would fail (the r11 llm_bpe_merge_audit HUGEINT bug class).
+        if av.dtype.kind != bv.dtype.kind and {av.dtype.kind, bv.dtype.kind} <= {'i', 'u', 'f'}:
+            return f"DTYPE col {c} spark={av.dtype} duck={bv.dtype} (typed hash would differ)"
         try:
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 ok = ((av.isna() & bv.isna()) | (av == bv)).all()
@@ -72,6 +78,15 @@ def main():
             results[name] = f"READ-ERR {e}"
             continue
         try:
+            # DESCRIBE gate: a HUGEINT/UHUGEINT oracle column (DuckDB's
+            # integer-sum default) surfaces in pandas as float64/object and
+            # hash-mismatches Spark's BIGINT at the driver — reject outright.
+            desc = con.execute(f"DESCRIBE {sql}").fetchdf()
+            huge = [r["column_name"] for _, r in desc.iterrows()
+                    if "HUGEINT" in str(r["column_type"]).upper()]
+            if huge:
+                results[name] = f"ORACLE-HUGEINT cols {huge} (cast to BIGINT in the oracle SQL)"
+                continue
             duck_df = con.execute(sql).fetchdf()
         except Exception as e:
             results[name] = f"ORACLE-ERR {str(e).splitlines()[0][:200]}"
