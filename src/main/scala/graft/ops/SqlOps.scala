@@ -185,6 +185,39 @@ object SqlOps {
       """)
     }),
 
+    // Recursive CTE (Spark 4.1 WITH RECURSIVE → UnionLoop/UnionLoopExec):
+    // the graph_bfs hop walk entered as SQL TEXT, same sparse repeat-trade
+    // graph, same [[GraphOps.BfsRounds]] hop clamp, identical text in
+    // DuckDB. Spark 4.1 supports only UNION ALL recursion (UNION dedup is
+    // rejected by the parser), so this is WALK enumeration — each round
+    // re-emits every extension of every walk, and the final GROUP BY
+    // min(dist) collapses walks to BFS distances. Correct under the clamp
+    // (every ≤cap-hop node is reached by some ≤cap walk), but the
+    // intermediate is Σ_k (avg-degree)^k rows — exponential in the clamp,
+    // NOT in graph size. That's the honest scale story: recursive SQL is
+    // the right SURFACE for hierarchy/reachability queries, and on cyclic
+    // graphs the engine keeps the iterative frontier loop (graph_bfs: one
+    // nodes-sized frame, anti-join dedup per round) as the scale path.
+    "sql_recursive_cte" -> ((s, d) => {
+      views(s, d)
+      s.sql(s"""
+        WITH RECURSIVE p AS (
+          SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+          FROM lineitem_m JOIN orders_m ON l_orderkey = o_orderkey
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+        e AS (SELECT c AS src, s AS dst FROM p
+              UNION ALL SELECT s AS src, c AS dst FROM p),
+        seed AS (SELECT min(src) AS node FROM e),
+        reach(node, dist) AS (
+          SELECT node, 0 FROM seed
+          UNION ALL
+          SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+          WHERE r.dist < ${GraphOps.BfsRounds})
+        SELECT node, CAST(min(dist) AS INT) AS dist
+        FROM reach GROUP BY node ORDER BY node
+      """)
+    }),
+
     // The native as-of join entered as SQL TEXT — the §7.3c operator
     // reached the way a user actually queries. The injected AsOfSqlParser
     // (GraftExtensions.injectParser) recognizes the ASOF JOIN clause and
@@ -205,6 +238,25 @@ object SqlOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical recursive text (UNION ALL walk enumeration runs unchanged
+    // in DuckDB; only the view-name suffix differs). Equals graph_bfs's
+    // oracle output: min-dist per node under the same hop clamp.
+    "sql_recursive_cte" -> s"""
+      WITH RECURSIVE p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT c AS src, s AS dst FROM p
+            UNION ALL SELECT s AS src, c AS dst FROM p),
+      seed AS (SELECT min(src) AS node FROM e),
+      reach(node, dist) AS (
+        SELECT node, 0 FROM seed
+        UNION ALL
+        SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+        WHERE r.dist < ${GraphOps.BfsRounds})
+      SELECT node, CAST(min(dist) AS INT) AS dist
+      FROM reach GROUP BY node ORDER BY node""",
+
     // Same oracle as join_asof_native: DuckDB's ASOF JOIN is the exact
     // semantic twin of the clause our parser extension accepts.
     "sql_asof" -> """

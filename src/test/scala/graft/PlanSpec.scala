@@ -546,4 +546,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scans = "InMemoryTableScan".r.findAllIn(p).length
     assert(scans >= 3, s"expected >=3 cache reads (a, b, verdict), got $scans:\n$p")
   }
+
+  // sql_recursive_cte must actually exercise Spark 4.1's recursive-CTE
+  // machinery (UnionLoopExec), not a rewrite into something else — the key
+  // exists to pin the WITH RECURSIVE surface end-to-end.
+  test("sql_recursive_cte plans a UnionLoop (native recursive CTE)") {
+    val p = plan("sql_recursive_cte")
+    assert(p.contains("UnionLoop"), s"no UnionLoop node in plan:\n$p")
+  }
 }
