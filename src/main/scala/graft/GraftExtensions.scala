@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    // §2-J generator (UDTF) extension tier: a custom Catalyst Generator,
+    // planned as a native Generate node (udtf_custom key; posexplode twin).
+    ext.injectFunction((
+      FunctionIdentifier("graft_pos_tokenize"),
+      new ExpressionInfo(classOf[graft.functions.PosTokenize].getName, "graft_pos_tokenize"),
+      (children: Seq[Expression]) => graft.functions.PosTokenize(children.head)))
     // §7.6 banded-join rewrites (BandedJoinRules.scala). Injected rules run
     // inside the operator-optimization fixpoint, so they see the
     // pushed-into-join predicate shape after the first iteration; both are

@@ -105,6 +105,21 @@ object UdfOps {
         .orderBy("doc_id", "pos")
     }),
 
+    // CUSTOM Generator (graft.functions.PosTokenize) — the §2-J UDTF
+    // extension tier realized: same (doc_id, pos, word) fan-out as
+    // udtf_generator, but produced by a registered Catalyst Generator
+    // planned as a native Generate node (ExtensionsSpec pins the plan and
+    // the row-for-row equality with the posexplode twin; the oracle is the
+    // same DuckDB SQL as udtf_generator's).
+    "udtf_custom" -> ((s, d) => {
+      graft.functions.PosTokenize.register(s)
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+                call_function("graft_pos_tokenize", col("text")).as(Seq("pos", "word")))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Custom Expression vs built-in higher-order-function twin, both in the
     // hash-checked output: cosine of consecutive embedding pairs.
     "expr_custom_cosine" -> ((s, d) => {
@@ -156,6 +171,15 @@ object UdfOps {
       ORDER BY l_returnflag""",
 
     "udtf_generator" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id, CAST(unnest(range(len(ws))) AS INT) AS pos, unnest(ws) AS word
+      FROM t
+      ORDER BY doc_id, pos""",
+
+    // Same oracle text as udtf_generator: the custom Generator's contract
+    // IS "row-for-row what posexplode(split) produces".
+    "udtf_custom" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
                  FROM documents WHERE doc_id < 100)
       SELECT doc_id, CAST(unnest(range(len(ws))) AS INT) AS pos, unnest(ws) AS word

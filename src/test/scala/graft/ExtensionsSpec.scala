@@ -26,6 +26,32 @@ class ExtensionsSpec extends AnyFunSuite {
       "planner strategy missing from the SparkSessionExtensions path")
   }
 
+  test("graft_pos_tokenize is injected and plans as a native Generate node") {
+    // resolves from SQL text with no per-session register() call, including
+    // the LATERAL VIEW spelling a SQL user would reach for
+    val rows = spark.sql(
+      """SELECT pos, word
+        |FROM (SELECT 'a b  c' AS t)
+        |LATERAL VIEW graft_pos_tokenize(t) g AS pos, word
+        |ORDER BY pos""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((0, "a"), (1, "b"), (2, ""), (3, "c")),
+      "split semantics must match split(text, ' ') incl. empty tokens")
+    val df = SparkEntry.queries("udtf_custom")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate") && p.contains("graft_pos_tokenize"),
+      s"custom generator must plan as a Generate node:\n$p")
+  }
+
+  test("udtf_custom equals its posexplode twin row-for-row") {
+    val d = TestSpark.sfDir
+    val custom = SparkEntry.queries("udtf_custom")(spark, d)
+    val builtin = SparkEntry.queries("udtf_generator")(spark, d)
+    assert(custom.columns.toSeq === builtin.columns.toSeq)
+    assert(custom.exceptAll(builtin).isEmpty && builtin.exceptAll(custom).isEmpty,
+      "custom Generator output diverged from posexplode(split) twin")
+  }
+
   test("injected expression participates in codegen over a real table") {
     val d = TestSpark.sfDir
     Tables.embeddings(spark, d).createOrReplaceTempView("emb_ext_test")
