@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import java.io.File
@@ -289,6 +289,63 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** [[runStream]] for queries that CANNOT run under Trigger.AvailableNow:
+    * a transformWithState operator in TimeMode.ProcessingTime reports
+    * shouldRunAnotherBatch = true unconditionally (processing-time
+    * timers/TTL may always fire later — verified against this build's
+    * TransformWithStateExecBase bytecode and reproduced as an unbounded
+    * no-data-batch loop), so AvailableNow never reaches "done" — and the
+    * perpetual no-data batches also keep processAllAvailable's
+    * caught-up signal from ever firing. The termination condition is
+    * therefore counted explicitly: a listener accumulates numInputRows
+    * across progress events and the query is stopped once every replay
+    * row has been processed. On a production cluster this query shape
+    * simply runs forever (that is what processing-time timers/TTL are
+    * for); bounded-replay termination is oracle scaffolding only. */
+  private def runStreamCaughtUp(spark: SparkSession, rep: Replay, outputMode: String,
+                                expectedRows: Long, filesPerTrigger: Int = 1)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    val src = spark.readStream
+      .schema(rep.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(rep.srcDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == name) seen.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = build(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val deadlineMs = System.currentTimeMillis() + 600000L
+        while (seen.get() < expectedRows && q.isActive) {
+          require(System.currentTimeMillis() < deadlineMs,
+            s"stream '$name' processed ${seen.get()}/$expectedRows rows in 600s")
+          Thread.sleep(50)
+        }
+      } finally q.stop()
+      q.awaitTermination()
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    spark.table(name)
+  }
+
   /** The tumbling-window aggregation both SINK keys stream — their shared
     * oracle is the same tumbling SQL, so the transform must stay shared
     * too (a divergence here would break one key's contract silently). */
@@ -306,6 +363,21 @@ object StreamOps {
       .select(col("window_start"), col("event_type"),
               col("n"), round(col("sv"), 2).as("sum_value"))
       .orderBy("window_start", "event_type")
+
+  /** transformWithState requires the RocksDB state store — pinned for the
+    * wrapped query's lifetime and restored after (the provider is fixed at
+    * first query start). Shared by all four state-v2 keys. */
+  private def withRocksDB[T](s: SparkSession)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
 
   // ---- stateful-count plumbing (typed API) ----
   case class Ev(user_id: Long, value: Double)
@@ -330,6 +402,116 @@ object StreamOps {
         "agg", Encoders.product[CountState], TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  tv: TimerValues): Iterator[UserAgg] = {
+      var s = Option(st.get()).getOrElse(CountState(0L, 0.0))
+      rows.foreach(e => s = CountState(s.n + 1, s.sum + e.value))
+      st.update(s)
+      Iterator.single(UserAgg(key, s.n, s.sum))
+    }
+  }
+
+  // ---- event-time-timer session plumbing (state API v2) ----
+  case class SessEv(user_id: Long, tus: Long)
+  case class Sess(startUs: Long, lastUs: Long, n: Long)
+  case class SessOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** 30-minute inactivity gap — shared with stream_session and its oracle. */
+  private[streaming] val SessionGapUs = 30L * 60L * 1000000L
+
+  /** Per-user session detection via EVENT-TIME TIMERS — the timer/TTL half
+    * of the state-v2 API stream_stateful_tws leaves unexercised (VERDICT
+    * r11 #5), and the production pattern session_window compiles away: the
+    * OPEN session lives in a ValueState, a timer at last-event + gap closes
+    * it when the watermark proves no extension can arrive, and sessions
+    * that demonstrably closed inside a batch (next event ≥ gap later) emit
+    * inline without waiting for a timer.
+    *
+    * Timer discipline: at most one live timer per key — each batch deletes
+    * the previous registration before arming last + gap. Firing cannot
+    * split a session: a continuation event at ts2 (ts2 − last < gap)
+    * arrives in a batch whose executing watermark is ≤ maxTs two
+    * time-ordered chunks earlier − delay < ts2 ≤ last + gap, so the timer
+    * for an extendable session is always re-armed before it can fire. The
+    * within-batch sort is per-(key, batch) — bounded by a user's events per
+    * micro-batch, the same order guarantee mapGroupsWithState users
+    * hand-roll; state is one open session per user, O(users) total,
+    * timer-cleared on close (no watermark-bounded growth like the window
+    * operator's).
+    *
+    * TTL is deliberately ABSENT here: state TTL is wall-clock
+    * (TimeMode.ProcessingTime only — Spark raises
+    * STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL in event-time
+    * mode; StreamingSpec pins that), so the TTL half of the API lives in
+    * [[TtlCountProcessor]] / stream_state_ttl. */
+  class SessionTimerProcessor extends StatefulProcessor[Long, SessEv, SessOut] {
+    @transient private var st: ValueState[Sess] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Sess](
+        "open_session", Encoders.product[Sess], TTLConfig.NONE)
+
+    /** Ceil-to-ms so the timer never fires before the session's true
+      * event-time expiry. */
+    private def timerMs(c: Sess): Long =
+      (c.lastUs + SessionGapUs + 999L) / 1000L
+
+    private def close(key: Long, c: Sess): SessOut =
+      SessOut(key, c.startUs, c.lastUs + SessionGapUs, c.n)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEv],
+                                 tv: TimerValues): Iterator[SessOut] = {
+      val evs = rows.toArray.sortBy(_.tus)
+      var cur = Option(st.get())
+      cur.foreach(c => getHandle.deleteTimer(timerMs(c)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      evs.foreach { e =>
+        cur match {
+          case Some(c) if e.tus - c.lastUs < SessionGapUs =>
+            cur = Some(Sess(c.startUs, e.tus, c.n + 1))
+          case Some(c) =>
+            out += close(key, c)
+            cur = Some(Sess(e.tus, e.tus, 1L))
+          case None =>
+            cur = Some(Sess(e.tus, e.tus, 1L))
+        }
+      }
+      cur.foreach { c => st.update(c); getHandle.registerTimer(timerMs(c)) }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessOut] = {
+      val c = st.get()
+      // stale-timer guard: only the CURRENT session's registration closes it
+      if (c != null && timerMs(c) == info.getExpiryTimeInMs) {
+        st.clear()
+        Iterator.single(close(key, c))
+      } else Iterator.empty
+    }
+  }
+
+  /** The state-TTL half of the API: the RunningCountProcessor shape with a
+    * wall-clock retention bound on its ValueState. TTL is the production
+    * lever that keeps per-key state from outliving its usefulness when keys
+    * churn (a user never seen again still vacates the store) — orthogonal
+    * to watermark eviction, which only bounds TIME-INDEXED state. The
+    * contract key runs with a 1-hour TTL: semantics stay exactly the batch
+    * GROUP BY (nothing expires inside a seconds-long replay — which is what
+    * makes the key oracle-gateable), while every write exercises the TTL
+    * encoding + min-expiry bookkeeping in the RocksDB store. StreamingSpec
+    * drives a millisecond-TTL instance through spaced batches to pin real
+    * expiry (state resets between batches).
+    *
+    * `sleepMs` exists for that spec: a per-batch pause so batch N+1's
+    * timestamp provably exceeds batch N's expiry. The contract key passes 0. */
+  class TtlCountProcessor(ttlMs: Long, sleepMs: Long = 0L)
+      extends StatefulProcessor[Long, Ev, UserAgg] {
+    @transient private var st: ValueState[CountState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CountState](
+        "agg", Encoders.product[CountState],
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[UserAgg] = {
+      if (sleepMs > 0) Thread.sleep(sleepMs)
       var s = Option(st.get()).getOrElse(CountState(0L, 0.0))
       rows.foreach(e => s = CountState(s.n + 1, s.sum + e.value))
       st.update(s)
@@ -522,26 +704,72 @@ object StreamOps {
     "stream_stateful_tws" -> ((s, d) => {
       val rep = replay(s, d, "base")
       import s.implicits._
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(provKey)
-      s.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val out =
-        try {
-          runStream(s, rep, "update", filesPerTrigger = 2) { src =>
-            src.select(col("user_id"), col("value")).as[Ev]
-              .groupByKey(_.user_id)
-              .transformWithState(new RunningCountProcessor,
-                TimeMode.None(), OutputMode.Update())
-              .toDF()
-          }
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(provKey, v)
-            case None => s.conf.unset(provKey)
-          }
+      withRocksDB(s) {
+        runStream(s, rep, "update", filesPerTrigger = 2) { src =>
+          src.select(col("user_id"), col("value")).as[Ev]
+            .groupByKey(_.user_id)
+            .transformWithState(new RunningCountProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF()
         }
-      out.groupBy("user_id")
+      }
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("sum"))).as("fin"))
+        .select(col("user_id"), col("fin.n").as("n_events"),
+                round(col("fin.sum"), 2).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // EVENT-TIME TIMERS on the state API v2 (SessionTimerProcessor doc):
+    // the session-timeout pattern — open session in ValueState, a timer at
+    // last + gap closes it when the watermark proves it over, inline close
+    // on a ≥gap successor within a batch. Same sessions as stream_session
+    // (same gap, same flush replay, SAME oracle), so the gate certifies the
+    // hand-rolled timer machinery against both the batch gaps-and-islands
+    // SQL and — transitively — session_window's native operator.
+    "stream_stateful_timers" -> ((s, d) => {
+      val rep = replay(s, d, "flush")
+      import s.implicits._
+      withRocksDB(s) {
+        runStream(s, rep, "append") { src =>
+          src.withWatermark("ts", "10 minutes")
+            .select(col("user_id"), unix_micros(col("ts")).as("tus")).as[SessEv]
+            .groupByKey(_.user_id)
+            .transformWithState(new SessionTimerProcessor,
+              TimeMode.EventTime(), OutputMode.Append())
+            .toDF()
+        }
+      }
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+                timestamp_micros(col("start_us")).as("session_start"),
+                timestamp_micros(col("end_us")).as("session_end"),
+                col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // STATE TTL on the state API v2 (TtlCountProcessor doc): the running
+    // count with a 1-hour wall-clock retention bound on its ValueState —
+    // TTL plumbing (per-value expiry encoding, min-expiry bookkeeping)
+    // runs on every write, while nothing expires inside the seconds-long
+    // replay, so the result is oracle-gated against the batch GROUP BY.
+    // Real expiry is pinned by StreamingSpec's millisecond-TTL instance.
+    // runStreamCaughtUp, NOT runStream: ProcessingTime TWS never
+    // terminates under AvailableNow (see that helper's doc).
+    "stream_state_ttl" -> ((s, d) => {
+      val rep = replay(s, d, "base")
+      import s.implicits._
+      withRocksDB(s) {
+        runStreamCaughtUp(s, rep, "update", rep.nBase + rep.nExtra,
+                          filesPerTrigger = 2) { src =>
+          src.select(col("user_id"), col("value")).as[Ev]
+            .groupByKey(_.user_id)
+            .transformWithState(new TtlCountProcessor(3600000L),
+              TimeMode.ProcessingTime(), OutputMode.Update())
+            .toDF()
+        }
+      }
+        .groupBy("user_id")
         .agg(max(struct(col("n"), col("sum"))).as("fin"))
         .select(col("user_id"), col("fin.n").as("n_events"),
                 round(col("fin.sum"), 2).as("sum_value"))
@@ -859,6 +1087,38 @@ object StreamOps {
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
+
+    // identical batch semantics to stream_stateful_tws — the key proves the
+    // TTL'd-state write path, and a 1-hour TTL expires nothing in-replay
+    "stream_state_ttl" -> """
+      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    // the timer-closed sessions must equal the batch gaps-and-islands —
+    // the SAME oracle as stream_session (session_end = last + gap)
+    "stream_stateful_timers" -> """
+      WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        FROM events),
+      f AS (
+        SELECT user_id, ts,
+               CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM o),
+      g AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end,
+             count(*) AS n_events
+      FROM g
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
 
     "stream_stream_join" -> """
       SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,

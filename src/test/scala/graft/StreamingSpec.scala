@@ -74,6 +74,168 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream_stateful_timers equals batch session_window aggregation") {
+    // transitively certifies the timer machinery against the NATIVE session
+    // operator (stream_session's own equality test covers the other leg)
+    val streamed = StreamOps.queries("stream_stateful_timers")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("stream_state_ttl equals batch GROUP BY (1h TTL expires nothing in-replay)") {
+    val streamed = StreamOps.queries("stream_state_ttl")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  // ---- synthetic micro-streams for the state-v2 timer/TTL pins ----
+
+  /** One time-ordered parquet chunk file (spec-local twin of StreamOps'
+    * replay writer). */
+  private def writeChunk(df: org.apache.spark.sql.DataFrame,
+                         dir: java.io.File, seq: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sts-").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(dir, f"c$seq%03d.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.setLastModified(1700000000000L + seq * 60000L)
+  }
+
+  private def withRocksDB[T](body: => T): T = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("event-time timer FIRES: a session with no successor closes via handleExpiredTimer") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(plusMin: Long) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-timerfire-").toFile
+    // user 1: two events 10 min apart = ONE open session that no later
+    // event ever closes inline — only a fired timer can emit it. Three
+    // far-future rows (separate batches) advance the 2-batch-stale
+    // executing watermark past the session's expiry.
+    writeChunk(Seq((1L, t0), (1L, ts(10))).toDF("user_id", "ts"), dir, 0)
+    (1 to 3).foreach { k =>
+      writeChunk(Seq((-1L, ts(10000L * k))).toDF("user_id", "ts"), dir, k)
+    }
+    val name = "graft_timer_fire_pin"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    withRocksDB {
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("user_id LONG, ts TIMESTAMP"))
+        .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus")).as[StreamOps.SessEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamOps.SessionTimerProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val rows = spark.table(name).filter(col("user_id") === 1L).collect()
+    assert(rows.length === 1, s"expected exactly one timer-closed session, got ${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getAs[Long]("start_us") === t0.getTime * 1000L)
+    assert(r.getAs[Long]("end_us") === (ts(10).getTime + 30L * 60000L) * 1000L)
+    assert(r.getAs[Long]("n_events") === 2L)
+  }
+
+  test("state TTL EXPIRES: millisecond TTL + spaced batches resets the running count") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttlexp-").toFile
+    writeChunk(Seq((1L, 1.0), (1L, 1.0), (1L, 1.0)).toDF("user_id", "value"), dir, 0)
+    writeChunk(Seq((1L, 1.0), (1L, 1.0)).toDF("user_id", "value"), dir, 1)
+    val name = "graft_ttl_expiry_pin"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    withRocksDB {
+      // ProcessingTime TWS never terminates under AvailableNow (the
+      // operator always requests another batch) — default trigger,
+      // stopped once both data batches have emitted (runStreamCaughtUp's
+      // discipline, counted on the sink table here)
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("user_id LONG, value DOUBLE"))
+        .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+        .as[StreamOps.Ev]
+        .groupByKey(_.user_id)
+        // 200ms TTL; the 1s in-batch sleep guarantees batch 2's timestamp
+        // exceeds batch 1's write expiry (one-directional: a slow box only
+        // widens the margin, so this cannot flake toward false-pass)
+        .transformWithState(new StreamOps.TtlCountProcessor(200L, 1000L),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (spark.table(name).count() < 2 && q.isActive) {
+          assert(System.currentTimeMillis() < deadline, "TTL stream never emitted 2 batches")
+          Thread.sleep(100)
+        }
+      } finally q.stop()
+      q.awaitTermination()
+    }
+    val ns = spark.table(name).collect().map(_.getAs[Long]("n")).toSet
+    // batch 1 counts 3; batch 2 starts FRESH (state expired) and counts 2 —
+    // an unexpired state would make batch 2 emit 5
+    assert(ns === Set(3L, 2L), s"expected TTL reset {3,2}, got $ns")
+  }
+
+  test("TTL in event-time mode is rejected (why the timer and TTL keys are split)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttlev-").toFile
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    writeChunk(Seq((1L, t0, 1.0)).toDF("user_id", "ts", "value"), dir, 0)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      withRocksDB {
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id LONG, ts TIMESTAMP, value DOUBLE"))
+          .parquet(dir.getAbsolutePath)
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id"), col("value")).as[StreamOps.Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new StreamOps.TtlCountProcessor(3600000L),
+            TimeMode.EventTime(), OutputMode.Update())
+          .toDF()
+          .writeStream.format("memory").queryName("graft_ttl_reject")
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      }
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL"),
+      s"expected the TTL/time-mode error, got:\n${messages(ex)}")
+  }
+
   test("stream_late_data: every injected late row is dropped by the watermark") {
     val row = StreamOps.queries("stream_late_data")(spark, d).collect()(0)
     assert(row.getAs[Long]("n_late_injected") > 0)
