@@ -29,6 +29,10 @@ object SqlOps {
     Tables.events(s, d).createOrReplaceTempView("events_m")
   }
 
+  /** sql_recursive_cte hop clamp — see the key's doc for why it is
+    * smaller than GraphOps.BfsRounds. Shared with the oracle. */
+  private[graft] val RecursiveCteRounds = 3
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 shape: shipping-priority revenue — 3-way join, grouped
     // revenue, deterministic top-10 (revenue DESC with unique tiebreaker).
@@ -186,18 +190,20 @@ object SqlOps {
     }),
 
     // Recursive CTE (Spark 4.1 WITH RECURSIVE → UnionLoop/UnionLoopExec):
-    // the graph_bfs hop walk entered as SQL TEXT, same sparse repeat-trade
-    // graph, same [[GraphOps.BfsRounds]] hop clamp, identical text in
-    // DuckDB. Spark 4.1 supports only UNION ALL recursion (UNION dedup is
-    // rejected by the parser), so this is WALK enumeration — each round
-    // re-emits every extension of every walk, and the final GROUP BY
-    // min(dist) collapses walks to BFS distances. Correct under the clamp
-    // (every ≤cap-hop node is reached by some ≤cap walk), but the
-    // intermediate is Σ_k (avg-degree)^k rows — exponential in the clamp,
-    // NOT in graph size. That's the honest scale story: recursive SQL is
-    // the right SURFACE for hierarchy/reachability queries, and on cyclic
-    // graphs the engine keeps the iterative frontier loop (graph_bfs: one
-    // nodes-sized frame, anti-join dedup per round) as the scale path.
+    // the graph_bfs hop walk entered as SQL TEXT over the same sparse
+    // repeat-trade graph, identical text in DuckDB. Spark 4.1 supports
+    // only UNION ALL recursion (UNION dedup is rejected by the parser), so
+    // this is WALK enumeration — each round re-emits every extension of
+    // every walk, and the final GROUP BY min(dist) collapses walks to BFS
+    // distances. Correct under the clamp (every ≤cap-hop node is reached
+    // by some ≤cap walk), but the intermediate is Σ_k (avg-degree)^k rows
+    // — exponential in the CLAMP, not in graph size, and measured brutal
+    // on the dense-hub sf0.001 graph (cap 6 = 499M walks, past Spark's 1M
+    // recursion row limit; cap 3 = 6.5k). Hence [[RecursiveCteRounds]] = 3
+    // rather than graph_bfs's 6: the key pins the WITH RECURSIVE surface
+    // (UnionLoopExec, PlanSpec), and on cyclic graphs deep traversal
+    // belongs to the iterative frontier loop (graph_bfs: one nodes-sized
+    // frame, anti-join dedup per round) — that is the scale path.
     "sql_recursive_cte" -> ((s, d) => {
       views(s, d)
       s.sql(s"""
@@ -212,7 +218,7 @@ object SqlOps {
           SELECT node, 0 FROM seed
           UNION ALL
           SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
-          WHERE r.dist < ${GraphOps.BfsRounds})
+          WHERE r.dist < $RecursiveCteRounds)
         SELECT node, CAST(min(dist) AS INT) AS dist
         FROM reach GROUP BY node ORDER BY node
       """)
@@ -253,7 +259,7 @@ object SqlOps {
         SELECT node, 0 FROM seed
         UNION ALL
         SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
-        WHERE r.dist < ${GraphOps.BfsRounds})
+        WHERE r.dist < $RecursiveCteRounds)
       SELECT node, CAST(min(dist) AS INT) AS dist
       FROM reach GROUP BY node ORDER BY node""",
 

@@ -250,9 +250,45 @@ object TextOps {
       ORDER BY rank"""
   }
 
+  /** Candidate pairs collected per training round; the applied batch is
+    * the maximal PROVABLY-sequential-equivalent prefix of them (≤ K). */
+  private[graft] val BpeBatchK = 8
+
   /** The trainer core over ANY (word, cnt, syms) frame — the alphabet
     * (char split vs UTF-8 byte symbols) is the caller's choice, the merge
-    * loop is shared, so the two variants cannot drift algorithmically. */
+    * loop is shared, so the two variants cannot drift algorithmically.
+    *
+    * BATCHED rounds (VERDICT r11 #7): instead of one driver round-trip per
+    * merge, each round collects the top-[[BpeBatchK]] pairs and applies the
+    * longest consecutive prefix c_1..c_k that is provably what 1-per-round
+    * training would have picked, cutting a production 30k-merge run's
+    * sequential Spark jobs ~k-fold. The proof obligations, per candidate
+    * c_i = (a_i, b_i, n_i) in (n DESC, a, b) order:
+    *
+    *  - SYMBOL-DISJOINT from every earlier chosen c_j: applying c_j then
+    *    neither destroys nor creates (a_i, b_i) adjacencies, so n_i is
+    *    still c_i's exact count at its turn; old pairs never gain count
+    *    from a merge, and pairs ranked below c_i stay below it.
+    *  - OUTRANKS EVERY PAIR A PRIOR MERGE CAN CREATE: merging (a_j, b_j)
+    *    creates only pairs involving the new symbol — (x, a_jb_j) with
+    *    count ≤ count(x, a_j), (a_jb_j, y) with count ≤ count(b_j, y),
+    *    and the self/chained cases bounded the same way — so
+    *    max(maxCountEndingIn(a_j), maxCountStartingWith(b_j)) bounds them
+    *    all (chained new-new pairs (a_ib_i, a_jb_j) fall under
+    *    startingWith(b_i)). Requiring n_i STRICTLY above every prior
+    *    chosen bound means no created pair can outrank — or name-tie —
+    *    c_i at its turn.
+    *
+    * Both bounds read the round's already-aggregated pair-count frame
+    * (cached; vocab²-bounded, orders of magnitude smaller than the word
+    * frame), so a round costs the same ONE corpus-scale aggregation as
+    * before plus driver-cheap bound lookups. The prefix must be
+    * consecutive: once a candidate fails, later ranks cannot be proven
+    * (the failed one's post-merge count is unknown), so the round ends.
+    * Worst case (adjacent top pairs, e.g. chained "t h" / "th e") the
+    * prefix is length 1 and behavior degrades exactly to the old loop.
+    * OperatorSpec's from-spec re-derivation gate + the audit oracle pin
+    * that stored merge tables are byte-identical to 1-per-round training. */
   private[graft] def bpeTrainWords(
       words0: DataFrame,
       maxMerges: Int = BpeMerges,
@@ -262,33 +298,74 @@ object TextOps {
     var continue = true
     while (continue && merges.length < maxMerges) {
       // sequence(1, n) needs n >= 1 — single-symbol words carry no pairs
-      val top = words.filter(size(col("syms")) >= 2)
+      val pairCounts = words.filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
           """transform(sequence(1, size(syms) - 1),
                i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""))
           .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("cnt").as("n"))
+        .cache()
+      val top = pairCounts
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).collect() // 1-row driver scalar per round (merge winner)
+        .limit(BpeBatchK).collect()
       if (top.isEmpty || top(0).getLong(2) < 2) continue = false
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        record(a, b, top(0).getLong(2))
-        merges += ((a, b))
-        words = LlmOps.cutLineage(words.withColumn("syms", mergeOnce(a, b)))
+        // per-candidate created-pair bounds off the cached (small) frame:
+        // max count of any pair ending in a_j / starting with b_j
+        val aSyms = top.map(_.getString(0)).distinct.toSeq
+        val bSyms = top.map(_.getString(1)).distinct.toSeq
+        val maxEndingIn = pairCounts.filter(col("b").isin(aSyms: _*))
+          .groupBy("b").agg(max("n").as("m")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val maxStartingWith = pairCounts.filter(col("a").isin(bSyms: _*))
+          .groupBy("a").agg(max("n").as("m")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var usedSyms = Set.empty[String]
+        var createdBound = Long.MinValue
+        var stop = false
+        var blocked = false
+        top.foreach { r =>
+          if (!blocked && merges.length + chosen.length < maxMerges) {
+            val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+            val safe = chosen.isEmpty ||
+              (!usedSyms(a) && !usedSyms(b) && n > createdBound)
+            if (!safe) blocked = true
+            else if (n < 2) { stop = true; blocked = true } // proven argmax < 2 ⇒ training ends
+            else {
+              chosen += ((a, b, n))
+              usedSyms = usedSyms + a + b
+              createdBound = math.max(createdBound,
+                math.max(maxEndingIn.getOrElse(a, Long.MinValue),
+                         maxStartingWith.getOrElse(b, Long.MinValue)))
+            }
+          }
+        }
+        chosen.foreach { case (a, b, n) => record(a, b, n); merges += ((a, b)) }
+        if (chosen.nonEmpty) {
+          val applied = chosen.foldLeft(col("syms")) {
+            case (c, (a, b, _)) => mergeOnce(a, b, c)
+          }
+          words = LlmOps.cutLineage(words.withColumn("syms", applied))
+        }
+        if (stop) continue = false
       }
+      pairCounts.unpersist()
     }
     (merges.toSeq, words)
   }
 
-  /** One BPE merge applied to a `syms` column: leftmost non-overlapping
+  /** One BPE merge applied to a syms column: leftmost non-overlapping
     * replace of adjacent (a, b) with "ab" — lit() parameters, so corpus
-    * symbols never splice into SQL text. Shared by the trainer and
-    * [[bpeApplyOf]], which keeps replay ≡ training by construction. */
-  private def mergeOnce(a: String, b: String): org.apache.spark.sql.Column = {
+    * symbols never splice into SQL text. Shared by the trainer (which
+    * composes a chosen batch by folding over `on`) and [[bpeApplyOf]],
+    * which keeps replay ≡ training by construction. */
+  private def mergeOnce(a: String, b: String,
+                        on: org.apache.spark.sql.Column = col("syms")): org.apache.spark.sql.Column = {
     val (aL, bL, abL) = (lit(a), lit(b), lit(a + b))
-    aggregate(col("syms"), array().cast("array<string>"),
+    aggregate(on, array().cast("array<string>"),
       (acc, x) => when(size(acc) > 0 &&
                        element_at(acc, -1) === aL && x === bL,
                        concat(slice(acc, lit(1), size(acc) - 1), array(abL)))
