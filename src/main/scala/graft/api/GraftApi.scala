@@ -917,14 +917,24 @@ object Web {
 
   /** Write one incremental index batch under `path` as `posting<part>` +
     * `stats<part>` — O(batch) work, no re-read of prior batches and no
-    * frozen df/avgdl to restate (both are re-derived at search time). */
+    * frozen df/avgdl to restate (both are re-derived at search time).
+    *
+    * PRECONDITION (ADVICE r11): batches must PARTITION the doc-id space —
+    * the same doc appearing in two batches double-counts in the re-derived
+    * df/N and keeps its stale postings alongside the new ones, skewing
+    * scores. Re-ingesting an updated doc means REWRITING its original
+    * batch part (same `part` name, overwrite), which is also what keeps
+    * crash-replay idempotent (the stream_index_sink discipline) — not
+    * appending it as a fresh batch. */
   def appendBm25Batch(docs: DataFrame, path: String, part: String,
                       idCol: String = "doc_id", textCol: String = "text"): Unit =
     graft.ops.WebOps.buildBm25Delta(docs, path, part, idCol, textCol)
 
   /** Search a set of [[appendBm25Batch]] batches — bit-for-bit identical
     * to a single-batch rebuild over the union (integer-exact stat
-    * merges; WebGraphSpec pins the identity). */
+    * merges; WebGraphSpec pins the identity). The identity — and score
+    * correctness generally — assumes the batches partition the doc-id
+    * space (see [[appendBm25Batch]]'s precondition). */
   def bm25IncrementalSearch(spark: SparkSession, path: String,
                             parts: Seq[String], terms: Seq[String],
                             k1: Double = graft.ops.WebOps.Bm25K1,

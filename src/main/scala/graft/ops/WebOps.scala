@@ -86,9 +86,11 @@ object WebOps {
   /** Canonical URL from the raw url STRING only (never from the components
     * that built it): drop the fragment, lowercase the scheme://host[:port]
     * prefix and strip the scheme's default port (443 for https, 80 for
-    * http), keep the path verbatim (possibly empty), and drop `utm*`
+    * http), keep the path verbatim (possibly empty), and drop `utm_*`
     * tracking params from the query string (preserving the order of the
-    * survivors). Any scheme parses; a string with NO scheme://host shape
+    * survivors; the underscore matters — a param merely STARTING with
+    * 'utm', e.g. 'utmost=1', is not a tracking param and survives —
+    * ADVICE r11). Any scheme parses; a string with NO scheme://host shape
     * falls back to fragment-stripping only (identity is safer than
     * collapsing unparseable rows into one '' group). All codegen'd
     * string/array expressions. */
@@ -105,7 +107,7 @@ object WebOps {
     val path = regexp_extract(noFrag, s"$SchemeHost([^?]*)", 1)
     val kept = array_join(
       filter(split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
-             p => !startswith(p, lit("utm"))), "&")
+             p => !startswith(p, lit("utm_"))), "&")
     when(rawPrefix === "", noFrag)
       .otherwise(concat(prefix, path,
         when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
@@ -451,7 +453,17 @@ object WebOps {
 
   /** The batch parts present under an incremental index store dir —
     * enumerated from the store itself, so search stays correct however
-    * the ingest stream happened to batch the corpus. */
+    * the ingest stream happened to batch the corpus.
+    *
+    * LOCAL-FILESYSTEM store paths only (ADVICE r11): part enumeration and
+    * compaction's delete/rename use java.io/java.nio, which on an
+    * s3://-or-hdfs:// store path would report "no parts" despite data
+    * being present. The index DATA path (Spark read/write) is
+    * FS-agnostic; porting the incremental/compaction MAINTENANCE to a
+    * remote store means routing these three operations (list, delete,
+    * rename) through Hadoop's FileSystem for the path — an isolated,
+    * mechanical swap kept out of scope while every store in this harness
+    * is /tmp-local. */
   private[graft] def indexParts(dir: String): Seq[String] =
     Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
       .filter(_.startsWith("posting")).map(_.stripPrefix("posting")).sorted.toSeq
@@ -522,28 +534,47 @@ object WebOps {
     // window. Like any file-level compaction (sink_compaction), run it
     // without concurrent searchers — a search between delete and rename
     // can briefly see a reduced part set (never an inflated one).
-    val parts = indexParts(dir)
-    require(parts.nonEmpty, s"no index parts to compact under $dir")
-    val stagingP = s"$dir/.compact-posting"
-    val stagingS = s"$dir/.compact-stats"
-    parts.map(p => s.read.parquet(s"$dir/posting$p")).reduce(_ unionByName _)
-      .write.mode("overwrite").partitionBy("tb").parquet(stagingP)
-    parts.map(p => s.read.parquet(s"$dir/stats$p")).reduce(_ unionByName _)
-      .agg(sum("n").as("n"), sum("sdl").as("sdl"))
-      .write.mode("overwrite").parquet(stagingS)
     def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p))
         java.nio.file.Files.walk(p)
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-    parts.foreach { p =>
-      rmTree(java.nio.file.Paths.get(s"$dir/posting$p"))
-      rmTree(java.nio.file.Paths.get(s"$dir/stats$p"))
+    val stagingP = s"$dir/.compact-posting"
+    val stagingS = s"$dir/.compact-stats"
+    def finishFromStaging(): Unit = {
+      indexParts(dir).foreach { p =>
+        rmTree(java.nio.file.Paths.get(s"$dir/posting$p"))
+        rmTree(java.nio.file.Paths.get(s"$dir/stats$p"))
+      }
+      java.nio.file.Files.move(java.nio.file.Paths.get(stagingP),
+        java.nio.file.Paths.get(s"$dir/posting$outPart"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(stagingS),
+        java.nio.file.Paths.get(s"$dir/stats$outPart"))
     }
-    java.nio.file.Files.move(java.nio.file.Paths.get(stagingP),
-      java.nio.file.Paths.get(s"$dir/posting$outPart"))
-    java.nio.file.Files.move(java.nio.file.Paths.get(stagingS),
-      java.nio.file.Paths.get(s"$dir/stats$outPart"))
+    // Crash recovery (ADVICE r11): a compaction that died between staging
+    // write and final rename leaves .compact-* dirs that indexParts cannot
+    // see — previously a re-run could find ZERO visible parts and fail its
+    // nonEmpty require instead of recovering. On entry: COMPLETE staging
+    // (_SUCCESS in both dirs) already holds the full union of the parts
+    // live at staging time, and any parts still visible are a subset of
+    // those — so finishing (delete survivors, rename staging in) yields
+    // exactly the crashed run's result at every crash point, mid-delete
+    // included. INCOMPLETE staging means the deletes never started
+    // (originals intact) — discard it and compact normally.
+    def staged(p: String) = new java.io.File(p, "_SUCCESS").exists()
+    if (new java.io.File(stagingP).exists() || new java.io.File(stagingS).exists()) {
+      if (staged(stagingP) && staged(stagingS)) { finishFromStaging(); return }
+      rmTree(java.nio.file.Paths.get(stagingP))
+      rmTree(java.nio.file.Paths.get(stagingS))
+    }
+    val parts = indexParts(dir)
+    require(parts.nonEmpty, s"no index parts to compact under $dir")
+    parts.map(p => s.read.parquet(s"$dir/posting$p")).reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("tb").parquet(stagingP)
+    parts.map(p => s.read.parquet(s"$dir/stats$p")).reduce(_ unionByName _)
+      .agg(sum("n").as("n"), sum("sdl").as("sdl"))
+      .write.mode("overwrite").parquet(stagingS)
+    finishFromStaging()
   }
 
   /** Two-batch store compacted to one part at build time — the contract
@@ -736,7 +767,7 @@ object WebOps {
         FROM (SELECT doc_id, nf,
                      array_to_string(
                        list_filter(string_split(regexp_extract(nf, '\\?(.*)$$', 1), '&'),
-                                   p -> p NOT LIKE 'utm%'), '&') AS cq
+                                   p -> NOT starts_with(p, 'utm_')), '&') AS cq
               FROM nf))
       SELECT canon_url, count(*) AS n_dups, min(doc_id) AS first_doc
       FROM canon GROUP BY canon_url ORDER BY canon_url""",

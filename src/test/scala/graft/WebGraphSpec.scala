@@ -186,6 +186,71 @@ class WebGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalUrl strips only utm_* — a param merely starting with 'utm' survives") {
+    def canon(u: String) =
+      Seq(u).toDF("url").select(graft.ops.WebOps.canonicalUrl(col("url")))
+        .head().getString(0)
+    assert(canon("https://a.example.com/x?utmost=1&p=2") ===
+      "https://a.example.com/x?utmost=1&p=2",
+      "'utmost' is not a tracking param (ADVICE r11)")
+    assert(canon("https://a.example.com/x?utm=1&p=2") ===
+      "https://a.example.com/x?utm=1&p=2",
+      "bare 'utm' (no underscore) is not a tracking param")
+    assert(canon("https://a.example.com/x?utm_source=f&p=2") ===
+      "https://a.example.com/x?p=2")
+  }
+
+  test("compactIndex recovers a crashed compaction from its staging dirs") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def copyTree(from: String, to: String): Unit =
+      Files.walk(Paths.get(from)).forEach { p =>
+        val dst = Paths.get(to, Paths.get(from).relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    def rmTree(p: String): Unit =
+      if (Files.exists(Paths.get(p)))
+        Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    val a = java.nio.file.Files.createTempDirectory("bm25crash-a").toString
+    val b = java.nio.file.Files.createTempDirectory("bm25crash-b").toString
+    try {
+      val docs = Tables.documents(spark, d)
+      Seq(a, b).foreach { dir =>
+        graft.api.Web.appendBm25Batch(docs.filter($"doc_id" % 2 === 1), dir, "1")
+        graft.api.Web.appendBm25Batch(docs.filter($"doc_id" % 2 === 0), dir, "2")
+      }
+      graft.api.Web.compactBm25Index(spark, a)   // clean run = ground truth
+
+      // worst crash point in B: staging complete, originals DELETED, rename
+      // never ran — previously unrecoverable (zero visible parts)
+      copyTree(s"$a/postingc", s"$b/.compact-posting")
+      copyTree(s"$a/statsc", s"$b/.compact-stats")
+      Seq("1", "2").foreach { p => rmTree(s"$b/posting$p"); rmTree(s"$b/stats$p") }
+      assert(graft.ops.WebOps.indexParts(b).isEmpty, "crash fixture: no visible parts")
+      graft.api.Web.compactBm25Index(spark, b)   // must recover, not require-fail
+      assert(graft.ops.WebOps.indexParts(b) === Seq("c"))
+      def search(dir: String) = graft.api.Web.bm25IncrementalSearch(
+          spark, dir, Seq("c"), graft.ops.WebOps.Bm25Terms)
+        .orderBy($"doc_id").collect().toSeq
+      assert(search(b) === search(a) && search(b).nonEmpty,
+        "recovered compaction must equal the clean one")
+
+      // INCOMPLETE staging (no _SUCCESS) with originals intact: discarded,
+      // normal compaction proceeds
+      val c = java.nio.file.Files.createTempDirectory("bm25crash-c").toString
+      try {
+        graft.api.Web.appendBm25Batch(docs.filter($"doc_id" % 2 === 1), c, "1")
+        graft.api.Web.appendBm25Batch(docs.filter($"doc_id" % 2 === 0), c, "2")
+        Files.createDirectories(Paths.get(s"$c/.compact-posting"))
+        Files.write(Paths.get(s"$c/.compact-posting/garbage.bin"), Array[Byte](1, 2))
+        graft.api.Web.compactBm25Index(spark, c)
+        assert(graft.ops.WebOps.indexParts(c) === Seq("c"))
+        assert(search(c) === search(a))
+      } finally rmTree(c)
+    } finally { rmTree(a); rmTree(b) }
+  }
+
   test("phraseSearch: planted docs pin adjacency, overlap, and absence semantics") {
     val dir = java.nio.file.Files.createTempDirectory("posidx-test").toString
     try {
