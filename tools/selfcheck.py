@@ -57,8 +57,16 @@ def compare(name, spark_df, duck_df):
     return None
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # optional: --json <path> writes the per-key results as JSON (the
+    # round-end local snapshot VERDICT r11 #8 asked for)
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     load_tables(con, sf_dir)
@@ -101,6 +109,13 @@ def main():
                if os.path.isdir(os.path.join(out_dir, n)) and n not in oracle]
     if missing and not only:
         print("rows-only (no oracle):", ", ".join(sorted(missing)))
+    if json_out:
+        rec = {n: {"pass": v is None, "detail": v} for n, v in sorted(results.items())}
+        rec["_summary"] = {"pass": npass, "total": len(results),
+                           "rows_only": sorted(missing)}
+        with open(json_out, "w") as f:
+            json.dump(rec, f, indent=1)
+        print("json ->", json_out)
 
 if __name__ == "__main__":
     main()
