@@ -169,6 +169,29 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // EXACT distinct via bitmaps (Spark 3.5 bitmap_* family): each group's
+    // key space is carved into 32k-bit buckets, per-(group, bucket) bitmaps
+    // OR-merge in the partial aggregate, and the final count is a sum of
+    // per-bucket popcounts. Same answer as count(distinct) but a different
+    // scale contract: countDistinct expands rows and re-shuffles the raw
+    // key stream, while the bitmap path shuffles only (group, bucket)
+    // bitmaps whose size is bounded by the bucket width — and the bitmaps
+    // themselves are REUSABLE artifacts (OR-mergeable across days/rollup
+    // levels, the roaring-bitmap segment pattern; a second distinct over a
+    // superset group-by merges the stored bitmaps instead of rescanning the
+    // corpus). Oracle = plain count(DISTINCT) — the gate proves exactness.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .selectExpr("o_orderpriority",
+          "bitmap_bucket_number(o_custkey) AS bkt",
+          "bitmap_bit_position(o_custkey) AS pos")
+        .groupBy("o_orderpriority", "bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        .groupBy("o_orderpriority")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_custs"))
+        .orderBy("o_orderpriority")
+    }),
+
     // HLL sketch — algo-dependent value, bench-only (no oracle); the 100 TB
     // replacement for exact count-distinct.
     "agg_approx_distinct" -> ((s, d) => {
@@ -489,6 +512,14 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Bitmaps are plumbing, not semantics — exactness is the claim, so the
+    // oracle is the plain distinct count.
+    "agg_bitmap_distinct" -> """
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     "agg_corr_stats" -> """
       SELECT o_orderpriority,
              round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr,

@@ -163,6 +163,31 @@ object FnOps {
         .orderBy("l_returnflag")
     }),
 
+    // try_* error-safe arithmetic — the ANSI-mode survival kit. Spark 4
+    // runs ANSI by default, so plain division-by-zero / overflow / bad
+    // casts FAIL the job; at 100 TB one malformed row out of a trillion
+    // must not kill a 6-hour pipeline, and the try_ family is the
+    // per-expression remedy (NULL instead of error, no session-wide
+    // ansi=off hammer). Each column exercises one failure class:
+    // div-by-zero, BIGINT and INT overflow, unparseable cast, and
+    // out-of-bounds array index (note: try_element_at forgives only
+    // out-of-RANGE indexes — index 0 is a structural error it still
+    // raises, so the index expression is kept in 1..4). DuckDB has no
+    // try_ arithmetic, so
+    // the oracle reconstructs each NULL-domain with an explicit CASE —
+    // which also documents exactly where the nulls come from.
+    "fn_try_arith" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        round(expr("try_divide(value, CAST(user_id % 5 AS DOUBLE))"), 4).as("div_mod5"),
+        expr("try_multiply(user_id, 9223372036854775807L)").as("mul_of"),
+        expr("try_add(CAST(user_id AS INT), 2147483647)").as("add_of"),
+        expr("try_cast(CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS STRING) " +
+             "ELSE event_type END AS BIGINT)").as("parsed"),
+        expr("try_element_at(array(10, 20, 30), CAST(event_id % 4 + 1 AS INT))").as("elem"))
+        .orderBy("event_id")
+    }),
+
     // Regex family: extract (group ref), extract-all count, global replace,
     // boolean match, regex split. Patterns stay in the RE2∩Java-regex
     // common subset ([a-z] classes, no backrefs/lookaround) so Spark and
@@ -183,6 +208,23 @@ object FnOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Each try_* NULL-domain reconstructed with CASE (DuckDB would raise
+    // on the error arms, so the CASE guards keep them unevaluated).
+    "fn_try_arith" -> """
+      SELECT event_id,
+             CASE WHEN user_id % 5 = 0 THEN NULL
+                  ELSE round(value / (user_id % 5), 4) END AS div_mod5,
+             CASE WHEN user_id = 0 THEN 0
+                  WHEN user_id = 1 THEN 9223372036854775807
+                  ELSE NULL END AS mul_of,
+             CASE WHEN user_id = 0 THEN 2147483647 ELSE CAST(NULL AS INT) END AS add_of,
+             TRY_CAST(CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
+                           ELSE event_type END AS BIGINT) AS parsed,
+             CASE event_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 30
+                  ELSE CAST(NULL AS INT) END AS elem
+      FROM events
+      ORDER BY event_id""",
+
     "fn_collation" -> """
       WITH segs AS (
         SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)

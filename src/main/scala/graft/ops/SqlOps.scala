@@ -24,6 +24,7 @@ object SqlOps {
     Tables.orders(s, d).createOrReplaceTempView("orders_m")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_m")
     Tables.supplier(s, d).createOrReplaceTempView("supplier_m")
+    Tables.part(s, d).createOrReplaceTempView("part_m")
     Tables.nation(s, d).createOrReplaceTempView("nation_m")
     Tables.region(s, d).createOrReplaceTempView("region_m")
     Tables.events(s, d).createOrReplaceTempView("events_m")
@@ -224,6 +225,133 @@ object SqlOps {
       """)
     }),
 
+    // TPC-H Q7 shape: volume shipping between two nations — the dual-role
+    // dimension pattern (nation joined TWICE under different aliases, once
+    // through supplier, once through customer) with a symmetric disjunctive
+    // pair filter. Catalyst broadcasts both nation sides (25 rows each) and
+    // pushes nothing of the pair predicate to the fact scan — by design:
+    // the predicate needs both sides, so it evaluates right after the two
+    // broadcast joins, before the one real shuffle (the grouped agg).
+    "sql_q7_volume" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM supplier_m
+        JOIN lineitem_m ON s_suppkey = l_suppkey
+        JOIN orders_m   ON o_orderkey = l_orderkey
+        JOIN customer_m ON c_custkey = o_custkey
+        JOIN nation_m n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation_m n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+      """)
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue ranking — star join filtered
+    // by a date band (pushed to the orders scan) and a returnflag predicate
+    // (pushed to the lineitem scan), grouped per customer, deterministic
+    // top-20. The group key includes the customer attributes, which is free:
+    // they are functionally dependent on c_custkey, so the hash-agg key is
+    // effectively one long. The revenue sum runs in DECIMAL: this key's
+    // double sum landed exactly on a 2dp rounding boundary (….515) at
+    // sf0.01, where reassociation noise flips the cent — decimal
+    // accumulation is order-independent, so the result is deterministic by
+    // construction (and is how money should be summed anyway); the final
+    // cast back to DOUBLE keeps the cross-engine output type aligned.
+    "sql_q10_returns" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS revenue
+        FROM customer_m
+        JOIN orders_m   ON c_custkey = o_custkey
+        JOIN lineitem_m ON l_orderkey = o_orderkey
+        JOIN nation_m   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+      """)
+    }),
+
+    // TPC-H Q19 shape: disjunctive OR-of-ANDs join predicate — the classic
+    // pushdown stressor. Catalyst splits the OR tree per table and pushes
+    // each side's full disjunction to its scan: the lineitem scan gets the
+    // OR of the three quantity bands, the part scan the OR of the three
+    // brand∧size conjunctions (both visible as `Or(...)` PushedFilters —
+    // PlanSpec pins it), so at 100 TB parquet row-group stats prune on the
+    // quantity bands before the join rather than filtering after it. OR
+    // does not disable pushdown when every arm constrains the same scan.
+    "sql_q19_disjunctive" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT p_brand, count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem_m
+        JOIN part_m ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY p_brand
+        ORDER BY p_brand
+      """)
+    }),
+
+    // Quantified subqueries: EXISTS (TPC-H Q4 shape — orders with at least
+    // one near-max-quantity item, per priority) and NOT IN (customers who
+    // never placed an URGENT order). Catalyst plans EXISTS as a left-semi
+    // join against the correlated side and NOT IN as a null-aware anti
+    // join — both shuffle-on-key plans, never per-row subquery execution;
+    // the two arms union into one (grp, n) frame (the Z- prefix keeps the
+    // synthetic row ordered after the priorities).
+    "sql_exists_in" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        WITH q4 AS (
+          SELECT o_orderpriority AS grp, count(*) AS n
+          FROM orders_m o
+          WHERE EXISTS (SELECT 1 FROM lineitem_m l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+          GROUP BY o_orderpriority),
+        cold AS (
+          SELECT 'Z-NO-URGENT-CUST' AS grp, count(*) AS n
+          FROM customer_m
+          WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders_m WHERE o_orderpriority = '1-URGENT'))
+        SELECT grp, n FROM (SELECT * FROM q4 UNION ALL SELECT * FROM cold) u
+        ORDER BY grp
+      """)
+    }),
+
+    // Parameterized SQL (Spark 3.4+ named parameter markers): the query
+    // text carries :seg/:minprice placeholders and the values bind at
+    // analysis time — the injection-safe, plan-cache-friendly way a
+    // service layer issues the same query shape with varying constants.
+    // The bound literals then behave exactly like inline ones (the segment
+    // filter pushes to the customer scan).
+    "sql_parameterized" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """
+        SELECT n_name, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        FROM customer_m
+        JOIN orders_m ON c_custkey = o_custkey
+        JOIN nation_m ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = :seg AND o_totalprice > :minprice
+        GROUP BY n_name
+        ORDER BY n_name
+        """,
+        Map[String, Any]("seg" -> "BUILDING", "minprice" -> 300000))
+    }),
+
     // The native as-of join entered as SQL TEXT — the §7.3c operator
     // reached the way a user actually queries. The injected AsOfSqlParser
     // (GraftExtensions.injectParser) recognizes the ASOF JOIN clause and
@@ -353,6 +481,75 @@ object SqlOps {
         WHERE l2.l_partkey = l1.l_partkey), 4)
       GROUP BY l_partkey
       ORDER BY l_partkey""",
+
+    // DuckDB year() returns BIGINT — cast to Spark's INT.
+    "sql_q7_volume" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      ORDER BY supp_nation, cust_nation, l_year""",
+
+    "sql_q10_returns" -> """
+      SELECT c_custkey, c_name, n_name,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                  AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-07-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+
+    "sql_q19_disjunctive" -> """
+      SELECT p_brand, count(*) AS n,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+
+    "sql_exists_in" -> """
+      WITH q4 AS (
+        SELECT o_orderpriority AS grp, count(*) AS n
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        GROUP BY o_orderpriority),
+      cold AS (
+        SELECT 'Z-NO-URGENT-CUST' AS grp, count(*) AS n
+        FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+      SELECT grp, n FROM (SELECT * FROM q4 UNION ALL SELECT * FROM cold) u
+      ORDER BY grp""",
+
+    // Parameter binding is Spark-side plumbing — the oracle inlines the
+    // bound literals.
+    "sql_parameterized" -> """
+      SELECT n_name, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 300000
+      GROUP BY n_name
+      ORDER BY n_name""",
 
     "sql_q5_local_revenue" -> """
       SELECT n_name,

@@ -61,6 +61,21 @@ class AsOfSqlParser(session: SparkSession, delegate: ParserInterface)
       AsOfSqlRewrite.rewrite(session, delegate, sqlText)
     else delegate.parseQuery(sqlText)
 
+  /** Spark 4.1 routes `spark.sql(text, args)` through THIS entry point
+    * (the ParameterContext carries the named/positional bindings), and the
+    * ParserInterface DEFAULT implementation discards the context — so a
+    * delegating parser that does not forward it silently breaks every
+    * parameterized query in the session (surfaces as
+    * UNBOUND_SQL_PARAMETER at analysis). ASOF statements stay on the
+    * rewrite path, which accepts no parameter markers — a parameterized
+    * ASOF query fails loudly in the rewrite rather than mis-binding. */
+  override def parsePlanWithParameters(
+      sqlText: String,
+      context: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    if (AsOfSqlRewrite.isAsOfStatement(sqlText))
+      AsOfSqlRewrite.rewrite(session, delegate, sqlText)
+    else delegate.parsePlanWithParameters(sqlText, context)
+
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -1020,4 +1020,46 @@ class OperatorSpec extends AnyFunSuite {
       case None    => spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  test("agg_bitmap_distinct equals countDistinct bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val viaBitmap = SparkEntry.queries("agg_bitmap_distinct")(spark, d).collect()
+    val exact = graft.Tables.orders(spark, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_custs"))
+      .orderBy("o_orderpriority").collect()
+    assert(viaBitmap.toSeq === exact.toSeq,
+      "bitmap popcount-sum diverged from countDistinct")
+  }
+
+  test("fn_try_arith: each try_* NULL-domain is exactly the declared one") {
+    val rows = SparkEntry.queries("fn_try_arith")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.Tables.events(spark, d)
+      .select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0); val uid = evs(id)
+      assert(r.isNullAt(1) === (uid % 5 == 0), s"div_mod5 null-domain wrong at $id")
+      assert(r.isNullAt(2) === (uid > 1), s"mul_of overflow-domain wrong at $id")
+      assert(r.isNullAt(3) === (uid != 0), s"add_of overflow-domain wrong at $id")
+      assert(r.isNullAt(5) === (id % 4 == 3), s"elem bounds-domain wrong at $id")
+    }
+  }
+
+  test("sql_parameterized: bound parameters equal inlined literals (parser forwards ParameterContext)") {
+    // regression pin for AsOfSqlParser.parsePlanWithParameters — without the
+    // delegation, every spark.sql(text, args) in the session dies with
+    // UNBOUND_SQL_PARAMETER because the ParserInterface default drops args
+    val bound = SparkEntry.queries("sql_parameterized")(spark, d).collect()
+    val inlined = spark.sql("""
+      SELECT n_name, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      FROM customer_m
+      JOIN orders_m ON c_custkey = o_custkey
+      JOIN nation_m ON c_nationkey = n_nationkey
+      WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 300000
+      GROUP BY n_name
+      ORDER BY n_name""").collect()
+    assert(bound.toSeq === inlined.toSeq, "parameter binding diverged from literals")
+  }
 }

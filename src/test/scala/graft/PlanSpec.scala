@@ -554,4 +554,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("sql_recursive_cte")
     assert(p.contains("UnionLoop"), s"no UnionLoop node in plan:\n$p")
   }
+
+  test("sql_q19_disjunctive: per-table OR trees pushed to both scans") {
+    val p = plan("sql_q19_disjunctive")
+    // lineitem side: the OR of the three quantity bands reaches the scan
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)") ||
+           (p.contains("PushedFilters") && p.contains("l_quantity,1.0")),
+      s"quantity OR-band not pushed to lineitem scan:\n$p")
+    // part side: the brand∧size disjunction is evaluated on the part side
+    // (the scan's PushedFilters render truncated in the tree string, so
+    // pin the Filter node's predicate instead)
+    assert(p.contains("= Brand#12)") && p.contains("= Brand#34)"),
+      s"brand disjunction not applied on the part side:\n$p")
+  }
+
+  test("sql_exists_in: EXISTS plans a semi join, NOT IN an anti join") {
+    val p = plan("sql_exists_in")
+    assert(p.contains("LeftSemi"), s"no semi join for EXISTS:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join for NOT IN:\n$p")
+  }
 }
