@@ -238,6 +238,67 @@ object OptOps {
       }
     }),
 
+    // Exchange reuse: the per-order aggregate feeds BOTH the row stream
+    // and its own global mean — two consumers of one shuffle. Catalyst's
+    // ReuseExchange rule dedupes the identical Exchange subtrees, so the
+    // lineitem scan + partial agg + shuffle runs ONCE and the second
+    // consumer reads the shuffled blocks (ReusedExchange in the plan;
+    // PlanSpec pins it). At 100 TB this is the difference between one and
+    // two full corpus passes for every self-referencing query shape
+    // ("rows above the average", snapshot-vs-aggregate audits) — and it
+    // falls out of writing the query declaratively against ONE shared
+    // frame, no manual .cache() needed. Threshold compares against the
+    // 4dp-rounded doubled mean (strict >): both engines average the SAME
+    // 2dp-rounded per-order revenues, so reassociation noise is ~1e-9
+    // against a 1e-4 rounding grid.
+    "opt_exchange_reuse" -> ((s, d) => {
+      val per = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(round(sum("l_extendedprice"), 2).as("rev"))
+      val stats = per.agg(avg("rev").as("mean"))
+      per.join(broadcast(stats))
+        .filter(col("rev") > round(col("mean") * 2, 4))
+        .agg(count(lit(1)).as("n_above"),
+             round(sum("rev"), 2).as("rev_above"),
+             min("l_orderkey").as("min_key"))
+    }),
+
+    // AQE skew-join handling: the fact side is keyed so ~90% of rows share
+    // one derived key (least(l_orderkey % 50, 5) — keys 0..4 stay sparse,
+    // key 5 absorbs the rest), the canonical hot-key join that strands a
+    // single straggler task at scale. With broadcast disabled (forcing the
+    // shuffle join AQE skew-splitting applies to) and test-scale
+    // thresholds (the 256 MB defaults would need real data volumes; at
+    // 100 TB they fire untouched), AQE's OptimizeSkewedJoin splits the
+    // oversized partition into advisory-sized chunks and duplicates the
+    // matching dim partition per chunk — runtime skew repair from shuffle
+    // statistics, no salting rewrite of the query (join_skew_salted is the
+    // MANUAL spelling of the same defense). The post-join aggregate is
+    // global, so the split costs no extra shuffle and the rule fires
+    // without forceApply. Result materializes inside the conf scope
+    // (rewrites happen at action time); OperatorSpec pins `skewed` in the
+    // executed plan.
+    "opt_aqe_skew" -> ((s, d) => {
+      val confs = Seq(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = skewJoinFrame(s, d)
+        swapCached("opt_aqe_skew", out)
+        out.cache()
+        out.count()
+        out
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     // Naive all-pairs SimHash pair query (same signatures as llm_simhash):
     // a cross join with only `doc_a < doc_b AND bit_count(xor) <= 4` — no
     // equi key anywhere in the source. HammingBandedJoin turns it into the
@@ -290,6 +351,29 @@ object OptOps {
     })
   )
 
+  /** The uncached skewed join body of opt_aqe_skew — shared with
+    * OperatorSpec's skew-split pin (the query key caches its result, so
+    * its returned plan is an InMemoryTableScan that would hide the
+    * AQEShuffleRead). The dim side is a 6-row generated frame (weights per
+    * derived key); dim keys are exhaustive over least(_%50, 5)'s range so
+    * the inner join drops nothing. */
+  private[graft] def skewJoinFrame(s: SparkSession, d: String): DataFrame = {
+    // The round-robin repartition is TEST-SCALE scaffolding with a real
+    // lesson in it: AQE splits a skewed reducer partition along MAPPER
+    // boundaries (PartialReducerPartitionSpec carries a map-index range),
+    // so a hot partition fed by a single mapper is unsplittable — and a
+    // one-file test scan is exactly one mapper. Spreading the fact over 16
+    // map tasks emulates the many-mapper layout any production table has
+    // (where this repartition would be pure waste — delete it at scale).
+    val fact = Tables.lineitem(s, d)
+      .repartition(16)
+      .withColumn("k", least(pmod(col("l_orderkey"), lit(50L)), lit(5L)))
+    val dim = s.range(0L, 6L).select(col("id").as("k"), (col("id") * 10L).as("grp"))
+    fact.join(dim, "k")
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("l_quantity") * (col("grp") + 1L)), 2).as("wsum"))
+  }
+
   /** The uncached join body of opt_runtime_bloom_join — shared with
     * PlanSpec's might_contain pin (the query key caches its result, so its
     * returned plan is an InMemoryTableScan that would hide the filter). */
@@ -327,6 +411,25 @@ object OptOps {
       WHERE o_custkey BETWEEN 30 AND 90
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate < TIMESTAMP '1997-01-01'""",
+
+    // Exchange reuse is plumbing, not semantics — the oracle just writes
+    // the shared frame twice (DuckDB CSE's its own CTE).
+    "opt_exchange_reuse" -> """
+      WITH per AS (
+        SELECT l_orderkey, round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem GROUP BY l_orderkey),
+      s AS (SELECT avg(rev) AS mean FROM per)
+      SELECT count(*) AS n_above, round(sum(rev), 2) AS rev_above,
+             min(l_orderkey) AS min_key
+      FROM per, s WHERE rev > round(mean * 2, 4)""",
+
+    // Skew splitting is plumbing, not semantics — the weighted aggregate
+    // over the derived key, written flat.
+    "opt_aqe_skew" -> """
+      SELECT count(*) AS n,
+             round(sum(l_quantity *
+               (CASE WHEN l_orderkey % 50 < 5 THEN l_orderkey % 50 ELSE 5 END * 10 + 1)), 2) AS wsum
+      FROM lineitem""",
 
     // Bloom injection is plumbing, not semantics — plain join+agg oracle.
     "opt_runtime_bloom_join" -> """

@@ -417,6 +417,25 @@ object ScanOps {
           col("length").as("n_bytes"),
           md5(col("content")).as("content_hash"))
         .orderBy("doc_id")
+    }),
+
+    // The zero-I/O generator source: spark.range synthesizes rows
+    // DISTRIBUTED — each of the 32 declared partitions computes its own
+    // [start, end) slice locally (RangeExec, whole-stage codegen'd), no
+    // file listing, no driver materialization, no shuffle until the
+    // aggregation. This is the scale tool for backfills, synthetic
+    // benchmark corpora, calendar/dimension enumeration and cross-join
+    // seeding; at 100 TB-scale generation the partition count is the only
+    // knob that matters (it bounds per-task memory and sets parallelism).
+    // The modular arithmetic makes every generated value verifiable
+    // cross-engine against DuckDB's range() table function.
+    "src_range_generator" -> ((s, d) => {
+      s.range(0L, 1000000L, 1L, 32)
+        .select((col("id") % 97).as("bucket"),
+                ((col("id") * col("id")) % 10007).as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("h").as("sum_h"))
+        .orderBy("bucket")
     })
   )
 
@@ -505,6 +524,15 @@ object ScanOps {
       FROM documents
       WHERE doc_id < 50
       ORDER BY doc_id""",
+
+    // DuckDB's range() table function is the generator twin (its column is
+    // named `range`); HUGEINT sum cast down per convention.
+    "src_range_generator" -> """
+      SELECT id % 97 AS bucket, count(*) AS n,
+             CAST(sum((id * id) % 10007) AS BIGINT) AS sum_h
+      FROM (SELECT range AS id FROM range(0, 1000000))
+      GROUP BY 1
+      ORDER BY bucket""",
 
     "sink_parquet_partitioned" -> """
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

@@ -1021,6 +1021,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("opt_aqe_skew: AQE splits the hot-key partition (skewed shuffle read)") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = graft.ops.OptOps.skewJoinFrame(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skewed"),
+        s"no skewed AQEShuffleRead in the final adaptive plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("agg_bitmap_distinct equals countDistinct bit-for-bit") {
     import org.apache.spark.sql.functions._
     val viaBitmap = SparkEntry.queries("agg_bitmap_distinct")(spark, d).collect()

@@ -555,6 +555,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("UnionLoop"), s"no UnionLoop node in plan:\n$p")
   }
 
+  test("opt_exchange_reuse: one shuffle feeds both consumers (ReusedExchange)") {
+    val p = plan("opt_exchange_reuse")
+    assert(p.contains("ReusedExchange"),
+      s"the per-order aggregate's exchange is not reused:\n$p")
+  }
+
   test("sql_q19_disjunctive: per-table OR trees pushed to both scans") {
     val p = plan("sql_q19_disjunctive")
     // lineitem side: the OR of the three quantity bands reaches the scan
