@@ -36,10 +36,26 @@ object GraphOps {
   /** graph_bfs hop cap — shared with the oracle's recursion bound. */
   private[graft] val BfsRounds = 6
 
+  /** graph_sssp relaxation-round cap — shared with the oracle's
+    * hop-bounded walk recursion. */
+  private[graft] val SsspRounds = 4
+
   /** One row per undirected REPEAT-trade edge (threshold 3) — the sparse
     * subgraph graph_components and graph_bfs both run on. */
   private[graft] def repeatTradePairs(s: SparkSession, d: String): DataFrame =
-    custSuppPairs(s, d, 3L)
+    custSuppPairs(s, d, 3L).select("doc_a", "doc_b")
+
+  /** The sparse repeat-trade graph in symmetric weighted form: edge weight
+    * = (supporting-lineitem count % 5) + 1 ∈ 1..5 — a deterministic
+    * integer weight derived from the SAME pair aggregation every other
+    * graph key uses (integer weights keep the SSSP oracle's recursion
+    * state finite and the cross-engine compare float-free). */
+  private[graft] def weightedTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val p = custSuppPairs(s, d, 3L)
+      .select(col("doc_a"), col("doc_b"), (col("n") % 5 + 1).as("w"))
+    p.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
+  }
 
   /** [[repeatTradePairs]] in symmetric (src, dst) form. */
   private[graft] def repeatTradeEdges(s: SparkSession, d: String): DataFrame =
@@ -58,7 +74,8 @@ object GraphOps {
       .groupBy(col("o_custkey"), col("l_suppkey"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= minLineitems)
       .select(concat(lit("c"), col("o_custkey")).as("doc_a"),
-              concat(lit("s"), col("l_suppkey")).as("doc_b"))
+              concat(lit("s"), col("l_suppkey")).as("doc_b"),
+              col("n"))
   }
 
   /** Undirected pairs in symmetric (src, dst) form. */
@@ -242,6 +259,34 @@ object GraphOps {
       dist.orderBy("node")
     }),
 
+    // Bounded weighted single-source shortest paths (Bellman-Ford): the
+    // graph_bfs walk with integer edge weights (1..5, derived from trade
+    // volume). Each round relaxes EVERY edge against the current distance
+    // frame — dist_{k+1}(v) = min(dist_k(v), min over edges (dist_k(u)+w))
+    // — so after [[SsspRounds]] rounds the frame holds exactly the minimum
+    // over ≤cap-hop walks, which is what the oracle's hop-bounded
+    // recursion enumerates. Unlike BFS there is no settled-frontier
+    // shortcut (a longer-hop walk can still be cheaper), so the per-round
+    // join is edges ⋈ full dist — the textbook distributed SSSP round
+    // (Pregel's shape): per-round cost is one edge-sized join + one
+    // nodes-sized min-agg, lineage cut per round, cap fixed so the job is
+    // a deterministic DAG at any scale.
+    "graph_sssp" -> ((s, d) => {
+      val edges = weightedTradeEdges(s, d).cache()
+      graft.GraftCaches.track(edges)
+      val seed = edges.agg(min("src")).head().getString(0)
+      val sp = edges.sparkSession
+      import sp.implicits._
+      var dist = Seq((seed, 0L)).toDF("node", "dist")
+      for (_ <- 1 to SsspRounds) {
+        val relaxed = edges.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = LlmOps.cutLineage(
+          dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")))
+      }
+      dist.select(col("node"), col("dist").cast("int").as("dist")).orderBy("node")
+    }),
+
     // Degree distribution of the trade graph — the first diagnostic run
     // on any production graph (it decides every downstream strategy:
     // broadcast vs shuffle, salting, orientation). Two bounded
@@ -387,6 +432,27 @@ object GraphOps {
         SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
         WHERE r.dist < $BfsRounds)
       SELECT node, CAST(min(dist) AS INTEGER) AS dist
+      FROM reach GROUP BY node ORDER BY node""",
+
+    // Min over hop-bounded weighted walks — the recursion state is finite
+    // because weights are small integers (dist ≤ 5·cap) and UNION dedups
+    // (node, dist, hops) tuples; equals Bellman-Ford after `cap` rounds.
+    "graph_sssp" -> s"""
+      WITH RECURSIVE p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+               count(*) % 5 + 1 AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT c AS src, s AS dst, w FROM p
+            UNION ALL SELECT s AS src, c AS dst, w FROM p),
+      seed AS (SELECT min(src) AS node FROM e),
+      reach(node, dist, hops) AS (
+        SELECT node, 0, 0 FROM seed
+        UNION
+        SELECT e.dst, r.dist + e.w, r.hops + 1
+        FROM reach r JOIN e ON e.src = r.node
+        WHERE r.hops < $SsspRounds)
+      SELECT node, CAST(min(dist) AS INT) AS dist
       FROM reach GROUP BY node ORDER BY node""",
 
     // The same 3 rounds unrolled (generated one CTE block per round):

@@ -43,6 +43,12 @@ object WebOps {
   private[graft] val Bm25Terms = Seq("hash", "vector", "stream")
   private[graft] val Bm25TopK = 20
 
+  /** RRF constant + per-retriever candidate depth of llm_hybrid_rrf —
+    * k=60 is the value from the original RRF paper (Cormack et al. 2009),
+    * shared with the oracle SQL. */
+  private[graft] val RrfK = 60
+  private[graft] val RrfDepth = 50
+
   /** Blocked hosts of llm_domain_filter (lowercase canonical form). */
   private[graft] val BlockedHosts =
     Seq("src3.example.com", "src7.example.com", "src11.example.com", "src15.example.com")
@@ -742,7 +748,49 @@ object WebOps {
     // pins overlap semantics on planted docs). The oracle re-derives
     // token positions from the raw corpus and joins adjacency directly.
     "llm_phrase_search" -> ((s, d) =>
-      phraseSearch(s, posIndexPath(s, d), PhraseTerms).orderBy("doc_id"))
+      phraseSearch(s, posIndexPath(s, d), PhraseTerms).orderBy("doc_id")),
+
+    // Hybrid retrieval fusion — the production RAG/retrieval shape: the
+    // lexical ranker (BM25 over the same terms as llm_bm25_topk) and the
+    // dense ranker (cosine kNN from vec 0's embedding, linked doc_id =
+    // vec_id — the synthetic corpus ships them aligned) each nominate
+    // their top-[[RrfDepth]], and reciprocal-rank fusion scores
+    // Σ 1/(k + rank) with k=[[RrfK]]. RRF is the standard score-free
+    // fusion: it needs NO calibration between BM25's unbounded scores and
+    // cosine's [-1,1] — only ranks — which is exactly why it survives at
+    // scale where score normalization drifts per shard. Plan shape: the
+    // two rankers run independently (each ends in a global top-50, driver
+    // cost ≈ 50 rows), fusion is a 50×50 full-outer join — negligible
+    // against either ranker's corpus pass; ranks materialize via
+    // row_number over the ALREADY-CUT 50-row frames (a single tiny
+    // partition by construction — never a window over the corpus).
+    "llm_hybrid_rrf" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = bm25Of(Tables.documents(s, d), "doc_id", "text",
+                          Bm25Terms, Bm25K1, Bm25B)
+        .orderBy(col("score").desc, col("doc_id")).limit(RrfDepth)
+      val lex = lexTop.withColumn("rk_lex",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+        .select(col("doc_id"), col("rk_lex"))
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val denseTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+                round(call_function("graft_cosine", col("embedding"), col("q_emb")), 4).as("cs"))
+        .orderBy(col("cs").desc, col("doc_id")).limit(RrfDepth)
+      val dense = denseTop.withColumn("rk_dense",
+          row_number().over(Window.orderBy(col("cs").desc, col("doc_id"))).cast("int"))
+        .select(col("doc_id"), col("rk_dense"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(RrfK) + col("rk_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(RrfK) + col("rk_dense")), lit(0.0)), 6).as("rrf"),
+          col("rk_lex"), col("rk_dense"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -784,6 +832,51 @@ object WebOps {
       GROUP BY 1 ORDER BY 1""",
 
     "llm_bm25_topk" -> Bm25OracleSql,
+
+    // Same BM25 CTE tower as Bm25OracleSql (un-limited, ranked), the dense
+    // ranker as the knn-oracle cosine over FLOAT[] lists, RRF in plain SQL.
+    "llm_hybrid_rrf" -> s"""
+      WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, term),
+      dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      bm AS (
+        SELECT doc_id,
+               round(sum(ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                         * tf.tf * ($Bm25K1 + 1.0)
+                         / (tf.tf + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * dl.dl / stats.avgdl))), 4) AS score
+        FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id, stats.n, stats.avgdl),
+      lex AS (
+        SELECT * FROM (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk_lex
+          FROM bm) WHERE rk_lex <= $RrfDepth),
+      q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      cosd AS (
+        SELECT c.vec_id AS doc_id,
+          round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+          AS cs
+        FROM embeddings c, q WHERE c.vec_id <> 0),
+      dense AS (
+        SELECT * FROM (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS INT) AS rk_dense
+          FROM cosd) WHERE rk_dense <= $RrfDepth)
+      SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+             round(COALESCE(1.0 / ($RrfK + l.rk_lex), 0)
+                 + COALESCE(1.0 / ($RrfK + r.rk_dense), 0), 6) AS rrf,
+             l.rk_lex, r.rk_dense
+      FROM lex l FULL JOIN dense r ON l.doc_id = r.doc_id
+      ORDER BY rrf DESC, doc_id LIMIT 20""",
     // Independent re-derivation from the RAW corpus (identical SQL): the
     // gate proves the persisted index + pruned search reproduces the
     // scan-side computation exactly — for the one-shot index AND the

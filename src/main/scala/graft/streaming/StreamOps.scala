@@ -519,6 +519,41 @@ object StreamOps {
     }
   }
 
+  // ---- CDC-apply plumbing (state API v2) ----
+  case class CdcEv(user_id: Long, tus: Long, event_id: Long, value: Double, del: Boolean)
+  case class CdcState(tus: Long, eventId: Long, value: Double, del: Boolean)
+  case class CdcOut(user_id: Long, tus: Long, event_id: Long, value: Double, del: Boolean)
+
+  /** Last-writer-wins CDC apply: the per-key ValueState holds the single
+    * LATEST change (ordered by (ts, event_id) — event ids break same-µs
+    * ties deterministically), upserts and deletes alike; a delete is a
+    * retained TOMBSTONE, not a state clear, because a clear would let an
+    * out-of-order earlier upsert in a later batch resurrect the row —
+    * the standard CDC-materialization subtlety. Each batch emits the
+    * key's current latest, so emissions are monotone in (ts, event_id)
+    * and the final snapshot is the max-struct per key. State is O(keys),
+    * one row each — the minimal footprint for CDC view materialization
+    * (production adds tombstone GC once the source's retention window
+    * passes; bounded replays never need it). */
+  class CdcApplyProcessor extends StatefulProcessor[Long, CdcEv, CdcOut] {
+    @transient private var st: ValueState[CdcState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CdcState](
+        "latest", Encoders.product[CdcState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CdcEv],
+                                 tv: TimerValues): Iterator[CdcOut] = {
+      var cur = Option(st.get())
+      rows.foreach { e =>
+        val newer = cur.forall(c =>
+          e.tus > c.tus || (e.tus == c.tus && e.event_id > c.eventId))
+        if (newer) cur = Some(CdcState(e.tus, e.event_id, e.value, e.del))
+      }
+      val c = cur.get // rows is non-empty for an invoked key
+      st.update(c)
+      Iterator.single(CdcOut(key, c.tus, c.eventId, c.value, c.del))
+    }
+  }
+
   /** Shared purchases⋈signups event-time range join runner (inner and
     * left-outer variants). runStream builds ONE source; these queries need
     * two, so the streaming query is assembled directly with the same
@@ -773,6 +808,38 @@ object StreamOps {
         .agg(max(struct(col("n"), col("sum"))).as("fin"))
         .select(col("user_id"), col("fin.n").as("n_events"),
                 round(col("fin.sum"), 2).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // CDC apply (CdcApplyProcessor doc): the event stream read as a
+    // change log — every row an upsert except purchases, which act as
+    // DELETES — materialized into a per-user latest-value snapshot with
+    // last-writer-wins (ts, event_id) ordering and retained tombstones.
+    // This is the streaming half of sink_merge_upsert: the same MERGE
+    // semantics, maintained incrementally in O(keys) state instead of by
+    // batch rewrite. Oracle = the batch argmax (row_number DESC = 1) with
+    // tombstoned users dropped — the gate proves replayed incremental
+    // apply ≡ batch last-write per key.
+    "stream_cdc_apply" -> ((s, d) => {
+      val rep = replay(s, d, "base")
+      import s.implicits._
+      withRocksDB(s) {
+        runStream(s, rep, "update", filesPerTrigger = 2) { src =>
+          src.select(col("user_id"), unix_micros(col("ts")).as("tus"),
+                     col("event_id"), col("value"),
+                     (col("event_type") === "purchase").as("del")).as[CdcEv]
+            .groupByKey(_.user_id)
+            .transformWithState(new CdcApplyProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF()
+        }
+      }
+        .groupBy("user_id")
+        .agg(max(struct(col("tus"), col("event_id"), col("value"), col("del"))).as("fin"))
+        .filter(!col("fin.del"))
+        .select(col("user_id"),
+                timestamp_micros(col("fin.tus")).as("last_ts"),
+                round(col("fin.value"), 2).as("value"))
         .orderBy("user_id")
     }),
 
@@ -1086,6 +1153,19 @@ object StreamOps {
       SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY user_id
+      ORDER BY user_id""",
+
+    // batch argmax per user: the latest change wins; tombstoned (delete-
+    // final) users are absent from the snapshot
+    "stream_cdc_apply" -> """
+      WITH ranked AS (
+        SELECT user_id, ts, value,
+               (event_type = 'purchase') AS del,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, ts AS last_ts, round(value, 2) AS value
+      FROM ranked WHERE rn = 1 AND NOT del
       ORDER BY user_id""",
 
     // identical batch semantics to stream_stateful_tws — the key proves the

@@ -1021,6 +1021,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_sssp: weighted distances bracketed by BFS hop counts (1 ≤ w ≤ 5)") {
+    val sssp = SparkEntry.queries("graph_sssp")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val bfs = SparkEntry.queries("graph_bfs")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(sssp.values.min === 0, "no zero-distance seed in the SSSP frame")
+    sssp.foreach { case (n, dw) =>
+      val dh = bfs.getOrElse(n, fail(s"SSSP reached $n but BFS (larger cap) did not"))
+      // any walk of h hops weighs ≥ h, and the BFS-shortest walk (≤ cap
+      // hops by membership) weighs ≤ 5·h — so hop count brackets weight
+      assert(dh <= graft.ops.GraphOps.SsspRounds, s"$n beyond the SSSP hop cap")
+      assert(dw >= dh && dw <= 5 * dh || (dw == 0 && dh == 0),
+        s"$n: weighted dist $dw outside [${dh}, ${5 * dh}]")
+    }
+  }
+
+  test("llm_hybrid_rrf: fused score equals the reciprocal-rank identity") {
+    val rows = SparkEntry.queries("llm_hybrid_rrf")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))
+      val den = if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getInt(3))
+      assert(math.abs(r.getDouble(1) - (lex + den)) < 1e-6,
+        s"rrf ${r.getDouble(1)} != 1/(60+rk) sum for $r")
+      assert(!(r.isNullAt(2) && r.isNullAt(3)), s"row with no nominating list: $r")
+    }
+  }
+
   test("opt_aqe_skew: AQE splits the hot-key partition (skewed shuffle read)") {
     val confs = Seq(
       "spark.sql.adaptive.enabled" -> "true",

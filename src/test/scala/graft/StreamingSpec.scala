@@ -164,6 +164,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_events") === 2L)
   }
 
+  test("stream_cdc_apply: an out-of-order older upsert cannot resurrect a tombstone") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcpin-").toFile
+    // batch 0: u1 insert @1s then DELETE @20s; u2 DELETE @5s
+    writeChunk(Seq((1L, 1000000L, 10L, 1.0, false), (1L, 20000000L, 11L, 0.0, true),
+                   (2L, 5000000L, 12L, 0.0, true))
+      .toDF("user_id", "tus", "event_id", "value", "del"), dir, 0)
+    // batch 1: u1 upsert @10s — OLDER than its delete, must NOT resurrect
+    // (this is why a delete is a retained tombstone, not a state clear);
+    //          u2 upsert @6s — newer than its delete, legitimately revives
+    writeChunk(Seq((1L, 10000000L, 13L, 7.0, false), (2L, 6000000L, 14L, 6.0, false))
+      .toDF("user_id", "tus", "event_id", "value", "del"), dir, 1)
+    val name = "graft_cdc_pin"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    withRocksDB {
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id LONG, tus LONG, event_id LONG, value DOUBLE, del BOOLEAN"))
+        .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+        .as[StreamOps.CdcEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamOps.CdcApplyProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val fin = spark.table(name).groupBy("user_id")
+      .agg(max(struct(col("tus"), col("event_id"), col("value"), col("del"))).as("fin"))
+    val u1 = fin.filter(col("user_id") === 1L).select("fin.del").head().getBoolean(0)
+    assert(u1, "older out-of-order upsert resurrected user 1's tombstone")
+    val u2 = fin.filter(col("user_id") === 2L)
+      .select(col("fin.del"), col("fin.value")).head()
+    assert(!u2.getBoolean(0) && u2.getDouble(1) === 6.0,
+      s"user 2 should be revived at value 6.0, got $u2")
+  }
+
   test("state TTL EXPIRES: millisecond TTL + spaced batches resets the running count") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
