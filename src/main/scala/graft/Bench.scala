@@ -94,7 +94,12 @@ object Bench {
     quietly(graft.ops.TextOps.bpeStorePath(spark, sfDir))
     quietly(graft.ops.JoinOps.bucketedTables(spark, sfDir))
     quietly(graft.ops.OptOps.partitionedLineitem(spark, sfDir))
+    quietly(graft.ops.OptOps.zorderedOrders(spark, sfDir))
     quietly(graft.ops.ScanOps.jdbcOrdersUrl(spark, sfDir))
+    quietly(graft.ops.ScanOps.compactedOrders(spark, sfDir))
+    quietly(graft.ops.ScanOps.binFilesDir(spark, sfDir))
+    quietly(graft.ops.ScanOps.dynOverwriteDir(spark, sfDir))
+    quietly(graft.ops.ScanOps.badCsvDir(spark, sfDir))
     quietly(graft.ops.WebOps.bm25IndexPath(spark, sfDir))
     quietly(graft.ops.WebOps.bm25IncPath(spark, sfDir))
     quietly(graft.ops.WebOps.posIndexPath(spark, sfDir))

@@ -169,6 +169,29 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Linear-regression aggregates (SQL:2023 regr_* family, Spark 3.4+):
+    // per-group OLS slope/intercept/R² of totalprice ~ custkey in ONE
+    // hash-aggregate pass — closed-form moment arithmetic (Σx, Σy, Σxy,
+    // Σx², n), so the fit costs exactly what any sum does: map-side
+    // partials, one bounded shuffle, no iteration and no ML library. The
+    // 100 TB use is per-segment trend/drift fitting (price vs time,
+    // quality vs length) where collecting to a driver-side regression is
+    // impossible; moments also make the fit MERGEABLE across days like
+    // every other algebraic aggregate. DuckDB implements the same family
+    // — identical SQL is the oracle (rounding absorbs moment
+    // reassociation noise).
+    "agg_regression" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(expr("round(regr_slope(o_totalprice, o_custkey), 4)").as("slope"),
+             expr("round(regr_intercept(o_totalprice, o_custkey), 2)").as("intercept"),
+             expr("round(regr_r2(o_totalprice, o_custkey), 6)").as("r2"),
+             expr("regr_count(o_totalprice, o_custkey)").as("n"),
+             expr("round(regr_avgx(o_totalprice, o_custkey), 4)").as("avg_x"),
+             expr("round(regr_avgy(o_totalprice, o_custkey), 2)").as("avg_y"))
+        .orderBy("o_orderpriority")
+    }),
+
     // EXACT distinct via bitmaps (Spark 3.5 bitmap_* family): each group's
     // key space is carved into 32k-bit buckets, per-(group, bucket) bitmaps
     // OR-merge in the partial aggregate, and the final count is a sum of
@@ -512,6 +535,18 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_regression" -> """
+      SELECT o_orderpriority,
+             round(regr_slope(o_totalprice, o_custkey), 4) AS slope,
+             round(regr_intercept(o_totalprice, o_custkey), 2) AS intercept,
+             round(regr_r2(o_totalprice, o_custkey), 6) AS r2,
+             CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS n,
+             round(regr_avgx(o_totalprice, o_custkey), 4) AS avg_x,
+             round(regr_avgy(o_totalprice, o_custkey), 2) AS avg_y
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     // Bitmaps are plumbing, not semantics — exactness is the claim, so the
     // oracle is the plain distinct count.
     "agg_bitmap_distinct" -> """

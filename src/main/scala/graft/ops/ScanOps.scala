@@ -108,6 +108,53 @@ object ScanOps {
       url
     })
 
+  /** sink_dynamic_overwrite's table, built ONCE per (JVM, sfDir): orders
+    * written partitioned by ship year, then ONE year's partition replaced
+    * with value-bumped rows under partitionOverwriteMode=dynamic. Dynamic
+    * mode rewrites only the partitions the incoming frame TOUCHES — the
+    * default (static) mode would have deleted every other year first,
+    * which at 100 TB is the difference between replacing one day and
+    * truncating the table (OperatorSpec stages the static-mode contrast).
+    * The conf is scoped to the overwrite and restored. */
+  private val dynOverwriteFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def dynOverwriteDir(s: SparkSession, d: String): String =
+    dynOverwriteFor.computeIfAbsent(d, _ => {
+      val dir = tmpDir("graft_dynover") + "/orders_by_year"
+      val base = Tables.orders(s, d).withColumn("yr", year(col("o_orderdate")))
+      base.write.partitionBy("yr").mode(SaveMode.Overwrite).parquet(dir)
+      val updated = base.filter(col("yr") === 1997)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try updated.write.partitionBy("yr").mode(SaveMode.Overwrite).parquet(dir)
+      finally saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+      dir
+    })
+
+  /** src_csv_malformed's fixture, staged ONCE per (JVM, sfDir): orders as
+    * header-less CSV lines where every `o_orderkey % 10 == 3` row carries
+    * a non-numeric totalprice field — the deterministic stand-in for the
+    * malformed fraction every real 100 TB CSV drop contains. Doubles
+    * round-trip exactly through CAST AS STRING (Java Double.toString /
+    * parse are inverses), so the GOOD rows stay hash-comparable. */
+  private val badCsvFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def badCsvDir(s: SparkSession, d: String): String =
+    badCsvFor.computeIfAbsent(d, _ => {
+      val dir = tmpDir("graft_badcsv") + "/orders_csv"
+      Tables.orders(s, d)
+        .select(concat_ws(",",
+          col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 3, lit("not_a_number"))
+            .otherwise(col("o_totalprice").cast("string")),
+          col("o_orderpriority")).as("value"))
+        .write.mode(SaveMode.Overwrite).text(dir)
+      dir
+    })
+
   val queries: Map[String, Q] = Map(
     // Full scan. NOTE: (l_orderkey, l_linenumber) is NOT unique in this
     // testdata — the only safe total order is over every output column
@@ -419,6 +466,43 @@ object ScanOps {
         .orderBy("doc_id")
     }),
 
+    // Dynamic partition overwrite read-back: the per-year audit over the
+    // table whose 1997 partition was replaced in place (see
+    // dynOverwriteDir). The oracle reconstructs the expected content from
+    // the ORIGINAL orders (+1000 on 1997 rows), so a green row proves the
+    // overwrite touched exactly one partition: had static mode deleted
+    // the other years, their groups would be missing; had the bump leaked,
+    // their sums would drift.
+    "sink_dynamic_overwrite" -> ((s, d) => {
+      s.read.parquet(dynOverwriteDir(s, d))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr")
+    }),
+
+    // Malformed-record handling on a raw CSV drop (PERMISSIVE mode): the
+    // schema declares a corrupt-record column, parse failures land there
+    // with parseable fields preserved, and ONE pass yields the operational
+    // triad — total rows, bad rows, clean-rows aggregate. At 100 TB this
+    // is the difference between a pipeline that dies on row
+    // 3,000,000,017 (FAILFAST — OperatorSpec pins that it throws), one
+    // that silently shrinks (DROPMALFORMED), and one that quarantines and
+    // accounts for every byte. The corrupt fraction is deterministic by
+    // construction (orderkey % 10 == 3 — see badCsvDir), which is what
+    // lets the oracle hash-gate an error-handling path at all.
+    "src_csv_malformed" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey LONG, o_totalprice DOUBLE, o_orderpriority STRING, _corrupt STRING")
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(badCsvDir(s, d))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("_corrupt")).as("n_bad"),
+             round(sum("o_totalprice"), 2).as("sum_good"),
+             min(when(col("_corrupt").isNotNull, col("o_orderkey"))).as("first_bad_key"))
+    }),
+
     // The zero-I/O generator source: spark.range synthesizes rows
     // DISTRIBUTED — each of the 32 declared partitions computes its own
     // [start, end) slice locally (RangeExec, whole-stage codegen'd), no
@@ -524,6 +608,24 @@ object ScanOps {
       FROM documents
       WHERE doc_id < 50
       ORDER BY doc_id""",
+
+    // Expected table content reconstructed from the ORIGINAL orders: the
+    // 1997 bump present, every other year untouched.
+    "sink_dynamic_overwrite" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+             round(sum(o_totalprice +
+               CASE WHEN year(o_orderdate) = 1997 THEN 1000.0 ELSE 0 END), 2) AS total
+      FROM orders
+      GROUP BY 1
+      ORDER BY yr""",
+
+    // The corrupt fraction is the modular rule the fixture was built with.
+    "src_csv_malformed" -> """
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (WHERE o_orderkey % 10 = 3) AS n_bad,
+             round(sum(CASE WHEN o_orderkey % 10 <> 3 THEN o_totalprice END), 2) AS sum_good,
+             min(CASE WHEN o_orderkey % 10 = 3 THEN o_orderkey END) AS first_bad_key
+      FROM orders""",
 
     // DuckDB's range() table function is the generator twin (its column is
     // named `range`); HUGEINT sum cast down per convention.

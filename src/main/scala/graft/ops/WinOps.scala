@@ -170,10 +170,64 @@ object WinOps {
         .groupBy("user_id")
         .agg(max("sid").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // Time-series gap fill + forward fill — the observability/feature-
+    // engineering primitive ("carry the last reading across silent days"):
+    // per user, the daily activity series is densified onto the full
+    // day grid between that user's first and last active day (sequence()
+    // + explode — each user's grid generates from its own 2-column span
+    // row, no corpus-sized cross join), then missing days take the last
+    // observed value via last(ignoreNulls) over an unbounded-preceding
+    // frame. Plan: one groupBy (daily rollup), one tiny span agg, a
+    // generator join, one user-partitioned window — every shuffle is on
+    // user_id/day, nothing global. First grid day is an observation BY
+    // CONSTRUCTION (the span starts at min(day)), so `filled` is total.
+    // Scoped to user_id < 50 to keep the gate output bounded.
+    "win_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("v"))
+      val span = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled", last("v", ignoreNulls = true).over(w))
+        // day surfaces as midnight TIMESTAMP: pandas renders engine DATEs
+        // as incomparable types (date object vs datetime64), and timestamps
+        // are the one calendar type the gate compares bit-for-bit
+        .select(col("user_id"), col("day").cast("timestamp").as("day"),
+                col("v").as("observed"), col("filled"))
+        .orderBy("user_id", "day")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // generate_series over DATE+INTERVAL yields timestamps — cast back;
+    // same grid, same IGNORE NULLS forward fill.
+    "win_gap_fill" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span),
+      j AS (SELECT g.user_id, g.day, d.v
+            FROM grid g LEFT JOIN daily d USING (user_id, day))
+      SELECT user_id, CAST(day AS TIMESTAMP) AS day, v AS observed,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM j ORDER BY user_id, day""",
+
     "win_rank_dense_rownum" -> """
       SELECT * FROM (
         SELECT p_brand, p_partkey, p_retailprice,

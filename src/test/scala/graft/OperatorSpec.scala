@@ -1021,6 +1021,89 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_regression: slope equals covar_pop/var_pop (closed form)") {
+    import org.apache.spark.sql.functions._
+    val fit = SparkEntry.queries("agg_regression")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val closed = graft.Tables.orders(spark, d)
+      .groupBy("o_orderpriority")
+      .agg((covar_pop(col("o_totalprice"), col("o_custkey")) /
+            var_pop(col("o_custkey"))).as("m"),
+           avg("o_totalprice").as("my"), avg("o_custkey").as("mx"))
+      .collect()
+    closed.foreach { r =>
+      val (slope, intercept) = fit(r.getString(0))
+      val m = r.getDouble(1)
+      assert(math.abs(slope - m) < 5e-4, s"slope $slope vs covar/var $m")
+      assert(math.abs(intercept - (r.getDouble(2) - m * r.getDouble(3))) < 5e-2,
+        s"intercept $intercept vs ȳ − m·x̄")
+    }
+  }
+
+  test("sink_dynamic_overwrite: dynamic keeps sibling partitions, static drops them") {
+    import org.apache.spark.sql.functions._
+    // the contract fixture (dynamic) must still contain several year dirs
+    val fixture = new java.io.File(graft.ops.ScanOps.dynOverwriteDir(spark, d))
+    val yrDirs = fixture.listFiles().filter(f => f.isDirectory && f.getName.startsWith("yr="))
+    assert(yrDirs.length > 1, s"dynamic overwrite left only ${yrDirs.map(_.getName).toSeq}")
+    // the static-mode contrast on a throwaway copy: same overwrite wipes
+    // every untouched partition
+    val dir = graft.ops.ScanOps.tmpDir("graft_statover") + "/t"
+    val base = graft.Tables.orders(spark, d).withColumn("yr", year(col("o_orderdate")))
+    base.write.partitionBy("yr").parquet(dir)
+    base.filter(col("yr") === 1997)
+      .write.partitionBy("yr").mode("overwrite").parquet(dir)
+    val left = spark.read.parquet(dir).select("yr").distinct().collect().map(_.getInt(0))
+    assert(left.toSeq === Seq(1997),
+      s"static overwrite should leave only 1997, left ${left.toSeq}")
+  }
+
+  test("src_csv_malformed: FAILFAST throws, DROPMALFORMED shrinks to the clean rows") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "o_orderkey LONG, o_totalprice DOUBLE, o_orderpriority STRING")
+    val dir = graft.ops.ScanOps.badCsvDir(spark, d)
+    // force real field parsing: a bare count() takes the CSV count fast
+    // path (rows are counted without parsing fields, so FAILFAST never
+    // sees the malformed price)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST").csv(dir)
+        .agg(org.apache.spark.sql.functions.sum("o_totalprice")).collect()
+    }
+    // collect the full schema: a bare count() (or a pruned projection)
+    // skips parsing the price field, and DROPMALFORMED only drops rows
+    // malformed w.r.t. the columns actually read
+    val dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(dir)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority").collect().length.toLong
+    val expected = graft.Tables.orders(spark, d)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 10 =!= 3).count()
+    assert(dropped === expected, s"DROPMALFORMED kept $dropped, expected $expected")
+  }
+
+  test("win_gap_fill: contiguous per-user grid, forward fill carries the last value") {
+    val rows = SparkEntry.queries("win_gap_fill")(spark, d).collect()
+    assert(rows.nonEmpty)
+    def epochDay(r: org.apache.spark.sql.Row): Long =
+      r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(epochDay)
+      // grid density: consecutive days differ by exactly one
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(epochDay(b) - epochDay(a) === 1L,
+            s"user $uid grid has a hole at ${b.getTimestamp(1)}")
+        case _ => ()
+      }
+      // forward fill: filled is total and equals the last observation
+      var lastSeen = Double.NaN
+      sorted.foreach { r =>
+        if (!r.isNullAt(2)) lastSeen = r.getDouble(2)
+        assert(!r.isNullAt(3), s"user $uid has null filled at ${r.getTimestamp(1)}")
+        assert(r.getDouble(3) === lastSeen,
+          s"user $uid filled ${r.getDouble(3)} != last observed $lastSeen")
+      }
+    }
+  }
+
   test("graph_sssp: weighted distances bracketed by BFS hop counts (1 ≤ w ≤ 5)") {
     val sssp = SparkEntry.queries("graph_sssp")(spark, d).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
