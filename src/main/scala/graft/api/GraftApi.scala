@@ -681,6 +681,17 @@ object Ingest {
   def snapshotDiff(base: DataFrame, next: DataFrame, keys: Seq[String]): DataFrame =
     graft.ops.RelOps.snapshotDiff(base, next, keys)
 
+  /** Time-series gap fill + forward fill → (keyCol, day, observed,
+    * filled): the per-key daily rollup of `valueCol` densified onto each
+    * key's own [first, last] day grid, silent days carrying the last
+    * observed value (win_gap_fill's exact core). `day` is a midnight
+    * TIMESTAMP; `filled` is total (each grid starts at an observation).
+    * Shuffles only on (key, day) — per-key grids generate from each key's
+    * 2-column span row, never a global calendar cross join. */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String): DataFrame =
+    graft.ops.WinOps.gapFillOf(df, keyCol, tsCol, valueCol)
+
   /** Idempotent keyed JDBC upsert as a `foreachBatch` body: per partition,
     * one transaction of DELETE-by-key + INSERT-all-columns batches, so a
     * REPLAYED micro-batch (failure recovery) converges instead of
@@ -852,6 +863,21 @@ object Graph {
                 srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     graft.ops.GraphOps.perNodeTriangles(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+
+  /** Bounded weighted single-source shortest paths (Bellman-Ford) →
+    * (node, dist): min total weight over walks of ≤ `rounds` edges from
+    * `seed` — graph_sssp's exact core. Each round is one edge-sized join
+    * + one nodes-sized min-agg (Pregel's shape), lineage-cut; weights
+    * must be non-negative, and `rounds` ≥ the graph diameter makes the
+    * bound exact SSSP. Emit both directions for an undirected graph.
+    * Cache the edge frame across calls if you run several seeds. */
+  def shortestPaths(edges: DataFrame, seed: String, rounds: Int = 4,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    weightCol: String = "w"): DataFrame =
+    graft.ops.GraphOps.ssspOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                   col(weightCol).as("w")),
+      seed, rounds)
 }
 
 /** Data-layout levers for write-side clustering. */
@@ -988,4 +1014,16 @@ object Web {
                topK: Int = graft.ops.WebOps.PmiTopK,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.ops.WebOps.pmiTerms(docs, idCol, textCol, anchor, minCooc, topK)
+
+  /** Reciprocal-rank fusion of any number of retriever nomination lists —
+    * each input frame is (idCol, rankCol) with rank 1-based — into
+    * (idCol, rrf, n_lists), rrf = Σ 1/(k + rank) rounded to 6dp
+    * (llm_hybrid_rrf's fusion, generalized; k = 60 per Cormack et al.
+    * 2009). Rank-only fusion needs no score calibration between
+    * retrievers, which is why it survives at scale where per-shard score
+    * normalization drifts. Union + one bounded groupBy — linear in total
+    * nominations; feed it ALREADY-CUT top-k lists, not whole corpora. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String = "doc_id",
+              rankCol: String = "rank", k: Int = 60): DataFrame =
+    graft.ops.WebOps.rrfFuseOf(lists, idCol, rankCol, k)
 }

@@ -78,6 +78,27 @@ object GraphOps {
               col("n"))
   }
 
+  /** Bounded Bellman-Ford core (graph_sssp / Graph.shortestPaths): from a
+    * (src, dst, w) edge frame and a seed node, `rounds` relaxation rounds
+    * — each is one edge-sized join + one nodes-sized min-agg, lineage-cut
+    * — yielding (node, dist) = min total weight over walks of ≤ `rounds`
+    * edges. Weights must be non-negative (a negative weight makes the
+    * bounded min a walk property, not a distance). The caller picks the
+    * round cap: `rounds` ≥ graph diameter gives exact SSSP; a smaller cap
+    * is the bounded-horizon variant that keeps the job a fixed DAG. */
+  private[graft] def ssspOf(edges: DataFrame, seed: String, rounds: Int): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    var dist = Seq((seed, 0L)).toDF("node", "dist")
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = LlmOps.cutLineage(
+        dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")))
+    }
+    dist
+  }
+
   /** Undirected pairs in symmetric (src, dst) form. */
   private def symmetric(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -275,16 +296,8 @@ object GraphOps {
       val edges = weightedTradeEdges(s, d).cache()
       graft.GraftCaches.track(edges)
       val seed = edges.agg(min("src")).head().getString(0)
-      val sp = edges.sparkSession
-      import sp.implicits._
-      var dist = Seq((seed, 0L)).toDF("node", "dist")
-      for (_ <- 1 to SsspRounds) {
-        val relaxed = edges.join(dist, col("src") === col("node"))
-          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-        dist = LlmOps.cutLineage(
-          dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")))
-      }
-      dist.select(col("node"), col("dist").cast("int").as("dist")).orderBy("node")
+      ssspOf(edges, seed, SsspRounds)
+        .select(col("node"), col("dist").cast("int").as("dist")).orderBy("node")
     }),
 
     // Degree distribution of the trade graph — the first diagnostic run

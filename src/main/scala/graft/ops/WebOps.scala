@@ -169,6 +169,25 @@ object WebOps {
       .groupBy("doc_id").agg(round(sum("s"), 4).as("score"))
   }
 
+  /** Generic reciprocal-rank fusion core (Web.rrfFuse): each input frame
+    * is an (id, rank) nomination list from one retriever; every
+    * nomination contributes 1/(k + rank) and the per-id sum is the fused
+    * score (6dp). Union + one bounded groupBy — linear in total
+    * nominations, any number of lists, no pairwise joins. The contract
+    * key llm_hybrid_rrf keeps its bespoke two-list full-outer shape
+    * because it also surfaces the per-retriever ranks; ApiSpec pins this
+    * core's scores ≡ the key's on the same inputs. */
+  private[graft] def rrfFuseOf(lists: Seq[DataFrame], idCol: String,
+                               rankCol: String, k: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    lists.map(df => df.select(col(idCol).as("__id"),
+        (lit(1.0) / (lit(k) + col(rankCol))).as("__contrib")))
+      .reduce(_ unionByName _)
+      .groupBy("__id")
+      .agg(round(sum("__contrib"), 6).as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Term-bucket count of the inverted index's posting layout. 16 is
     * plenty for the test corpus; a 100 TB index would use thousands —
     * the pruning economics are bucket-count-linear either way. */

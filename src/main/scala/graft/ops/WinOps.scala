@@ -184,27 +184,37 @@ object WinOps {
     // user_id/day, nothing global. First grid day is an observation BY
     // CONSTRUCTION (the span starts at min(day)), so `filled` is total.
     // Scoped to user_id < 50 to keep the gate output bounded.
-    "win_gap_fill" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .filter(col("user_id") < 50)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(round(sum("value"), 2).as("v"))
-      val span = daily.groupBy("user_id")
-        .agg(min("day").as("d0"), max("day").as("d1"))
-      val grid = span.select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-      val w = Window.partitionBy("user_id").orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(daily, Seq("user_id", "day"), "left")
-        .withColumn("filled", last("v", ignoreNulls = true).over(w))
-        // day surfaces as midnight TIMESTAMP: pandas renders engine DATEs
-        // as incomparable types (date object vs datetime64), and timestamps
-        // are the one calendar type the gate compares bit-for-bit
-        .select(col("user_id"), col("day").cast("timestamp").as("day"),
-                col("v").as("observed"), col("filled"))
-        .orderBy("user_id", "day")
-    })
+    "win_gap_fill" -> ((s, d) =>
+      gapFillOf(Tables.events(s, d).filter(col("user_id") < 50),
+                "user_id", "ts", "value")
+        .orderBy("user_id", "day"))
   )
+
+  /** Gap-fill + forward-fill core (win_gap_fill / Ingest.gapFill): the
+    * per-key daily rollup of `valueCol` (2dp) densified onto each key's
+    * own [min(day), max(day)] grid (sequence + explode from the key's
+    * 2-column span row), missing days forward-filled with
+    * last(ignoreNulls). Returns (keyCol, day TIMESTAMP-at-midnight,
+    * observed, filled); `filled` is total because each grid starts at an
+    * observation. Day surfaces as midnight TIMESTAMP: engine DATEs render
+    * as incomparable pandas types (date object vs datetime64) at the
+    * cross-engine gate, and timestamps compare bit-for-bit. */
+  private[graft] def gapFillOf(df: DataFrame, keyCol: String,
+                               tsCol: String, valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(round(sum(valueCol), 2).as("v"))
+    val span = daily.groupBy(keyCol)
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("filled", last("v", ignoreNulls = true).over(w))
+      .select(col(keyCol), col("day").cast("timestamp").as("day"),
+              col("v").as("observed"), col("filled"))
+  }
 
   val oracle: Map[String, String] = Map(
     // generate_series over DATE+INTERVAL yields timestamps — cast back;

@@ -579,4 +579,37 @@ class ApiSpec extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("host", "v"), "anti-join must not add columns")
     assert(rowSet(out) === rowSet(Seq(("c.example.com", 3)).toDF("host", "v")))
   }
+
+  test("Graph.shortestPaths: planted weighted triangle relaxes to known distances") {
+    import spark.implicits._
+    val und = Seq(("a", "b", 1L), ("b", "c", 2L), ("a", "c", 5L))
+    val edges = und.toDF("src", "dst", "w")
+      .unionByName(und.map { case (s2, d2, w) => (d2, s2, w) }.toDF("src", "dst", "w"))
+    val out = api.Graph.shortestPaths(edges, "a", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a→c direct costs 5; the 2-hop a→b→c walk costs 3 and must win
+    assert(out === Map("a" -> 0L, "b" -> 1L, "c" -> 3L))
+  }
+
+  test("Web.rrfFuse equals llm_hybrid_rrf's fused scores on the key's own rank lists") {
+    val key = SparkEntry.queries("llm_hybrid_rrf")(spark, d)
+    val lex = key.filter(col("rk_lex").isNotNull)
+      .select(col("doc_id"), col("rk_lex").as("rank"))
+    val dense = key.filter(col("rk_dense").isNotNull)
+      .select(col("doc_id"), col("rk_dense").as("rank"))
+    val fused = api.Web.rrfFuse(Seq(lex, dense))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    key.collect().foreach { r =>
+      assert(math.abs(fused(r.getLong(0)) - r.getDouble(1)) < 2e-6,
+        s"fused score drifted for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("Ingest.gapFill equals win_gap_fill") {
+    val api2 = rowSet(api.Ingest.gapFill(
+      Tables.events(spark, d).filter(col("user_id") < 50), "user_id", "ts", "value"))
+    val key = rowSet(SparkEntry.queries("win_gap_fill")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
 }
