@@ -169,6 +169,23 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Boolean aggregates: bool_and / bool_or (SQL:2023 EVERY/ANY) +
+    // count_if — the data-quality assertion shape ("does EVERY row in the
+    // partition satisfy the invariant, does ANY row violate it, how many")
+    // computed as ordinary one-bit hash-agg state with map-side partials;
+    // at 100 TB this replaces the anti-pattern of count(*) WHERE NOT(p)
+    // sub-queries per invariant (N invariants, one pass, no self-joins).
+    "agg_bool_logic" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+             expr("bool_or(o_totalprice > 400000.0)").as("any_over_400k"),
+             expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"),
+             expr("bool_and(o_custkey >= 0)").as("keys_nonneg"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Linear-regression aggregates (SQL:2023 regr_* family, Spark 3.4+):
     // per-group OLS slope/intercept/R² of totalprice ~ custkey in ONE
     // hash-aggregate pass — closed-form moment arithmetic (Σx, Σy, Σxy,
@@ -535,6 +552,17 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_bool_logic" -> """
+      SELECT o_orderstatus,
+             bool_and(o_totalprice > 1000.0) AS all_over_1k,
+             bool_or(o_totalprice > 400000.0) AS any_over_400k,
+             CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+             bool_and(o_custkey >= 0) AS keys_nonneg,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
     "agg_regression" -> """
       SELECT o_orderpriority,
              round(regr_slope(o_totalprice, o_custkey), 4) AS slope,

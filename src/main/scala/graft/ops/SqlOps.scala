@@ -331,6 +331,47 @@ object SqlOps {
       """)
     }),
 
+    // The SQL PIVOT clause — agg_pivot's DataFrame twin entered as query
+    // text (the parser surface a SQL user actually hits). Same scale
+    // property as the API form: the IN list is EXPLICIT, so this is one
+    // hash-aggregate with no distinct-values discovery job, and the
+    // output width is fixed at plan time (an open-ended pivot at 100 TB
+    // means an extra corpus pass just to learn the columns).
+    "sql_pivot_clause" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT * FROM (
+          SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice
+          FROM orders_m)
+        PIVOT (
+          round(sum(o_totalprice), 2)
+          FOR o_orderpriority IN ('1-URGENT' AS urgent, '3-MEDIUM' AS medium, '5-LOW' AS low))
+        ORDER BY yr
+      """)
+    }),
+
+    // Join strategy HINTS in SQL text: the per-query lever when the
+    // planner's size estimates are wrong (a filtered dimension the stats
+    // call big, a fact side the stats call small — at 100 TB a mis-chosen
+    // broadcast OOMs the executors and a mis-chosen SMJ adds a corpus
+    // shuffle). SHUFFLE_MERGE pins the orders⋈lineitem join to sort-merge
+    // even though the filtered orders side would otherwise be
+    // broadcast-eligible; PlanSpec pins the contrast against a BROADCAST
+    // hint on the same text. Hints change the PLAN, never the result —
+    // the oracle is the plain unhinted SQL.
+    "sql_join_hints" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT /*+ SHUFFLE_MERGE(o) */
+               o_orderpriority, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS rev
+        FROM orders_m o JOIN lineitem_m l ON o_orderkey = l_orderkey
+        WHERE o_totalprice > 300000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    }),
+
     // Parameterized SQL (Spark 3.4+ named parameter markers): the query
     // text carries :seg/:minprice placeholders and the values bind at
     // analysis time — the injection-safe, plan-cache-friendly way a
@@ -539,6 +580,27 @@ object SqlOps {
           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
       SELECT grp, n FROM (SELECT * FROM q4 UNION ALL SELECT * FROM cold) u
       ORDER BY grp""",
+
+    // DuckDB's PIVOT dialect differs (ON/USING) — the oracle is the
+    // explicit conditional-aggregate expansion, which is also exactly the
+    // plan both engines execute.
+    "sql_pivot_clause" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent,
+             round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium,
+             round(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN o_totalprice END), 2) AS low
+      FROM orders
+      GROUP BY 1
+      ORDER BY yr""",
+
+    // Hints are plan-side only — plain SQL is the oracle.
+    "sql_join_hints" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(l_extendedprice), 2) AS rev
+      FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+      WHERE o_totalprice > 300000
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
 
     // Parameter binding is Spark-side plumbing — the oracle inlines the
     // bound literals.

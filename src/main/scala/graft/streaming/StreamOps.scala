@@ -712,6 +712,28 @@ object StreamOps {
         .orderBy("event_id")
     }),
 
+    // dropDuplicatesWithinWatermark — the SCALE-CORRECT spelling of
+    // stream_dedup: plain dropDuplicates keeps every key's state forever
+    // (unbounded growth on an infinite stream; the watermark on the
+    // column only gates the rows, not the dedup state), while the
+    // WithinWatermark variant EVICTS a key's state once the watermark
+    // passes its event time + delay — the contract weakens to "duplicates
+    // arriving within the delay of each other are dropped", which is the
+    // guarantee real at-least-once sources (Kafka redelivery, replayed
+    // batches) actually need. The replay's 90-day delay spans the whole
+    // corpus, so nothing evicts in-gate and the oracle stays the exact
+    // DISTINCT ON; StreamingSpec pins the EVICTION half (a short delay
+    // re-admits a late duplicate — the documented semantic difference).
+    "stream_dedup_ttl" -> ((s, d) => {
+      val rep = replay(s, d, "dup")
+      runStream(s, rep, "append", filesPerTrigger = 2) { src =>
+        src.withWatermark("ts", "90 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+      }
+        .orderBy("event_id")
+    }),
+
     // Arbitrary stateful processing: running per-user (count, sum) via
     // mapGroupsWithState in update mode; the final state per user (row with
     // the max monotone count) must equal the batch GROUP BY.
@@ -1139,6 +1161,13 @@ object StreamOps {
       ORDER BY user_id, session_start""",
 
     "stream_dedup" -> """
+      SELECT DISTINCT ON (event_id) event_id, ts, user_id, event_type, value
+      FROM events
+      ORDER BY event_id""",
+
+    // same exact-distinct oracle: the 90-day delay outlives the replay, so
+    // the TTL'd variant drops every duplicate the unbounded one drops
+    "stream_dedup_ttl" -> """
       SELECT DISTINCT ON (event_id) event_id, ts, user_id, event_type, value
       FROM events
       ORDER BY event_id""",

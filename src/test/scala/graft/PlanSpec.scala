@@ -555,6 +555,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("UnionLoop"), s"no UnionLoop node in plan:\n$p")
   }
 
+  test("sql_join_hints: hints flip the join strategy on identical text") {
+    SparkEntry.queries("sql_join_hints")(spark, d) // registers the *_m views
+    def q(hint: String) = spark.sql(s"""
+      SELECT /*+ $hint */ o_orderpriority, count(*) AS n
+      FROM orders_m o JOIN lineitem_m l ON o_orderkey = l_orderkey
+      WHERE o_totalprice > 300000
+      GROUP BY o_orderpriority""")
+    val smj = planOf(q("SHUFFLE_MERGE(o)"))
+    assert(smj.contains("SortMergeJoin"), s"SHUFFLE_MERGE hint ignored:\n$smj")
+    val bhj = planOf(q("BROADCAST(o)"))
+    assert(bhj.contains("BroadcastHashJoin"), s"BROADCAST hint ignored:\n$bhj")
+  }
+
   test("opt_exchange_reuse: one shuffle feeds both consumers (ReusedExchange)") {
     val p = plan("opt_exchange_reuse")
     assert(p.contains("ReusedExchange"),

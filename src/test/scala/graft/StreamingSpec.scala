@@ -164,6 +164,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_events") === 2L)
   }
 
+  test("dropDuplicatesWithinWatermark EVICTS: a redelivery after the delay re-emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(plusMin: Long) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-deduptl-").toFile
+    // original event 1 at t0; three sentinel batches march the (2-batch
+    // stale) watermark far past t0 + the 10-minute delay, evicting 1's
+    // dedup state; then a redelivery of event 1 with a fresh timestamp
+    writeChunk(Seq((1L, t0)).toDF("event_id", "ts"), dir, 0)
+    (1 to 3).foreach { k =>
+      writeChunk(Seq((9L, ts(60L * k))).toDF("event_id", "ts"), dir, k)
+    }
+    writeChunk(Seq((1L, ts(240))).toDF("event_id", "ts"), dir, 4)
+    val name = "graft_dedup_ttl_pin"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("event_id LONG, ts TIMESTAMP"))
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val n1 = spark.table(name).filter(col("event_id") === 1L).count()
+    // the contract WEAKENS under eviction — exactly the trade the 100 TB
+    // state bound buys; stream_dedup_ttl's 90-day delay avoids it in-gate
+    assert(n1 === 2L,
+      s"expected the post-eviction redelivery to re-emit (2 rows), got $n1")
+  }
+
   test("stream_cdc_apply: an out-of-order older upsert cannot resurrect a tombstone") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
