@@ -169,6 +169,28 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // max_by / min_by (SQL:2023 argmax/argmin): "the key of the priciest
+    // order per priority" in ONE aggregation — the spelling that replaces
+    // the window-rank-then-filter (full sort per group) or the
+    // self-join-on-max (second corpus pass) anti-patterns; single hash-agg
+    // carrying (best value, payload) pairs that merge map-side. Both
+    // engines leave argmax TIES unspecified, so the ordering value is made
+    // unique by construction: v = totalprice + orderkey·1e-6 (distinct
+    // orderkeys ⇒ distinct v; the 1e-6 step is ~10⁴ ulps at the 1e5 price
+    // scale, so the tiebreak never drowns in float granularity) — the
+    // deterministic-argmax convention a production pipeline should adopt
+    // anyway.
+    "agg_max_by" -> ((s, d) => {
+      val v = col("o_totalprice") + col("o_orderkey") * 1e-6
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(max_by(col("o_orderkey"), v).as("priciest_key"),
+             min_by(col("o_orderkey"), v).as("cheapest_key"),
+             round(max("o_totalprice"), 2).as("max_price"),
+             round(min("o_totalprice"), 2).as("min_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Boolean aggregates: bool_and / bool_or (SQL:2023 EVERY/ANY) +
     // count_if — the data-quality assertion shape ("does EVERY row in the
     // partition satisfy the invariant, does ANY row violate it, how many")
@@ -552,6 +574,17 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB spells the pair arg_max/arg_min; same unique ordering value.
+    "agg_max_by" -> """
+      SELECT o_orderpriority,
+             arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-6) AS priciest_key,
+             arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-6) AS cheapest_key,
+             round(max(o_totalprice), 2) AS max_price,
+             round(min(o_totalprice), 2) AS min_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     "agg_bool_logic" -> """
       SELECT o_orderstatus,
              bool_and(o_totalprice > 1000.0) AS all_over_1k,

@@ -523,6 +523,32 @@ object TextOps {
     "llm_quality_score" -> ((s, d) =>
       qualityScoreOf(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // Character-distribution entropy per document — the gibberish/
+    // boilerplate detector orthogonal to llm_quality_score's ratio
+    // heuristics: natural language sits in a narrow entropy band (~3.5-4.5
+    // bits/char for English), while base64 blobs, minified code and
+    // key-mashing land far outside it. Computed from per-(doc, char)
+    // counts via the moment identity H = log2(n) − Σ cnt·log2(cnt) / n —
+    // two hash-aggs over the exploded char stream, no per-doc sort, no
+    // UDF; the explode is the only row expansion and dies at the first
+    // groupBy. Corpus is ASCII by construction (split("") is a
+    // code-unit splitter — byte-entropy semantics on multibyte text would
+    // need a codepoint explode instead, documented here). The oracle is
+    // DuckDB's native entropy() aggregate (log2-based) — same statistic
+    // through a completely different implementation, which is the
+    // strongest cross-engine check available for it.
+    "llm_char_entropy" -> ((s, d) => {
+      val cc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+      cc.groupBy("doc_id")
+        .agg(sum("cnt").as("n"),
+             sum(col("cnt") * log2(col("cnt"))).as("clg"))
+        .select(col("doc_id"), col("n"),
+                round(log2(col("n")) - col("clg") / col("n"), 4).as("ent"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-ranked token-budget cut: per language, keep the
     // highest-quality documents until 2000 tokens are spent (two-phase
     // scalable plan — notes on tokenBudgetOf). The budget deliberately
@@ -1109,6 +1135,17 @@ object TextOps {
       FROM best WHERE rn = 1
       GROUP BY 1, 2
       ORDER BY lang, predicted""",
+
+    // DuckDB's native entropy() aggregate is log2-based — the same
+    // statistic our moment identity computes, via a different
+    // implementation path.
+    "llm_char_entropy" -> """
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      SELECT doc_id, count(*) AS n, round(entropy(c), 4) AS ent
+      FROM ch
+      GROUP BY doc_id
+      ORDER BY doc_id""",
 
     "llm_quality_score" -> s"""
       WITH x AS (

@@ -1021,6 +1021,48 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_max_by: argmax keys equal the window-rank derivation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("agg_max_by")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v = col("o_totalprice") + col("o_orderkey") * 1e-6
+    val w = Window.partitionBy("o_orderpriority")
+    val ranked = graft.Tables.orders(spark, d)
+      .withColumn("rmax", row_number().over(w.orderBy(v.desc)))
+      .withColumn("rmin", row_number().over(w.orderBy(v.asc)))
+      .filter(col("rmax") === 1 || col("rmin") === 1)
+      .collect()
+    ranked.filter(_.getAs[Int]("rmax") == 1).foreach { r =>
+      val grp = r.getAs[String]("o_orderpriority")
+      assert(got(grp)._1 === r.getAs[Long]("o_orderkey"),
+        s"priciest_key mismatch for $grp")
+    }
+    ranked.filter(_.getAs[Int]("rmin") == 1).foreach { r =>
+      val grp = r.getAs[String]("o_orderpriority")
+      assert(got(grp)._2 === r.getAs[Long]("o_orderkey"),
+        s"cheapest_key mismatch for $grp")
+    }
+  }
+
+  test("llm_char_entropy: distributed moments equal a direct per-string computation") {
+    val rows = SparkEntry.queries("llm_char_entropy")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.documents(spark, d)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(r => texts.contains(r.getLong(0))).foreach { r =>
+      val s2 = texts(r.getLong(0))
+      val counts = s2.groupBy(identity).values.map(_.length.toDouble)
+      val n = s2.length.toDouble
+      val h = counts.map(c => -(c / n) * (math.log(c / n) / math.log(2))).sum
+      assert(r.getLong(1) === s2.length.toLong, s"char count for doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - h) < 1e-3,
+        s"doc ${r.getLong(0)}: distributed ${r.getDouble(2)} vs direct $h")
+    }
+  }
+
   test("agg_regression: slope equals covar_pop/var_pop (closed form)") {
     import org.apache.spark.sql.functions._
     val fit = SparkEntry.queries("agg_regression")(spark, d).collect()
