@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** §2-D aggregation surface.
   *
@@ -570,10 +571,92 @@ object AggOps {
         .select(explode(expr(
           "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("g"))
       heavyHittersOf(grams, "g").orderBy("g")
-    })
+    }),
+
+    // Fixed-width histogram: bin id is pure row-local arithmetic, so the
+    // whole key is ONE map-side-combinable hash aggregate whose output is
+    // bounded by the bin count (~dozens of rows at any scale) — the
+    // distribution-profiling primitive that precedes any skew decision.
+    // Static bin edges (width 50k from 0) keep the binning independent of
+    // a min/max pre-pass.
+    "agg_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000.0).as("bin"))
+        .agg(count(lit(1)).as("n"),
+             round(avg("o_totalprice"), 2).as("avg_price"))
+        .withColumn("lo", (col("bin") * 50000.0).cast("double"))
+        .select("bin", "lo", "n", "avg_price")
+        .orderBy("bin")),
+
+    // Weighted median: smallest value whose cumulative weight (RANGE
+    // frame — all value-peers included, so the cumsum is order-independent
+    // within ties) reaches half the group's total. Quantities are
+    // integer-valued doubles ⇒ both cumulative and total sums are EXACT in
+    // double arithmetic, so the >= boundary cannot flip between engines.
+    // One user-partitioned window + one agg — the exact-quantile shape
+    // for grouped data that sorts once per group and never collects.
+    "agg_weighted_median" -> ((s, d) => {
+      val wCum = Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .withColumn("cum", sum("l_quantity").over(wCum))
+        .withColumn("total", sum("l_quantity").over(wAll))
+        .filter(col("cum") >= col("total") / 2)
+        .groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("w_median"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Geometric mean via log-domain aggregation — exp(avg(ln x)): the
+    // numerically stable product aggregate (a direct product over 100 TB
+    // of rows over/underflows doubles within one partition). All prices
+    // are strictly positive, so ln is total; 2dp rounding absorbs the
+    // ~1e-9 relative reassociation noise exp re-amplifies.
+    "agg_geomean" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(exp(avg(log(col("l_extendedprice")))), 2).as("geomean"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB floor() yields DOUBLE (Spark's yields LONG) — cast the bin id.
+    "agg_histogram" -> """
+      SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+             CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS lo,
+             count(*) AS n,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY bin""",
+
+    // Same RANGE-frame cumulative-weight derivation; integer-valued
+    // weights keep both sums exact.
+    "agg_weighted_median" -> """
+      WITH c AS (
+        SELECT l_returnflag, l_extendedprice,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+        FROM lineitem)
+      SELECT l_returnflag, min(l_extendedprice) AS w_median
+      FROM c WHERE cum >= total / 2
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "agg_geomean" -> """
+      SELECT l_returnflag,
+             round(exp(avg(ln(l_extendedprice))), 2) AS geomean,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     // DuckDB spells the pair arg_max/arg_min; same unique ordering value.
     "agg_max_by" -> """
       SELECT o_orderpriority,

@@ -163,6 +163,22 @@ object FnOps {
         .orderBy("l_returnflag")
     }),
 
+    // Edit-distance (Levenshtein) fuzzy matching — the entity-resolution /
+    // typo-tolerant-lookup primitive: distance of every part name to a
+    // probe string, kept when within 6 edits, plus a bounded variant
+    // (Spark's 3-arg levenshtein stops the DP early at the threshold —
+    // the version to use in a 100 TB fuzzy join, where the full DP on
+    // clearly-distant pairs is wasted work). Row-local, codegen'd,
+    // embarrassingly parallel; the selective filter keeps output bounded.
+    "fn_edit_distance" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+                levenshtein(col("p_name"), lit("large widget")).as("dist"),
+                levenshtein(col("p_name"), lit("large widget"), 3).as("dist_capped"))
+        .filter(col("dist") <= 6)
+        .orderBy("p_partkey")
+    }),
+
     // try_* error-safe arithmetic — the ANSI-mode survival kit. Spark 4
     // runs ANSI by default, so plain division-by-zero / overflow / bad
     // casts FAIL the job; at 100 TB one malformed row out of a trillion
@@ -208,6 +224,18 @@ object FnOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB has no thresholded levenshtein — the CASE reconstructs
+    // Spark's -1-past-threshold contract; casts align INTEGER widths.
+    "fn_edit_distance" -> """
+      SELECT p_partkey, p_name,
+             CAST(levenshtein(p_name, 'large widget') AS INTEGER) AS dist,
+             CAST(CASE WHEN levenshtein(p_name, 'large widget') > 3 THEN -1
+                       ELSE levenshtein(p_name, 'large widget') END
+                  AS INTEGER) AS dist_capped
+      FROM part
+      WHERE levenshtein(p_name, 'large widget') <= 6
+      ORDER BY p_partkey""",
+
     // Each try_* NULL-domain reconstructed with CASE (DuckDB would raise
     // on the error arms, so the CASE guards keep them unevaluated).
     "fn_try_arith" -> """

@@ -113,6 +113,20 @@ object RelOps {
         .orderBy("o_custkey")
     }),
 
+    // MULTISET intersection (INTERSECT ALL): keeps min(count_left,
+    // count_right) occurrences per key — jan-orders matched one-to-one
+    // with feb-orders of the same customer. Same re-aggregated output
+    // convention as set_except_all; Spark plans intersectAll as one
+    // count-pair aggregate + generator, a single shuffle on the key.
+    "set_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val jan = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 1).select("o_custkey")
+      val feb = o.filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 2).select("o_custkey")
+      jan.intersectAll(feb)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }),
+
     // Snapshot diff / CDC derivation — the reverse of sink_merge_upsert:
     // given two full table versions, emit WHICH keys were added, deleted
     // or changed (the delta a downstream incremental consumer needs when
@@ -244,6 +258,16 @@ object RelOps {
       WITH m AS (
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
         EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2)
+      SELECT o_custkey, count(*) AS n
+      FROM m
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
+
+    "set_intersect_all" -> """
+      WITH m AS (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+        INTERSECT ALL
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2)
       SELECT o_custkey, count(*) AS n
       FROM m

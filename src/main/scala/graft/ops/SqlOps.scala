@@ -393,6 +393,74 @@ object SqlOps {
         Map[String, Any]("seg" -> "BUILDING", "minprice" -> 300000))
     }),
 
+    // TPC-H Q12 shape: conditional (CASE-sum) aggregation over the
+    // orders⋈lineitem join — per line status in a ship-year band, how many
+    // lines belong to high-priority vs other orders. The CASE arms are
+    // computed inside ONE hash aggregate (no per-arm scans, no pivot
+    // discovery job); the date band pushes to the lineitem scan. This is
+    // the shape monitoring rollups take at 100 TB: N boolean breakdowns =
+    // N conditional sums in a single pass.
+    "sql_q12_priority_bands" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_lines,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_lines
+        FROM orders_m JOIN lineitem_m ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+      """)
+    }),
+
+    // TPC-H Q14 shape: a RATIO of conditional aggregates ("promo revenue
+    // share") — numerator and denominator computed in the same single
+    // aggregation over the month's join (never two passes), dims broadcast.
+    // The month filter pushes to the lineitem scan, so at 100 TB the join
+    // touches one month of the fact table, not the corpus.
+    "sql_q14_promo" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+               count(*) AS n_lines
+        FROM lineitem_m JOIN part_m ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+      """)
+    }),
+
+    // TPC-H Q22 shape: an UNCORRELATED scalar subquery as a WHERE
+    // threshold (global avg of positive balances) + a filtered NOT EXISTS
+    // anti arm. Catalyst evaluates the scalar aggregate once and
+    // broadcast-joins the 1-row result into the filter (no per-row
+    // re-evaluation), and plans NOT EXISTS as a left-anti join on
+    // custkey against the pre-filtered orders side. The threshold is
+    // rounded to 4dp on both engines so double-avg reassociation noise
+    // cannot flip a boundary customer.
+    "sql_q22_global_scalar" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c_nationkey, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer_m c
+        WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer_m
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_m o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT'
+                            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                            AND o.o_orderdate <  TIMESTAMP '1997-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+      """)
+    }),
+
     // The native as-of join entered as SQL TEXT — the §7.3c operator
     // reached the way a user actually queries. The injected AsOfSqlParser
     // (GraftExtensions.injectParser) recognizes the ASOF JOIN clause and
@@ -612,6 +680,44 @@ object SqlOps {
       WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 300000
       GROUP BY n_name
       ORDER BY n_name""",
+
+    // DuckDB sums of INTEGER CASE arms are HUGEINT — cast to BIGINT to
+    // match Spark's LongType.
+    "sql_q12_priority_bands" -> """
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""",
+
+    "sql_q14_promo" -> """
+      SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate <  TIMESTAMP '1996-10-01'""",
+
+    "sql_q22_global_scalar" -> """
+      SELECT c_nationkey, count(*) AS n_cust,
+             round(sum(c_acctbal), 2) AS total_bal
+      FROM customer c
+      WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
+                         WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT'
+                          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                          AND o.o_orderdate <  TIMESTAMP '1997-01-01')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""",
 
     "sql_q5_local_revenue" -> """
       SELECT n_name,

@@ -187,7 +187,31 @@ object WinOps {
     "win_gap_fill" -> ((s, d) =>
       gapFillOf(Tables.events(s, d).filter(col("user_id") < 50),
                 "user_id", "ts", "value")
-        .orderBy("user_id", "day"))
+        .orderBy("user_id", "day")),
+
+    // Gaps-and-islands: per-user CONSECUTIVE-day activity streaks via the
+    // classic row_number anchor (day − rn is constant exactly within a run
+    // of consecutive days). The raw log collapses to distinct (user, day)
+    // in the first shuffle's map-side combine; every window and aggregate
+    // after that partitions on user_id — one shuffle chain, no global
+    // window, streak state never materializes beyond a group key. The
+    // engagement/retention primitive ("longest activity streak") at any
+    // scale.
+    "win_gaps_islands" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      days
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+             max("len").as("max_streak"),
+             sum("len").as("n_active_days"))
+        .orderBy("user_id")
+    })
   )
 
   /** Gap-fill + forward-fill core (win_gap_fill / Ingest.gapFill): the
@@ -237,6 +261,24 @@ object WinOps {
                PARTITION BY user_id ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       FROM j ORDER BY user_id, day""",
+
+    // DATE − INTEGER is a DATE in DuckDB (Postgres rule), matching
+    // Spark's date_sub; the anchor is only a grouping key, never output.
+    "win_gaps_islands" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      runs AS (
+        SELECT user_id,
+               day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INTEGER) AS anchor
+        FROM days),
+      streaks AS (
+        SELECT user_id, anchor, count(*) AS len
+        FROM runs GROUP BY user_id, anchor)
+      SELECT user_id, count(*) AS n_streaks,
+             CAST(max(len) AS BIGINT) AS max_streak,
+             CAST(sum(len) AS BIGINT) AS n_active_days
+      FROM streaks GROUP BY user_id ORDER BY user_id""",
 
     "win_rank_dense_rownum" -> """
       SELECT * FROM (

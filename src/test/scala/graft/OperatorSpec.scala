@@ -1237,4 +1237,45 @@ class OperatorSpec extends AnyFunSuite {
       ORDER BY n_name""").collect()
     assert(bound.toSeq === inlined.toSeq, "parameter binding diverged from literals")
   }
+
+  test("win_gaps_islands: streaks equal a direct scan over each user's sorted day set") {
+    val got = SparkEntry.queries("win_gaps_islands")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byUser = graft.Tables.events(spark, d)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+              org.apache.spark.sql.functions.to_date(
+                org.apache.spark.sql.functions.col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet === byUser.keySet)
+    byUser.foreach { case (u, days) =>
+      val runs = days.foldLeft(List.empty[Long]) { (acc, day) =>
+        acc match {
+          case h :: t if days.contains(day.minusDays(1)) => (h + 1) :: t
+          case _ => 1L :: acc
+        }
+      }
+      assert(got(u) === ((runs.length.toLong, runs.max, days.length.toLong)),
+        s"streaks mismatch for user $u")
+    }
+  }
+
+  test("agg_weighted_median: half the weight lies at-or-below, half at-or-above") {
+    val med = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = graft.Tables.lineitem(spark, d)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { case (flag, xs) =>
+      val m = med(flag)
+      val total = xs.map(_._3).sum
+      val below = xs.filter(_._2 <= m).map(_._3).sum
+      val strictBelow = xs.filter(_._2 < m).map(_._3).sum
+      assert(below >= total / 2, s"$flag: cum weight at median below half")
+      assert(strictBelow < total / 2,
+        s"$flag: a smaller value already covers half the weight — not minimal")
+    }
+  }
 }
