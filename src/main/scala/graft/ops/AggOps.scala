@@ -610,6 +610,21 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Higher-moment distribution shape per group — population skewness
+    // (m3/m2^1.5) and excess kurtosis (m4/m2² − 3): the one-pass tail
+    // diagnostic that tells you WHICH way a column is skewed before you
+    // pick a salting/partitioning strategy. Spark's implementations are
+    // single-pass streaming central-moment updates (Pébay's mergeable
+    // formulas — exactly what map-side combine needs); the oracle
+    // reconstructs the same population moments in two explicit passes.
+    "agg_skew_kurtosis" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(round(skewness(col("o_totalprice")), 4).as("skew"),
+             round(kurtosis(col("o_totalprice")), 4).as("kurt"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // Geometric mean via log-domain aggregation — exp(avg(ln x)): the
     // numerically stable product aggregate (a direct product over 100 TB
     // of rows over/underflows doubles within one partition). All prices
@@ -648,6 +663,26 @@ object AggOps {
       FROM c WHERE cum >= total / 2
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // DuckDB's skewness/kurtosis are SAMPLE-corrected — reconstruct
+    // Spark's population definitions from explicit centered moments.
+    "agg_skew_kurtosis" -> """
+      WITH mu AS (
+        SELECT o_orderpriority AS g, avg(o_totalprice) AS m
+        FROM orders GROUP BY 1),
+      c AS (
+        SELECT g,
+               avg(pow(o_totalprice - m, 2)) AS m2,
+               avg(pow(o_totalprice - m, 3)) AS m3,
+               avg(pow(o_totalprice - m, 4)) AS m4,
+               count(*) AS n
+        FROM orders JOIN mu ON o_orderpriority = g
+        GROUP BY g)
+      SELECT g AS o_orderpriority,
+             round(m3 / pow(m2, 1.5), 4) AS skew,
+             round(m4 / pow(m2, 2) - 3, 4) AS kurt,
+             n
+      FROM c ORDER BY o_orderpriority""",
 
     "agg_geomean" -> """
       SELECT l_returnflag,

@@ -337,6 +337,35 @@ object GraphOps {
       perNodeTriangles(e).orderBy("node")
     }),
 
+    // Neighborhood (Jaccard) similarity between customer nodes of the
+    // bipartite repeat-trade graph — the link-prediction / entity-
+    // similarity primitive ("customers with overlapping supplier sets").
+    // Plan: one self-join of the adjacency on the SHARED supplier (the
+    // wedge enumeration graph_triangles also uses) + a broadcast-sized
+    // degree frame; J = |∩| / (deg_a + deg_b − |∩|) is then row-local.
+    // At 100 TB the wedge join's cost is Σ_supp deg², dominated by hub
+    // suppliers — the repeat-trade threshold IS the hub guard (same
+    // reasoning as graph_triangles); a general corpus would cap or sample
+    // per-node neighbor lists first. Only pairs above the similarity
+    // floor are emitted, so output is pair-sparse, never customers².
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      val adj = repeatTradePairs(s, d)
+      val deg = adj.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+      val common = adj.as("x")
+        .join(adj.as("y"),
+              col("x.doc_b") === col("y.doc_b") && col("x.doc_a") < col("y.doc_a"))
+        .groupBy(col("x.doc_a").as("a"), col("y.doc_a").as("b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select(col("doc_a").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("doc_a").as("b"), col("deg").as("deg_b")), "b")
+        .withColumn("jaccard",
+          round(col("common") / (col("deg_a") + col("deg_b") - col("common")), 4))
+        .filter(col("jaccard") >= 0.2)
+        .select("a", "b", "common", "jaccard")
+        .orderBy("a", "b")
+    }),
+
     // Personalized PageRank over the sparse repeat-trade graph, seeded at
     // the lexicographically smallest SUPPLIER node (same deterministic
     // seed rule as graph_bfs), 3 fixed iterations — "which entities are
@@ -487,6 +516,28 @@ object GraphOps {
       ${(1 to Iterations).map(pprRoundSql).mkString(",\n      ")}
       SELECT node, round(rank, 6) AS rank
       FROM r$Iterations WHERE rank > 0 ORDER BY node""",
+
+    // Same wedge-join + degree derivation; HUGEINT common cast to BIGINT,
+    // DuckDB's int/int division is already true division.
+    "graph_jaccard_neighbors" -> """
+      WITH p AS (
+        SELECT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      deg AS (SELECT cust, count(*) AS deg FROM p GROUP BY cust),
+      common AS (
+        SELECT x.cust AS a, y.cust AS b, count(*) AS common
+        FROM p x JOIN p y ON x.supp = y.supp AND x.cust < y.cust
+        GROUP BY 1, 2),
+      j AS (
+        SELECT a, b, CAST(common AS BIGINT) AS common,
+               round(common / (da.deg + db.deg - common), 4) AS jaccard
+        FROM common
+        JOIN deg da ON common.a = da.cust
+        JOIN deg db ON common.b = db.cust)
+      SELECT a, b, common, jaccard
+      FROM j WHERE jaccard >= 0.2
+      ORDER BY a, b""",
 
     "graph_degree_hist" -> """
       WITH pairs AS (

@@ -169,6 +169,28 @@ object JoinOps {
         .orderBy("c_custkey")
     }),
 
+    // NULL-safe equality join (<=>): NULL keys MATCH each other instead of
+    // silently dropping — the semantics dirty-key rollups need ("group the
+    // unknowns together, don't lose them"). The nullable key is derived
+    // (priority '4-NOT SPECIFIED' → NULL); the fact side joins a per-key
+    // aggregate back with <=>, so the NULL bucket carries its count like
+    // any other key. Plan note: Spark hash-partitions NULL like any value
+    // under EqualNullSafe (it compiles to a coalesce-keyed equi-join, not
+    // a cartesian residual), so this stays a normal one-shuffle hash join
+    // — but ALL null keys land in one partition; a mostly-null key column
+    // at 100 TB needs the join_skew_salted treatment.
+    "join_null_safe" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("np", nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")))
+        .as("f")
+      val dim = o.groupBy("np").agg(count(lit(1)).as("n_dim")).as("dim")
+      o.join(dim, col("f.np") <=> col("dim.np"))
+        .groupBy(col("f.np").as("np"), col("n_dim"))
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy(col("np").asc_nulls_first)
+    }),
+
     "join_cross_topk" -> ((s, d) => {
       val r = Tables.region(s, d).select(col("r_name"))
       val n = Tables.nation(s, d).select(col("n_name"))
@@ -430,6 +452,19 @@ object JoinOps {
       FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       ORDER BY c_custkey""",
+
+    // IS NOT DISTINCT FROM is SQL's spelling of <=>; NULLS FIRST matches
+    // Spark's asc default (DuckDB defaults NULLS LAST).
+    "join_null_safe" -> """
+      WITH o AS (
+        SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS np, o_totalprice
+        FROM orders),
+      dim AS (SELECT np, count(*) AS n_dim FROM o GROUP BY np)
+      SELECT o.np, CAST(dim.n_dim AS BIGINT) AS n_dim,
+             count(*) AS n_rows, round(sum(o.o_totalprice), 2) AS rev
+      FROM o JOIN dim ON o.np IS NOT DISTINCT FROM dim.np
+      GROUP BY o.np, dim.n_dim
+      ORDER BY o.np NULLS FIRST""",
 
     "join_anti" -> """
       SELECT c_custkey, c_name, c_mktsegment

@@ -1466,6 +1466,30 @@ object LlmOps {
         .orderBy("doc_id", "rk")
     }),
 
+    // Zipf-law fit over the corpus word-frequency distribution: the
+    // tokenizer/corpus-health diagnostic (natural text slopes ≈ −1; a
+    // slope collapsing toward 0 flags boilerplate/spam floods, a cliff
+    // flags truncated vocab). Frequencies come from ONE map-side-
+    // combinable groupBy; the top-200 cut is a TakeOrdered (no global
+    // window over the vocabulary — at 100 TB the vocab is billions of
+    // rows, the fit set stays 200); the ln-ln least-squares fit is a
+    // single regr_* aggregate over those 200 rows. Ranking on
+    // (cnt DESC, word ASC) is total ⇒ deterministic across engines.
+    "llm_zipf_slope" -> ((s, d) => {
+      val freq = Tables.documentsWide(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(200)
+      val w = Window.orderBy(col("cnt").desc, col("word").asc)
+      freq.withColumn("rk", row_number().over(w))
+        .agg(
+          expr("round(regr_slope(ln(cnt), ln(rk)), 4)").as("zipf_slope"),
+          expr("round(regr_intercept(ln(cnt), ln(rk)), 4)").as("zipf_intercept"),
+          expr("round(regr_r2(ln(cnt), ln(rk)), 4)").as("r2"),
+          count(lit(1)).as("n_terms"))
+    }),
+
     // Corpus bigram counts, top-50 (total tie-break order → deterministic).
     "llm_ngram" -> ((s, d) => {
       val ws = split(col("text"), " ")
@@ -2485,6 +2509,22 @@ object LlmOps {
       SELECT doc_id, rk, term, tfidf
       FROM r WHERE rk <= 5
       ORDER BY doc_id, rk""",
+
+    "llm_zipf_slope" -> """
+      WITH freq AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+        ORDER BY cnt DESC, word ASC
+        LIMIT 200),
+      ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+        FROM freq)
+      SELECT round(regr_slope(ln(cnt), ln(rk)), 4) AS zipf_slope,
+             round(regr_intercept(ln(cnt), ln(rk)), 4) AS zipf_intercept,
+             round(regr_r2(ln(cnt), ln(rk)), 4) AS r2,
+             count(*) AS n_terms
+      FROM ranked""",
 
     "llm_ngram" -> """
       WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -195,8 +195,40 @@ object StreamOps {
     * (VERDICT r4 #4). Idempotent: every piece lands in a per-JVM cache that
     * the queries consult (`cache`/`baseCache`/`derbyUrl`), so prewarmed
     * runs skip straight to the streaming query. */
+  /** Two disjoint time-interleaved source dirs (even/odd base chunks), each
+    * with its OWN flush sentinels — scaffolding for stream_union_sources.
+    * Each source must carry sentinels separately: the union's global
+    * watermark is the MIN across sources, so a sentinel in only one source
+    * would leave the other source's watermark at real-data time and the
+    * final windows unevicted. */
+  private val unionCache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def unionDirs(spark: SparkSession, sfDir: String): (String, String) =
+    unionCache.getOrElseUpdate(sfDir, {
+      val base = baseChunks(spark, sfDir)
+      val dirs = Array(Files.createTempDirectory("graft-stream-unionA-").toFile,
+                       Files.createTempDirectory("graft-stream-unionB-").toFile)
+      val parts = Option(base.dir.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = new File(dirs(i % 2), f.getName)
+        Files.copy(f.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(f.lastModified())
+      }
+      import spark.implicits._
+      dirs.foreach { dir =>
+        Seq(30, 60, 90).zipWithIndex.foreach { case (days, k) =>
+          val sentinel = Seq((-1L, new java.sql.Timestamp((base.mxUs / 1000L) + days * 86400000L),
+                             -1L, "__flush__", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          writeChunk(sentinel, dir, Chunks + 1 + k)
+        }
+      }
+      (dirs(0).getAbsolutePath, dirs(1).getAbsolutePath)
+    })
+
   def prewarm(spark: SparkSession, sfDir: String): Unit = {
     Seq("base", "flush", "dup", "late").foreach(v => replay(spark, sfDir, v))
+    unionDirs(spark, sfDir)
     busTopic(spark, sfDir)
     busTopicPartitioned(spark, sfDir)
     val conn = java.sql.DriverManager.getConnection(derbyUrl)
@@ -668,6 +700,41 @@ object StreamOps {
         .orderBy("window_start", "event_type")
     }),
 
+    // MULTI-SOURCE union: two independent file sources (disjoint
+    // time-interleaved halves of the log — the "two Kafka topics, one
+    // pipeline" topology) unioned into ONE streaming query feeding the
+    // tumbling aggregation. Spark tracks per-source offsets in the single
+    // checkpoint and advances the global watermark as the MIN over
+    // sources, so a lagging source holds eviction back instead of losing
+    // its late rows — the property this key pins (each source carries its
+    // own flush sentinels for exactly that reason). Result ≡ the
+    // single-source tumbling agg over the full log.
+    "stream_union_sources" -> ((s, d) => {
+      val rep = replay(s, d, "base")
+      val (dirA, dirB) = unionDirs(s, d)
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        def src(dir: String) = s.readStream.schema(rep.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+        src(dirA).unionByName(src(dirB))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name)
+        .filter(col("event_type") =!= "__flush__")
+        .select(col("window.start").as("window_start"), col("event_type"),
+                col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // 1-hour windows sliding every 15 minutes (4 windows per event).
     "stream_sliding" -> ((s, d) => {
       val rep = replay(s, d, "flush")
@@ -1115,6 +1182,15 @@ object StreamOps {
 
   val oracle: Map[String, String] = Map(
     "stream_tumbling" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
+
+    // The union of the two disjoint halves IS the full log — identical
+    // oracle to stream_tumbling.
+    "stream_union_sources" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events

@@ -24,6 +24,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream_union_sources: two-source union equals single-source batch aggregation") {
+    val streamed = StreamOps.queries("stream_union_sources")(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stream_sliding equals batch sliding-window aggregation") {
     val streamed = StreamOps.queries("stream_sliding")(spark, d).collect()
     val batch = Tables.events(spark, d)
