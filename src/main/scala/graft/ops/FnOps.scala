@@ -163,6 +163,18 @@ object FnOps {
         .orderBy("l_returnflag")
     }),
 
+    // Cryptographic content digests — the content-addressing primitive
+    // (dedup fingerprints, cache keys, provenance ids): md5 + sha256 hex
+    // over each document's text. Row-local codegen'd built-ins; at 100 TB
+    // this is the map-side pass every exact-dedup/freshness pipeline
+    // starts with (llm_exact_dedup builds on exactly this md5).
+    "fn_hash_digests" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                md5(col("text").cast("binary")).as("md5_hex"),
+                sha2(col("text").cast("binary"), 256).as("sha256_hex"))
+        .orderBy("doc_id")),
+
     // Edit-distance (Levenshtein) fuzzy matching — the entity-resolution /
     // typo-tolerant-lookup primitive: distance of every part name to a
     // probe string, kept when within 6 edits, plus a bounded variant
@@ -224,6 +236,11 @@ object FnOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_hash_digests" -> """
+      SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+      FROM documents
+      ORDER BY doc_id""",
+
     // DuckDB has no thresholded levenshtein — the CASE reconstructs
     // Spark's -1-past-threshold contract; casts align INTEGER widths.
     "fn_edit_distance" -> """

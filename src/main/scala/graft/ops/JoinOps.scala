@@ -255,6 +255,31 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    // `tolerance`): the latest prior signup counts only if it is within
+    // 3 days of the purchase — older matches surface as NULL, and
+    // match-less purchases are KEPT (left-outer). The feature-freshness
+    // rule every training pipeline needs ("use the feature value as-of
+    // the event, unless it's too stale to trust"). Same one-shuffle
+    // union+window plan as join_asof; the tolerance is a row-local CASE
+    // after the carry — never a second join.
+    "join_asof_tolerance" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val sign = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), lit(0).as("side"), lit(null).cast("long").as("p_id"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id").as("p_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sign.unionByName(purch)
+        .withColumn("sts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("p_id").as("event_id"), col("user_id"), col("ts"),
+                when(col("sts") >= col("ts") - expr("INTERVAL 3 DAYS"), col("sts"))
+                  .as("signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // Native as-of join — the same query as `join_asof`, planned through
     // the engine's whole-operator extension tier (graft.plans.AsOfJoin →
     // AsOfJoinStrategy → AsOfJoinExec): one hash shuffle per side on
@@ -501,6 +526,16 @@ object JoinOps {
       SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""",
+
+    // ASOF LEFT JOIN + a staleness CASE is exactly the tolerance
+    // semantics (match kept only when within the window, row kept always).
+    "join_asof_tolerance" -> """
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN s.ts >= p.ts - INTERVAL 3 DAY THEN s.ts END AS signup_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id AND p.ts >= s.ts
       ORDER BY p.event_id""",
 

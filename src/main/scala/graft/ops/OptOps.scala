@@ -262,6 +262,31 @@ object OptOps {
              min("l_orderkey").as("min_key"))
     }),
 
+    // Explicit MATERIALIZED REUSE (.cache()): one per-customer aggregate
+    // consumed by TWO downstream readers (a distribution rollup and a
+    // global total) — with the cache, the expensive base aggregation runs
+    // ONCE and both consumers read InMemoryTableScan (PlanSpec pins two
+    // cached scans and one base agg); without it, each consumer re-shuffles
+    // the fact table. This is the deliberate-reuse lever for fan-out
+    // pipelines, complementing opt_exchange_reuse's AUTOMATIC same-plan
+    // exchange sharing (which cannot fire across differently-shaped
+    // consumers like these). At 100 TB the same code switches to
+    // MEMORY_AND_DISK or a checkpoint — the plan shape is identical.
+    // The total runs in DECIMAL: summing 2dp doubles is order-sensitive
+    // at cent boundaries, and the cross-engine gate needs exactness.
+    "opt_inmemory_cache" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+      swapCached("opt_inmemory_cache", base)
+      base.cache()
+      val dist = base.groupBy("n").agg(count(lit(1)).as("n_cust"))
+      val tot = base.agg(
+        expr("CAST(round(sum(CAST(rev AS DECIMAL(18,2))), 2) AS DOUBLE)").as("total_rev"),
+        count(lit(1)).as("n_all"))
+      dist.crossJoin(broadcast(tot)).orderBy("n")
+    }),
+
     // AQE skew-join handling: the fact side is keyed so ~90% of rows share
     // one derived key (least(l_orderkey % 50, 5) — keys 0..4 stay sparse,
     // key 5 absorbs the rest), the canonical hot-key join that strands a
@@ -425,6 +450,18 @@ object OptOps {
 
     // Skew splitting is plumbing, not semantics — the weighted aggregate
     // over the derived key, written flat.
+    "opt_inmemory_cache" -> """
+      WITH base AS (
+        SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1),
+      dist AS (SELECT n, count(*) AS n_cust FROM base GROUP BY n),
+      tot AS (SELECT CAST(round(sum(CAST(rev AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_rev,
+                     count(*) AS n_all
+              FROM base)
+      SELECT dist.n, dist.n_cust, tot.total_rev, tot.n_all
+      FROM dist CROSS JOIN tot
+      ORDER BY n""",
+
     "opt_aqe_skew" -> """
       SELECT count(*) AS n,
              round(sum(l_quantity *

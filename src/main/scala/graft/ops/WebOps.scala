@@ -49,6 +49,9 @@ object WebOps {
   private[graft] val RrfK = 60
   private[graft] val RrfDepth = 50
 
+  /** llm_ndcg_eval cutoff — shared with the oracle. */
+  private[graft] val NdcgK = 10
+
   /** Blocked hosts of llm_domain_filter (lowercase canonical form). */
   private[graft] val BlockedHosts =
     Seq("src3.example.com", "src7.example.com", "src11.example.com", "src15.example.com")
@@ -809,6 +812,41 @@ object WebOps {
           col("rk_lex"), col("rk_dense"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // Ranking-quality EVAL: NDCG@10 of the BM25 ranking against a graded
+    // relevance labeling derivable from the corpus itself (rel = #distinct
+    // query terms present, 0..3 — "covers more aspects of the query").
+    // The judge-the-retriever primitive every search/RAG pipeline needs in
+    // CI. Plan: the ranked list and the ideal list are both top-k cuts
+    // (TakeOrdered — never a corpus sort); the per-position gain
+    // (2^rel−1)/log2(rk+1) is row-local on ≤k rows; labels join the
+    // ranked cut by doc_id (k-row broadcast). Rank windows run over the
+    // already-limited k rows, so nothing global touches the corpus.
+    "llm_ndcg_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val rel = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id").agg(countDistinct("term").as("rel"))
+      def gain(relC: Column, rkC: Column): Column =
+        (pow(lit(2.0), relC.cast("double")) - 1.0) / log2(rkC + lit(1))
+      val ranked = bm25Of(docs, "doc_id", "text", Bm25Terms, Bm25K1, Bm25B)
+        .orderBy(col("score").desc, col("doc_id")).limit(NdcgK)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      val dcg = ranked.join(rel, Seq("doc_id"), "left")
+        .agg(sum(gain(coalesce(col("rel"), lit(0L)), col("rk"))).as("dcg"))
+      val idcg = rel
+        .orderBy(col("rel").desc, col("doc_id")).limit(NdcgK)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
+        .agg(sum(gain(col("rel"), col("rk"))).as("idcg"))
+      dcg.crossJoin(idcg)
+        .select(round(col("dcg"), 4).as("dcg"),
+                round(col("idcg"), 4).as("idcg"),
+                round(col("dcg") / col("idcg"), 4).as("ndcg"))
     })
   )
 
@@ -851,6 +889,43 @@ object WebOps {
       GROUP BY 1 ORDER BY 1""",
 
     "llm_bm25_topk" -> Bm25OracleSql,
+
+    // Same BM25 CTE tower (un-limited); rel = #distinct query terms; both
+    // cuts ranked with total (score/rel DESC, doc_id) orders; DCG gains on
+    // the ROUNDED scores' ranking exactly as the Spark side computes.
+    "llm_ndcg_eval" -> s"""
+      WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, term),
+      dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      bm AS (
+        SELECT doc_id,
+               round(sum(ln(1.0 + (stats.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                         * tf.tf * ($Bm25K1 + 1.0)
+                         / (tf.tf + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * dl.dl / stats.avgdl))), 4) AS score
+        FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id, stats.n, stats.avgdl),
+      rel AS (
+        SELECT doc_id, count(DISTINCT term) AS rel FROM tf GROUP BY doc_id),
+      ranked AS (
+        SELECT * FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+          FROM bm) WHERE rk <= $NdcgK),
+      dcg AS (
+        SELECT sum((pow(2.0, COALESCE(rel, 0)) - 1.0) / log2(rk + 1)) AS dcg
+        FROM ranked LEFT JOIN rel USING (doc_id)),
+      ideal AS (
+        SELECT sum((pow(2.0, rel) - 1.0) / log2(rk + 1)) AS idcg
+        FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rk
+              FROM rel) WHERE rk <= $NdcgK)
+      SELECT round(dcg, 4) AS dcg, round(idcg, 4) AS idcg,
+             round(dcg / idcg, 4) AS ndcg
+      FROM dcg CROSS JOIN ideal""",
 
     // Same BM25 CTE tower as Bm25OracleSql (un-limited, ranked), the dense
     // ranker as the knn-oracle cosine over FLOAT[] lists, RRF in plain SQL.

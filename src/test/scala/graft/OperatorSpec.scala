@@ -1238,6 +1238,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(bound.toSeq === inlined.toSeq, "parameter binding diverged from literals")
   }
 
+  test("join_asof_tolerance: keeps all purchases; match nulled exactly when stale or absent") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("join_asof_tolerance")(spark, d).collect()
+    val nPurch = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length === nPurch, "left-outer contract: one row per purchase")
+    val strict = SparkEntry.queries("join_asof")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(3)).toMap
+    val tolUs = 3L * 86400 * 1000000
+    var matched = 0; var nulled = 0
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      strict.get(id) match {
+        case Some(sts) if r.getTimestamp(2).getTime * 1000 - sts.getTime * 1000 <= tolUs =>
+          matched += 1
+          assert(r.getTimestamp(3) === sts, s"fresh match lost for purchase $id")
+        case _ =>
+          nulled += 1
+          assert(r.isNullAt(3), s"stale/absent match not nulled for purchase $id")
+      }
+    }
+    assert(matched > 0 && nulled > 0,
+      s"tolerance not exercised both ways (matched=$matched nulled=$nulled)")
+  }
+
   test("win_gaps_islands: streaks equal a direct scan over each user's sorted day set") {
     val got = SparkEntry.queries("win_gaps_islands")(spark, d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

@@ -592,4 +592,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftSemi"), s"no semi join for EXISTS:\n$p")
     assert(p.contains("LeftAnti"), s"no anti join for NOT IN:\n$p")
   }
+
+  test("opt_inmemory_cache: both consumers read the cached base, base agg planned once") {
+    val p = plan("opt_inmemory_cache")
+    val cachedScans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cachedScans >= 2, s"expected both consumers on InMemoryTableScan:\n$p")
+    // the base aggregation must not re-run OUTSIDE the cached relation: every
+    // sum(o_totalprice) in the tree belongs to an InMemoryRelation's embedded
+    // (cached) plan, so it appears at most once per cached-scan rendering
+    val baseAggs = "partial_sum\\(o_totalprice".r.findAllIn(p).length
+    assert(baseAggs <= cachedScans,
+      s"a consumer re-planned the base aggregate outside the cache:\n$p")
+  }
+
+  test("join_null_safe: EqualNullSafe plans a hash equi-join, not a cartesian residual") {
+    val p = plan("join_null_safe")
+    assert(!p.toLowerCase.contains("cartesian"),
+      s"null-safe equality degraded to a cartesian product:\n$p")
+  }
 }
