@@ -1466,6 +1466,28 @@ object LlmOps {
         .orderBy("doc_id", "rk")
     }),
 
+    // Embedding-health norm audit: per-label L2-norm statistics over the
+    // vector column — the pre-flight check every ANN/quantization step
+    // needs (un-normalized vectors silently break cosine≈dot shortcuts
+    // and PQ codebooks; a label whose norms drift flags a bad encoder
+    // batch). The norm is a row-local array fold (functions.aggregate —
+    // no explode, no shuffle until the bounded per-label rollup); floats
+    // are widened to double BEFORE multiply in BOTH engines, and both
+    // fold in list order, so the per-row norm is bit-identical
+    // cross-engine.
+    "llm_vector_norms" -> ((s, d) => {
+      val l2 = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      Tables.embeddings(s, d)
+        .select(col("label"), l2.as("l2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+             round(avg("l2"), 4).as("avg_norm"),
+             round(min("l2"), 4).as("min_norm"),
+             round(max("l2"), 4).as("max_norm"))
+        .orderBy("label")
+    }),
+
     // Zipf-law fit over the corpus word-frequency distribution: the
     // tokenizer/corpus-health diagnostic (natural text slopes ≈ −1; a
     // slope collapsing toward 0 flags boilerplate/spam floods, a cliff
@@ -2509,6 +2531,18 @@ object LlmOps {
       SELECT doc_id, rk, term, tfidf
       FROM r WHERE rk <= 5
       ORDER BY doc_id, rk""",
+
+    "llm_vector_norms" -> """
+      WITH norms AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        FROM embeddings)
+      SELECT label, count(*) AS n,
+             round(avg(l2), 4) AS avg_norm,
+             round(min(l2), 4) AS min_norm,
+             round(max(l2), 4) AS max_norm
+      FROM norms GROUP BY label ORDER BY label""",
 
     "llm_zipf_slope" -> """
       WITH freq AS (

@@ -520,10 +520,64 @@ object ScanOps {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), sum("h").as("sum_h"))
         .orderBy("bucket")
+    }),
+
+    // Hive-layout PARTITION DISCOVERY + static partition pruning: read
+    // back a dataset laid out as .../yr=YYYY/ (OptOps' partitioned
+    // lineitem fixture), where Spark infers the yr column FROM THE
+    // DIRECTORY NAMES and a filter on it prunes whole directories at
+    // planning time (PartitionFilters in the scan — PlanSpec pins it; the
+    // non-matching years' files are never listed into tasks, let alone
+    // read). This static twin of opt_dpp_prune is THE layout decision at
+    // 100 TB: a date-partitioned corpus makes every time-banded query
+    // I/O-proportional to the band, for free, forever.
+    "src_partition_discovery" -> ((s, d) => {
+      val dir = OptOps.partitionedLineitem(s, d)
+      s.read.parquet(dir)
+        .filter(col("yr") === 1996)
+        .groupBy(month(col("l_shipdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("mo")
+    }),
+
+    // PARALLEL JDBC ingest: partitionColumn/bounds/numPartitions split the
+    // table into stride predicates (o_custkey ranges), one concurrent
+    // connection per partition — the difference between a single-threaded
+    // database drain and a parallel lift-out (OperatorSpec pins the 4-way
+    // split). Bounds only set the stride: rows OUTSIDE [lower, upper)
+    // still land in the first/last slice, so fixed bounds stay CORRECT at
+    // any scale factor (though a production lift computes real min/max
+    // first — uneven strides serialize on the fat slice). The aggregate
+    // result is bound-independent; same oracle as any orders rollup.
+    "src_jdbc_partitioned" -> ((s, d) => {
+      s.read
+        .option("partitionColumn", "o_custkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "10000")
+        .option("numPartitions", "4")
+        .jdbc(jdbcOrdersUrl(s, d), "orders_src", derbyProps)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "src_partition_discovery" -> """
+      SELECT CAST(month(l_shipdate) AS INT) AS mo,
+             count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      WHERE year(l_shipdate) = 1996
+      GROUP BY 1
+      ORDER BY mo""",
+
+    "src_jdbc_partitioned" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     "scan_parquet" -> """
       SELECT * FROM lineitem ORDER BY ALL""",
 

@@ -1238,6 +1238,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(bound.toSeq === inlined.toSeq, "parameter binding diverged from literals")
   }
 
+  test("src_jdbc_partitioned: the read splits into 4 stride partitions") {
+    val df = spark.read
+      .option("partitionColumn", "o_custkey")
+      .option("lowerBound", "0").option("upperBound", "10000")
+      .option("numPartitions", "4")
+      .jdbc(graft.ops.ScanOps.jdbcOrdersUrl(spark, d), "orders_src",
+            graft.ops.ScanOps.derbyProps)
+    assert(df.rdd.getNumPartitions === 4, "JDBC read did not split into 4 partitions")
+    assert(df.count() === Tables.orders(spark, d).count(),
+      "stride predicates lost or duplicated rows")
+  }
+
   test("join_asof_tolerance: keeps all purchases; match nulled exactly when stale or absent") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("join_asof_tolerance")(spark, d).collect()

@@ -605,6 +605,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a consumer re-planned the base aggregate outside the cache:\n$p")
   }
 
+  test("src_partition_discovery: yr filter prunes partitions at the scan") {
+    val p = plan("src_partition_discovery")
+    assert(p.contains("PartitionFilters") && p.contains("yr"),
+      s"yr predicate did not become a partition filter:\n$p")
+    // the pruned column never appears as a post-scan Filter on data rows
+    assert(!p.contains("PushedFilters: [IsNotNull(yr)"),
+      s"yr treated as a data column, not a partition column:\n$p")
+  }
+
   test("join_null_safe: EqualNullSafe plans a hash equi-join, not a cartesian residual") {
     val p = plan("join_null_safe")
     assert(!p.toLowerCase.contains("cartesian"),
