@@ -189,6 +189,48 @@ object WinOps {
                 "user_id", "ts", "value")
         .orderBy("user_id", "day")),
 
+    // Exponentially-weighted moving average (pandas ewm adjust=True) over
+    // each user's daily series — the smoothing/feature-decay primitive
+    // Spark has no builtin for. The recursion is eliminated by the
+    // scale-invariant ratio form: with q = 1−α and weights q^(t−i),
+    // ewma_t = cumsum(x_i·q^(−i)) / cumsum(q^(−i)) — the common q^t
+    // factor CANCELS, so no per-row rescaling and both cumsums run in the
+    // same ordered frame (sequential within each engine ⇒ cross-engine
+    // deterministic). One user-partitioned window chain, no self-join.
+    // q^(−i) grows exponentially in the row index — safe for bounded
+    // per-key series (a month of days here); an unbounded 100 TB series
+    // needs block-renormalized weights or a per-key sequential pass
+    // (mapPartitions after repartition+sortWithin), documented trade-off.
+    "win_ewma" -> ((s, d) => {
+      val q = 1.0 - 0.3
+      val wOrd = Window.partitionBy("user_id").orderBy("day")
+      val run = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("v"))
+        .withColumn("p", pow(lit(1.0 / q), row_number().over(wOrd)))
+        .withColumn("ewma", round(
+          sum(col("v") * col("p")).over(run) / sum("p").over(run), 4))
+        .select(col("user_id"), col("day").cast("timestamp").as("day"),
+                col("v"), col("ewma"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Share-of-total within a group (Oracle's RATIO_TO_REPORT): each
+    // part's price as a fraction of its brand total — one partition-only
+    // window, no self-join back onto the aggregate. The brand total runs
+    // in DECIMAL (order-exact) and shares round at 6dp.
+    "win_ratio_to_report" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand")
+      val total = sum(col("p_retailprice").cast("decimal(18,2)")).over(w)
+      Tables.part(s, d)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("brand_total", total.cast("double"))
+        .withColumn("share", round(col("p_retailprice") / total.cast("double"), 6))
+        .orderBy("p_partkey")
+    }),
+
     // Gaps-and-islands: per-user CONSECUTIVE-day activity streaks via the
     // classic row_number anchor (day − rn is constant exactly within a run
     // of consecutive days). The raw log collapses to distinct (user, day)
@@ -261,6 +303,30 @@ object WinOps {
                PARTITION BY user_id ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       FROM j ORDER BY user_id, day""",
+
+    // Same ratio-form derivation; both cumsums are sequential ROWS frames.
+    "win_ewma" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, day, v,
+               pow(1.0 / 0.7, row_number() OVER (PARTITION BY user_id ORDER BY day)) AS p
+        FROM daily)
+      SELECT user_id, CAST(day AS TIMESTAMP) AS day, v,
+             round(sum(v * p) OVER w / sum(p) OVER w, 4) AS ewma
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, day""",
+
+    "win_ratio_to_report" -> """
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS brand_total,
+             round(p_retailprice / CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 6) AS share
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand)
+      ORDER BY p_partkey""",
 
     // DATE − INTEGER is a DATE in DuckDB (Postgres rule), matching
     // Spark's date_sub; the anchor is only a grouping key, never output.
