@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -217,6 +217,38 @@ object WinOps {
         .orderBy("user_id", "day")
     }),
 
+    // Block-renormalized EWMA — same output as `win_ewma`, but safe for
+    // UNBOUNDED per-key series (the plain ratio form's q^(−i) overflows
+    // double at i ≈ 2000 for α=0.3 and the ewma goes NaN). Plan:
+    //   1. rows chunk into fixed B-row blocks per key; the in-block ratio
+    //      form's exponents are bounded by B, so they never overflow;
+    //   2. each block's end-of-block numerator/denominator contribution
+    //      (S = Σ x_j·q^(B−j), W = Σ q^(B−j)) is one map-side-combinable
+    //      hash-agg — n/B rows total;
+    //   3. the cross-block recurrence N_b = q^B·N_{b−1} + S_b is
+    //      CONTRACTING (q^B < 1 — this is the renormalization: weights are
+    //      re-anchored at every block boundary instead of growing with the
+    //      global row index), so the carried prefix is bounded forever; it
+    //      folds via Horner (`aggregate`) over the previous M block sums —
+    //      q^(B·M) < 1e−19 puts the truncated tail below double precision,
+    //      so block ≡ plain to well past the 4dp gate rounding;
+    //   4. carries join back on (key, block) and each row combines its
+    //      local cumsum with q^(j)·carry.
+    // Every shuffle is on user_id(, blk) — no global state, no exponent
+    // ever exceeds B·M. OperatorSpec pins block ≡ plain on the corpus AND
+    // an overflow regime (3000-row series) where plain yields NaN and this
+    // form stays finite and correct.
+    "win_ewma_block" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("v"))
+      ewmaBlockOf(daily, "user_id", "day", "v", alpha = 0.3)
+        .select(col("user_id"), col("day").cast("timestamp").as("day"),
+                col("v"), col("ewma"))
+        .orderBy("user_id", "day")
+    }),
+
     // Share-of-total within a group (Oracle's RATIO_TO_REPORT): each
     // part's price as a fraction of its brand total — one partition-only
     // window, no self-join back onto the aggregate. The brand total runs
@@ -282,6 +314,70 @@ object WinOps {
               col("v").as("observed"), col("filled"))
   }
 
+  /** Plain ratio-form EWMA (pandas ewm adjust=True): adds an `ewma` column
+    * (4dp) to a (key, ord, value) frame. One user-partitioned window chain;
+    * q^(−i) grows with the row index, so this form is only safe for
+    * BOUNDED per-key series — beyond ~2000 rows (α=0.3) the weights
+    * overflow double and the output goes NaN. The unbounded-series path is
+    * [[ewmaBlockOf]]; OperatorSpec pins both regimes. */
+  private[graft] def ewmaPlainOf(df: DataFrame, keyCol: String,
+                                 ordCol: String, valCol: String,
+                                 alpha: Double): DataFrame = {
+    val q = 1.0 - alpha
+    val wOrd = Window.partitionBy(keyCol).orderBy(ordCol)
+    val run = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("p", pow(lit(1.0 / q), row_number().over(wOrd)))
+      .withColumn("ewma", round(
+        sum(col(valCol) * col("p")).over(run) / sum("p").over(run), 4))
+      .drop("p")
+  }
+
+  /** Block-renormalized EWMA: identical output to [[ewmaPlainOf]] (the
+    * truncated tail is < q^(B·M) ≈ 1e−19 relative, below the 4dp
+    * rounding), but every exponent is bounded by B, so UNBOUNDED per-key
+    * series never overflow. Rows chunk into B-row blocks; in-block cumsums
+    * use local exponents; the cross-block recurrence N_b = q^B·N_{b−1} +
+    * S_b is contracting and folds via Horner over the previous M block
+    * sums. Shuffles only on (key[, blk]). */
+  private[graft] def ewmaBlockOf(df: DataFrame, keyCol: String,
+                                 ordCol: String, valCol: String,
+                                 alpha: Double): DataFrame = {
+    val q = 1.0 - alpha
+    val B = 8   // in-block exponent bound
+    val M = 16  // carried blocks: q^(B·M) = 0.7^128 ≈ 1.6e−20 < ulp
+    val qB = math.pow(q, B)
+    val wOrd = Window.partitionBy(keyCol).orderBy(ordCol)
+    val daily = df
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("blk", ((col("rn") - 1) / B).cast("int"))
+      .withColumn("j", ((col("rn") - 1) % B + 1).cast("int"))
+    // In-block running sums: exponents ≤ B by construction.
+    val wBlk = Window.partitionBy(keyCol, "blk").orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = pow(lit(1.0 / q), col("j"))
+    val rows = daily
+      .withColumn("lnum", sum(col(valCol) * p).over(wBlk) * pow(lit(q), col("j")))
+      .withColumn("lden", sum(p).over(wBlk) * pow(lit(q), col("j")))
+    // Per-block end sums (n/B rows), then the carried prefix via a Horner
+    // fold over the previous ≤M blocks: the frame is ordered by blk
+    // ascending, so foldLeft(acc·q^B + x) reproduces the recurrence.
+    val wPrev = Window.partitionBy(keyCol).orderBy("blk").rowsBetween(-M, -1)
+    val horner = (arrCol: Column) => aggregate(
+      arrCol, lit(0.0), (acc, x) => acc * lit(qB) + x)
+    val carries = daily
+      .groupBy(keyCol, "blk")
+      .agg(sum(col(valCol) * pow(lit(q), lit(B) - col("j"))).as("sblk"),
+           sum(pow(lit(q), lit(B) - col("j"))).as("wblk"))
+      .withColumn("cnum", horner(collect_list("sblk").over(wPrev)))
+      .withColumn("cden", horner(collect_list("wblk").over(wPrev)))
+      .select(col(keyCol), col("blk"), col("cnum"), col("cden"))
+    rows.join(carries, Seq(keyCol, "blk"))
+      .withColumn("ewma", round(
+        (col("lnum") + pow(lit(q), col("j")) * col("cnum")) /
+        (col("lden") + pow(lit(q), col("j")) * col("cden")), 4))
+      .drop("rn", "blk", "j", "lnum", "lden", "cnum", "cden")
+  }
+
   val oracle: Map[String, String] = Map(
     // generate_series over DATE+INTERVAL yields timestamps — cast back;
     // same grid, same IGNORE NULLS forward fill.
@@ -306,6 +402,23 @@ object WinOps {
 
     // Same ratio-form derivation; both cumsums are sequential ROWS frames.
     "win_ewma" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, day, v,
+               pow(1.0 / 0.7, row_number() OVER (PARTITION BY user_id ORDER BY day)) AS p
+        FROM daily)
+      SELECT user_id, CAST(day AS TIMESTAMP) AS day, v,
+             round(sum(v * p) OVER w / sum(p) OVER w, 4) AS ewma
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, day""",
+
+    // The block form computes the SAME ewma (truncation tail < 1e-19
+    // relative, far below the 4dp gate rounding) — one oracle serves both.
+    "win_ewma_block" -> """
       WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
         FROM events WHERE user_id < 50 GROUP BY 1, 2),

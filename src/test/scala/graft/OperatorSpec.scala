@@ -1298,6 +1298,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("win_ewma_block: block form ≡ plain form on bounded series, survives the overflow regime plain fails") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Regime 1 — bounded series (corpus shape): the two forms must agree
+    // at the 4dp gate rounding on every row.
+    val daily = graft.Tables.events(spark, d)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("v"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getDate(1).toString)
+    val plain = graft.ops.WinOps.ewmaPlainOf(daily, "user_id", "day", "v", 0.3)
+      .collect().map(r => key(r) -> r.getDouble(3)).toMap
+    val block = graft.ops.WinOps.ewmaBlockOf(daily, "user_id", "day", "v", 0.3)
+      .collect().map(r => key(r) -> r.getDouble(3)).toMap
+    assert(plain.keySet === block.keySet)
+    plain.foreach { case (k, v) =>
+      assert(math.abs(v - block(k)) <= 1e-4 + 1e-9, s"ewma mismatch at $k: plain=$v block=${block(k)}")
+    }
+
+    // Regime 2 — a 3000-row single-key series: pow(1/q, rn) overflows
+    // double (~row 2000 at α=0.3), so the plain ratio form degenerates to
+    // Inf/Inf = NaN while the block form stays finite and converges to the
+    // exact fixpoint of a constant series (ewma of constant c is c).
+    val long = (1 to 3000).map(i => (1L, i, 5.0)).toDF("k", "ord", "v")
+    val plainTail = graft.ops.WinOps.ewmaPlainOf(long, "k", "ord", "v", 0.3)
+      .filter(col("ord") === 3000).collect().head.getDouble(3)
+    assert(plainTail.isNaN, s"expected plain form to overflow to NaN, got $plainTail")
+    val blockOut = graft.ops.WinOps.ewmaBlockOf(long, "k", "ord", "v", 0.3)
+      .select("ord", "ewma").collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(blockOut.length === 3000)
+    blockOut.foreach { case (ord, e) =>
+      assert(!e.isNaN && !e.isInfinite, s"block form not finite at row $ord")
+      assert(math.abs(e - 5.0) < 1e-4, s"constant-series ewma must be the constant at row $ord, got $e")
+    }
+  }
+
   test("agg_weighted_median: half the weight lies at-or-below, half at-or-above") {
     val med = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
