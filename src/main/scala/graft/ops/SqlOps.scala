@@ -461,6 +461,65 @@ object SqlOps {
       """)
     }),
 
+    // TPC-H Q13 shape (customer distribution): customer LEFT OUTER JOIN
+    // orders with a FILTERED ON predicate (the filter belongs to the join,
+    // not a WHERE — a WHERE would silently turn the outer join inner and
+    // drop the zero-order customers that are the query's whole point),
+    // then a two-level aggregate: per-customer order count → histogram of
+    // those counts. Scale: the outer join shuffles both sides on custkey
+    // once (orders pre-filters map-side before the exchange); level-1
+    // groups on the SAME custkey, so Catalyst reuses the join's
+    // partitioning — no second corpus shuffle; level-2's domain is the
+    // distinct count values (≤ orders-per-customer max, tiny anywhere).
+    // The schema has no o_comment, so the canonical NOT-LIKE-promo ON
+    // filter becomes the equivalent selectivity class on o_orderpriority.
+    "sql_q13_cust_distribution" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer_m LEFT OUTER JOIN orders_m
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+      """)
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept waiting): EXISTS and NOT EXISTS
+    // BOTH correlated to the same lineitem fact — the hardest canonical
+    // subquery stack. Semantics on this schema (no receipt/commit dates):
+    // a supplier's 'R'-flagged line on a finished multi-supplier order
+    // where they were the ONLY supplier with an 'R' line. Catalyst plans
+    // the EXISTS as a LeftSemi and the NOT EXISTS as a LeftAnti, both
+    // shuffling on l_orderkey — the SAME key as the orders join, so the
+    // three fact-sized joins share one exchange chain and nothing is
+    // executed per-row (PlanSpec pins both join types and the absence of
+    // any correlated-subquery re-execution). supplier⋈nation broadcast.
+    "sql_q21_suppliers_waiting" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_m
+        JOIN lineitem_m l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders_m ON o_orderkey = l1.l_orderkey
+        JOIN nation_m ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND n_name LIKE 'NATION_1%'
+          AND EXISTS (SELECT 1 FROM lineitem_m l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_m l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+      """)
+    }),
+
     // The native as-of join entered as SQL TEXT — the §7.3c operator
     // reached the way a user actually queries. The injected AsOfSqlParser
     // (GraftExtensions.injectParser) recognizes the ASOF JOIN clause and
@@ -718,6 +777,35 @@ object SqlOps {
                           AND o.o_orderdate <  TIMESTAMP '1997-01-01')
       GROUP BY c_nationkey
       ORDER BY c_nationkey""",
+
+    "sql_q13_cust_distribution" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+
+    "sql_q21_suppliers_waiting" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND n_name LIKE 'NATION_1%'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100""",
 
     "sql_q5_local_revenue" -> """
       SELECT n_name,

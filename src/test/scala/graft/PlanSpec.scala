@@ -593,6 +593,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), s"no anti join for NOT IN:\n$p")
   }
 
+  test("sql_q13_cust_distribution: outer join survives the filtered ON, one custkey shuffle chain") {
+    val p = plan("sql_q13_cust_distribution")
+    // the ON-clause filter must NOT convert the outer join to inner —
+    // zero-order customers are the query's point
+    assert(p.contains("LeftOuter"), s"outer join lost (ON filter treated as WHERE?):\n$p")
+    // the per-customer count groups on the join's own key, so no exchange
+    // may sit between the join and the level-1 aggregate: at most the two
+    // input shuffles (customer, orders) plus the tiny level-2 exchange on
+    // c_count (histogram domain), never a re-shuffle of the joined fact
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 hash exchanges (2 inputs + tiny histogram), got $exchanges:\n$p")
+  }
+
+  test("sql_q21_suppliers_waiting: EXISTS->LeftSemi, NOT EXISTS->LeftAnti, no per-row subqueries") {
+    val p = plan("sql_q21_suppliers_waiting")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan an anti join:\n$p")
+    // decorrelation must be total: no interpreted per-row subquery nodes
+    assert(!p.contains("Subquery subquery") && !p.contains("InSubqueryExec"),
+      s"correlated subquery executed per-row instead of decorrelated:\n$p")
+    // dims ride broadcast; the fact-keyed joins share the orderkey exchange
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims not broadcast:\n$p")
+  }
+
   test("opt_inmemory_cache: both consumers read the cached base, base agg planned once") {
     val p = plan("opt_inmemory_cache")
     val cachedScans = "InMemoryTableScan".r.findAllIn(p).length
