@@ -1236,6 +1236,43 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Blocked approximate-STRING join (entity resolution / fuzzy lookup):
+    // a corrupted probe relation (part names with the 3rd char deleted —
+    // a deterministic typo model both engines can derive) joined to the
+    // catalog names within edit distance ≤ 1. Blocking is SYMMETRIC
+    // DELETES (SymSpell): two strings are within distance 1 iff they
+    // share a member of {s} ∪ {s minus one char} — provably COMPLETE for
+    // k=1, so the blocked plan finds exactly the all-pairs answer (the
+    // oracle IS the all-pairs levenshtein SQL; PropertySpec pins recall
+    // against a Spark all-pairs run too). Plan: each side explodes into
+    // ≤ len+1 short signature keys → equi-join on the signature →
+    // distinct candidate pairs → confirm with the THRESHOLDED 3-arg
+    // levenshtein (DP exits early past k). Work is O(corpus · len) +
+    // O(collisions); no cross join anywhere. At 100 TB the signature
+    // join shuffles short strings and the quadratic blowup can only
+    // happen inside one signature bucket (bounded by vocabulary
+    // collisions, not corpus size).
+    "llm_fuzzy_join" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val catalog = part.select(col("p_name").as("name")).distinct()
+      val probes = part
+        .filter(col("p_partkey") % 7 === 3)
+        .select(col("p_partkey").as("probe_id"),
+                concat(substring(col("p_name"), 1, 2),
+                       expr("substring(p_name, 4)")).as("probe_name"))
+      def sigs(df: DataFrame, c: String): DataFrame = df.withColumn("sig",
+        explode(array_distinct(concat(array(col(c)), expr(
+          s"transform(sequence(1, length($c)), p -> concat(substring($c, 1, p-1), substring($c, p+1, length($c))))")))))
+      sigs(catalog, "name").select("sig", "name")
+        .join(sigs(probes, "probe_name").select("probe_id", "probe_name", "sig"), "sig")
+        .select("probe_id", "probe_name", "name").distinct()
+        .withColumn("dist", levenshtein(col("probe_name"), col("name"), 1))
+        .filter(col("dist") =!= -1)
+        .select(col("probe_id"), col("probe_name"),
+                col("name").as("match_name"), col("dist"))
+        .orderBy("probe_id", "match_name")
+    }),
+
     // Near-dup CLUSTER resolution — the step a production dedup runs after
     // pair detection: pairs → connected components → one keeper per
     // component (min doc_id). Docs in no pair are their own singleton
@@ -1935,6 +1972,21 @@ object LlmOps {
           GROUP BY a$n.cell, pos) GROUP BY cell)"""
 
   val oracle: Map[String, String] = Map(
+    // The honest ALL-PAIRS definition — the blocked plan must find every
+    // pair, not redefine the question (symmetric-delete blocking is
+    // complete for k=1, so the hash gate holds exactly).
+    "llm_fuzzy_join" -> """
+      WITH catalog AS (SELECT DISTINCT p_name AS name FROM part),
+      probes AS (
+        SELECT p_partkey AS probe_id,
+               concat(substr(p_name, 1, 2), substr(p_name, 4)) AS probe_name
+        FROM part WHERE p_partkey % 7 = 3)
+      SELECT probe_id, probe_name, name AS match_name,
+             CAST(levenshtein(probe_name, name) AS INTEGER) AS dist
+      FROM probes CROSS JOIN catalog
+      WHERE levenshtein(probe_name, name) <= 1
+      ORDER BY probe_id, match_name""",
+
     "llm_decontaminate" -> """
       WITH g13 AS (
         SELECT doc_id,

@@ -377,4 +377,44 @@ class PropertySpec extends AnyFunSuite {
       math.abs(merged - whole) <= 1e-8 * math.max(1.0, math.abs(whole))
     })
   }
+
+  test("llm_fuzzy_join: symmetric-delete blocking has 100% recall vs the all-pairs definition") {
+    // Two pins. (1) Corpus: the blocked key's pair set EQUALS a Spark
+    // all-pairs crossJoin run of the same predicate — recall 1.0, no
+    // extras. (2) The completeness argument itself, on adversarial local
+    // strings: for ANY (s, t) within levenshtein <= 1, the delete
+    // neighborhoods {s} ∪ dels(s) and {t} ∪ dels(t) intersect.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sfDir
+    val blocked = SparkEntry.queries("llm_fuzzy_join")(spark, sf)
+      .select("probe_id", "match_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val part = graft.Tables.part(spark, sf)
+    val allPairs = part.filter(col("p_partkey") % 7 === 3)
+      .select(col("p_partkey").as("probe_id"),
+              concat(substring(col("p_name"), 1, 2),
+                     expr("substring(p_name, 4)")).as("probe_name"))
+      .crossJoin(part.select(col("p_name").as("name")).distinct())
+      .filter(levenshtein(col("probe_name"), col("name")) <= 1)
+      .select("probe_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(allPairs.nonEmpty, "all-pairs ground truth is empty — vacuous pin")
+    assert(blocked === allPairs,
+      s"blocked != all-pairs: missed=${(allPairs -- blocked).take(5)} extra=${(blocked -- allPairs).take(5)}")
+
+    def dels(s: String): Set[String] =
+      Set(s) ++ (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+                            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val strGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    check("symdelete-complete", Prop.forAll(strGen, strGen) { (s, t) =>
+      lev(s, t) > 1 || (dels(s) & dels(t)).nonEmpty
+    })
+  }
 }
