@@ -231,7 +231,60 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** The trade graph in its natural DIRECTED bipartite form (customer →
+    * supplier, threshold 1) — the input shape HITS wants: hubs live on
+    * the src side, authorities on the dst side. */
+  private[graft] def directedTradeEdges(s: SparkSession, d: String): DataFrame =
+    custSuppPairs(s, d, 1L).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+
+  /** HITS (Kleinberg hubs & authorities) over a directed edge frame:
+    * h(u) = Σ_{u→v} a(v), a(v) = Σ_{u→v} h(u), MAX-normalized each half
+    * round. Returns (node, a) for the authority side.
+    *
+    * Cross-engine exactness: the normalizer is max (order-independent in
+    * IEEE, unlike an L1/L2 sum), so the only float noise is sum
+    * reassociation inside the contribution aggregates — normalized scores
+    * round to 6dp each half-round (the kmeansCells convention) so both
+    * engines feed bit-identical scores into the next round. Scale: same
+    * mechanics as pageRankOf — the edge frame is cached and every
+    * iteration is two edge-sized equi-joins + two map-side-combinable
+    * hash-aggregates; the max is a 1-row aggregate broadcast back
+    * (never a global window), and per-round lineage cuts keep the plan
+    * flat. Score frames stay node-sized. */
+  private[graft] def hitsOf(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.cache()
+    graft.GraftCaches.track(edges)
+    var auth = edges.select(col("dst").as("node")).distinct()
+      .withColumn("a", lit(1.0))
+    for (_ <- 1 to iters) {
+      val hr = edges.join(auth, col("dst") === col("node"))
+        .groupBy("src").agg(sum("a").as("hr"))
+      val hubs = LlmOps.cutLineage(
+        hr.crossJoin(broadcast(hr.agg(max("hr").as("hmax"))))
+          .select(col("src").as("node"), round(col("hr") / col("hmax"), 6).as("h")))
+      val ar = edges.join(hubs, col("src") === col("node"))
+        .groupBy("dst").agg(sum("h").as("ar"))
+      auth = LlmOps.cutLineage(
+        ar.crossJoin(broadcast(ar.agg(max("ar").as("amax"))))
+          .select(col("dst").as("node"), round(col("ar") / col("amax"), 6).as("a")))
+    }
+    auth
+  }
+
   val queries: Map[String, Q] = Map(
+    // HITS hubs/authorities over the directed customer→supplier trade
+    // graph, [[Iterations]] max-normalized rounds — "which suppliers does
+    // the network of well-connected buyers concentrate on" (the bipartite
+    // twin of graph_pagerank's importance question; on a bipartite graph
+    // the two score vectors live on opposite sides, so the supplier
+    // authority vector IS the full authority output). Oracle: the same
+    // three rounds unrolled as CTEs.
+    "graph_hits" -> ((s, d) => {
+      hitsOf(directedTradeEdges(s, d), Iterations)
+        .select(col("node"), col("a"))
+        .orderBy("node")
+    }),
+
     // PageRank over the customer–supplier trade graph, 3 fixed iterations;
     // output = the 100 supplier nodes' ranks (ranks ~N-scaled so the 4-dp
     // rounding keeps ~6 significant digits). The rank column is a sum of
@@ -437,6 +490,34 @@ object GraphOps {
     * iterative DataFrame loop; recursion with per-round global aggregation
     * does not fit a plain recursive CTE's single-reference rule). */
   val oracle: Map[String, String] = Map(
+    // Three max-normalized HITS rounds unrolled as CTEs; max is
+    // order-exact, scores round 6dp per half-round exactly like the
+    // Spark loop, so every round's inputs are bit-identical cross-engine.
+    "graph_hits" -> """
+      WITH edges AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      a0 AS (SELECT DISTINCT dst AS node, 1.0 AS a FROM edges),
+      h1 AS (SELECT node, round(hr / max(hr) OVER (), 6) AS h FROM (
+               SELECT e.src AS node, sum(a.a) AS hr
+               FROM edges e JOIN a0 a ON e.dst = a.node GROUP BY e.src)),
+      a1 AS (SELECT node, round(ar / max(ar) OVER (), 6) AS a FROM (
+               SELECT e.dst AS node, sum(h.h) AS ar
+               FROM edges e JOIN h1 h ON e.src = h.node GROUP BY e.dst)),
+      h2 AS (SELECT node, round(hr / max(hr) OVER (), 6) AS h FROM (
+               SELECT e.src AS node, sum(a.a) AS hr
+               FROM edges e JOIN a1 a ON e.dst = a.node GROUP BY e.src)),
+      a2 AS (SELECT node, round(ar / max(ar) OVER (), 6) AS a FROM (
+               SELECT e.dst AS node, sum(h.h) AS ar
+               FROM edges e JOIN h2 h ON e.src = h.node GROUP BY e.dst)),
+      h3 AS (SELECT node, round(hr / max(hr) OVER (), 6) AS h FROM (
+               SELECT e.src AS node, sum(a.a) AS hr
+               FROM edges e JOIN a2 a ON e.dst = a.node GROUP BY e.src)),
+      a3 AS (SELECT node, round(ar / max(ar) OVER (), 6) AS a FROM (
+               SELECT e.dst AS node, sum(h.h) AS ar
+               FROM edges e JOIN h3 h ON e.src = h.node GROUP BY e.dst))
+      SELECT node, a FROM a3 ORDER BY node""",
+
     "graph_pagerank" -> """
       WITH pairs AS (
         SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp

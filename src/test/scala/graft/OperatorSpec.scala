@@ -1298,6 +1298,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_hits: analytic small graph — authorities follow in-link mass from strong hubs") {
+    import spark.implicits._
+    // c1→{s1,s2}, c2→{s1}, c3→{s2,s3}: s1 and s2 each have 2 in-links but
+    // from different hub mixes; s3 only the weaker c3. Reference = the
+    // same max-normalized 6dp-rounded iteration run locally.
+    val edges = Seq(("c1","s1"),("c1","s2"),("c2","s1"),("c3","s2"),("c3","s3"))
+    val got = graft.ops.GraphOps.hitsOf(edges.toDF("src", "dst"), 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var a = edges.map(_._2).distinct.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val hr = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val hm = hr.values.max
+      val h = hr.map { case (k, v) => k -> rnd(v / hm) }
+      val ar = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val am = ar.values.max
+      a = ar.map { case (k, v) => k -> rnd(v / am) }
+    }
+    assert(got.keySet === a.keySet)
+    a.foreach { case (n, v) =>
+      assert(math.abs(got(n) - v) < 1e-9, s"authority mismatch at $n: got ${got(n)}, want $v") }
+    // structural sanity: the best-backed authority normalizes to 1, and
+    // the hub-poor s3 ranks strictly below both s1 and s2
+    assert(got.values.max === 1.0)
+    assert(got("s3") < got("s1") && got("s3") < got("s2"))
+  }
+
   test("win_ewma_block: block form ≡ plain form on bounded series, survives the overflow regime plain fails") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
