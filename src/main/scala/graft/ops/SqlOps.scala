@@ -205,20 +205,27 @@ object SqlOps {
     // (UnionLoopExec, PlanSpec), and on cyclic graphs deep traversal
     // belongs to the iterative frontier loop (graph_bfs: one nodes-sized
     // frame, anti-join dedup per round) — that is the scale path.
+    //
+    // r14: the EDGE DERIVATION (lineitem⋈orders + group-filter) is staged
+    // as a cached view OUTSIDE the recursion. UnionLoop re-evaluates every
+    // relation the recursive arm references on EACH iteration, so with the
+    // derivation inline the loop re-ran the corpus join once per round —
+    // at sf0.1 that was 4 × the join cost for a 364-edge graph (9.8 s,
+    // 5% of the whole bench; VERDICT r13 #8). Never derive the base
+    // relation inside the loop: the walk itself is milliseconds.
     "sql_recursive_cte" -> ((s, d) => {
       views(s, d)
+      val e = GraphOps.repeatTradeEdges(s, d).cache()
+      graft.GraftCaches.track(e)
+      e.createOrReplaceTempView("walk_edges_m")
       s.sql(s"""
-        WITH RECURSIVE p AS (
-          SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
-          FROM lineitem_m JOIN orders_m ON l_orderkey = o_orderkey
-          GROUP BY 1, 2 HAVING count(*) >= 3),
-        e AS (SELECT c AS src, s AS dst FROM p
-              UNION ALL SELECT s AS src, c AS dst FROM p),
-        seed AS (SELECT min(src) AS node FROM e),
+        WITH RECURSIVE
+        seed AS (SELECT min(src) AS node FROM walk_edges_m),
         reach(node, dist) AS (
           SELECT node, 0 FROM seed
           UNION ALL
-          SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+          SELECT e.dst, r.dist + 1
+          FROM reach r JOIN walk_edges_m e ON e.src = r.node
           WHERE r.dist < $RecursiveCteRounds)
         SELECT node, CAST(min(dist) AS INT) AS dist
         FROM reach GROUP BY node ORDER BY node
