@@ -233,6 +233,44 @@ object StreamOps {
     busTopicPartitioned(spark, sfDir)
     val conn = java.sql.DriverManager.getConnection(derbyUrl)
     conn.close()
+    warmStreamingInfra(spark)
+  }
+
+  /** One throwaway MICRO stream-stream outer join (3 rows) run during
+    * setup: initializes the per-JVM streaming machinery — StreamExecution,
+    * FileStreamSource listing/log, the symmetric-hash-join state store
+    * provider, streaming codegen paths — whose cold-start otherwise lands
+    * inside the FIRST measured sweep of whichever stream key runs first
+    * (observed as stream_stream_outer's ~+30% first-repeat and its r13
+    * run-to-run swing; VERDICT r13 #7). Data is synthetic and tiny, so
+    * nothing key-specific (source dirs, caches, state) is warmed — only
+    * the shared JVM infrastructure, which is exactly what setup is for. */
+  private def warmStreamingInfra(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warm-ss-").toFile
+    dir.deleteOnExit()
+    val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2000-01-02 00:00:00")
+    Seq((1L, t0, 1L, "signup"), (2L, t0, 1L, "purchase"), (3L, t1, 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    def side(t: String, p: String) = spark.readStream.schema(schema)
+      .parquet(dir.getAbsolutePath)
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+              col("ts").as(s"${p}_ts"))
+      .withWatermark(s"${p}_ts", "1 minute")
+    val name = s"graft_warm_ss_${nameCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-warm-ckpt-").toFile.getAbsolutePath
+    val q = side("purchase", "p").join(side("signup", "s"),
+        col("p_user") === col("s_user") && col("s_ts") <= col("p_ts"),
+        "left_outer")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
   /** Publish the events table to the in-process bus ONCE per (JVM, sfDir):
