@@ -527,6 +527,56 @@ object SqlOps {
       """)
     }),
 
+    // TPC-H Q15 shape (top supplier): a CTE referenced TWICE — once as
+    // the join fact, once inside the scalar max() subquery that selects
+    // the winner(s). The revenue accumulates in DECIMAL(18,4) and casts
+    // back to DOUBLE so the equality filter compares bit-identical values
+    // cross-engine (a double-sum here would make "== max" a reassociation
+    // lottery). Catalyst keeps the doubly-referenced CTE as one
+    // definition; the scalar subquery evaluates once and broadcasts into
+    // the filter — never per-row. Scale: one lineitem shuffle on suppkey
+    // (date band pushed to the scan), supplier dim broadcast, and the max
+    // runs over the 100-row aggregate, not the fact.
+    "sql_q15_top_supplier" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem_m
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        FROM supplier_m JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+      """)
+    }),
+
+    // The named WINDOW clause in SQL text — the parser surface for
+    // sharing a frame definition across expressions (every hand-written
+    // analytics query uses it). Two windows over the same partition key:
+    // both resolve to ONE custkey exchange + sort chain (same-key windows
+    // coalesce), the running total is a sequential ROWS frame so its
+    // double sum is order-deterministic in both engines.
+    "sql_window_clause" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER w AS rnk,
+               round(sum(o_totalprice) OVER w2, 2) AS run_total
+        FROM orders_m
+        WINDOW w  AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey),
+               w2 AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey
+      """)
+    }),
+
     // The native as-of join entered as SQL TEXT — the §7.3c operator
     // reached the way a user actually queries. The injected AsOfSqlParser
     // (GraftExtensions.injectParser) recognizes the ASOF JOIN clause and
@@ -784,6 +834,32 @@ object SqlOps {
                           AND o.o_orderdate <  TIMESTAMP '1997-01-01')
       GROUP BY c_nationkey
       ORDER BY c_nationkey""",
+
+    "sql_q15_top_supplier" -> """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""",
+
+    "sql_window_clause" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER w AS rnk,
+             round(sum(o_totalprice) OVER w2, 2) AS run_total
+      FROM orders
+      WINDOW w  AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey),
+             w2 AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey""",
 
     "sql_q13_cust_distribution" -> """
       SELECT c_count, count(*) AS custdist

@@ -263,6 +263,25 @@ object WinOps {
         .orderBy("p_partkey")
     }),
 
+    // nth_value over a FULL frame: "who/what is the runner-up" — per
+    // nation, every customer row carries the 2nd-highest balance and the
+    // id of the 3rd-ranked customer. The frame must be spelled
+    // UNBOUNDED..UNBOUNDED explicitly: the default frame stops at
+    // CURRENT ROW, which silently yields NULL for rows ranked above n in
+    // BOTH engines — the classic nth_value trap. Unique tiebreaker in the
+    // ORDER BY keeps the nth pick engine-stable; one partition-keyed
+    // window, one shuffle.
+    "win_nth_value" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .withColumn("second_bal", nth_value(col("c_acctbal"), 2).over(w))
+        .withColumn("third_id", nth_value(col("c_custkey"), 3).over(w))
+        .orderBy("c_custkey")
+    }),
+
     // Gaps-and-islands: per-user CONSECUTIVE-day activity streaks via the
     // classic row_number anchor (day − rn is constant exactly within a run
     // of consecutive days). The raw log collapses to distinct (user, day)
@@ -440,6 +459,16 @@ object WinOps {
       FROM part
       WINDOW w AS (PARTITION BY p_brand)
       ORDER BY p_partkey""",
+
+    "win_nth_value" -> """
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             nth_value(c_acctbal, 2) OVER w AS second_bal,
+             nth_value(c_custkey, 3) OVER w AS third_id
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY c_custkey""",
 
     // DATE − INTEGER is a DATE in DuckDB (Postgres rule), matching
     // Spark's date_sub; the anchor is only a grouping key, never output.
