@@ -553,6 +553,17 @@ object Text {
       std(docs, idCol, textCol).select(col("doc_id"), lower(col("text")).as("t")),
       hashImpl)
 
+  /** Blocked approximate-string join (llm_fuzzy_join's exact core):
+    * every `probes` row matched to the `catalog` strings within edit
+    * distance ≤ 1 via symmetric-delete (SymSpell) blocking — provably
+    * complete for k = 1, so the result equals the all-pairs definition
+    * without ever comparing all pairs. Returns all probe columns + the
+    * matched catalog column + `dist` ∈ {0, 1}. The catalog column name
+    * must not collide with a probe column. */
+  def fuzzyJoin(probes: DataFrame, probeCol: String,
+                catalog: DataFrame, catalogCol: String): DataFrame =
+    graft.ops.LlmOps.fuzzyPairs(probes, probeCol, catalog, catalogCol)
+
   /** Train a deterministic BPE merge table on the corpus (rank = highest
     * adjacent-pair count, lexicographic ties — retraining reproduces it
     * bit-identically) and return (ranked merges, vocab frame) where the
@@ -691,6 +702,17 @@ object Ingest {
   def gapFill(df: DataFrame, keyCol: String, tsCol: String,
               valueCol: String): DataFrame =
     graft.ops.WinOps.gapFillOf(df, keyCol, tsCol, valueCol)
+
+  /** Exponentially-weighted moving average (pandas `ewm(adjust=True)`
+    * semantics) of `valCol` ordered by `ordCol` within each `keyCol`
+    * group — adds an `ewma` column (4dp). This is the BLOCK-RENORMALIZED
+    * form (win_ewma_block's exact core): every exponent is bounded by the
+    * block size, so arbitrarily long per-key series never overflow —
+    * unlike the textbook ratio-form cumsum, which goes NaN near row 2000
+    * at alpha = 0.3. Shuffles only on (key[, block]). */
+  def ewma(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+           alpha: Double = 0.3): DataFrame =
+    graft.ops.WinOps.ewmaBlockOf(df, keyCol, ordCol, valCol, alpha)
 
   /** Idempotent keyed JDBC upsert as a `foreachBatch` body: per partition,
     * one transaction of DELETE-by-key + INSERT-all-columns batches, so a
@@ -878,6 +900,18 @@ object Graph {
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                    col(weightCol).as("w")),
       seed, rounds)
+
+  /** HITS hubs & authorities over a DIRECTED edge frame → (node, a):
+    * `iters` max-normalized rounds of h = Σ a(out-neighbors),
+    * a = Σ h(in-neighbors) — graph_hits's exact core (authority side;
+    * scores are scale-free, max-normalized to 1.0 and rounded 6dp per
+    * half-round). Same economics as [[pageRank]]: cached edge frame, two
+    * equi-joins + two hash-aggs per round, node-sized score frames
+    * broadcast under the cap, lineage cut per round. */
+  def hits(edges: DataFrame, iters: Int = 3,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.hitsOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters)
 }
 
 /** Data-layout levers for write-side clustering. */

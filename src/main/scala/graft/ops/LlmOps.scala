@@ -985,6 +985,29 @@ object LlmOps {
     * `checkpoint` into `spark.graft.checkpoint.dir` (or a temp dir) — what
     * a production run against HDFS/S3 should set so a mid-propagation
     * executor loss replays from durable storage, not from scratch. */
+  /** Blocked approximate-string join core (llm_fuzzy_join / Text
+    * .fuzzyJoin): every row of `left` matched to every `right` string
+    * within edit distance ≤ 1, WITHOUT an all-pairs comparison. Blocking
+    * is symmetric deletes (SymSpell): a string's signature set is itself
+    * plus each single-character deletion (≤ len+1 short keys), and two
+    * strings within distance 1 MUST share a signature — provably complete,
+    * so the result EQUALS the all-pairs definition. Candidates from the
+    * signature equi-join are deduped then confirmed with the thresholded
+    * 3-arg levenshtein (early-exit DP). Keeps all `left` columns, adds
+    * the matched right column + `dist`. */
+  private[graft] def fuzzyPairs(left: DataFrame, leftCol: String,
+                                right: DataFrame, rightCol: String): DataFrame = {
+    def sigs(df: DataFrame, c: String): DataFrame = df.withColumn("sig",
+      explode(array_distinct(concat(array(col(c)), expr(
+        s"transform(sequence(1, length($c)), p -> concat(substring($c, 1, p-1), substring($c, p+1, length($c))))")))))
+    val leftCols = left.columns.map(col).toSeq
+    sigs(right, rightCol).select(col("sig"), col(rightCol))
+      .join(sigs(left, leftCol), "sig")
+      .select(leftCols :+ col(rightCol): _*).distinct()
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol), 1))
+      .filter(col("dist") =!= -1)
+  }
+
   private[graft] def cutLineage(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     if (s.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) {
@@ -1260,14 +1283,7 @@ object LlmOps {
         .select(col("p_partkey").as("probe_id"),
                 concat(substring(col("p_name"), 1, 2),
                        expr("substring(p_name, 4)")).as("probe_name"))
-      def sigs(df: DataFrame, c: String): DataFrame = df.withColumn("sig",
-        explode(array_distinct(concat(array(col(c)), expr(
-          s"transform(sequence(1, length($c)), p -> concat(substring($c, 1, p-1), substring($c, p+1, length($c))))")))))
-      sigs(catalog, "name").select("sig", "name")
-        .join(sigs(probes, "probe_name").select("probe_id", "probe_name", "sig"), "sig")
-        .select("probe_id", "probe_name", "name").distinct()
-        .withColumn("dist", levenshtein(col("probe_name"), col("name"), 1))
-        .filter(col("dist") =!= -1)
+      fuzzyPairs(probes, "probe_name", catalog, "name")
         .select(col("probe_id"), col("probe_name"),
                 col("name").as("match_name"), col("dist"))
         .orderBy("probe_id", "match_name")

@@ -612,4 +612,42 @@ class ApiSpec extends AnyFunSuite {
     assert(api2 === key)
     assert(api2.nonEmpty)
   }
+
+  test("Graph.hits equals graph_hits (custom column names)") {
+    val edges = graft.ops.GraphOps.directedTradeEdges(spark, d)
+      .select(col("src").as("buyer"), col("dst").as("seller"))
+    val api2 = rowSet(api.Graph.hits(edges, srcCol = "buyer", dstCol = "seller"))
+    val key = rowSet(SparkEntry.queries("graph_hits")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Ingest.ewma equals win_ewma_block's ewma column") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, d)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("v"))
+    val api2 = rowSet(api.Ingest.ewma(daily, "user_id", "day", "v")
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+              col("v"), col("ewma")))
+    val key = rowSet(SparkEntry.queries("win_ewma_block")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Text.fuzzyJoin equals llm_fuzzy_join's pair set") {
+    import org.apache.spark.sql.functions._
+    val part = Tables.part(spark, d)
+    val probes = part.filter(col("p_partkey") % 7 === 3)
+      .select(col("p_partkey").as("probe_id"),
+              concat(substring(col("p_name"), 1, 2),
+                     expr("substring(p_name, 4)")).as("probe_name"))
+    val catalog = part.select(col("p_name").as("name")).distinct()
+    val api2 = rowSet(api.Text.fuzzyJoin(probes, "probe_name", catalog, "name")
+      .select(col("probe_id"), col("probe_name"), col("name").as("match_name"), col("dist")))
+    val key = rowSet(SparkEntry.queries("llm_fuzzy_join")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
 }
