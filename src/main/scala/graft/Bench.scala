@@ -231,6 +231,11 @@ object Bench {
 
     // FIRST stdout line: the complete compact record (head-capture wins).
     println(compact)
+    // Stop Spark BEFORE the final summary so its shutdown log burst
+    // cannot land after (and, under a merged-stream tail capture,
+    // displace) the last line — the r13 BENCH artifact lost its parsed
+    // summary to exactly that interleaving (ADVICE r13).
+    spark.stop()
     // LAST stdout line: short summary (<1 KB — tail-capture wins): total,
     // sentinel median/max, suspect list, raw sweeps for the watch keys.
     val sentMax = shotSecs.last
@@ -239,6 +244,6 @@ object Bench {
       s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"n_keys":${results.length},""" +
       s""""sentinel_median":${fmt(sentMedian)},"sentinel_max":${fmt(sentMax)},""" +
       s""""suspect":$suspectJson,"watch":$watch,"full":"BENCH_FULL.json"}""")
-    spark.stop()
+    System.out.flush()
   }
 }
