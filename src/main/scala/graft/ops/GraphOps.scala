@@ -36,6 +36,16 @@ object GraphOps {
   /** graph_bfs hop cap — shared with the oracle's recursion bound. */
   private[graft] val BfsRounds = 6
 
+  /** graph_kcore: the degree floor k and the fixed peel-round cap —
+    * shared with the oracle's unrolled CTE rounds. A fixed round count
+    * (not peel-to-fixpoint) keeps the job a deterministic DAG; rounds ≥
+    * the peel depth of the graph give the exact k-core. */
+  private[graft] val KcoreK = 2
+  private[graft] val KcoreRounds = 4
+
+  /** graph_label_propagation round cap — shared with the oracle. */
+  private[graft] val LpaRounds = 3
+
   /** graph_sssp relaxation-round cap — shared with the oracle's
     * hop-bounded walk recursion. */
   private[graft] val SsspRounds = 4
@@ -229,6 +239,66 @@ object GraphOps {
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Bounded k-core peel core (graph_kcore / the OperatorSpec hand-graph
+    * pin): from a SYMMETRIC (src, dst) edge frame, `rounds` rounds of
+    * "drop nodes with degree < k, restrict edges to survivors". Survivor
+    * sets are node-sized and broadcast into the LeftSemi restrictions;
+    * lineage cut per round. Returns (node, core_degree) over the final
+    * surviving subgraph. */
+  private[graft] def kcoreOf(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = edges0.cache()
+    graft.GraftCaches.track(edges)
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("survivor"))
+      edges = LlmOps.cutLineage(
+        edges.join(broadcast(keep), col("src") === col("survivor"), "left_semi")
+          .join(broadcast(keep), col("dst") === col("survivor"), "left_semi"))
+    }
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Synchronous label-propagation core (graph_label_propagation / the
+    * OperatorSpec hand-graph pin): from a SYMMETRIC edge frame, `rounds`
+    * rounds of "adopt the most frequent neighbor label, ties toward the
+    * LARGEST label" — the (count, label) argmax is one max(struct) per
+    * node, a total order both engines implement exactly. Labels init to
+    * the node's own id; the label frame stays node-sized and broadcasts
+    * into the edge join. Returns the final (node, lbl). */
+  private[graft] def lpaOf(edges0: DataFrame, rounds: Int): DataFrame = {
+    val edges = edges0.cache()
+    graft.GraftCaches.track(edges)
+    var lbls = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val freq = edges.join(broadcast(lbls), col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      lbls = LlmOps.cutLineage(
+        freq.groupBy(col("dst").as("node"))
+          .agg(max(struct(col("cnt"), col("lbl"))).as("m"))
+          .select(col("node"), col("m.lbl").as("lbl")))
+    }
+    lbls
+  }
+
+  /** Local clustering coefficient over an ORIENTED (a < b, each
+    * undirected edge once) edge frame: coeff(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) for deg ≥ 2; triangle-less connected nodes
+    * surface at 0.0 via the left join. Shares [[perNodeTriangles]]. */
+  private[graft] def clusteringCoeffOf(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(perNodeTriangles(e).withColumnRenamed("node", "tn"),
+            col("node") === col("tn"), "left")
+      .select(col("node"), col("degree"),
+              coalesce(col("triangles"), lit(0L)).as("triangles"),
+              round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+                    (col("degree") * (col("degree") - 1)), 4).as("coeff"))
   }
 
   /** The trade graph in its natural DIRECTED bipartite form (customer →
@@ -482,7 +552,55 @@ object GraphOps {
       LlmOps.resolveClusters(repeatTradePairs(s, d))
         .select(col("node"), col("lbl").as("component"))
         .orderBy("node")
-    })
+    }),
+
+    // Bounded k-core peel over the repeat-trade graph: [[KcoreRounds]]
+    // synchronous rounds of "drop every node with degree < [[KcoreK]],
+    // then re-derive degrees" — the densest-subgraph / spam-core
+    // diagnostic. Each round is one nodes-sized degree aggregate + two
+    // LeftSemi joins of the edge frame against the (node-sized, broadcast)
+    // survivor set, lineage-cut so round R's plan does not embed rounds
+    // 1..R-1. A fixed round cap keeps the job a deterministic DAG (the
+    // production bounded-latency shape; rounds ≥ peel depth = exact core)
+    // and the oracle's unrolled CTEs finite. Output = each surviving
+    // node's degree WITHIN the surviving subgraph.
+    "graph_kcore" -> ((s, d) =>
+      kcoreOf(repeatTradeEdges(s, d), KcoreK, KcoreRounds).orderBy("node")),
+
+    // Local clustering coefficient over the co-supply graph (the oriented
+    // a<b edge frame graph_triangles builds): coeff(v) = 2·tri(v) /
+    // (deg(v)·(deg(v)−1)) — "how clique-like is this node's
+    // neighborhood", the community-structure diagnostic that turns raw
+    // triangle counts into a comparable per-node score. Reuses
+    // [[perNodeTriangles]] verbatim; the degree frame comes from the same
+    // oriented edges (each endpoint counted once per edge), and nodes with
+    // degree ≥ 2 but zero triangles surface with coeff 0.0 via the left
+    // join (they are the interesting ones — connected but not clustered).
+    // The ratio of two exact integers rounds 4dp identically cross-engine.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val p = repeatTradePairs(s, d)
+      val e = p.as("p1")
+        .join(p.as("p2"),
+              col("p1.doc_a") === col("p2.doc_a") && col("p1.doc_b") < col("p2.doc_b"))
+        .groupBy(col("p1.doc_b").as("a"), col("p2.doc_b").as("b"))
+        .agg(count(lit(1)).as("shared")).filter(col("shared") >= 2)
+        .select("a", "b").cache()
+      graft.GraftCaches.track(e)
+      clusteringCoeffOf(e).orderBy("node")
+    }),
+
+    // Synchronous label propagation (community detection) over the
+    // repeat-trade graph, [[LpaRounds]] fixed rounds: every node adopts
+    // the most frequent label among its neighbors, ties broken toward the
+    // LARGEST label — the (count, label) argmax is one max(struct) per
+    // node, a total order both engines implement exactly, which is what
+    // makes sync-LPA deterministic here (classic LPA's random tie-break
+    // is the part that doesn't survive a cross-engine gate). Per round:
+    // one edge-sized join against the node-sized label frame + two hash
+    // aggregates, lineage-cut; labels init to the node's own id. Output =
+    // final (node, label) — nodes sharing a label are one community.
+    "graph_label_propagation" -> ((s, d) =>
+      lpaOf(repeatTradeEdges(s, d), LpaRounds).orderBy("node"))
   )
 
   /** One unrolled PPR round as a DuckDB CTE block (see graph_ppr). */
@@ -671,7 +789,78 @@ object GraphOps {
     // Incremental ≡ full rebuild by the contraction argument (key doc),
     // so the oracle IS the full-graph closure — ONE constant for both
     // keys (an independent derivation that never sees the day split).
-    "graph_components_incremental" -> ComponentsOracleSql
+    "graph_components_incremental" -> ComponentsOracleSql,
+
+    // The same fixed peel rounds unrolled as CTE pairs (survivors_i,
+    // edges_i); the final degree count runs over the round-4 edge set.
+    "graph_kcore" -> s"""
+      WITH p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e0 AS (SELECT c AS src, s AS dst FROM p
+             UNION ALL SELECT s AS src, c AS dst FROM p),
+      ${(1 to KcoreRounds).map(i => s"""n$i AS (
+        SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $KcoreK),
+      e$i AS (
+        SELECT e.src, e.dst FROM e${i - 1} e
+        JOIN n$i a ON e.src = a.src
+        JOIN n$i b ON e.dst = b.src)""").mkString(",\n      ")}
+      SELECT src AS node, count(*) AS core_degree
+      FROM e$KcoreRounds GROUP BY src ORDER BY node""",
+
+    // graph_triangles' wedge/closure CTEs + an oriented-degree CTE; the
+    // left join keeps triangle-less nodes at coeff 0.0.
+    "graph_clustering_coeff" -> """
+      WITH p AS (
+        SELECT o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (
+        SELECT p1.s AS a, p2.s AS b FROM p p1 JOIN p p2
+        ON p1.c = p2.c AND p1.s < p2.s
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (
+        SELECT node, count(*) AS degree FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+      t AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tri AS (
+        SELECT node, count(*) AS triangles
+        FROM (SELECT x AS node FROM t UNION ALL
+              SELECT y FROM t UNION ALL SELECT z FROM t)
+        GROUP BY node)
+      SELECT d.node, d.degree,
+             CAST(coalesce(tri.triangles, 0) AS BIGINT) AS triangles,
+             round(2.0 * coalesce(tri.triangles, 0)
+                   / (d.degree * (d.degree - 1)), 4) AS coeff
+      FROM deg d LEFT JOIN tri ON d.node = tri.node
+      WHERE d.degree >= 2
+      ORDER BY d.node""",
+
+    // The same synchronous rounds unrolled; the (count, label) argmax is
+    // a row_number window ordered (cnt DESC, lbl DESC) — identical total
+    // order to the Spark side's max(struct(cnt, lbl)).
+    "graph_label_propagation" -> s"""
+      WITH p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT c AS src, s AS dst FROM p
+            UNION ALL SELECT s AS src, c AS dst FROM p),
+      l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+      ${(1 to LpaRounds).map(i => s"""l$i AS (
+        SELECT dst AS node, lbl FROM (
+          SELECT e.dst, l.lbl,
+                 row_number() OVER (PARTITION BY e.dst
+                                    ORDER BY count(*) DESC, l.lbl DESC) AS rn
+          FROM e JOIN l${i - 1} l ON e.src = l.node
+          GROUP BY e.dst, l.lbl)
+        WHERE rn = 1)""").mkString(",\n      ")}
+      SELECT node, lbl FROM l$LpaRounds ORDER BY node"""
   )
 
   private lazy val ComponentsOracleSql: String = """

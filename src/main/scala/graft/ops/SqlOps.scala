@@ -593,6 +593,215 @@ object SqlOps {
           ON p.user_id = s.user_id AND p.ts >= s.ts
         ORDER BY p.event_id
       """)
+    }),
+
+    // TPC-H Q6 shape (forecast revenue): the pure scan-filter-aggregate —
+    // zero joins, every predicate (date band, discount band, quantity cap)
+    // pushed to the parquet scan, one partial+final agg, 1-row output. At
+    // 100 TB this is the query that proves pushdown works: the scan reads
+    // three columns of one year's row groups and nothing else. Revenue
+    // accumulates in DECIMAL(18,4) so the two engines' sum order cannot
+    // produce different 2dp roundings.
+    "sql_q6_forecast_revenue" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount
+                                  AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem_m
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24.0
+      """)
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier): a correlated scalar MIN subquery
+    // whose correlation spans a multi-join, against a CTE referenced twice
+    // (outer fact + inside the min). The schema has no partsupp table, so
+    // it is DERIVED from lineitem (per-(part,supplier) min unit price —
+    // same two-key relation, same shape). Catalyst decorrelates the min
+    // into an aggregate-then-join (no per-row re-execution); region/nation/
+    // supplier dims broadcast; the one shuffle is the partsupp GROUP BY on
+    // (partkey, suppkey). Unit cost rounds 4dp BEFORE the min so the
+    // equality filter compares identically-constructed doubles.
+    "sql_q2_min_cost" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        WITH partsupp AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 min(round(l_extendedprice / l_quantity, 4)) AS ps_supplycost
+          FROM lineitem_m
+          GROUP BY l_partkey, l_suppkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+        FROM part_m
+        JOIN partsupp   ON p_partkey = ps_partkey
+        JOIN supplier_m ON s_suppkey = ps_suppkey
+        JOIN nation_m   ON s_nationkey = n_nationkey
+        JOIN region_m   ON n_regionkey = r_regionkey
+        WHERE p_size = 25 AND p_type = 'LARGE' AND r_name = 'ASIA'
+          AND ps_supplycost = (
+            SELECT min(ps2.ps_supplycost)
+            FROM partsupp ps2
+            JOIN supplier_m s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation_m n2   ON s2.s_nationkey = n2.n_nationkey
+            JOIN region_m r2   ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+      """)
+    }),
+
+    // TPC-H Q8 shape (market share): one nation's share of a region's
+    // market for a part type, per year — the CASE-sum / sum ratio computed
+    // in a SINGLE aggregation over the 7-table star (never two passes).
+    // Volume is cast to DECIMAL(18,4) per row so both engines' numerator
+    // and denominator are exact before the one double division; the year
+    // domain is tiny so the final agg never skews. Dims (part, customer-
+    // side nation/region, supplier-side nation) broadcast; the two fact
+    // shuffles are lineitem⋈orders on orderkey and orders⋈customer on
+    // custkey.
+    "sql_q8_market_share" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END)
+                          AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4)) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part_m
+          JOIN lineitem_m ON p_partkey = l_partkey
+          JOIN orders_m   ON l_orderkey = o_orderkey
+          JOIN customer_m ON o_custkey = c_custkey
+          JOIN nation_m n1 ON c_nationkey = n1.n_nationkey
+          JOIN region_m    ON n1.n_regionkey = r_regionkey
+          JOIN supplier_m  ON l_suppkey = s_suppkey
+          JOIN nation_m n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01') all_sales
+        GROUP BY o_year
+        ORDER BY o_year
+      """)
+    }),
+
+    // TPC-H Q9 shape (product-type profit): profit per supplier-nation per
+    // year over a LIKE-filtered part family. No ps_supplycost exists in
+    // this schema, so cost is modeled as a retail-price carry fraction —
+    // the shape (5-table join, LIKE pushdown on the part dim, two-key
+    // group) is unchanged. Per-row amounts go to DECIMAL(18,4) before the
+    // sum; the LIKE filter prunes part BEFORE the join so only matching
+    // parts' lineitems survive the partkey shuffle.
+    "sql_q9_product_profit" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT nation, o_year,
+               CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount)
+                      - 0.02 * p_retailprice * l_quantity
+                      AS DECIMAL(18,4)) AS amount
+          FROM part_m
+          JOIN lineitem_m ON p_partkey = l_partkey
+          JOIN supplier_m ON s_suppkey = l_suppkey
+          JOIN orders_m   ON o_orderkey = l_orderkey
+          JOIN nation_m   ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%widget%') profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+      """)
+    }),
+
+    // TPC-H Q11 shape (important stock): a grouped value rollup filtered
+    // by HAVING against a GLOBAL scalar fraction of the same CTE — the
+    // "top concentration" pattern. partsupp is derived from lineitem (per-
+    // (part,supplier) revenue within one nation); the CTE is referenced
+    // twice and Catalyst evaluates the global-sum scalar once, broadcasting
+    // the 1-row threshold into the HAVING filter. Value accumulates in
+    // DECIMAL end-to-end (both sums exact); only the final output casts to
+    // DOUBLE.
+    "sql_q11_important_stock" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        WITH partsupp AS (
+          SELECT l_partkey AS ps_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_value
+          FROM lineitem_m
+          JOIN supplier_m ON l_suppkey = s_suppkey
+          JOIN nation_m   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_5'
+          GROUP BY l_partkey, l_suppkey)
+        SELECT ps_partkey,
+               CAST(round(sum(ps_value), 2) AS DOUBLE) AS total_value
+        FROM partsupp
+        GROUP BY ps_partkey
+        HAVING CAST(sum(ps_value) AS DOUBLE) >
+               (SELECT CAST(sum(ps_value) AS DOUBLE) * 0.001 FROM partsupp)
+        ORDER BY total_value DESC, ps_partkey
+      """)
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): COUNT DISTINCT
+    // suppliers per (brand, type, size) bucket with a NOT IN exclusion
+    // subquery (the "complaints" list — here: negative-balance suppliers).
+    // Catalyst plans NOT IN as a null-aware anti join (broadcast — the
+    // exclusion list is 6 rows); the distinct count shuffles once on the
+    // group key with partial distinct applied map-side. The part dim
+    // filters (brand/type/size set) prune before the join.
+    "sql_q16_parts_supplier" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem_m JOIN part_m ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier_m WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      """)
+    }),
+
+    // TPC-H Q20 shape (potential promotion): nested IN subqueries with a
+    // CORRELATED scalar aggregate inside the inner HAVING — suppliers who
+    // shipped MORE than half a red part's all-time volume inside one year
+    // (the availqty>half-shipped predicate re-expressed on this schema so
+    // it stays selective). Catalyst decorrelates the half-sum into an
+    // aggregate joined on the two correlation keys, and both IN arms plan
+    // as semi joins — nothing per-row. Quantities are integer-valued
+    // doubles, so every sum is IEEE-exact and the 0.5× comparison is
+    // deterministic cross-engine.
+    "sql_q20_potential_promo" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier_m JOIN nation_m ON s_nationkey = n_nationkey
+        WHERE n_name LIKE 'NATION_1%'
+          AND s_suppkey IN (
+            SELECT l1.l_suppkey
+            FROM lineitem_m l1
+            WHERE l1.l_partkey IN
+                  (SELECT p_partkey FROM part_m WHERE p_name LIKE 'red%')
+              AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l1.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l1.l_suppkey, l1.l_partkey
+            HAVING sum(l1.l_quantity) > (
+              SELECT 0.5 * sum(l2.l_quantity) FROM lineitem_m l2
+              WHERE l2.l_partkey = l1.l_partkey
+                AND l2.l_suppkey = l1.l_suppkey))
+        ORDER BY s_suppkey
+      """)
     })
   )
 
@@ -903,6 +1112,131 @@ object SqlOps {
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate <  TIMESTAMP '1997-01-01'
       GROUP BY n_name
-      ORDER BY revenue DESC, n_name"""
+      ORDER BY revenue DESC, n_name""",
+
+    "sql_q6_forecast_revenue" -> """
+      SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount
+                                AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24.0""",
+
+    "sql_q2_min_cost" -> """
+      WITH partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(round(l_extendedprice / l_quantity, 4)) AS ps_supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey)
+      SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+      FROM part
+      JOIN partsupp ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_size = 25 AND p_type = 'LARGE' AND r_name = 'ASIA'
+        AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""",
+
+    "sql_q8_market_share" -> """
+      SELECT o_year,
+             round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                 THEN volume
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END)
+                        AS DOUBLE)
+                   / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+      FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01') all_sales
+      GROUP BY o_year
+      ORDER BY o_year""",
+
+    "sql_q9_product_profit" -> """
+      SELECT nation, o_year,
+             CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+      FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount)
+                    - 0.02 * p_retailprice * l_quantity
+                    AS DECIMAL(18,4)) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%') profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC""",
+
+    "sql_q11_important_stock" -> """
+      WITH partsupp AS (
+        SELECT l_partkey AS ps_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey, l_suppkey)
+      SELECT ps_partkey,
+             CAST(round(sum(ps_value), 2) AS DOUBLE) AS total_value
+      FROM partsupp
+      GROUP BY ps_partkey
+      HAVING CAST(sum(ps_value) AS DOUBLE) >
+             (SELECT CAST(sum(ps_value) AS DOUBLE) * 0.001 FROM partsupp)
+      ORDER BY total_value DESC, ps_partkey""",
+
+    "sql_q16_parts_supplier" -> """
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#13'
+        AND p_type NOT IN ('PROMO', 'ECONOMY')
+        AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "sql_q20_potential_promo" -> """
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name LIKE 'NATION_1%'
+        AND s_suppkey IN (
+          SELECT l1.l_suppkey
+          FROM lineitem l1
+          WHERE l1.l_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l1.l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l1.l_suppkey, l1.l_partkey
+          HAVING sum(l1.l_quantity) > (
+            SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_suppkey = l1.l_suppkey))
+      ORDER BY s_suppkey"""
   )
 }

@@ -1325,6 +1325,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(got("s3") < got("s1") && got("s3") < got("s2"))
   }
 
+  test("graph_kcore: planted K4 + pendant chain — pendants peel, the 2-core is exactly the K4") {
+    import spark.implicits._
+    // K4 on {a,b,c,d}; pendant chain a—e—f. Round 1 drops f (deg 1),
+    // round 2 drops e (deg 1 once f is gone); the K4 survives with every
+    // node at degree 3 — the fixed 4-round cap exceeds this peel depth,
+    // so the bounded peel equals the exact 2-core here.
+    val und = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+                  ("a","e"),("e","f"))
+    val sym = (und ++ und.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = graft.ops.GraphOps.kcoreOf(sym, 2, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("graph_clustering_coeff: planted K4 all 1.0, path midpoint 0.0, open wedge corner interpolates") {
+    import spark.implicits._
+    // Oriented (a<b) input: K4 on {a,b,c,d} (coeff 1 everywhere) plus an
+    // open wedge d—x, d—y (x,y not adjacent): d gains 2 triangle-less
+    // neighbors → deg 5, still 3 triangles → coeff 2·3/(5·4) = 0.3; x and
+    // y have deg 1 and are excluded by the deg ≥ 2 floor.
+    val e = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+                ("d","x"),("d","y")).toDF("a", "b")
+    val got = graft.ops.GraphOps.clusteringCoeffOf(e)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      "a" -> ((3L, 3L, 1.0)), "b" -> ((3L, 3L, 1.0)), "c" -> ((3L, 3L, 1.0)),
+      "d" -> ((5L, 3L, 0.3))))
+  }
+
+  test("graph_label_propagation: two planted triangles each converge to one community label") {
+    import spark.implicits._
+    // Two disjoint triangles; the (count, label)-max rule is replayed by
+    // a local reference iteration (same shape as the graph_hits pin) and
+    // must agree node-for-node; structurally, each triangle must end up
+    // single-labeled and the two components must not share a label.
+    val und = Seq(("a","b"),("b","c"),("a","c"), ("x","y"),("y","z"),("x","z"))
+    val sym = und ++ und.map(p => (p._2, p._1))
+    val got = graft.ops.GraphOps.lpaOf(sym.toDF("src", "dst"), 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = sym.groupBy(_._2).map { case (node, es) =>
+        val freq = es.groupBy(e => lbl(e._1)).view.mapValues(_.size).toMap
+        node -> freq.toSeq.maxBy { case (l, c) => (c, l) }._1
+      }
+    }
+    assert(got === lbl)
+    assert(Set("a","b","c").map(got).size === 1)
+    assert(Set("x","y","z").map(got).size === 1)
+    assert(got("a") !== got("x"))
+  }
+
   test("win_ewma_block: block form ≡ plain form on bounded series, survives the overflow regime plain fails") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
