@@ -912,6 +912,39 @@ object Graph {
            srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     graft.ops.GraphOps.hitsOf(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters)
+
+  /** Bounded k-core peel → (node, core_degree): `rounds` rounds of "drop
+    * nodes with degree < k, restrict edges to survivors" — graph_kcore's
+    * exact core. Pass a SYMMETRIC edge frame (both directions); survivor
+    * sets are node-sized and broadcast into LeftSemi restrictions, so a
+    * round never reshuffles the edge frame. `rounds` ≥ the peel depth
+    * gives the exact k-core; a smaller cap is the bounded-latency
+    * variant. */
+  def kcore(edges: DataFrame, k: Int = 2, rounds: Int = 4,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.kcoreOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), k, rounds)
+
+  /** Local clustering coefficient → (node, degree, triangles, coeff =
+    * 2·tri/(deg·(deg−1)), deg ≥ 2 only) — graph_clustering_coeff's exact
+    * core. Pass each undirected edge ONCE, oriented src < dst (shares
+    * [[triangles]]' enumeration); triangle-less connected nodes surface
+    * at coeff 0.0. */
+  def clusteringCoefficient(edges: DataFrame,
+                            srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.clusteringCoeffOf(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+
+  /** Synchronous label propagation (community detection) → (node, lbl)
+    * after `rounds` fixed rounds — graph_label_propagation's exact core:
+    * adopt the most frequent neighbor label, ties toward the LARGEST
+    * label (a deterministic total order, unlike classic LPA's random
+    * tie-break). Pass a SYMMETRIC edge frame; the label frame stays
+    * node-sized and broadcasts into the per-round edge join. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+                       srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.lpaOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), rounds)
 }
 
 /** Data-layout levers for write-side clustering. */

@@ -622,6 +622,38 @@ class ApiSpec extends AnyFunSuite {
     assert(api2.nonEmpty)
   }
 
+  test("Graph.kcore equals graph_kcore (custom column names)") {
+    val edges = graft.ops.GraphOps.repeatTradeEdges(spark, d)
+      .select(col("src").as("u"), col("dst").as("v"))
+    val api2 = rowSet(api.Graph.kcore(edges, srcCol = "u", dstCol = "v"))
+    val key = rowSet(SparkEntry.queries("graph_kcore")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Graph.clusteringCoefficient equals graph_clustering_coeff's core on the co-supply frame") {
+    val p = graft.ops.GraphOps.repeatTradePairs(spark, d)
+    val e = p.as("p1")
+      .join(p.as("p2"),
+            col("p1.doc_a") === col("p2.doc_a") && col("p1.doc_b") < col("p2.doc_b"))
+      .groupBy(col("p1.doc_b").as("lo"), col("p2.doc_b").as("hi"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2).select("lo", "hi")
+    val api2 = rowSet(api.Graph.clusteringCoefficient(e, srcCol = "lo", dstCol = "hi"))
+    val key = rowSet(SparkEntry.queries("graph_clustering_coeff")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Graph.labelPropagation equals graph_label_propagation (custom column names)") {
+    val edges = graft.ops.GraphOps.repeatTradeEdges(spark, d)
+      .select(col("src").as("u"), col("dst").as("v"))
+    val api2 = rowSet(api.Graph.labelPropagation(edges, srcCol = "u", dstCol = "v"))
+    val key = rowSet(SparkEntry.queries("graph_label_propagation")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
   test("Ingest.ewma equals win_ewma_block's ewma column") {
     import org.apache.spark.sql.functions._
     val daily = Tables.events(spark, d)
