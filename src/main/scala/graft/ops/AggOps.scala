@@ -18,6 +18,13 @@ import org.apache.spark.sql.expressions.Window
 object AggOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** agg_count_min sketch geometry (depth = independent hash rows, width
+    * = buckets per row) — shared with the oracle SQL and the PropertySpec
+    * overestimate pin. 4×64 on a ~2000-key domain guarantees visible
+    * collisions, so the key demonstrates estimation, not a lookup table. */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 64
+
   /** Misra–Gries heavy-hitter summary state: `keys` sorted ascending (for
     * the O(log k) membership probe), `counts` parallel. Arrays are mutated
     * in place on the hot paths (hit increment, full-table decrement) —
@@ -573,6 +580,37 @@ object AggOps {
       heavyHittersOf(grams, "g").orderBy("g")
     }),
 
+    // Count–min sketch: the classic mergeable frequency sketch (bounded
+    // memory, overestimate-only error) — [[CmsDepth]]×[[CmsWidth]] cells
+    // over lineitem's part-key stream, then point estimates est(x) =
+    // min_j cell(j, h_j(x)) for the 20 lowest part keys next to their
+    // true counts (the overestimate invariant est ≥ truth is
+    // PropertySpec-pinned). Build cost: the depth-way explode combines
+    // map-side to depth×width cells per partition before ONE exchange of
+    // a 256-row frame — the sketch, like all the D-family sketches, is
+    // what you ship when the true per-key count table is corpus-sized.
+    // h_j is the repo's md5-fold (oracle-parity hash; production would
+    // swap xxhash64 exactly like the TextHash flag family).
+    "agg_count_min" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"))
+      def bucket(j: org.apache.spark.sql.Column,
+                 key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(conv(substring(md5(concat_ws(":", j, key)), 1, 6), 16, 10)
+          .cast("long"), lit(CmsWidth.toLong))
+      val js = array((0 until CmsDepth).map(lit): _*)
+      val cells = li.select(explode(js).as("j"), col("l_partkey"))
+        .groupBy(col("j"), bucket(col("j"), col("l_partkey")).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val probes = li.filter(col("l_partkey") <= 20)
+        .groupBy("l_partkey").agg(count(lit(1)).as("true_n"))
+      probes.select(col("l_partkey"), col("true_n"), explode(js).as("j"))
+        .withColumn("bucket", bucket(col("j"), col("l_partkey")))
+        .join(cells, Seq("j", "bucket"))
+        .groupBy("l_partkey", "true_n")
+        .agg(min("c").as("cms_est"))
+        .orderBy("l_partkey")
+    }),
+
     // Fixed-width histogram: bin id is pure row-local arithmetic, so the
     // whole key is ONE map-side-combinable hash aggregate whose output is
     // bounded by the bin count (~dozens of rows at any scale) — the
@@ -639,6 +677,31 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // The identical 4×64 md5-fold sketch built in SQL: hex→int via the
+    // '0x' cast (DuckDB has no conv()); both engines hash the same
+    // "j:key" strings, so cells and estimates are bit-identical.
+    "agg_count_min" -> s"""
+      WITH cells AS (
+        SELECT j,
+               ('0x' || substring(md5(j::VARCHAR || ':' || l_partkey::VARCHAR),
+                                  1, 6))::BIGINT % $CmsWidth AS bucket,
+               count(*) AS c
+        FROM lineitem, range(0, $CmsDepth) t(j)
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT l_partkey, count(*) AS true_n FROM lineitem
+        WHERE l_partkey <= 20 GROUP BY l_partkey),
+      probes AS (
+        SELECT t.l_partkey, t.true_n, r.j,
+               ('0x' || substring(md5(r.j::VARCHAR || ':' ||
+                                      t.l_partkey::VARCHAR),
+                                  1, 6))::BIGINT % $CmsWidth AS bucket
+        FROM truth t, range(0, $CmsDepth) r(j))
+      SELECT p.l_partkey, p.true_n, min(c.c) AS cms_est
+      FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+      GROUP BY p.l_partkey, p.true_n
+      ORDER BY p.l_partkey""",
+
     // DuckDB floor() yields DOUBLE (Spark's yields LONG) — cast the bin id.
     "agg_histogram" -> """
       SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,

@@ -1541,6 +1541,38 @@ object LlmOps {
         .orderBy("label")
     }),
 
+    // Per-dimension standardization (z-scoring) of the embedding corpus —
+    // the whitening prep that precedes k-means/IVF training and distance
+    // calibration (un-standardized dims with large variance dominate every
+    // L2). Two passes, NEITHER shuffling vectors: pass 1 computes the
+    // d-row (mu, sigma) stats via posexplode + ONE map-side-combinable
+    // aggregate (n·d rows combine to d per partition before the exchange);
+    // pass 2 is per-row arithmetic — the d stats come back as two LITERAL
+    // arrays (a d-row driver read, the same 1-row-aggregate economics as
+    // hitsOf's normalizer) zipped against each embedding, so the corpus
+    // itself never shuffles. Stats round 6dp before use so both engines
+    // feed identical mu/sigma into z; per-vector outputs round 4dp.
+    "llm_embed_standardize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos"), col("v").cast("double").as("v"))
+        .groupBy("pos")
+        .agg(round(avg("v"), 6).as("mu"), round(stddev_pop("v"), 6).as("sigma"))
+        .orderBy("pos").collect()
+      val mus = array(stats.map(r => lit(r.getDouble(1))).toSeq: _*)
+      val sigmas = array(stats.map(r => lit(r.getDouble(2))).toSeq: _*)
+      val z = zip_with(
+        zip_with(col("embedding"), mus, (x, m) => x.cast("double") - m),
+        sigmas, (x, s2) => x / s2)
+      e.select(col("vec_id"), z.as("z"))
+        .select(col("vec_id"),
+                size(col("z")).cast("long").as("dim"),
+                round(sqrt(aggregate(col("z"), lit(0.0),
+                  (a, x) => a + x * x)), 4).as("z_norm"),
+                round(array_max(col("z")), 4).as("z_max"))
+        .orderBy("vec_id")
+    }),
+
     // Zipf-law fit over the corpus word-frequency distribution: the
     // tokenizer/corpus-health diagnostic (natural text slopes ≈ −1; a
     // slope collapsing toward 0 flags boilerplate/spam floods, a cliff
@@ -2611,6 +2643,26 @@ object LlmOps {
              round(min(l2), 4) AS min_norm,
              round(max(l2), 4) AS max_norm
       FROM norms GROUP BY label ORDER BY label""",
+
+    // Same 6dp-rounded per-dim stats feed the z computation, so both
+    // engines standardize with identical mu/sigma; generate_subscripts is
+    // 1-based like Spark's posexplode+1 ordering (position only keys the
+    // stats join — output aggregates are position-free).
+    "llm_embed_standardize" -> """
+      WITH x AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      st AS (
+        SELECT pos, round(avg(v), 6) AS mu, round(stddev_pop(v), 6) AS sigma
+        FROM x GROUP BY pos),
+      z AS (
+        SELECT x.vec_id, (x.v - st.mu) / st.sigma AS z
+        FROM x JOIN st USING (pos))
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS dim,
+             round(sqrt(sum(z * z)), 4) AS z_norm,
+             round(max(z), 4) AS z_max
+      FROM z GROUP BY vec_id ORDER BY vec_id""",
 
     "llm_zipf_slope" -> """
       WITH freq AS (

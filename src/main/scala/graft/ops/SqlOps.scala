@@ -595,6 +595,49 @@ object SqlOps {
       """)
     }),
 
+    // GROUP BY ALL / ORDER BY ALL — the modern-SQL ergonomic surface
+    // (every non-aggregate output column groups implicitly; the output
+    // orders by all columns left-to-right). Resolves to exactly the
+    // explicit-list plan: one map-side-combinable hash aggregate on the
+    // two flag columns, bounded output. Both engines implement the same
+    // resolution rule, so the text runs unchanged.
+    "sql_group_by_all" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_lines,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem_m
+        WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY ALL
+        ORDER BY ALL
+      """)
+    }),
+
+    // An inline VALUES relation joined against a fact — the idiomatic way
+    // a query ships a small config table (priority weights here) WITHOUT
+    // a temp-table round trip. The 3-row inline relation broadcasts (it
+    // is literal at plan time), the join doubles as the priority filter
+    // (inner join drops unlisted priorities), and the weighted revenue
+    // accumulates in DECIMAL. Spark spells the inline table `FROM VALUES
+    // … AS w(…)`; DuckDB wants parentheses — the oracle differs only in
+    // that spelling.
+    "sql_values_inline" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT w.prio, w.weight, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice * w.weight
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS weighted_rev
+        FROM orders_m
+        JOIN VALUES ('1-URGENT', 3), ('2-HIGH', 2), ('5-LOW', 1)
+               AS w(prio, weight)
+          ON o_orderpriority = w.prio
+        GROUP BY w.prio, w.weight
+        ORDER BY w.prio
+      """)
+    }),
+
     // TPC-H Q6 shape (forecast revenue): the pure scan-filter-aggregate —
     // zero joins, every predicate (date band, discount band, quantity cap)
     // pushed to the parquet scan, one partial+final agg, 1-row output. At
@@ -1113,6 +1156,28 @@ object SqlOps {
         AND o_orderdate <  TIMESTAMP '1997-01-01'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name""",
+
+    "sql_group_by_all" -> """
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS n_lines,
+             round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY ALL
+      ORDER BY ALL""",
+
+    // DuckDB's inline-table spelling parenthesizes the VALUES list.
+    "sql_values_inline" -> """
+      SELECT w.prio, w.weight, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice * w.weight
+                                 AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS weighted_rev
+      FROM orders
+      JOIN (VALUES ('1-URGENT', 3), ('2-HIGH', 2), ('5-LOW', 1))
+             AS w(prio, weight)
+        ON o_orderpriority = w.prio
+      GROUP BY w.prio, w.weight
+      ORDER BY w.prio""",
 
     "sql_q6_forecast_revenue" -> """
       SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount

@@ -378,6 +378,46 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("agg_count_min: every estimate is >= the true count, and collisions exist at this geometry") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("agg_count_min")(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty, "no probe keys surfaced — vacuous pin")
+    // CMS invariant: cells only ever over-count (min over d rows of
+    // bucket sums that each INCLUDE the key's own contribution)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS under-estimated key ${r.get(0)}: est=${r.getLong(2)} true=${r.getLong(1)}")
+    }
+    // the 4x64 geometry on a ~2000-key domain MUST collide somewhere —
+    // if every estimate were exact the key would be a lookup table, not
+    // a sketch demonstration
+    assert(rows.exists(r => r.getLong(2) > r.getLong(1)),
+      "no collisions at 4x64 — geometry no longer demonstrates estimation")
+  }
+
+  test("llm_embed_standardize: standardized corpus has per-dim mean ~0 and var ~1") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), col("v").cast("double").as("v"))
+      .groupBy("pos")
+      .agg(round(avg("v"), 6).as("mu"), round(stddev_pop("v"), 6).as("sigma"))
+      .orderBy("pos").collect()
+    val mus = array(stats.map(r => lit(r.getDouble(1))).toSeq: _*)
+    val sigmas = array(stats.map(r => lit(r.getDouble(2))).toSeq: _*)
+    val z = zip_with(zip_with(col("embedding"), mus, (x, m) => x.cast("double") - m),
+                     sigmas, (x, s2) => x / s2)
+    val zstats = e.select(posexplode(z).as(Seq("pos", "z")))
+      .groupBy("pos").agg(avg("z").as("zmu"), stddev_pop(col("z")).as("zsd"))
+      .collect()
+    assert(zstats.nonEmpty)
+    zstats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-4, s"dim ${r.get(0)} z-mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-4, s"dim ${r.get(0)} z-sd ${r.getDouble(2)}")
+    }
+  }
+
   test("llm_fuzzy_join: symmetric-delete blocking has 100% recall vs the all-pairs definition") {
     // Two pins. (1) Corpus: the blocked key's pair set EQUALS a Spark
     // all-pairs crossJoin run of the same predicate — recall 1.0, no
