@@ -25,6 +25,11 @@ object AggOps {
   private[graft] val CmsDepth = 4
   private[graft] val CmsWidth = 64
 
+  /** agg_bloom_membership geometry (k hash functions, m bits) — shared
+    * with the oracle SQL and the PropertySpec no-false-negative pin. */
+  private[graft] val BloomK = 4
+  private[graft] val BloomBits = 4096
+
   /** Misra–Gries heavy-hitter summary state: `keys` sorted ascending (for
     * the O(log k) membership probe), `counts` parallel. Arrays are mutated
     * in place on the hot paths (hit increment, full-table decrement) —
@@ -611,6 +616,48 @@ object AggOps {
         .orderBy("l_partkey")
     }),
 
+    // Bloom-filter membership: the OTHER classic bounded-memory set
+    // structure (no false negatives, tunable false positives) — build an
+    // explicit [[BloomK]]×[[BloomBits]] bit set over "big-urgent"
+    // customers (URGENT order > 450k), then probe EVERY customer and emit
+    // the bloom verdict next to ground truth. The bit set is (j, bit)
+    // rows after a distinct — ≤ k·m rows at ANY scale, the shape you
+    // broadcast to pre-filter a 100 TB probe stream before the exact
+    // join (Spark's own runtime bloom join — opt_runtime_bloom_join — is
+    // the optimizer-injected twin; this key is the explicit, mergeable,
+    // cross-engine-checkable spelling). PropertySpec pins the
+    // no-false-negative invariant. Same md5-fold hash family as
+    // agg_count_min.
+    "agg_bloom_membership" -> ((s, d) => {
+      def bit(j: org.apache.spark.sql.Column,
+              key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(conv(substring(md5(concat_ws(":", j, key)), 1, 6), 16, 10)
+          .cast("long"), lit(BloomBits.toLong))
+      val js = array((0 until BloomK).map(lit): _*)
+      val members = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+                col("o_totalprice") > 450000.0)
+        .select(col("o_custkey").as("k")).distinct()
+      val bits = members.select(explode(js).as("j"), col("k"))
+        .select(col("j"), bit(col("j"), col("k")).as("bit")).distinct()
+        .withColumn("present", lit(1))
+      val probes = Tables.customer(s, d).select(col("c_custkey"))
+        .select(col("c_custkey"), explode(js).as("j"))
+        .withColumn("bit", bit(col("j"), col("c_custkey")))
+      val hitc = probes.join(broadcast(bits), Seq("j", "bit"), "left")
+        .groupBy("c_custkey")
+        .agg(sum(coalesce(col("present"), lit(0))).as("nbits"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(members, col("c_custkey") === col("k"), "left")
+        .select(col("c_custkey"),
+                when(col("k").isNotNull, lit(1)).otherwise(lit(0)).as("in_set"))
+        .join(hitc, "c_custkey")
+        .select(col("c_custkey"), col("in_set"),
+                when(col("nbits") === BloomK.toLong, lit(1)).otherwise(lit(0))
+                  .as("bloom_hit"))
+        .orderBy("c_custkey")
+    }),
+
     // Fixed-width histogram: bin id is pure row-local arithmetic, so the
     // whole key is ONE map-side-combinable hash aggregate whose output is
     // bounded by the bin count (~dozens of rows at any scale) — the
@@ -701,6 +748,38 @@ object AggOps {
       FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
       GROUP BY p.l_partkey, p.true_n
       ORDER BY p.l_partkey""",
+
+    // The identical k×m bit set in SQL; the left join + k-count is the
+    // AND over hash bits.
+    "agg_bloom_membership" -> s"""
+      WITH members AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000.0),
+      bits AS (
+        SELECT DISTINCT j,
+               ('0x' || substring(md5(j::VARCHAR || ':' || k::VARCHAR),
+                                  1, 6))::BIGINT % $BloomBits AS bit
+        FROM members, range(0, $BloomK) t(j)),
+      probes AS (
+        SELECT c_custkey, r.j,
+               ('0x' || substring(md5(r.j::VARCHAR || ':' ||
+                                      c_custkey::VARCHAR),
+                                  1, 6))::BIGINT % $BloomBits AS bit
+        FROM customer, range(0, $BloomK) r(j)),
+      hitc AS (
+        SELECT p.c_custkey,
+               sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nbits
+        FROM probes p LEFT JOIN bits b ON b.j = p.j AND b.bit = p.bit
+        GROUP BY p.c_custkey)
+      SELECT c.c_custkey,
+             CAST(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS in_set,
+             CAST(CASE WHEN h.nbits = $BloomK THEN 1 ELSE 0 END AS INT)
+               AS bloom_hit
+      FROM customer c
+      LEFT JOIN members m ON c.c_custkey = m.k
+      JOIN hitc h ON h.c_custkey = c.c_custkey
+      ORDER BY c.c_custkey""",
 
     // DuckDB floor() yields DOUBLE (Spark's yields LONG) — cast the bin id.
     "agg_histogram" -> """

@@ -69,6 +69,28 @@ object OptOps {
     }
     graft.GraftCaches.track(df)
   }
+  /** opt_cbo_stats catalog fixture: orders + customer saved as catalog
+    * tables (data under a shutdown-deleted tmp dir) and ANALYZE'd —
+    * table + ALL-COLUMNS statistics — once per (JVM, sfDir). ANALYZE is
+    * the production step that turns the catalog into a cost model; at
+    * 100 TB it reads footer-level counts + one NDV sketch pass and is
+    * amortized over every subsequent query on the table. */
+  private lazy val cboBase: String = ScanOps.tmpDir("graft-cbo-")
+  private val cboFor =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def cboTables(s: SparkSession, d: String): (String, String) =
+    cboFor.computeIfAbsent(d, _ => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val (ot, ct) = (s"graft_cbo_orders_$tag", s"graft_cbo_customer_$tag")
+      Tables.orders(s, d).write.mode("overwrite")
+        .option("path", s"$cboBase/$tag/orders").saveAsTable(ot)
+      Tables.customer(s, d).write.mode("overwrite")
+        .option("path", s"$cboBase/$tag/customer").saveAsTable(ct)
+      s.sql(s"ANALYZE TABLE $ot COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql(s"ANALYZE TABLE $ct COMPUTE STATISTICS FOR ALL COLUMNS")
+      (ot, ct)
+    })
+
   private[graft] def partitionedLineitem(s: SparkSession, d: String): String =
     dppFor.computeIfAbsent(d, _ => {
       val dir = s"$dppBase/${java.lang.Integer.toHexString(d.hashCode)}/lineitem_by_year"
@@ -302,6 +324,44 @@ object OptOps {
     // without forceApply. Result materializes inside the conf scope
     // (rewrites happen at action time); OperatorSpec pins `skewed` in the
     // executed plan.
+    // Cost-based optimization from ANALYZE'd catalog statistics — the
+    // lever that replaces guessed size estimates with measured ones
+    // (row counts + per-column NDV/min/max), which is what decides
+    // broadcast-vs-shuffle and join order when relations are views or
+    // mid-plan aggregates Spark cannot size from files. The fixture
+    // saves orders+customer as catalog tables ONCE per (JVM, sfDir) and
+    // ANALYZEs them (stats live in the catalog — at 100 TB that is a
+    // metadata operation amortized over every query on the table); the
+    // key then runs a filtered join under spark.sql.cbo.enabled +
+    // joinReorder. Statistics change the PLAN, never the result (the
+    // oracle is the plain parquet join); PlanSpec pins that the
+    // ANALYZE'd relations expose exact rowCount stats to the optimizer.
+    "opt_cbo_stats" -> ((s, d) => {
+      val (ot, ct) = cboTables(s, d)
+      val confs = Seq(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = s.table(ot)
+          .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+               expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
+                 .as("revenue"))
+          .orderBy("c_nationkey")
+        swapCached("opt_cbo_stats", out)
+        out.cache()
+        out.count()
+        out
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     "opt_aqe_skew" -> ((s, d) => {
       val confs = Seq(
         "spark.sql.adaptive.enabled" -> "true",
@@ -461,6 +521,17 @@ object OptOps {
       SELECT dist.n, dist.n_cust, tot.total_rev, tot.n_all
       FROM dist CROSS JOIN tot
       ORDER BY n""",
+
+    // Statistics change the plan, never the result — the oracle is the
+    // plain parquet join.
+    "opt_cbo_stats" -> """
+      SELECT c_nationkey, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""",
 
     "opt_aqe_skew" -> """
       SELECT count(*) AS n,

@@ -636,6 +636,58 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking (the rsync/FastCDC family): chunk
+    // boundaries are placed where a rolling content hash (md5-fold of the
+    // 4-gram ending there) hits 0 mod 16 — so boundaries move WITH the
+    // content, and an insertion near a doc's head re-chunks only the
+    // neighborhood instead of shifting every fixed-width block (the
+    // property that makes chunk-level dedup robust to edits, which
+    // fixed-size chunking fundamentally is not). Boundary detection +
+    // chunk slicing are row-local array expressions (no explode before
+    // the bounded stats); the corpus-level half explodes chunk hashes to
+    // find chunks shared across docs — 16 B hashes shuffle, never chunk
+    // text, and the expected chunk size (~16 chars here) is the mod
+    // divisor, the single tuning knob. Output: per-doc chunk stats + how
+    // many of its chunks also appear elsewhere.
+    "llm_cdc_chunking" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text").as("t"))
+      val chunked = graft.GraftCaches.track(docs.withColumn("edges", expr(
+        """concat(array(0),
+                  filter(transform(filter(sequence(1, length(t) - 3),
+                           p -> CAST(conv(substring(md5(substring(t, p, 4)),
+                                          1, 6), 16, 10) AS BIGINT) % 16 = 0),
+                         p -> p + 3),
+                  e -> e < length(t)),
+                  array(length(t)))"""))
+        .select(col("doc_id"), col("t"), col("edges"),
+                expr("""transform(sequence(1, size(edges) - 1),
+                        i -> substring(t, element_at(edges, i) + 1,
+                             element_at(edges, i + 1) - element_at(edges, i)))""")
+                  .as("chunks"))
+        .cache())
+      val ch = chunked.select(col("doc_id"), explode(col("chunks")).as("c"))
+        .select(col("doc_id"), md5(col("c")).as("h"))
+      val rep = ch.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("h")
+      val perRep = ch.join(rep, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_rep"))
+      chunked
+        .select(col("doc_id"),
+                (size(col("edges")) - 1).cast("long").as("n_chunks"),
+                expr("""CAST(array_max(transform(sequence(1, size(edges) - 1),
+                        i -> element_at(edges, i + 1) - element_at(edges, i)))
+                        AS BIGINT)""").as("max_chunk"),
+                round(length(col("t")).cast("double") /
+                      (size(col("edges")) - 1), 2).as("avg_chunk"))
+        .join(perRep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"), col("max_chunk"),
+                col("avg_chunk"),
+                coalesce(col("n_rep"), lit(0L)).as("n_rep"))
+        .orderBy("doc_id")
+    }),
+
     // Perplexity-proxy quality scoring (the CCNet-style filter signal): a
     // char-trigram unigram LM is trained per language ON THE CORPUS ITSELF
     // (counts / total), and each doc is scored by the mean log-probability
@@ -1205,6 +1257,41 @@ object TextOps {
       FROM x
       GROUP BY lang
       ORDER BY lang""",
+
+    // Same row-local boundary/slice lists in DuckDB (range() is
+    // end-exclusive — range(1, len-2) = Spark's sequence(1, len-3));
+    // hex→int via the '0x' cast.
+    "llm_cdc_chunking" -> """
+      WITH docs AS (
+        SELECT doc_id, text AS t FROM documents WHERE length(text) >= 8),
+      e AS (
+        SELECT doc_id, t,
+               list_concat(list_concat([0],
+                 list_filter(list_transform(
+                   list_filter(range(1, length(t) - 2),
+                     p -> ('0x' || substring(md5(substring(t, p, 4)),
+                                             1, 6))::BIGINT % 16 = 0),
+                   p -> p + 3), b -> b < length(t))),
+                 [length(t)]) AS edges
+        FROM docs),
+      ck AS (
+        SELECT doc_id, t, edges,
+               list_transform(range(1, len(edges)),
+                 i -> t[edges[i] + 1 : edges[i + 1]]) AS chunks
+        FROM e),
+      ch AS (SELECT doc_id, md5(unnest(chunks)) AS h FROM ck),
+      rep AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      per AS (
+        SELECT ch.doc_id, count(*) AS n_rep
+        FROM ch JOIN rep ON ch.h = rep.h GROUP BY ch.doc_id)
+      SELECT ck.doc_id,
+             CAST(len(edges) - 1 AS BIGINT) AS n_chunks,
+             CAST(list_max(list_transform(range(1, len(edges)),
+                    i -> edges[i + 1] - edges[i])) AS BIGINT) AS max_chunk,
+             round(length(t) / CAST(len(edges) - 1 AS DOUBLE), 2) AS avg_chunk,
+             CAST(coalesce(per.n_rep, 0) AS BIGINT) AS n_rep
+      FROM ck LEFT JOIN per ON ck.doc_id = per.doc_id
+      ORDER BY ck.doc_id""",
 
     "llm_fingerprint" -> """
       WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(lower(text)) >= 11),

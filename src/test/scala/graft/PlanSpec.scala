@@ -617,6 +617,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims not broadcast:\n$p")
   }
 
+  test("opt_cbo_stats: ANALYZE'd catalog relations expose exact row counts to the optimizer") {
+    val (ot, ct) = graft.ops.OptOps.cboTables(spark, d)
+    // rowCount/column stats surface on optimizedPlan.stats only under the
+    // CBO flag — which is exactly the conf the key runs under
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // the point of ANALYZE: the optimizer sees MEASURED rowCount, not a
+      // size-in-bytes guess — this is what cost-based join decisions read
+      val oStats = spark.table(ot).queryExecution.optimizedPlan.stats
+      val cStats = spark.table(ct).queryExecution.optimizedPlan.stats
+      assert(oStats.rowCount.isDefined, s"orders table has no rowCount stat: $oStats")
+      assert(cStats.rowCount.isDefined, s"customer table has no rowCount stat: $cStats")
+      assert(oStats.rowCount.get.toLong === Tables.orders(spark, d).count(),
+        "ANALYZE rowCount drifted from the actual table")
+      // per-column stats (NDV/min/max) back the selectivity model
+      assert(oStats.attributeStats.nonEmpty || cStats.attributeStats.nonEmpty,
+        "FOR ALL COLUMNS produced no column-level stats")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None    => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("opt_inmemory_cache: both consumers read the cached base, base agg planned once") {
     val p = plan("opt_inmemory_cache")
     val cachedScans = "InMemoryTableScan".r.findAllIn(p).length

@@ -395,6 +395,20 @@ class PropertySpec extends AnyFunSuite {
       "no collisions at 4x64 — geometry no longer demonstrates estimation")
   }
 
+  test("agg_bloom_membership: no false negatives, and both member and non-member probes exist") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("agg_bloom_membership")(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    // Bloom invariant: a true member can NEVER miss (its k bits were all set)
+    rows.foreach { r =>
+      if (r.getInt(1) == 1)
+        assert(r.getInt(2) == 1, s"false negative at key ${r.get(0)}")
+    }
+    // the probe set must exercise both sides or the pin is vacuous
+    assert(rows.exists(_.getInt(1) == 1), "no true members probed")
+    assert(rows.exists(_.getInt(1) == 0), "no non-members probed")
+  }
+
   test("llm_embed_standardize: standardized corpus has per-dim mean ~0 and var ~1") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
