@@ -1316,6 +1316,44 @@ object LlmOps {
     "llm_simhash" -> ((s, d) =>
       simhashPairs(s, d, TextHash).orderBy("doc_a", "doc_b")),
 
+    // Perceptual average-hash (aHash) near-dup over the stub-decoded
+    // image corpus — the image-dedup twin of llm_simhash: 60 "pixels"
+    // sampled at evenly spaced offsets of each asset's decoded payload
+    // (the honest-stub codec of the multimodal family — the pixel source
+    // is fake, the pipeline is real), thresholded against the pixel mean
+    // (p·60 > Σp — integer-exact, no float average), packed to a 60-bit
+    // signature, then the SAME 5×12 banded candidate join + Hamming ≤ 4
+    // confirm the text SimHash path uses (simhashPairsOf — one shared
+    // core, so the banding recall properties pinned there carry over).
+    // Output is per-ASSET (sig + near-dup partner count) rather than
+    // per-pair: the corpus plants no byte-identical assets at tiny SFs,
+    // so a pair list can be legitimately empty while the per-asset audit
+    // never is. Scale: signature build is row-local; only 8 B signatures
+    // shuffle.
+    "llm_multimodal_phash" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d)
+        .filter(length(col("text")) >= 60)
+        .select(col("doc_id"), col("text").as("t"))
+      val sigs = docs
+        .withColumn("pix", expr(
+          """transform(sequence(0, 59), i ->
+             ascii(substring(t, 1 + CAST(floor(i * length(t) / 60.0) AS INT), 1)))"""))
+        .withColumn("psum", expr("aggregate(pix, 0, (a, x) -> a + x)"))
+        .select(col("doc_id"), expr(
+          """aggregate(pix, CAST(0 AS BIGINT),
+             (acc, p) -> acc * 2 + (CASE WHEN p * 60 > psum
+                                    THEN CAST(1 AS BIGINT)
+                                    ELSE CAST(0 AS BIGINT) END))""").as("sig"))
+      val pairs = simhashPairsOf(sigs)
+      val partners = pairs.select(col("doc_a").as("pid"))
+        .unionByName(pairs.select(col("doc_b").as("pid")))
+        .groupBy("pid").agg(count(lit(1)).as("n_neardup"))
+      sigs.join(partners, col("doc_id") === col("pid"), "left")
+        .select(col("doc_id"), col("sig"),
+                coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: the exact all-pairs formulation (the
     // definition), evaluated with the codegen'd Expression over a broadcast
     // side. O(n²) by definition — the approximate scale paths are
@@ -2300,6 +2338,39 @@ object LlmOps {
 
     // Honest all-pairs Hamming predicate — banding recall is 1.0 by
     // pigeonhole (4 errors, 5 bands), so exact match is REQUIRED.
+    // Same sampled-pixel/threshold/pack arithmetic (all integer-exact);
+    // pairs confirmed all-pairs at oracle scale — the banded plan finds
+    // exactly these (Hamming ≤ 4 with 5 bands ⇒ one band equal, by
+    // pigeonhole).
+    "llm_multimodal_phash" -> """
+      WITH d AS (SELECT doc_id, text AS t FROM documents
+                 WHERE length(text) >= 60),
+      px AS (
+        SELECT doc_id,
+               list_transform(range(0, 60), i ->
+                 ascii(substring(t, 1 + CAST(floor(i * length(t) / 60.0)
+                                             AS INT), 1))) AS pix
+        FROM d),
+      sg AS (
+        SELECT doc_id,
+               list_reduce(list_transform(pix, p ->
+                 CAST(CASE WHEN p * 60 > list_sum(pix) THEN 1 ELSE 0 END
+                      AS BIGINT)),
+                 (a, b) -> a * 2 + b) AS sig
+        FROM px),
+      pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 4),
+      pc AS (
+        SELECT pid, count(*) AS n_neardup FROM (
+          SELECT doc_a AS pid FROM pr UNION ALL SELECT doc_b FROM pr)
+        GROUP BY pid)
+      SELECT sg.doc_id, sg.sig,
+             CAST(coalesce(pc.n_neardup, 0) AS BIGINT) AS n_neardup
+      FROM sg LEFT JOIN pc ON sg.doc_id = pc.pid
+      ORDER BY sg.doc_id""",
+
     "llm_simhash" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       hx AS (

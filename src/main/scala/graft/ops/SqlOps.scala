@@ -595,6 +595,24 @@ object SqlOps {
       """)
     }),
 
+    // INTERSECT / EXCEPT in SQL TEXT — §G's set algebra reached through
+    // the parser (the API keys prove the operators; this proves the SQL
+    // front door): high-balance customers who placed an URGENT order but
+    // never a finished one. Catalyst plans INTERSECT as a LeftSemi and
+    // EXCEPT as a LeftAnti over the deduped sides — set semantics, no
+    // full materialized distinct-union anywhere.
+    "sql_set_ops" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c_custkey FROM customer_m WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT o_custkey FROM orders_m WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders_m WHERE o_orderstatus = 'F'
+        ORDER BY c_custkey
+      """)
+    }),
+
     // GROUP BY ALL / ORDER BY ALL — the modern-SQL ergonomic surface
     // (every non-aggregate output column groups implicitly; the output
     // orders by all columns left-to-right). Resolves to exactly the
@@ -767,7 +785,8 @@ object SqlOps {
     // TPC-H Q11 shape (important stock): a grouped value rollup filtered
     // by HAVING against a GLOBAL scalar fraction of the same CTE — the
     // "top concentration" pattern. partsupp is derived from lineitem (per-
-    // (part,supplier) revenue within one nation); the CTE is referenced
+    // (part,supplier) revenue within a nation band — a LIKE band, not a
+    // single nation, so the fixture is non-empty at every SF); the CTE is
     // twice and Catalyst evaluates the global-sum scalar once, broadcasting
     // the 1-row threshold into the HAVING filter. Value accumulates in
     // DECIMAL end-to-end (both sums exact); only the final output casts to
@@ -781,7 +800,7 @@ object SqlOps {
           FROM lineitem_m
           JOIN supplier_m ON l_suppkey = s_suppkey
           JOIN nation_m   ON s_nationkey = n_nationkey
-          WHERE n_name = 'NATION_5'
+          WHERE n_name LIKE 'NATION_1%'
           GROUP BY l_partkey, l_suppkey)
         SELECT ps_partkey,
                CAST(round(sum(ps_value), 2) AS DOUBLE) AS total_value
@@ -1157,6 +1176,14 @@ object SqlOps {
       GROUP BY n_name
       ORDER BY revenue DESC, n_name""",
 
+    "sql_set_ops" -> """
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY c_custkey""",
+
     "sql_group_by_all" -> """
       SELECT l_returnflag, l_linestatus,
              count(*) AS n_lines,
@@ -1264,7 +1291,7 @@ object SqlOps {
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
-        WHERE n_name = 'NATION_5'
+        WHERE n_name LIKE 'NATION_1%'
         GROUP BY l_partkey, l_suppkey)
       SELECT ps_partkey,
              CAST(round(sum(ps_value), 2) AS DOUBLE) AS total_value

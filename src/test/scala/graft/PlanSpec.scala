@@ -617,6 +617,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims not broadcast:\n$p")
   }
 
+  test("sql_q2_min_cost: correlated scalar min decorrelates to aggregate-then-join") {
+    val p = plan("sql_q2_min_cost")
+    // the per-part min must run as ONE aggregate joined back on partkey,
+    // never as a per-row subquery re-execution
+    assert(!p.contains("Subquery subquery") && !p.contains("InSubqueryExec"),
+      s"correlated min executed per-row:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+  }
+
+  test("sql_q20_potential_promo: nested IN + correlated HAVING scalar plan as semi joins, no per-row subqueries") {
+    val p = plan("sql_q20_potential_promo")
+    assert(p.contains("LeftSemi"), s"IN did not plan a semi join:\n$p")
+    assert(!p.contains("Subquery subquery") && !p.contains("InSubqueryExec"),
+      s"correlated half-sum executed per-row:\n$p")
+  }
+
   test("opt_cbo_stats: ANALYZE'd catalog relations expose exact row counts to the optimizer") {
     val (ot, ct) = graft.ops.OptOps.cboTables(spark, d)
     // rowCount/column stats surface on optimizedPlan.stats only under the
