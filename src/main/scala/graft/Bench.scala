@@ -106,6 +106,7 @@ object Bench {
     quietly(graft.ops.WebOps.streamIndexPath(spark, sfDir))
     quietly(graft.ops.WebOps.compactIndexPath(spark, sfDir))
     quietly(graft.ops.GraphOps.forestStorePath(spark, sfDir))
+    quietly(graft.ops.OptOps.cboTables(spark, sfDir))
     val setupSec = (System.nanoTime() - s0) / 1e9
 
     // Drift sentinel: one fixed cheap plan, timed single-shot. Uses the

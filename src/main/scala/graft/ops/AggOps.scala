@@ -598,18 +598,27 @@ object AggOps {
     // swap xxhash64 exactly like the TextHash flag family).
     "agg_count_min" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_partkey"))
-      def bucket(j: org.apache.spark.sql.Column,
-                 key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        pmod(conv(substring(md5(concat_ws(":", j, key)), 1, 6), 16, 10)
-          .cast("long"), lit(CmsWidth.toLong))
-      val js = array((0 until CmsDepth).map(lit): _*)
-      val cells = li.select(explode(js).as("j"), col("l_partkey"))
-        .groupBy(col("j"), bucket(col("j"), col("l_partkey")).as("bucket"))
-        .agg(count(lit(1)).as("c"))
+      // ONE md5 per DISTINCT key, not per corpus row: the stream first
+      // collapses to per-key counts (a map-side-combinable hash agg —
+      // the only corpus-scale op in the key), and the sketch cells sum
+      // those counts. Equivalent by linearity of the cell sums, and the
+      // right plan whenever key cardinality ≪ stream length — true here
+      // and at 100 TB. The d hash rows are disjoint 6-hex-char slices of
+      // the one digest (24 independent bits each).
+      val bucketsExpr = expr(
+        s"""posexplode(transform(sequence(0, ${CmsDepth - 1}), j ->
+            CAST(conv(substring(h, 1 + 6 * j, 6), 16, 10) AS BIGINT)
+            % $CmsWidth))""")
+      val perKey = li.groupBy("l_partkey").agg(count(lit(1)).as("kc"))
+        .withColumn("h", md5(col("l_partkey").cast("string")))
+      val cells = perKey
+        .select(col("kc"), bucketsExpr.as(Seq("j", "bucket")))
+        .groupBy("j", "bucket").agg(sum("kc").as("c"))
       val probes = li.filter(col("l_partkey") <= 20)
         .groupBy("l_partkey").agg(count(lit(1)).as("true_n"))
-      probes.select(col("l_partkey"), col("true_n"), explode(js).as("j"))
-        .withColumn("bucket", bucket(col("j"), col("l_partkey")))
+      probes
+        .withColumn("h", md5(col("l_partkey").cast("string")))
+        .select(col("l_partkey"), col("true_n"), bucketsExpr.as(Seq("j", "bucket")))
         .join(cells, Seq("j", "bucket"))
         .groupBy("l_partkey", "true_n")
         .agg(min("c").as("cms_est"))
@@ -730,8 +739,8 @@ object AggOps {
     "agg_count_min" -> s"""
       WITH cells AS (
         SELECT j,
-               ('0x' || substring(md5(j::VARCHAR || ':' || l_partkey::VARCHAR),
-                                  1, 6))::BIGINT % $CmsWidth AS bucket,
+               ('0x' || substring(md5(l_partkey::VARCHAR),
+                                  1 + 6 * j, 6))::BIGINT % $CmsWidth AS bucket,
                count(*) AS c
         FROM lineitem, range(0, $CmsDepth) t(j)
         GROUP BY 1, 2),
@@ -740,9 +749,8 @@ object AggOps {
         WHERE l_partkey <= 20 GROUP BY l_partkey),
       probes AS (
         SELECT t.l_partkey, t.true_n, r.j,
-               ('0x' || substring(md5(r.j::VARCHAR || ':' ||
-                                      t.l_partkey::VARCHAR),
-                                  1, 6))::BIGINT % $CmsWidth AS bucket
+               ('0x' || substring(md5(t.l_partkey::VARCHAR),
+                                  1 + 6 * r.j, 6))::BIGINT % $CmsWidth AS bucket
         FROM truth t, range(0, $CmsDepth) r(j))
       SELECT p.l_partkey, p.true_n, min(c.c) AS cms_est
       FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
