@@ -837,6 +837,49 @@ object Stats {
     graft.ops.AggOps.heavyHittersOf(df, valueCol)
 }
 
+/** Bounded-memory mergeable sketch structures (agg_count_min /
+  * agg_bloom_membership cores). Both use the md5-fold hash family —
+  * deterministic and cross-engine reproducible; swap xxhash64 in
+  * production exactly like the TextHash flag family. */
+object Sketch {
+  /** Count–min cells (j, bucket, c): `depth` hash rows × `width` buckets
+    * over `items(keyCol)`'s frequency stream. One corpus-scale hash agg
+    * (per-key counts), then cell sums by linearity; depth ≤ 5. */
+  def countMin(items: DataFrame, keyCol: String,
+               depth: Int = 4, width: Int = 1024): DataFrame =
+    graft.ops.AggOps.countMinCellsOf(items, keyCol, depth, width)
+
+  /** Point estimates → (keyCol, cms_est = min over rows of its cell).
+    * `cells` must come from [[countMin]] with the same geometry.
+    * Overestimate-only: est ≥ true count, always. */
+  def countMinEstimate(cells: DataFrame, probes: DataFrame, keyCol: String,
+                       depth: Int = 4, width: Int = 1024): DataFrame =
+    graft.ops.AggOps.countMinEstimateOf(cells, probes, keyCol, depth, width)
+
+  /** Bloom bit set (j, bit) over `members(keyCol)` — ≤ k·m rows at any
+    * scale; broadcast it to pre-filter a probe stream before an exact
+    * join. */
+  def bloomBits(members: DataFrame, keyCol: String,
+                k: Int = 4, bits: Int = 4096): DataFrame =
+    graft.ops.AggOps.bloomBitsOf(members, keyCol, k, bits)
+
+  /** Probe verdicts → (keyCol, bloom_hit 0/1): hit iff all k bits set.
+    * No false negatives; FP rate = (1−e^{−kn/m})^k. */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, keyCol: String,
+                 k: Int = 4, m: Int = 4096): DataFrame =
+    graft.ops.AggOps.bloomProbeOf(bits, probes, keyCol, k, m)
+}
+
+/** Declarative data-quality gates (obs_dq_checks' row-local core). */
+object Quality {
+  /** Evaluate every `name -> violation predicate` rule in ONE pass over
+    * `df` → (rule, n_violations) rows. Rule names must be identifiers.
+    * Relational rules (FK existence, uniqueness) need joins — compose
+    * them with unionByName like the obs_dq_checks contract key does. */
+  def expect(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    graft.ops.ScanOps.expectOf(df, rules)
+}
+
 /** Graph analytics over (src, dst) edge frames. */
 object Graph {
   /** Scaled PageRank (d = 0.85, ranks sum to N) after `iters` fixed

@@ -30,6 +30,77 @@ object AggOps {
   private[graft] val BloomK = 4
   private[graft] val BloomBits = 4096
 
+  /** Count–min cells (j, bucket, c) over `items(keyCol)` — the
+    * agg_count_min core and the `Sketch.countMin` facade. The stream
+    * collapses to per-key counts FIRST (the only corpus-scale op,
+    * map-side combinable); cells sum those counts — equivalent by
+    * linearity, one md5 per distinct key. Hash rows are disjoint
+    * 6-hex-char slices of the digest, so depth ≤ 5. */
+  private[graft] def countMinCellsOf(items: DataFrame, keyCol: String,
+                                     depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 5, "md5 supplies 5 disjoint 6-hex slices")
+    val perKey = items.groupBy(col(keyCol).as("cms_k"))
+      .agg(count(lit(1)).as("kc"))
+      .withColumn("h", md5(col("cms_k").cast("string")))
+    perKey
+      .select(col("kc"), cmsBuckets(depth, width).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(sum("kc").as("c"))
+  }
+
+  /** Point estimates est(key) = min over hash rows of cell(j, h_j(key))
+    * for every distinct probe key → (keyCol, cms_est). `cells` must come
+    * from [[countMinCellsOf]] with the same (depth, width). Probes absent
+    * from the sketch entirely still land in d cells (possibly zero-count
+    * buckets are ABSENT rows — such keys drop out; a CMS answers "how
+    * often did I see this", and a key with any untouched bucket was
+    * provably never seen). */
+  private[graft] def countMinEstimateOf(cells: DataFrame, probes: DataFrame,
+                                        keyCol: String, depth: Int,
+                                        width: Int): DataFrame =
+    probes.select(col(keyCol)).distinct()
+      .withColumn("h", md5(col(keyCol).cast("string")))
+      .select(col(keyCol), cmsBuckets(depth, width).as(Seq("j", "bucket")))
+      .join(cells, Seq("j", "bucket"))
+      .groupBy(keyCol).agg(min("c").as("cms_est"))
+
+  private def cmsBuckets(depth: Int, width: Int): org.apache.spark.sql.Column =
+    posexplode(expr(
+      s"""transform(sequence(0, ${depth - 1}), j ->
+          CAST(conv(substring(h, 1 + 6 * j, 6), 16, 10) AS BIGINT) % $width)"""))
+
+  /** Bloom bit set (j, bit) over `members(keyCol)` — ≤ k·m rows at any
+    * scale; broadcast it to pre-filter a probe stream (agg_bloom_
+    * membership / `Sketch.bloomBits`). */
+  private[graft] def bloomBitsOf(members: DataFrame, keyCol: String,
+                                 k: Int, m: Int): DataFrame =
+    members.select(col(keyCol).as("bloom_k")).distinct()
+      .select(col("bloom_k"),
+              explode(array((0 until k).map(lit): _*)).as("j"))
+      .select(col("j"), bloomBit(col("j"), col("bloom_k"), m).as("bit"))
+      .distinct()
+
+  /** Probe verdicts → (keyCol, bloom_hit 0/1): hit iff ALL k bits are
+    * set. No false negatives ever; false-positive rate is the standard
+    * (1−e^{−kn/m})^k. */
+  private[graft] def bloomProbeOf(bits: DataFrame, probes: DataFrame,
+                                  keyCol: String, k: Int, m: Int): DataFrame =
+    probes.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array((0 until k).map(lit): _*)).as("j"))
+      .withColumn("bit", bloomBit(col("j"), col(keyCol), m))
+      .join(broadcast(bits.withColumn("present", lit(1))),
+            Seq("j", "bit"), "left")
+      .groupBy(keyCol)
+      .agg(sum(coalesce(col("present"), lit(0))).as("nbits"))
+      .select(col(keyCol),
+              when(col("nbits") === k.toLong, lit(1)).otherwise(lit(0))
+                .as("bloom_hit"))
+
+  private def bloomBit(j: org.apache.spark.sql.Column,
+                       key: org.apache.spark.sql.Column,
+                       m: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat_ws(":", j, key)), 1, 6), 16, 10)
+      .cast("long"), lit(m.toLong))
+
   /** Misra–Gries heavy-hitter summary state: `keys` sorted ascending (for
     * the O(log k) membership probe), `counts` parallel. Arrays are mutated
     * in place on the hot paths (hit increment, full-table decrement) —
@@ -598,30 +669,12 @@ object AggOps {
     // swap xxhash64 exactly like the TextHash flag family).
     "agg_count_min" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_partkey"))
-      // ONE md5 per DISTINCT key, not per corpus row: the stream first
-      // collapses to per-key counts (a map-side-combinable hash agg —
-      // the only corpus-scale op in the key), and the sketch cells sum
-      // those counts. Equivalent by linearity of the cell sums, and the
-      // right plan whenever key cardinality ≪ stream length — true here
-      // and at 100 TB. The d hash rows are disjoint 6-hex-char slices of
-      // the one digest (24 independent bits each).
-      val bucketsExpr = expr(
-        s"""posexplode(transform(sequence(0, ${CmsDepth - 1}), j ->
-            CAST(conv(substring(h, 1 + 6 * j, 6), 16, 10) AS BIGINT)
-            % $CmsWidth))""")
-      val perKey = li.groupBy("l_partkey").agg(count(lit(1)).as("kc"))
-        .withColumn("h", md5(col("l_partkey").cast("string")))
-      val cells = perKey
-        .select(col("kc"), bucketsExpr.as(Seq("j", "bucket")))
-        .groupBy("j", "bucket").agg(sum("kc").as("c"))
-      val probes = li.filter(col("l_partkey") <= 20)
+      val cells = countMinCellsOf(li, "l_partkey", CmsDepth, CmsWidth)
+      val truth = li.filter(col("l_partkey") <= 20)
         .groupBy("l_partkey").agg(count(lit(1)).as("true_n"))
-      probes
-        .withColumn("h", md5(col("l_partkey").cast("string")))
-        .select(col("l_partkey"), col("true_n"), bucketsExpr.as(Seq("j", "bucket")))
-        .join(cells, Seq("j", "bucket"))
-        .groupBy("l_partkey", "true_n")
-        .agg(min("c").as("cms_est"))
+      countMinEstimateOf(cells, truth, "l_partkey", CmsDepth, CmsWidth)
+        .join(truth, "l_partkey")
+        .select(col("l_partkey"), col("true_n"), col("cms_est"))
         .orderBy("l_partkey")
     }),
 
@@ -638,32 +691,19 @@ object AggOps {
     // no-false-negative invariant. Same md5-fold hash family as
     // agg_count_min.
     "agg_bloom_membership" -> ((s, d) => {
-      def bit(j: org.apache.spark.sql.Column,
-              key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        pmod(conv(substring(md5(concat_ws(":", j, key)), 1, 6), 16, 10)
-          .cast("long"), lit(BloomBits.toLong))
-      val js = array((0 until BloomK).map(lit): _*)
       val members = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT" &&
                 col("o_totalprice") > 450000.0)
         .select(col("o_custkey").as("k")).distinct()
-      val bits = members.select(explode(js).as("j"), col("k"))
-        .select(col("j"), bit(col("j"), col("k")).as("bit")).distinct()
-        .withColumn("present", lit(1))
+      val bits = bloomBitsOf(members, "k", BloomK, BloomBits)
       val probes = Tables.customer(s, d).select(col("c_custkey"))
-        .select(col("c_custkey"), explode(js).as("j"))
-        .withColumn("bit", bit(col("j"), col("c_custkey")))
-      val hitc = probes.join(broadcast(bits), Seq("j", "bit"), "left")
-        .groupBy("c_custkey")
-        .agg(sum(coalesce(col("present"), lit(0))).as("nbits"))
-      Tables.customer(s, d).select(col("c_custkey"))
+      probes
         .join(members, col("c_custkey") === col("k"), "left")
         .select(col("c_custkey"),
                 when(col("k").isNotNull, lit(1)).otherwise(lit(0)).as("in_set"))
-        .join(hitc, "c_custkey")
-        .select(col("c_custkey"), col("in_set"),
-                when(col("nbits") === BloomK.toLong, lit(1)).otherwise(lit(0))
-                  .as("bloom_hit"))
+        .join(bloomProbeOf(bits, probes, "c_custkey", BloomK, BloomBits),
+              "c_custkey")
+        .select(col("c_custkey"), col("in_set"), col("bloom_hit"))
         .orderBy("c_custkey")
     }),
 

@@ -24,6 +24,26 @@ object ScanOps {
     * non-empty), which leaked one table copy per roundtrip-key invocation
     * per JVM until the OS reaper ran. One definition for every sink/
     * roundtrip key. */
+  /** Row-local data-quality core (obs_dq_checks / `Quality.expect`):
+    * every rule is `name -> violation predicate`, all evaluated as
+    * conditional sums in ONE pass over `df`, unstacked to (rule,
+    * n_violations) rows — never a scan per rule. Relational rules
+    * (referential integrity, uniqueness) need their own join/agg shapes
+    * and are composed by the caller. */
+  private[graft] def expectOf(df: org.apache.spark.sql.DataFrame,
+                              rules: Seq[(String, org.apache.spark.sql.Column)])
+      : org.apache.spark.sql.DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    rules.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"), s"rule name '$n' must be an identifier") }
+    val aggs = rules.zipWithIndex.map { case ((_, cond), i) =>
+      sum(when(cond, 1L).otherwise(0L)).as(s"v$i") }
+    val stacked = rules.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', v$i" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)")
+  }
+
   private[graft] def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -336,6 +356,35 @@ object ScanOps {
     // is a count over the filtered scan, and the key RETURNS the observed
     // metrics row — so the oracle hash-checks that the in-flight counters
     // equal the ground-truth aggregation.
+    // Data-quality expectations (the Deequ/Great-Expectations gate shape):
+    // declared rules evaluated over the orders feed, one row per rule
+    // with its violation count — the report a pipeline asserts on before
+    // promoting a batch. Plan shape is the 100 TB lesson: the three
+    // ROW-LOCAL rules (null key, non-positive amount, date out of range)
+    // fuse into ONE scan as conditional sums unstacked to rows — never a
+    // scan per rule; the two RELATIONAL rules each need their own shape
+    // anyway (referential integrity = an anti join on the dimension,
+    // uniqueness = a keyed count — both shuffle on the key they check,
+    // nothing else). Five 1-row frames union at the end.
+    "obs_dq_checks" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val rowLocal = expectOf(o, Seq(
+        "key_not_null" -> col("o_orderkey").isNull,
+        "positive_amount" -> (col("o_totalprice") <= 0.0),
+        "date_in_range" ->
+          (col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+           col("o_orderdate") >= lit("2002-01-01").cast("timestamp"))))
+      val orphan = o.join(Tables.customer(s, d).select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_customer_exists").as("rule"), col("n_violations"))
+      val dups = o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("key_unique").as("rule"), col("n_violations"))
+      rowLocal.unionByName(orphan).unionByName(dups).orderBy("rule")
+    }),
+
     "obs_metrics" -> ((s, d) => {
       val o = new org.apache.spark.sql.Observation(
         s"graft_obs_${obsCounter.incrementAndGet()}")
@@ -703,6 +752,29 @@ object ScanOps {
     // from base.
     // The observed counters must equal the ground-truth aggregation over
     // the same filter — that equality IS what the key demonstrates.
+    // Stacked conditional sums spelled as UNION ALL arms; counts BIGINT
+    // on both sides.
+    "obs_dq_checks" -> """
+      WITH rl AS (
+        SELECT sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nk,
+               sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS np,
+               sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                          OR o_orderdate >= TIMESTAMP '2002-01-01'
+                        THEN 1 ELSE 0 END) AS dr
+        FROM orders)
+      SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+        SELECT 'key_not_null' AS rule, nk AS n_violations FROM rl
+        UNION ALL SELECT 'positive_amount', np FROM rl
+        UNION ALL SELECT 'date_in_range', dr FROM rl
+        UNION ALL
+        SELECT 'fk_customer_exists', count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'key_unique', count(*) FROM (
+          SELECT o_orderkey FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1))
+      ORDER BY rule""",
+
     "obs_metrics" -> """
       SELECT count(*) AS n_rows,
              round(sum(l_quantity), 2) AS sum_qty,

@@ -622,6 +622,48 @@ class ApiSpec extends AnyFunSuite {
     assert(api2.nonEmpty)
   }
 
+  test("Sketch.countMin + countMinEstimate recompose agg_count_min") {
+    val li = Tables.lineitem(spark, d).select(col("l_partkey"))
+    val cells = api.Sketch.countMin(li, "l_partkey", depth = 4, width = 64)
+    val truth = li.filter(col("l_partkey") <= 20)
+      .groupBy("l_partkey")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("true_n"))
+    val api2 = rowSet(
+      api.Sketch.countMinEstimate(cells, truth, "l_partkey", depth = 4, width = 64)
+        .join(truth, "l_partkey")
+        .select(col("l_partkey"), col("true_n"), col("cms_est")))
+    val key = rowSet(SparkEntry.queries("agg_count_min")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Sketch.bloomBits + bloomProbe recompose agg_bloom_membership's verdicts") {
+    val members = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000.0)
+      .select(col("o_custkey").as("k")).distinct()
+    val bits = api.Sketch.bloomBits(members, "k", k = 4, bits = 4096)
+    val probes = Tables.customer(spark, d).select(col("c_custkey"))
+    val api2 = rowSet(api.Sketch.bloomProbe(bits, probes, "c_custkey", k = 4, m = 4096))
+    val key = rowSet(SparkEntry.queries("agg_bloom_membership")(spark, d)
+      .select(col("c_custkey"), col("bloom_hit")))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Quality.expect equals obs_dq_checks' row-local rules") {
+    val o = Tables.orders(spark, d)
+    val api2 = rowSet(api.Quality.expect(o, Seq(
+      "key_not_null" -> col("o_orderkey").isNull,
+      "positive_amount" -> (col("o_totalprice") <= 0.0),
+      "date_in_range" ->
+        (col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+         col("o_orderdate") >= lit("2002-01-01").cast("timestamp")))))
+    val key = rowSet(SparkEntry.queries("obs_dq_checks")(spark, d)
+      .filter(col("rule").isin("key_not_null", "positive_amount", "date_in_range")))
+    assert(api2 === key)
+    assert(api2.size === 3)
+  }
+
   test("Graph.kcore equals graph_kcore (custom column names)") {
     val edges = graft.ops.GraphOps.repeatTradeEdges(spark, d)
       .select(col("src").as("u"), col("dst").as("v"))
