@@ -95,6 +95,7 @@ object Bench {
     quietly(graft.ops.JoinOps.bucketedTables(spark, sfDir))
     quietly(graft.ops.OptOps.partitionedLineitem(spark, sfDir))
     quietly(graft.ops.OptOps.zorderedOrders(spark, sfDir))
+    quietly(graft.ops.OptOps.nestedDocuments(spark, sfDir))
     quietly(graft.ops.ScanOps.jdbcOrdersUrl(spark, sfDir))
     quietly(graft.ops.ScanOps.compactedOrders(spark, sfDir))
     quietly(graft.ops.ScanOps.binFilesDir(spark, sfDir))

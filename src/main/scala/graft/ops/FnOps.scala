@@ -216,6 +216,37 @@ object FnOps {
         .orderBy("event_id")
     }),
 
+    // Nested STRUCT surface: build (struct / nested struct / array of
+    // structs), dot-path access through two levels, and field access
+    // through higher-order array ops (filter on a field, fold over a
+    // field). Structs are Spark's native nested row type — all of this is
+    // codegen'd per-row expression work with zero shuffle; at 100 TB the
+    // point is that a struct column is COLUMNAR in parquet (each leaf its
+    // own column chunk), so building/accessing structs costs nothing at
+    // the storage layer — see opt_nested_schema_pruning for the read-side
+    // leaf pruning this enables.
+    "fn_struct_nested" -> ((s, d) => {
+      Tables.customer(s, d)
+        .withColumn("cust", struct(
+          col("c_name").as("name"),
+          round(col("c_acctbal"), 2).as("bal"),
+          struct(col("c_nationkey").as("nation"),
+                 col("c_mktsegment").as("seg")).as("geo")))
+        .withColumn("tags", array(
+          struct(lit("bal").as("k"), round(col("c_acctbal"), 2).as("v")),
+          struct(lit("half").as("k"), round(col("c_acctbal") / 2, 4).as("v"))))
+        .select(
+          col("c_custkey"),
+          col("cust.name").as("name"),
+          col("cust.geo.nation").as("nation"),
+          col("cust.geo.seg").as("seg"),
+          element_at(filter(col("tags"), t => t.getField("k") === "half"), 1)
+            .getField("v").as("half_bal"),
+          round(aggregate(col("tags"), lit(0.0),
+                          (acc, t) => acc + t.getField("v")), 4).as("tag_sum"))
+        .orderBy("c_custkey")
+    }),
+
     // Regex family: extract (group ref), extract-all count, global replace,
     // boolean match, regex split. Patterns stay in the RE2∩Java-regex
     // common subset ([a-z] classes, no backrefs/lookaround) so Spark and
@@ -384,6 +415,26 @@ object FnOps {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // DuckDB struct_pack + dot access + lambda field refs mirror the
+    // Spark struct surface one-to-one.
+    "fn_struct_nested" -> """
+      WITH base AS (
+        SELECT c_custkey,
+               struct_pack(name := c_name, bal := round(c_acctbal, 2),
+                           geo := struct_pack(nation := c_nationkey,
+                                              seg := c_mktsegment)) AS cust,
+               [struct_pack(k := 'bal', v := round(c_acctbal, 2)),
+                struct_pack(k := 'half', v := round(c_acctbal / 2, 4))] AS tags
+        FROM customer)
+      SELECT c_custkey,
+             cust.name AS name,
+             cust.geo.nation AS nation,
+             cust.geo.seg AS seg,
+             list_filter(tags, t -> t.k = 'half')[1].v AS half_bal,
+             round(list_sum(list_transform(tags, t -> t.v)), 4) AS tag_sum
+      FROM base
+      ORDER BY c_custkey""",
 
     "fn_regex" -> """
       WITH h AS (SELECT doc_id, text, substring(text, 1, 40) AS head40 FROM documents)

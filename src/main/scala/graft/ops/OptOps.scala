@@ -187,7 +187,47 @@ object OptOps {
       dir
     })
 
+  private val nestedFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** documents re-laid-out as a NESTED table — `doc struct{meta struct{
+    * lang, n_chars}, body}` — written once per (JVM, sfDir), the fixture
+    * opt_nested_schema_pruning reads. Parquet stores each struct LEAF as
+    * its own column chunk, so nesting costs nothing at the storage layer;
+    * what the key proves is that Spark's reader prunes to the accessed
+    * leaves only. */
+  private[graft] def nestedDocuments(s: SparkSession, d: String): String =
+    nestedFor.computeIfAbsent(d, _ => {
+      val dir = s"$dppBase/${java.lang.Integer.toHexString(d.hashCode)}/documents_nested"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          struct(
+            struct(col("lang"), col("n_chars")).as("meta"),
+            col("text").as("body")).as("doc"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   val queries: Map[String, Q] = Map(
+    // Nested schema pruning: the query touches only doc.meta.* of the
+    // nested fixture, and Spark's SchemaPruning rule narrows the parquet
+    // ReadSchema to those two LEAVES — doc.body (the dominant bytes) is
+    // never decoded or read (PlanSpec pins body out of ReadSchema). At
+    // 100 TB of nested event/doc records this is the difference between
+    // reading metadata columns and reading the corpus: parquet stores
+    // each struct leaf as its own column chunk, so pruning works exactly
+    // as it does for top-level columns — IF the engine pushes it down.
+    // Values are layout-independent: the oracle runs the same aggregate
+    // over the FLAT documents table, so the gate also proves the nested
+    // round-trip preserved content.
+    "opt_nested_schema_pruning" -> ((s, d) => {
+      s.read.parquet(nestedDocuments(s, d))
+        .select(col("doc.meta.lang").as("lang"),
+                col("doc.meta.n_chars").as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // Dynamic partition pruning: the fact scan (lineitem partitioned by
     // ship year) is pruned at RUNTIME by the years surviving the dim
     // side's filter — the dim subquery's result becomes a partition filter
@@ -473,6 +513,15 @@ object OptOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Layout is plumbing, not semantics: the same rollup over the FLAT
+    // documents table — a mismatch would mean the nested re-layout lost
+    // or corrupted rows.
+    "opt_nested_schema_pruning" -> """
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
     "opt_dpp_prune" -> """
       WITH dim AS (
         SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders

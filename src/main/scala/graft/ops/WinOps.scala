@@ -304,6 +304,63 @@ object WinOps {
              max("len").as("max_streak"),
              sum("len").as("n_active_days"))
         .orderBy("user_id")
+    }),
+
+    // Running COUNT DISTINCT over an ordered stream — the "how many
+    // distinct parts has this supplier shipped so far" catalog-growth
+    // curve, snapshotted per month. Plain count(DISTINCT) is not a
+    // window function in either engine; the standard rewrite is
+    // first-occurrence flag (row_number over (key, value) = 1) → running
+    // sum of flags. Both windows shuffle on l_suppkey only (the flag
+    // window's (suppkey, partkey) partitioning is strictly finer — no
+    // extra exchange); the (shipdate, orderkey, linenumber) ordering is
+    // unique per supplier so the running sum is deterministic, and the
+    // monthly max is order-independent because the cumsum is monotone.
+    // At 100 TB the per-supplier window is the hot-key risk — a skewed
+    // supplier gets the win_ntile_scalable two-phase treatment (per-month
+    // partial distinct counts + a month-level scan), same playbook.
+    "win_cumulative_distinct" -> ((s, d) => {
+      val wFirst = Window.partitionBy("l_suppkey", "l_partkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+                 col("l_linenumber").asc)
+      val wRun = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+                 col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_partkey", "l_shipdate", "l_orderkey",
+                "l_linenumber")
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("cum_distinct", sum("first_seen").over(wRun))
+        .groupBy(col("l_suppkey"),
+                 date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(max("cum_distinct").as("parts_seen"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("l_suppkey", "month")
+    }),
+
+    // Moving MEDIAN over a rows frame — the robust-smoothing twin of a
+    // rolling mean (outlier-immune trend line over each supplier's
+    // shipment sizes). Spark's median is an ImperativeAggregate, so the
+    // 7-row frame is re-evaluated per row by WindowExec — O(frame) per
+    // row, fine for small fixed frames; a large frame would want the
+    // two-heap mapPartitions treatment instead. One l_suppkey shuffle;
+    // ordering unique per supplier ⇒ deterministic. Both engines
+    // interpolate the even-count median identically (quantile_cont 0.5).
+    "win_moving_median" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+                 col("l_linenumber").asc)
+        .rowsBetween(-6, 0)
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                "l_quantity")
+        .withColumn("med7",
+          round(expr("percentile(l_quantity, 0.5)").over(w), 2))
+        .withColumn("avg7", round(avg("l_quantity").over(w), 2))
+        .withColumn("n7", count(lit(1)).over(w))
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
     })
   )
 
@@ -580,6 +637,40 @@ object WinOps {
         FROM g)
       SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
              count(*) AS n_events
-      FROM s GROUP BY user_id ORDER BY user_id"""
+      FROM s GROUP BY user_id ORDER BY user_id""",
+
+    "win_cumulative_distinct" -> """
+      WITH f AS (
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+               CASE WHEN row_number() OVER (
+                      PARTITION BY l_suppkey, l_partkey
+                      ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM lineitem),
+      r AS (
+        SELECT l_suppkey, l_shipdate,
+               sum(first_seen) OVER (
+                 PARTITION BY l_suppkey
+                 ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum_distinct
+        FROM f)
+      SELECT l_suppkey,
+             date_trunc('month', l_shipdate) AS month,
+             CAST(max(cum_distinct) AS BIGINT) AS parts_seen,
+             count(*) AS n_lines
+      FROM r
+      GROUP BY 1, 2
+      ORDER BY l_suppkey, month""",
+
+    "win_moving_median" -> """
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+             round(median(l_quantity) OVER w, 2) AS med7,
+             round(avg(l_quantity) OVER w, 2) AS avg7,
+             count(*) OVER w AS n7
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
   )
 }

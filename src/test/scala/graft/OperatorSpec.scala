@@ -1146,6 +1146,68 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("win_cumulative_distinct: monotone per supplier, final month equals exact distinct") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("win_cumulative_distinct")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val exact = graft.Tables.lineitem(spark, d)
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("nd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (sk, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      // running distinct is monotone non-decreasing month over month
+      sorted.map(_.getLong(2)).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"supplier $sk cumdistinct dropped $a -> $b")
+        case _ => ()
+      }
+      val (nd, n) = exact(sk)
+      assert(sorted.last.getLong(2) === nd,
+        s"supplier $sk final parts_seen ${sorted.last.getLong(2)} != exact distinct $nd")
+      assert(rs.map(_.getLong(3)).sum === n,
+        s"supplier $sk monthly line counts don't partition its rows")
+    }
+  }
+
+  test("win_moving_median: frame never exceeds 7 rows, median brackets the frame min/max") {
+    val rows = SparkEntry.queries("win_moving_median")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (sk, rs) =>
+      val qty = rs.map(r => (String.valueOf(r.get(1)), r.getLong(2), r.getInt(3),
+                             r.getDouble(4), r.getDouble(5), r.getLong(7)))
+        .sortBy(t => (t._1, t._2, t._3))
+      qty.zipWithIndex.foreach { case ((_, _, _, _, med, n7), i) =>
+        assert(n7 === math.min(i + 1, 7).toLong, s"supplier $sk frame size $n7 at row $i")
+        val frame = qty.slice(math.max(0, i - 6), i + 1).map(_._4)
+        assert(med >= frame.min - 1e-9 && med <= frame.max + 1e-9,
+          s"supplier $sk med7 $med outside frame [${frame.min}, ${frame.max}]")
+        // odd frames: the exact median is a frame member
+        if (frame.length % 2 == 1)
+          assert(frame.exists(v => math.abs(v - med) < 0.005),
+            s"supplier $sk odd-frame median $med not a member of $frame")
+      }
+    }
+  }
+
+  test("fn_struct_nested: array-of-struct field math is consistent with the source scalars") {
+    val rows = SparkEntry.queries("fn_struct_nested")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val bal = graft.Tables.customer(spark, d)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val b = bal(r.getLong(0))
+      val half = r.getDouble(4)
+      assert(math.abs(half - b / 2) < 5e-5,
+        s"cust ${r.getLong(0)} half_bal $half != acctbal/2 ${b / 2}")
+      val expect = (BigDecimal(b).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        + BigDecimal(b / 2).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - expect) < 5e-4,
+        s"cust ${r.getLong(0)} tag_sum ${r.getDouble(5)} != $expect")
+    }
+  }
+
   test("graph_sssp: weighted distances bracketed by BFS hop counts (1 ≤ w ≤ 5)") {
     val sssp = SparkEntry.queries("graph_sssp")(spark, d).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap

@@ -683,4 +683,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("cartesian"),
       s"null-safe equality degraded to a cartesian product:\n$p")
   }
+
+  test("opt_nested_schema_pruning: ReadSchema prunes to the meta leaves — body never read") {
+    val p = plan("opt_nested_schema_pruning")
+    val rs = "ReadSchema: struct<([^\\n]*)".r.findFirstMatchIn(p)
+      .getOrElse(fail(s"no ReadSchema in plan:\n$p")).group(1)
+    assert(rs.contains("lang") && rs.contains("n_chars"),
+      s"meta leaves missing from ReadSchema:\n$rs")
+    assert(!rs.contains("body"),
+      s"doc.body survived nested schema pruning — the scan reads the corpus:\n$rs")
+  }
 }
