@@ -424,6 +424,42 @@ object OptOps {
       }
     }),
 
+    // AQE partition COALESCING — the skew-split's mirror image: skew
+    // splits partitions that are too big, coalesce merges the ones that
+    // are too small. shuffle.partitions must be sized for the LARGEST
+    // stage of a job (undersizing it spills), which leaves every smaller
+    // stage — above all final aggregations, whose map-side combine
+    // collapses the data — fanned out over hundreds of near-empty
+    // reducers; at 1000 executors that is scheduler overhead and a
+    // small-files storm at the sink. With coalescePartitions on, AQE
+    // merges contiguous reducer ranges up to the advisory size at
+    // RUNTIME, from the real map-output statistics (256 initial reducers
+    // collapse to a handful here; parallelismFirst=false makes it honor
+    // the advisory size rather than keep default parallelism). Purely a
+    // physical re-bucketing: result is byte-identical, the oracle is the
+    // plain agg, and PlanSpec pins AQEShuffleRead(coalesced) on the
+    // shared uncached frame.
+    "opt_aqe_coalesce" -> ((s, d) => {
+      val confs = Seq(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = coalesceAggFrame(s, d)
+        swapCached("opt_aqe_coalesce", out)
+        out.cache()
+        out.count()
+        out
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     // Naive all-pairs SimHash pair query (same signatures as llm_simhash):
     // a cross join with only `doc_a < doc_b AND bit_count(xor) <= 4` — no
     // equi key anywhere in the source. HammingBandedJoin turns it into the
@@ -476,6 +512,24 @@ object OptOps {
     })
   )
 
+  /** The uncached monthly-revenue agg of opt_aqe_coalesce — shared with
+    * PlanSpec's coalesce pin (the query key caches its result, which would
+    * hide the AQEShuffleRead behind an InMemoryTableScan). Money
+    * accumulates in DECIMAL and rounds there before the DOUBLE cast
+    * (cross-engine .xx5 ties). The group-key agg's map-side combine
+    * collapses orders to ≤ yr×mo×priority rows, so its 256 initial
+    * reducers carry a few KB each — the exact shape coalescing exists
+    * for. */
+  private[graft] def coalesceAggFrame(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+               month(col("o_orderdate")).as("mo"),
+               col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+             .cast("double").as("rev"))
+      .orderBy("yr", "mo", "o_orderpriority")
+
   /** The uncached skewed join body of opt_aqe_skew — shared with
     * OperatorSpec's skew-split pin (the query key caches its result, so
     * its returned plan is an InMemoryTableScan that would hide the
@@ -513,6 +567,17 @@ object OptOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Coalescing is physical re-bucketing only — plain agg is the oracle.
+    // Spark's year()/month() return INT; DuckDB's return BIGINT — cast.
+    "opt_aqe_coalesce" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS mo,
+             o_orderpriority, count(*) AS n,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+      FROM orders
+      GROUP BY 1, 2, 3
+      ORDER BY yr, mo, o_orderpriority""",
+
     // Layout is plumbing, not semantics: the same rollup over the FLAT
     // documents table — a mismatch would mean the nested re-layout lost
     // or corrupted rows.

@@ -338,6 +338,31 @@ object SqlOps {
       """)
     }),
 
+    // EXISTS under a DISJUNCTION — the mark-join shape. sql_exists_in's
+    // conjunctive EXISTS rewrites to a plain LeftSemi (rows are FILTERED
+    // by the subquery), but under OR the subquery's truth value must be
+    // ANNOTATED per row and the filter decided afterwards — neither semi
+    // nor anti can express that, so Catalyst plans an ExistenceJoin
+    // (exists#N flag column; DuckDB independently invented the same
+    // operator as its MARK join). Still a shuffle-on-key hash join against
+    // the filtered orders side — one probe per customer, never per-row
+    // subquery execution, no fanout (the flag is set at most once however
+    // many urgent orders match). PlanSpec pins ExistenceJoin in the
+    // optimized plan.
+    "sql_exists_mark" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer_m c
+        WHERE c_acctbal < 0
+           OR EXISTS (SELECT 1 FROM orders_m o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > 250000)
+        ORDER BY c_custkey
+      """)
+    }),
+
     // The SQL PIVOT clause — agg_pivot's DataFrame twin entered as query
     // text (the parser surface a SQL user actually hits). Same scale
     // property as the API form: the IN list is EXPLICIT, so this is one
@@ -1035,6 +1060,17 @@ object SqlOps {
           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
       SELECT grp, n FROM (SELECT * FROM q4 UNION ALL SELECT * FROM cold) u
       ORDER BY grp""",
+
+    // DuckDB plans the same disjunctive EXISTS as its native MARK join.
+    "sql_exists_mark" -> """
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c_acctbal < 0
+         OR EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT'
+                      AND o.o_totalprice > 250000)
+      ORDER BY c_custkey""",
 
     // DuckDB's PIVOT dialect differs (ON/USING) — the oracle is the
     // explicit conditional-aggregate expansion, which is also exactly the

@@ -523,6 +523,45 @@ object TextOps {
     "llm_quality_score" -> ((s, d) =>
       qualityScoreOf(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // Unicode canonicalization — the first transform of every multilingual
+    // corpus pipeline (CCNet/C4 normalize before ANY hashing: 'é' as one
+    // codepoint and as e+U+0301 are byte-DIFFERENT but canonically equal,
+    // so un-normalized exact-dedup misses duplicates and tokenizers split
+    // the same word two ways). The ASCII fixture corpus carries no
+    // accents, so both forms are DERIVED in-query — precomposed (NFC) via
+    // translate, decomposed (NFD) via replace with a combining-acute
+    // suffix — and the key checks real engine semantics on them:
+    // nfc(NFD-form) == NFC-form (canonical equivalence), accent-strip
+    // (NFD + drop \p{M}) recovers the ASCII source, and char-vs-byte
+    // lengths diverge between the forms. Spark has no normalizer builtin —
+    // java.text.Normalizer via two scalar UDFs is the documented exception
+    // (row-local, off the hot path; everything around them — translate/
+    // replace/regexp_replace/length/octet_length — stays codegen'd).
+    // Oracle: DuckDB's native nfc_normalize/strip_accents, an independent
+    // ICU-side implementation of the same semantics.
+    "llm_unicode_clean" -> ((s, d) => {
+      val nfcU = udf((t: String) =>
+        if (t == null) null
+        else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+      val nfdU = udf((t: String) =>
+        if (t == null) null
+        else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD))
+      Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
+        .select(col("doc_id"), col("pre"),
+          translate(col("pre"), "ae", "\u00e1\u00e9").as("acc"),
+          replace(col("pre"), lit("a"), lit("a\u0301")).as("nfd0"))
+        .select(col("doc_id"), col("pre"), col("acc"),
+          replace(col("nfd0"), lit("e"), lit("e\u0301")).as("nfd"))
+        .select(col("doc_id"),
+          regexp_replace(nfdU(col("acc")), "\\p{M}", "").as("cleaned"),
+          (nfcU(col("nfd")) === col("acc")).as("canon_eq"),
+          length(col("acc")).as("n_chars_nfc"),
+          length(col("nfd")).as("n_chars_nfd"),
+          octet_length(col("acc")).as("n_bytes_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // Character-distribution entropy per document — the gibberish/
     // boilerplate detector orthogonal to llm_quality_score's ratio
     // heuristics: natural language sits in a narrow entropy band (~3.5-4.5
@@ -989,6 +1028,28 @@ object TextOps {
     graft.StoreDir.fixedPath("graft-bpestore", "/root/testdata/sf0.01")
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's native ICU-backed nfc_normalize/strip_accents vs Spark's
+    // java.text.Normalizer — two independent implementations of the same
+    // Unicode standard. chr(225)/chr(233) = precomposed á/é, chr(769) =
+    // combining acute (mirrors the Spark side's \u-escaped literals
+    // without trusting either file's byte encoding). DuckDB length() is
+    // codepoints and strlen() is UTF-8 bytes; the fixture chars are
+    // BMP-1-unit so Spark's UTF-16 length() agrees.
+    "llm_unicode_clean" -> """
+      WITH p AS (SELECT doc_id, substring(text, 1, 120) AS pre FROM documents),
+      t AS (SELECT doc_id, pre,
+                   translate(pre, 'ae', chr(225) || chr(233)) AS acc,
+                   replace(replace(pre, 'a', 'a' || chr(769)),
+                           'e', 'e' || chr(769)) AS nfd
+            FROM p)
+      SELECT doc_id,
+             strip_accents(acc) AS cleaned,
+             (nfc_normalize(nfd) = acc) AS canon_eq,
+             CAST(length(acc) AS INTEGER) AS n_chars_nfc,
+             CAST(length(nfd) AS INTEGER) AS n_chars_nfd,
+             CAST(strlen(acc) AS INTEGER) AS n_bytes_nfc
+      FROM t ORDER BY doc_id""",
+
     // Tokenization halves of the two BPE keys (training stays no-oracle):
     // DuckDB replays the corpus audit over the PERSISTED vocab — the same
     // store the Spark keys read, at its deterministic path.

@@ -189,6 +189,23 @@ object WinOps {
                 "user_id", "ts", "value")
         .orderBy("user_id", "day")),
 
+    // Gap fill + LINEAR interpolation — win_gap_fill's twin for signals
+    // where carrying the last reading misrepresents the gap (a metric that
+    // trends between samples): each missing day takes
+    //   prev + (next − prev) · (day − prev_day)/(next_day − prev_day),
+    // the straight line between its two observed anchors. Same densify
+    // plumbing as gapFillOf (per-key sequence() grid — no corpus cross
+    // join); the anchors come from TWO mirrored ignoreNulls windows over
+    // one sort order (last/back + first/forward — Spark evaluates both in
+    // a single WindowExec pass per direction, still one user_id shuffle).
+    // The grid starts AND ends at observations, so every gap row has both
+    // anchors and `interp` is total; observed rows short-circuit to their
+    // own value (their 0/0 day-fraction never evaluates).
+    "win_gap_interpolate" -> ((s, d) =>
+      gapInterpolateOf(Tables.events(s, d).filter(col("user_id") < 50),
+                       "user_id", "ts", "value")
+        .orderBy("user_id", "day")),
+
     // Exponentially-weighted moving average (pandas ewm adjust=True) over
     // each user's daily series — the smoothing/feature-decay primitive
     // Spark has no builtin for. The recursion is eliminated by the
@@ -390,6 +407,44 @@ object WinOps {
               col("v").as("observed"), col("filled"))
   }
 
+  /** Gap fill + LINEAR interpolation core (win_gap_interpolate): same
+    * per-key densify plumbing as [[gapFillOf]], but each missing day takes
+    * the straight line between its two observed anchors instead of a
+    * carried value. Anchors come from two mirrored ignoreNulls windows
+    * over the one (key, day) sort — still a single key shuffle. The grid
+    * starts and ends at observations, so both anchors always exist and
+    * `interp` (4dp) is total; observed rows short-circuit to their own
+    * value. Returns (keyCol, day TIMESTAMP-at-midnight, observed, interp)
+    * — same midnight-TIMESTAMP convention as gapFillOf. */
+  private[graft] def gapInterpolateOf(df: DataFrame, keyCol: String,
+                                      tsCol: String, valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(round(sum(valueCol), 2).as("v"))
+    val span = daily.groupBy(keyCol)
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val back = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("pv", last("v", ignoreNulls = true).over(back))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+                             ignoreNulls = true).over(back))
+      .withColumn("nv", first("v", ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+                              ignoreNulls = true).over(fwd))
+      .withColumn("interp", round(
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            datediff(col("day"), col("pd")) /
+            datediff(col("nd"), col("pd"))), 4))
+      .select(col(keyCol), col("day").cast("timestamp").as("day"),
+              col("v").as("observed"), col("interp"))
+  }
+
   /** Plain ratio-form EWMA (pandas ewm adjust=True): adds an `ewma` column
     * (4dp) to a (key, ord, value) frame. One user-partitioned window chain;
     * q^(−i) grows with the row index, so this form is only safe for
@@ -475,6 +530,42 @@ object WinOps {
                PARTITION BY user_id ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       FROM j ORDER BY user_id, day""",
+
+    // Same grid; anchors via mirrored IGNORE NULLS frames, same literal
+    // arithmetic order (((nv−pv)·Δ)/Δ2) so the doubles match bit-for-bit
+    // before the 4dp rounding.
+    "win_gap_interpolate" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span),
+      j AS (SELECT g.user_id, g.day, d.v
+            FROM grid g LEFT JOIN daily d USING (user_id, day)),
+      f AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER back AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                 OVER back AS pd,
+               first_value(v IGNORE NULLS) OVER fwd AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                 OVER fwd AS nd
+        FROM j
+        WINDOW back AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, CAST(day AS TIMESTAMP) AS day, v AS observed,
+             round(CASE WHEN v IS NOT NULL THEN v
+                        ELSE pv + (nv - pv) * date_diff('day', pd, day)
+                                            / date_diff('day', pd, nd) END,
+                   4) AS interp
+      FROM f ORDER BY user_id, day""",
 
     // Same ratio-form derivation; both cumsums are sequential ROWS frames.
     "win_ewma" -> """

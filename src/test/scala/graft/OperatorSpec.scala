@@ -1475,6 +1475,96 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("win_gap_interpolate: planted gappy series interpolates linearly, observed rows pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: anchors at day 0 (v=10) and day 3 (v=40) → gaps at 20, 30;
+    // user 2: a second observation mid-series checks anchor switching
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0),
+      (1L, "2024-01-04 00:00:00", 40.0),
+      (2L, "2024-01-01 00:00:00", 0.0),
+      (2L, "2024-01-03 00:00:00", 9.0),
+      (2L, "2024-01-05 00:00:00", 1.0)
+    ).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = graft.ops.WinOps.gapInterpolateOf(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0),
+                 r.getTimestamp(1).toLocalDateTime.getDayOfMonth,
+                 r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 30.0), (1L, 4, 40.0),
+      (2L, 1, 0.0), (2L, 2, 4.5), (2L, 3, 9.0), (2L, 4, 5.0), (2L, 5, 1.0)))
+  }
+
+  test("win_gap_interpolate: corpus interp is total and inside its anchor interval") {
+    val rows = SparkEntry.queries("win_gap_interpolate")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      var lastObs = Double.NaN
+      val firstObs = sorted.find(!_.isNullAt(2)).get.getDouble(2)
+      var nextIdx = 0
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(!r.isNullAt(3), s"user $uid has null interp at ${r.getTimestamp(1)}")
+        if (!r.isNullAt(2)) {
+          assert(r.getDouble(3) === r.getDouble(2),
+            s"user $uid observed row rewritten by interpolation")
+          lastObs = r.getDouble(2)
+        } else {
+          val next = sorted.drop(i).find(!_.isNullAt(2)).get.getDouble(2)
+          val (lo, hi) = (math.min(lastObs, next), math.max(lastObs, next))
+          assert(r.getDouble(3) >= lo - 1e-9 && r.getDouble(3) <= hi + 1e-9,
+            s"user $uid interp ${r.getDouble(3)} escapes [$lo, $hi]")
+        }
+      }
+      assert(!sorted.head.isNullAt(2) && !sorted.last.isNullAt(2),
+        s"user $uid grid does not start/end at an observation")
+    }
+  }
+
+  test("llm_unicode_clean: canonical equivalence holds, strip recovers ASCII, forms diverge in length") {
+    val rows = SparkEntry.queries("llm_unicode_clean")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val pres = graft.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.substring(
+                org.apache.spark.sql.functions.col("text"), 1, 120).as("pre"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0); val pre = pres(id)
+      assert(r.getString(1) === pre, s"doc $id: accent strip did not recover the source")
+      assert(r.getBoolean(2), s"doc $id: NFC(decomposed) != precomposed")
+      val nAe = pre.count(c => c == 'a' || c == 'e')
+      assert(r.getInt(4) - r.getInt(3) === nAe,
+        s"doc $id: NFD adds one combining mark per a/e (${r.getInt(4)} vs ${r.getInt(3)})")
+      assert(r.getInt(5) - r.getInt(3) === nAe,
+        s"doc $id: each precomposed accent is 2 UTF-8 bytes")
+    }
+  }
+
+  test("opt_aqe_coalesce: AQE merges the 256 initial reducers down to a handful") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = graft.ops.OptOps.coalesceAggFrame(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+        s"no coalesced AQEShuffleRead in the final adaptive plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("agg_weighted_median: half the weight lies at-or-below, half at-or-above") {
     val med = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

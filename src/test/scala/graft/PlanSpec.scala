@@ -684,6 +684,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"null-safe equality degraded to a cartesian product:\n$p")
   }
 
+  test("sql_exists_mark: disjunctive EXISTS plans an ExistenceJoin, not per-row subqueries") {
+    val qe = SparkEntry.queries("sql_exists_mark")(spark, d).queryExecution
+    assert(qe.optimizedPlan.toString.contains("ExistenceJoin"),
+      s"EXISTS-under-OR did not rewrite to an ExistenceJoin:\n${qe.optimizedPlan}")
+    // and the physical side is a hash equi-join on the customer key —
+    // never a nested-loop re-execution of the subquery per row
+    val p = qe.executedPlan.toString
+    assert(!p.toLowerCase.contains("cartesian"),
+      s"existence annotation degraded to a cartesian product:\n$p")
+  }
+
   test("opt_nested_schema_pruning: ReadSchema prunes to the meta leaves — body never read") {
     val p = plan("opt_nested_schema_pruning")
     val rs = "ReadSchema: struct<([^\\n]*)".r.findFirstMatchIn(p)
