@@ -519,6 +519,44 @@ object AggOps {
     // order still differs — Spark merges partition co-moments — so like
     // every float aggregate in this suite the gate relies on the rounding
     // absorbing last-ULP drift, not on bit-identical arithmetic.)
+    // Welch's two-sample t-test from sufficient statistics — the A/B
+    // primitive: does the URGENT cohort spend differently from the LOW
+    // cohort? ONE pass over the fact computes each cohort's (n, Σx, Σx²)
+    // via conditional aggregation (no self-join, no second scan); mean,
+    // variance, t and the Welch–Satterthwaite df are scalar arithmetic on
+    // the 1-row result. Engine-parity discipline: the moments accumulate
+    // in DECIMAL (order-exact — a t-stat is a difference of close means
+    // over a small σ, so float accumulation noise amplifies exactly where
+    // it hurts), then every downstream op is the same literal double
+    // expression in both engines. This is the 100 TB experimentation
+    // shape: sufficient statistics are map-side-combinable and mergeable
+    // across days/partitions — the raw data is never revisited.
+    "agg_ab_ttest" -> ((s, d) => {
+      val xd = col("o_totalprice").cast("decimal(18,2)")
+      def grp(p: String, t: String) = Seq(
+        count(when(col("o_orderpriority") === p, 1)).as(s"n_$t"),
+        sum(when(col("o_orderpriority") === p, xd)).cast("double").as(s"sx_$t"),
+        sum(when(col("o_orderpriority") === p, xd * xd)).cast("double").as(s"sxx_$t"))
+      val cols = grp("1-URGENT", "a") ++ grp("5-LOW", "b")
+      Tables.orders(s, d)
+        .agg(cols.head, cols.tail: _*)
+        .selectExpr(
+          "n_a", "n_b",
+          "round(sx_a / n_a, 4) AS mean_a",
+          "round(sx_b / n_b, 4) AS mean_b",
+          "round((sxx_a - sx_a * sx_a / n_a) / (n_a - 1), 2) AS var_a",
+          "round((sxx_b - sx_b * sx_b / n_b) / (n_b - 1), 2) AS var_b",
+          """round((sx_a / n_a - sx_b / n_b) /
+               sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                  + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4)
+             AS t_stat""",
+          """round(pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                     + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) /
+               (pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a, 2) / (n_a - 1)
+              + pow(((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) / (n_b - 1)), 2)
+             AS welch_df""")
+    }),
+
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
@@ -923,6 +961,40 @@ object AggOps {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Same DECIMAL sufficient statistics, same literal double arithmetic.
+    // Spark count(CASE…) ignores the ELSE-NULL rows exactly like DuckDB's
+    // count(CASE…); both sums are DECIMAL-exact before the DOUBLE cast.
+    "agg_ab_ttest" -> """
+      WITH m AS (
+        SELECT
+          count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_a,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sx_a,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sxx_a,
+          count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_b,
+          CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sx_b,
+          CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sxx_b
+        FROM orders)
+      SELECT n_a, n_b,
+             round(sx_a / n_a, 4) AS mean_a,
+             round(sx_b / n_b, 4) AS mean_b,
+             round((sxx_a - sx_a * sx_a / n_a) / (n_a - 1), 2) AS var_a,
+             round((sxx_b - sx_b * sx_b / n_b) / (n_b - 1), 2) AS var_b,
+             round((sx_a / n_a - sx_b / n_b) /
+               sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                  + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4) AS t_stat,
+             round(pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                     + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) /
+               (pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a, 2) / (n_a - 1)
+              + pow(((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) / (n_b - 1)), 2)
+             AS welch_df
+      FROM m""",
 
     "agg_corr_stats" -> """
       SELECT o_orderpriority,

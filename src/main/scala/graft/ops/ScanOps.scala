@@ -85,6 +85,37 @@ object ScanOps {
       s"$base/compact"
     })
 
+  private val bloomFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Orders re-written with a PARQUET BLOOM FILTER on o_custkey, once per
+    * (JVM, sfDir) — the layout lever for high-cardinality POINT lookups,
+    * exactly where min/max row-group stats (opt_zorder's tool) are
+    * useless: a random-valued key spans ~the full domain in every row
+    * group, so range stats prune nothing, while a per-row-group bloom
+    * answers "custkey ∉ this group" in O(1) with no false negatives. At
+    * 100 TB: blooms live in the footer (read once), row groups are
+    * skipped before any page I/O, and the write-side cost is one hash per
+    * row — the standard layout for needle-in-haystack serving tables. */
+  private[graft] def bloomOrders(s: SparkSession, d: String): String =
+    bloomFor.computeIfAbsent(d, _ => {
+      val dir = s"${tmpDir("graft_bloom")}/orders"
+      Tables.orders(s, d)
+        .sort("o_orderkey") // stable file/row-group layout across runs
+        .write
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+        // parquet-mr silently SKIPS the bloom when every page of the
+        // column ends up dictionary-encoded (the dictionary already gives
+        // exact membership) — true at test SFs, where custkey NDV is tiny.
+        // Disabling dictionary for just this column forces the bloom so
+        // the layout under test actually exists; at production NDV the
+        // dictionary overflows to plain encoding on its own and this
+        // toggle is unnecessary.
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(dir)
+      dir
+    })
+
   /** Shared embedded-Derby connection properties (driver class in one
     * place — it appears in several keys). */
   private[graft] def derbyProps: java.util.Properties = {
@@ -503,6 +534,20 @@ object ScanOps {
     // rows from the documents table (same bytes by construction), so the
     // whole read path — listing, glob pruning, content fetch — is
     // hash-gated.
+    // Point lookup against the bloom-filtered layout (fixture notes on
+    // bloomOrders): a 3-key IN probe on the bloomed column. The predicate
+    // reaches the reader as a pushed In filter; with
+    // parquet.filter.bloom.enabled (default on) every row group whose
+    // bloom rejects all three keys is skipped footer-side. Content is
+    // unchanged by the re-layout — the oracle runs the same probe on the
+    // ORIGINAL orders. PlanSpec pins the pushed filter; OperatorSpec pins
+    // the footer actually carrying the bloom (offset ≥ 0 for o_custkey).
+    "src_parquet_bloom" -> ((s, d) =>
+      s.read.parquet(bloomOrders(s, d))
+        .filter(col("o_custkey").isin(7L, 19L, 23L))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
     "src_binary_files" -> ((s, d) => {
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
@@ -704,6 +749,13 @@ object ScanOps {
     // doc_id < 50, so byte counts and md5 digests derive straight from
     // the table; a glob failure (decoy read, or a lost file) breaks the
     // row count or a hash.
+    // The re-layout is content-preserving — same probe on ORIGINAL orders.
+    "src_parquet_bloom" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE o_custkey IN (7, 19, 23)
+      ORDER BY o_orderkey""",
+
     "src_binary_files" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -378,6 +378,43 @@ object WinOps {
         .withColumn("avg7", round(avg("l_quantity").over(w), 2))
         .withColumn("n7", count(lit(1)).over(w))
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    }),
+
+    // Rolling z-score anomaly detection — the observability primitive
+    // ("flag readings >3σ from their own recent history"): per supplier,
+    // each quantity is scored against the mean/stddev of its 20 TRAILING
+    // rows (frame ends at 1 PRECEDING — the current row never contaminates
+    // its own baseline, the difference between detection and smoothing).
+    // Moments are derived from sum/sum-of-squares rather than stddev_samp:
+    // quantities are integral, so both running sums are EXACT doubles in
+    // any accumulation order and the whole (μ, σ, z) chain is bit-identical
+    // cross-engine — stddev_samp's internal streaming recurrences are not
+    // contractually order-stable. Rows with <8 trailing points are warm-up
+    // and dropped; an all-equal window (σ=0) yields NULL z, non-outlier.
+    // One supplier-keyed shuffle; the frame is O(1) state per row at any
+    // scale.
+    "win_rolling_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+                 col("l_linenumber").asc)
+        .rowsBetween(-20, -1)
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") < 20)
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+                col("l_linenumber"), col("l_quantity").cast("double").as("x"))
+        .withColumn("n20", count(col("x")).over(w))
+        .withColumn("sx", sum("x").over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .filter(col("n20") >= 8)
+        .withColumn("mu", col("sx") / col("n20"))
+        .withColumn("sd", sqrt(
+          (col("sxx") - col("sx") * col("sx") / col("n20")) / (col("n20") - 1)))
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+                col("l_linenumber"), col("x"),
+                when(col("sd") > 0, round((col("x") - col("mu")) / col("sd"), 4))
+                  .as("z"),
+                (abs(col("x") - col("mu")) > col("sd") * 3).as("is_outlier"))
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
     })
   )
 
@@ -762,6 +799,32 @@ object WinOps {
       WINDOW w AS (PARTITION BY l_suppkey
                    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+
+    // Same exact integer-moment derivation (sums of integral doubles are
+    // order-exact), same literal arithmetic order through μ/σ/z.
+    "win_rolling_zscore" -> """
+      WITH b AS (
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS x
+        FROM lineitem WHERE l_suppkey < 20),
+      f AS (
+        SELECT *,
+               count(x) OVER w AS n20,
+               sum(x)   OVER w AS sx,
+               sum(x*x) OVER w AS sxx
+        FROM b
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      m AS (
+        SELECT *, sx / n20 AS mu,
+               sqrt((sxx - sx * sx / n20) / (n20 - 1)) AS sd
+        FROM f WHERE n20 >= 8)
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, x,
+             CASE WHEN sd > 0 THEN round((x - mu) / sd, 4) END AS z,
+             (abs(x - mu) > sd * 3) AS is_outlier
+      FROM m
       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
   )
 }

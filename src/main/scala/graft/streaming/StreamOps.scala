@@ -1042,6 +1042,57 @@ object StreamOps {
       sinkResult(s.read.parquet(outDir))
     }),
 
+    // Checkpoint RESTART / incremental catch-up — the production backfill
+    // loop no other key exercises: the SAME query runs TWICE with the SAME
+    // checkpoint against a source that grew in between (nightly
+    // incremental ingest, or crash-recovery after partial progress). Run 1
+    // sees half the chunk files; run 2 starts from the checkpoint's file
+    // log and must process EXACTLY the files that arrived since — never
+    // re-emitting run 1's rows (file-sink _spark_metadata transactionality
+    // + source seen-files log together give end-to-end exactly-once across
+    // restarts). The gate proves it arithmetically: n == count(DISTINCT
+    // event_id) per type in the sink equals the batch truth over the full
+    // table — one duplicated or dropped micro-batch breaks both columns.
+    // At 100 TB this is THE steady-state shape: checkpoint state is O(seen
+    // files) on the driver, per-run work is O(new data) only.
+    "stream_checkpoint_restart" -> ((s, d) => {
+      val rep = replay(s, d, "base") // real events only, no sentinels
+      val srcDir = Files.createTempDirectory("graft-restart-src-").toFile
+      val outDir = Files.createTempDirectory("graft-restart-out-").toFile.getAbsolutePath
+      val ckpt = Files.createTempDirectory("graft-restart-ckpt-").toFile.getAbsolutePath
+      val parts = Option(new File(rep.srcDir).listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      def arrive(fs: Array[File]): Unit = fs.foreach { f =>
+        val dst = new File(srcDir, f.getName)
+        Files.copy(f.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(f.lastModified)
+      }
+      def runOnce(): Unit =
+        s.readStream.schema(rep.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.getAbsolutePath)
+          // stateless per-row transform: restart semantics are the point;
+          // decimal cast so the final sum is order-exact at the gate
+          .select(col("event_id"), col("event_type"),
+                  col("value").cast("decimal(14,2)").as("v"))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      val (firstHalf, rest) = parts.splitAt(parts.length / 2)
+      arrive(firstHalf); runOnce()
+      arrive(rest); runOnce()
+      s.read.parquet(outDir) // reads through the sink's commit log
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             round(sum("v"), 2).cast("double").as("sv"),
+             countDistinct("event_id").as("n_ids"))
+        .orderBy("event_type")
+    }),
+
     // Structured Streaming → JDBC sink — the reference's declared shape
     // (BASELINE.json: "Structured Streaming + JDBC sink"), batch half at
     // ScanOps.sink_jdbc. Spark has no exactly-once JDBC stream sink, so the
@@ -1219,6 +1270,16 @@ object StreamOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Restart plumbing is exactly-once ⇒ the sink equals one batch pass
+    // over the full table; n == n_ids (unique event_id) is the dup canary.
+    "stream_checkpoint_restart" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sv,
+             count(DISTINCT event_id) AS n_ids
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
     "stream_tumbling" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value

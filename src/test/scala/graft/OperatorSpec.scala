@@ -1565,6 +1565,98 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("src_parquet_bloom: the written footer carries a bloom on o_custkey only") {
+    val dir = graft.ops.ScanOps.bloomOrders(spark, d)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = r.getFooter.getBlocks.get(0).getColumns
+      def meta(name: String) = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == name)
+        .getOrElse(fail(s"column $name missing from footer"))
+      assert(meta("o_custkey").getBloomFilterOffset >= 0,
+        "no bloom filter written for o_custkey")
+      assert(meta("o_orderkey").getBloomFilterOffset < 0,
+        "bloom leaked onto a column it was not enabled for")
+    } finally r.close()
+  }
+
+  test("stream_checkpoint_restart: no row is processed twice across the restart") {
+    val rows = SparkEntry.queries("stream_checkpoint_restart")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3),
+        s"${r.getString(0)}: n=${r.getLong(1)} != distinct ids=${r.getLong(3)} — duplicated micro-batch")
+    }
+    val total = graft.Tables.events(spark, d).count()
+    assert(rows.map(_.getLong(1)).sum === total,
+      "sink row count != source row count — a restart dropped or replayed data")
+  }
+
+  test("agg_ab_ttest: matches a direct Welch computation on the raw cohorts") {
+    val r = SparkEntry.queries("agg_ab_ttest")(spark, d).collect().head
+    def cohort(p: String): Array[Double] = graft.Tables.orders(spark, d)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === p)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val (a, b) = (cohort("1-URGENT"), cohort("5-LOW"))
+    def stats(x: Array[Double]) = {
+      val n = x.length; val m = x.sum / n
+      (n, m, x.map(v => (v - m) * (v - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+    val se = math.sqrt(va / na + vb / nb)
+    val t = (ma - mb) / se
+    val df = math.pow(va / na + vb / nb, 2) /
+      (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert(r.getLong(0) === na.toLong && r.getLong(1) === nb.toLong)
+    assert(math.abs(r.getDouble(2) - ma) < 0.01, "mean_a diverged")
+    assert(math.abs(r.getDouble(6) - t) < 0.001, s"t_stat ${r.getDouble(6)} vs direct $t")
+    assert(math.abs(r.getDouble(7) - df) < 0.5, s"welch_df ${r.getDouble(7)} vs direct $df")
+  }
+
+  test("win_rolling_zscore: trailing-window z matches a direct sequential re-derivation") {
+    val out = SparkEntry.queries("win_rolling_zscore")(spark, d).collect()
+    assert(out.nonEmpty)
+    // l_shipdate is TIMESTAMP_NTZ → rows surface java.time.LocalDateTime
+    def ntzEpoch(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i).toEpochSecond(java.time.ZoneOffset.UTC)
+    val raw = graft.Tables.lineitem(spark, d)
+      .filter(org.apache.spark.sql.functions.col("l_suppkey") < 20)
+      .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+      .collect()
+      .map(r => (r.getLong(0), ntzEpoch(r, 1), r.getLong(2),
+                 r.getInt(3).toLong, r.getDouble(4)))
+      .groupBy(_._1)
+    // per-supplier output size: first 8 rows are warm-up, rest emit
+    out.groupBy(_.getLong(0)).foreach { case (sk, rs) =>
+      assert(rs.length === math.max(0, raw(sk).length - 8),
+        s"supplier $sk emitted ${rs.length} rows, expected n-8")
+    }
+    // full value check on one mid-sized supplier
+    val sk = raw.minBy { case (_, xs) => math.abs(xs.length - 60) }._1
+    val series = raw(sk).sortBy(t => (t._2, t._3, t._4)).map(_._5)
+    val expect = series.indices.drop(8).map { i =>
+      val wnd = series.slice(math.max(0, i - 20), i)
+      val mu = wnd.sum / wnd.length
+      val sd = math.sqrt(wnd.map(v => (v - mu) * (v - mu)).sum / (wnd.length - 1))
+      if (sd > 0) BigDecimal(( series(i) - mu) / sd)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else Double.NaN
+    }
+    val got = out.filter(_.getLong(0) == sk)
+      .sortBy(r => (ntzEpoch(r, 1), r.getLong(2), r.getInt(3)))
+      .map(r => if (r.isNullAt(5)) Double.NaN else r.getDouble(5))
+    assert(got.length === expect.length)
+    got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      if (e.isNaN) assert(g.isNaN, s"row $i: expected NULL z (σ=0), got $g")
+      else assert(math.abs(g - e) <= 0.00011, s"row $i: z $g vs direct $e")
+    }
+  }
+
   test("agg_weighted_median: half the weight lies at-or-below, half at-or-above") {
     val med = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

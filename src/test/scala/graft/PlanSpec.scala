@@ -684,6 +684,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"null-safe equality degraded to a cartesian product:\n$p")
   }
 
+  test("src_parquet_bloom: the IN probe is pushed to the parquet reader") {
+    val p = plan("src_parquet_bloom")
+    assert(p.contains("PushedFilters: [In(o_custkey"),
+      s"IN probe not pushed — bloom row-group skipping can never fire:\n$p")
+  }
+
   test("sql_exists_mark: disjunctive EXISTS plans an ExistenceJoin, not per-row subqueries") {
     val qe = SparkEntry.queries("sql_exists_mark")(spark, d).queryExecution
     assert(qe.optimizedPlan.toString.contains("ExistenceJoin"),
