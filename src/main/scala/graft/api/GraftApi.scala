@@ -454,6 +454,18 @@ object Text {
     TextOps.chunkOf(std(docs, idCol, textCol), len, stride)
   }
 
+  /** T5/UL2-style span corruption (llm_span_mask's exact core):
+    * contiguous `spanLen`-token spans are deterministically masked (~19%,
+    * an md5-nibble rule on doc_id:span_id) and replaced by ordinal
+    * `<extra_id_k>` sentinels. Row-local higher-order array ops — no
+    * explode, no shuffle, no UDF; returns per-doc token/span accounting
+    * plus a 160-char corrupted prefix. */
+  def spanMask(docs: DataFrame, spanLen: Int = 3,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanLen > 0, s"need spanLen > 0, got $spanLen")
+    TextOps.spanMaskOf(std(docs, idCol, textCol), spanLen)
+  }
+
   /** Per-document quality signals: token count, mean token length,
     * stopword/punctuation ratios, composite score — llm_quality_score's
     * exact transform (shared core) with n_chars derived from the text. */
@@ -703,6 +715,29 @@ object Ingest {
               valueCol: String): DataFrame =
     graft.ops.WinOps.gapFillOf(df, keyCol, tsCol, valueCol)
 
+  /** Time-series gap fill + LINEAR interpolation → (keyCol, day,
+    * observed, interp): [[gapFill]]'s twin for signals that trend between
+    * samples — each silent day takes the straight line between its two
+    * observed anchors instead of carrying the previous value
+    * (win_gap_interpolate's exact core). Same per-key grid plumbing, one
+    * extra mirrored ignoreNulls window; `interp` is total. */
+  def gapInterpolate(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String): DataFrame =
+    graft.ops.WinOps.gapInterpolateOf(df, keyCol, tsCol, valueCol)
+
+  /** Rolling z-score anomaly detection (win_rolling_zscore's exact core):
+    * adds (z 4dp, is_outlier at 3σ), each value scored against the
+    * mean/σ of its `lookback` TRAILING rows — the frame ends at the
+    * previous row, so a spike never dampens its own score. Rows with
+    * fewer than `minPoints` trailing values are dropped as warm-up; a
+    * zero-variance window yields NULL z. For integral-valued series the
+    * moment sums are exact in any accumulation order. */
+  def rollingZscore(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                    valueCol: String, lookback: Int = 20,
+                    minPoints: Int = 8): DataFrame =
+    graft.ops.WinOps.rollingZscoreOf(df, keyCol, orderCols, valueCol,
+                                     lookback, minPoints)
+
   /** Exponentially-weighted moving average (pandas `ewm(adjust=True)`
     * semantics) of `valCol` ordered by `ordCol` within each `keyCol`
     * group — adds an `ewma` column (4dp). This is the BLOCK-RENORMALIZED
@@ -835,6 +870,15 @@ object Stats {
     * and are ignored by both passes. */
   def heavyHitters(df: DataFrame, valueCol: String): DataFrame =
     graft.ops.AggOps.heavyHittersOf(df, valueCol)
+
+  /** Welch two-sample t-test of `valueCol` between cohorts `a` and `b` of
+    * `cohortCol` (agg_ab_ttest's exact core): one conditional-aggregation
+    * pass collects each cohort's DECIMAL-exact (n, Σx, Σx²); mean,
+    * variance, t and the Welch–Satterthwaite df are scalar arithmetic on
+    * the single result row — the fact table is scanned once. */
+  def welchTTest(df: DataFrame, cohortCol: String, a: String, b: String,
+                 valueCol: String): DataFrame =
+    graft.ops.AggOps.ttestOf(df, cohortCol, a, b, valueCol)
 }
 
 /** Bounded-memory mergeable sketch structures (agg_count_min /

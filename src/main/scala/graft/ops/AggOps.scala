@@ -202,6 +202,40 @@ object AggOps {
     * an InSet — no join, no full-cardinality shuffle), filtered to
     * `cnt·k > n`. Output: (valueCol, cnt, n_total), exactly the items with
     * frequency > n/k (see MisraGries for the guarantee). */
+  /** Welch two-sample t-test core (agg_ab_ttest / Stats.welchTTest): one
+    * conditional-aggregation pass collects each cohort's (n, Σx, Σx²) —
+    * DECIMAL-accumulated, so the sums are order-exact however the
+    * partial aggregates merge — then mean/variance/t/Welch-df are scalar
+    * double arithmetic on the single result row. Sufficient statistics
+    * are map-side-combinable and mergeable across partitions/days; the
+    * fact is scanned once and never revisited. Output: one row
+    * (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, welch_df). */
+  private[graft] def ttestOf(df: DataFrame, cohortCol: String,
+                             a: String, b: String, valueCol: String): DataFrame = {
+    val xd = col(valueCol).cast("decimal(18,2)")
+    def grp(p: String, t: String) = Seq(
+      count(when(col(cohortCol) === p, 1)).as(s"n_$t"),
+      sum(when(col(cohortCol) === p, xd)).cast("double").as(s"sx_$t"),
+      sum(when(col(cohortCol) === p, xd * xd)).cast("double").as(s"sxx_$t"))
+    val cols = grp(a, "a") ++ grp(b, "b")
+    df.agg(cols.head, cols.tail: _*)
+      .selectExpr(
+        "n_a", "n_b",
+        "round(sx_a / n_a, 4) AS mean_a",
+        "round(sx_b / n_b, 4) AS mean_b",
+        "round((sxx_a - sx_a * sx_a / n_a) / (n_a - 1), 2) AS var_a",
+        "round((sxx_b - sx_b * sx_b / n_b) / (n_b - 1), 2) AS var_b",
+        """round((sx_a / n_a - sx_b / n_b) /
+             sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4)
+           AS t_stat""",
+        """round(pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                   + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) /
+             (pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a, 2) / (n_a - 1)
+            + pow(((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) / (n_b - 1)), 2)
+           AS welch_df""")
+  }
+
   private[graft] def heavyHittersOf(items0: DataFrame, valueCol: String): DataFrame = {
     val mg = udaf(MisraGries)
     val v = col(valueCol)
@@ -531,31 +565,9 @@ object AggOps {
     // expression in both engines. This is the 100 TB experimentation
     // shape: sufficient statistics are map-side-combinable and mergeable
     // across days/partitions — the raw data is never revisited.
-    "agg_ab_ttest" -> ((s, d) => {
-      val xd = col("o_totalprice").cast("decimal(18,2)")
-      def grp(p: String, t: String) = Seq(
-        count(when(col("o_orderpriority") === p, 1)).as(s"n_$t"),
-        sum(when(col("o_orderpriority") === p, xd)).cast("double").as(s"sx_$t"),
-        sum(when(col("o_orderpriority") === p, xd * xd)).cast("double").as(s"sxx_$t"))
-      val cols = grp("1-URGENT", "a") ++ grp("5-LOW", "b")
-      Tables.orders(s, d)
-        .agg(cols.head, cols.tail: _*)
-        .selectExpr(
-          "n_a", "n_b",
-          "round(sx_a / n_a, 4) AS mean_a",
-          "round(sx_b / n_b, 4) AS mean_b",
-          "round((sxx_a - sx_a * sx_a / n_a) / (n_a - 1), 2) AS var_a",
-          "round((sxx_b - sx_b * sx_b / n_b) / (n_b - 1), 2) AS var_b",
-          """round((sx_a / n_a - sx_b / n_b) /
-               sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                  + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4)
-             AS t_stat""",
-          """round(pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                     + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) /
-               (pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a, 2) / (n_a - 1)
-              + pow(((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) / (n_b - 1)), 2)
-             AS welch_df""")
-    }),
+    "agg_ab_ttest" -> ((s, d) =>
+      ttestOf(Tables.orders(s, d),
+              "o_orderpriority", "1-URGENT", "5-LOW", "o_totalprice")),
 
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)

@@ -382,6 +382,45 @@ object SqlOps {
       """)
     }),
 
+    // The SQL UNPIVOT clause — agg_unpivot's parser-surface twin and
+    // sql_pivot_clause's inverse: the wide conditional-aggregate frame
+    // (yr × 3 priority-band sums) folds back to long form. UNPIVOT is
+    // pure plan sugar — it compiles to one generator (Expand) over the
+    // wide rows, no shuffle beyond the agg that built them; NULL cells
+    // (a year missing a band) are dropped by default, which is exactly
+    // the long form a direct GROUP BY produces — the oracle states that
+    // equivalence.
+    "sql_unpivot_clause" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT yr, band, rev FROM (
+          SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                 round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent,
+                 round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium,
+                 round(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN o_totalprice END), 2) AS low
+          FROM orders_m GROUP BY 1)
+        UNPIVOT (rev FOR band IN (urgent, medium, low))
+        ORDER BY yr, band
+      """)
+    }),
+
+    // SELECT * EXCEPT + ORDER BY ALL — the two ergonomic star-modifiers a
+    // wide-table user hits daily (projecting 400-of-402 columns by hand is
+    // how wrong-column bugs happen; EXCEPT keeps the pruned ReadSchema
+    // benefits of an explicit list without spelling it). ORDER BY ALL
+    // orders by every output column left-to-right — a total order for
+    // free, which is exactly the determinism the cross-engine gate needs.
+    // DuckDB spells the same pair EXCLUDE / ORDER BY ALL.
+    "sql_star_except" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT * EXCEPT (o_orderstatus, o_orderdate)
+        FROM orders_m
+        WHERE o_totalprice > 400000
+        ORDER BY ALL
+      """)
+    }),
+
     // Join strategy HINTS in SQL text: the per-query lever when the
     // planner's size estimates are wrong (a filtered dimension the stats
     // call big, a fact side the stats call small — at 100 TB a mis-chosen
@@ -1083,6 +1122,26 @@ object SqlOps {
       FROM orders
       GROUP BY 1
       ORDER BY yr""",
+
+    // UNPIVOT(drop-NULL default) of the conditional-agg wide frame ≡ the
+    // direct long-form GROUP BY — the oracle states the equivalence.
+    "sql_unpivot_clause" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CASE o_orderpriority WHEN '1-URGENT' THEN 'urgent'
+                                  WHEN '3-MEDIUM' THEN 'medium'
+                                  ELSE 'low' END AS band,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+      GROUP BY 1, 2
+      ORDER BY yr, band""",
+
+    // DuckDB's spelling of the same star-modifiers: EXCLUDE + ORDER BY ALL.
+    "sql_star_except" -> """
+      SELECT * EXCLUDE (o_orderstatus, o_orderdate)
+      FROM orders
+      WHERE o_totalprice > 400000
+      ORDER BY ALL""",
 
     // Hints are plan-side only — plain SQL is the oracle.
     "sql_join_hints" -> """

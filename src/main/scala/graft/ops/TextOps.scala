@@ -523,6 +523,19 @@ object TextOps {
     "llm_quality_score" -> ((s, d) =>
       qualityScoreOf(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // T5/UL2-style SPAN CORRUPTION — the denoising-objective data prep
+    // step: contiguous 3-token spans are deterministically masked (~19%:
+    // first md5 nibble of doc_id:span_id in 0–2) and each masked span is
+    // replaced by its ordinal sentinel <extra_id_k>, k = number of masked
+    // spans before it. Entirely row-local higher-order array ops — build
+    // the span mask array ONCE, derive sentinel ranks from its prefix
+    // counts, reassemble with one flatten — no explode, no shuffle, no
+    // UDF; at 100 TB this runs at scan speed inside whole-stage codegen.
+    // Token accounting falls out arithmetically: kept = |out| − masked
+    // spans (each contributes exactly one sentinel token).
+    "llm_span_mask" -> ((s, d) =>
+      spanMaskOf(Tables.documents(s, d)).orderBy("doc_id")),
+
     // Unicode canonicalization — the first transform of every multilingual
     // corpus pipeline (CCNet/C4 normalize before ANY hashing: 'é' as one
     // codepoint and as e+U+0301 are byte-DIFFERENT but canonically equal,
@@ -997,6 +1010,43 @@ object TextOps {
       Tables.documentsWide(s, d).select(col("doc_id"), lower(col("text")).as("t")),
       hashImpl)
 
+  /** Span-corruption core (llm_span_mask / Text.spanMask): contiguous
+    * `spanLen`-token spans masked deterministically (~19%: first md5
+    * nibble of doc_id:span_id ∈ 0–2), each masked span replaced by its
+    * ordinal sentinel `<extra_id_k>`. Entirely row-local higher-order
+    * array ops — the mask array is built once, sentinel ranks are its
+    * prefix counts, reassembly is one flatten: no explode, no shuffle, no
+    * UDF; runs at scan speed inside whole-stage codegen. Token accounting
+    * is arithmetic: kept = |out| − masked spans (one sentinel each).
+    * Input needs (doc_id, text); output one row per doc. */
+  private[graft] def spanMaskOf(docs: DataFrame, spanLen: Int = 3): DataFrame = {
+    val L = spanLen
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nspans", expr(s"CAST(ceil(n / $L.0) AS INT)"))
+      .withColumn("maskarr", expr(
+        """transform(sequence(0, nspans - 1), sp ->
+             substring(md5(concat(CAST(doc_id AS STRING), ':',
+                                  CAST(sp AS STRING))), 1, 1)
+               IN ('0', '1', '2'))"""))
+      .withColumn("sent", expr(
+        "transform(sequence(0, nspans - 1), sp -> size(filter(slice(maskarr, 1, sp), b -> b)))"))
+      .withColumn("ct", expr(
+        s"""flatten(transform(sequence(0, nspans - 1), sp ->
+             CASE WHEN element_at(maskarr, sp + 1)
+                  THEN array(concat('<extra_id_',
+                         CAST(element_at(sent, sp + 1) AS STRING), '>'))
+                  ELSE slice(toks, sp * $L + 1, $L) END))"""))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        col("nspans").cast("long").as("n_spans"),
+        expr("CAST(size(filter(maskarr, b -> b)) AS BIGINT)").as("n_masked_spans"),
+        expr("CAST(n - (size(ct) - size(filter(maskarr, b -> b))) AS BIGINT)")
+          .as("n_masked_tokens"),
+        expr("substring(array_join(ct, ' '), 1, 160)").as("corrupted"))
+  }
+
   /** Same, over any (doc_id, t) frame — lets tests plant synthetic docs. */
   private[graft] def fingerprintsOf(docsRaw: DataFrame, hashImpl: String): DataFrame = {
     val docs = docsRaw.filter(length(col("t")) >= 11) // k + w - 1
@@ -1028,6 +1078,43 @@ object TextOps {
     graft.StoreDir.fixedPath("graft-bpestore", "/root/testdata/sf0.01")
 
   val oracle: Map[String, String] = Map(
+    // Same mask derivation (md5 nibble), same list-op reassembly. DuckDB
+    // range() is end-exclusive like Spark's sequence(0, n-1) is inclusive
+    // — hence range(0, nspans); list_slice is begin..end-INCLUSIVE vs
+    // Spark's (start, length).
+    "llm_span_mask" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      m AS (SELECT doc_id, toks, len(toks) AS n,
+                   CAST(ceil(len(toks) / 3.0) AS INT) AS nspans FROM t),
+      a AS (
+        SELECT *,
+          list_transform(range(0, nspans), sp ->
+            substring(md5(doc_id::VARCHAR || ':' || sp::VARCHAR), 1, 1)
+              IN ('0', '1', '2')) AS maskarr
+        FROM m),
+      b AS (
+        SELECT *,
+          list_transform(range(0, nspans), sp ->
+            len(list_filter(list_slice(maskarr, 1, sp), x -> x))) AS sent
+        FROM a),
+      c AS (
+        SELECT *,
+          flatten(list_transform(range(0, nspans), sp ->
+            CASE WHEN list_extract(maskarr, CAST(sp + 1 AS INT))
+                 THEN ['<extra_id_' ||
+                       list_extract(sent, CAST(sp + 1 AS INT))::VARCHAR || '>']
+                 ELSE list_slice(toks, CAST(sp * 3 + 1 AS INT),
+                                       CAST(sp * 3 + 3 AS INT)) END)) AS ct,
+          len(list_filter(maskarr, x -> x)) AS nms
+        FROM b)
+      SELECT doc_id,
+             CAST(n AS BIGINT) AS n_tokens,
+             CAST(nspans AS BIGINT) AS n_spans,
+             CAST(nms AS BIGINT) AS n_masked_spans,
+             CAST(n - (len(ct) - nms) AS BIGINT) AS n_masked_tokens,
+             substring(array_to_string(ct, ' '), 1, 160) AS corrupted
+      FROM c ORDER BY doc_id""",
+
     // DuckDB's native ICU-backed nfc_normalize/strip_accents vs Spark's
     // java.text.Normalizer — two independent implementations of the same
     // Unicode standard. chr(225)/chr(233) = precomposed á/é, chr(769) =

@@ -393,30 +393,46 @@ object WinOps {
     // and dropped; an all-equal window (σ=0) yields NULL z, non-outlier.
     // One supplier-keyed shuffle; the frame is O(1) state per row at any
     // scale.
-    "win_rolling_zscore" -> ((s, d) => {
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
-                 col("l_linenumber").asc)
-        .rowsBetween(-20, -1)
-      Tables.lineitem(s, d)
-        .filter(col("l_suppkey") < 20)
-        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-                col("l_linenumber"), col("l_quantity").cast("double").as("x"))
-        .withColumn("n20", count(col("x")).over(w))
-        .withColumn("sx", sum("x").over(w))
-        .withColumn("sxx", sum(col("x") * col("x")).over(w))
-        .filter(col("n20") >= 8)
-        .withColumn("mu", col("sx") / col("n20"))
-        .withColumn("sd", sqrt(
-          (col("sxx") - col("sx") * col("sx") / col("n20")) / (col("n20") - 1)))
-        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-                col("l_linenumber"), col("x"),
-                when(col("sd") > 0, round((col("x") - col("mu")) / col("sd"), 4))
-                  .as("z"),
-                (abs(col("x") - col("mu")) > col("sd") * 3).as("is_outlier"))
-        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
-    })
+    "win_rolling_zscore" -> ((s, d) =>
+      rollingZscoreOf(
+        Tables.lineitem(s, d).filter(col("l_suppkey") < 20)
+          .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+                  col("l_linenumber"), col("l_quantity").cast("double").as("x")),
+        "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"), "x")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber"))
   )
+
+  /** Rolling z-score core (win_rolling_zscore / Ingest.rollingZscore):
+    * each value scored against the mean/σ of its `lookback` TRAILING rows
+    * (frame ends at 1 PRECEDING — the current row never contaminates its
+    * own baseline). μ/σ derive from frame sum / sum-of-squares — for
+    * integral-valued series both sums are exact doubles in any
+    * accumulation order, making the chain bit-identical cross-engine,
+    * which stddev_samp's streaming recurrences do not guarantee. Rows
+    * with < `minPoints` trailing values are warm-up and dropped; a
+    * zero-variance window yields NULL z (never ±Inf/NaN). Adds (z 4dp,
+    * is_outlier at 3σ); one keyCol shuffle, O(1) frame state per row. */
+  private[graft] def rollingZscoreOf(df: DataFrame, keyCol: String,
+                                     orderCols: Seq[String], valueCol: String,
+                                     lookback: Int = 20,
+                                     minPoints: Int = 8): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(-lookback, -1)
+    val x = col(valueCol)
+    df.withColumn("__nw", count(x).over(w))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+      .filter(col("__nw") >= minPoints)
+      .withColumn("__mu", col("__sx") / col("__nw"))
+      .withColumn("__sd", sqrt(
+        (col("__sxx") - col("__sx") * col("__sx") / col("__nw")) /
+          (col("__nw") - 1)))
+      .withColumn("z",
+        when(col("__sd") > 0, round((x - col("__mu")) / col("__sd"), 4)))
+      .withColumn("is_outlier", abs(x - col("__mu")) > col("__sd") * 3)
+      .drop("__nw", "__sx", "__sxx", "__mu", "__sd")
+  }
 
   /** Gap-fill + forward-fill core (win_gap_fill / Ingest.gapFill): the
     * per-key daily rollup of `valueCol` (2dp) densified onto each key's

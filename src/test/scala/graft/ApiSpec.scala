@@ -710,6 +710,42 @@ class ApiSpec extends AnyFunSuite {
     assert(api2.nonEmpty)
   }
 
+  test("Ingest.gapInterpolate equals win_gap_interpolate") {
+    val api2 = rowSet(api.Ingest.gapInterpolate(
+      Tables.events(spark, d).filter(col("user_id") < 50), "user_id", "ts", "value"))
+    val key = rowSet(SparkEntry.queries("win_gap_interpolate")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Ingest.rollingZscore equals win_rolling_zscore") {
+    val base = Tables.lineitem(spark, d).filter(col("l_suppkey") < 20)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+              col("l_linenumber"), col("l_quantity").cast("double").as("x"))
+    val api2 = rowSet(api.Ingest.rollingZscore(base, "l_suppkey",
+      Seq("l_shipdate", "l_orderkey", "l_linenumber"), "x"))
+    val key = rowSet(SparkEntry.queries("win_rolling_zscore")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Stats.welchTTest equals agg_ab_ttest") {
+    val api2 = rowSet(api.Stats.welchTTest(Tables.orders(spark, d),
+      "o_orderpriority", "1-URGENT", "5-LOW", "o_totalprice"))
+    val key = rowSet(SparkEntry.queries("agg_ab_ttest")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Text.spanMask equals llm_span_mask (custom column names)") {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    val api2 = rowSet(api.Text.spanMask(docs, idCol = "id", textCol = "body"))
+    val key = rowSet(SparkEntry.queries("llm_span_mask")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
   test("Text.fuzzyJoin equals llm_fuzzy_join's pair set") {
     import org.apache.spark.sql.functions._
     val part = Tables.part(spark, d)
