@@ -553,6 +553,31 @@ object AggOps {
     // order still differs — Spark merges partition co-moments — so like
     // every float aggregate in this suite the gate relies on the rounding
     // absorbing last-ULP drift, not on bit-identical arithmetic.)
+    // grouping()/grouping_id() over a ROLLUP — the disambiguation the
+    // multi-level aggregate family (agg_rollup/cube/grouping_sets) stops
+    // short of: in rollup output a NULL group key is AMBIGUOUS (a real
+    // NULL-valued group vs "this level aggregates the column away");
+    // grouping(col) is the authoritative 0/1 flag and grouping_id() the
+    // level bitmask, from the Expand operator's metadata rather than the
+    // (lossy) key values — any BI tool rendering subtotal rows depends on
+    // exactly this. The bitmask also yields a readable level label in
+    // plain SQL. Same single Expand+hash-agg plan as agg_rollup.
+    "agg_grouping_id" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             grouping_id().cast("long").as("gid"),
+             grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+             grouping(col("o_orderstatus")).cast("int").as("g_status"))
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          when(col("gid") === 0, "detail")
+            .when(col("gid") === 1, "priority_subtotal")
+            .otherwise("grand_total").as("level"),
+          col("gid"), col("g_pri"), col("g_status"), col("n"))
+        // within each gid tier the non-aggregated keys are unique, so
+        // (gid, keys) is a total order with no NULL-vs-value comparisons
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")),
+
     // Welch's two-sample t-test from sufficient statistics — the A/B
     // primitive: does the URGENT cohort spend differently from the LOW
     // cohort? ONE pass over the fact computes each cohort's (n, Σx, Σx²)
@@ -973,6 +998,22 @@ object AggOps {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // DuckDB's grouping(a, b) returns the same MSB-first level bitmask as
+    // Spark's grouping_id().
+    "agg_grouping_id" -> """
+      SELECT o_orderpriority, o_orderstatus,
+             CASE grouping(o_orderpriority, o_orderstatus)
+                  WHEN 0 THEN 'detail'
+                  WHEN 1 THEN 'priority_subtotal'
+                  ELSE 'grand_total' END AS level,
+             CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+             CAST(grouping(o_orderpriority) AS INTEGER) AS g_pri,
+             CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+             count(*) AS n
+      FROM orders
+      GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      ORDER BY gid, o_orderpriority, o_orderstatus""",
 
     // Same DECIMAL sufficient statistics, same literal double arithmetic.
     // Spark count(CASE…) ignores the ELSE-NULL rows exactly like DuckDB's

@@ -82,6 +82,23 @@ object FnOps {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Generator NULL semantics: explode vs explode_outer. A plain explode
+    // silently DROPS rows whose array is empty — in an ETL flatten that
+    // means parent records vanish from the output (the join-shaped twin
+    // of INNER-vs-LEFT). explode_outer keeps the parent with a NULL
+    // element. The fixture array ("rare" long tokens per doc) is empty
+    // for ~20% of docs, so both semantics are exercised; n_rare makes the
+    // empty-parent rows self-describing. DuckDB has no outer unnest —
+    // the oracle states the semantics via a [NULL] substitution, which is
+    // also its cleanest documentation.
+    "fn_explode_outer" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) >= 8)").as("rare"))
+        .select(col("doc_id"), size(col("rare")).as("n_rare"),
+                explode_outer(col("rare")).as("token"))
+        .orderBy(col("doc_id"), col("token").asc_nulls_first)),
+
     "fn_array" -> ((s, d) => {
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -356,6 +373,18 @@ object FnOps {
              CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber""",
+
+    // Outer-unnest emulation: an empty list becomes [NULL] so the parent
+    // row survives — exactly explode_outer's contract.
+    "fn_explode_outer" -> """
+      WITH r AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> length(t) >= 8) AS rare
+        FROM documents)
+      SELECT doc_id, CAST(len(rare) AS INTEGER) AS n_rare,
+             unnest(CASE WHEN len(rare) = 0 THEN [NULL] ELSE rare END) AS token
+      FROM r
+      ORDER BY doc_id, token ASC NULLS FIRST""",
 
     "fn_array" -> """
       SELECT vec_id,

@@ -480,6 +480,40 @@ object GraphOps {
     // reasoning as graph_triangles); a general corpus would cap or sample
     // per-node neighbor lists first. Only pairs above the similarity
     // floor are emitted, so output is pair-sparse, never customers².
+    // Bipartite projection / market-basket co-occurrence — the recsys
+    // primitive ("parts bought together"): the order–part bipartite graph
+    // projects onto part–part edges weighted by shared-order count, then
+    // min-support filter and deterministic top-5 neighbors per part. NOT
+    // a self-join: each order's distinct parts collapse to ONE sorted
+    // array (map-side-combinable collect_set — the same shuffle a
+    // distinct() would cost, and the only corpus-sized one), and the
+    // c(k,2) canonical pairs generate ROW-LOCALLY from the array with an
+    // indexed lambda. Blow-up is Σ c(k,2) over basket sizes (k ≤ ~7
+    // here), never corpus-quadratic; at 100 TB the lever is a per-order
+    // cap on k (a pathological 10⁶-line basket contributes 10¹² pairs —
+    // cap or drop, the LSH hot-bucket discipline); support+top-k bound
+    // the output to O(parts).
+    "graph_copurchase" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(ps, (a, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                         b -> struct(a AS part_a, b AS part_b))))""")).as("p"))
+        .select(col("p.part_a"), col("p.part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val wTop = Window.partitionBy("part_a")
+        .orderBy(col("w").desc, col("part_b").asc)
+      pairs
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .orderBy("part_a", "rk")
+    }),
+
     "graph_jaccard_neighbors" -> ((s, d) => {
       val adj = repeatTradePairs(s, d)
       val deg = adj.groupBy("doc_a").agg(count(lit(1)).as("deg"))
@@ -727,6 +761,22 @@ object GraphOps {
 
     // Same wedge-join + degree derivation; HUGEINT common cast to BIGINT,
     // DuckDB's int/int division is already true division.
+    "graph_copurchase" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (
+        SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS w
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      ranked AS (
+        SELECT part_a, part_b, w,
+               CAST(row_number() OVER (PARTITION BY part_a
+                 ORDER BY w DESC, part_b ASC) AS INTEGER) AS rk
+        FROM pairs)
+      SELECT part_a, part_b, w, rk
+      FROM ranked WHERE rk <= 5
+      ORDER BY part_a, rk""",
+
     "graph_jaccard_neighbors" -> """
       WITH p AS (
         SELECT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp

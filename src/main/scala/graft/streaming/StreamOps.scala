@@ -801,6 +801,33 @@ object StreamOps {
         .orderBy("user_id", "session_start")
     }),
 
+    // DYNAMIC-gap sessionization — session_window's gapDuration-as-COLUMN
+    // form: the inactivity threshold is a per-event expression (quick
+    // 'view' interactions time out after 15 minutes, heavier events hold
+    // the session open 45). A session is the union of overlapping
+    // per-event [ts, ts+gap) windows, so its end is max(ts+gap) — NOT
+    // last-ts+constant, which is why the fixed-gap lag trick
+    // (stream_session's oracle) no longer works and the oracle tracks the
+    // running max of window ends instead. Same state mechanics as the
+    // fixed form: keyed session state merged incrementally, evicted below
+    // the watermark. Flush sentinels pass through (their 45-min windows
+    // are dropped by user_id post-run).
+    "stream_session_dynamic" -> ((s, d) => {
+      val rep = replay(s, d, "flush")
+      runStream(s, rep, "append") { src =>
+        src.withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"),
+              when(col("event_type") === "view", "15 minutes")
+                .otherwise("45 minutes")),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+      }
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+                col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Drop duplicate event_ids within the watermark: the replay re-emits the
     // most recent 90 minutes as an extra trailing chunk; a 3-hour watermark keeps those
     // keys in state, so the stream output equals the original table.
@@ -1313,6 +1340,39 @@ object StreamOps {
     // Gaps-and-islands twin of session_window: a session breaks when the
     // gap is >= 30 minutes (Spark sessions are [start, last+gap) with an
     // exclusive end); session_end = last event + gap.
+    // Union-of-intervals semantics: a new session starts exactly when an
+    // event's ts reaches the running MAX of all previous window ends
+    // (ties at the same ts always merge — both windows start there).
+    "stream_session_dynamic" -> """
+      WITH e AS (
+        SELECT user_id, ts, event_id,
+               ts + CASE WHEN event_type = 'view' THEN INTERVAL '15 minutes'
+                         ELSE INTERVAL '45 minutes' END AS e_end
+        FROM events),
+      o AS (
+        SELECT user_id, ts, event_id, e_end,
+               max(e_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pmax
+        FROM e),
+      f AS (
+        SELECT user_id, ts, event_id, e_end,
+               CASE WHEN pmax IS NULL OR ts >= pmax THEN 1 ELSE 0 END AS brk
+        FROM o),
+      g AS (
+        -- the running sum MUST replay o's exact (ts, event_id) order: at a
+        -- ts tie only the first row can carry brk=1, and a different tie
+        -- order here would put the tied rows in different sessions
+        SELECT user_id, ts, e_end,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+      SELECT user_id, min(ts) AS session_start, max(e_end) AS session_end,
+             count(*) AS n_events
+      FROM g
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+
     "stream_session" -> """
       WITH o AS (
         SELECT user_id, ts,

@@ -1657,6 +1657,88 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_session_dynamic: sessions disjoint per user, never fewer than fixed-45m sessions") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("stream_session_dynamic")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      sorted.foreach { r =>
+        assert(r.getTimestamp(2).getTime - r.getTimestamp(1).getTime >= 15 * 60 * 1000L,
+          s"user $uid: session shorter than the minimum gap")
+        assert(r.getLong(3) >= 1)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getTimestamp(1).getTime >= a.getTimestamp(2).getTime,
+            s"user $uid: overlapping sessions — merge semantics broken")
+        case _ => ()
+      }
+    }
+    // shrinking any event's gap can only SPLIT sessions, so the dynamic
+    // count (15m views / 45m rest) is >= the all-45m fixed count
+    val fixed = graft.Tables.events(spark, d)
+      .groupBy(session_window(col("ts"), "45 minutes"), col("user_id"))
+      .count().count()
+    assert(rows.length >= fixed,
+      s"dynamic sessions ${rows.length} < fixed-45m sessions $fixed")
+  }
+
+  test("fn_explode_outer: empty parents survive exactly once with a NULL element") {
+    val rows = SparkEntry.queries("fn_explode_outer")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    var sawEmpty = false; var sawFull = false
+    byDoc.foreach { case (id, rs) =>
+      val n = rs.head.getInt(1)
+      if (n == 0) {
+        sawEmpty = true
+        assert(rs.length === 1 && rs.head.isNullAt(2),
+          s"doc $id: empty array must yield exactly one NULL row")
+      } else {
+        sawFull = true
+        assert(rs.length === n && rs.forall(!_.isNullAt(2)),
+          s"doc $id: expected $n non-null tokens, got ${rs.length}")
+      }
+    }
+    assert(sawEmpty && sawFull, "fixture must exercise both branches")
+  }
+
+  test("agg_grouping_id: bitmask composes from per-column flags; levels partition the output") {
+    val rows = SparkEntry.queries("agg_grouping_id")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) === r.getInt(4) * 2L + r.getInt(5),
+        "grouping_id != grouping(pri)*2 + grouping(status)")
+    }
+    assert(rows.count(_.getString(2) == "grand_total") === 1)
+    val detail = rows.filter(_.getString(2) == "detail")
+    val pairs = graft.Tables.orders(spark, d)
+      .select("o_orderpriority", "o_orderstatus").distinct().count()
+    assert(detail.length.toLong === pairs, "detail tier != distinct key pairs")
+    val n = graft.Tables.orders(spark, d).count()
+    assert(rows.filter(_.getString(2) == "grand_total").head.getLong(6) === n)
+  }
+
+  test("graph_copurchase: weights recount exactly; canonical pair order; top-5 per part") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("graph_copurchase")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonical (part_a < part_b)")
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 5)
+    }
+    // direct recount of the heaviest returned pair
+    val top = rows.maxBy(_.getLong(2))
+    val li = graft.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val ordersWithA = li.filter(col("l_partkey") === top.getLong(0))
+      .select(col("l_orderkey")).collect().map(_.getLong(0)).toSet
+    val w = li.filter(col("l_partkey") === top.getLong(1))
+      .collect().map(_.getLong(0)).count(ordersWithA.contains)
+    assert(top.getLong(2) === w.toLong,
+      s"pair (${top.getLong(0)},${top.getLong(1)}) weight ${top.getLong(2)} != recount $w")
+  }
+
   test("agg_weighted_median: half the weight lies at-or-below, half at-or-above") {
     val med = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
