@@ -97,6 +97,7 @@ object Bench {
     quietly(graft.ops.OptOps.zorderedOrders(spark, sfDir))
     quietly(graft.ops.OptOps.nestedDocuments(spark, sfDir))
     quietly(graft.ops.ScanOps.bloomOrders(spark, sfDir))
+    quietly(graft.ops.ScanOps.variantJsonDir(spark, sfDir))
     quietly(graft.ops.ScanOps.jdbcOrdersUrl(spark, sfDir))
     quietly(graft.ops.ScanOps.compactedOrders(spark, sfDir))
     quietly(graft.ops.ScanOps.binFilesDir(spark, sfDir))

