@@ -96,6 +96,7 @@ object Bench {
     quietly(graft.ops.OptOps.partitionedLineitem(spark, sfDir))
     quietly(graft.ops.OptOps.zorderedOrders(spark, sfDir))
     quietly(graft.ops.OptOps.nestedDocuments(spark, sfDir))
+    quietly(graft.ops.OptOps.mvSummary(spark, sfDir))
     quietly(graft.ops.ScanOps.bloomOrders(spark, sfDir))
     quietly(graft.ops.ScanOps.variantJsonDir(spark, sfDir))
     quietly(graft.ops.ScanOps.jdbcOrdersUrl(spark, sfDir))

@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // extensions get the same rules via GraftRules.install.
     ext.injectOptimizerRule(_ => graft.plans.HammingBandedJoin)
     ext.injectOptimizerRule(_ => graft.plans.CosineBandedJoin)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // §7.3c whole-operator tier: plans graft.plans.AsOfJoin nodes (built by
     // Graft.asofJoin) as the native AsOfJoinExec physical operator.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -36,6 +36,9 @@ object GraphOps {
   /** graph_bfs hop cap — shared with the oracle's recursion bound. */
   private[graft] val BfsRounds = 6
 
+  /** graph_random_walk steps — L sequential frontier joins by design. */
+  private[graft] val RandomWalkLen = 4
+
   /** graph_kcore: the degree floor k and the fixed peel-round cap —
     * shared with the oracle's unrolled CTE rounds. A fixed round count
     * (not peel-to-fixpoint) keeps the job a deterministic DAG; rounds ≥
@@ -480,6 +483,50 @@ object GraphOps {
     // reasoning as graph_triangles); a general corpus would cap or sample
     // per-node neighbor lists first. Only pairs above the similarity
     // floor are emitted, so output is pair-sparse, never customers².
+    // Deterministic "random" walks (node2vec/DeepWalk corpus generation —
+    // the training-data step for graph embeddings): from every supplier
+    // seed, a 4-step walk where step t out of node v picks neighbor rank
+    // md5(seed:t:v) mod deg(v) — a pure function of the walk state, so
+    // the corpus is reproducible across runs, engines and cluster sizes
+    // (df.sample-style RNG walks are none of those). Plan: adjacency gets
+    // a per-src (rank, degree) ONCE; each step is one join on the current
+    // node — frontier-sized, not graph-sized, exactly L sequential
+    // shuffles for L steps (the unavoidable dependency chain of a walk).
+    // The symmetric trade graph has no dead ends (every node has an out
+    // edge), so walks never truncate; seeding the hash with the SEED
+    // keeps two walks through the same node independent.
+    "graph_random_walk" -> ((s, d) => {
+      val edges = repeatTradeEdges(s, d).distinct()
+      // the ranked adjacency is referenced once per step — cache it or the
+      // whole edge derivation (lineitem⋈orders rollup) re-runs L times
+      val adj = graft.GraftCaches.track(edges.withColumn("rnk",
+        (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+          .cast("long")).cache())
+      val deg = graft.GraftCaches.track(
+        adj.groupBy("src").agg(count(lit(1)).as("deg")).cache())
+      val seeds = edges.filter(col("src").startsWith("s"))
+        .select(col("src").as("seed")).distinct()
+      var walk = seeds.select(col("seed"), lit(0).as("step"),
+                              col("seed").as("node"))
+      var out = walk
+      for (st <- 1 to RandomWalkLen) {
+        val pick = walk.join(deg, col("node") === deg("src")).drop("src")
+          .withColumn("choice",
+            conv(substring(md5(concat(col("seed"), lit(":"),
+              lit(st.toString), lit(":"), col("node"))), 1, 6), 16, 10)
+              .cast("long") % col("deg"))
+        // lineage cut per step (same discipline as the pagerank loop):
+        // without it the final union re-derives step t's whole prefix —
+        // O(L²) join stages instead of L
+        walk = graft.GraftCaches.track(pick.join(adj,
+            pick("node") === adj("src") && pick("choice") === adj("rnk"))
+          .select(col("seed"), lit(st).as("step"), col("dst").as("node"))
+          .cache())
+        out = out.unionByName(walk)
+      }
+      out.orderBy("seed", "step", "node")
+    }),
+
     // Bipartite projection / market-basket co-occurrence — the recsys
     // primitive ("parts bought together"): the order–part bipartite graph
     // projects onto part–part edges weighted by shared-order count, then
@@ -761,6 +808,39 @@ object GraphOps {
 
     // Same wedge-join + degree derivation; HUGEINT common cast to BIGINT,
     // DuckDB's int/int division is already true division.
+    // Same hash-choice walk as recursion: rank/degree derived identically
+    // (row_number−1 per src ordered by dst), the step picks
+    // md5(seed:step:node) mod deg — DuckDB hex→int via the '0x' cast
+    // idiom; walk depth bounds the recursion.
+    "graph_random_walk" -> s"""
+      WITH RECURSIVE p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT DISTINCT src, dst FROM (
+              SELECT c AS src, s AS dst FROM p
+              UNION ALL SELECT s AS src, c AS dst FROM p)),
+      adj AS (
+        SELECT src, dst,
+               CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                    AS BIGINT) AS rnk
+        FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+      seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src LIKE 's%'),
+      walk(seed, step, node) AS (
+        SELECT seed, 0, seed FROM seeds
+        UNION ALL
+        SELECT w.seed, w.step + 1, a.dst
+        FROM walk w
+        JOIN deg dg ON dg.src = w.node
+        JOIN adj a ON a.src = w.node
+         AND a.rnk = ('0x' || substring(
+               md5(w.seed || ':' || (w.step + 1)::VARCHAR || ':' || w.node),
+               1, 6))::BIGINT % dg.deg
+        WHERE w.step < $RandomWalkLen)
+      SELECT seed, CAST(step AS INTEGER) AS step, node
+      FROM walk ORDER BY seed, step, node""",
+
     "graph_copurchase" -> """
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       pairs AS (

@@ -424,6 +424,34 @@ object OptOps {
       }
     }),
 
+    // MATERIALIZED-VIEW rewrite (rule + registry + strict matcher in
+    // plans/MvRewrite.scala): the query below is written over the FACT
+    // table; with `spark.graft.rewrite.mv` on, the optimizer substitutes
+    // the registered KB-sized rollup and orders.parquet is never read —
+    // the warehouse summary-serving pattern at its purest. Conf is
+    // scoped + result materialized inside the scope (swapCached
+    // discipline, see the header note); the oracle is the plain aggregate
+    // over the fact, so a green row proves the substitution is
+    // semantics-preserving, and PlanSpec proves it actually FIRED (scan
+    // reads graft_mv, not orders.parquet — plus the Filter negative
+    // control: a filtered aggregate must keep reading the fact).
+    "opt_mv_rewrite" -> ((s, d) => {
+      graft.plans.GraftRules.install(s)
+      mvSummary(s, d)
+      val saved = s.conf.getOption("spark.graft.rewrite.mv")
+      s.conf.set("spark.graft.rewrite.mv", "true")
+      try {
+        val out = mvQueryFrame(s, d)
+        swapCached("opt_mv_rewrite", out)
+        out.cache()
+        out.count()
+        out
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.graft.rewrite.mv", v)
+        case None    => s.conf.unset("spark.graft.rewrite.mv")
+      }
+    }),
+
     // AQE partition COALESCING — the skew-split's mirror image: skew
     // splits partitions that are too big, coalesce merges the ones that
     // are too small. shuffle.partitions must be sized for the LARGEST
@@ -512,6 +540,41 @@ object OptOps {
     })
   )
 
+  private val mvFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The per-(JVM, sfDir) summary table opt_mv_rewrite serves from —
+    * `SELECT o_orderpriority, sum(o_totalprice) AS rev_raw, count(*) AS n
+    * FROM orders GROUP BY 1` written to parquet once and registered with
+    * [[graft.plans.MvRegistry]] keyed by this sfDir's orders path. The MV
+    * and the source are snapshots of the same immutable fixture, so the
+    * registrant's freshness contract holds by construction. */
+  private[graft] def mvSummary(s: SparkSession, d: String): String =
+    mvFor.computeIfAbsent(d, _ => {
+      val path = s"${ScanOps.tmpDir("graft_mv")}/orders_by_priority"
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(sum("o_totalprice").as("rev_raw"), count(lit(1)).as("n"))
+        .write.parquet(path)
+      graft.plans.MvRegistry.register(s,
+        srcPathFragment = s"$d/orders.parquet", groupCol = "o_orderpriority",
+        valueCol = "o_totalprice", sumCol = "rev_raw", cntCol = "n",
+        mvPath = path)
+      path
+    })
+
+  /** The uncached revenue-by-priority query of opt_mv_rewrite — shared
+    * with PlanSpec (cache would hide the substituted scan). The aggregate
+    * is written over the FACT table; with the rule on, the plan reads the
+    * MV instead. The round stays OUTSIDE the aggregate (a plain Project
+    * above it) so the Aggregate node carries exactly the registered
+    * sum/count shapes. */
+  private[graft] def mvQueryFrame(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("rev_raw"), count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), round(col("rev_raw"), 2).as("rev"), col("n"))
+      .orderBy("o_orderpriority")
+
   /** The uncached monthly-revenue agg of opt_aqe_coalesce — shared with
     * PlanSpec's coalesce pin (the query key caches its result, which would
     * hide the AQEShuffleRead behind an InMemoryTableScan). Money
@@ -567,6 +630,14 @@ object OptOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // The MV substitution must be invisible in the result — plain
+    // aggregate over the fact is the oracle.
+    "opt_mv_rewrite" -> """
+      SELECT o_orderpriority, round(sum(o_totalprice), 2) AS rev, count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     // Coalescing is physical re-bucketing only — plain agg is the oracle.
     // Spark's year()/month() return INT; DuckDB's return BIGINT — cast.
     "opt_aqe_coalesce" -> """

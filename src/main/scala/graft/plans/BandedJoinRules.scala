@@ -261,7 +261,7 @@ object CosineBandedJoin extends Rule[LogicalPlan] with PredicateHelper {
   * Spark's built-ins, so [[AsOfJoin]] nodes plan as [[AsOfJoinExec]]).
   * Idempotent. */
 object GraftRules {
-  val all: Seq[Rule[LogicalPlan]] = Seq(HammingBandedJoin, CosineBandedJoin)
+  val all: Seq[Rule[LogicalPlan]] = Seq(HammingBandedJoin, CosineBandedJoin, MvRewrite)
   val strategies: Seq[org.apache.spark.sql.execution.SparkStrategy] = Seq(AsOfJoinStrategy)
   def install(s: SparkSession): Unit = {
     val cur = s.experimental.extraOptimizations

@@ -1798,6 +1798,46 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_random_walk: full-length walks whose steps are edges and replay from plain-JVM md5") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("graph_random_walk")(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val L = graft.ops.GraphOps.RandomWalkLen
+    val bySeed = rows.groupBy(_._1)
+    // the key's own repeat-trade adjacency, re-derived and collected once
+    val adj = graft.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+              concat(lit("s"), col("l_suppkey")).as("b"))
+      .collect().flatMap(r => Seq(r.getString(0) -> r.getString(1),
+                                  r.getString(1) -> r.getString(0)))
+      .distinct.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2).sorted }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    bySeed.foreach { case (seed, ws) =>
+      val path = ws.sortBy(_._2)
+      assert(path.length === L + 1, s"$seed: walk truncated (${path.length})")
+      assert(path.head._3 === seed)
+      path.sliding(2).foreach {
+        case Array((_, st, v), (_, _, w)) =>
+          val nbrs = adjOrFail(adj, v)
+          val choice = (java.lang.Long.parseLong(
+            md5hex(s"$seed:${st + 1}:$v").substring(0, 6), 16) % nbrs.length).toInt
+          assert(nbrs(choice) === w,
+            s"$seed step ${st + 1}: walked to $w, md5 choice says ${nbrs(choice)}")
+        case _ => ()
+      }
+    }
+  }
+
+  private def adjOrFail(adj: Map[String, Array[String]], v: String): Array[String] =
+    adj.getOrElse(v, fail(s"walk visited $v which has no outgoing edges"))
+
   test("agg_weighted_median: half the weight lies at-or-below, half at-or-above") {
     val med = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

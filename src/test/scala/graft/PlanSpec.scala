@@ -684,6 +684,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"null-safe equality degraded to a cartesian product:\n$p")
   }
 
+  test("opt_mv_rewrite: the aggregate is served from the MV; a Filter disqualifies") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftRules.install(spark)
+    graft.ops.OptOps.mvSummary(spark, d)
+    val saved = spark.conf.getOption("spark.graft.rewrite.mv")
+    spark.conf.set("spark.graft.rewrite.mv", "true")
+    try {
+      val p = planOf(graft.ops.OptOps.mvQueryFrame(spark, d))
+      assert(p.contains("graft_mv"),
+        s"MV rewrite did not fire — plan still scans the fact:\n$p")
+      assert(!p.contains("orders.parquet"),
+        s"fact scan survived alongside the MV:\n$p")
+      // negative control: a filtered aggregate MUST NOT be served from the
+      // MV (it has no detail rows) — the strict matcher bails on Filter
+      val filtered = Tables.orders(spark, d)
+        .filter(col("o_totalprice") > 1000)
+        .groupBy("o_orderpriority")
+        .agg(sum("o_totalprice").as("rev_raw"), count(lit(1)).as("n"))
+      val pf = planOf(filtered)
+      assert(pf.contains("orders.parquet") && !pf.contains("graft_mv"),
+        s"filtered aggregate was wrongly served from the MV:\n$pf")
+      // and with the conf off, even the exact shape keeps the fact scan
+      spark.conf.set("spark.graft.rewrite.mv", "false")
+      val poff = planOf(graft.ops.OptOps.mvQueryFrame(spark, d))
+      assert(poff.contains("orders.parquet") && !poff.contains("graft_mv"),
+        s"rewrite fired with its conf off:\n$poff")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.graft.rewrite.mv", v)
+      case None    => spark.conf.unset("spark.graft.rewrite.mv")
+    }
+  }
+
   test("src_parquet_bloom: the IN probe is pushed to the parquet reader") {
     val p = plan("src_parquet_bloom")
     assert(p.contains("PushedFilters: [In(o_custkey"),
