@@ -553,6 +553,58 @@ object AggOps {
     // order still differs — Spark merges partition co-moments — so like
     // every float aggregate in this suite the gate relies on the rounding
     // absorbing last-ULP drift, not on bit-identical arithmetic.)
+    // POISSON-BOOTSTRAP confidence interval — the resampling pattern that
+    // actually works at 100 TB: classic bootstrap draws n-with-replacement
+    // per resample (B full shuffles of the corpus); the Poisson(1)
+    // approximation gives each row an independent per-resample weight, so
+    // ALL B resamples compute in ONE pass — per-row weights, map-side-
+    // combined per-resample sums, a B-row shuffle. Everything is
+    // deterministic by construction: the weight is a DEFINED function of
+    // md5(salt:key) bytes through a fixed inverse-CDF ladder (the ladder
+    // IS the resampling scheme — cross-engine identical, no RNG), one
+    // md5 yields 16 resamples (one byte each), two per row for B=32.
+    // Means accumulate in DECIMAL (order-exact); the CI is the 2nd/31st
+    // ORDER STATISTIC of the 32 resample means — order stats, not
+    // interpolated percentiles, because engines interpolate differently.
+    "agg_bootstrap_ci" -> ((s, d) => {
+      // the ARRAY-SLOT plan: no row expansion at all. A (row × 32)
+      // posexplode + groupBy(b) is the obvious formulation but shuffles
+      // 4.8M generated rows (measured 4–9.6 s depending on hash idiom);
+      // instead every resample gets its own pair of conditional
+      // aggregates — 64 sum slots over ONE scan, map-side combined, a
+      // single 1-row result. The md5s materialize as lambda-var-bound
+      // transform inputs so they run once per row (a plain column alias
+      // gets CollapseProject'd INTO the byte lambda and recomputed 16× —
+      // same trap as TextOps.fingerprintsOf's kgram note). Measured 0.18 s
+      // at sf0.1 — 55× the explode plan.
+      val withBytes = Tables.orders(s, d).select(
+          col("o_totalprice").cast("decimal(18,2)").as("xd"),
+          col("o_orderkey").cast("string").as("k"))
+        .select(col("xd"), expr(
+          """flatten(transform(
+               array(md5(concat('a:', k)), md5(concat('b:', k))),
+               h -> transform(sequence(0, 15), i ->
+                 CAST(conv(substring(h, i * 2 + 1, 2), 16, 10) AS INT))))""")
+          .as("bytes"))
+      def w(b: Int) = expr( // P(W=k) ladder for Poisson(1), byte /256
+        s"""CASE WHEN bytes[$b] < 94 THEN 0 WHEN bytes[$b] < 188 THEN 1
+                 WHEN bytes[$b] < 235 THEN 2 WHEN bytes[$b] < 251 THEN 3
+                 WHEN bytes[$b] < 255 THEN 4 ELSE 5 END""")
+      val slots = (0 until 32).flatMap(b => Seq(
+        sum(col("xd") * w(b)).as(s"sx$b"), sum(w(b)).as(s"sw$b")))
+      val meanArr = (0 until 32)
+        .map(b => s"CAST(sx$b AS DOUBLE) / CAST(sw$b AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      withBytes
+        .agg(slots.head, slots.tail: _*)
+        .select(expr(s"sort_array($meanArr)").as("ms"))
+        .select(expr("CAST(size(ms) AS BIGINT)").as("n_resamples"),
+                round(element_at(col("ms"), 2), 4).as("ci_lo"),
+                round(element_at(col("ms"), 31), 4).as("ci_hi"),
+                round(expr("aggregate(ms, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") /
+                      expr("size(ms)"), 4).as("boot_mean"))
+    }),
+
     // grouping()/grouping_id() over a ROLLUP — the disambiguation the
     // multi-level aggregate family (agg_rollup/cube/grouping_sets) stops
     // short of: in rollup output a NULL group key is AMBIGUOUS (a real
@@ -998,6 +1050,35 @@ object AggOps {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Same md5-byte ladder, same DECIMAL resample sums, same order-stat
+    // CI — the ladder is the DEFINED scheme, so both engines draw the
+    // same 32 resamples.
+    "agg_bootstrap_ci" -> """
+      WITH pre AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
+               md5('a:' || o_orderkey::VARCHAR) AS h1,
+               md5('b:' || o_orderkey::VARCHAR) AS h2
+        FROM orders),
+      rb AS (
+        SELECT xd, b,
+               ('0x' || substring(CASE WHEN b < 16 THEN h1 ELSE h2 END,
+                                  (b % 16) * 2 + 1, 2))::BIGINT AS byte
+        FROM pre, (SELECT unnest(range(0, 32)) AS b) t),
+      wt AS (
+        SELECT xd, b,
+               CASE WHEN byte < 94 THEN 0 WHEN byte < 188 THEN 1
+                    WHEN byte < 235 THEN 2 WHEN byte < 251 THEN 3
+                    WHEN byte < 255 THEN 4 ELSE 5 END AS w
+        FROM rb),
+      m AS (SELECT b, CAST(sum(xd * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+            FROM wt WHERE w > 0 GROUP BY b),
+      s AS (SELECT list_sort(list(m)) AS ms, count(*) AS n, avg(m) AS am FROM m)
+      SELECT CAST(n AS BIGINT) AS n_resamples,
+             round(ms[2], 4) AS ci_lo,
+             round(ms[31], 4) AS ci_hi,
+             round(am, 4) AS boot_mean
+      FROM s""",
 
     // DuckDB's grouping(a, b) returns the same MSB-first level bitmask as
     // Spark's grouping_id().

@@ -424,6 +424,23 @@ object OptOps {
       }
     }),
 
+    // Empty-relation propagation: a constant-false predicate (the
+    // templated-SQL reality — an empty IN-list, a pruned-to-nothing
+    // partition filter, a feature-flag literal) constant-folds, prunes
+    // the Filter, and PropagateEmptyRelation collapses the whole subtree
+    // to an empty LocalRelation — the global aggregate then answers from
+    // zero rows WITHOUT EVER TOUCHING THE FACT TABLE (PlanSpec pins: no
+    // FileScan survives). At 100 TB this is the difference between a
+    // no-op returning in milliseconds and a pointless corpus scan; the
+    // key also pins the empty-input aggregate contract both engines
+    // share — count() = 0, sum() = NULL, one output row.
+    "opt_empty_relation" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(lit(1) === lit(0))
+        .agg(count(lit(1)).as("n"),
+             round(sum("o_totalprice"), 2).as("s"),
+             max("o_orderdate").as("last_date"))),
+
     // MATERIALIZED-VIEW rewrite (rule + registry + strict matcher in
     // plans/MvRewrite.scala): the query below is written over the FACT
     // table; with `spark.graft.rewrite.mv` on, the optimizer substitutes
@@ -630,6 +647,12 @@ object OptOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // The empty-input aggregate contract: one row, count 0, NULL sums.
+    "opt_empty_relation" -> """
+      SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s,
+             max(o_orderdate) AS last_date
+      FROM orders WHERE 1 = 0""",
+
     // The MV substitution must be invisible in the result — plain
     // aggregate over the fact is the oracle.
     "opt_mv_rewrite" -> """

@@ -1838,6 +1838,27 @@ class OperatorSpec extends AnyFunSuite {
   private def adjOrFail(adj: Map[String, Array[String]], v: String): Array[String] =
     adj.getOrElse(v, fail(s"walk visited $v which has no outgoing edges"))
 
+  test("agg_bootstrap_ci: interval brackets the true mean, 32 resamples") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("agg_bootstrap_ci")(spark, d).collect().head
+    assert(r.getLong(0) === 32L)
+    val (lo, hi, bm) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= bm && bm <= hi, s"boot mean $bm outside [$lo, $hi]")
+    val trueMean = graft.Tables.orders(spark, d)
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("m")).head().getDouble(0)
+    assert(lo <= trueMean && trueMean <= hi,
+      s"true mean $trueMean outside the bootstrap CI [$lo, $hi]")
+    assert(hi > lo, "degenerate CI")
+  }
+
+  test("opt_empty_relation: empty-input aggregate contract (one row, 0, NULLs)") {
+    val rows = SparkEntry.queries("opt_empty_relation")(spark, d).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 0L)
+    assert(rows.head.isNullAt(1) && rows.head.isNullAt(2))
+  }
+
   test("agg_weighted_median: half the weight lies at-or-below, half at-or-above") {
     val med = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -716,6 +716,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("opt_empty_relation: the fact table is never scanned") {
+    val p = plan("opt_empty_relation")
+    assert(!p.contains("FileScan"),
+      s"constant-false filter did not collapse the scan:\n$p")
+    assert(p.contains("LocalTableScan") || p.contains("EmptyRelation"),
+      s"no empty local relation in the plan:\n$p")
+  }
+
   test("src_parquet_bloom: the IN probe is pushed to the parquet reader") {
     val p = plan("src_parquet_bloom")
     assert(p.contains("PushedFilters: [In(o_custkey"),
