@@ -553,6 +553,34 @@ object AggOps {
     // order still differs — Spark merges partition co-moments — so like
     // every float aggregate in this suite the gate relies on the rounding
     // absorbing last-ULP drift, not on bit-identical arithmetic.)
+    // GINI COEFFICIENT per cohort — the concentration/inequality metric
+    // ("do a few giant orders carry this priority class?"): with values
+    // ranked ascending, G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). One ranked
+    // window + one aggregate, both partitioned on the cohort — a single
+    // shuffle chain. Rank ties are harmless by algebra (equal values
+    // permuting among tied ranks leave Σi·xᵢ unchanged), but the unique
+    // tiebreaker keeps the rank column itself engine-stable. Both moments
+    // accumulate in DECIMAL (order-exact); G is one double expression.
+    "agg_gini" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("xd").asc, col("o_orderkey").asc) // cast is order-preserving
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+                col("o_totalprice").cast("decimal(18,2)").as("xd"),
+                col("o_orderkey"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum("xd").as("sx"),
+             sum(col("xd") * col("i")).as("six"))
+        .select(col("o_orderpriority"), col("n"),
+          round((lit(2) * col("six").cast("double") -
+                 (col("n") + 1).cast("double") * col("sx").cast("double")) /
+                (col("n").cast("double") * col("sx").cast("double")), 6)
+            .as("gini"))
+        .orderBy("o_orderpriority")
+    }),
+
     // POISSON-BOOTSTRAP confidence interval — the resampling pattern that
     // actually works at 100 TB: classic bootstrap draws n-with-replacement
     // per resample (B full shuffles of the corpus); the Poisson(1)
@@ -1050,6 +1078,25 @@ object AggOps {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Same ranked-moment formula; DuckDB sums of DECIMAL×BIGINT are exact
+    // like Spark's, the final expression is literal-identical doubles.
+    "agg_gini" -> """
+      WITH r AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS i
+        FROM orders),
+      m AS (
+        SELECT o_orderpriority, count(*) AS n,
+               sum(xd) AS sx, sum(xd * i) AS six
+        FROM r GROUP BY 1)
+      SELECT o_orderpriority, n,
+             round((2 * CAST(six AS DOUBLE)
+                    - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+      FROM m ORDER BY o_orderpriority""",
 
     // Same md5-byte ladder, same DECIMAL resample sums, same order-stat
     // CI — the ladder is the DEFINED scheme, so both engines draw the

@@ -561,6 +561,31 @@ object GraphOps {
         .orderBy("part_a", "rk")
     }),
 
+    // Adamic–Adar link prediction — graph_jaccard_neighbors' weighted
+    // sibling and THE classic "who should trade next" score: for customer
+    // pairs sharing suppliers, Σ_z 1/ln(deg(z)) over the shared suppliers
+    // z — a rare shared counterparty (low degree) is stronger evidence
+    // than a hub everyone uses, which plain common-neighbor counts (and
+    // Jaccard) weight equally. Same bounded common-neighbor join as the
+    // Jaccard key (pair expansion is per-supplier c(k,2), never corpus-
+    // quadratic; the hub cap is the supplier-degree skew lever); a shared
+    // supplier has deg ≥ 2 by construction, so ln(deg) never divides by
+    // zero. min-support 2 bounds output; 4dp absorbs double sum order.
+    "graph_adamic_adar" -> ((s, d) => {
+      val adj = repeatTradePairs(s, d).select("doc_a", "doc_b")
+      val deg = adj.groupBy("doc_b").agg(count(lit(1)).as("ds"))
+        .select(col("doc_b").as("zb"), col("ds"))
+      adj.as("x")
+        .join(adj.as("y"),
+              col("x.doc_b") === col("y.doc_b") && col("x.doc_a") < col("y.doc_a"))
+        .join(deg, col("x.doc_b") === col("zb"))
+        .groupBy(col("x.doc_a").as("a"), col("y.doc_a").as("b"))
+        .agg(count(lit(1)).as("n_common"),
+             round(sum(lit(1.0) / log(col("ds").cast("double"))), 4).as("aa"))
+        .filter(col("n_common") >= 2)
+        .orderBy("a", "b")
+    }),
+
     "graph_jaccard_neighbors" -> ((s, d) => {
       val adj = repeatTradePairs(s, d)
       val deg = adj.groupBy("doc_a").agg(count(lit(1)).as("deg"))
@@ -856,6 +881,23 @@ object GraphOps {
       SELECT part_a, part_b, w, rk
       FROM ranked WHERE rk <= 5
       ORDER BY part_a, rk""",
+
+    // ln() both engines; the repeat-trade pair derivation matches the
+    // Jaccard oracle's CTE.
+    "graph_adamic_adar" -> """
+      WITH p AS (
+        SELECT 'c' || o_custkey AS doc_a, 's' || l_suppkey AS doc_b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      deg AS (SELECT doc_b, count(*) AS ds FROM p GROUP BY 1)
+      SELECT x.doc_a AS a, y.doc_a AS b, count(*) AS n_common,
+             round(sum(1.0 / ln(CAST(deg.ds AS DOUBLE))), 4) AS aa
+      FROM p x
+      JOIN p y ON x.doc_b = y.doc_b AND x.doc_a < y.doc_a
+      JOIN deg ON x.doc_b = deg.doc_b
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+      ORDER BY a, b""",
 
     "graph_jaccard_neighbors" -> """
       WITH p AS (

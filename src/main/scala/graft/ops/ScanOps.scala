@@ -415,6 +415,28 @@ object ScanOps {
     // anyway (referential integrity = an anti join on the dimension,
     // uniqueness = a keyed count — both shuffle on the key they check,
     // nothing else). Five 1-row frames union at the end.
+    // Data-freshness monitoring — the "is this feed stale?" check every
+    // ingest pipeline runs: each event source's latest event-time lag
+    // behind the freshest source, with a 120-minute SLO verdict. The
+    // reference clock is the corpus's own global max(ts) — NOT now() —
+    // so the check is deterministic and the oracle can restate it; in
+    // production you'd swap the reference for the wall clock and keep
+    // everything else. Two tiny aggregates (per-type + global 1-row
+    // broadcast), lag computed on exact integer micros.
+    "obs_freshness" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val perType = e.groupBy("event_type")
+        .agg(max(unix_micros(col("ts"))).as("mx_us"), count(lit(1)).as("n"))
+      val global = e.agg(max(unix_micros(col("ts"))).as("gx_us"))
+      perType.crossJoin(broadcast(global))
+        // integer DIV on exact micros — a double divide + cast would
+        // round/truncate differently across engines at minute boundaries
+        .withColumn("lag_min", expr("(gx_us - mx_us) DIV 60000000"))
+        .select(col("event_type"), col("n"), col("lag_min"),
+                (col("lag_min") <= 120).as("fresh"))
+        .orderBy("event_type")
+    }),
+
     "obs_dq_checks" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val rowLocal = expectOf(o, Seq(
@@ -861,6 +883,20 @@ object ScanOps {
     // the same filter — that equality IS what the key demonstrates.
     // Stacked conditional sums spelled as UNION ALL arms; counts BIGINT
     // on both sides.
+    // Same exact-micros integer division; epoch_us is DuckDB's
+    // unix_micros. events ts is ns in the raw file — epoch_us on the
+    // TIMESTAMP read floors to µs exactly like Tables.events' conversion.
+    "obs_freshness" -> """
+      WITH t AS (
+        SELECT event_type, max(epoch_us(ts)) AS mx_us, count(*) AS n
+        FROM events GROUP BY 1),
+      g AS (SELECT max(epoch_us(ts)) AS gx_us FROM events)
+      SELECT event_type, n,
+             (gx_us - mx_us) // 60000000 AS lag_min,
+             ((gx_us - mx_us) // 60000000 <= 120) AS fresh
+      FROM t, g
+      ORDER BY event_type""",
+
     "obs_dq_checks" -> """
       WITH rl AS (
         SELECT sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nk,

@@ -1859,6 +1859,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head.isNullAt(1) && rows.head.isNullAt(2))
   }
 
+  test("agg_gini: in [0,1) and matches a direct sorted-rank computation") {
+    val rows = SparkEntry.queries("agg_gini")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0 && r.getDouble(2) < 1,
+      s"${r.getString(0)}: gini out of range"))
+    val p = rows.head.getString(0)
+    val xs = graft.Tables.orders(spark, d)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === p)
+      .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    val n = xs.length
+    val direct = (2.0 * xs.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+      - (n + 1).toDouble * xs.sum) / (n.toDouble * xs.sum)
+    assert(math.abs(rows.head.getDouble(2) - direct) < 1e-4,
+      s"$p: gini ${rows.head.getDouble(2)} vs direct $direct")
+  }
+
+  test("obs_freshness: freshest source lags zero, lags non-negative, counts total") {
+    val rows = SparkEntry.queries("obs_freshness")(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(2) === 0L), "no source at the reference clock")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L)
+      assert(r.getBoolean(3) === (r.getLong(2) <= 120L))
+    }
+    assert(rows.map(_.getLong(1)).sum === graft.Tables.events(spark, d).count())
+  }
+
+  test("graph_adamic_adar: the top pair's score recomputes from the raw adjacency") {
+    val rows = SparkEntry.queries("graph_adamic_adar")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val adj = graft.ops.GraphOps.repeatTradePairs(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySupp = adj.groupBy(_._2).map { case (s0, es) => s0 -> es.map(_._1).toSet }
+    val top = rows.maxBy(_.getDouble(3))
+    val (a, b) = (top.getString(0), top.getString(1))
+    val shared = bySupp.filter { case (_, cs) => cs.contains(a) && cs.contains(b) }
+    assert(shared.size.toLong === top.getLong(2), "n_common mismatch")
+    // keys is a SET — mapping to 1/ln would collapse equal-degree terms
+    val direct = shared.keys.toSeq
+      .map(z => 1.0 / math.log(bySupp(z).size.toDouble)).sum
+    assert(math.abs(top.getDouble(3) - direct) < 1e-3,
+      s"($a,$b): aa ${top.getDouble(3)} vs direct $direct")
+  }
+
   test("agg_weighted_median: half the weight lies at-or-below, half at-or-above") {
     val med = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
