@@ -424,6 +424,36 @@ object OptOps {
       }
     }),
 
+    // Parquet AGGREGATE pushdown — the footer-statistics fast path:
+    // un-grouped COUNT/MIN/MAX over a parquet table are already in every
+    // row group's metadata, so with `spark.sql.parquet.aggregatePushdown`
+    // on (+ the v2 reader), the scan answers from FOOTERS ONLY — zero
+    // data pages read. At 100 TB that's the difference between a metadata
+    // round-trip and a full corpus scan for "how many rows / what's the
+    // key range" — the first two queries anyone runs on a new table.
+    // Limits encoded: exact-stats types only (the NTZ timestamp column
+    // does NOT push in this build — kept out of the query), no filters,
+    // no DISTINCT. Conf-scoped (v1-source list narrowed to nothing inside
+    // the scope only) + swapCached; PlanSpec pins PushedAggregation in
+    // the v2 scan and its absence with the conf off.
+    "opt_agg_pushdown" -> ((s, d) => {
+      val confs = Seq(
+        "spark.sql.parquet.aggregatePushdown" -> "true",
+        "spark.sql.sources.useV1SourceList" -> "")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = aggPushFrame(s, d)
+        swapCached("opt_agg_pushdown", out)
+        out.cache()
+        out.count()
+        out
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     // Empty-relation propagation: a constant-false predicate (the
     // templated-SQL reality — an empty IN-list, a pruned-to-nothing
     // partition filter, a feature-flag literal) constant-folds, prunes
@@ -579,6 +609,18 @@ object OptOps {
       path
     })
 
+  /** The uncached metadata-aggregate of opt_agg_pushdown — shared with
+    * PlanSpec's PushedAggregation pin. Must be CONSTRUCTED while the
+    * scoped confs are on (the v1/v2 source choice and the push decision
+    * bind at scan building). */
+  private[graft] def aggPushFrame(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(count(lit(1)).as("n"),
+           min("o_orderkey").as("min_key"),
+           max("o_orderkey").as("max_key"),
+           round(min("o_totalprice"), 2).as("min_price"),
+           round(max("o_totalprice"), 2).as("max_price"))
+
   /** The uncached revenue-by-priority query of opt_mv_rewrite — shared
     * with PlanSpec (cache would hide the substituted scan). The aggregate
     * is written over the FACT table; with the rule on, the plan reads the
@@ -647,6 +689,14 @@ object OptOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Footer stats must equal the scan-computed aggregate — plain SQL.
+    "opt_agg_pushdown" -> """
+      SELECT count(*) AS n,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price
+      FROM orders""",
+
     // The empty-input aggregate contract: one row, count 0, NULL sums.
     "opt_empty_relation" -> """
       SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s,

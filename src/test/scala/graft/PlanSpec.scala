@@ -716,6 +716,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("opt_agg_pushdown: COUNT/MIN/MAX answered from parquet footers") {
+    val confs = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = planOf(graft.ops.OptOps.aggPushFrame(spark, d))
+      assert(p.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate not pushed to the parquet scan:\n$p")
+      assert(p.contains("MIN(o_orderkey)") && p.contains("MAX(o_totalprice)"),
+        s"min/max missing from the pushed list:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // conf off: the same frame plans a plain scan + aggregate
+    val off = planOf(graft.ops.OptOps.aggPushFrame(spark, d))
+    assert(!off.contains("PushedAggregation: [COUNT"),
+      s"pushdown fired with its conf off:\n$off")
+  }
+
   test("opt_empty_relation: the fact table is never scanned") {
     val p = plan("opt_empty_relation")
     assert(!p.contains("FileScan"),
