@@ -801,6 +801,26 @@ object StreamOps {
         .orderBy("user_id", "session_start")
     }),
 
+    // COMPLETE output mode — the third of the triad (append/update keys
+    // cover the other two): every micro-batch re-emits the ENTIRE
+    // aggregate state, so the sink always holds a full, current snapshot
+    // — the live-leaderboard/dashboard mode. The trade-offs this key
+    // encodes: state is never evicted (no watermark — complete mode
+    // forbids dropping groups), so it is only sane for BOUNDED group
+    // cardinality (a handful of event types here; a per-user complete agg
+    // at 100 TB is an OOM by design), and sink writes are O(groups) per
+    // batch, not O(new data). No flush sentinels needed — the last
+    // snapshot IS the final answer.
+    "stream_complete_mode" -> ((s, d) => {
+      val rep = replay(s, d, "base")
+      runStream(s, rep, "complete", filesPerTrigger = 2) { src =>
+        src.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      }
+        .select(col("event_type"), col("n"), round(col("sv"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // DYNAMIC-gap sessionization — session_window's gapDuration-as-COLUMN
     // form: the inactivity threshold is a per-event expression (quick
     // 'view' interactions time out after 15 minutes, heavier events hold
@@ -1340,6 +1360,13 @@ object StreamOps {
     // Gaps-and-islands twin of session_window: a session breaks when the
     // gap is >= 30 minutes (Spark sessions are [start, last+gap) with an
     // exclusive end); session_end = last event + gap.
+    // The final complete-mode snapshot equals the batch aggregate.
+    "stream_complete_mode" -> """
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
     // Union-of-intervals semantics: a new session starts exactly when an
     // event's ts reaches the running MAX of all previous window ends
     // (ties at the same ts always merge — both windows start there).
