@@ -338,6 +338,27 @@ object SqlOps {
       """)
     }),
 
+    // LIMIT … OFFSET pagination — page 3 of the price-ranked order list.
+    // Correct only over a TOTAL order (the tiebreaker matters: a
+    // non-unique ORDER BY makes page boundaries nondeterministic and rows
+    // duplicate/vanish across pages — the classic pagination bug, which
+    // the unique o_orderkey tiebreaker here rules out). Spark plans the
+    // pair as one GlobalLimit(offset+limit) over a TakeOrdered-style
+    // partial top-k — rows 1..60 are never materialized to the driver,
+    // and at any scale the cost is O(offset+limit) per partition, which
+    // is also why DEEP offsets are an anti-pattern (keyset pagination —
+    // WHERE key > last_seen — is the 100 TB shape; this key is the
+    // bounded-page form).
+    "sql_limit_offset" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders_m
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20 OFFSET 40
+      """)
+    }),
+
     // EXISTS under a DISJUNCTION — the mark-join shape. sql_exists_in's
     // conjunctive EXISTS rewrites to a plain LeftSemi (rows are FILTERED
     // by the subquery), but under OR the subquery's truth value must be
@@ -1099,6 +1120,13 @@ object SqlOps {
           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
       SELECT grp, n FROM (SELECT * FROM q4 UNION ALL SELECT * FROM cold) u
       ORDER BY grp""",
+
+    // Same page over the same total order.
+    "sql_limit_offset" -> """
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 20 OFFSET 40""",
 
     // DuckDB plans the same disjunctive EXISTS as its native MARK join.
     "sql_exists_mark" -> """
