@@ -82,6 +82,25 @@ object FnOps {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Rounding-MODE semantics: round (HALF_UP — ties away from zero) vs
+    // bround (HALF_EVEN — banker's, ties to the even neighbor). On a
+    // money pipeline the difference compounds: HALF_UP biases every
+    // .5-tie upward, HALF_EVEN is unbiased in expectation, which is why
+    // accounting standards mandate it — and why an engine must expose
+    // BOTH and never silently swap them. The fixture derives exact
+    // half-step ties (k/2 − 2.5 is exactly representable), so every row
+    // sits ON the tie and the two modes visibly diverge on odd halves.
+    // DuckDB spells the pair round/roundbankers with the same contracts.
+    "fn_round_modes" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(((col("o_orderkey") % 12).cast("double") / 2.0 - 2.5).as("x"))
+        .distinct()
+        .select(col("x"),
+          round(col("x"), 0).as("half_up"),
+          bround(col("x"), 0).as("banker"),
+          (round(col("x"), 0) =!= bround(col("x"), 0)).as("differs"))
+        .orderBy("x")),
+
     // Generator NULL semantics: explode vs explode_outer. A plain explode
     // silently DROPS rows whose array is empty — in an ETL flatten that
     // means parent records vanish from the output (the join-shaped twin
@@ -373,6 +392,16 @@ object FnOps {
              CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber""",
+
+    // DuckDB's round on DOUBLE is C half-away-from-zero == Spark HALF_UP
+    // on every tie; roundbankers == bround (HALF_EVEN).
+    "fn_round_modes" -> """
+      WITH x AS (
+        SELECT DISTINCT CAST(o_orderkey % 12 AS DOUBLE) / 2.0 - 2.5 AS x
+        FROM orders)
+      SELECT x, round(x, 0) AS half_up, roundbankers(x, 0) AS banker,
+             (round(x, 0) <> roundbankers(x, 0)) AS differs
+      FROM x ORDER BY x""",
 
     // Outer-unnest emulation: an empty list becomes [NULL] so the parent
     // row survives — exactly explode_outer's contract.

@@ -561,6 +561,31 @@ object GraphOps {
         .orderBy("part_a", "rk")
     }),
 
+    // Degree ASSORTATIVITY — the one-number network-science diagnostic:
+    // Pearson correlation of (deg(src), deg(dst)) over all directed
+    // edges. Positive = hubs trade with hubs (resilient core, redundant
+    // paths); negative = hub-and-spoke (hub loss partitions the graph) —
+    // the number that tells you whether pagerank mass and failure modes
+    // concentrate. Bipartite trade graphs are typically DISassortative
+    // (big customers fan out to many small suppliers), which this corpus
+    // reproduces. Plan: degree agg + two broadcast joins onto the edge
+    // list + one corr aggregate — corr's accumulation is float (both
+    // engines stream it), so 4dp absorbs merge-order noise, precedent
+    // agg_corr_stats.
+    "graph_assortativity" -> ((s, d) => {
+      val edges = tradeEdges(s, d)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ds = deg.select(col("src").as("s_node"), col("deg").as("deg_s"))
+      val dt = deg.select(col("src").as("t_node"), col("deg").as("deg_t"))
+      edges
+        .join(broadcast(ds), col("src") === col("s_node"))
+        .join(broadcast(dt), col("dst") === col("t_node"))
+        .agg(count(lit(1)).as("n_edges"),
+             round(corr(col("deg_s").cast("double"),
+                        col("deg_t").cast("double")), 4).as("assortativity"),
+             round(avg(col("deg_s").cast("double")), 4).as("mean_deg"))
+    }),
+
     // Adamic–Adar link prediction — graph_jaccard_neighbors' weighted
     // sibling and THE classic "who should trade next" score: for customer
     // pairs sharing suppliers, Σ_z 1/ln(deg(z)) over the shared suppliers
@@ -881,6 +906,24 @@ object GraphOps {
       SELECT part_a, part_b, w, rk
       FROM ranked WHERE rk <= 5
       ORDER BY part_a, rk""",
+
+    // corr() is Pearson in both engines; the dense (threshold-1) trade
+    // graph in symmetric form, like the pagerank oracle's derivation.
+    "graph_assortativity" -> """
+      WITH p AS (
+        SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      e AS (SELECT a AS src, b AS dst FROM p
+            UNION ALL SELECT b AS src, a AS dst FROM p),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+      SELECT count(*) AS n_edges,
+             round(corr(CAST(ds.deg AS DOUBLE), CAST(dt.deg AS DOUBLE)), 4)
+               AS assortativity,
+             round(avg(CAST(ds.deg AS DOUBLE)), 4) AS mean_deg
+      FROM e
+      JOIN deg ds ON e.src = ds.src
+      JOIN deg dt ON e.dst = dt.src""",
 
     // ln() both engines; the repeat-trade pair derivation matches the
     // Jaccard oracle's CTE.
