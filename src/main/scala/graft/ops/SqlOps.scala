@@ -338,6 +338,29 @@ object SqlOps {
       """)
     }),
 
+    // SQL SESSION VARIABLES (Spark 4 DECLARE/SET VARIABLE) — the dynamic
+    // query-text knob between hardcoded literals and full parameterized
+    // statements (sql_parameterized covers those): a typed, session-
+    // scoped variable referenced by name inside any later query —
+    // dashboards and notebook workflows set thresholds exactly this way.
+    // Variables resolve at ANALYSIS time to their current value, so the
+    // plan constant-folds and predicate-pushes as if the literal were
+    // inlined — which is also why the oracle IS the inlined literal.
+    // DECLARE OR REPLACE keeps repeat invocations idempotent.
+    "sql_session_variable" -> ((s, d) => {
+      views(s, d)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_price_floor DOUBLE DEFAULT 0.0")
+      s.sql("SET VARIABLE graft_price_floor = 350000.0")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders_m
+        WHERE o_totalprice > graft_price_floor
+        GROUP BY 1
+        ORDER BY 1
+      """)
+    }),
+
     // LIMIT … OFFSET pagination — page 3 of the price-ranked order list.
     // Correct only over a TOTAL order (the tiebreaker matters: a
     // non-unique ORDER BY makes page boundaries nondeterministic and rows
@@ -1120,6 +1143,16 @@ object SqlOps {
           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
       SELECT grp, n FROM (SELECT * FROM q4 UNION ALL SELECT * FROM cold) u
       ORDER BY grp""",
+
+    // Variables resolve to their value at analysis — the inlined literal
+    // is the semantic contract.
+    "sql_session_variable" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders
+      WHERE o_totalprice > 350000.0
+      GROUP BY 1
+      ORDER BY 1""",
 
     // Same page over the same total order.
     "sql_limit_offset" -> """
