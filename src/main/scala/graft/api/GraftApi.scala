@@ -1032,6 +1032,48 @@ object Graph {
                        srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     graft.ops.GraphOps.lpaOf(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), rounds)
+
+  /** Adamic–Adar link-prediction scores over a bipartite membership frame
+    * (left entity, right counterparty): left-side pairs sharing ≥
+    * `minCommon` counterparties z scored Σ_z 1/ln(deg(z)) — rare shared
+    * counterparties weigh more than hubs (graph_adamic_adar's exact
+    * core). Returns (a, b, n_common, aa). */
+  def adamicAdar(pairs: DataFrame, minCommon: Int = 2,
+                 leftCol: String = "doc_a", rightCol: String = "doc_b"): DataFrame =
+    graft.ops.GraphOps.adamicAdarOf(
+      pairs.select(col(leftCol).as("doc_a"), col(rightCol).as("doc_b")), minCommon)
+
+  /** Degree assortativity of a directed (src, dst) edge frame → one row
+    * (n_edges, assortativity, mean_deg): Pearson corr of endpoint
+    * degrees — positive = hubs link to hubs, negative = hub-and-spoke
+    * (graph_assortativity's exact core). */
+  def assortativity(edges: DataFrame,
+                    srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.assortativityOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+
+  /** Deterministic random walks (node2vec/DeepWalk corpus generation):
+    * from each seed, a `steps`-hop walk where step t out of v picks
+    * neighbor rank md5(seed:t:v) mod deg(v) — reproducible across runs,
+    * engines and cluster sizes; walks truncate at dead ends
+    * (graph_random_walk's exact core). Returns (seed, step, node). */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int = 4,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  seedCol: String = "seed"): DataFrame =
+    graft.ops.GraphOps.randomWalkOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      seeds.select(col(seedCol).as("seed")), steps)
+
+  /** Market-basket co-occurrence projection (graph_copurchase's exact
+    * core): canonical item pairs weighted by shared-basket count,
+    * min-support filtered, top-`topK` neighbors per item — generated
+    * row-locally from per-basket item arrays, never a corpus self-join.
+    * Returns (part_a, part_b, w, rk). */
+  def coPurchase(basketItems: DataFrame, minSupport: Int = 2, topK: Int = 5,
+                 basketCol: String = "basket", itemCol: String = "item"): DataFrame =
+    graft.ops.GraphOps.coPurchaseOf(
+      basketItems.select(col(basketCol).as("basket"), col(itemCol).as("item")),
+      minSupport, topK)
 }
 
 /** Data-layout levers for write-side clustering. */

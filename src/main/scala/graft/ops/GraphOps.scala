@@ -91,6 +91,105 @@ object GraphOps {
               col("n"))
   }
 
+  /** Deterministic random-walk core (graph_random_walk /
+    * Graph.randomWalks): from each row of `seeds` ("seed" column), a
+    * `steps`-hop walk over the (src, dst) edge frame where step t out of
+    * node v picks neighbor rank md5(seed:t:v) mod deg(v) — a pure
+    * function of the walk state, reproducible across runs/engines/
+    * cluster sizes. Ranked adjacency + degrees are cached (referenced
+    * once per step; un-cached, the edge derivation re-runs L times) and
+    * each step's frontier is lineage-cut (un-cut, the final union
+    * re-derives step t's whole prefix — O(L²) join stages instead of L).
+    * Walks truncate at dead-end nodes; returns (seed, step, node) with
+    * step 0 = the seed itself. */
+  private[graft] def randomWalkOf(edges: DataFrame, seeds: DataFrame,
+                                  steps: Int): DataFrame = {
+    val adj = graft.GraftCaches.track(edges.select("src", "dst").distinct()
+      .withColumn("rnk",
+        (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+          .cast("long")).cache())
+    val deg = graft.GraftCaches.track(
+      adj.groupBy("src").agg(count(lit(1)).as("deg")).cache())
+    var walk = seeds.select(col("seed"), lit(0).as("step"),
+                            col("seed").as("node"))
+    var out = walk
+    for (st <- 1 to steps) {
+      val pick = walk.join(deg, col("node") === deg("src")).drop("src")
+        .withColumn("choice",
+          conv(substring(md5(concat(col("seed"), lit(":"),
+            lit(st.toString), lit(":"), col("node"))), 1, 6), 16, 10)
+            .cast("long") % col("deg"))
+      walk = graft.GraftCaches.track(pick.join(adj,
+          pick("node") === adj("src") && pick("choice") === adj("rnk"))
+        .select(col("seed"), lit(st).as("step"), col("dst").as("node"))
+        .cache())
+      out = out.unionByName(walk)
+    }
+    out
+  }
+
+  /** Market-basket bipartite-projection core (graph_copurchase /
+    * Graph.coPurchase): from a (basket, item) frame, canonical item pairs
+    * weighted by shared-basket count, min-support filtered, top-`topK`
+    * per item_a by (weight DESC, item_b). NOT a self-join: each basket's
+    * distinct items collapse to ONE sorted array (map-side-combinable —
+    * the only corpus-sized shuffle) and the c(k,2) pairs generate
+    * row-locally; blow-up is Σ c(k,2) over basket sizes, never
+    * corpus-quadratic. At 100 TB cap pathological basket sizes first. */
+  private[graft] def coPurchaseOf(basketItems: DataFrame, minSupport: Int,
+                                  topK: Int): DataFrame = {
+    val pairs = basketItems
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+                       b -> struct(a AS part_a, b AS part_b))))""")).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+    val wTop = Window.partitionBy("part_a")
+      .orderBy(col("w").desc, col("part_b").asc)
+    pairs.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= topK)
+  }
+
+  /** Adamic–Adar core (graph_adamic_adar / Graph.adamicAdar): over a
+    * bipartite (doc_a, doc_b) membership frame, for left-side pairs
+    * sharing ≥ `minCommon` right-side counterparties z, the score
+    * Σ_z 1/ln(deg(z)) — rare shared counterparties weigh more than hubs.
+    * A shared z has deg ≥ 2, so ln never divides by zero. */
+  private[graft] def adamicAdarOf(pairs: DataFrame, minCommon: Int): DataFrame = {
+    val adj = pairs.select("doc_a", "doc_b")
+    val deg = adj.groupBy("doc_b").agg(count(lit(1)).as("ds"))
+      .select(col("doc_b").as("zb"), col("ds"))
+    adj.as("x")
+      .join(adj.as("y"),
+            col("x.doc_b") === col("y.doc_b") && col("x.doc_a") < col("y.doc_a"))
+      .join(deg, col("x.doc_b") === col("zb"))
+      .groupBy(col("x.doc_a").as("a"), col("y.doc_a").as("b"))
+      .agg(count(lit(1)).as("n_common"),
+           round(sum(lit(1.0) / log(col("ds").cast("double"))), 4).as("aa"))
+      .filter(col("n_common") >= minCommon)
+  }
+
+  /** Degree-assortativity core (graph_assortativity /
+    * Graph.assortativity): Pearson corr of (deg(src), deg(dst)) over all
+    * directed edges of a (src, dst) frame → one row
+    * (n_edges, assortativity 4dp, mean_deg 4dp). */
+  private[graft] def assortativityOf(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ds = deg.select(col("src").as("s_node"), col("deg").as("deg_s"))
+    val dt = deg.select(col("src").as("t_node"), col("deg").as("deg_t"))
+    edges
+      .join(broadcast(ds), col("src") === col("s_node"))
+      .join(broadcast(dt), col("dst") === col("t_node"))
+      .agg(count(lit(1)).as("n_edges"),
+           round(corr(col("deg_s").cast("double"),
+                      col("deg_t").cast("double")), 4).as("assortativity"),
+           round(avg(col("deg_s").cast("double")), 4).as("mean_deg"))
+  }
+
   /** Bounded Bellman-Ford core (graph_sssp / Graph.shortestPaths): from a
     * (src, dst, w) edge frame and a seed node, `rounds` relaxation rounds
     * — each is one edge-sized join + one nodes-sized min-agg, lineage-cut
@@ -497,34 +596,9 @@ object GraphOps {
     // keeps two walks through the same node independent.
     "graph_random_walk" -> ((s, d) => {
       val edges = repeatTradeEdges(s, d).distinct()
-      // the ranked adjacency is referenced once per step — cache it or the
-      // whole edge derivation (lineitem⋈orders rollup) re-runs L times
-      val adj = graft.GraftCaches.track(edges.withColumn("rnk",
-        (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
-          .cast("long")).cache())
-      val deg = graft.GraftCaches.track(
-        adj.groupBy("src").agg(count(lit(1)).as("deg")).cache())
       val seeds = edges.filter(col("src").startsWith("s"))
         .select(col("src").as("seed")).distinct()
-      var walk = seeds.select(col("seed"), lit(0).as("step"),
-                              col("seed").as("node"))
-      var out = walk
-      for (st <- 1 to RandomWalkLen) {
-        val pick = walk.join(deg, col("node") === deg("src")).drop("src")
-          .withColumn("choice",
-            conv(substring(md5(concat(col("seed"), lit(":"),
-              lit(st.toString), lit(":"), col("node"))), 1, 6), 16, 10)
-              .cast("long") % col("deg"))
-        // lineage cut per step (same discipline as the pagerank loop):
-        // without it the final union re-derives step t's whole prefix —
-        // O(L²) join stages instead of L
-        walk = graft.GraftCaches.track(pick.join(adj,
-            pick("node") === adj("src") && pick("choice") === adj("rnk"))
-          .select(col("seed"), lit(st).as("step"), col("dst").as("node"))
-          .cache())
-        out = out.unionByName(walk)
-      }
-      out.orderBy("seed", "step", "node")
+      randomWalkOf(edges, seeds, RandomWalkLen).orderBy("seed", "step", "node")
     }),
 
     // Bipartite projection / market-basket co-occurrence — the recsys
@@ -540,26 +614,12 @@ object GraphOps {
     // cap on k (a pathological 10⁶-line basket contributes 10¹² pairs —
     // cap or drop, the LSH hot-bucket discipline); support+top-k bound
     // the output to O(parts).
-    "graph_copurchase" -> ((s, d) => {
-      val baskets = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      val pairs = baskets
-        .select(explode(expr(
-          """flatten(transform(ps, (a, i) ->
-               transform(slice(ps, i + 2, size(ps)),
-                         b -> struct(a AS part_a, b AS part_b))))""")).as("p"))
-        .select(col("p.part_a"), col("p.part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-      val wTop = Window.partitionBy("part_a")
-        .orderBy(col("w").desc, col("part_b").asc)
-      pairs
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 5)
-        .orderBy("part_a", "rk")
-    }),
+    "graph_copurchase" -> ((s, d) =>
+      coPurchaseOf(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+        minSupport = 2, topK = 5)
+        .orderBy("part_a", "rk")),
 
     // Degree ASSORTATIVITY — the one-number network-science diagnostic:
     // Pearson correlation of (deg(src), deg(dst)) over all directed
@@ -572,19 +632,7 @@ object GraphOps {
     // list + one corr aggregate — corr's accumulation is float (both
     // engines stream it), so 4dp absorbs merge-order noise, precedent
     // agg_corr_stats.
-    "graph_assortativity" -> ((s, d) => {
-      val edges = tradeEdges(s, d)
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val ds = deg.select(col("src").as("s_node"), col("deg").as("deg_s"))
-      val dt = deg.select(col("src").as("t_node"), col("deg").as("deg_t"))
-      edges
-        .join(broadcast(ds), col("src") === col("s_node"))
-        .join(broadcast(dt), col("dst") === col("t_node"))
-        .agg(count(lit(1)).as("n_edges"),
-             round(corr(col("deg_s").cast("double"),
-                        col("deg_t").cast("double")), 4).as("assortativity"),
-             round(avg(col("deg_s").cast("double")), 4).as("mean_deg"))
-    }),
+    "graph_assortativity" -> ((s, d) => assortativityOf(tradeEdges(s, d))),
 
     // Adamic–Adar link prediction — graph_jaccard_neighbors' weighted
     // sibling and THE classic "who should trade next" score: for customer
@@ -596,20 +644,8 @@ object GraphOps {
     // quadratic; the hub cap is the supplier-degree skew lever); a shared
     // supplier has deg ≥ 2 by construction, so ln(deg) never divides by
     // zero. min-support 2 bounds output; 4dp absorbs double sum order.
-    "graph_adamic_adar" -> ((s, d) => {
-      val adj = repeatTradePairs(s, d).select("doc_a", "doc_b")
-      val deg = adj.groupBy("doc_b").agg(count(lit(1)).as("ds"))
-        .select(col("doc_b").as("zb"), col("ds"))
-      adj.as("x")
-        .join(adj.as("y"),
-              col("x.doc_b") === col("y.doc_b") && col("x.doc_a") < col("y.doc_a"))
-        .join(deg, col("x.doc_b") === col("zb"))
-        .groupBy(col("x.doc_a").as("a"), col("y.doc_a").as("b"))
-        .agg(count(lit(1)).as("n_common"),
-             round(sum(lit(1.0) / log(col("ds").cast("double"))), 4).as("aa"))
-        .filter(col("n_common") >= 2)
-        .orderBy("a", "b")
-    }),
+    "graph_adamic_adar" -> ((s, d) =>
+      adamicAdarOf(repeatTradePairs(s, d), minCommon = 2).orderBy("a", "b")),
 
     "graph_jaccard_neighbors" -> ((s, d) => {
       val adj = repeatTradePairs(s, d)

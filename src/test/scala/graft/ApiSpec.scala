@@ -746,6 +746,41 @@ class ApiSpec extends AnyFunSuite {
     assert(api2.nonEmpty)
   }
 
+  test("Graph.adamicAdar equals graph_adamic_adar (custom column names)") {
+    val pairs = graft.ops.GraphOps.repeatTradePairs(spark, d)
+      .select(col("doc_a").as("l"), col("doc_b").as("r"))
+    val api2 = rowSet(api.Graph.adamicAdar(pairs, leftCol = "l", rightCol = "r"))
+    val key = rowSet(SparkEntry.queries("graph_adamic_adar")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Graph.assortativity equals graph_assortativity") {
+    val api2 = rowSet(api.Graph.assortativity(graft.ops.GraphOps.tradeEdges(spark, d)))
+    val key = rowSet(SparkEntry.queries("graph_assortativity")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Graph.randomWalks equals graph_random_walk") {
+    val edges = graft.ops.GraphOps.repeatTradeEdges(spark, d).distinct()
+    val seeds = edges.filter(col("src").startsWith("s"))
+      .select(col("src").as("seed")).distinct()
+    val api2 = rowSet(api.Graph.randomWalks(edges, seeds))
+    val key = rowSet(SparkEntry.queries("graph_random_walk")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Graph.coPurchase equals graph_copurchase (custom column names)") {
+    val bi = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val api2 = rowSet(api.Graph.coPurchase(bi, basketCol = "o", itemCol = "p"))
+    val key = rowSet(SparkEntry.queries("graph_copurchase")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
   test("Text.fuzzyJoin equals llm_fuzzy_join's pair set") {
     import org.apache.spark.sql.functions._
     val part = Tables.part(spark, d)
