@@ -879,6 +879,22 @@ object Stats {
   def welchTTest(df: DataFrame, cohortCol: String, a: String, b: String,
                  valueCol: String): DataFrame =
     graft.ops.AggOps.ttestOf(df, cohortCol, a, b, valueCol)
+
+  /** Per-cohort Gini coefficient of `valueCol` (agg_gini's exact core) —
+    * the concentration/inequality metric; `tieCol` only stabilizes the
+    * internal rank (ties are algebraically harmless). */
+  def gini(df: DataFrame, cohortCol: String, valueCol: String,
+           tieCol: String): DataFrame =
+    graft.ops.AggOps.giniOf(df, cohortCol, valueCol, tieCol)
+
+  /** Deterministic Poisson-bootstrap CI of `valueCol`'s mean
+    * (agg_bootstrap_ci's exact core): 32 md5-seeded resamples in ONE scan
+    * as conditional-aggregate slots — no row explosion, no RNG. `keyCol`
+    * must be unique per row. Returns one row
+    * (n_resamples, ci_lo, ci_hi, boot_mean). */
+  def bootstrapMeanCi(df: DataFrame, valueCol: String,
+                      keyCol: String): DataFrame =
+    graft.ops.AggOps.bootstrapMeanCiOf(df, valueCol, keyCol)
 }
 
 /** Bounded-memory mergeable sketch structures (agg_count_min /

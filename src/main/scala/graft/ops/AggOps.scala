@@ -202,6 +202,72 @@ object AggOps {
     * an InSet — no join, no full-cardinality shuffle), filtered to
     * `cnt·k > n`. Output: (valueCol, cnt, n_total), exactly the items with
     * frequency > n/k (see MisraGries for the guarantee). */
+  /** Gini-coefficient core (agg_gini / Stats.gini): per `cohortCol`, the
+    * concentration of `valueCol` — with values ranked ascending,
+    * G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx). `tieCol` only stabilizes the rank
+    * column (ties are algebraically harmless to G). One cohort-keyed
+    * window + one aggregate; DECIMAL-exact moments. */
+  private[graft] def giniOf(df: DataFrame, cohortCol: String,
+                            valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(cohortCol)
+      .orderBy(col("xd").asc, col(tieCol).asc) // cast is order-preserving
+    df.select(col(cohortCol), col(valueCol).cast("decimal(18,2)").as("xd"),
+              col(tieCol))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(cohortCol)
+      .agg(count(lit(1)).as("n"),
+           sum("xd").as("sx"),
+           sum(col("xd") * col("i")).as("six"))
+      .select(col(cohortCol), col("n"),
+        round((lit(2) * col("six").cast("double") -
+               (col("n") + 1).cast("double") * col("sx").cast("double")) /
+              (col("n").cast("double") * col("sx").cast("double")), 6)
+          .as("gini"))
+  }
+
+  /** Poisson-bootstrap mean-CI core (agg_bootstrap_ci /
+    * Stats.bootstrapMeanCi): 32 deterministic resamples of `valueCol`'s
+    * mean in ONE scan — per-row Poisson(1) weights from md5(`keyCol`)
+    * bytes through a fixed inverse-CDF ladder, accumulated as 64
+    * conditional-aggregate slots — no row explosion (the posexplode +
+    * groupBy(b) formulation shuffles row×32 generated rows: measured
+    * 4–9.6 s vs 0.18 s at sf0.1). The md5s are lambda-var-bound transform
+    * inputs so they run once per row — a plain column alias gets
+    * CollapseProject'd INTO the byte lambda and recomputed 16×, the
+    * TextOps.fingerprintsOf kgram trap. Returns one row
+    * (n_resamples, ci_lo, ci_hi, boot_mean); the CI is the 2nd/31st
+    * order statistic of the resample means. `keyCol` must be unique per
+    * row (it seeds the per-row draws). */
+  private[graft] def bootstrapMeanCiOf(df: DataFrame, valueCol: String,
+                                       keyCol: String): DataFrame = {
+    val withBytes = df.select(
+        col(valueCol).cast("decimal(18,2)").as("xd"),
+        col(keyCol).cast("string").as("k"))
+      .select(col("xd"), expr(
+        """flatten(transform(
+             array(md5(concat('a:', k)), md5(concat('b:', k))),
+             h -> transform(sequence(0, 15), i ->
+               CAST(conv(substring(h, i * 2 + 1, 2), 16, 10) AS INT))))""")
+        .as("bytes"))
+    def w(b: Int) = expr( // P(W=k) ladder for Poisson(1), byte /256
+      s"""CASE WHEN bytes[$b] < 94 THEN 0 WHEN bytes[$b] < 188 THEN 1
+               WHEN bytes[$b] < 235 THEN 2 WHEN bytes[$b] < 251 THEN 3
+               WHEN bytes[$b] < 255 THEN 4 ELSE 5 END""")
+    val slots = (0 until 32).flatMap(b => Seq(
+      sum(col("xd") * w(b)).as(s"sx$b"), sum(w(b)).as(s"sw$b")))
+    val meanArr = (0 until 32)
+      .map(b => s"CAST(sx$b AS DOUBLE) / CAST(sw$b AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    withBytes
+      .agg(slots.head, slots.tail: _*)
+      .select(expr(s"sort_array($meanArr)").as("ms"))
+      .select(expr("CAST(size(ms) AS BIGINT)").as("n_resamples"),
+              round(element_at(col("ms"), 2), 4).as("ci_lo"),
+              round(element_at(col("ms"), 31), 4).as("ci_hi"),
+              round(expr("aggregate(ms, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") /
+                    expr("size(ms)"), 4).as("boot_mean"))
+  }
+
   /** Welch two-sample t-test core (agg_ab_ttest / Stats.welchTTest): one
     * conditional-aggregation pass collects each cohort's (n, Σx, Σx²) —
     * DECIMAL-accumulated, so the sums are order-exact however the
@@ -561,25 +627,10 @@ object AggOps {
     // permuting among tied ranks leave Σi·xᵢ unchanged), but the unique
     // tiebreaker keeps the rank column itself engine-stable. Both moments
     // accumulate in DECIMAL (order-exact); G is one double expression.
-    "agg_gini" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("xd").asc, col("o_orderkey").asc) // cast is order-preserving
-      Tables.orders(s, d)
-        .select(col("o_orderpriority"),
-                col("o_totalprice").cast("decimal(18,2)").as("xd"),
-                col("o_orderkey"))
-        .withColumn("i", row_number().over(w).cast("long"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-             sum("xd").as("sx"),
-             sum(col("xd") * col("i")).as("six"))
-        .select(col("o_orderpriority"), col("n"),
-          round((lit(2) * col("six").cast("double") -
-                 (col("n") + 1).cast("double") * col("sx").cast("double")) /
-                (col("n").cast("double") * col("sx").cast("double")), 6)
-            .as("gini"))
-        .orderBy("o_orderpriority")
-    }),
+    "agg_gini" -> ((s, d) =>
+      giniOf(Tables.orders(s, d),
+             "o_orderpriority", "o_totalprice", "o_orderkey")
+        .orderBy("o_orderpriority")),
 
     // POISSON-BOOTSTRAP confidence interval — the resampling pattern that
     // actually works at 100 TB: classic bootstrap draws n-with-replacement
@@ -594,44 +645,11 @@ object AggOps {
     // Means accumulate in DECIMAL (order-exact); the CI is the 2nd/31st
     // ORDER STATISTIC of the 32 resample means — order stats, not
     // interpolated percentiles, because engines interpolate differently.
-    "agg_bootstrap_ci" -> ((s, d) => {
-      // the ARRAY-SLOT plan: no row expansion at all. A (row × 32)
-      // posexplode + groupBy(b) is the obvious formulation but shuffles
-      // 4.8M generated rows (measured 4–9.6 s depending on hash idiom);
-      // instead every resample gets its own pair of conditional
-      // aggregates — 64 sum slots over ONE scan, map-side combined, a
-      // single 1-row result. The md5s materialize as lambda-var-bound
-      // transform inputs so they run once per row (a plain column alias
-      // gets CollapseProject'd INTO the byte lambda and recomputed 16× —
-      // same trap as TextOps.fingerprintsOf's kgram note). Measured 0.18 s
-      // at sf0.1 — 55× the explode plan.
-      val withBytes = Tables.orders(s, d).select(
-          col("o_totalprice").cast("decimal(18,2)").as("xd"),
-          col("o_orderkey").cast("string").as("k"))
-        .select(col("xd"), expr(
-          """flatten(transform(
-               array(md5(concat('a:', k)), md5(concat('b:', k))),
-               h -> transform(sequence(0, 15), i ->
-                 CAST(conv(substring(h, i * 2 + 1, 2), 16, 10) AS INT))))""")
-          .as("bytes"))
-      def w(b: Int) = expr( // P(W=k) ladder for Poisson(1), byte /256
-        s"""CASE WHEN bytes[$b] < 94 THEN 0 WHEN bytes[$b] < 188 THEN 1
-                 WHEN bytes[$b] < 235 THEN 2 WHEN bytes[$b] < 251 THEN 3
-                 WHEN bytes[$b] < 255 THEN 4 ELSE 5 END""")
-      val slots = (0 until 32).flatMap(b => Seq(
-        sum(col("xd") * w(b)).as(s"sx$b"), sum(w(b)).as(s"sw$b")))
-      val meanArr = (0 until 32)
-        .map(b => s"CAST(sx$b AS DOUBLE) / CAST(sw$b AS DOUBLE)")
-        .mkString("array(", ", ", ")")
-      withBytes
-        .agg(slots.head, slots.tail: _*)
-        .select(expr(s"sort_array($meanArr)").as("ms"))
-        .select(expr("CAST(size(ms) AS BIGINT)").as("n_resamples"),
-                round(element_at(col("ms"), 2), 4).as("ci_lo"),
-                round(element_at(col("ms"), 31), 4).as("ci_hi"),
-                round(expr("aggregate(ms, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") /
-                      expr("size(ms)"), 4).as("boot_mean"))
-    }),
+    // Plan notes (ARRAY-SLOT, no row expansion; the CollapseProject md5
+    // trap; measured 0.18 s at sf0.1, 55× the explode plan) live on
+    // [[bootstrapMeanCiOf]].
+    "agg_bootstrap_ci" -> ((s, d) =>
+      bootstrapMeanCiOf(Tables.orders(s, d), "o_totalprice", "o_orderkey")),
 
     // grouping()/grouping_id() over a ROLLUP — the disambiguation the
     // multi-level aggregate family (agg_rollup/cube/grouping_sets) stops

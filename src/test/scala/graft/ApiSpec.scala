@@ -781,6 +781,22 @@ class ApiSpec extends AnyFunSuite {
     assert(api2.nonEmpty)
   }
 
+  test("Stats.gini equals agg_gini") {
+    val api2 = rowSet(api.Stats.gini(Tables.orders(spark, d),
+      "o_orderpriority", "o_totalprice", "o_orderkey"))
+    val key = rowSet(SparkEntry.queries("agg_gini")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Stats.bootstrapMeanCi equals agg_bootstrap_ci") {
+    val api2 = rowSet(api.Stats.bootstrapMeanCi(Tables.orders(spark, d),
+      "o_totalprice", "o_orderkey"))
+    val key = rowSet(SparkEntry.queries("agg_bootstrap_ci")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
   test("Text.fuzzyJoin equals llm_fuzzy_join's pair set") {
     import org.apache.spark.sql.functions._
     val part = Tables.part(spark, d)
