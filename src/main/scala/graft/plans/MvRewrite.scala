@@ -84,10 +84,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Scheme-stripped canonical form, so the registrant's bare
+    * `/dir/table.parquet` matches the relation's qualified
+    * `file:/dir/table.parquet`. Matching is EXACT path equality — a
+    * substring match could serve the MV for any relation whose root
+    * merely embeds the registered path (wrong results, not just a
+    * missed rewrite). */
+  private def canonical(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+
   private def defFor(lr: LogicalRelation): Option[MvRegistry.MvDef] = {
     val paths = lr.relation.asInstanceOf[HadoopFsRelation]
-      .location.rootPaths.map(_.toString)
-    MvRegistry.all.find(d => paths.exists(_.contains(d.srcPathFragment)))
+      .location.rootPaths.map(p => canonical(p.toString)).toSet
+    MvRegistry.all.find(d => paths.contains(canonical(d.srcPathFragment)))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

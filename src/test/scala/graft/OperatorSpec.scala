@@ -1783,7 +1783,9 @@ class OperatorSpec extends AnyFunSuite {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     rows.take(10).foreach { r =>
       val id = r.getLong(0)
-      val vec = r.getSeq[Long](1)
+      // vec surfaces as a CSV string (the gate comparator can't sort
+      // array leaves — see the key's doc); parse it back to longs
+      val vec = r.getString(1).split(",").map(_.toLong).toSeq
       val want = new Array[Long](32)
       texts(id).split(" ").filter(_.nonEmpty).foreach { t =>
         val h = md5hex(t)

@@ -38,7 +38,13 @@ def compare(name, spark_df, duck_df):
             return f"DTYPE col {c} spark={av.dtype} duck={bv.dtype} (typed hash would differ)"
         try:
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
-                ok = ((av.isna() & bv.isna()) | (av == bv)).all()
+                # BYTE-exact, like the driver's hash: -0.0 != +0.0 (the r14
+                # fn_round_modes miss — numeric == hides signed zero). NaN is
+                # handled via bit-pattern equality; pandas emits the canonical
+                # quiet NaN on both sides.
+                an = av.astype('float64').to_numpy()
+                bn = bv.astype('float64').to_numpy()
+                ok = an.tobytes() == bn.tobytes()
             else:
                 ok = av.astype(object).where(pd.notna(av), None).equals(
                      bv.astype(object).where(pd.notna(bv), None))
@@ -48,6 +54,14 @@ def compare(name, spark_df, duck_df):
             # mask/detail must stay inside try: object-cast == raises for
             # non-comparable dtype pairs (e.g. Timestamp vs float)
             try:
+                if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                    an = av.astype('float64').to_numpy()
+                    bn = bv.astype('float64').to_numpy()
+                    neq = an.view('int64') != bn.view('int64')
+                    idx = np.nonzero(neq)[0][:3]
+                    detail = "; ".join(
+                        f"row{int(i)}: spark={an[i]!r} duck={bn[i]!r}" for i in idx)
+                    return f"VALUES col {c} (byte-exact float) {int(neq.sum())} diffs: {detail}"
                 mask = ~(((av.isna()) & (bv.isna())) | (av.astype(object) == bv.astype(object)))
                 idx = mask[mask].index[:3]
                 detail = "; ".join(f"row{int(i)}: spark={av[i]!r} duck={bv[i]!r}" for i in idx)
@@ -100,6 +114,17 @@ def main():
             results[name] = f"ORACLE-ERR {str(e).splitlines()[0][:200]}"
             continue
         results[name] = compare(name, spark_df, duck_df)
+        # Nested-leaf gate: the driver's canonicalizer CRASHES sorting an
+        # array leaf (r14 llm_feature_hashing, TypeError in sort_values) —
+        # an oracle-gated output with a non-scalar column is ungradable at
+        # the driver no matter what this script computes, so fail it HERE.
+        for c in spark_df.columns:
+            nn = spark_df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (np.ndarray, list, dict)):
+                results[name] = (f"NESTED-LEAF col '{c}' "
+                                 f"({type(nn.iloc[0]).__name__}) — driver "
+                                 f"comparator crashes; array_join/to_json it")
+                break
     npass = sum(1 for v in results.values() if v is None)
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v is None else 'FAIL'} {name}" + (f" :: {v}" if v else ""))
