@@ -49,19 +49,20 @@ object AggOps {
 
   /** Point estimates est(key) = min over hash rows of cell(j, h_j(key))
     * for every distinct probe key → (keyCol, cms_est). `cells` must come
-    * from [[countMinCellsOf]] with the same (depth, width). Probes absent
-    * from the sketch entirely still land in d cells (possibly zero-count
-    * buckets are ABSENT rows — such keys drop out; a CMS answers "how
-    * often did I see this", and a key with any untouched bucket was
-    * provably never seen). */
+    * from [[countMinCellsOf]] with the same (depth, width). Zero-count
+    * buckets are ABSENT rows in `cells`, so the probe side LEFT-joins and
+    * coalesces a missing cell to 0 — an untouched bucket proves the key
+    * was never seen, and the estimate for unseen probes is an honest 0
+    * (still overestimate-only) rather than a silently dropped row. */
   private[graft] def countMinEstimateOf(cells: DataFrame, probes: DataFrame,
                                         keyCol: String, depth: Int,
                                         width: Int): DataFrame =
     probes.select(col(keyCol)).distinct()
       .withColumn("h", md5(col(keyCol).cast("string")))
       .select(col(keyCol), cmsBuckets(depth, width).as(Seq("j", "bucket")))
-      .join(cells, Seq("j", "bucket"))
-      .groupBy(keyCol).agg(min("c").as("cms_est"))
+      .join(cells, Seq("j", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
 
   private def cmsBuckets(depth: Int, width: Int): org.apache.spark.sql.Column =
     posexplode(expr(
@@ -692,6 +693,120 @@ object AggOps {
       ttestOf(Tables.orders(s, d),
               "o_orderpriority", "1-URGENT", "5-LOW", "o_totalprice")),
 
+    // Shannon entropy of each user's event-type mix — the behavioral-
+    // diversity signal (bot detection: near-zero entropy = single-action
+    // automation; quality scoring uses the same formula over token
+    // distributions). Two map-side-combinable hash-aggs: per-(user, type)
+    // counts, then per-user fold. The fold runs over a SORTED struct
+    // array, not a bare SUM of p·log2 p terms — float addition is
+    // non-associative, and an unordered agg's accumulation order is
+    // engine-/partitioning-dependent; sorting the ≤5-element count list
+    // first makes the entropy bit-identical cross-engine at any
+    // parallelism. Per-user state is bounded by the type-universe size.
+    "agg_entropy" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n"),
+             sort_array(collect_list(struct(col("event_type"), col("c"))))
+               .as("cs"))
+        .select(col("user_id"), col("n"),
+          expr("CAST(size(cs) AS INT)").as("n_types"),
+          round(expr(
+            """aggregate(cs, CAST(0.0 AS DOUBLE),
+               (a, x) -> a - (CAST(x.c AS DOUBLE) / n)
+                           * log2(CAST(x.c AS DOUBLE) / n))"""), 4)
+            .as("entropy_bits"))
+        .orderBy("user_id")),
+
+    // Two-sample Kolmogorov–Smirnov D — distribution-drift detection
+    // between cohorts (the train/serve skew check every data pipeline
+    // needs): D = max |ECDF_click − ECDF_view| over the purchase-value
+    // axis. The corpus collapses to per-distinct-value (ca, cb) counts
+    // FIRST (one hash-agg, map-side combined) — the 2dp value grid is
+    // ≤ 49k cells, so the cumulative window that follows runs on the
+    // CELL table, not the corpus: the single-partition ECDF window is
+    // bounded by the value-grid cardinality at any data scale. All
+    // cumulative counts are integers (order-exact); D is one division +
+    // max per cell.
+    "agg_ks_test" -> ((s, d) => {
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+             sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+        .select(col("value"),
+                sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"),
+                sum("ca").over(wAll).as("na"), sum("cb").over(wAll).as("nb"))
+        .agg(max("na").as("n_click"), max("nb").as("n_view"),
+             round(max(abs(col("cuma") / col("na") -
+                           col("cumb") / col("nb"))), 4).as("ks_d"))
+    }),
+
+    // Pearson χ² independence test on the lang × source contingency of
+    // the document corpus — the bias/drift check for training-data
+    // curation ("is my source mix confounded with language?"). One
+    // corpus-scale hash-agg builds the contingency cells; marginals and
+    // the χ² fold are arithmetic on the CELL table (≤ |langs|·|sources|
+    // rows), broadcast-joined — the corpus is scanned once, everything
+    // downstream is dimension-sized. The cell-term sum is folded over a
+    // SORTED cell array (same order both engines) so the double sum is
+    // bit-stable, then rounded 4dp.
+    "agg_chi_square" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      val rl = cells.groupBy("lang").agg(sum("c").as("rl"))
+      val cs = cells.groupBy("source").agg(sum("c").as("cs"))
+      cells.join(broadcast(rl), "lang").join(broadcast(cs), "source")
+        .crossJoin(broadcast(cells.agg(sum("c").as("n"))))
+        .agg(count(lit(1)).cast("int").as("n_cells"),
+             ((countDistinct("lang") - 1) *
+              (countDistinct("source") - 1)).cast("int").as("dof"),
+             sort_array(collect_list(struct(col("lang"), col("source"),
+               col("c"), col("rl"), col("cs"), col("n")))).as("cl"))
+        .select(col("n_cells"), col("dof"),
+          round(expr(
+            """aggregate(cl, CAST(0.0 AS DOUBLE),
+               (a, x) -> a + pow(CAST(x.c AS DOUBLE)
+                                 - CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
+                                   / CAST(x.n AS DOUBLE), 2)
+                             / (CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
+                                / CAST(x.n AS DOUBLE)))"""), 4)
+            .as("chi2"))
+    }),
+
+    // Median-absolute-deviation outlier screen — the ROBUST twin of
+    // win_rolling_zscore's 3σ rule: median and MAD are unmoved by the
+    // very outliers being hunted (a z-score's own μ/σ are contaminated
+    // by them). Exact per-user median via percentile(0.5) (both engines
+    // interpolate lower + frac·(upper−lower) identically), deviations
+    // joined back on the SAME user_id partitioning (no extra shuffle
+    // pattern: med/mad frames are user-dimension-sized), flag at the
+    // standard 3·1.4826·MAD ≈ 3σ-equivalent threshold computed on
+    // UNROUNDED values. Output is per-user (dimension-sized, not
+    // per-event).
+    "agg_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "value")
+      val med = ev.groupBy("user_id")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(med, "user_id")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("user_id")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+             round(first("med"), 4).as("median"),
+             round(first("mad"), 4).as("mad"),
+             sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+               .otherwise(0L)).as("n_outliers"))
+        .orderBy("user_id")
+    }),
+
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
@@ -1099,6 +1214,98 @@ object AggOps {
 
     // Same ranked-moment formula; DuckDB sums of DECIMAL×BIGINT are exact
     // like Spark's, the final expression is literal-identical doubles.
+    // Same sorted-count-list fold (list(... ORDER BY event_type) ==
+    // Spark's sort_array) so the non-associative double sum runs in the
+    // identical order; DuckDB sum(BIGINT) is HUGEINT → cast.
+    "agg_entropy" -> """
+      WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS INTEGER) AS n_types,
+               list(c ORDER BY event_type) AS cs
+        FROM c GROUP BY 1)
+      SELECT user_id, n, n_types,
+             round(list_sum(list_transform(cs,
+               x -> -(CAST(x AS DOUBLE) / n) * log2(CAST(x AS DOUBLE) / n))),
+               4) AS entropy_bits
+      FROM g ORDER BY user_id""",
+
+    // Integer cumulative counts over the distinct-value grid — the max
+    // |ECDF gap| is one division per cell, no double accumulation.
+    "agg_ks_test" -> """
+      WITH c AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY value),
+      e AS (
+        SELECT CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+               CAST(sum(ca) OVER () AS BIGINT) AS na,
+               CAST(sum(cb) OVER () AS BIGINT) AS nb
+        FROM c
+        WINDOW w AS (ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT max(na) AS n_click, max(nb) AS n_view,
+             round(max(abs(CAST(cuma AS DOUBLE) / na
+                           - CAST(cumb AS DOUBLE) / nb)), 4) AS ks_d
+      FROM e""",
+
+    // Same sorted cell-list fold as the Spark side (list ORDER BY
+    // (lang, source) == sort_array of the struct) — bit-stable χ² sum.
+    "agg_chi_square" -> """
+      WITH cells AS (
+        SELECT lang, source, count(*) AS c
+        FROM documents GROUP BY 1, 2),
+      m AS (
+        SELECT cells.lang, cells.source, cells.c,
+               CAST(rl.rl AS BIGINT) AS rl, CAST(cs.cs AS BIGINT) AS cs,
+               CAST(t.n AS BIGINT) AS n
+        FROM cells
+        JOIN (SELECT lang, sum(c) AS rl FROM cells GROUP BY 1) rl USING (lang)
+        JOIN (SELECT source, sum(c) AS cs FROM cells GROUP BY 1) cs USING (source)
+        CROSS JOIN (SELECT sum(c) AS n FROM cells) t),
+      l AS (
+        SELECT CAST(count(*) AS INTEGER) AS n_cells,
+               CAST((count(DISTINCT lang) - 1)
+                    * (count(DISTINCT source) - 1) AS INTEGER) AS dof,
+               list(struct_pack(c := c, rl := rl, cs := cs, n := n)
+                    ORDER BY lang, source) AS cl
+        FROM m)
+      SELECT n_cells, dof,
+             round(list_sum(list_transform(cl,
+               x -> pow(CAST(x.c AS DOUBLE)
+                        - CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
+                          / CAST(x.n AS DOUBLE), 2)
+                    / (CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
+                       / CAST(x.n AS DOUBLE)))), 4) AS chi2
+      FROM l""",
+
+    // quantile_cont == Spark's percentile (lower + frac·(upper−lower));
+    // the outlier threshold compares UNROUNDED med/mad exactly like the
+    // Spark side.
+    "agg_mad_outliers" -> """
+      WITH med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT e.user_id, abs(e.value - med.med) AS dev, med.med
+        FROM events e JOIN med USING (user_id)),
+      mad AS (
+        SELECT user_id, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT dev.user_id, count(*) AS n,
+             round(any_value(dev.med), 4) AS median,
+             round(any_value(mad.mad), 4) AS mad,
+             CAST(sum(CASE WHEN dev.dev > 3.0 * 1.4826 * mad.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad USING (user_id)
+      GROUP BY dev.user_id
+      ORDER BY dev.user_id""",
+
     "agg_gini" -> """
       WITH r AS (
         SELECT o_orderpriority,

@@ -550,6 +550,55 @@ object SqlOps {
       """)
     }),
 
+    // TPC-H Q4 literal: per-priority count of a quarter's orders having
+    // ≥1 LATE line — EXISTS whose correlated predicate is a NON-EQUI
+    // comparison against an outer column (l_shipdate > o_orderdate + 60
+    // days), not just the equi key. Catalyst still decorrelates to ONE
+    // LeftSemi join on l_orderkey with the date comparison as the join's
+    // extra condition — never a per-row subquery — so at 100 TB this is
+    // one shuffle of the quarter's orders against lineitem, and the
+    // quarter filter pushes to the orders scan. (sql_exists_in pins the
+    // equi-only EXISTS/NOT-IN pair; this key pins the non-equi
+    // correlation surviving decorrelation.)
+    "sql_q4_late_orders" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_m o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem_m l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    }),
+
+    // TPC-H Q17 literal: revenue lost to below-threshold small-quantity
+    // lines of one brand, threshold = 0.2× the PART's own average
+    // quantity (correlated scalar agg over the fact table itself).
+    // Catalyst decorrelates to a per-part aggregate joined back — two
+    // scans of the brand's lineitems, never per-row re-aggregation; the
+    // brand filter broadcasts from part, so both passes touch only the
+    // brand's ~1/1000 slice of lineitem at any scale. Money sums
+    // DECIMAL-accumulate (order-exact) before the single DOUBLE cast;
+    // the threshold rounds 4dp on both engines so double-avg
+    // reassociation can't flip a boundary line.
+    "sql_q17_small_qty" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                          AS DOUBLE) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem_m JOIN part_m ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 4)
+                            FROM lineitem_m l2
+                            WHERE l2.l_partkey = p_partkey)
+      """)
+    }),
+
     // TPC-H Q22 shape: an UNCORRELATED scalar subquery as a WHERE
     // threshold (global avg of positive balances) + a filtered NOT EXISTS
     // anti arm. Catalyst evaluates the scalar aggregate once and
@@ -1247,6 +1296,27 @@ object SqlOps {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1996-09-01'
         AND l_shipdate <  TIMESTAMP '1996-10-01'""",
+
+    "sql_q4_late_orders" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "sql_q17_small_qty" -> """
+      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE) / 7.0, 2) AS avg_yearly,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 4)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)""",
 
     "sql_q22_global_scalar" -> """
       SELECT c_nationkey, count(*) AS n_cust,

@@ -86,6 +86,35 @@ object WinOps {
         .orderBy("c_custkey")
     }),
 
+    // IGNORE NULLS navigation — the forward-fill idiom: last_value
+    // IGNORE NULLS over a trailing frame carries the latest OBSERVED
+    // reading across gaps (sensor dropouts, sparse telemetry) in ONE
+    // window pass, no self-join; lag counts its offset in non-null rows
+    // (previous observation, not previous row) and nth_value picks the
+    // k-th observation of the partition. Same single user_id shuffle as
+    // every other window key — null-skipping happens inside the frame
+    // evaluator, not as an extra filter+join. ~29% of readings are
+    // nulled by a deterministic event_id band so every column exercises
+    // both arms.
+    "win_ignore_nulls" -> ((s, d) => {
+      val wRun = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wAll = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_id") % 7 < 2, lit(null))
+            .otherwise(round(col("value"), 2)).as("v"))
+        .withColumn("filled", last("v", ignoreNulls = true).over(wRun))
+        .withColumn("prev_obs", lag(col("v"), 1, null, ignoreNulls = true).over(wSeq))
+        .withColumn("second_obs", nth_value(col("v"), 2, ignoreNulls = true).over(wAll))
+        .orderBy("event_id")
+    }),
+
     "win_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
       Tables.events(s, d)
@@ -430,7 +459,9 @@ object WinOps {
           (col("__nw") - 1)))
       .withColumn("z",
         when(col("__sd") > 0, round((x - col("__mu")) / col("__sd"), 4)))
-      .withColumn("is_outlier", abs(x - col("__mu")) > col("__sd") * 3)
+      .withColumn("is_outlier",
+        when(col("__sd") > 0, abs(x - col("__mu")) > col("__sd") * 3)
+          .otherwise(lit(false)))
       .drop("__nw", "__sx", "__sxx", "__mu", "__sd")
   }
 
@@ -720,6 +751,26 @@ object WinOps {
       WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
       ORDER BY c_custkey""",
 
+    // DuckDB spells the modifier INSIDE the call parens:
+    // fn(args IGNORE NULLS); offsets count non-null rows in both engines.
+    "win_ignore_nulls" -> """
+      WITH b AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_id % 7 < 2 THEN NULL
+                    ELSE round(value, 2) END AS v
+        FROM events)
+      SELECT user_id, event_id, ts, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+             lag(v, 1 IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_obs,
+             nth_value(v, 2 IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_obs
+      FROM b
+      ORDER BY event_id""",
+
     "win_lag_lead" -> """
       SELECT user_id, event_id, ts, value,
              round(value - lag(value, 1) OVER w, 4) AS delta,
@@ -839,7 +890,8 @@ object WinOps {
         FROM f WHERE n20 >= 8)
       SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, x,
              CASE WHEN sd > 0 THEN round((x - mu) / sd, 4) END AS z,
-             (abs(x - mu) > sd * 3) AS is_outlier
+             CASE WHEN sd > 0 THEN (abs(x - mu) > sd * 3)
+                  ELSE false END AS is_outlier
       FROM m
       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
   )
