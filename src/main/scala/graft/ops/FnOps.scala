@@ -104,6 +104,56 @@ object FnOps {
           (round(col("x"), 0) =!= bround(col("x"), 0)).as("differs"))
         .orderBy("x")),
 
+    // IPv4 arithmetic — parse/format/CIDR-test addresses with pure
+    // integer expressions (Spark has no inet type; none is needed — an
+    // IPv4 is a 32-bit int and CIDR membership is one shift+compare,
+    // all whole-stage-codegen'd). Addresses derive deterministically
+    // from md5(user_id) (8 hex chars = 32 bits, the engine's standard
+    // cross-engine hash idiom), are FORMATTED to dotted-quad, re-PARSED
+    // back via split+cast, and classified: RFC1918 private ranges and a
+    // /1-prefix test done as integer compares on the parsed value. The
+    // round_trips column pins format∘parse = id.
+    "fn_ipv4" -> ((s, d) =>
+      Tables.events(s, d).select(col("user_id")).distinct()
+        .withColumn("v",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .withColumn("o1", expr("v div 16777216"))
+        .withColumn("o2", expr("(v div 65536) % 256"))
+        .withColumn("o3", expr("(v div 256) % 256"))
+        .withColumn("o4", expr("v % 256"))
+        .select(col("user_id"),
+          concat_ws(".", col("o1"), col("o2"), col("o3"), col("o4")).as("ip"),
+          col("v").as("ip_num"),
+          (col("o1") === 10 ||
+           (col("o1") === 172 && col("o2").between(16, 31)) ||
+           (col("o1") === 192 && col("o2") === 168)).as("is_private"),
+          (col("v") >= 2147483648L).as("upper_half"))
+        .withColumn("round_trips",
+          expr("""CAST(element_at(split(ip, '\\.'), 1) AS BIGINT) * 16777216
+                  + CAST(element_at(split(ip, '\\.'), 2) AS BIGINT) * 65536
+                  + CAST(element_at(split(ip, '\\.'), 3) AS BIGINT) * 256
+                  + CAST(element_at(split(ip, '\\.'), 4) AS BIGINT)""")
+            === col("ip_num"))
+        .orderBy("user_id")),
+
+    // Binary-codec surface: base64/unbase64 and hex/unhex with explicit
+    // UTF-8 decode on the way back — the interchange primitives for
+    // embedding opaque bytes in text protocols (webhook payloads, JSON
+    // envelopes). Both roundtrip columns pin decode∘encode = id; all
+    // four functions are codegen'd built-ins over the scan, no UDF.
+    "fn_base64_codec" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+        .select(col("doc_id"),
+          base64(col("head").cast("binary")).as("b64"),
+          hex(col("head")).as("hx"),
+          (decode(unbase64(base64(col("head").cast("binary"))), "UTF-8")
+            === col("head")).as("b64_rt"),
+          (decode(unhex(hex(col("head"))), "UTF-8") === col("head"))
+            .as("hex_rt"))
+        .orderBy("doc_id")),
+
     // Generator NULL semantics: explode vs explode_outer. A plain explode
     // silently DROPS rows whose array is empty — in an ETL flatten that
     // means parent records vanish from the output (the join-shaped twin
@@ -306,6 +356,44 @@ object FnOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same md5-slice address derivation; DuckDB's div is // and hex
+    // parse is the ('0x'||…)::BIGINT idiom.
+    "fn_ipv4" -> """
+      WITH v AS (
+        SELECT DISTINCT user_id,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS v
+        FROM events),
+      o AS (
+        SELECT user_id, v,
+               v // 16777216 AS o1, (v // 65536) % 256 AS o2,
+               (v // 256) % 256 AS o3, v % 256 AS o4
+        FROM v),
+      f AS (
+        SELECT user_id, v AS ip_num,
+               o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+               (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                OR (o1 = 192 AND o2 = 168)) AS is_private,
+               (v >= 2147483648) AS upper_half
+        FROM o)
+      SELECT user_id, ip, ip_num, is_private, upper_half,
+             (CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+              + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+              + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+              + CAST(string_split(ip, '.')[4] AS BIGINT)) = ip_num AS round_trips
+      FROM f ORDER BY user_id""",
+
+    // DuckDB codecs are blob-typed: to_base64/from_base64 + decode()
+    // back to VARCHAR; hex is uppercase in both engines.
+    "fn_base64_codec" -> """
+      WITH h AS (
+        SELECT doc_id, substring(text, 1, 24) AS head FROM documents)
+      SELECT doc_id,
+             to_base64(head::BLOB) AS b64,
+             hex(head) AS hx,
+             (decode(from_base64(to_base64(head::BLOB))) = head) AS b64_rt,
+             (decode(unhex(hex(head))) = head) AS hex_rt
+      FROM h ORDER BY doc_id""",
+
     "fn_hash_digests" -> """
       SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
       FROM documents

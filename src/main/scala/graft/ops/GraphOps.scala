@@ -778,6 +778,39 @@ object GraphOps {
     // final (node, label) — nodes sharing a label are one community.
     "graph_label_propagation" -> ((s, d) =>
       lpaOf(repeatTradeEdges(s, d), LpaRounds).orderBy("node"))
+    ,
+
+    // Newman modularity of the LPA partition — the "was this community
+    // detection any good" number (Q > 0 = denser inside communities than
+    // a degree-preserving random graph): Q = Σ_c [L_c/m − (deg_c/2m)²],
+    // computed here on the symmetric frame where every undirected edge
+    // appears twice, so with M = |directed| = 2m the per-community terms
+    // reduce to intra_c/M − (deg_c/M)². One edge-sized join against the
+    // broadcast node-sized label frame per endpoint, one hash-agg to
+    // community granularity — everything after is arithmetic on the
+    // ≤|communities| row set, folded over a SORTED community list so the
+    // double sum is bit-stable cross-engine. Oracle: the LPA rounds
+    // unrolled (same CTEs as graph_label_propagation) + the same fold.
+    "graph_modularity" -> ((s, d) => {
+      val e = repeatTradeEdges(s, d)
+      val l = lpaOf(e, LpaRounds)
+      e.join(broadcast(l.select(col("node").as("sn"), col("lbl").as("slbl"))),
+             col("src") === col("sn"))
+        .join(broadcast(l.select(col("node").as("dn"), col("lbl").as("dlbl"))),
+              col("dst") === col("dn"))
+        .groupBy("slbl")
+        .agg(count(lit(1)).as("deg"),
+             sum(when(col("slbl") === col("dlbl"), 1L).otherwise(0L)).as("intra"))
+        .agg(sum("deg").as("m2"), count(lit(1)).cast("int").as("n_communities"),
+             sort_array(collect_list(struct(col("slbl"), col("intra"),
+                                            col("deg")))).as("cs"))
+        .select(col("m2").as("n_edges_directed"), col("n_communities"),
+          round(expr(
+            """aggregate(cs, CAST(0.0 AS DOUBLE),
+               (a, x) -> a + CAST(x.intra AS DOUBLE) / m2
+                           - pow(CAST(x.deg AS DOUBLE) / m2, 2))"""), 4)
+            .as("modularity"))
+    })
   )
 
   /** One unrolled PPR round as a DuckDB CTE block (see graph_ppr). */
@@ -1121,7 +1154,45 @@ object GraphOps {
           FROM e JOIN l${i - 1} l ON e.src = l.node
           GROUP BY e.dst, l.lbl)
         WHERE rn = 1)""").mkString(",\n      ")}
-      SELECT node, lbl FROM l$LpaRounds ORDER BY node"""
+      SELECT node, lbl FROM l$LpaRounds ORDER BY node""",
+
+    // The graph_label_propagation rounds verbatim, then modularity as a
+    // sorted community-list fold (same order as the Spark sort_array).
+    "graph_modularity" -> s"""
+      WITH p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT c AS src, s AS dst FROM p
+            UNION ALL SELECT s AS src, c AS dst FROM p),
+      l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+      ${(1 to LpaRounds).map(i => s"""l$i AS (
+        SELECT dst AS node, lbl FROM (
+          SELECT e.dst, l.lbl,
+                 row_number() OVER (PARTITION BY e.dst
+                                    ORDER BY count(*) DESC, l.lbl DESC) AS rn
+          FROM e JOIN l${i - 1} l ON e.src = l.node
+          GROUP BY e.dst, l.lbl)
+        WHERE rn = 1)""").mkString(",\n      ")},
+      j AS (
+        SELECT ls.lbl AS slbl, ld.lbl AS dlbl
+        FROM e JOIN l$LpaRounds ls ON e.src = ls.node
+               JOIN l$LpaRounds ld ON e.dst = ld.node),
+      c AS (
+        SELECT slbl, CAST(count(*) AS BIGINT) AS deg,
+               CAST(sum(CASE WHEN slbl = dlbl THEN 1 ELSE 0 END) AS BIGINT) AS intra
+        FROM j GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(deg) AS BIGINT) AS m2,
+               CAST(count(*) AS INTEGER) AS n_communities,
+               list(struct_pack(intra := intra, deg := deg)
+                    ORDER BY slbl) AS cs
+        FROM c)
+      SELECT m2 AS n_edges_directed, n_communities,
+             round(list_sum(list_transform(cs,
+               x -> CAST(x.intra AS DOUBLE) / m2
+                    - pow(CAST(x.deg AS DOUBLE) / m2, 2))), 4) AS modularity
+      FROM t"""
   )
 
   private lazy val ComponentsOracleSql: String = """

@@ -1616,6 +1616,89 @@ object LlmOps {
     // TF-IDF over the 50-doc subset: tf = in-doc count, idf = ln(50/df),
     // top-5 terms per doc ranked on the ROUNDED score (term asc tiebreak) so
     // last-ulp ln() differences between engines cannot flip a rank.
+    // Out-of-vocabulary rate — the tokenizer-fit audit run before any
+    // training mix is frozen (a corpus whose OOV spikes against the
+    // tokenizer's vocab wastes context on fallback bytes): vocab = the
+    // top-K corpus terms by frequency (count DESC, term ASC — a total
+    // order, so the K-boundary is deterministic), then each doc's token
+    // stream LEFT-joins the BROADCAST vocab and counts misses. Two
+    // corpus-scale hash-aggs + one broadcast probe — the vocab is
+    // K-bounded however large the corpus; no shuffle of the token stream
+    // beyond its own count. K=10 here so the 31-term fixture corpus
+    // genuinely splits in/out.
+    "llm_oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term").asc).limit(10)
+        .select(col("term"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // DPO/RLHF preference-pair construction: within each prompt group,
+    // pair the highest-scoring response (chosen) against the lowest
+    // (rejected), keeping pairs whose score margin clears a floor — the
+    // shape every preference-tuning dataset build reduces to. Ranking is
+    // two row_number windows over the SAME group partitioning (one
+    // shuffle, both orders evaluated in it) with unique tiebreaks
+    // (score, doc_id) so chosen/rejected are total-order deterministic;
+    // the chosen/rejected frames are group-sized and join back on the
+    // group key. Score here is the n_chars quality proxy; swap in any
+    // reward column.
+    "llm_dpo_pairs" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select((col("doc_id") % 50).as("grp"), col("doc_id"), col("n_chars"))
+      val wTop = Window.partitionBy("grp")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val wBot = Window.partitionBy("grp")
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      val ranked = base
+        .withColumn("r_top", row_number().over(wTop))
+        .withColumn("r_bot", row_number().over(wBot))
+      val chosen = ranked.filter(col("r_top") === 1)
+        .select(col("grp"), col("doc_id").as("chosen_id"),
+                col("n_chars").as("chosen_chars"))
+      val rejected = ranked.filter(col("r_bot") === 1)
+        .select(col("grp"), col("doc_id").as("rejected_id"),
+                col("n_chars").as("rejected_chars"))
+      chosen.join(rejected, "grp")
+        .withColumn("margin", col("chosen_chars") - col("rejected_chars"))
+        .filter(col("margin") >= 10)
+        .orderBy("grp")
+    }),
+
+    // Hard-negative mining — the retrieval-training twin of
+    // llm_knn_bruteforce: for each query vector, the top-k most similar
+    // vectors of a DIFFERENT label (nearest wrong answers make the
+    // strongest contrastive negatives; random negatives are too easy to
+    // move the loss). Same capped-query broadcast-candidate plan as the
+    // knn family — the label test rides the join condition, so same-label
+    // pairs never reach the (codegen'd) cosine.
+    "llm_hard_negatives" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val q = Tables.embeddingsWide(s, d)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("label").as("q_lbl"))
+        .filter(col("q_id") < 50)
+      val c = Tables.embeddings(s, d)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                col("label").as("n_lbl"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("n_id").asc)
+      q.join(broadcast(c), col("q_lbl") =!= col("n_lbl"))
+        .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("q_lbl"), col("rk"), col("n_id"),
+                col("n_lbl"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
     "llm_tfidf_top" -> ((s, d) => {
       val n = 50
       val toks = Tables.documents(s, d)
@@ -2658,6 +2741,66 @@ object LlmOps {
              CAST(len(list_filter(vec, x -> x <> 0)) AS INTEGER) AS nnz,
              round(sqrt(list_sum(list_transform(vec, x -> CAST(x * x AS DOUBLE)))), 4) AS l2
       FROM vecs ORDER BY doc_id""",
+
+    "llm_oov_rate" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, count(*) AS c,
+                 row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rk
+          FROM toks GROUP BY term)
+        WHERE rk <= 10)
+      SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov,
+             round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 4) AS oov_rate
+      FROM toks t LEFT JOIN vocab v ON t.term = v.term
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""",
+
+    "llm_dpo_pairs" -> """
+      WITH base AS (
+        SELECT doc_id % 50 AS grp, doc_id, n_chars FROM documents),
+      ranked AS (
+        SELECT grp, doc_id, n_chars,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY n_chars DESC, doc_id ASC) AS r_top,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY n_chars ASC, doc_id ASC) AS r_bot
+        FROM base),
+      chosen AS (SELECT grp, doc_id AS chosen_id, n_chars AS chosen_chars
+                 FROM ranked WHERE r_top = 1),
+      rejected AS (SELECT grp, doc_id AS rejected_id, n_chars AS rejected_chars
+                   FROM ranked WHERE r_bot = 1)
+      SELECT grp, chosen_id, chosen_chars, rejected_id, rejected_chars,
+             chosen_chars - rejected_chars AS margin
+      FROM chosen JOIN rejected USING (grp)
+      WHERE chosen_chars - rejected_chars >= 10
+      ORDER BY grp""",
+
+    // Same double-widened zip cosine as llm_knn_bruteforce; the label
+    // inequality replaces the self-id exclusion.
+    "llm_hard_negatives" -> """
+      WITH pairs AS (
+        SELECT q.vec_id AS q_id, q.label AS q_lbl,
+               c.vec_id AS n_id, c.label AS n_lbl,
+          list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          AS cos
+        FROM embeddings q JOIN embeddings c ON q.label <> c.label
+        WHERE q.vec_id < 50),
+      r AS (
+        SELECT q_id, q_lbl, n_id, n_lbl, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM pairs)
+      SELECT q_id, q_lbl, rk, n_id, n_lbl, round(cos, 4) AS cos
+      FROM r WHERE rk <= 3
+      ORDER BY q_id, rk""",
 
     "llm_knn_bruteforce" -> """
       WITH pairs AS (

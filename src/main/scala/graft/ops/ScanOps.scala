@@ -437,6 +437,42 @@ object ScanOps {
         .orderBy("event_type")
     }),
 
+    // Population-stability index between the month's first and last
+    // 10-day windows of purchase values — the standard "did my feature
+    // distribution drift between training and serving" monitor (PSI > 0.2
+    // is the conventional re-train alarm). The corpus collapses to 10
+    // fixed-width value-band counts per period in ONE conditional
+    // hash-agg (map-side combined, band arithmetic codegen'd); the PSI
+    // fold runs over the sorted band list — bounded, bit-stable, and the
+    // bands are fixed-width so expected/actual use the SAME bins by
+    // construction (no quantile-estimation dependency between the two
+    // periods). Cell counts are Haldane-smoothed (+0.5 per cell over the
+    // fixed 10-band universe) — the standard guard that keeps PSI finite
+    // when a sparse tail band empties in one period; an unsmoothed
+    // ln(p/0) would blow up exactly on the drifted band being hunted.
+    "obs_drift_psi" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .filter(col("ts") < lit("2024-01-11").cast("timestamp") ||
+                col("ts") >= lit("2024-01-21").cast("timestamp"))
+        .select(least(floor(col("value") / 50.0), lit(9.0)).cast("int").as("band"),
+                (col("ts") < lit("2024-01-11").cast("timestamp")).as("is_exp"))
+        .groupBy("band")
+        .agg(sum(when(col("is_exp"), 1L).otherwise(0L)).as("ne"),
+             sum(when(col("is_exp"), 0L).otherwise(1L)).as("na"))
+        .agg(sum("ne").as("n_expected"), sum("na").as("n_actual"),
+             sort_array(collect_list(struct(col("band"), col("ne"),
+                                            col("na")))).as("bs"))
+        .select(col("n_expected"), col("n_actual"),
+          round(expr(
+            """aggregate(bs, CAST(0.0 AS DOUBLE),
+               (acc, x) -> acc +
+                 ((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + 5.0)
+                  - (CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + 5.0))
+                 * ln(((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + 5.0))
+                      / ((CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + 5.0))))"""), 4)
+            .as("psi"))),
+
     "obs_dq_checks" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val rowLocal = expectOf(o, Seq(
@@ -886,6 +922,33 @@ object ScanOps {
     // Same exact-micros integer division; epoch_us is DuckDB's
     // unix_micros. events ts is ns in the raw file — epoch_us on the
     // TIMESTAMP read floors to µs exactly like Tables.events' conversion.
+    // Same fixed bands, same sorted 10-element PSI fold (list ORDER BY
+    // band == sort_array); DuckDB sum(BIGINT) is HUGEINT → cast.
+    "obs_drift_psi" -> """
+      WITH b AS (
+        SELECT CAST(least(floor(value / 50.0), 9.0) AS INTEGER) AS band,
+               (ts < TIMESTAMP '2024-01-11') AS is_exp
+        FROM events
+        WHERE event_type = 'purchase'
+          AND (ts < TIMESTAMP '2024-01-11' OR ts >= TIMESTAMP '2024-01-21')),
+      c AS (
+        SELECT band,
+               CAST(sum(CASE WHEN is_exp THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+               CAST(sum(CASE WHEN is_exp THEN 0 ELSE 1 END) AS BIGINT) AS na
+        FROM b GROUP BY band),
+      t AS (
+        SELECT CAST(sum(ne) AS BIGINT) AS n_expected,
+               CAST(sum(na) AS BIGINT) AS n_actual,
+               list(struct_pack(ne := ne, na := na) ORDER BY band) AS bs
+        FROM c)
+      SELECT n_expected, n_actual,
+             round(list_sum(list_transform(bs,
+               x -> ((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + 5.0)
+                     - (CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + 5.0))
+                    * ln(((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + 5.0))
+                         / ((CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + 5.0))))), 4) AS psi
+      FROM t""",
+
     "obs_freshness" -> """
       WITH t AS (
         SELECT event_type, max(epoch_us(ts)) AS mx_us, count(*) AS n

@@ -589,6 +589,58 @@ object TextOps {
     // DuckDB's native entropy() aggregate (log2-based) — same statistic
     // through a completely different implementation, which is the
     // strongest cross-engine check available for it.
+    // Type-token ratio + Guiraud index — the lexical-diversity pair of
+    // quality signals (templated/spun text repeats a tiny type set; TTR
+    // exposes it where length or stopword ratios don't; Guiraud's
+    // types/√tokens variant corrects TTR's length bias so long docs are
+    // comparable to short ones). Entirely row-local array expressions —
+    // split once, distinct once, two divisions — runs at scan speed
+    // inside whole-stage codegen, no shuffle at all before the output
+    // sort.
+    "llm_ttr_diversity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_types"))
+        .withColumn("ttr", round(col("n_types") / col("n_tokens"), 4))
+        .withColumn("guiraud",
+          round(col("n_types") / sqrt(col("n_tokens").cast("double")), 4))
+        .orderBy("doc_id")),
+
+    // ROUGE-1 overlap between candidate/reference doc pairs (id, id+250)
+    // — the summarization-eval primitive, and the same unigram-set
+    // containment measure decontamination sweeps use between train and
+    // eval corpora. Token sets are row-local array_distinct; the pair
+    // join is one equi-join on the derived pair key; precision/recall/F1
+    // are three divisions on set sizes (integers — no float accumulation
+    // anywhere). At corpus scale this is a co-partitionable equi-join:
+    // nothing here is quadratic.
+    "llm_rouge_overlap" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+                array_distinct(split(col("text"), " ")).as("u"))
+      val cand = t.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("pair_id"), col("u").as("cu"))
+      val ref = t.select((col("doc_id") - 250).as("pair_id"), col("u").as("ru"))
+        .filter(col("pair_id") >= 0 && col("pair_id") < 250)
+      cand.join(ref, "pair_id")
+        .select(col("pair_id"),
+          size(col("cu")).cast("long").as("n_cand_types"),
+          size(col("ru")).cast("long").as("n_ref_types"),
+          size(array_intersect(col("cu"), col("ru"))).cast("long").as("n_overlap"))
+        .withColumn("rouge1_p", round(col("n_overlap") / col("n_cand_types"), 4))
+        .withColumn("rouge1_r", round(col("n_overlap") / col("n_ref_types"), 4))
+        .withColumn("rouge1_f1",
+          when(col("n_overlap") === 0, lit(0.0))
+            .otherwise(round(
+              lit(2.0) * (col("n_overlap") / col("n_cand_types"))
+                       * (col("n_overlap") / col("n_ref_types"))
+              / (col("n_overlap") / col("n_cand_types")
+                 + col("n_overlap") / col("n_ref_types")), 4)))
+        .orderBy("pair_id")
+    }),
+
     "llm_char_entropy" -> ((s, d) => {
       val cc = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
@@ -1339,6 +1391,40 @@ object TextOps {
     // DuckDB's native entropy() aggregate is log2-based — the same
     // statistic our moment identity computes, via a different
     // implementation path.
+    "llm_ttr_diversity" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 AS n_types
+        FROM documents)
+      SELECT doc_id, n_tokens, n_types,
+             round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+             round(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 4) AS guiraud
+      FROM t ORDER BY doc_id""",
+
+    "llm_rouge_overlap" -> """
+      WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS u
+        FROM documents),
+      p AS (
+        SELECT c.doc_id AS pair_id,
+               CAST(len(c.u) AS BIGINT) AS n_cand_types,
+               CAST(len(r.u) AS BIGINT) AS n_ref_types,
+               CAST(len(list_intersect(c.u, r.u)) AS BIGINT) AS n_overlap
+        FROM t c JOIN t r ON r.doc_id = c.doc_id + 250
+        WHERE c.doc_id < 250)
+      SELECT pair_id, n_cand_types, n_ref_types, n_overlap,
+             round(CAST(n_overlap AS DOUBLE) / n_cand_types, 4) AS rouge1_p,
+             round(CAST(n_overlap AS DOUBLE) / n_ref_types, 4) AS rouge1_r,
+             CASE WHEN n_overlap = 0 THEN 0.0
+                  ELSE round(2.0 * (CAST(n_overlap AS DOUBLE) / n_cand_types)
+                                 * (CAST(n_overlap AS DOUBLE) / n_ref_types)
+                             / (CAST(n_overlap AS DOUBLE) / n_cand_types
+                                + CAST(n_overlap AS DOUBLE) / n_ref_types), 4)
+             END AS rouge1_f1
+      FROM p ORDER BY pair_id""",
+
     "llm_char_entropy" -> """
       WITH ch AS (
         SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
