@@ -1922,4 +1922,153 @@ class OperatorSpec extends AnyFunSuite {
         s"$flag: a smaller value already covers half the weight — not minimal")
     }
   }
+  test("agg_entropy: bounds 0 <= H <= log2(n_types), zero iff single type") {
+    SparkEntry.queries("agg_entropy")(spark, d).collect().foreach { r =>
+      val types = r.getInt(2)
+      val h = r.getDouble(3)
+      assert(h >= 0.0 && h <= math.log(types.toDouble) / math.log(2.0) + 1e-9,
+        s"user ${r.getLong(0)}: H=$h outside [0, log2($types)]")
+      if (types == 1) assert(h == 0.0)
+    }
+  }
+
+  test("agg_ks_test: D in [0,1]; identical-sample KS is exactly 0") {
+    val r = SparkEntry.queries("agg_ks_test")(spark, d).head()
+    val dstat = r.getDouble(2)
+    assert(dstat >= 0.0 && dstat <= 1.0)
+    // same-vs-same ECDFs coincide at every point — D must be exactly 0
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val same = Tables.events(spark, d).filter(col("event_type") === "click")
+      .groupBy("value").agg(count(lit(1)).as("ca"), count(lit(1)).as("cb"))
+      .select(sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"),
+              sum("ca").over(wAll).as("na"), sum("cb").over(wAll).as("nb"))
+      .agg(max(abs(col("cuma") / col("na") - col("cumb") / col("nb"))))
+      .head().getDouble(0)
+    assert(same == 0.0)
+  }
+
+  test("agg_chi_square: nonnegative statistic, dof matches marginal cardinalities") {
+    val r = SparkEntry.queries("agg_chi_square")(spark, d).head()
+    assert(r.getDouble(2) >= 0.0)
+    val docs = Tables.documents(spark, d)
+    import org.apache.spark.sql.functions._
+    val nl = docs.agg(countDistinct("lang")).head().getLong(0)
+    val ns = docs.agg(countDistinct("source")).head().getLong(0)
+    assert(r.getInt(1) === ((nl - 1) * (ns - 1)).toInt)
+  }
+
+  test("agg_mad_outliers: one user recomputed directly") {
+    val out = SparkEntry.queries("agg_mad_outliers")(spark, d).collect()
+    val uid = out.head.getLong(0)
+    val xs = Tables.events(spark, d)
+      .filter(org.apache.spark.sql.functions.col("user_id") === uid)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    def q2(v: Array[Double]): Double = {
+      val h = (v.length - 1) * 0.5
+      val lo = v(h.toInt); val hi = v(math.ceil(h).toInt)
+      lo + (h - h.toInt) * (hi - lo)
+    }
+    val med = q2(xs)
+    val devs = xs.map(x => math.abs(x - med)).sorted
+    val mad = q2(devs)
+    val nOut = xs.count(x => math.abs(x - med) > 3.0 * 1.4826 * mad)
+    val row = out.find(_.getLong(0) == uid).get
+    assert(row.getLong(1) === xs.length)
+    assert(math.abs(row.getDouble(2) - med) < 1e-4)
+    assert(math.abs(row.getDouble(3) - mad) < 1e-4)
+    assert(row.getLong(4) === nOut)
+  }
+
+  test("graph_modularity: Q recomputed locally from the LPA labels and edges") {
+    val r = SparkEntry.queries("graph_modularity")(spark, d).head()
+    val q = r.getDouble(2)
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-0.5, 1]")
+    val lbl = SparkEntry.queries("graph_label_propagation")(spark, d)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    val edges = graft.ops.GraphOps.repeatTradeEdges(spark, d)
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    val m2 = edges.length.toDouble
+    val byComm = edges.groupBy(e => lbl(e._1))
+    val qLocal = byComm.values.map { es =>
+      val intra = es.count(e => lbl(e._1) == lbl(e._2)).toDouble
+      intra / m2 - math.pow(es.length / m2, 2)
+    }.sum
+    assert(r.getLong(0) === edges.length)
+    assert(math.abs(q - qLocal) < 1e-3, s"Q $q vs local $qLocal")
+  }
+
+  test("llm_dpo_pairs: margins clear the floor and ids come from the group") {
+    val rows = SparkEntry.queries("llm_dpo_pairs")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val grp = r.getLong(0)
+      assert(r.getLong(2) - r.getLong(4) >= 10, "margin below floor")
+      assert(r.getLong(1) % 50 === grp && r.getLong(3) % 50 === grp,
+        "chosen/rejected escaped their prompt group")
+      assert(r.getLong(1) !== r.getLong(3), "chosen == rejected")
+    }
+  }
+
+  test("llm_hard_negatives: negatives never share the query label, ranks dense") {
+    val rows = SparkEntry.queries("llm_hard_negatives")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      rs.foreach { r =>
+        assert(r.getInt(1) !== r.getInt(4), s"query $qid: same-label negative")
+        val cos = r.getDouble(5)
+        assert(cos >= -1.0001 && cos <= 1.0001)
+      }
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length).toSeq)
+    }
+  }
+
+  test("llm_rouge_overlap and llm_ttr_diversity: set algebra bounds hold") {
+    SparkEntry.queries("llm_rouge_overlap")(spark, d).collect().foreach { r =>
+      val (ct, rt, ov) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ov <= math.min(ct, rt), "overlap exceeds a set size")
+      assert(r.getDouble(4) <= 1.0 && r.getDouble(5) <= 1.0)
+    }
+    SparkEntry.queries("llm_ttr_diversity")(spark, d).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "more types than tokens")
+      val ttr = r.getDouble(3)
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+  }
+
+  test("fn_ipv4 / fn_base64_codec: every roundtrip flag is true") {
+    SparkEntry.queries("fn_ipv4")(spark, d).collect().foreach { r =>
+      assert(r.getBoolean(5), s"ip ${r.getString(1)} failed format-parse roundtrip")
+      val o1 = r.getString(1).split("\\.")(0).toInt
+      assert(o1 >= 0 && o1 <= 255)
+    }
+    SparkEntry.queries("fn_base64_codec")(spark, d).collect().foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"doc ${r.getLong(0)}: codec roundtrip broken")
+    }
+  }
+
+  test("obs_drift_psi: PSI nonnegative (it is a symmetrized divergence)") {
+    val r = SparkEntry.queries("obs_drift_psi")(spark, d).head()
+    assert(r.getDouble(2) >= 0.0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
+  test("win_ignore_nulls: filled column equals a sequential forward fill") {
+    val rows = SparkEntry.queries("win_ignore_nulls")(spark, d).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(1)))
+      var lastObs: Option[Double] = None
+      sorted.foreach { r =>
+        val v = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        if (v.isDefined) lastObs = v
+        val filled = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+        assert(filled === lastObs, s"user $uid: forward fill diverges")
+      }
+    }
+  }
 }

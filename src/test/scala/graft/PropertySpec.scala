@@ -471,4 +471,33 @@ class PropertySpec extends AnyFunSuite {
       lev(s, t) > 1 || (dels(s) & dels(t)).nonEmpty
     })
   }
+  test("double-stability: reassociation-risky keys byte-match themselves across partitionings") {
+    // The r14 gate red (fn_round_modes) was a BYTE-level double divergence
+    // (-0.0) that value-level comparison hid. This pin re-runs the keys
+    // whose outputs flow through float folds / window moments / iterative
+    // normalizers under a different shuffle partitioning and demands
+    // BIT-identical doubles: it catches -0.0 flips, NaN canonicalization
+    // drift and any float-sum reassociation that escapes a sorted fold.
+    val spark = TestSpark.spark
+    val d = TestSpark.sfDir
+    val keys = Seq("fn_round_modes", "agg_entropy", "agg_chi_square",
+                   "agg_ks_test", "agg_gini", "obs_drift_psi",
+                   "graph_modularity", "llm_rouge_overlap",
+                   "win_rolling_zscore")
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[Any]] =
+      rows.toSeq.map(_.toSeq.map {
+        case dd: Double => java.lang.Double.doubleToRawLongBits(dd)
+        case ff: Float  => java.lang.Float.floatToRawIntBits(ff)
+        case x          => x
+      })
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    keys.foreach { k =>
+      val a = canon(SparkEntry.queries(k)(spark, d).collect())
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = canon(SparkEntry.queries(k)(spark, d).collect())
+        assert(a == b, s"$k: doubles not byte-stable across partitionings")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
 }
