@@ -434,6 +434,17 @@ object Similarity {
                   excludeSelfId: Boolean = true): DataFrame =
     LlmOps.ivfPqSearchOf(std(queries, idCol, embCol), std(corpus, idCol, embCol),
                          centroids, codebooks, nprobe, shortlist, k, excludeSelfId)
+  /** Hard-negative mining (llm_hard_negatives' exact core): per query
+    * (q_id, q_emb, q_lbl), the top-`k` most cosine-similar candidates
+    * (n_id, n_emb, n_lbl) of a DIFFERENT label — nearest wrong answers
+    * for contrastive training. Candidates are broadcast; cap the query
+    * side at scale, like [[knn]]. Registers the codegen'd cosine. */
+  def hardNegatives(spark: SparkSession, queries: DataFrame,
+                    candidates: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    graft.ops.LlmOps.hardNegativesOf(queries, candidates, k)
+  }
+
 }
 
 /** Text analysis / corpus hygiene over document frames. */
@@ -654,6 +665,25 @@ object Text {
       .withColumn("session_id", sum("__new_s").over(run))
       .drop("__prev_us", "__new_s")
   }
+  /** Type-token ratio + Guiraud lexical-diversity per doc
+    * (llm_ttr_diversity's exact core) — row-local, scan-speed. */
+  def ttr(docs: DataFrame, idCol: String = "doc_id",
+          textCol: String = "text"): DataFrame =
+    graft.ops.TextOps.ttrOf(docs, idCol, textCol)
+
+  /** ROUGE-1 P/R/F1 between candidate and reference texts sharing
+    * `pair_id` (llm_rouge_overlap's exact core). Inputs:
+    * cand (pair_id, cand_text), ref (pair_id, ref_text). */
+  def rouge1(cand: DataFrame, ref: DataFrame): DataFrame =
+    graft.ops.TextOps.rouge1Of(cand, ref)
+
+  /** Out-of-vocabulary rate per doc against the corpus's own top-`k`
+    * term vocabulary (llm_oov_rate's exact core) — the tokenizer-fit
+    * audit; the vocab is k-bounded however large the corpus. */
+  def oovRate(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", k: Int = 1000): DataFrame =
+    graft.ops.LlmOps.oovRateOf(docs, idCol, textCol, k)
+
 }
 
 /** Ingestion plumbing — the reference pipeline's shape (JSON records →
@@ -855,6 +885,15 @@ object Sampling {
     * re-partitioning. llm_stratified_split's exact core. */
   def split(df: DataFrame, idCol: String = "doc_id"): DataFrame =
     TextOps.splitAssignOf(df, idCol)
+  /** DPO/RLHF preference pairs (llm_dpo_pairs' exact core): per
+    * `grpCol`, the highest-`scoreCol` row (chosen) vs the lowest
+    * (rejected), kept when the margin ≥ `minMargin`; (score, id)
+    * tiebreaks make both picks total-order deterministic. Score columns
+    * surface as chosen_<scoreCol>/rejected_<scoreCol>. */
+  def preferencePairs(df: DataFrame, grpCol: String, idCol: String,
+                      scoreCol: String, minMargin: Long = 0L): DataFrame =
+    graft.ops.LlmOps.dpoPairsOf(df, grpCol, idCol, scoreCol, minMargin)
+
 }
 
 /** Frequency statistics at cardinalities where a full groupBy is the
@@ -895,6 +934,36 @@ object Stats {
   def bootstrapMeanCi(df: DataFrame, valueCol: String,
                       keyCol: String): DataFrame =
     graft.ops.AggOps.bootstrapMeanCiOf(df, valueCol, keyCol)
+
+  /** Shannon entropy (bits) of `typeCol`'s mix per `groupCol`
+    * (agg_entropy's exact core) — the behavioral-diversity / bot signal.
+    * The p·log2 p fold runs over a sorted count list, so the result is
+    * bit-identical at any parallelism. Returns (groupCol, n, n_types,
+    * entropy_bits), unordered. */
+  def entropy(df: DataFrame, groupCol: String, typeCol: String): DataFrame =
+    graft.ops.AggOps.entropyOf(df, groupCol, typeCol)
+
+  /** Two-sample Kolmogorov–Smirnov D of `valueCol` between `tagCol`
+    * cohorts `a` and `b` (agg_ks_test's exact core) — distribution-drift
+    * detection. The ECDF window runs over the distinct-value grid, never
+    * the corpus. Returns one row (n_a, n_b, ks_d). */
+  def ksTest(df: DataFrame, valueCol: String, tagCol: String,
+             a: String, b: String): DataFrame =
+    graft.ops.AggOps.ksTestOf(df, valueCol, tagCol, a, b)
+
+  /** Pearson χ² independence of the `aCol` × `bCol` contingency
+    * (agg_chi_square's exact core) — the confounding check for
+    * categorical pairs. Returns one row (n_cells, dof, chi2). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    graft.ops.AggOps.chiSquareOf(df, aCol, bCol)
+
+  /** Median-absolute-deviation outlier screen per `keyCol`
+    * (agg_mad_outliers' exact core) — the robust 3σ twin; `k` scales the
+    * 1.4826·MAD threshold. Returns per-key (keyCol, n, median, mad,
+    * n_outliers), unordered. */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame =
+    graft.ops.AggOps.madOutliersOf(df, keyCol, valueCol, k)
 }
 
 /** Bounded-memory mergeable sketch structures (agg_count_min /
@@ -939,6 +1008,16 @@ object Quality {
     * them with unionByName like the obs_dq_checks contract key does. */
   def expect(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
     graft.ops.ScanOps.expectOf(df, rules)
+
+  /** Population-stability index of `valueCol` between the rows flagged
+    * true by `isExpCol` (expected period) and the rest (actual period) —
+    * obs_drift_psi's exact core; PSI > 0.2 is the conventional retrain
+    * alarm. Fixed-width bands (`bandWidth` × `nBands`), Haldane-smoothed
+    * cells, sorted bit-stable fold. Returns one row
+    * (n_expected, n_actual, psi). */
+  def psi(df: DataFrame, valueCol: String, isExpCol: String,
+          bandWidth: Double, nBands: Int = 10): DataFrame =
+    graft.ops.ScanOps.psiOf(df, valueCol, isExpCol, bandWidth, nBands)
 }
 
 /** Graph analytics over (src, dst) edge frames. */
@@ -1094,6 +1173,15 @@ object Graph {
     graft.ops.GraphOps.coPurchaseOf(
       basketItems.select(col(basketCol).as("basket"), col(itemCol).as("item")),
       minSupport, topK)
+  /** Newman modularity of a (node, lbl) partition over a SYMMETRIC edge
+    * frame (graph_modularity's exact core) — pair it with
+    * [[labelPropagation]] to score the communities it found. Returns one
+    * row (n_edges_directed, n_communities, modularity). */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.modularityOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), labels)
+
 }
 
 /** Data-layout levers for write-side clustering. */

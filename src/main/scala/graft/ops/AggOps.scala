@@ -203,6 +203,105 @@ object AggOps {
     * an InSet — no join, no full-cardinality shuffle), filtered to
     * `cnt·k > n`. Output: (valueCol, cnt, n_total), exactly the items with
     * frequency > n/k (see MisraGries for the guarantee). */
+  /** Shannon entropy (bits) of `typeCol`'s mix per `groupCol`
+    * (agg_entropy / Stats.entropy): two map-side-combinable hash-aggs;
+    * the p·log2 p fold runs over a SORTED (type, count) list so the
+    * non-associative double sum is bit-identical at any parallelism.
+    * Per-group state is bounded by the type-universe size. Returns
+    * (groupCol, n, n_types, entropy_bits 4dp), unordered. */
+  private[graft] def entropyOf(df: DataFrame, groupCol: String,
+                               typeCol: String): DataFrame =
+    df.groupBy(groupCol, typeCol).agg(count(lit(1)).as("c"))
+      .groupBy(groupCol)
+      .agg(sum("c").as("n"),
+           sort_array(collect_list(struct(col(typeCol), col("c"))))
+             .as("cs"))
+      .select(col(groupCol), col("n"),
+        expr("CAST(size(cs) AS INT)").as("n_types"),
+        round(expr(
+          """aggregate(cs, CAST(0.0 AS DOUBLE),
+             (a, x) -> a - (CAST(x.c AS DOUBLE) / n)
+                         * log2(CAST(x.c AS DOUBLE) / n))"""), 4)
+          .as("entropy_bits"))
+
+  /** Two-sample Kolmogorov–Smirnov D of `valueCol` between `tagCol`
+    * cohorts `a` and `b` (agg_ks_test / Stats.ksTest): the corpus
+    * collapses to per-distinct-value counts first, so the cumulative
+    * ECDF window runs on the value GRID, not the corpus — bounded by
+    * grid cardinality at any data scale; cumulative counts are
+    * integer-exact. Returns one row (n_a, n_b, ks_d 4dp). */
+  private[graft] def ksTestOf(df: DataFrame, valueCol: String,
+                              tagCol: String, a: String,
+                              b: String): DataFrame = {
+    val w = Window.orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(col(tagCol).isin(a, b))
+      .groupBy(valueCol)
+      .agg(sum(when(col(tagCol) === a, 1L).otherwise(0L)).as("ca"),
+           sum(when(col(tagCol) === b, 1L).otherwise(0L)).as("cb"))
+      .select(col(valueCol),
+              sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"),
+              sum("ca").over(wAll).as("na"), sum("cb").over(wAll).as("nb"))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+           round(max(abs(col("cuma") / col("na") -
+                         col("cumb") / col("nb"))), 4).as("ks_d"))
+  }
+
+  /** Pearson χ² independence of the `aCol` × `bCol` contingency
+    * (agg_chi_square / Stats.chiSquare): one corpus hash-agg builds the
+    * cells, marginals broadcast-join on the dimension-sized cell table,
+    * the χ² fold runs over a SORTED cell array (bit-stable). Returns one
+    * row (n_cells, dof, chi2 4dp). */
+  private[graft] def chiSquareOf(df: DataFrame, aCol: String,
+                                 bCol: String): DataFrame = {
+    val cells = df.groupBy(aCol, bCol).agg(count(lit(1)).as("c"))
+    val rl = cells.groupBy(aCol).agg(sum("c").as("rl"))
+    val cs = cells.groupBy(bCol).agg(sum("c").as("cs"))
+    cells.join(broadcast(rl), aCol).join(broadcast(cs), bCol)
+      .crossJoin(broadcast(cells.agg(sum("c").as("n"))))
+      .agg(count(lit(1)).cast("int").as("n_cells"),
+           ((countDistinct(aCol) - 1) *
+            (countDistinct(bCol) - 1)).cast("int").as("dof"),
+           sort_array(collect_list(struct(col(aCol), col(bCol),
+             col("c"), col("rl"), col("cs"), col("n")))).as("cl"))
+      .select(col("n_cells"), col("dof"),
+        round(expr(
+          """aggregate(cl, CAST(0.0 AS DOUBLE),
+             (a, x) -> a + pow(CAST(x.c AS DOUBLE)
+                               - CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
+                                 / CAST(x.n AS DOUBLE), 2)
+                           / (CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
+                              / CAST(x.n AS DOUBLE)))"""), 4)
+          .as("chi2"))
+  }
+
+  /** Median-absolute-deviation outlier screen per `keyCol`
+    * (agg_mad_outliers / Stats.madOutliers): exact percentile(0.5)
+    * median and MAD (both engines interpolate identically), deviations
+    * joined back on the SAME key partitioning, flag at
+    * `k`·1.4826·MAD on UNROUNDED values. Returns per-key
+    * (keyCol, n, median 4dp, mad 4dp, n_outliers), unordered. */
+  private[graft] def madOutliersOf(df: DataFrame, keyCol: String,
+                                   valueCol: String,
+                                   k: Double = 3.0): DataFrame = {
+    val ev = df.select(col(keyCol), col(valueCol).as("__x"))
+    val med = ev.groupBy(keyCol)
+      .agg(expr("percentile(__x, 0.5)").as("med"))
+    val dev = ev.join(med, keyCol)
+      .withColumn("dev", abs(col("__x") - col("med")))
+    val mad = dev.groupBy(keyCol)
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, keyCol)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+           round(first("med"), 4).as("median"),
+           round(first("mad"), 4).as("mad"),
+           sum(when(col("dev") > lit(k) * lit(1.4826) * col("mad"), 1L)
+             .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Gini-coefficient core (agg_gini / Stats.gini): per `cohortCol`, the
     * concentration of `valueCol` — with values ranked ascending,
     * G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx). `tieCol` only stabilizes the rank
@@ -704,19 +803,7 @@ object AggOps {
     // first makes the entropy bit-identical cross-engine at any
     // parallelism. Per-user state is bounded by the type-universe size.
     "agg_entropy" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
-        .groupBy("user_id")
-        .agg(sum("c").as("n"),
-             sort_array(collect_list(struct(col("event_type"), col("c"))))
-               .as("cs"))
-        .select(col("user_id"), col("n"),
-          expr("CAST(size(cs) AS INT)").as("n_types"),
-          round(expr(
-            """aggregate(cs, CAST(0.0 AS DOUBLE),
-               (a, x) -> a - (CAST(x.c AS DOUBLE) / n)
-                           * log2(CAST(x.c AS DOUBLE) / n))"""), 4)
-            .as("entropy_bits"))
+      entropyOf(Tables.events(s, d), "user_id", "event_type")
         .orderBy("user_id")),
 
     // Two-sample Kolmogorov–Smirnov D — distribution-drift detection
@@ -729,23 +816,10 @@ object AggOps {
     // bounded by the value-grid cardinality at any data scale. All
     // cumulative counts are integers (order-exact); D is one division +
     // max per cell.
-    "agg_ks_test" -> ((s, d) => {
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables.events(s, d)
-        .filter(col("event_type").isin("click", "view"))
-        .groupBy("value")
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
-             sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
-        .select(col("value"),
-                sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"),
-                sum("ca").over(wAll).as("na"), sum("cb").over(wAll).as("nb"))
-        .agg(max("na").as("n_click"), max("nb").as("n_view"),
-             round(max(abs(col("cuma") / col("na") -
-                           col("cumb") / col("nb"))), 4).as("ks_d"))
-    }),
+    "agg_ks_test" -> ((s, d) =>
+      ksTestOf(Tables.events(s, d), "value", "event_type", "click", "view")
+        .withColumnRenamed("n_a", "n_click")
+        .withColumnRenamed("n_b", "n_view")),
 
     // Pearson χ² independence test on the lang × source contingency of
     // the document corpus — the bias/drift check for training-data
@@ -756,28 +830,8 @@ object AggOps {
     // downstream is dimension-sized. The cell-term sum is folded over a
     // SORTED cell array (same order both engines) so the double sum is
     // bit-stable, then rounded 4dp.
-    "agg_chi_square" -> ((s, d) => {
-      val cells = Tables.documents(s, d)
-        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
-      val rl = cells.groupBy("lang").agg(sum("c").as("rl"))
-      val cs = cells.groupBy("source").agg(sum("c").as("cs"))
-      cells.join(broadcast(rl), "lang").join(broadcast(cs), "source")
-        .crossJoin(broadcast(cells.agg(sum("c").as("n"))))
-        .agg(count(lit(1)).cast("int").as("n_cells"),
-             ((countDistinct("lang") - 1) *
-              (countDistinct("source") - 1)).cast("int").as("dof"),
-             sort_array(collect_list(struct(col("lang"), col("source"),
-               col("c"), col("rl"), col("cs"), col("n")))).as("cl"))
-        .select(col("n_cells"), col("dof"),
-          round(expr(
-            """aggregate(cl, CAST(0.0 AS DOUBLE),
-               (a, x) -> a + pow(CAST(x.c AS DOUBLE)
-                                 - CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
-                                   / CAST(x.n AS DOUBLE), 2)
-                             / (CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
-                                / CAST(x.n AS DOUBLE)))"""), 4)
-            .as("chi2"))
-    }),
+    "agg_chi_square" -> ((s, d) =>
+      chiSquareOf(Tables.documents(s, d), "lang", "source")),
 
     // Median-absolute-deviation outlier screen — the ROBUST twin of
     // win_rolling_zscore's 3σ rule: median and MAD are unmoved by the
@@ -789,23 +843,9 @@ object AggOps {
     // standard 3·1.4826·MAD ≈ 3σ-equivalent threshold computed on
     // UNROUNDED values. Output is per-user (dimension-sized, not
     // per-event).
-    "agg_mad_outliers" -> ((s, d) => {
-      val ev = Tables.events(s, d).select("user_id", "value")
-      val med = ev.groupBy("user_id")
-        .agg(expr("percentile(value, 0.5)").as("med"))
-      val dev = ev.join(med, "user_id")
-        .withColumn("dev", abs(col("value") - col("med")))
-      val mad = dev.groupBy("user_id")
-        .agg(expr("percentile(dev, 0.5)").as("mad"))
-      dev.join(mad, "user_id")
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n"),
-             round(first("med"), 4).as("median"),
-             round(first("mad"), 4).as("mad"),
-             sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
-               .otherwise(0L)).as("n_outliers"))
-        .orderBy("user_id")
-    }),
+    "agg_mad_outliers" -> ((s, d) =>
+      madOutliersOf(Tables.events(s, d), "user_id", "value")
+        .orderBy("user_id")),
 
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)

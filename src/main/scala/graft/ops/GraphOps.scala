@@ -793,25 +793,39 @@ object GraphOps {
     // unrolled (same CTEs as graph_label_propagation) + the same fold.
     "graph_modularity" -> ((s, d) => {
       val e = repeatTradeEdges(s, d)
-      val l = lpaOf(e, LpaRounds)
-      e.join(broadcast(l.select(col("node").as("sn"), col("lbl").as("slbl"))),
-             col("src") === col("sn"))
-        .join(broadcast(l.select(col("node").as("dn"), col("lbl").as("dlbl"))),
-              col("dst") === col("dn"))
-        .groupBy("slbl")
-        .agg(count(lit(1)).as("deg"),
-             sum(when(col("slbl") === col("dlbl"), 1L).otherwise(0L)).as("intra"))
-        .agg(sum("deg").as("m2"), count(lit(1)).cast("int").as("n_communities"),
-             sort_array(collect_list(struct(col("slbl"), col("intra"),
-                                            col("deg")))).as("cs"))
-        .select(col("m2").as("n_edges_directed"), col("n_communities"),
-          round(expr(
-            """aggregate(cs, CAST(0.0 AS DOUBLE),
-               (a, x) -> a + CAST(x.intra AS DOUBLE) / m2
-                           - pow(CAST(x.deg AS DOUBLE) / m2, 2))"""), 4)
-            .as("modularity"))
+      modularityOf(e, lpaOf(e, LpaRounds))
     })
   )
+
+  /** Newman modularity of a (node, lbl) partition over a SYMMETRIC
+    * (src, dst) edge frame (graph_modularity / Graph.modularity):
+    * Q = Σ_c [intra_c/M − (deg_c/M)²] with M the directed edge count
+    * (= 2m undirected). One edge-sized join per endpoint against the
+    * broadcast node-sized label frame, one hash-agg to community
+    * granularity; the Q fold runs over a SORTED community list so the
+    * double sum is bit-stable. Returns one row
+    * (n_edges_directed, n_communities, modularity 4dp). */
+  private[graft] def modularityOf(edges: DataFrame,
+                                  labels: DataFrame): DataFrame =
+    edges
+      .join(broadcast(labels.select(col("node").as("sn"),
+                                    col("lbl").as("slbl"))),
+            col("src") === col("sn"))
+      .join(broadcast(labels.select(col("node").as("dn"),
+                                    col("lbl").as("dlbl"))),
+            col("dst") === col("dn"))
+      .groupBy("slbl")
+      .agg(count(lit(1)).as("deg"),
+           sum(when(col("slbl") === col("dlbl"), 1L).otherwise(0L)).as("intra"))
+      .agg(sum("deg").as("m2"), count(lit(1)).cast("int").as("n_communities"),
+           sort_array(collect_list(struct(col("slbl"), col("intra"),
+                                          col("deg")))).as("cs"))
+      .select(col("m2").as("n_edges_directed"), col("n_communities"),
+        round(expr(
+          """aggregate(cs, CAST(0.0 AS DOUBLE),
+             (a, x) -> a + CAST(x.intra AS DOUBLE) / m2
+                         - pow(CAST(x.deg AS DOUBLE) / m2, 2))"""), 4)
+          .as("modularity"))
 
   /** One unrolled PPR round as a DuckDB CTE block (see graph_ppr). */
   private def pprRoundSql(i: Int): String = s"""r$i AS (

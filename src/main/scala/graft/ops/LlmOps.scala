@@ -178,6 +178,75 @@ object LlmOps {
   private def cosD(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Out-of-vocabulary rate per doc against the corpus's own top-`k`
+    * term vocabulary (llm_oov_rate / Text.oovRate): vocab under a total
+    * order (count DESC, term ASC), broadcast LEFT-join probe counts
+    * misses. Two corpus-scale hash-aggs + one broadcast probe; the vocab
+    * is k-bounded however large the corpus. Returns (idCol, n_tokens,
+    * n_oov, oov_rate 4dp), unordered. */
+  private[graft] def oovRateOf(docs: DataFrame, idCol: String,
+                               textCol: String, k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(k)
+      .select(col("term"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 4))
+  }
+
+  /** DPO/RLHF preference-pair construction (llm_dpo_pairs /
+    * Sampling.preferencePairs): within each `grpCol`, pair the
+    * highest-`scoreCol` row (chosen) against the lowest (rejected), kept
+    * when the margin ≥ `minMargin`. Two row_number windows over ONE
+    * group shuffle with unique (score, id) tiebreaks — total-order
+    * deterministic; chosen/rejected frames are group-sized. Returns
+    * (grpCol, chosen_id, chosen_score…, rejected_id, …, margin) with the
+    * score columns named chosen_<scoreCol>/rejected_<scoreCol>. */
+  private[graft] def dpoPairsOf(df: DataFrame, grpCol: String,
+                                idCol: String, scoreCol: String,
+                                minMargin: Long): DataFrame = {
+    val wTop = Window.partitionBy(grpCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wBot = Window.partitionBy(grpCol)
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val ranked = df
+      .withColumn("r_top", row_number().over(wTop))
+      .withColumn("r_bot", row_number().over(wBot))
+    val chosen = ranked.filter(col("r_top") === 1)
+      .select(col(grpCol), col(idCol).as("chosen_id"),
+              col(scoreCol).as(s"chosen_$scoreCol"))
+    val rejected = ranked.filter(col("r_bot") === 1)
+      .select(col(grpCol), col(idCol).as("rejected_id"),
+              col(scoreCol).as(s"rejected_$scoreCol"))
+    chosen.join(rejected, grpCol)
+      .withColumn("margin",
+        col(s"chosen_$scoreCol") - col(s"rejected_$scoreCol"))
+      .filter(col("margin") >= minMargin)
+  }
+
+  /** Hard-negative mining (llm_hard_negatives /
+    * Similarity.hardNegatives): per query (q_id, q_emb, q_lbl), the
+    * top-`k` most cosine-similar candidates (n_id, n_emb, n_lbl) of a
+    * DIFFERENT label — the label test rides the join condition, so
+    * same-label pairs never reach the (codegen'd) cosine. Same
+    * capped-query × broadcast-candidate economics as [[knnOf]]; the
+    * caller registers graft_cosine. */
+  private[graft] def hardNegativesOf(q: DataFrame, c: DataFrame,
+                                     k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("n_id").asc)
+    q.join(broadcast(c), col("q_lbl") =!= col("n_lbl"))
+      .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("q_lbl"), col("rk"), col("n_id"),
+              col("n_lbl"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Brute-force top-k cosine neighbors: queries (q_id, q_emb) × broadcast
     * corpus (n_id, n_emb), window top-k with (cos DESC, n_id ASC) tiebreak.
     * The declared exact baseline for the IVF path; the corpus side must fit
@@ -1626,19 +1695,9 @@ object LlmOps {
     // K-bounded however large the corpus; no shuffle of the token stream
     // beyond its own count. K=10 here so the 31-term fixture corpus
     // genuinely splits in/out.
-    "llm_oov_rate" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("term").asc).limit(10)
-        .select(col("term"), lit(1).as("in_v"))
-      toks.join(broadcast(vocab), Seq("term"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-             sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
-        .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 4))
-        .orderBy("doc_id")
-    }),
+    "llm_oov_rate" -> ((s, d) =>
+      oovRateOf(Tables.documents(s, d), "doc_id", "text", 10)
+        .orderBy("doc_id")),
 
     // DPO/RLHF preference-pair construction: within each prompt group,
     // pair the highest-scoring response (chosen) against the lowest
@@ -1650,27 +1709,15 @@ object LlmOps {
     // the chosen/rejected frames are group-sized and join back on the
     // group key. Score here is the n_chars quality proxy; swap in any
     // reward column.
-    "llm_dpo_pairs" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select((col("doc_id") % 50).as("grp"), col("doc_id"), col("n_chars"))
-      val wTop = Window.partitionBy("grp")
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      val wBot = Window.partitionBy("grp")
-        .orderBy(col("n_chars").asc, col("doc_id").asc)
-      val ranked = base
-        .withColumn("r_top", row_number().over(wTop))
-        .withColumn("r_bot", row_number().over(wBot))
-      val chosen = ranked.filter(col("r_top") === 1)
-        .select(col("grp"), col("doc_id").as("chosen_id"),
-                col("n_chars").as("chosen_chars"))
-      val rejected = ranked.filter(col("r_bot") === 1)
-        .select(col("grp"), col("doc_id").as("rejected_id"),
-                col("n_chars").as("rejected_chars"))
-      chosen.join(rejected, "grp")
-        .withColumn("margin", col("chosen_chars") - col("rejected_chars"))
-        .filter(col("margin") >= 10)
-        .orderBy("grp")
-    }),
+    "llm_dpo_pairs" -> ((s, d) =>
+      dpoPairsOf(
+        Tables.documents(s, d)
+          .select((col("doc_id") % 50).as("grp"), col("doc_id"),
+                  col("n_chars")),
+        "grp", "doc_id", "n_chars", minMargin = 10)
+        .withColumnRenamed("chosen_n_chars", "chosen_chars")
+        .withColumnRenamed("rejected_n_chars", "rejected_chars")
+        .orderBy("grp")),
 
     // Hard-negative mining — the retrieval-training twin of
     // llm_knn_bruteforce: for each query vector, the top-k most similar
@@ -1688,15 +1735,7 @@ object LlmOps {
       val c = Tables.embeddings(s, d)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                 col("label").as("n_lbl"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cos").desc, col("n_id").asc)
-      q.join(broadcast(c), col("q_lbl") =!= col("n_lbl"))
-        .withColumn("cos", cosD(col("q_emb"), col("n_emb")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("q_id"), col("q_lbl"), col("rk"), col("n_id"),
-                col("n_lbl"), round(col("cos"), 4).as("cos"))
-        .orderBy("q_id", "rk")
+      hardNegativesOf(q, c, 3).orderBy("q_id", "rk")
     }),
 
     "llm_tfidf_top" -> ((s, d) => {

@@ -24,6 +24,38 @@ object ScanOps {
     * non-empty), which leaked one table copy per roundtrip-key invocation
     * per JVM until the OS reaper ran. One definition for every sink/
     * roundtrip key. */
+  /** Population-stability index of `valueCol` between the rows flagged
+    * by `isExpCol` (expected period) and the rest (actual period) —
+    * obs_drift_psi / Quality.psi. ONE conditional hash-agg collapses the
+    * corpus to `nBands` fixed-width band counts per period; the PSI fold
+    * runs over the sorted band list (bit-stable); cells are
+    * Haldane-smoothed (+0.5 over the fixed band universe) so a tail band
+    * emptying in one period stays finite. Returns one row
+    * (n_expected, n_actual, psi 4dp). */
+  private[graft] def psiOf(df: DataFrame, valueCol: String,
+                           isExpCol: String, bandWidth: Double,
+                           nBands: Int): DataFrame = {
+    val sm = nBands * 0.5
+    df.select(least(floor(col(valueCol) / bandWidth),
+                    lit(nBands - 1.0)).cast("int").as("band"),
+              col(isExpCol).as("is_exp"))
+      .groupBy("band")
+      .agg(sum(when(col("is_exp"), 1L).otherwise(0L)).as("ne"),
+           sum(when(col("is_exp"), 0L).otherwise(1L)).as("na"))
+      .agg(sum("ne").as("n_expected"), sum("na").as("n_actual"),
+           sort_array(collect_list(struct(col("band"), col("ne"),
+                                          col("na")))).as("bs"))
+      .select(col("n_expected"), col("n_actual"),
+        round(expr(
+          s"""aggregate(bs, CAST(0.0 AS DOUBLE),
+             (acc, x) -> acc +
+               ((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + $sm)
+                - (CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + $sm))
+               * ln(((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + $sm))
+                    / ((CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + $sm))))"""), 4)
+          .as("psi"))
+  }
+
   /** Row-local data-quality core (obs_dq_checks / `Quality.expect`):
     * every rule is `name -> violation predicate`, all evaluated as
     * conditional sums in ONE pass over `df`, unstacked to (rule,
@@ -451,27 +483,14 @@ object ScanOps {
     // when a sparse tail band empties in one period; an unsmoothed
     // ln(p/0) would blow up exactly on the drifted band being hunted.
     "obs_drift_psi" -> ((s, d) =>
-      Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .filter(col("ts") < lit("2024-01-11").cast("timestamp") ||
-                col("ts") >= lit("2024-01-21").cast("timestamp"))
-        .select(least(floor(col("value") / 50.0), lit(9.0)).cast("int").as("band"),
-                (col("ts") < lit("2024-01-11").cast("timestamp")).as("is_exp"))
-        .groupBy("band")
-        .agg(sum(when(col("is_exp"), 1L).otherwise(0L)).as("ne"),
-             sum(when(col("is_exp"), 0L).otherwise(1L)).as("na"))
-        .agg(sum("ne").as("n_expected"), sum("na").as("n_actual"),
-             sort_array(collect_list(struct(col("band"), col("ne"),
-                                            col("na")))).as("bs"))
-        .select(col("n_expected"), col("n_actual"),
-          round(expr(
-            """aggregate(bs, CAST(0.0 AS DOUBLE),
-               (acc, x) -> acc +
-                 ((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + 5.0)
-                  - (CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + 5.0))
-                 * ln(((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + 5.0))
-                      / ((CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + 5.0))))"""), 4)
-            .as("psi"))),
+      psiOf(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .filter(col("ts") < lit("2024-01-11").cast("timestamp") ||
+                  col("ts") >= lit("2024-01-21").cast("timestamp"))
+          .withColumn("is_exp",
+            col("ts") < lit("2024-01-11").cast("timestamp")),
+        "value", "is_exp", bandWidth = 50.0, nBands = 10)),
 
     "obs_dq_checks" -> ((s, d) => {
       val o = Tables.orders(s, d)

@@ -598,15 +598,7 @@ object TextOps {
     // inside whole-stage codegen, no shuffle at all before the output
     // sort.
     "llm_ttr_diversity" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          size(array_distinct(col("toks"))).cast("long").as("n_types"))
-        .withColumn("ttr", round(col("n_types") / col("n_tokens"), 4))
-        .withColumn("guiraud",
-          round(col("n_types") / sqrt(col("n_tokens").cast("double")), 4))
-        .orderBy("doc_id")),
+      ttrOf(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
     // ROUGE-1 overlap between candidate/reference doc pairs (id, id+250)
     // — the summarization-eval primitive, and the same unigram-set
@@ -618,26 +610,12 @@ object TextOps {
     // nothing here is quadratic.
     "llm_rouge_overlap" -> ((s, d) => {
       val t = Tables.documents(s, d)
-        .select(col("doc_id"),
-                array_distinct(split(col("text"), " ")).as("u"))
-      val cand = t.filter(col("doc_id") < 250)
-        .select(col("doc_id").as("pair_id"), col("u").as("cu"))
-      val ref = t.select((col("doc_id") - 250).as("pair_id"), col("u").as("ru"))
-        .filter(col("pair_id") >= 0 && col("pair_id") < 250)
-      cand.join(ref, "pair_id")
-        .select(col("pair_id"),
-          size(col("cu")).cast("long").as("n_cand_types"),
-          size(col("ru")).cast("long").as("n_ref_types"),
-          size(array_intersect(col("cu"), col("ru"))).cast("long").as("n_overlap"))
-        .withColumn("rouge1_p", round(col("n_overlap") / col("n_cand_types"), 4))
-        .withColumn("rouge1_r", round(col("n_overlap") / col("n_ref_types"), 4))
-        .withColumn("rouge1_f1",
-          when(col("n_overlap") === 0, lit(0.0))
-            .otherwise(round(
-              lit(2.0) * (col("n_overlap") / col("n_cand_types"))
-                       * (col("n_overlap") / col("n_ref_types"))
-              / (col("n_overlap") / col("n_cand_types")
-                 + col("n_overlap") / col("n_ref_types")), 4)))
+      rouge1Of(
+        t.filter(col("doc_id") < 250)
+          .select(col("doc_id").as("pair_id"), col("text").as("cand_text")),
+        t.select((col("doc_id") - 250).as("pair_id"),
+                 col("text").as("ref_text"))
+          .filter(col("pair_id") >= 0 && col("pair_id") < 250))
         .orderBy("pair_id")
     }),
 
@@ -1061,6 +1039,47 @@ object TextOps {
     fingerprintsOf(
       Tables.documentsWide(s, d).select(col("doc_id"), lower(col("text")).as("t")),
       hashImpl)
+
+  /** Type-token ratio + Guiraud index per doc (llm_ttr_diversity /
+    * Text.ttr): entirely row-local array expressions at scan speed —
+    * split once, distinct once, two divisions. Returns (idCol, n_tokens,
+    * n_types, ttr 4dp, guiraud 4dp), unordered. */
+  private[graft] def ttrOf(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"))
+      .withColumn("ttr", round(col("n_types") / col("n_tokens"), 4))
+      .withColumn("guiraud",
+        round(col("n_types") / sqrt(col("n_tokens").cast("double")), 4))
+
+  /** ROUGE-1 precision/recall/F1 between candidate and reference texts
+    * sharing `pair_id` (llm_rouge_overlap / Text.rouge1): token sets are
+    * row-local array_distinct, the pair join one co-partitionable
+    * equi-join, P/R/F1 three divisions on integer set sizes — nothing
+    * quadratic. Inputs: cand (pair_id, cand_text), ref (pair_id,
+    * ref_text). Returns per-pair set sizes + rouge1_{p,r,f1} 4dp. */
+  private[graft] def rouge1Of(cand: DataFrame, ref: DataFrame): DataFrame =
+    cand.select(col("pair_id"),
+                array_distinct(split(col("cand_text"), " ")).as("cu"))
+      .join(ref.select(col("pair_id"),
+                       array_distinct(split(col("ref_text"), " ")).as("ru")),
+            "pair_id")
+      .select(col("pair_id"),
+        size(col("cu")).cast("long").as("n_cand_types"),
+        size(col("ru")).cast("long").as("n_ref_types"),
+        size(array_intersect(col("cu"), col("ru"))).cast("long").as("n_overlap"))
+      .withColumn("rouge1_p", round(col("n_overlap") / col("n_cand_types"), 4))
+      .withColumn("rouge1_r", round(col("n_overlap") / col("n_ref_types"), 4))
+      .withColumn("rouge1_f1",
+        when(col("n_overlap") === 0, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * (col("n_overlap") / col("n_cand_types"))
+                     * (col("n_overlap") / col("n_ref_types"))
+            / (col("n_overlap") / col("n_cand_types")
+               + col("n_overlap") / col("n_ref_types")), 4)))
 
   /** Span-corruption core (llm_span_mask / Text.spanMask): contiguous
     * `spanLen`-token spans masked deterministically (~19%: first md5

@@ -811,4 +811,80 @@ class ApiSpec extends AnyFunSuite {
     assert(api2 === key)
     assert(api2.nonEmpty)
   }
+  test("Stats.entropy / ksTest / chiSquare / madOutliers equal their agg keys") {
+    val ev = Tables.events(spark, d)
+    assert(rowSet(api.Stats.entropy(ev, "user_id", "event_type")) ===
+      rowSet(SparkEntry.queries("agg_entropy")(spark, d)))
+    assert(rowSet(api.Stats.ksTest(ev, "value", "event_type", "click", "view")
+        .withColumnRenamed("n_a", "n_click")
+        .withColumnRenamed("n_b", "n_view")) ===
+      rowSet(SparkEntry.queries("agg_ks_test")(spark, d)))
+    assert(rowSet(api.Stats.chiSquare(docs, "lang", "source")) ===
+      rowSet(SparkEntry.queries("agg_chi_square")(spark, d)))
+    assert(rowSet(api.Stats.madOutliers(ev, "user_id", "value")) ===
+      rowSet(SparkEntry.queries("agg_mad_outliers")(spark, d)))
+  }
+
+  test("Quality.psi equals obs_drift_psi") {
+    val base = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .filter(col("ts") < lit("2024-01-11").cast("timestamp") ||
+              col("ts") >= lit("2024-01-21").cast("timestamp"))
+      .withColumn("is_exp", col("ts") < lit("2024-01-11").cast("timestamp"))
+    val api2 = rowSet(api.Quality.psi(base, "value", "is_exp", 50.0))
+    val key = rowSet(SparkEntry.queries("obs_drift_psi")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Sampling.preferencePairs equals llm_dpo_pairs") {
+    val base = docs.select((col("doc_id") % 50).as("grp"), col("doc_id"),
+                           col("n_chars"))
+    val api2 = rowSet(
+      Sampling.preferencePairs(base, "grp", "doc_id", "n_chars", 10)
+        .withColumnRenamed("chosen_n_chars", "chosen_chars")
+        .withColumnRenamed("rejected_n_chars", "rejected_chars"))
+    val key = rowSet(SparkEntry.queries("llm_dpo_pairs")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Similarity.hardNegatives equals llm_hard_negatives") {
+    val q = Tables.embeddingsWide(spark, d)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("label").as("q_lbl"))
+      .filter(col("q_id") < 50)
+    val c = embs.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                        col("label").as("n_lbl"))
+    val api2 = rowSet(Similarity.hardNegatives(spark, q, c, 3))
+    val key = rowSet(SparkEntry.queries("llm_hard_negatives")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Text.ttr / rouge1 / oovRate equal their llm keys") {
+    assert(rowSet(Text.ttr(docs)) ===
+      rowSet(SparkEntry.queries("llm_ttr_diversity")(spark, d)))
+    val cand = docs.filter(col("doc_id") < 250)
+      .select(col("doc_id").as("pair_id"), col("text").as("cand_text"))
+    val ref = docs.select((col("doc_id") - 250).as("pair_id"),
+                          col("text").as("ref_text"))
+      .filter(col("pair_id") >= 0 && col("pair_id") < 250)
+    assert(rowSet(Text.rouge1(cand, ref)) ===
+      rowSet(SparkEntry.queries("llm_rouge_overlap")(spark, d)))
+    assert(rowSet(Text.oovRate(docs, k = 10)) ===
+      rowSet(SparkEntry.queries("llm_oov_rate")(spark, d)))
+  }
+
+  test("Graph.modularity equals graph_modularity (custom column names)") {
+    val e = graft.ops.GraphOps.repeatTradeEdges(spark, d)
+      .select(col("src").as("from_n"), col("dst").as("to_n"))
+    val lbls = graft.ops.GraphOps.lpaOf(
+      graft.ops.GraphOps.repeatTradeEdges(spark, d), graft.ops.GraphOps.LpaRounds)
+    val api2 = rowSet(api.Graph.modularity(e, lbls, srcCol = "from_n",
+                                           dstCol = "to_n"))
+    val key = rowSet(SparkEntry.queries("graph_modularity")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
 }
