@@ -847,6 +847,41 @@ object AggOps {
       madOutliersOf(Tables.events(s, d), "user_id", "value")
         .orderBy("user_id")),
 
+    // Market-basket association rules over order baskets — the classic
+    // "bought A, also bought B" co-occurrence mining, and the same
+    // pair-support computation recommender candidate generation starts
+    // from. The basket frame dedups to (order, part) FIRST; pair
+    // expansion is a SELF-JOIN CO-PARTITIONED ON THE BASKET KEY with
+    // p_a < p_b, so pairs per order are bounded by basket size (≤ tens),
+    // never corpus-quadratic; item supports broadcast back onto the
+    // ≤|parts|² surviving pair table. support/confidence/lift are ratios
+    // of exact integer counts in one literal expression order —
+    // no float accumulation anywhere.
+    "agg_association_rules" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val n = b.select(countDistinct("l_orderkey").as("n_orders"))
+      val item = b.groupBy(col("l_partkey").as("pi"))
+        .agg(count(lit(1)).as("ni"))
+      val pairs = b.as("x")
+        .join(b.as("y"),
+              col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("p_a"), col("y.l_partkey").as("p_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 3)
+      pairs
+        .join(broadcast(item.select(col("pi").as("p_a"), col("ni").as("na"))), "p_a")
+        .join(broadcast(item.select(col("pi").as("p_b"), col("ni").as("nb"))), "p_b")
+        .crossJoin(broadcast(n))
+        .select(col("p_a"), col("p_b"), col("n_pair"),
+          round(col("n_pair").cast("double") / col("n_orders"), 6).as("support"),
+          round(col("n_pair").cast("double") / col("na"), 4).as("confidence"),
+          round((col("n_pair") * col("n_orders")).cast("double")
+                / (col("na") * col("nb")), 4).as("lift"))
+        .orderBy("p_a", "p_b")
+    }),
+
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
@@ -1254,6 +1289,29 @@ object AggOps {
 
     // Same ranked-moment formula; DuckDB sums of DECIMAL×BIGINT are exact
     // like Spark's, the final expression is literal-identical doubles.
+    // Pure integer-count ratios in one literal expression order; DuckDB
+    // count(*) needs no HUGEINT cast but the products do BIGINT casts to
+    // match Spark's long arithmetic.
+    "agg_association_rules" -> """
+      WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+      item AS (SELECT l_partkey AS pi, count(*) AS ni FROM b GROUP BY 1),
+      pairs AS (
+        SELECT x.l_partkey AS p_a, y.l_partkey AS p_b, count(*) AS n_pair
+        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT p_a, p_b, n_pair,
+             round(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+             round(CAST(n_pair AS DOUBLE) / ia.ni, 4) AS confidence,
+             round(CAST(n_pair * n_orders AS DOUBLE) / (ia.ni * ib.ni), 4)
+               AS lift
+      FROM pairs
+      JOIN item ia ON ia.pi = p_a
+      JOIN item ib ON ib.pi = p_b
+      CROSS JOIN n
+      ORDER BY p_a, p_b""",
+
     // Same sorted-count-list fold (list(... ORDER BY event_type) ==
     // Spark's sort_array) so the non-associative double sum runs in the
     // identical order; DuckDB sum(BIGINT) is HUGEINT → cast.

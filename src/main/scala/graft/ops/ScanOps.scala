@@ -306,6 +306,26 @@ object ScanOps {
     }),
 
     // CSV sink + source roundtrip; verified by joining back to the origin.
+    // CSV + GZIP codec roundtrip — the compressed-text landing-zone path
+    // (logs, exports) distinct from src_csv_roundtrip's plain files: the
+    // writer emits .csv.gz parts, the reader decompresses by extension.
+    // Gzip is NOT splittable — one file = one task however big, which is
+    // exactly why a 100 TB pipeline re-stages gzip landings into parquet
+    // (or zstd/bzip2) before heavy processing; this key pins the
+    // read-back correctness of the codec path, join-verified against the
+    // parquet original.
+    "src_csv_compressed" -> ((s, d) => {
+      val dir = tmpDir("graft_csvgz")
+      val sup = Tables.supplier(s, d)
+      sup.write.mode(SaveMode.Overwrite)
+        .option("header", "true").option("compression", "gzip").csv(dir)
+      val back = s.read.schema(sup.schema).option("header", "true").csv(dir)
+      back.join(sup, Seq("s_suppkey"))
+        .select(col("s_suppkey"), back("s_name").as("s_name"),
+                round(back("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     "src_csv_roundtrip" -> ((s, d) => {
       val dir = tmpDir("graft_csv")
       val r = Tables.region(s, d)
@@ -857,6 +877,10 @@ object ScanOps {
       FROM documents
       GROUP BY lang
       ORDER BY lang""",
+
+    "src_csv_compressed" -> """
+      SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+      FROM supplier ORDER BY s_suppkey""",
 
     "src_csv_roundtrip" -> """
       SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",

@@ -597,6 +597,31 @@ object TextOps {
     // split once, distinct once, two divisions — runs at scan speed
     // inside whole-stage codegen, no shuffle at all before the output
     // sort.
+    // One-row "dataset card" rollup — the corpus summary stamped next to
+    // every published training mix (docs, token/char volume, language
+    // mix, exact-dup rate): ONE pass of map-side-combinable aggregates
+    // (the md5 distinct for the dup rate is the only distinct-shuffle,
+    // and it ships 16-byte digests, not text). Every output is an
+    // integer count or a ratio of integer counts — no float accumulation.
+    "llm_corpus_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+                size(split(col("text"), " ")).cast("long").as("toks"),
+                md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct("lang").as("n_langs"),
+             sum("toks").as("total_tokens"),
+             sum("n_chars").as("total_chars"),
+             countDistinct("h").as("n_distinct_texts"),
+             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .select(col("n_docs"), col("n_langs"), col("total_tokens"),
+          col("total_chars"), col("n_distinct_texts"),
+          round(col("total_chars") / col("n_docs").cast("double"), 2)
+            .as("avg_chars"),
+          round(col("n_en") / col("n_docs").cast("double"), 4).as("pct_en"),
+          round(lit(1.0) - col("n_distinct_texts")
+                / col("n_docs").cast("double"), 4).as("dup_rate"))),
+
     "llm_ttr_diversity" -> ((s, d) =>
       ttrOf(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
@@ -1410,6 +1435,28 @@ object TextOps {
     // DuckDB's native entropy() aggregate is log2-based — the same
     // statistic our moment identity computes, via a different
     // implementation path.
+    "llm_corpus_stats" -> """
+      WITH b AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               md5(text) AS h
+        FROM documents),
+      a AS (
+        SELECT count(*) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(toks) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_en
+        FROM b)
+      SELECT n_docs, n_langs, total_tokens, total_chars, n_distinct_texts,
+             round(CAST(total_chars AS DOUBLE) / n_docs, 2) AS avg_chars,
+             round(CAST(n_en AS DOUBLE) / n_docs, 4) AS pct_en,
+             round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 4)
+               AS dup_rate
+      FROM a""",
+
     "llm_ttr_diversity" -> """
       WITH t AS (
         SELECT doc_id,

@@ -86,6 +86,46 @@ object WinOps {
         .orderBy("c_custkey")
     }),
 
+    // Classical seasonal decomposition (value = trend + seasonal +
+    // residual) of the per-type daily series — the before-anomaly-
+    // detection step that stops a weekly rhythm from reading as drift:
+    // trend = centered 7-day moving average (full windows only),
+    // seasonal = each weekday's mean detrended deviation, residual =
+    // what's left. Determinism discipline: daily totals accumulate in
+    // DECIMAL (order-exact), the 7-day window sums DECIMAL and divides
+    // once in double, and the per-weekday seasonal mean folds over a
+    // DAY-SORTED deviation list — no unordered float accumulation
+    // anywhere. One shuffle to daily grain, one type-partitioned window,
+    // one broadcast join back from the 7-row-per-type seasonal frame.
+    "win_seasonal_decompose" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("dvd"))
+        .withColumn("dv", col("dvd").cast("double"))
+        .withColumn("dow", dayofweek(col("day")))
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("ts7", sum("dvd").over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("trend", col("ts7").cast("double") / 7.0)
+        .withColumn("dev", col("dv") - col("trend"))
+      val seas = t.groupBy("event_type", "dow")
+        .agg(sort_array(collect_list(struct(col("day"), col("dev"))))
+          .as("ds"))
+        .select(col("event_type"), col("dow"),
+          expr("""aggregate(ds, CAST(0.0 AS DOUBLE), (a, x) -> a + x.dev)
+                  / size(ds)""").as("seasonal"))
+      t.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"),
+          round(col("dv"), 2).as("daily_total"),
+          round(col("trend"), 4).as("trend"),
+          round(col("seasonal"), 4).as("seasonal"),
+          round(col("dv") - col("trend") - col("seasonal"), 4).as("residual"))
+        .orderBy("event_type", "day")
+    }),
+
     // IGNORE NULLS navigation — the forward-fill idiom: last_value
     // IGNORE NULLS over a trailing frame carries the latest OBSERVED
     // reading across gaps (sensor dropouts, sparse telemetry) in ONE
@@ -750,6 +790,40 @@ object WinOps {
       FROM customer
       WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
       ORDER BY c_custkey""",
+
+    // Same DECIMAL daily totals, DECIMAL 7-day window sum, and
+    // day-sorted seasonal fold; dow buckets differ by a constant across
+    // engines (Spark 1-7 vs DuckDB 0-6) but never surface — only the
+    // grouping matters, and it is bijective.
+    "win_seasonal_decompose" -> """
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               sum(CAST(value AS DECIMAL(18,2))) AS dvd
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, day, CAST(dvd AS DOUBLE) AS dv,
+               dayofweek(day) AS dow,
+               count(*) OVER w AS n7, sum(dvd) OVER w AS ts7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      f AS (
+        SELECT event_type, day, dv, dow,
+               CAST(ts7 AS DOUBLE) / 7.0 AS trend,
+               dv - CAST(ts7 AS DOUBLE) / 7.0 AS dev
+        FROM t WHERE n7 = 7),
+      seas AS (
+        SELECT event_type, dow,
+               list_sum(list_transform(
+                 list(struct_pack(day := day, dev := dev) ORDER BY day),
+                 x -> x.dev)) / count(*) AS seasonal
+        FROM f GROUP BY 1, 2)
+      SELECT f.event_type, f.day, round(f.dv, 2) AS daily_total,
+             round(f.trend, 4) AS trend,
+             round(s.seasonal, 4) AS seasonal,
+             round(f.dv - f.trend - s.seasonal, 4) AS residual
+      FROM f JOIN seas s ON f.event_type = s.event_type AND f.dow = s.dow
+      ORDER BY f.event_type, f.day""",
 
     // DuckDB spells the modifier INSIDE the call parens:
     // fn(args IGNORE NULLS); offsets count non-null rows in both engines.
