@@ -772,4 +772,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rs.contains("body"),
       s"doc.body survived nested schema pruning — the scan reads the corpus:\n$rs")
   }
+  test("llm_oov_rate: the vocab probe is a BroadcastHashJoin") {
+    // the K-bounded vocab must broadcast — a shuffled join here would
+    // re-shuffle the full token stream at corpus scale
+    assert(plan("llm_oov_rate").contains("BroadcastHashJoin"))
+  }
+
+  test("llm_hard_negatives: label-inequality join broadcasts the candidates") {
+    // the non-equi label test plans a BroadcastNestedLoopJoin over the
+    // broadcast candidate set — the intended capped-query economics;
+    // a Cartesian product (both sides shuffled) would be the regression
+    val p = plan("llm_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("agg_chi_square / agg_association_rules: marginals and supports broadcast") {
+    assert(plan("agg_chi_square").contains("BroadcastHashJoin"))
+    val p = plan("agg_association_rules")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("agg_association_rules: pair self-join shuffles on the basket key, not pairs") {
+    // the expansion join must be an equi-join on l_orderkey (SortMerge or
+    // ShuffledHash both fine) — pairs materialize only inside baskets
+    val p = plan("agg_association_rules")
+    assert(p.contains("l_orderkey"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("win_seasonal_decompose: seasonal frame joins back broadcast") {
+    assert(plan("win_seasonal_decompose").contains("BroadcastHashJoin"))
+  }
 }
