@@ -882,6 +882,64 @@ object AggOps {
         .orderBy("p_a", "p_b")
     }),
 
+    // Spark 4's NATIVE bitmap aggregate family (bitmap_bucket_number /
+    // bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
+    // bitmap_count) — the exact-distinct-at-scale pattern
+    // agg_bitmap_distinct hand-rolls, as shipped builtins: keys bucket
+    // into 32k-bit bitmap segments, per-(group, bucket) bitmaps build
+    // map-side, counts sum by bucket-disjointness; the or_agg arm merges
+    // the per-type bitmaps back into a global distinct — the mergeable
+    // pre-aggregation shape (persist per-day bitmaps, OR at query time)
+    // that makes exact distincts cheap at 100 TB. Oracle: plain COUNT
+    // DISTINCT twice — same numbers, different machinery.
+    "agg_bitmap_functions" -> ((s, d) => {
+      val sub = Tables.events(s, d).selectExpr(
+        "event_type",
+        "bitmap_bucket_number(user_id) AS bkt",
+        "bitmap_bit_position(user_id) AS pos")
+        .groupBy("event_type", "bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      val perType = sub.groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+      val global = sub.groupBy("bkt")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+        .agg(sum("c").as("n_total"))
+      perType.crossJoin(broadcast(global)).orderBy("event_type")
+    }),
+
+    // Decile lift table — the campaign-targeting / model-calibration
+    // report (rank entities by score, cut into ten equal bands, compare
+    // each band's response rate to the base rate): per-user score and
+    // response collapse in ONE hash-agg; the decile index is EXPLICIT
+    // integer arithmetic on (rank, n) — ((r-1)·10) div n + 1 — not SQL
+    // NTILE, whose remainder placement is engine-defined; rates are
+    // ratios of integer counts. The ranking window is user-dimension-
+    // sized, never corpus-sized.
+    "agg_decile_lift" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,2)")).as("score"),
+             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("np"))
+        .withColumn("resp", (col("np") >= 14).cast("long"))
+      val w = Window.orderBy(col("score").desc, col("user_id").asc)
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      u.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("base", sum("resp").over(wAll))
+        .withColumn("decile", expr("CAST(((r - 1) * 10) DIV n + 1 AS INT)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"),
+             sum("resp").as("n_resp"),
+             max(expr("CAST(base AS DOUBLE) / n")).as("base_rate"))
+        .select(col("decile"), col("n_users"), col("n_resp"),
+          round(col("n_resp") / col("n_users").cast("double"), 4).as("resp_rate"),
+          round((col("n_resp") / col("n_users").cast("double"))
+                / col("base_rate"), 4).as("lift"))
+        .orderBy("decile")
+    }),
+
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
@@ -1289,6 +1347,48 @@ object AggOps {
 
     // Same ranked-moment formula; DuckDB sums of DECIMAL×BIGINT are exact
     // like Spark's, the final expression is literal-identical doubles.
+    // The oracle states the SEMANTICS (exact distinct counts); the key's
+    // bitmap machinery must land on the same integers.
+    "agg_bitmap_functions" -> """
+      WITH pt AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY 1),
+      g AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total
+            FROM events)
+      SELECT pt.event_type, pt.n_distinct, g.n_total
+      FROM pt CROSS JOIN g
+      ORDER BY pt.event_type""",
+
+    // Same explicit ((r-1)*10)//n + 1 decile index (NOT NTILE — its
+    // remainder placement is engine-defined), same integer-count rates.
+    "agg_decile_lift" -> """
+      WITH u AS (
+        SELECT user_id,
+               sum(CAST(value AS DECIMAL(18,2))) AS score,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS resp
+        FROM events GROUP BY 1),
+      r AS (
+        SELECT user_id, resp,
+               row_number() OVER (ORDER BY score DESC, user_id ASC) AS r,
+               count(*) OVER () AS n,
+               CAST(sum(resp) OVER () AS BIGINT) AS base
+        FROM u),
+      d AS (
+        SELECT CAST((r - 1) * 10 // n + 1 AS INTEGER) AS decile, resp,
+               base, n
+        FROM r)
+      SELECT decile,
+             count(*) AS n_users,
+             CAST(sum(resp) AS BIGINT) AS n_resp,
+             round(CAST(sum(resp) AS DOUBLE) / count(*), 4) AS resp_rate,
+             round((CAST(sum(resp) AS DOUBLE) / count(*))
+                   / (CAST(max(base) AS DOUBLE) / max(n)), 4) AS lift
+      FROM d GROUP BY decile
+      ORDER BY decile""",
+
     // Pure integer-count ratios in one literal expression order; DuckDB
     // count(*) needs no HUGEINT cast but the products do BIGINT casts to
     // match Spark's long arithmetic.
