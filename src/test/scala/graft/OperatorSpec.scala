@@ -2071,4 +2071,76 @@ class OperatorSpec extends AnyFunSuite {
       }
     }
   }
+  test("agg_association_rules: support/confidence/lift recomputed from raw baskets") {
+    val rows = SparkEntry.queries("agg_association_rules")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val b = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = b.map(_._1).distinct.length.toDouble
+    val byItem = b.groupBy(_._2).map { case (p, xs) => p -> xs.map(_._1).toSet }
+    rows.take(20).foreach { r =>
+      val (pa, pb, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val inter = (byItem(pa) & byItem(pb)).size
+      assert(inter === np, s"pair ($pa,$pb) support count")
+      assert(math.abs(r.getDouble(4) - np / byItem(pa).size.toDouble) < 1e-4)
+      assert(math.abs(r.getDouble(5) -
+        np * nOrders / (byItem(pa).size.toDouble * byItem(pb).size)) < 1e-3)
+    }
+  }
+
+  test("win_seasonal_decompose: decomposition identity and seasonal zero-mean") {
+    val rows = SparkEntry.queries("win_seasonal_decompose")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, t, se, res) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(v - (t + se + res)) < 5e-4,
+        s"identity violated: $v != $t + $se + $res")
+    }
+    // each type's seasonal components average ~0 over its emitted days —
+    // only approximately (per-dow means reweighted by emitted-day counts),
+    // so the bound is RELATIVE to the series level, not absolute
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val meanSeasonal = rs.map(_.getDouble(4)).sum / rs.length
+      val meanLevel = rs.map(_.getDouble(2)).sum / rs.length
+      assert(math.abs(meanSeasonal) < 0.05 * meanLevel,
+        s"$et seasonal mean $meanSeasonal vs level $meanLevel")
+    }
+  }
+
+  test("agg_decile_lift: deciles partition all users; rates reconcile with base") {
+    val rows = SparkEntry.queries("agg_decile_lift")(spark, d).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq === (1 to rows.length))
+    val nUsers = rows.map(_.getLong(1)).sum
+    val nResp = rows.map(_.getLong(2)).sum
+    val base = nResp.toDouble / nUsers
+    rows.foreach { r =>
+      val rate = r.getDouble(3)
+      val lift = r.getDouble(4)
+      assert(math.abs(lift - rate / base) < 1e-3, s"decile ${r.getInt(0)} lift")
+    }
+  }
+
+  test("agg_bitmap_functions: bitmap distincts equal plain countDistinct") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_bitmap_functions")(spark, d).collect()
+    val direct = Tables.events(spark, d).groupBy("event_type")
+      .agg(countDistinct("user_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.events(spark, d)
+      .agg(countDistinct("user_id")).head().getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(1) === direct(r.getString(0)))
+      assert(r.getLong(2) === total)
+    }
+  }
+
+  test("llm_corpus_stats: card numbers reconcile with direct aggregates") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("llm_corpus_stats")(spark, d).head()
+    val n = Tables.documents(spark, d).count()
+    assert(r.getLong(0) === n)
+    assert(r.getLong(4) <= n, "more distinct texts than docs")
+    assert(r.getDouble(7) >= 0.0 && r.getDouble(7) < 1.0)
+  }
 }
