@@ -794,7 +794,34 @@ object GraphOps {
     "graph_modularity" -> ((s, d) => {
       val e = repeatTradeEdges(s, d)
       modularityOf(e, lpaOf(e, LpaRounds))
+    })    ,
+
+    // Edge reciprocity of the DIRECTED trade graph — the "how mutual is
+    // this network" scalar (near 1 = bilateral relationships, near 0 =
+    // one-way flows; the first diagnostic before choosing directed vs
+    // undirected algorithms). One self-equi-join on the flipped key pair
+    // (co-partitionable — the edge frame shuffles once on (src, dst) and
+    // once flipped, both linear), ratio of exact integer counts. The
+    // directed frame here is customer→supplier with a REVERSED arc for
+    // pairs above the repeat threshold, so reciprocity is genuinely
+    // strictly between 0 and 1.
+    "graph_reciprocity" -> ((s, d) => {
+      val e = directedTradeEdges(s, d)
+        .unionByName(
+          custSuppPairs(s, d, 3L)
+            .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct()
+      val rev = e.select(col("dst").as("r_src"), col("src").as("r_dst"))
+      val recip = e.join(rev,
+        col("src") === col("r_src") && col("dst") === col("r_dst"),
+        "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+        .select(col("n_edges"), col("n_recip"),
+          round(col("n_recip").cast("double") / col("n_edges"), 4)
+            .as("reciprocity"))
     })
+
   )
 
   /** Newman modularity of a (node, lbl) partition over a SYMMETRIC
@@ -1169,6 +1196,28 @@ object GraphOps {
           GROUP BY e.dst, l.lbl)
         WHERE rn = 1)""").mkString(",\n      ")}
       SELECT node, lbl FROM l$LpaRounds ORDER BY node""",
+
+    // Directed trade arcs + reversed above-threshold arcs, the same
+    // semi-join reciprocity count.
+    "graph_reciprocity" -> """
+      WITH p1 AS (
+        SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      p3 AS (
+        SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, dst FROM p1 UNION ALL SELECT src, dst FROM p3)),
+      r AS (
+        SELECT count(*) AS n_recip FROM e
+        WHERE EXISTS (SELECT 1 FROM e e2
+                      WHERE e2.src = e.dst AND e2.dst = e.src)),
+      n AS (SELECT count(*) AS n_edges FROM e)
+      SELECT n.n_edges, r.n_recip,
+             round(CAST(r.n_recip AS DOUBLE) / n.n_edges, 4) AS reciprocity
+      FROM n CROSS JOIN r""",
 
     // The graph_label_propagation rounds verbatim, then modularity as a
     // sorted community-list fold (same order as the Spark sort_array).

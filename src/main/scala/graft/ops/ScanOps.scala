@@ -314,6 +314,23 @@ object ScanOps {
     // (or zstd/bzip2) before heavy processing; this key pins the
     // read-back correctness of the codec path, join-verified against the
     // parquet original.
+    // Parquet ZSTD codec roundtrip — the layout default a 100 TB estate
+    // actually ships (zstd ≈ gzip ratios at ~3× the decode speed, and
+    // parquet stays SPLITTABLE under it because compression is per-page,
+    // unlike whole-file .csv.gz): written with compression=zstd,
+    // read back join-verified against the snappy-coded original.
+    "src_parquet_zstd" -> ((s, d) => {
+      val dir = tmpDir("graft_pqzstd")
+      val n = Tables.nation(s, d)
+      n.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(dir)
+      val back = s.read.parquet(dir)
+      back.join(n, Seq("n_nationkey"))
+        .select(col("n_nationkey"), back("n_name").as("n_name"),
+                back("n_regionkey").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     "src_csv_compressed" -> ((s, d) => {
       val dir = tmpDir("graft_csvgz")
       val sup = Tables.supplier(s, d)
@@ -877,6 +894,10 @@ object ScanOps {
       FROM documents
       GROUP BY lang
       ORDER BY lang""",
+
+    "src_parquet_zstd" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      ORDER BY n_nationkey""",
 
     "src_csv_compressed" -> """
       SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal

@@ -603,6 +603,33 @@ object TextOps {
     // (the md5 distinct for the dup rate is the only distinct-shuffle,
     // and it ships 16-byte digests, not text). Every output is an
     // integer count or a ratio of integer counts — no float accumulation.
+    // SFT chat-template rendering — the last prep step before
+    // supervised fine-tuning: (prompt, response) pairs rendered into the
+    // training string with role sentinels, plus the token-budget verdict
+    // that decides packing vs truncation downstream. Entirely row-local
+    // string expressions after one co-partitionable equi-join (same pair
+    // derivation as llm_rouge_overlap); token counts are whitespace
+    // counts over the RENDERED string, so the budget check sees the
+    // sentinel overhead too.
+    "llm_sft_format" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+      val prompts = t.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("pair_id"),
+                substring(col("text"), 1, 120).as("prompt"))
+      val resps = t.select((col("doc_id") - 250).as("pair_id"),
+                           substring(col("text"), 1, 240).as("response"))
+        .filter(col("pair_id") >= 0 && col("pair_id") < 250)
+      prompts.join(resps, "pair_id")
+        .withColumn("rendered",
+          concat(lit("<|user|>\n"), col("prompt"),
+                 lit("\n<|assistant|>\n"), col("response"), lit("<|end|>")))
+        .select(col("pair_id"), col("rendered"),
+          size(split(col("rendered"), "\\s+")).cast("long").as("n_tokens"),
+          length(col("rendered")).cast("long").as("n_chars"))
+        .withColumn("fits_128", col("n_tokens") <= 128)
+        .orderBy("pair_id")
+    }),
+
     "llm_corpus_stats" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -1435,6 +1462,26 @@ object TextOps {
     // DuckDB's native entropy() aggregate is log2-based — the same
     // statistic our moment identity computes, via a different
     // implementation path.
+    "llm_sft_format" -> """
+      WITH p AS (
+        SELECT doc_id AS pair_id, substring(text, 1, 120) AS prompt
+        FROM documents WHERE doc_id < 250),
+      r AS (
+        SELECT doc_id - 250 AS pair_id, substring(text, 1, 240) AS response
+        FROM documents WHERE doc_id - 250 >= 0 AND doc_id - 250 < 250),
+      j AS (
+        SELECT pair_id,
+               '<|user|>' || chr(10) || prompt || chr(10) ||
+               '<|assistant|>' || chr(10) || response || '<|end|>' AS rendered
+        FROM p JOIN r USING (pair_id))
+      SELECT pair_id, rendered,
+             CAST(len(regexp_split_to_array(rendered, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(strlen(rendered) AS BIGINT) AS n_chars,
+             (len(regexp_split_to_array(rendered, '\s+')) <= 128)
+               AS fits_128
+      FROM j ORDER BY pair_id""",
+
     "llm_corpus_stats" -> """
       WITH b AS (
         SELECT doc_id, lang, n_chars,

@@ -86,6 +86,36 @@ object WinOps {
         .orderBy("c_custkey")
     }),
 
+    // Drawup/CUSUM-style level-shift detector on the per-type daily
+    // series: running DECIMAL-exact sum of detrended deviations
+    // (x − global type mean), drawup = S_i − min(S_j, j ≤ i) — a rising
+    // drawup is accumulating positive drift (Page's CUSUM without the
+    // recursive reset, so it stays a PLAIN two-window expression rather
+    // than an iterative op). Everything deterministic: daily totals and
+    // the running sum accumulate in DECIMAL; the type mean divides the
+    // DECIMAL total once in double; both engines evaluate the identical
+    // two-window chain over the same total order.
+    "win_cusum_drawup" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("dvd"))
+      val wAll = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRun = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("mu",
+          sum("dvd").over(wAll).cast("double") / count(lit(1)).over(wAll))
+        .withColumn("srun", sum("dvd").over(wRun).cast("double")
+                            - col("mu") * count(lit(1)).over(wRun))
+        .withColumn("smin", min("srun").over(wRun))
+        .select(col("event_type"), col("day"),
+          round(col("dvd").cast("double"), 2).as("daily_total"),
+          round(col("srun"), 4).as("cusum"),
+          round(col("srun") - col("smin"), 4).as("drawup"))
+        .orderBy("event_type", "day")
+    }),
+
     // Classical seasonal decomposition (value = trend + seasonal +
     // residual) of the per-type daily series — the before-anomaly-
     // detection step that stops a weekly rhythm from reading as drift:
@@ -790,6 +820,36 @@ object WinOps {
       FROM customer
       WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
       ORDER BY c_custkey""",
+
+    // Same DECIMAL running sums; srun = CAST(S AS DOUBLE) − mu·i is the
+    // identical literal chain, so smin compares identical doubles.
+    "win_cusum_drawup" -> """
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               sum(CAST(value AS DECIMAL(18,2))) AS dvd
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, day, dvd,
+               CAST(sum(dvd) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY event_type) AS mu,
+               CAST(sum(dvd) OVER w AS DOUBLE) AS s_raw,
+               count(*) OVER w AS i
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      u AS (
+        SELECT event_type, day, dvd, s_raw - mu * i AS srun
+        FROM t),
+      v AS (
+        SELECT event_type, day, dvd, srun,
+               min(srun) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+        FROM u)
+      SELECT event_type, day,
+             round(CAST(dvd AS DOUBLE), 2) AS daily_total,
+             round(srun, 4) AS cusum,
+             round(srun - smin, 4) AS drawup
+      FROM v ORDER BY event_type, day""",
 
     // Same DECIMAL daily totals, DECIMAL 7-day window sum, and
     // day-sorted seasonal fold; dow buckets differ by a constant across
