@@ -66,7 +66,10 @@ object Bench {
     "join_skew_salted", "join_sortmerge", "llm_multimodal_join",
     "stream_stream_outer", "sort_multi",
     "stream_static_join", "stream_stateful_tws", "src_csv_roundtrip",
-    "opt_cosine_rewrite", "graph_pagerank", "graph_components")
+    "opt_cosine_rewrite", "graph_pagerank", "graph_components",
+    // r15: the two most expensive additions (LPA-backed modularity and
+    // the basket pair join) — raws in the tail for the same reason
+    "graph_modularity", "agg_association_rules")
 
   private def fmt(x: Double): String = f"$x%.3f"
 

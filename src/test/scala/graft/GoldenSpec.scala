@@ -119,4 +119,35 @@ class GoldenSpec extends AnyFunSuite {
     assert(rows.length === 500)
     assert(rows.count(_.getLong(2) > 0) === 45)
   }
+  test("agg_chi_square: (99 cells, dof 76, chi2 73.9885) at sf0.001") {
+    val r = SparkEntry.queries("agg_chi_square")(spark, d).head()
+    assert(r.getInt(0) === 99)
+    assert(r.getInt(1) === 76)
+    assert(r.getDouble(2) === 73.9885)
+  }
+
+  test("agg_ks_test: D = 0.0646 over 210 clicks / 188 views at sf0.001") {
+    val r = SparkEntry.queries("agg_ks_test")(spark, d).head()
+    assert(r.getLong(0) === 210L)
+    assert(r.getLong(1) === 188L)
+    assert(r.getDouble(2) === 0.0646)
+  }
+
+  test("obs_drift_psi: psi = 0.0869 over 72 expected / 53 actual at sf0.001") {
+    val r = SparkEntry.queries("obs_drift_psi")(spark, d).head()
+    assert(r.getLong(0) === 72L)
+    assert(r.getLong(1) === 53L)
+    assert(r.getDouble(2) === 0.0869)
+  }
+
+  test("agg_association_rules: 433 rules clear the support floor at sf0.001") {
+    assert(SparkEntry.queries("agg_association_rules")(spark, d).count() === 433L)
+  }
+
+  test("llm_corpus_stats: 500 docs, all texts distinct, dup_rate 0") {
+    val r = SparkEntry.queries("llm_corpus_stats")(spark, d).head()
+    assert(r.getLong(0) === 500L)
+    assert(r.getLong(4) === 500L)
+    assert(r.getDouble(7) === 0.0)
+  }
 }
