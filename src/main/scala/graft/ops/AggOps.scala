@@ -940,6 +940,27 @@ object AggOps {
         .orderBy("decile")
     }),
 
+    // Benford first-digit screen — the classic fabricated-numbers /
+    // data-quality test (organic multiplicative quantities follow
+    // P(d) = log10(1+1/d); manufactured ones rarely do): the first digit
+    // derives from the EXACT integer cents (string head of a BIGINT) —
+    // never from floor(log10(double)), whose boundary values are
+    // engine-dependent. One conditional hash-agg to 9 digit rows, then
+    // ratios of integer counts against the closed-form expectation.
+    "agg_benford" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(expr(
+          "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum("n").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("total").cast("double"), 4).as("observed"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("expected"))
+        .orderBy("digit")),
+
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
@@ -1347,6 +1368,18 @@ object AggOps {
 
     // Same ranked-moment formula; DuckDB sums of DECIMAL×BIGINT are exact
     // like Spark's, the final expression is literal-identical doubles.
+    "agg_benford" -> """
+      WITH dig AS (
+        SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders),
+      c AS (SELECT digit, count(*) AS n FROM dig GROUP BY 1),
+      t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM c)
+      SELECT digit, n,
+             round(CAST(n AS DOUBLE) / total, 4) AS observed,
+             round(log10(1.0 + 1.0 / digit), 4) AS expected
+      FROM t ORDER BY digit""",
+
     // The oracle states the SEMANTICS (exact distinct counts); the key's
     // bitmap machinery must land on the same integers.
     "agg_bitmap_functions" -> """

@@ -137,6 +137,37 @@ object FnOps {
             === col("ip_num"))
         .orderBy("user_id")),
 
+    // Haversine great-circle distances with pure trig expressions — the
+    // geo primitive (store-to-customer distance, geofence tests) without
+    // any geo extension: coordinates derive deterministically from two
+    // disjoint md5 slices per key (lat ∈ [−90, 90), lon ∈ [−180, 180),
+    // 2dp grid — cast to DOUBLE before the division: Spark parses 100.0
+    // as a DECIMAL literal and would do exact-decimal coordinate math
+    // where DuckDB's / is float division, bit-diverging every latitude),
+    // the distance is the standard 2R·asin(√…) formula, and
+    // everything stays inside whole-stage codegen. 2dp rounding absorbs
+    // any cross-engine libm last-ulp drift in sin/cos/asin.
+    "fn_haversine" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .withColumn("h", md5(col("c_custkey").cast("string")))
+        .withColumn("lat1", expr(
+          "CAST(CAST(conv(substring(h, 1, 6), 16, 10) AS BIGINT) % 18000 AS DOUBLE) / 100.0 - 90.0"))
+        .withColumn("lon1", expr(
+          "CAST(CAST(conv(substring(h, 7, 6), 16, 10) AS BIGINT) % 36000 AS DOUBLE) / 100.0 - 180.0"))
+        .withColumn("lat2", expr(
+          "CAST(CAST(conv(substring(h, 13, 6), 16, 10) AS BIGINT) % 18000 AS DOUBLE) / 100.0 - 90.0"))
+        .withColumn("lon2", expr(
+          "CAST(CAST(conv(substring(h, 19, 6), 16, 10) AS BIGINT) % 36000 AS DOUBLE) / 100.0 - 180.0"))
+        .withColumn("dist_km", round(expr(
+          """2.0 * 6371.0 * asin(sqrt(
+               pow(sin(radians(lat2 - lat1) / 2), 2)
+               + cos(radians(lat1)) * cos(radians(lat2))
+                 * pow(sin(radians(lon2 - lon1) / 2), 2)))"""), 2))
+        .select(col("c_custkey"), col("lat1"), col("lon1"), col("lat2"),
+                col("lon2"), col("dist_km"),
+                (col("dist_km") <= 5000.0).as("within_5000km"))
+        .orderBy("c_custkey")),
+
     // Binary-codec surface: base64/unbase64 and hex/unhex with explicit
     // UTF-8 decode on the way back — the interchange primitives for
     // embedding opaque bytes in text protocols (webhook payloads, JSON
@@ -356,6 +387,29 @@ object FnOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same md5-slice coordinates (('0x'||…)::BIGINT) and the same
+    // literal haversine chain; radians() exists in both engines.
+    "fn_haversine" -> """
+      WITH h AS (
+        SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h
+        FROM customer),
+      c AS (
+        SELECT c_custkey,
+               ('0x' || substring(h, 1, 6))::BIGINT % 18000 / 100.0 - 90.0 AS lat1,
+               ('0x' || substring(h, 7, 6))::BIGINT % 36000 / 100.0 - 180.0 AS lon1,
+               ('0x' || substring(h, 13, 6))::BIGINT % 18000 / 100.0 - 90.0 AS lat2,
+               ('0x' || substring(h, 19, 6))::BIGINT % 36000 / 100.0 - 180.0 AS lon2
+        FROM h),
+      f AS (
+        SELECT *, round(2.0 * 6371.0 * asin(sqrt(
+                 pow(sin(radians(lat2 - lat1) / 2), 2)
+                 + cos(radians(lat1)) * cos(radians(lat2))
+                   * pow(sin(radians(lon2 - lon1) / 2), 2))), 2) AS dist_km
+        FROM c)
+      SELECT c_custkey, lat1, lon1, lat2, lon2, dist_km,
+             (dist_km <= 5000.0) AS within_5000km
+      FROM f ORDER BY c_custkey""",
+
     // Same md5-slice address derivation; DuckDB's div is // and hex
     // parse is the ('0x'||…)::BIGINT idiom.
     "fn_ipv4" -> """

@@ -86,6 +86,42 @@ object WinOps {
         .orderBy("c_custkey")
     }),
 
+    // Autocorrelation function (lags 1–3) of the per-type daily series —
+    // the seasonality/momentum fingerprint read before picking gap-fill
+    // or forecasting strategies (a strong lag-7 ACF = weekly rhythm; near
+    // zero = treat days as independent). Pearson r is computed from
+    // EXPLICIT sufficient moments (Σx, Σy, Σxy, Σx², Σy²), not the
+    // engines' corr() builtins, whose streaming recurrences are not
+    // order-stable: the daily totals are 2dp decimals whose pairwise
+    // products are exact in double and sum exactly at this magnitude, so
+    // the moments are order-independent and r is one literal expression —
+    // bit-identical cross-engine. Lag pairs come from one window pass;
+    // the stack() unpivot fans 3 lags out of the same shuffle.
+    "win_autocorr" -> ((s, d) => {
+      val wL = Window.partitionBy("event_type").orderBy("day")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("dvd"))
+        .withColumn("x", col("dvd").cast("double"))
+      daily
+        .withColumn("l1", lag("x", 1).over(wL))
+        .withColumn("l2", lag("x", 2).over(wL))
+        .withColumn("l3", lag("x", 3).over(wL))
+        .selectExpr("event_type",
+          "stack(3, 1, l1, 2, l2, 3, l3) AS (lag, y)", "x")
+        .filter(col("y").isNotNull)
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+             sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+                / sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                       * (col("n_pairs") * col("syy") - col("sy") * col("sy"))),
+                4).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
     // Drawup/CUSUM-style level-shift detector on the per-type daily
     // series: running DECIMAL-exact sum of detrended deviations
     // (x − global type mean), drawup = S_i − min(S_j, j ≤ i) — a rising
@@ -820,6 +856,37 @@ object WinOps {
       FROM customer
       WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
       ORDER BY c_custkey""",
+
+    // Same exact-moment derivation; DuckDB unpivots via UNION ALL of the
+    // three lag columns (no stack()).
+    "win_autocorr" -> """
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, x,
+               lag(x, 1) OVER w AS l1,
+               lag(x, 2) OVER w AS l2,
+               lag(x, 3) OVER w AS l3
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      p AS (
+        SELECT event_type, 1 AS lag, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2 AS lag, x, l2 AS y FROM lagged WHERE l2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3 AS lag, x, l3 AS y FROM lagged WHERE l3 IS NOT NULL),
+      m AS (
+        SELECT event_type, lag, count(*) AS n_pairs,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM p GROUP BY 1, 2)
+      SELECT event_type, lag, n_pairs,
+             round((n_pairs * sxy - sx * sy)
+                   / sqrt((n_pairs * sxx - sx * sx)
+                          * (n_pairs * syy - sy * sy)), 4) AS acf
+      FROM m ORDER BY event_type, lag""",
 
     // Same DECIMAL running sums; srun = CAST(S AS DOUBLE) − mu·i is the
     // identical literal chain, so smin compares identical doubles.
