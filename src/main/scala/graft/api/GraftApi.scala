@@ -684,6 +684,18 @@ object Text {
               textCol: String = "text", k: Int = 1000): DataFrame =
     graft.ops.LlmOps.oovRateOf(docs, idCol, textCol, k)
 
+  /** SFT chat-template rendering (llm_sft_format's exact core):
+    * prompts (pair_id, prompt) × responses (pair_id, response) rendered
+    * with role sentinels + a token-budget verdict. */
+  def sftFormat(prompts: DataFrame, responses: DataFrame,
+                budget: Int = 2048): DataFrame =
+    graft.ops.TextOps.sftFormatOf(prompts, responses, budget)
+
+  /** One-row dataset-card rollup (llm_corpus_stats' exact core) over a
+    * (doc_id, text, lang, n_chars) frame. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.corpusStatsOf(docs)
+
 }
 
 /** Ingestion plumbing — the reference pipeline's shape (JSON records →
@@ -843,6 +855,22 @@ object Ingest {
       }
     }
   }
+  /** Classical seasonal decomposition of the per-key daily series
+    * (win_seasonal_decompose's exact core): value = trend (centered
+    * 7-day MA) + seasonal (per-weekday mean detrended deviation) +
+    * residual, DECIMAL-exact accumulation throughout. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String): DataFrame =
+    graft.ops.WinOps.seasonalDecomposeOf(df, keyCol, tsCol, valueCol)
+
+  /** Drawup/CUSUM level-shift detector on the per-key daily series
+    * (win_cusum_drawup's exact core): running DECIMAL-exact detrended
+    * sum, drawup = S − running min — a rising drawup is accumulating
+    * positive drift. */
+  def cusumDrawup(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame =
+    graft.ops.WinOps.cusumDrawupOf(df, keyCol, tsCol, valueCol)
+
 }
 
 /** Deterministic sampling / sharding — hash gates, never RNG: the decision
@@ -964,6 +992,34 @@ object Stats {
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
                   k: Double = 3.0): DataFrame =
     graft.ops.AggOps.madOutliersOf(df, keyCol, valueCol, k)
+
+  /** Market-basket association rules from a (basket, item) frame
+    * (agg_association_rules' exact core): pairs co-occurring in ≥
+    * `minPairs` baskets with support/confidence/lift — pair expansion
+    * stays co-partitioned on the basket key, metrics are integer-count
+    * ratios. Input columns must be named basket/item. */
+  def associationRules(baskets: DataFrame, minPairs: Long = 2L): DataFrame =
+    graft.ops.AggOps.associationRulesOf(baskets, minPairs)
+
+  /** Benford first-digit screen of a 2dp money column (agg_benford's
+    * exact core): digits from exact integer cents. Returns per-digit
+    * (digit, n, observed, expected). */
+  def benford(df: DataFrame, valueCol: String): DataFrame =
+    graft.ops.AggOps.benfordOf(df, valueCol)
+
+  /** Decile lift table over a pre-scored (idCol, scoreCol, respCol 0/1)
+    * frame (agg_decile_lift's exact core) — explicit decile index, not
+    * engine-defined NTILE. */
+  def decileLift(scored: DataFrame, idCol: String, scoreCol: String,
+                 respCol: String): DataFrame =
+    graft.ops.AggOps.decileLiftOf(scored, idCol, scoreCol, respCol)
+
+  /** Autocorrelation (lags 1..maxLag) of the per-key DAILY series of
+    * `valueCol` (win_autocorr's exact core) — Pearson r from explicit
+    * order-exact moments, engine-stable. */
+  def autocorr(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, maxLag: Int = 3): DataFrame =
+    graft.ops.WinOps.autocorrOf(df, keyCol, tsCol, valueCol, maxLag)
 }
 
 /** Bounded-memory mergeable sketch structures (agg_count_min /
@@ -1181,6 +1237,14 @@ object Graph {
                  srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     graft.ops.GraphOps.modularityOf(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), labels)
+
+  /** Edge reciprocity (mutual-edge fraction) of a directed edge frame
+    * (graph_reciprocity's exact core) — dedup the frame first. Returns
+    * one row (n_edges, n_recip, reciprocity). */
+  def reciprocity(edges: DataFrame,
+                  srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.reciprocityOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
 
 }
 

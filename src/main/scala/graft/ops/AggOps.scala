@@ -203,6 +203,82 @@ object AggOps {
     * an InSet — no join, no full-cardinality shuffle), filtered to
     * `cnt·k > n`. Output: (valueCol, cnt, n_total), exactly the items with
     * frequency > n/k (see MisraGries for the guarantee). */
+  /** Market-basket association rules (agg_association_rules /
+    * Stats.associationRules): from a (basket, item) frame, all item
+    * pairs co-occurring in ≥ `minPairs` baskets with
+    * support/confidence/lift. Pair expansion self-joins CO-PARTITIONED
+    * on the basket key (bounded by basket size, never
+    * corpus-quadratic); item supports broadcast onto the surviving pair
+    * table; metrics are ratios of exact integer counts. Returns
+    * (item_a, item_b, n_pair, support 6dp, confidence 4dp, lift 4dp),
+    * unordered. */
+  private[graft] def associationRulesOf(baskets: DataFrame,
+                                        minPairs: Long): DataFrame = {
+    val b = baskets.select("basket", "item").distinct()
+    val n = b.select(countDistinct("basket").as("n_baskets"))
+    val item = b.groupBy(col("item").as("pi")).agg(count(lit(1)).as("ni"))
+    val pairs = b.as("x")
+      .join(b.as("y"),
+            col("x.basket") === col("y.basket") &&
+            col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairs)
+    pairs
+      .join(broadcast(item.select(col("pi").as("item_a"), col("ni").as("na"))),
+            "item_a")
+      .join(broadcast(item.select(col("pi").as("item_b"), col("ni").as("nb"))),
+            "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        round(col("n_pair").cast("double") / col("n_baskets"), 6).as("support"),
+        round(col("n_pair").cast("double") / col("na"), 4).as("confidence"),
+        round((col("n_pair") * col("n_baskets")).cast("double")
+              / (col("na") * col("nb")), 4).as("lift"))
+  }
+
+  /** Benford first-digit screen (agg_benford / Stats.benford) over a
+    * 2dp money column: digits derive from the EXACT integer cents
+    * (string head of a BIGINT), never floor(log10(double)). Returns
+    * (digit, n, observed 4dp, expected 4dp), unordered. */
+  private[graft] def benfordOf(df: DataFrame, valueCol: String): DataFrame =
+    df.select(expr(
+        s"CAST(substring(CAST(CAST(round($valueCol * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total").cast("double"), 4).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("expected"))
+
+  /** Decile lift table (agg_decile_lift / Stats.decileLift) over a
+    * pre-scored (idCol, scoreCol, respCol 0/1) frame: EXPLICIT decile
+    * index ((r−1)·10 div n + 1, not engine-defined NTILE), integer-count
+    * rates, dimension-sized ranking window. Returns
+    * (decile, n_users, n_resp, resp_rate 4dp, lift 4dp), unordered. */
+  private[graft] def decileLiftOf(scored: DataFrame, idCol: String,
+                                  scoreCol: String,
+                                  respCol: String): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("base", sum(respCol).over(wAll))
+      .withColumn("decile", expr("CAST(((r - 1) * 10) DIV n + 1 AS INT)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+           sum(respCol).as("n_resp"),
+           max(expr("CAST(base AS DOUBLE) / n")).as("base_rate"))
+      .select(col("decile"), col("n_users"), col("n_resp"),
+        round(col("n_resp") / col("n_users").cast("double"), 4).as("resp_rate"),
+        round((col("n_resp") / col("n_users").cast("double"))
+              / col("base_rate"), 4).as("lift"))
+  }
+
   /** Shannon entropy (bits) of `typeCol`'s mix per `groupCol`
     * (agg_entropy / Stats.entropy): two map-side-combinable hash-aggs;
     * the p·log2 p fold runs over a SORTED (type, count) list so the
@@ -857,30 +933,14 @@ object AggOps {
     // ≤|parts|² surviving pair table. support/confidence/lift are ratios
     // of exact integer counts in one literal expression order —
     // no float accumulation anywhere.
-    "agg_association_rules" -> ((s, d) => {
-      val b = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_partkey").distinct()
-      val n = b.select(countDistinct("l_orderkey").as("n_orders"))
-      val item = b.groupBy(col("l_partkey").as("pi"))
-        .agg(count(lit(1)).as("ni"))
-      val pairs = b.as("x")
-        .join(b.as("y"),
-              col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("p_a"), col("y.l_partkey").as("p_b"))
-        .agg(count(lit(1)).as("n_pair"))
-        .filter(col("n_pair") >= 3)
-      pairs
-        .join(broadcast(item.select(col("pi").as("p_a"), col("ni").as("na"))), "p_a")
-        .join(broadcast(item.select(col("pi").as("p_b"), col("ni").as("nb"))), "p_b")
-        .crossJoin(broadcast(n))
-        .select(col("p_a"), col("p_b"), col("n_pair"),
-          round(col("n_pair").cast("double") / col("n_orders"), 6).as("support"),
-          round(col("n_pair").cast("double") / col("na"), 4).as("confidence"),
-          round((col("n_pair") * col("n_orders")).cast("double")
-                / (col("na") * col("nb")), 4).as("lift"))
-        .orderBy("p_a", "p_b")
-    }),
+    "agg_association_rules" -> ((s, d) =>
+      associationRulesOf(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+        minPairs = 3)
+        .withColumnRenamed("item_a", "p_a")
+        .withColumnRenamed("item_b", "p_b")
+        .orderBy("p_a", "p_b")),
 
     // Spark 4's NATIVE bitmap aggregate family (bitmap_bucket_number /
     // bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
@@ -916,50 +976,18 @@ object AggOps {
     // ratios of integer counts. The ranking window is user-dimension-
     // sized, never corpus-sized.
     "agg_decile_lift" -> ((s, d) => {
-      val u = Tables.events(s, d)
+      val scored = Tables.events(s, d)
         .groupBy("user_id")
         .agg(sum(col("value").cast("decimal(18,2)")).as("score"),
              sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
                .as("np"))
-        .withColumn("resp", (col("np") >= 14).cast("long"))
-      val w = Window.orderBy(col("score").desc, col("user_id").asc)
-      val wAll = Window
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      u.withColumn("r", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("base", sum("resp").over(wAll))
-        .withColumn("decile", expr("CAST(((r - 1) * 10) DIV n + 1 AS INT)"))
-        .groupBy("decile")
-        .agg(count(lit(1)).as("n_users"),
-             sum("resp").as("n_resp"),
-             max(expr("CAST(base AS DOUBLE) / n")).as("base_rate"))
-        .select(col("decile"), col("n_users"), col("n_resp"),
-          round(col("n_resp") / col("n_users").cast("double"), 4).as("resp_rate"),
-          round((col("n_resp") / col("n_users").cast("double"))
-                / col("base_rate"), 4).as("lift"))
-        .orderBy("decile")
+        .select(col("user_id"), col("score"),
+                (col("np") >= 14).cast("long").as("resp"))
+      decileLiftOf(scored, "user_id", "score", "resp").orderBy("decile")
     }),
 
-    // Benford first-digit screen — the classic fabricated-numbers /
-    // data-quality test (organic multiplicative quantities follow
-    // P(d) = log10(1+1/d); manufactured ones rarely do): the first digit
-    // derives from the EXACT integer cents (string head of a BIGINT) —
-    // never from floor(log10(double)), whose boundary values are
-    // engine-dependent. One conditional hash-agg to 9 digit rows, then
-    // ratios of integer counts against the closed-form expectation.
     "agg_benford" -> ((s, d) =>
-      Tables.orders(s, d)
-        .select(expr(
-          "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
-          .as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("n"))
-        .withColumn("total", sum("n").over(
-          Window.rowsBetween(Window.unboundedPreceding,
-                             Window.unboundedFollowing)))
-        .select(col("digit"), col("n"),
-          round(col("n") / col("total").cast("double"), 4).as("observed"),
-          round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("expected"))
-        .orderBy("digit")),
+      benfordOf(Tables.orders(s, d), "o_totalprice").orderBy("digit")),
 
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)

@@ -805,24 +805,37 @@ object GraphOps {
     // directed frame here is customer→supplier with a REVERSED arc for
     // pairs above the repeat threshold, so reciprocity is genuinely
     // strictly between 0 and 1.
-    "graph_reciprocity" -> ((s, d) => {
-      val e = directedTradeEdges(s, d)
-        .unionByName(
-          custSuppPairs(s, d, 3L)
-            .select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .distinct()
-      val rev = e.select(col("dst").as("r_src"), col("src").as("r_dst"))
-      val recip = e.join(rev,
-        col("src") === col("r_src") && col("dst") === col("r_dst"),
-        "left_semi")
-      e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
-        .select(col("n_edges"), col("n_recip"),
-          round(col("n_recip").cast("double") / col("n_edges"), 4)
-            .as("reciprocity"))
-    })
-
+    "graph_reciprocity" -> ((s, d) =>
+      reciprocityOf(reciprocityEdges(s, d)))
   )
+
+  /** graph_reciprocity's fixture: the directed trade arcs plus a
+    * REVERSED arc for above-threshold pairs, deduped — mutuality is then
+    * genuinely strictly between 0 and 1. Shared with ApiSpec. */
+  private[graft] def reciprocityEdges(s: SparkSession, d: String): DataFrame =
+    directedTradeEdges(s, d)
+      .unionByName(
+        custSuppPairs(s, d, 3L)
+          .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+
+  /** Edge reciprocity of a directed (src, dst) frame
+    * (graph_reciprocity / Graph.reciprocity): mutual-edge fraction via
+    * one flipped-pair LeftSemi join (co-partitionable, linear) — the
+    * first diagnostic before choosing directed vs undirected
+    * algorithms. Returns one row (n_edges, n_recip, reciprocity 4dp).
+    * Callers should dedup the frame first. */
+  private[graft] def reciprocityOf(e: DataFrame): DataFrame = {
+    val rev = e.select(col("dst").as("r_src"), col("src").as("r_dst"))
+    val recip = e.join(rev,
+      col("src") === col("r_src") && col("dst") === col("r_dst"),
+      "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+      .select(col("n_edges"), col("n_recip"),
+        round(col("n_recip").cast("double") / col("n_edges"), 4)
+          .as("reciprocity"))
+  }
 
   /** Newman modularity of a (node, lbl) partition over a SYMMETRIC
     * (src, dst) edge frame (graph_modularity / Graph.modularity):

@@ -613,6 +613,33 @@ object TextOps {
     // sentinel overhead too.
     "llm_sft_format" -> ((s, d) => {
       val t = Tables.documents(s, d)
+      sftFormatOf(
+        t.filter(col("doc_id") < 250)
+          .select(col("doc_id").as("pair_id"),
+                  substring(col("text"), 1, 120).as("prompt")),
+        t.select((col("doc_id") - 250).as("pair_id"),
+                 substring(col("text"), 1, 240).as("response"))
+          .filter(col("pair_id") >= 0 && col("pair_id") < 250),
+        budget = 128)
+        .orderBy("pair_id")
+    }),
+
+    // One-row "dataset card" rollup — the corpus summary stamped next to
+    // every published training mix (docs, token/char volume, language
+    // mix, exact-dup rate): ONE pass of map-side-combinable aggregates
+    // (the md5 distinct for the dup rate is the only distinct-shuffle,
+    // and it ships 16-byte digests, not text). Every output is an
+    // integer count or a ratio of integer counts — no float accumulation.
+    // SFT chat-template rendering — the last prep step before
+    // supervised fine-tuning: (prompt, response) pairs rendered into the
+    // training string with role sentinels, plus the token-budget verdict
+    // that decides packing vs truncation downstream. Entirely row-local
+    // string expressions after one co-partitionable equi-join (same pair
+    // derivation as llm_rouge_overlap); token counts are whitespace
+    // counts over the RENDERED string, so the budget check sees the
+    // sentinel overhead too.
+    "llm_sft_format" -> ((s, d) => {
+      val t = Tables.documents(s, d)
       val prompts = t.filter(col("doc_id") < 250)
         .select(col("doc_id").as("pair_id"),
                 substring(col("text"), 1, 120).as("prompt"))
@@ -631,23 +658,7 @@ object TextOps {
     }),
 
     "llm_corpus_stats" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-                size(split(col("text"), " ")).cast("long").as("toks"),
-                md5(col("text")).as("h"))
-        .agg(count(lit(1)).as("n_docs"),
-             countDistinct("lang").as("n_langs"),
-             sum("toks").as("total_tokens"),
-             sum("n_chars").as("total_chars"),
-             countDistinct("h").as("n_distinct_texts"),
-             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
-        .select(col("n_docs"), col("n_langs"), col("total_tokens"),
-          col("total_chars"), col("n_distinct_texts"),
-          round(col("total_chars") / col("n_docs").cast("double"), 2)
-            .as("avg_chars"),
-          round(col("n_en") / col("n_docs").cast("double"), 4).as("pct_en"),
-          round(lit(1.0) - col("n_distinct_texts")
-                / col("n_docs").cast("double"), 4).as("dup_rate"))),
+      corpusStatsOf(Tables.documents(s, d))),
 
     "llm_ttr_diversity" -> ((s, d) =>
       ttrOf(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
@@ -1091,6 +1102,46 @@ object TextOps {
     fingerprintsOf(
       Tables.documentsWide(s, d).select(col("doc_id"), lower(col("text")).as("t")),
       hashImpl)
+
+  /** SFT chat-template rendering (llm_sft_format / Text.sftFormat):
+    * prompts (pair_id, prompt) joined to responses (pair_id, response),
+    * rendered with role sentinels, token-budget verdict over the
+    * RENDERED string (so the budget sees sentinel overhead). Row-local
+    * after one co-partitionable equi-join. Returns (pair_id, rendered,
+    * n_tokens, n_chars, fits_<budget>), unordered. */
+  private[graft] def sftFormatOf(prompts: DataFrame, resps: DataFrame,
+                                 budget: Int): DataFrame =
+    prompts.join(resps, "pair_id")
+      .withColumn("rendered",
+        concat(lit("<|user|>\n"), col("prompt"),
+               lit("\n<|assistant|>\n"), col("response"), lit("<|end|>")))
+      .select(col("pair_id"), col("rendered"),
+        size(split(col("rendered"), "\\s+")).cast("long").as("n_tokens"),
+        length(col("rendered")).cast("long").as("n_chars"))
+      .withColumn(s"fits_$budget", col("n_tokens") <= budget)
+
+  /** One-row dataset-card rollup (llm_corpus_stats / Text.corpusStats):
+    * docs, token/char volume, language mix, exact-dup rate — one pass of
+    * map-side-combinable aggregates; the dup-rate distinct ships 16-byte
+    * md5 digests, not text. Expects (doc_id, text, lang, n_chars). */
+  private[graft] def corpusStatsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              size(split(col("text"), " ")).cast("long").as("toks"),
+              md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct("lang").as("n_langs"),
+           sum("toks").as("total_tokens"),
+           sum("n_chars").as("total_chars"),
+           countDistinct("h").as("n_distinct_texts"),
+           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("n_docs"), col("n_langs"), col("total_tokens"),
+        col("total_chars"), col("n_distinct_texts"),
+        round(col("total_chars") / col("n_docs").cast("double"), 2)
+          .as("avg_chars"),
+        round(col("n_en") / col("n_docs").cast("double"), 4).as("pct_en"),
+        round(lit(1.0) - col("n_distinct_texts")
+              / col("n_docs").cast("double"), 4).as("dup_rate"))
 
   /** Type-token ratio + Guiraud index per doc (llm_ttr_diversity /
     * Text.ttr): entirely row-local array expressions at scan speed —

@@ -97,30 +97,9 @@ object WinOps {
     // the moments are order-independent and r is one literal expression —
     // bit-identical cross-engine. Lag pairs come from one window pass;
     // the stack() unpivot fans 3 lags out of the same shuffle.
-    "win_autocorr" -> ((s, d) => {
-      val wL = Window.partitionBy("event_type").orderBy("day")
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(sum(col("value").cast("decimal(18,2)")).as("dvd"))
-        .withColumn("x", col("dvd").cast("double"))
-      daily
-        .withColumn("l1", lag("x", 1).over(wL))
-        .withColumn("l2", lag("x", 2).over(wL))
-        .withColumn("l3", lag("x", 3).over(wL))
-        .selectExpr("event_type",
-          "stack(3, 1, l1, 2, l2, 3, l3) AS (lag, y)", "x")
-        .filter(col("y").isNotNull)
-        .groupBy("event_type", "lag")
-        .agg(count(lit(1)).as("n_pairs"),
-             sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
-             sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
-        .select(col("event_type"), col("lag"), col("n_pairs"),
-          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
-                / sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-                       * (col("n_pairs") * col("syy") - col("sy") * col("sy"))),
-                4).as("acf"))
-        .orderBy("event_type", "lag")
-    }),
+    "win_autocorr" -> ((s, d) =>
+      autocorrOf(Tables.events(s, d), "event_type", "ts", "value", 3)
+        .orderBy("event_type", "lag")),
 
     // Drawup/CUSUM-style level-shift detector on the per-type daily
     // series: running DECIMAL-exact sum of detrended deviations
@@ -131,26 +110,9 @@ object WinOps {
     // the running sum accumulate in DECIMAL; the type mean divides the
     // DECIMAL total once in double; both engines evaluate the identical
     // two-window chain over the same total order.
-    "win_cusum_drawup" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(sum(col("value").cast("decimal(18,2)")).as("dvd"))
-      val wAll = Window.partitionBy("event_type")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val wRun = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily
-        .withColumn("mu",
-          sum("dvd").over(wAll).cast("double") / count(lit(1)).over(wAll))
-        .withColumn("srun", sum("dvd").over(wRun).cast("double")
-                            - col("mu") * count(lit(1)).over(wRun))
-        .withColumn("smin", min("srun").over(wRun))
-        .select(col("event_type"), col("day"),
-          round(col("dvd").cast("double"), 2).as("daily_total"),
-          round(col("srun"), 4).as("cusum"),
-          round(col("srun") - col("smin"), 4).as("drawup"))
-        .orderBy("event_type", "day")
-    }),
+    "win_cusum_drawup" -> ((s, d) =>
+      cusumDrawupOf(Tables.events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
 
     // Classical seasonal decomposition (value = trend + seasonal +
     // residual) of the per-type daily series — the before-anomaly-
@@ -163,34 +125,9 @@ object WinOps {
     // DAY-SORTED deviation list — no unordered float accumulation
     // anywhere. One shuffle to daily grain, one type-partitioned window,
     // one broadcast join back from the 7-row-per-type seasonal frame.
-    "win_seasonal_decompose" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(sum(col("value").cast("decimal(18,2)")).as("dvd"))
-        .withColumn("dv", col("dvd").cast("double"))
-        .withColumn("dow", dayofweek(col("day")))
-      val w7 = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(-3, 3)
-      val t = daily
-        .withColumn("n7", count(lit(1)).over(w7))
-        .withColumn("ts7", sum("dvd").over(w7))
-        .filter(col("n7") === 7)
-        .withColumn("trend", col("ts7").cast("double") / 7.0)
-        .withColumn("dev", col("dv") - col("trend"))
-      val seas = t.groupBy("event_type", "dow")
-        .agg(sort_array(collect_list(struct(col("day"), col("dev"))))
-          .as("ds"))
-        .select(col("event_type"), col("dow"),
-          expr("""aggregate(ds, CAST(0.0 AS DOUBLE), (a, x) -> a + x.dev)
-                  / size(ds)""").as("seasonal"))
-      t.join(broadcast(seas), Seq("event_type", "dow"))
-        .select(col("event_type"), col("day"),
-          round(col("dv"), 2).as("daily_total"),
-          round(col("trend"), 4).as("trend"),
-          round(col("seasonal"), 4).as("seasonal"),
-          round(col("dv") - col("trend") - col("seasonal"), 4).as("residual"))
-        .orderBy("event_type", "day")
-    }),
+    "win_seasonal_decompose" -> ((s, d) =>
+      seasonalDecomposeOf(Tables.events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
 
     // IGNORE NULLS navigation — the forward-fill idiom: last_value
     // IGNORE NULLS over a trailing frame carries the latest OBSERVED
@@ -536,6 +473,107 @@ object WinOps {
         "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"), "x")
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber"))
   )
+
+  /** Daily DECIMAL-exact rollup shared by the time-series trio: one
+    * shuffle to (keyCol, day) grain, totals order-exact in
+    * DECIMAL(18,2). */
+  private def dailyTotals(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String): DataFrame =
+    df.groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("dvd"))
+
+  /** Classical seasonal decomposition (win_seasonal_decompose /
+    * Ingest.seasonalDecompose): per-key daily series split into
+    * value = trend + seasonal + residual — centered 7-day moving-average
+    * trend (full windows only), per-weekday mean detrended deviation
+    * folded over a DAY-SORTED list (bit-stable), residual the remainder.
+    * Returns (keyCol, day, daily_total 2dp, trend/seasonal/residual
+    * 4dp), unordered. */
+  private[graft] def seasonalDecomposeOf(df: DataFrame, keyCol: String,
+                                         tsCol: String,
+                                         valueCol: String): DataFrame = {
+    val daily = dailyTotals(df, keyCol, tsCol, valueCol)
+      .withColumn("dv", col("dvd").cast("double"))
+      .withColumn("dow", dayofweek(col("day")))
+    val w7 = Window.partitionBy(keyCol).orderBy("day").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("ts7", sum("dvd").over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("trend", col("ts7").cast("double") / 7.0)
+      .withColumn("dev", col("dv") - col("trend"))
+    val seas = t.groupBy(keyCol, "dow")
+      .agg(sort_array(collect_list(struct(col("day"), col("dev"))))
+        .as("ds"))
+      .select(col(keyCol), col("dow"),
+        expr("""aggregate(ds, CAST(0.0 AS DOUBLE), (a, x) -> a + x.dev)
+                / size(ds)""").as("seasonal"))
+    t.join(broadcast(seas), Seq(keyCol, "dow"))
+      .select(col(keyCol), col("day"),
+        round(col("dv"), 2).as("daily_total"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("dv") - col("trend") - col("seasonal"), 4).as("residual"))
+  }
+
+  /** Drawup/CUSUM level-shift detector (win_cusum_drawup /
+    * Ingest.cusumDrawup): running DECIMAL-exact sum of detrended
+    * deviations, drawup = Sᵢ − min(S_j, j ≤ i) — Page's CUSUM without
+    * the recursive reset, a plain two-window expression. Returns
+    * (keyCol, day, daily_total 2dp, cusum 4dp, drawup 4dp),
+    * unordered. */
+  private[graft] def cusumDrawupOf(df: DataFrame, keyCol: String,
+                                   tsCol: String,
+                                   valueCol: String): DataFrame = {
+    val daily = dailyTotals(df, keyCol, tsCol, valueCol)
+    val wAll = Window.partitionBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("mu",
+        sum("dvd").over(wAll).cast("double") / count(lit(1)).over(wAll))
+      .withColumn("srun", sum("dvd").over(wRun).cast("double")
+                          - col("mu") * count(lit(1)).over(wRun))
+      .withColumn("smin", min("srun").over(wRun))
+      .select(col(keyCol), col("day"),
+        round(col("dvd").cast("double"), 2).as("daily_total"),
+        round(col("srun"), 4).as("cusum"),
+        round(col("srun") - col("smin"), 4).as("drawup"))
+  }
+
+  /** Autocorrelation function at lags 1..maxLag (win_autocorr /
+    * Stats.autocorr): Pearson r from EXPLICIT sufficient moments — the
+    * engines' corr() streaming recurrences are not order-stable, while
+    * 2dp daily totals have exact pairwise products that sum exactly in
+    * double. One window pass fans the lags via stack(). Returns
+    * (keyCol, lag, n_pairs, acf 4dp), unordered. */
+  private[graft] def autocorrOf(df: DataFrame, keyCol: String,
+                                tsCol: String, valueCol: String,
+                                maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10, s"maxLag $maxLag out of range")
+    val wL = Window.partitionBy(keyCol).orderBy("day")
+    var daily = dailyTotals(df, keyCol, tsCol, valueCol)
+      .withColumn("x", col("dvd").cast("double"))
+    (1 to maxLag).foreach { k =>
+      daily = daily.withColumn(s"l$k", lag("x", k).over(wL))
+    }
+    val stackArgs = (1 to maxLag).map(k => s"$k, l$k").mkString(", ")
+    daily
+      .selectExpr(keyCol, s"stack($maxLag, $stackArgs) AS (lag, y)", "x")
+      .filter(col("y").isNotNull)
+      .groupBy(keyCol, "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum("x").as("sx"), sum("y").as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"))
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              / sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                     * (col("n_pairs") * col("syy") - col("sy") * col("sy"))),
+              4).as("acf"))
+  }
 
   /** Rolling z-score core (win_rolling_zscore / Ingest.rollingZscore):
     * each value scored against the mean/σ of its `lookback` TRAILING rows

@@ -887,4 +887,54 @@ class ApiSpec extends AnyFunSuite {
     assert(api2 === key)
     assert(api2.nonEmpty)
   }
+  test("Stats.{associationRules, benford, decileLift, autocorr} equal their keys") {
+    val baskets = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    assert(rowSet(api.Stats.associationRules(baskets, minPairs = 3)
+        .withColumnRenamed("item_a", "p_a")
+        .withColumnRenamed("item_b", "p_b")) ===
+      rowSet(SparkEntry.queries("agg_association_rules")(spark, d)))
+    assert(rowSet(api.Stats.benford(Tables.orders(spark, d), "o_totalprice")) ===
+      rowSet(SparkEntry.queries("agg_benford")(spark, d)))
+    val scored = Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("score"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(col("user_id"), col("score"), (col("np") >= 14).cast("long").as("resp"))
+    assert(rowSet(api.Stats.decileLift(scored, "user_id", "score", "resp")) ===
+      rowSet(SparkEntry.queries("agg_decile_lift")(spark, d)))
+    assert(rowSet(api.Stats.autocorr(Tables.events(spark, d), "event_type",
+        "ts", "value", 3)) ===
+      rowSet(SparkEntry.queries("win_autocorr")(spark, d)))
+  }
+
+  test("Ingest.{seasonalDecompose, cusumDrawup} equal their win keys") {
+    val ev = Tables.events(spark, d)
+    assert(rowSet(api.Ingest.seasonalDecompose(ev, "event_type", "ts", "value")) ===
+      rowSet(SparkEntry.queries("win_seasonal_decompose")(spark, d)))
+    assert(rowSet(api.Ingest.cusumDrawup(ev, "event_type", "ts", "value")) ===
+      rowSet(SparkEntry.queries("win_cusum_drawup")(spark, d)))
+  }
+
+  test("Graph.reciprocity equals graph_reciprocity (custom column names)") {
+    val e = graft.ops.GraphOps.reciprocityEdges(spark, d)
+      .select(col("src").as("a"), col("dst").as("b"))
+    val api2 = rowSet(api.Graph.reciprocity(e, srcCol = "a", dstCol = "b"))
+    val key = rowSet(SparkEntry.queries("graph_reciprocity")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
+  test("Text.{sftFormat, corpusStats} equal their llm keys") {
+    val t = docs
+    val prompts = t.filter(col("doc_id") < 250)
+      .select(col("doc_id").as("pair_id"), substring(col("text"), 1, 120).as("prompt"))
+    val resps = t.select((col("doc_id") - 250).as("pair_id"),
+                         substring(col("text"), 1, 240).as("response"))
+      .filter(col("pair_id") >= 0 && col("pair_id") < 250)
+    assert(rowSet(Text.sftFormat(prompts, resps, budget = 128)) ===
+      rowSet(SparkEntry.queries("llm_sft_format")(spark, d)))
+    assert(rowSet(Text.corpusStats(docs)) ===
+      rowSet(SparkEntry.queries("llm_corpus_stats")(spark, d)))
+  }
 }
