@@ -1604,6 +1604,32 @@ object LlmOps {
     // LSH-bucketed kNN (see lshKnnOf): 16×4-bit sign-band hash tables,
     // exact cosine on the deduped candidate union — the declared-definition
     // approximate search the oracle mirrors band for band.
+    // ANN quality gate — recall@5 of the LSH index against the exact
+    // brute-force ground truth, per query: the eval every approximate
+    // index must pass before it replaces an exact path in production
+    // ("how much recall did those 16 sign-bands actually buy, and for
+    // which queries do they miss"). Reuses the two knn cores verbatim, so
+    // the eval measures the REAL operators, not a reimplementation; the
+    // comparison itself is one co-partitioned equi-join on (q_id, n_id)
+    // + one count per query — eval cost is index cost, not corpus cost.
+    "llm_ann_recall_eval" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .filter(col("q_id") < 100)
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val truth = knnOf(q, c, 5).select(col("q_id"), col("n_id"))
+      val approx = lshKnnOf(q, c)
+        .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+      truth.join(approx,
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+             sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / col("n_true"), 2))
+        .orderBy("q_id")
+    }),
+
     "llm_knn_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
@@ -2862,6 +2888,59 @@ object LlmOps {
     // Mirrors lshKnnOf band for band: same 16×4 sign bands (1-based
     // element access both engines), same >=1-shared-band candidate rule,
     // same exact-cosine + (cos DESC, n_id) top-5.
+    // The bruteforce and LSH oracle CTEs composed verbatim, then one
+    // left join + count per query.
+    "llm_ann_recall_eval" -> """
+      WITH bands AS (
+        SELECT vec_id, j AS band_idx,
+               (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[4*j + 2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4*j + 3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4*j + 4] > 0 THEN 8 ELSE 0 END) AS band_val
+        FROM embeddings, range(16) t(j)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM bands q
+        JOIN bands c ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+        WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id),
+      lsh_pairs AS (
+        SELECT cand.q_id, cand.n_id,
+          list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          AS cos
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.q_id
+        JOIN embeddings ce ON ce.vec_id = cand.n_id),
+      lsh AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+          FROM lsh_pairs) WHERE rk <= 5),
+      bf_pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 100),
+      bf AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+          FROM bf_pairs) WHERE rk <= 5)
+      SELECT bf.q_id, count(*) AS n_true,
+             CAST(sum(CASE WHEN lsh.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             round(CAST(sum(CASE WHEN lsh.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 2) AS recall
+      FROM bf LEFT JOIN lsh ON bf.q_id = lsh.q_id AND bf.n_id = lsh.n_id
+      GROUP BY bf.q_id
+      ORDER BY bf.q_id""",
+
     "llm_knn_lsh" -> """
       WITH bands AS (
         SELECT vec_id, j AS band_idx,
