@@ -223,6 +223,9 @@ object LlmOps {
       .select(col(grpCol), col(idCol).as("rejected_id"),
               col(scoreCol).as(s"rejected_$scoreCol"))
     chosen.join(rejected, grpCol)
+      // a singleton group ranks the SAME row first in both orders — a
+      // degenerate self-pair that a zero minMargin would otherwise emit
+      .filter(col("chosen_id") =!= col("rejected_id"))
       .withColumn("margin",
         col(s"chosen_$scoreCol") - col(s"rejected_$scoreCol"))
       .filter(col("margin") >= minMargin)
