@@ -242,7 +242,8 @@ object AggOps {
     * (string head of a BIGINT), never floor(log10(double)). Returns
     * (digit, n, observed 4dp, expected 4dp), unordered. */
   private[graft] def benfordOf(df: DataFrame, valueCol: String): DataFrame =
-    df.select(expr(
+    df.filter(col(valueCol) > 0) // zero/negative rows have no first digit
+      .select(expr(
         s"CAST(substring(CAST(CAST(round($valueCol * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
@@ -275,8 +276,11 @@ object AggOps {
            max(expr("CAST(base AS DOUBLE) / n")).as("base_rate"))
       .select(col("decile"), col("n_users"), col("n_resp"),
         round(col("n_resp") / col("n_users").cast("double"), 4).as("resp_rate"),
-        round((col("n_resp") / col("n_users").cast("double"))
-              / col("base_rate"), 4).as("lift"))
+        // base_rate = 0 (no responders at all) would make lift IEEE
+        // Infinity — surface NULL instead
+        when(col("base_rate") > 0,
+          round((col("n_resp") / col("n_users").cast("double"))
+                / col("base_rate"), 4)).as("lift"))
   }
 
   /** Shannon entropy (bits) of `typeCol`'s mix per `groupCol`
@@ -374,7 +378,10 @@ object AggOps {
       .agg(count(lit(1)).as("n"),
            round(first("med"), 4).as("median"),
            round(first("mad"), 4).as("mad"),
-           sum(when(col("dev") > lit(k) * lit(1.4826) * col("mad"), 1L)
+           // mad = 0 (a >50% constant cohort) would flag EVERY deviation —
+           // the zscore sd=0 failure mode; a zero-MAD cohort flags nothing
+           sum(when(col("mad") > 0 &&
+                    col("dev") > lit(k) * lit(1.4826) * col("mad"), 1L)
              .otherwise(0L)).as("n_outliers"))
   }
 
@@ -1400,7 +1407,7 @@ object AggOps {
       WITH dig AS (
         SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        FROM orders),
+        FROM orders WHERE o_totalprice > 0),
       c AS (SELECT digit, count(*) AS n FROM dig GROUP BY 1),
       t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM c)
       SELECT digit, n,
@@ -1559,7 +1566,8 @@ object AggOps {
       SELECT dev.user_id, count(*) AS n,
              round(any_value(dev.med), 4) AS median,
              round(any_value(mad.mad), 4) AS mad,
-             CAST(sum(CASE WHEN dev.dev > 3.0 * 1.4826 * mad.mad
+             CAST(sum(CASE WHEN mad.mad > 0
+                            AND dev.dev > 3.0 * 1.4826 * mad.mad
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM dev JOIN mad USING (user_id)
       GROUP BY dev.user_id

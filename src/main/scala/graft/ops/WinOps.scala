@@ -568,11 +568,15 @@ object WinOps {
            sum(col("x") * col("y")).as("sxy"),
            sum(col("x") * col("x")).as("sxx"),
            sum(col("y") * col("y")).as("syy"))
+      .withColumn("den",
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+        * (col("n_pairs") * col("syy") - col("sy") * col("sy")))
       .select(col(keyCol), col("lag"), col("n_pairs"),
-        round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
-              / sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-                     * (col("n_pairs") * col("syy") - col("sy") * col("sy"))),
-              4).as("acf"))
+        // a zero-variance (constant) series has no defined ACF — NULL,
+        // never a 0/0 NaN
+        when(col("den") > 0,
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+                / sqrt(col("den")), 4)).as("acf"))
   }
 
   /** Rolling z-score core (win_rolling_zscore / Ingest.rollingZscore):
@@ -921,9 +925,12 @@ object WinOps {
                sum(x * x) AS sxx, sum(y * y) AS syy
         FROM p GROUP BY 1, 2)
       SELECT event_type, lag, n_pairs,
-             round((n_pairs * sxy - sx * sy)
-                   / sqrt((n_pairs * sxx - sx * sx)
-                          * (n_pairs * syy - sy * sy)), 4) AS acf
+             CASE WHEN (n_pairs * sxx - sx * sx)
+                       * (n_pairs * syy - sy * sy) > 0
+                  THEN round((n_pairs * sxy - sx * sy)
+                             / sqrt((n_pairs * sxx - sx * sx)
+                                    * (n_pairs * syy - sy * sy)), 4)
+             END AS acf
       FROM m ORDER BY event_type, lag""",
 
     // Same DECIMAL running sums; srun = CAST(S AS DOUBLE) − mu·i is the
