@@ -257,18 +257,42 @@ object AggOps {
   /** Decile lift table (agg_decile_lift / Stats.decileLift) over a
     * pre-scored (idCol, scoreCol, respCol 0/1) frame: EXPLICIT decile
     * index ((r−1)·10 div n + 1, not engine-defined NTILE), integer-count
-    * rates, dimension-sized ranking window. Returns
-    * (decile, n_users, n_resp, resp_rate 4dp, lift 4dp), unordered. */
+    * rates. The global rank is the win_ntile_scalable two-pass plan, not
+    * a single-partition window: (1) one agg gives n/base/score-range
+    * (1 row, broadcast); (2) range-bucket the score, per-bucket counts,
+    * cumulative offsets via a window over the BUCKET STATS (≤1024 rows
+    * at any scale — the only total-order pass); (3) broadcast offsets
+    * back and rank locally inside each bucket. Rank values are exact
+    * (bucketing is monotone in score; equal scores share a bucket and
+    * break ties on idCol locally), so the decile arithmetic transfers
+    * unchanged. Returns (decile, n_users, n_resp, resp_rate 4dp,
+    * lift 4dp — NULL when the corpus has zero responders), unordered. */
   private[graft] def decileLiftOf(scored: DataFrame, idCol: String,
                                   scoreCol: String,
                                   respCol: String): DataFrame = {
-    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
-    val wAll = Window
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    scored
-      .withColumn("r", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("base", sum(respCol).over(wAll))
+    val nBkts = 1024
+    val stats = scored.agg(
+      count(lit(1)).as("n"),
+      sum(respCol).cast("long").as("base"),
+      min(col(scoreCol).cast("double")).as("lo"),
+      max(col(scoreCol).cast("double")).as("hi"))
+    val bucketed = scored.crossJoin(broadcast(stats))
+      .withColumn("bkt",
+        when(col("hi") > col("lo"),
+          least(floor((col(scoreCol).cast("double") - col("lo"))
+                      / ((col("hi") - col("lo")) / nBkts)),
+                lit(nBkts - 1L)))
+          .otherwise(lit(0L)))
+    val wS = Window.orderBy(col("bkt").desc)
+    val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(wS.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bkt", "off")
+    val wL = Window.partitionBy("bkt")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    bucketed.join(broadcast(offs), "bkt")
+      .withColumn("r", col("off") + row_number().over(wL))
       .withColumn("decile", expr("CAST(((r - 1) * 10) DIV n + 1 AS INT)"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"),
@@ -500,7 +524,7 @@ object AggOps {
       .filter(col("cnt") * MisraGries.K > col("n_total"))
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("AggOps.queries", Seq(
     "agg_hash_global" -> ((s, d) => {
       Tables.lineitem(s, d).agg(
         count(lit(1)).as("n"),
@@ -980,8 +1004,10 @@ object AggOps {
     // response collapse in ONE hash-agg; the decile index is EXPLICIT
     // integer arithmetic on (rank, n) — ((r-1)·10) div n + 1 — not SQL
     // NTILE, whose remainder placement is engine-defined; rates are
-    // ratios of integer counts. The ranking window is user-dimension-
-    // sized, never corpus-sized.
+    // ratios of integer counts. Ranking runs the win_ntile_scalable
+    // two-pass plan (range-bucket → bucket-stat offsets → local rank) —
+    // no single-partition window even when users ARE the scaled
+    // dimension (notes on decileLiftOf).
     "agg_decile_lift" -> ((s, d) => {
       val scored = Tables.events(s, d)
         .groupBy("user_id")
@@ -1247,9 +1273,9 @@ object AggOps {
         .agg(round(exp(avg(log(col("l_extendedprice")))), 2).as("geomean"),
              count(lit(1)).as("n"))
         .orderBy("l_returnflag"))
-  )
+  ))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("AggOps.oracle", Seq(
     // The identical 4×64 md5-fold sketch built in SQL: hex→int via the
     // '0x' cast (DuckDB has no conv()); both engines hash the same
     // "j:key" strings, so cells and estimates are bit-identical.
@@ -1452,8 +1478,10 @@ object AggOps {
              count(*) AS n_users,
              CAST(sum(resp) AS BIGINT) AS n_resp,
              round(CAST(sum(resp) AS DOUBLE) / count(*), 4) AS resp_rate,
-             round((CAST(sum(resp) AS DOUBLE) / count(*))
-                   / (CAST(max(base) AS DOUBLE) / max(n)), 4) AS lift
+             CASE WHEN max(base) > 0 THEN
+               round((CAST(sum(resp) AS DOUBLE) / count(*))
+                     / (CAST(max(base) AS DOUBLE) / max(n)), 4)
+             END AS lift
       FROM d GROUP BY decile
       ORDER BY decile""",
 
@@ -1855,5 +1883,5 @@ object AggOps {
       FROM w GROUP BY g
       HAVING count(*) * 256 > (SELECT n_total FROM n)
       ORDER BY g"""
-  )
+  ))
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object FnOps {
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("FnOps.queries", Seq(
     // Spark 4 COLLATIONS: UTF8_LCASE comparisons/distincts evaluate
     // case-insensitively IN the operators (hash-agg keys, equality) —
     // no lower() rewrite of the data, and unlike a lower() projection the
@@ -384,9 +384,9 @@ object FnOps {
           size(split(col("text"), "\\s+")).as("n_split"))
         .orderBy("doc_id")
     })
-  )
+  ))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("FnOps.oracle", Seq(
     // Same md5-slice coordinates (('0x'||…)::BIGINT) and the same
     // literal haversine chain; radians() exists in both engines.
     "fn_haversine" -> """
@@ -649,5 +649,5 @@ object FnOps {
              CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_split
       FROM h
       ORDER BY doc_id"""
-  )
+  ))
 }

@@ -462,7 +462,7 @@ object GraphOps {
     auth
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("GraphOps.queries", Seq(
     // HITS hubs/authorities over the directed customer→supplier trade
     // graph, [[Iterations]] max-normalized rounds — "which suppliers does
     // the network of well-connected buyers concentrate on" (the bipartite
@@ -807,7 +807,7 @@ object GraphOps {
     // strictly between 0 and 1.
     "graph_reciprocity" -> ((s, d) =>
       reciprocityOf(reciprocityEdges(s, d)))
-  )
+  ))
 
   /** graph_reciprocity's fixture: the directed trade arcs plus a
     * REVERSED arc for above-threshold pairs, deduped — mutuality is then
@@ -880,7 +880,7 @@ object GraphOps {
   /** Oracle: the same three rounds unrolled as chained CTEs (DuckDB has no
     * iterative DataFrame loop; recursion with per-round global aggregation
     * does not fit a plain recursive CTE's single-reference rule). */
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("GraphOps.oracle", Seq(
     // Three max-normalized HITS rounds unrolled as CTEs; max is
     // order-exact, scores round 6dp per half-round exactly like the
     // Spark loop, so every round's inputs are bit-identical cross-engine.
@@ -1269,7 +1269,7 @@ object GraphOps {
                x -> CAST(x.intra AS DOUBLE) / m2
                     - pow(CAST(x.deg AS DOUBLE) / m2, 2))), 4) AS modularity
       FROM t"""
-  )
+  ))
 
   private lazy val ComponentsOracleSql: String = """
       WITH RECURSIVE p AS (

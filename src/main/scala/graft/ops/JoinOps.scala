@@ -80,7 +80,7 @@ object JoinOps {
       .orderBy("event_id")
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("JoinOps.queries", Seq(
     "join_broadcast" -> ((s, d) => {
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
@@ -419,9 +419,9 @@ object JoinOps {
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("c_mktsegment")
     })
-  )
+  ))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("JoinOps.oracle", Seq(
     // same shape as join_shuffle_hash — bucketing is plumbing, not semantics
     "join_bucketed" -> """
       SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
@@ -601,5 +601,5 @@ object JoinOps {
       FROM f JOIN dim ON f.k = dim.k
       GROUP BY 1, 2
       ORDER BY f.k"""
-  )
+  ))
 }

@@ -1315,7 +1315,7 @@ object LlmOps {
               coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("LlmOps.queries", Seq(
     // Exact dedup: normalize (lower, squash whitespace) → digest → one
     // hash-agg keeping the minimum doc_id per digest.
     "llm_exact_dedup" -> ((s, d) =>
@@ -2172,7 +2172,7 @@ object LlmOps {
     "llm_substring_drop_multi" -> ((s, d) =>
       substringDropMultiOf(Tables.documentsWide(s, d), Seq(5, 10))
         .orderBy("doc_id"))
-  )
+  ))
 
   /** DuckDB shingle-set CTE shared by the minhash oracle (same 3-gram def
     * as `shingles` above; string_split is 1-based, range end-exclusive). */
@@ -2283,7 +2283,7 @@ object LlmOps {
           WHERE a$n.vec_id = e.vec_id
           GROUP BY a$n.cell, pos) GROUP BY cell)"""
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("LlmOps.oracle", Seq(
     // The honest ALL-PAIRS definition — the blocked plan must find every
     // pair, not redefine the question (symmetric-delete blocking is
     // complete for k=1, so the hash gate holds exactly).
@@ -3269,5 +3269,5 @@ object LlmOps {
       FROM documents JOIN embeddings ON doc_id = vec_id
       GROUP BY label, lang
       ORDER BY label, lang"""
-  )
+  ))
 }

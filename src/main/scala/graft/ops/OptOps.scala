@@ -207,7 +207,7 @@ object OptOps {
       dir
     })
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("OptOps.queries", Seq(
     // Nested schema pruning: the query touches only doc.meta.* of the
     // nested fixture, and Spark's SchemaPruning rule narrows the parquet
     // ReadSchema to those two LEAVES — doc.body (the dominant bytes) is
@@ -585,7 +585,7 @@ object OptOps {
         out
       } finally s.conf.unset(CosineBandedJoin.ConfKey)
     })
-  )
+  ))
 
   private val mvFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -688,7 +688,7 @@ object OptOps {
       .orderBy("o_orderpriority")
   }
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("OptOps.oracle", Seq(
     // Footer stats must equal the scan-computed aggregate — plain SQL.
     "opt_agg_pushdown" -> """
       SELECT count(*) AS n,
@@ -860,5 +860,5 @@ object OptOps {
       FROM scored
       WHERE cos >= 0.3
       ORDER BY a_id, b_id"""
-  )
+  ))
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Window
 object RelOps {
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("RelOps.queries", Seq(
     // ---- B. projection / predicates ----
     // revenue rounded to 4 (the product of two 2-decimal values has exactly
     // 4 decimal digits — rounding at 2 hits .xx5 ties where Spark HALF_UP
@@ -152,7 +152,7 @@ object RelOps {
       snapshotDiff(base, kept.unionByName(added), Seq("o_orderkey"))
         .orderBy("o_orderkey", "change")
     })
-  )
+  ))
 
   /** (keys..., change ∈ added|deleted|changed) between two snapshot
     * versions of one table. Each side collapses to (key, row fingerprint)
@@ -186,7 +186,7 @@ object RelOps {
         coalesce(col(s"${k}__b"), col(s"${k}__n")).as(k)) :+ col("change"): _*)
   }
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("RelOps.oracle", Seq(
     "proj_expr" -> """
       SELECT l_orderkey, l_linenumber,
              round(l_extendedprice * (1 - l_discount), 4) AS revenue,
@@ -286,5 +286,5 @@ object RelOps {
       SELECT o_orderkey, 'changed'
       FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
       ORDER BY o_orderkey, change"""
-  )
+  ))
 }

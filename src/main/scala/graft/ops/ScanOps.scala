@@ -27,17 +27,19 @@ object ScanOps {
   /** Population-stability index of `valueCol` between the rows flagged
     * by `isExpCol` (expected period) and the rest (actual period) —
     * obs_drift_psi / Quality.psi. ONE conditional hash-agg collapses the
-    * corpus to `nBands` fixed-width band counts per period; the PSI fold
-    * runs over the sorted band list (bit-stable); cells are
-    * Haldane-smoothed (+0.5 over the fixed band universe) so a tail band
-    * emptying in one period stays finite. Returns one row
-    * (n_expected, n_actual, psi 4dp). */
+    * corpus to `nBands` fixed-width band counts per period (values are
+    * clamped into [0, nBands-1] — negatives pin to band 0, overflow to
+    * the top band); the PSI fold runs over the sorted band list
+    * (bit-stable); cells are Haldane-smoothed (+0.5 over the OBSERVED
+    * bands — a band empty in both periods contributes no row, and so no
+    * smoothing term) so a tail band emptying in ONE period stays
+    * finite. Returns one row (n_expected, n_actual, psi 4dp). */
   private[graft] def psiOf(df: DataFrame, valueCol: String,
                            isExpCol: String, bandWidth: Double,
                            nBands: Int): DataFrame = {
     val sm = nBands * 0.5
-    df.select(least(floor(col(valueCol) / bandWidth),
-                    lit(nBands - 1.0)).cast("int").as("band"),
+    df.select(greatest(least(floor(col(valueCol) / bandWidth),
+                             lit(nBands - 1.0)), lit(0.0)).cast("int").as("band"),
               col(isExpCol).as("is_exp"))
       .groupBy("band")
       .agg(sum(when(col("is_exp"), 1L).otherwise(0L)).as("ne"),
@@ -256,7 +258,7 @@ object ScanOps {
       dir
     })
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("ScanOps.queries", Seq(
     // Full scan. NOTE: (l_orderkey, l_linenumber) is NOT unique in this
     // testdata — the only safe total order is over every output column
     // (full rows verified duplicate-free; ties would be identical anyway).
@@ -811,9 +813,9 @@ object ScanOps {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderpriority")
     })
-  )
+  ))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("ScanOps.oracle", Seq(
     "src_partition_discovery" -> """
       SELECT CAST(month(l_shipdate) AS INT) AS mo,
              count(*) AS n, round(sum(l_quantity), 2) AS qty
@@ -990,7 +992,7 @@ object ScanOps {
     // band == sort_array); DuckDB sum(BIGINT) is HUGEINT → cast.
     "obs_drift_psi" -> """
       WITH b AS (
-        SELECT CAST(least(floor(value / 50.0), 9.0) AS INTEGER) AS band,
+        SELECT CAST(greatest(least(floor(value / 50.0), 9.0), 0.0) AS INTEGER) AS band,
                (ts < TIMESTAMP '2024-01-11') AS is_exp
         FROM events
         WHERE event_type = 'purchase'
@@ -1091,5 +1093,5 @@ object ScanOps {
       WHERE o_totalprice > 300000.0
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""
-  )
+  ))
 }

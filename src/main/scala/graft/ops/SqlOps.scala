@@ -34,7 +34,7 @@ object SqlOps {
     * smaller than GraphOps.BfsRounds. Shared with the oracle. */
   private[graft] val RecursiveCteRounds = 3
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("SqlOps.queries", Seq(
     // TPC-H Q3 shape: shipping-priority revenue — 3-way join, grouped
     // revenue, deterministic top-10 (revenue DESC with unique tiebreaker).
     "sql_q3_shipping" -> ((s, d) => {
@@ -1022,9 +1022,9 @@ object SqlOps {
         ORDER BY s_suppkey
       """)
     })
-  )
+  ))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("SqlOps.oracle", Seq(
     // Identical recursive text (UNION ALL walk enumeration runs unchanged
     // in DuckDB; only the view-name suffix differs). Equals graph_bfs's
     // oracle output: min-dist per node under the same hop clamp.
@@ -1556,5 +1556,5 @@ object SqlOps {
             WHERE l2.l_partkey = l1.l_partkey
               AND l2.l_suppkey = l1.l_suppkey))
       ORDER BY s_suppkey"""
-  )
+  ))
 }

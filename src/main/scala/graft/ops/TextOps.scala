@@ -486,7 +486,7 @@ object TextOps {
       .select("lang", "n_docs", "rate", "thresh", "n_kept", "kept_chars")
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("TextOps.queries", Seq(
     // Language ID by character-trigram profile overlap: per-lang top-50
     // trigram profiles (trained on the corpus itself — deterministic),
     // each doc classified by overlap of its top-30 trigrams; output is the
@@ -575,34 +575,6 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // Character-distribution entropy per document — the gibberish/
-    // boilerplate detector orthogonal to llm_quality_score's ratio
-    // heuristics: natural language sits in a narrow entropy band (~3.5-4.5
-    // bits/char for English), while base64 blobs, minified code and
-    // key-mashing land far outside it. Computed from per-(doc, char)
-    // counts via the moment identity H = log2(n) − Σ cnt·log2(cnt) / n —
-    // two hash-aggs over the exploded char stream, no per-doc sort, no
-    // UDF; the explode is the only row expansion and dies at the first
-    // groupBy. Corpus is ASCII by construction (split("") is a
-    // code-unit splitter — byte-entropy semantics on multibyte text would
-    // need a codepoint explode instead, documented here). The oracle is
-    // DuckDB's native entropy() aggregate (log2-based) — same statistic
-    // through a completely different implementation, which is the
-    // strongest cross-engine check available for it.
-    // Type-token ratio + Guiraud index — the lexical-diversity pair of
-    // quality signals (templated/spun text repeats a tiny type set; TTR
-    // exposes it where length or stopword ratios don't; Guiraud's
-    // types/√tokens variant corrects TTR's length bias so long docs are
-    // comparable to short ones). Entirely row-local array expressions —
-    // split once, distinct once, two divisions — runs at scan speed
-    // inside whole-stage codegen, no shuffle at all before the output
-    // sort.
-    // One-row "dataset card" rollup — the corpus summary stamped next to
-    // every published training mix (docs, token/char volume, language
-    // mix, exact-dup rate): ONE pass of map-side-combinable aggregates
-    // (the md5 distinct for the dup rate is the only distinct-shuffle,
-    // and it ships 16-byte digests, not text). Every output is an
-    // integer count or a ratio of integer counts — no float accumulation.
     // SFT chat-template rendering — the last prep step before
     // supervised fine-tuning: (prompt, response) pairs rendered into the
     // training string with role sentinels, plus the token-budget verdict
@@ -610,7 +582,8 @@ object TextOps {
     // string expressions after one co-partitionable equi-join (same pair
     // derivation as llm_rouge_overlap); token counts are whitespace
     // counts over the RENDERED string, so the budget check sees the
-    // sentinel overhead too.
+    // sentinel overhead too. Delegates to sftFormatOf — the same core the
+    // Text.sftFormat facade runs (ApiSpec pins facade ≡ key).
     "llm_sft_format" -> ((s, d) => {
       val t = Tables.documents(s, d)
       sftFormatOf(
@@ -630,36 +603,17 @@ object TextOps {
     // (the md5 distinct for the dup rate is the only distinct-shuffle,
     // and it ships 16-byte digests, not text). Every output is an
     // integer count or a ratio of integer counts — no float accumulation.
-    // SFT chat-template rendering — the last prep step before
-    // supervised fine-tuning: (prompt, response) pairs rendered into the
-    // training string with role sentinels, plus the token-budget verdict
-    // that decides packing vs truncation downstream. Entirely row-local
-    // string expressions after one co-partitionable equi-join (same pair
-    // derivation as llm_rouge_overlap); token counts are whitespace
-    // counts over the RENDERED string, so the budget check sees the
-    // sentinel overhead too.
-    "llm_sft_format" -> ((s, d) => {
-      val t = Tables.documents(s, d)
-      val prompts = t.filter(col("doc_id") < 250)
-        .select(col("doc_id").as("pair_id"),
-                substring(col("text"), 1, 120).as("prompt"))
-      val resps = t.select((col("doc_id") - 250).as("pair_id"),
-                           substring(col("text"), 1, 240).as("response"))
-        .filter(col("pair_id") >= 0 && col("pair_id") < 250)
-      prompts.join(resps, "pair_id")
-        .withColumn("rendered",
-          concat(lit("<|user|>\n"), col("prompt"),
-                 lit("\n<|assistant|>\n"), col("response"), lit("<|end|>")))
-        .select(col("pair_id"), col("rendered"),
-          size(split(col("rendered"), "\\s+")).cast("long").as("n_tokens"),
-          length(col("rendered")).cast("long").as("n_chars"))
-        .withColumn("fits_128", col("n_tokens") <= 128)
-        .orderBy("pair_id")
-    }),
-
     "llm_corpus_stats" -> ((s, d) =>
       corpusStatsOf(Tables.documents(s, d))),
 
+    // Type-token ratio + Guiraud index — the lexical-diversity pair of
+    // quality signals (templated/spun text repeats a tiny type set; TTR
+    // exposes it where length or stopword ratios don't; Guiraud's
+    // types/√tokens variant corrects TTR's length bias so long docs are
+    // comparable to short ones). Entirely row-local array expressions —
+    // split once, distinct once, two divisions — runs at scan speed
+    // inside whole-stage codegen, no shuffle at all before the output
+    // sort.
     "llm_ttr_diversity" -> ((s, d) =>
       ttrOf(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
@@ -682,6 +636,20 @@ object TextOps {
         .orderBy("pair_id")
     }),
 
+    // Character-distribution entropy per document — the gibberish/
+    // boilerplate detector orthogonal to llm_quality_score's ratio
+    // heuristics: natural language sits in a narrow entropy band (~3.5-4.5
+    // bits/char for English), while base64 blobs, minified code and
+    // key-mashing land far outside it. Computed from per-(doc, char)
+    // counts via the moment identity H = log2(n) − Σ cnt·log2(cnt) / n —
+    // two hash-aggs over the exploded char stream, no per-doc sort, no
+    // UDF; the explode is the only row expansion and dies at the first
+    // groupBy. Corpus is ASCII by construction (split("") is a
+    // code-unit splitter — byte-entropy semantics on multibyte text would
+    // need a codepoint explode instead, documented here). The oracle is
+    // DuckDB's native entropy() aggregate (log2-based) — same statistic
+    // through a completely different implementation, which is the
+    // strongest cross-engine check available for it.
     "llm_char_entropy" -> ((s, d) => {
       val cc = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
@@ -997,7 +965,7 @@ object TextOps {
              round(avg("n_chars"), 2).as("avg_chars"))
         .orderBy("lang", "split")
     })
-  )
+  ))
 
   /** Default PII regex pairs (pattern → replacement) — shared by the
     * llm_pii_redact contract key and graft.api.Text.piiRedact so the two
@@ -1251,7 +1219,7 @@ object TextOps {
   private val OracleBpeDir =
     graft.StoreDir.fixedPath("graft-bpestore", "/root/testdata/sf0.01")
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("TextOps.oracle", Seq(
     // Same mask derivation (md5 nibble), same list-op reassembly. DuckDB
     // range() is end-exclusive like Spark's sequence(0, n-1) is inclusive
     // — hence range(0, nspans); list_slice is begin..end-INCLUSIVE vs
@@ -1510,9 +1478,10 @@ object TextOps {
       GROUP BY 1, 2
       ORDER BY lang, predicted""",
 
-    // DuckDB's native entropy() aggregate is log2-based — the same
-    // statistic our moment identity computes, via a different
-    // implementation path.
+    // DuckDB length() counts characters (not bytes — that's strlen),
+    // matching Spark's length(); the fixture corpus is ASCII so either
+    // would pass today, but the character spelling keeps the gate honest
+    // on multibyte text.
     "llm_sft_format" -> """
       WITH p AS (
         SELECT doc_id AS pair_id, substring(text, 1, 120) AS prompt
@@ -1528,7 +1497,7 @@ object TextOps {
       SELECT pair_id, rendered,
              CAST(len(regexp_split_to_array(rendered, '\s+')) AS BIGINT)
                AS n_tokens,
-             CAST(strlen(rendered) AS BIGINT) AS n_chars,
+             CAST(length(rendered) AS BIGINT) AS n_chars,
              (len(regexp_split_to_array(rendered, '\s+')) <= 128)
                AS fits_128
       FROM j ORDER BY pair_id""",
@@ -1589,6 +1558,9 @@ object TextOps {
              END AS rouge1_f1
       FROM p ORDER BY pair_id""",
 
+    // DuckDB's native entropy() aggregate is log2-based — the same
+    // statistic our moment identity computes, via a different
+    // implementation path.
     "llm_char_entropy" -> """
       WITH ch AS (
         SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
@@ -1797,5 +1769,5 @@ object TextOps {
       FROM s
       GROUP BY lang, split
       ORDER BY lang, split"""
-  )
+  ))
 }

@@ -50,7 +50,7 @@ object UdfOps {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("UdfOps.queries", Seq(
     // Scalar UDF + its native-expression twin in one hash-checked result.
     "udf_scalar" -> ((s, d) => {
       val band = udf((p: Double) =>
@@ -141,9 +141,9 @@ object UdfOps {
           round(dot / sqrt(na * nb), 4).as("cos_builtin"))
         .orderBy("a_id")
     })
-  )
+  ))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("UdfOps.oracle", Seq(
     // The SQL body inlined — what Catalyst does with the declared UDF.
     "udf_sql_declared" -> """
       SELECT l_returnflag,
@@ -205,5 +205,5 @@ object UdfOps {
       SELECT a_id, round(cosv, 4) AS cos_expr, round(cosv, 4) AS cos_builtin
       FROM c
       ORDER BY a_id"""
-  )
+  ))
 }

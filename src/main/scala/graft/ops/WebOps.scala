@@ -632,7 +632,7 @@ object WebOps {
       buildBm25Delta(docs.filter(col("doc_id") % 4 === 0), dir, "2", "doc_id", "text")
     }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("WebOps.queries", Seq(
     // URL component extraction via the native parse_url expression (HOST
     // excludes the port, REF = fragment, the 3-arg form plucks one query
     // param) — per-row codegen'd work, no shuffle. NULL components (no
@@ -848,9 +848,9 @@ object WebOps {
                 round(col("idcg"), 4).as("idcg"),
                 round(col("dcg") / col("idcg"), 4).as("ndcg"))
     })
-  )
+  ))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("WebOps.oracle", Seq(
     "fn_url_parse" -> s"""
       WITH u AS ($UrlCte)
       SELECT doc_id,
@@ -1045,7 +1045,7 @@ object WebOps {
       SELECT t0.doc_id, count(*) AS occurrences
       FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos
       GROUP BY t0.doc_id ORDER BY t0.doc_id"""
-  )
+  ))
 
   private lazy val Bm25OracleSql: String = s"""
       WITH dl AS (

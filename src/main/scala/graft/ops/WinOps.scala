@@ -28,7 +28,7 @@ import org.apache.spark.sql.expressions.Window
 object WinOps {
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("WinOps.queries", Seq(
     "win_rank_dense_rownum" -> ((s, d) => {
       val w = Window.partitionBy("p_brand")
         .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
@@ -472,7 +472,7 @@ object WinOps {
                   col("l_linenumber"), col("l_quantity").cast("double").as("x")),
         "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"), "x")
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber"))
-  )
+  ))
 
   /** Daily DECIMAL-exact rollup shared by the time-series trio: one
     * shuffle to (keyCol, day) grain, totals order-exact in
@@ -741,7 +741,7 @@ object WinOps {
       .drop("rn", "blk", "j", "lnum", "lden", "cnum", "cden")
   }
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("WinOps.oracle", Seq(
     // generate_series over DATE+INTERVAL yields timestamps — cast back;
     // same grid, same IGNORE NULLS forward fill.
     "win_gap_fill" -> """
@@ -1140,5 +1140,5 @@ object WinOps {
                   ELSE false END AS is_outlier
       FROM m
       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
-  )
+  ))
 }

@@ -84,19 +84,32 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Scheme-stripped canonical form, so the registrant's bare
-    * `/dir/table.parquet` matches the relation's qualified
-    * `file:/dir/table.parquet`. Matching is EXACT path equality — a
-    * substring match could serve the MV for any relation whose root
-    * merely embeds the registered path (wrong results, not just a
-    * missed rewrite). */
-  private def canonical(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+  /** Canonical (scheme, authority, path) triple. Matching is EXACT path
+    * equality — a substring match could serve the MV for any relation
+    * whose root merely embeds the registered path (wrong results, not
+    * just a missed rewrite). When the registered fragment carries a
+    * scheme (`hdfs://nn/data/t`), scheme AND authority must match too,
+    * so the same path on two filesystems cannot both serve one MV; a
+    * BARE registered path (`/data/t`) matches any filesystem on path
+    * alone — the registrant asserts a single-filesystem deployment. */
+  private def canonical(p: String): (Option[String], Option[String], String) = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    (Option(u.getScheme), Option(u.getAuthority).filter(_.nonEmpty),
+     u.getPath.stripSuffix("/"))
+  }
+
+  private def matches(reg: (Option[String], Option[String], String),
+                      rel: (Option[String], Option[String], String)): Boolean =
+    reg._3 == rel._3 &&
+      (reg._1.isEmpty || (reg._1 == rel._1 && reg._2 == rel._2))
 
   private def defFor(lr: LogicalRelation): Option[MvRegistry.MvDef] = {
     val paths = lr.relation.asInstanceOf[HadoopFsRelation]
-      .location.rootPaths.map(p => canonical(p.toString)).toSet
-    MvRegistry.all.find(d => paths.contains(canonical(d.srcPathFragment)))
+      .location.rootPaths.map(p => canonical(p.toString))
+    MvRegistry.all.find { d =>
+      val reg = canonical(d.srcPathFragment)
+      paths.exists(rel => matches(reg, rel))
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

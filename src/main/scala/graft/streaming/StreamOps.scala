@@ -723,7 +723,7 @@ object StreamOps {
     } finally conn.close()
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.Contract.uniqueMap("StreamOps.queries", Seq(
     // Tumbling 1-hour windows per event type, 10-min watermark.
     "stream_tumbling" -> ((s, d) => {
       val rep = replay(s, d, "flush")
@@ -1314,9 +1314,9 @@ object StreamOps {
       graft.sources.BusRegistry.remove(out)
       s.table(name).orderBy("event_id")
     })
-  )
+  ))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = graft.Contract.uniqueMap("StreamOps.oracle", Seq(
     // Restart plumbing is exactly-once ⇒ the sink equals one batch pass
     // over the full table; n == n_ids (unique event_id) is the dup canary.
     "stream_checkpoint_restart" -> """
@@ -1571,5 +1571,5 @@ object StreamOps {
       FROM events
       WHERE event_type = 'signup'
       ORDER BY event_id"""
-  )
+  ))
 }

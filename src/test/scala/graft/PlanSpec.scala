@@ -353,6 +353,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"row-level window lost its bucket partitioning:\n$p")
   }
 
+  test("agg_decile_lift: ranking never funnels row-level data through one partition") {
+    // r15 verdict scale-note: the lift ranking used a GLOBAL Window.orderBy.
+    // It now runs the win_ntile_scalable two-pass plan; same pin — every
+    // SinglePartition exchange must sit over a HashAggregate (the 1-row
+    // frame stats / ≤1024-row bucket stats), never over row-level input,
+    // and the row-level row_number window must carry the bkt partition.
+    val p = plan("agg_decile_lift")
+    val lines = p.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
+        assert(child.contains("HashAggregate"),
+          s"SinglePartition over non-aggregated input:\n$p")
+    }
+    val rowWin = lines.filter(l => l.contains("Window [row_number()"))
+    assert(rowWin.nonEmpty && rowWin.forall(_.contains("], [bkt")),
+      s"row-level ranking window lost its bucket partitioning:\n$p")
+  }
+
   test("llm_substring_dedup: no pair enumeration anywhere in the plan") {
     // the scale claim: repeated-span detection is agg + join-back on the
     // span hash — a doc-pair expansion (cartesian or nested-loop) would
