@@ -739,6 +739,22 @@ object LlmOps {
       .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Recall@k truth-join eval — ONE definition for every approximate
+    * index's quality gate (llm_ann_recall_eval / _ivf / _ivfpq): `truth`
+    * and `approx` are (q_id, n_id) top-k frames from the REAL operators;
+    * the comparison is one co-partitioned equi-join on (q_id, n_id) plus
+    * one count per query, so eval cost is index cost, not corpus cost.
+    * Returns (q_id, n_true, n_hits, recall 2dp), unordered. */
+  private[graft] def recallEvalOf(truth: DataFrame,
+                                  approx: DataFrame): DataFrame =
+    truth.join(
+        approx.select(col("q_id").as("a_q"), col("n_id").as("a_n")),
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_true"),
+           sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / col("n_true"), 2))
+
   /** Day-1 MinHash signature store for `llm_dedup_incremental`, built once
     * per sfDir per JVM (the "day 1 job") and then only READ: bands/ holds
     * the exploded (doc_id, band, bh) posting rows new docs probe; sh/ holds
@@ -1621,15 +1637,52 @@ object LlmOps {
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .filter(col("q_id") < 100)
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      val truth = knnOf(q, c, 5).select(col("q_id"), col("n_id"))
-      val approx = lshKnnOf(q, c)
-        .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
-      truth.join(approx,
-          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
-        .groupBy("q_id")
-        .agg(count(lit(1)).as("n_true"),
-             sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / col("n_true"), 2))
+      recallEvalOf(knnOf(q, c, 5).select(col("q_id"), col("n_id")),
+                   lshKnnOf(q, c).select(col("q_id"), col("n_id")))
+        .orderBy("q_id")
+    }),
+
+    // Recall gate for the IVF path (r15 verdict, Next round #2): the
+    // same truth-join eval as llm_ann_recall_eval, measuring the REAL
+    // llm_knn_ivf search (kmeansCells + ivfSearchOf, default knobs)
+    // against the real brute-force ground truth — both cores reused
+    // verbatim, so a regression in either index half moves this gated
+    // row. PropertySpec holds the floor/monotonicity bounds; this key
+    // hash-pins the exact per-query recall.
+    "llm_ann_recall_ivf" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddingsWide(s, d)
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .filter(col("q_id") < 100)
+      val c = Tables.embeddings(s, d)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val cen = kmeansCells(e, IvfCells, IvfIters)
+      recallEvalOf(
+        knnOf(q, c, 5).select(col("q_id"), col("n_id")),
+        ivfSearchOf(e.filter(col("vec_id") < 100), e, cen, IvfProbes, 5)
+          .select(col("q_id"), col("n_id")))
+        .orderBy("q_id")
+    }),
+
+    // Recall gate for the composed IVF-PQ path: truth-join eval of the
+    // REAL llm_knn_ivfpq search (persisted store, ADC shortlist-25 +
+    // exact rerank, default knobs) against brute force. Covers the full
+    // production stack — coarse quantizer recall × ADC survival — as a
+    // hash-gated per-query row; llm_matryoshka_ann's own output already
+    // carries its measured recall, completing the per-index recall board.
+    "llm_ann_recall_ivfpq" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val idx = annIndexPath(s, d)
+      val e = Tables.embeddingsWide(s, d)
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .filter(col("q_id") < 100)
+      val c = Tables.embeddings(s, d)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val approx = ivfPqSearchPosting(e.filter(col("vec_id") < 100), e,
+        s.read.parquet(s"$idx/posting"), s.read.parquet(s"$idx/cen"),
+        nprobe = IvfProbes, shortlist = 25, k = 5)
+      recallEvalOf(knnOf(q, c, 5).select(col("q_id"), col("n_id")),
+                   approx.select(col("q_id"), col("n_id")))
         .orderBy("q_id")
     }),
 
@@ -2221,8 +2274,37 @@ object LlmOps {
     * chain matches the Spark plan, so the hash gate covers the full
     * search half. `postingSql` lets the incremental key union its two
     * posting halves. */
-  private def ivfPqSearchStoreSql(cenPath: String, postingSql: String): String = s"""
-      WITH q AS (
+  /** Brute-force top-5 ground truth as CTEs `bf_pairs`/`bf` — shared by
+    * every recall-gate oracle so truth is ONE definition cross-key. */
+  private def bfTop5CtesSql: String = s"""
+      bf_pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ${ffCosSql("q.embedding", "c.embedding")} AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 100),
+      bf AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+          FROM bf_pairs) WHERE rk <= 5)"""
+
+  /** The recall join + per-query rollup over `bf` and an approx CTE —
+    * the SQL twin of recallEvalOf, one definition for every recall key. */
+  private def recallSelectSql(approxCte: String): String = s"""
+      SELECT bf.q_id, count(*) AS n_true,
+             CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 2) AS recall
+      FROM bf LEFT JOIN $approxCte a ON bf.q_id = a.q_id AND bf.n_id = a.n_id
+      GROUP BY bf.q_id
+      ORDER BY bf.q_id"""
+
+  /** The IVF-PQ store-search CTE chain (probe + ADC + rerank, tiebreaks
+    * matched stage by stage); ends at `r` carrying (q_id, n_id, cos, rk)
+    * so both the search oracle and the recall oracle share it. */
+  private def ivfPqSearchStoreCtesSql(cenPath: String, postingSql: String): String = s"""
+      q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
         WHERE vec_id < 100),
       cen AS (SELECT cell, cvec FROM read_parquet('$cenPath/*.parquet')),
@@ -2257,10 +2339,51 @@ object LlmOps {
       r AS (
         SELECT q_id, n_id, cos,
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
-        FROM rr)
+        FROM rr)"""
+
+  private def ivfPqSearchStoreSql(cenPath: String, postingSql: String): String = s"""
+      WITH ${ivfPqSearchStoreCtesSql(cenPath, postingSql)}
       SELECT q_id, rk, n_id, round(cos, 4) AS cos
       FROM r WHERE rk <= 5
       ORDER BY q_id, rk"""
+
+  /** The full trained-quantizer IVF search chain for the llm_knn_ivf and
+    * llm_ann_recall_ivf oracles: seeded init (first IvfCells vec_ids),
+    * two unrolled Lloyd's rounds, nearest-cell posting lists, 3-probe
+    * search, exact double cosine within probed cells; ends at `ivf_r`
+    * carrying (q_id, n_id, cos, rk). */
+  private def ivfSearchCtesSql: String = s"""
+      init AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+        FROM embeddings WHERE vec_id < 10),
+      ${kmeansRoundSql(1, "init")},
+      ${kmeansRoundSql(2, "c1")},
+      sc AS (
+        SELECT v.vec_id, c.cell, ${cellCosSql("v.embedding", "c.cvec")} AS cc
+        FROM embeddings v CROSS JOIN c2 c),
+      posting AS (
+        SELECT cell, vec_id AS n_id FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+          FROM sc) WHERE rn = 1),
+      probes AS (
+        SELECT q_id, cell FROM (
+          SELECT vec_id AS q_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS prn
+          FROM sc WHERE vec_id < 100) WHERE prn <= 3),
+      ivf_pairs AS (
+        SELECT p.q_id, po.n_id,
+               ${ffCosSql("q.embedding", "n.embedding")} AS cos
+        FROM probes p
+        JOIN posting po ON p.cell = po.cell
+        JOIN embeddings q ON q.vec_id = p.q_id
+        JOIN embeddings n ON n.vec_id = po.n_id
+        WHERE p.q_id <> po.n_id),
+      ivf_r AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        FROM ivf_pairs)"""
 
   /** One unrolled Lloyd's round for the llm_knn_ivf oracle: s$n scores every
     * vector against the previous round's centroids, a$n takes the argmax
@@ -2892,8 +3015,9 @@ object LlmOps {
     // element access both engines), same >=1-shared-band candidate rule,
     // same exact-cosine + (cos DESC, n_id) top-5.
     // The bruteforce and LSH oracle CTEs composed verbatim, then one
-    // left join + count per query.
-    "llm_ann_recall_eval" -> """
+    // left join + count per query (bfTop5CtesSql / recallSelectSql —
+    // the same shared truth + rollup every recall key's oracle uses).
+    "llm_ann_recall_eval" -> s"""
       WITH bands AS (
         SELECT vec_id, j AS band_idx,
                (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
@@ -2921,28 +3045,25 @@ object LlmOps {
           SELECT q_id, n_id,
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
           FROM lsh_pairs) WHERE rk <= 5),
-      bf_pairs AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          list_sum(list_transform(list_zip(q.embedding, c.embedding),
-                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-          / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-               * list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-          AS cos
-        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        WHERE q.vec_id < 100),
-      bf AS (
-        SELECT q_id, n_id FROM (
-          SELECT q_id, n_id,
-                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
-          FROM bf_pairs) WHERE rk <= 5)
-      SELECT bf.q_id, count(*) AS n_true,
-             CAST(sum(CASE WHEN lsh.n_id IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_hits,
-             round(CAST(sum(CASE WHEN lsh.n_id IS NOT NULL THEN 1 ELSE 0 END)
-                        AS DOUBLE) / count(*), 2) AS recall
-      FROM bf LEFT JOIN lsh ON bf.q_id = lsh.q_id AND bf.n_id = lsh.n_id
-      GROUP BY bf.q_id
-      ORDER BY bf.q_id""",
+      ${bfTop5CtesSql}
+      ${recallSelectSql("lsh")}""",
+
+    // The llm_knn_ivf oracle's trained-quantizer chain composed with the
+    // shared brute-force truth, then the shared recall rollup.
+    "llm_ann_recall_ivf" -> s"""
+      WITH ${ivfSearchCtesSql},
+      appx AS (SELECT q_id, n_id FROM ivf_r WHERE rk <= 5),
+      ${bfTop5CtesSql}
+      ${recallSelectSql("appx")}""",
+
+    // The llm_knn_ivfpq oracle's store-search chain (probe + ADC +
+    // rerank over the persisted index) composed the same way.
+    "llm_ann_recall_ivfpq" -> s"""
+      WITH ${ivfPqSearchStoreCtesSql(s"$OracleAnnDir/cen",
+        s"SELECT cell, n_id, vhat FROM read_parquet('$OracleAnnDir/posting/*.parquet')")},
+      appx AS (SELECT q_id, n_id FROM r WHERE rk <= 5),
+      ${bfTop5CtesSql}
+      ${recallSelectSql("appx")}""",
 
     "llm_knn_lsh" -> """
       WITH bands AS (
@@ -3164,44 +3285,12 @@ object LlmOps {
 
     // Mirrors the trained-quantizer IVF definition exactly: seeded init
     // (first 10 vec_ids), two unrolled Lloyd's rounds, nearest-cell posting
-    // lists, 3-probe search, exact double cosine within probed cells.
+    // lists, 3-probe search, exact double cosine within probed cells
+    // (chain factored as ivfSearchCtesSql — shared with the recall gate).
     "llm_knn_ivf" -> s"""
-      WITH init AS (
-        SELECT CAST(vec_id AS INTEGER) AS cell,
-               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-        FROM embeddings WHERE vec_id < 10),
-      ${kmeansRoundSql(1, "init")},
-      ${kmeansRoundSql(2, "c1")},
-      sc AS (
-        SELECT v.vec_id, c.cell, ${cellCosSql("v.embedding", "c.cvec")} AS cc
-        FROM embeddings v CROSS JOIN c2 c),
-      posting AS (
-        SELECT cell, vec_id AS n_id FROM (
-          SELECT vec_id, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
-          FROM sc) WHERE rn = 1),
-      probes AS (
-        SELECT q_id, cell FROM (
-          SELECT vec_id AS q_id, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS prn
-          FROM sc WHERE vec_id < 100) WHERE prn <= 3),
-      pairs AS (
-        SELECT p.q_id, po.n_id,
-          list_sum(list_transform(list_zip(q.embedding, n.embedding),
-                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-          / sqrt(list_sum(list_transform(q.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
-               * list_sum(list_transform(n.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS cos
-        FROM probes p
-        JOIN posting po ON p.cell = po.cell
-        JOIN embeddings q ON q.vec_id = p.q_id
-        JOIN embeddings n ON n.vec_id = po.n_id
-        WHERE p.q_id <> po.n_id),
-      r AS (
-        SELECT q_id, n_id, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
-        FROM pairs)
+      WITH ${ivfSearchCtesSql}
       SELECT q_id, rk, n_id, round(cos, 4) AS cos
-      FROM r WHERE rk <= 5
+      FROM ivf_r WHERE rk <= 5
       ORDER BY q_id, rk""",
 
     "llm_multimodal_features" -> """

@@ -150,4 +150,21 @@ class GoldenSpec extends AnyFunSuite {
     assert(r.getLong(4) === 500L)
     assert(r.getDouble(7) === 0.0)
   }
+
+  test("ANN recall board at sf0.001: LSH 0.914, IVF 0.612, IVF-PQ 0.476, matryoshka 0.06") {
+    // The per-index measured-recall values frozen (r15 verdict #2): each
+    // is mean per-query recall@5 of the REAL search against brute-force
+    // truth, through the gated recall keys (matryoshka's own output
+    // carries its recall). The random fixture embeddings make these
+    // discriminating, not vanity numbers — a quantizer, banding, ADC, or
+    // truncation regression moves its row.
+    import org.apache.spark.sql.functions.{avg, round => rnd}
+    def meanRecall(key: String): Double =
+      SparkEntry.queries(key)(spark, d)
+        .agg(rnd(avg("recall"), 4)).head.getDouble(0)
+    assert(meanRecall("llm_ann_recall_eval") === 0.914)
+    assert(meanRecall("llm_ann_recall_ivf") === 0.612)
+    assert(meanRecall("llm_ann_recall_ivfpq") === 0.476)
+    assert(meanRecall("llm_matryoshka_ann") === 0.06)
+  }
 }

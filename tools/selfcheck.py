@@ -70,6 +70,56 @@ def compare(name, spark_df, duck_df):
                 return f"VALUES col {c} ({av.dtype} vs {bv.dtype}) differ (non-comparable dtypes)"
     return None
 
+def survey_keys(survey_path):
+    """Every backticked key named in SURVEY.md §2's table rows (first
+    cell). Handles the two multi-key rows: `join_left/right/full` and
+    `set_union_all` / `set_union_distinct`."""
+    import re
+    keys = []
+    in_s2 = False
+    for line in open(survey_path):
+        if line.startswith("## §2"):
+            in_s2 = True
+            continue
+        if in_s2 and re.match(r"^## §\d", line):
+            break
+        if not (in_s2 and line.startswith("| `")):
+            continue
+        first_cell = line.split("|")[1]
+        for tok in re.findall(r"`([^`]+)`", first_cell):
+            if "/" in tok and not tok.startswith("/"):
+                # join_left/right/full -> join_left, join_right, join_full
+                head, *rest = tok.split("/")
+                prefix = head.rsplit("_", 1)[0]
+                keys.append(head)
+                keys.extend(f"{prefix}_{r}" for r in rest)
+            else:
+                keys.append(tok)
+    return keys
+
+
+def contract_check(out_dir):
+    """Diff the engine's full key list (_keys.json, dumped by Verify)
+    against SURVEY.md §2 — the judge's mechanical contract check, run at
+    build time. Returns a list of problem strings (empty = green)."""
+    problems = []
+    kp = os.path.join(out_dir, "_keys.json")
+    sp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "SURVEY.md")
+    if not os.path.exists(kp):
+        return ["no _keys.json in out dir (re-run graft.Verify)"]
+    engine = set(json.load(open(kp)))
+    survey = survey_keys(sp)
+    sdups = sorted({k for k in survey if survey.count(k) > 1})
+    if sdups:
+        problems.append(f"SURVEY §2 names keys twice: {sdups}")
+    sset = set(survey)
+    if sset - engine:
+        problems.append(f"in SURVEY §2 but not in SparkEntry.queries: {sorted(sset - engine)}")
+    if engine - sset:
+        problems.append(f"in SparkEntry.queries but not in SURVEY §2: {sorted(engine - sset)}")
+    return problems
+
+
 def main():
     # optional: --json <path> writes the per-key results as JSON (the
     # round-end local snapshot VERDICT r11 #8 asked for)
@@ -129,6 +179,14 @@ def main():
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v is None else 'FAIL'} {name}" + (f" :: {v}" if v else ""))
     print(f"== {npass}/{len(results)} pass ==")
+    contract = contract_check(out_dir)
+    for p in contract:
+        print(f"CONTRACT-FAIL :: {p}")
+    if not contract and os.path.exists(os.path.join(out_dir, "_keys.json")):
+        nkeys = len(json.load(open(os.path.join(out_dir, "_keys.json"))))
+        print(f"contract: {nkeys} keys, SURVEY §2 diff empty both directions")
+    if contract:
+        sys.exit(2)
     # note which query keys have no oracle (rows-only)
     missing = [n for n in os.listdir(out_dir)
                if os.path.isdir(os.path.join(out_dir, n)) and n not in oracle]
