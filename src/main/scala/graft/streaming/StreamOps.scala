@@ -116,23 +116,24 @@ object StreamOps {
       val srcDir =
         if (variant == "base") base.dir
         else if (variant == "flush") {
-          // Pairwise-merge the base chunks into 2 time-ordered files: the
-          // six flush-replay keys must keep maxFilesPerTrigger=1 (each of
+          // Merge the base chunks into ONE time-ordered file: the six
+          // flush-replay keys must keep maxFilesPerTrigger=1 (each of
           // the 3 sentinels needs its OWN trailing batch — the executing
           // watermark is two batches stale), so the only way to cut their
           // dominant cost (micro-batch count) is fewer base files. Merging
           // is semantics-preserving: batch-equivalence holds under any
           // time-ordered grouping of the real data, and window
           // finalization is driven entirely by the sentinel batches.
-          // 7 batches → 5 per flush key. ("late" keeps the 4-chunk layout:
-          // its late-vs-watermark margin is calibrated against chunk span.)
+          // 7 batches → 4 per flush key (was 5 through r15 — the r16
+          // streaming diet finished the merge; state-commit overhead is
+          // per-batch, so the watermark-driven minimum of 1 data + 3
+          // sentinel batches is the floor and we now sit on it).
+          // ("late" keeps the 4-chunk layout: its late-vs-watermark
+          // margin is calibrated against chunk span.)
           val d = Files.createTempDirectory(s"graft-stream-$variant-").toFile
           val parts = Option(base.dir.listFiles()).getOrElse(Array.empty[File])
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          parts.grouped((parts.length + 1) / 2).zipWithIndex.foreach {
-            case (grp, i) =>
-              writeChunk(spark.read.parquet(grp.map(_.getAbsolutePath).toSeq: _*), d, i)
-          }
+          writeChunk(spark.read.parquet(parts.map(_.getAbsolutePath).toSeq: _*), d, 0)
           d
         } else {
           val d = Files.createTempDirectory(s"graft-stream-$variant-").toFile
@@ -209,10 +210,15 @@ object StreamOps {
                        Files.createTempDirectory("graft-stream-unionB-").toFile)
       val parts = Option(base.dir.listFiles()).getOrElse(Array.empty[File])
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        val dst = new File(dirs(i % 2), f.getName)
-        Files.copy(f.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(f.lastModified())
+      // Each source's alternating base chunks merge into ONE file (r16
+      // diet, same argument as the flush merge: batch-equivalence holds
+      // under any time-ordered grouping; the per-source sentinels below
+      // stay one-per-batch and drive all finalization). Union batches =
+      // max(files per source) = 4, down from 7.
+      dirs.zipWithIndex.foreach { case (dir, side) =>
+        val grp = parts.zipWithIndex.collect { case (f, i) if i % 2 == side => f }
+        if (grp.nonEmpty)
+          writeChunk(spark.read.parquet(grp.map(_.getAbsolutePath).toSeq: _*), dir, 0)
       }
       import spark.implicits._
       dirs.foreach { dir =>
@@ -642,10 +648,13 @@ object StreamOps {
     */
   private def streamStreamJoin(s: SparkSession, d: String, joinType: String): DataFrame = {
     val isOuter = joinType != "inner"
-    val rep = replay(s, d, if (isOuter) "flush" else "base")
-    // inner emits matches as both sides' rows arrive — file grouping is
-    // free; outer's null-matches are watermark-eviction-driven, so the
-    // flush sentinels must stay one-per-batch (see runStream's doc).
+    // BOTH sides ride the flush replay (r16 diet): inner emits matches as
+    // rows arrive, so it tolerates any grouping — 2 files/trigger over the
+    // merged-1-data-file layout = 2 micro-batches (the sentinels it groups
+    // in are dropped by its event-type filter); outer's null-matches are
+    // watermark-eviction-driven, so its flush sentinels must stay
+    // one-per-batch (see runStream's doc) = the 4-batch floor.
+    val rep = replay(s, d, "flush")
     val mfpt = if (isOuter) 1 else 2
     val name = s"graft_stream_ss_${nameCounter.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
@@ -683,16 +692,19 @@ object StreamOps {
     s.table(name)
   }
 
-  /** One embedded Derby database per JVM for the JDBC sink key (same
-    * rationale as the bucketed-table dir: Bench/Verify/tests each invoke
-    * the key, and a fresh database directory per invocation would pile up
-    * on disk and re-pay Derby bootstrap every run). Each invocation gets
-    * its OWN counter-named table inside it, so overlapping invocations in
-    * one JVM cannot clobber each other's rows. */
-  private lazy val derbyUrl: String = {
-    val db = Files.createTempDirectory("graft-derby-stream-").toString + "/db"
-    s"jdbc:derby:$db;create=true"
-  }
+  /** One embedded Derby database per JVM for the JDBC sink key, on the
+    * IN-MEMORY subprotocol: the sink's contract (executor-side
+    * foreachBatch + idempotent keyed upsert, read back through JDBC) is
+    * identical, but none of Derby's page/transaction-log disk IO happens
+    * — that IO was the noisiest raw-repeat spread on the bench board
+    * (r15: [10.3, 5.1, 8.6] s for one key; the sentinel protocol kept
+    * flagging its segments). A real deployment points this URL at a DB
+    * server, where durability is the server's concern, so in-memory
+    * loses no fidelity here. Each invocation gets its OWN counter-named
+    * table, so overlapping invocations in one JVM cannot clobber each
+    * other's rows. */
+  private lazy val derbyUrl: String =
+    s"jdbc:derby:memory:graftstream${nameCounter.incrementAndGet()};create=true"
 
   /** Idempotent keyed upsert of (window_start, event_type, n, sv) rows into
     * `table`: DELETE+INSERT per key inside one transaction, so replaying
