@@ -937,4 +937,27 @@ class ApiSpec extends AnyFunSuite {
     assert(rowSet(Text.corpusStats(docs)) ===
       rowSet(SparkEntry.queries("llm_corpus_stats")(spark, d)))
   }
+
+  test("Text.fingerprints equals llm_fingerprint (shared rolling-hash core)") {
+    val viaApi = Text.fingerprints(docs,
+        hashImpl = graft.ops.LlmOps.TextHash)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("fps")).cast("long").as("n_fp"),
+        org.apache.spark.sql.functions.array_min(col("fps")).as("min_fp"),
+        org.apache.spark.sql.functions.array_max(col("fps")).as("max_fp"))
+    assert(rowSet(viaApi) ===
+      rowSet(SparkEntry.queries("llm_fingerprint")(spark, d)))
+    assert(viaApi.count() > 0)
+  }
+
+  test("Web.canonicalUrl reproduces llm_url_dedup's canonical grouping") {
+    import org.apache.spark.sql.functions.{count, lit, min}
+    val viaApi = graft.ops.WebOps.urls(spark, d)
+      .select(api.Web.canonicalUrl(col("url")).as("canon_url"), col("doc_id"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("first_doc"))
+    assert(rowSet(viaApi) ===
+      rowSet(SparkEntry.queries("llm_url_dedup")(spark, d)))
+    assert(viaApi.count() > 0)
+  }
 }

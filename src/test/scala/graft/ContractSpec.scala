@@ -32,6 +32,35 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
+  test("every public facade method is exercised by at least one spec (r15 verdict #8)") {
+    // The sft-duplicate episode showed equality/behavior pins are what
+    // catch drift: sweep graft.api for any Obj.method no test ever
+    // calls. Parsed from source so a new facade without a spec fails
+    // here, not at judge time. Nested local defs (indent > 2) are not
+    // facades and are skipped.
+    import java.nio.file.{Files, Path}
+    import java.nio.charset.StandardCharsets.UTF_8
+    def slurp(p: Path) = new String(Files.readAllBytes(p), UTF_8)
+    val api = slurp(Path.of("src/main/scala/graft/api/GraftApi.scala"))
+    val tests = new java.io.File("src/test/scala/graft")
+      .listFiles().filter(_.getName.endsWith(".scala"))
+      .map(f => slurp(f.toPath)).mkString("\n")
+    var cur = ""
+    val missing = scala.collection.mutable.ArrayBuffer.empty[String]
+    api.linesIterator.foreach { line =>
+      val om = "^object (\\w+)".r.findFirstMatchIn(line)
+      if (om.isDefined) cur = om.get.group(1)
+      else "^  def (\\w+)".r.findFirstMatchIn(line).foreach { dm =>
+        val name = dm.group(1)
+        if (cur.nonEmpty &&
+            !tests.contains(s"$cur.$name(") && !tests.contains(s"$cur.$name "))
+          missing += s"$cur.$name"
+      }
+    }
+    assert(missing.isEmpty,
+      s"facade methods with no spec exercising them: ${missing.mkString(", ")}")
+  }
+
   test("cross-module key collisions are impossible (merged size == sum of module sizes)") {
     val fields = Seq(
       ops.ScanOps.queries, ops.RelOps.queries, ops.JoinOps.queries,
