@@ -1686,6 +1686,30 @@ object LlmOps {
         .orderBy("q_id")
     }),
 
+    // IVF index-health audit — the ops check run BEFORE trusting an IVF
+    // index's nprobe economics: per-cell posting-list sizes and their
+    // imbalance over the persisted store. A skewed quantizer quietly
+    // destroys the nprobe/#cells cost model (a hot cell makes every
+    // probe that lands on it scan a corpus-sized list) and caps
+    // achievable recall for queries whose neighborhoods straddle the
+    // starved cells — this row is what pages the re-train job. ONE
+    // hash-agg over the stored (cell) column + a broadcast 1-row total;
+    // every output is a ratio of exact integer counts, and at 100 TB
+    // the audit reads index metadata volumes, never vectors.
+    "llm_ann_index_stats" -> ((s, d) => {
+      val idx = annIndexPath(s, d)
+      val cells = s.read.parquet(s"$idx/posting").select("cell")
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum("n_vecs").as("total"),
+                          count(lit(1)).as("n_cells"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          round(col("n_vecs") / col("total").cast("double"), 4).as("frac"),
+          round((col("n_vecs") * col("n_cells")) / col("total").cast("double"), 4)
+            .as("imbalance"))
+        .orderBy("cell")
+    }),
+
     "llm_knn_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
@@ -3064,6 +3088,20 @@ object LlmOps {
       appx AS (SELECT q_id, n_id FROM r WHERE rk <= 5),
       ${bfTop5CtesSql}
       ${recallSelectSql("appx")}""",
+
+    // Same persisted posting the search oracles read; DuckDB sum(BIGINT)
+    // widens to HUGEINT so the total casts back.
+    "llm_ann_index_stats" -> s"""
+      WITH c AS (
+        SELECT cell, count(*) AS n_vecs
+        FROM read_parquet('$OracleAnnDir/posting/*.parquet') GROUP BY cell),
+      t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM c)
+      SELECT c.cell, CAST(c.n_vecs AS BIGINT) AS n_vecs,
+             round(CAST(c.n_vecs AS DOUBLE) / t.total, 4) AS frac,
+             round(CAST(c.n_vecs * t.n_cells AS DOUBLE) / t.total, 4) AS imbalance
+      FROM c CROSS JOIN t
+      ORDER BY c.cell""",
 
     "llm_knn_lsh" -> """
       WITH bands AS (

@@ -2121,6 +2121,62 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("decileLiftOf: two-pass rank matches a global-window rank; degenerate inputs behave") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // planted frame: 100 users, varied scores incl. exact ties, 0/1 resp
+    val df = spark.range(100).select(
+      col("id").as("uid"),
+      (col("id") % 7).cast("double").as("score"), // many exact ties
+      (col("id") % 5 === 0).cast("long").as("resp"))
+    val two = graft.ops.AggOps.decileLiftOf(df, "uid", "score", "resp")
+      .orderBy("decile").collect()
+    // reference: the r15 single-window formulation, recomputed inline
+    val w = Window.orderBy(col("score").desc, col("uid").asc)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ref = df.withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("base", sum("resp").over(wAll))
+      .withColumn("decile", expr("CAST(((r - 1) * 10) DIV n + 1 AS INT)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("resp").as("n_resp"),
+           max(expr("CAST(base AS DOUBLE) / n")).as("base_rate"))
+      .select(col("decile"), col("n_users"), col("n_resp"),
+        round(col("n_resp") / col("n_users").cast("double"), 4).as("resp_rate"),
+        when(col("base_rate") > 0,
+          round((col("n_resp") / col("n_users").cast("double"))
+                / col("base_rate"), 4)).as("lift"))
+      .orderBy("decile").collect()
+    assert(two.map(_.toSeq).toSeq === ref.map(_.toSeq).toSeq)
+    // all-equal scores: every row lands in bucket 0, deciles still partition
+    val flat = spark.range(40).select(col("id").as("uid"),
+      lit(1.0).as("score"), lit(0L).as("resp"))
+    val fr = graft.ops.AggOps.decileLiftOf(flat, "uid", "score", "resp")
+      .orderBy("decile").collect()
+    assert(fr.map(_.getLong(1)).sum === 40L)
+    // zero responders: lift is NULL (never Infinity), rates are 0
+    assert(fr.forall(_.isNullAt(4)))
+    assert(fr.forall(_.getDouble(3) === 0.0))
+    // empty input: no rows, no crash
+    assert(graft.ops.AggOps.decileLiftOf(
+      flat.filter(lit(false)), "uid", "score", "resp").count() === 0L)
+  }
+
+  test("llm_ann_index_stats: fractions sum to 1, every vector accounted, imbalance consistent") {
+    val rows = SparkEntry.queries("llm_ann_index_stats")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 10) // ≤ IvfCells cells
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 10))
+    val total = rows.map(_.getLong(1)).sum
+    // the posting holds every corpus vector exactly once
+    val nVecs = Tables.embeddings(spark, d).count()
+    assert(total === nVecs, s"posting covers $total of $nVecs vectors")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-2)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(1).toDouble * rows.length / total) < 1e-3)
+    }
+  }
+
   test("agg_bitmap_functions: bitmap distincts equal plain countDistinct") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("agg_bitmap_functions")(spark, d).collect()
