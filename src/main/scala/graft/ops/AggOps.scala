@@ -267,10 +267,15 @@ object AggOps {
     * break ties on idCol locally), so the decile arithmetic transfers
     * unchanged. Returns (decile, n_users, n_resp, resp_rate 4dp,
     * lift 4dp — NULL when the corpus has zero responders), unordered. */
-  private[graft] def decileLiftOf(scored: DataFrame, idCol: String,
+  private[graft] def decileLiftOf(scoredIn: DataFrame, idCol: String,
                                   scoreCol: String,
                                   respCol: String): DataFrame = {
     val nBkts = 1024
+    // three consumers (range stats, bucket counts, final rank join) —
+    // cache the dimension-sized scored frame so its upstream aggregation
+    // runs once, not per consumer (hitsOf economics; tracked for
+    // Graft.clearCaches)
+    val scored = graft.GraftCaches.track(scoredIn.cache())
     val stats = scored.agg(
       count(lit(1)).as("n"),
       sum(respCol).cast("long").as("base"),
