@@ -136,11 +136,23 @@ object StreamOps {
           writeChunk(spark.read.parquet(parts.map(_.getAbsolutePath).toSeq: _*), d, 0)
           d
         } else {
+          // "late"/"dup": pairwise-merge the base chunks to 2 files (r16
+          // diet). These variants CANNOT merge to 1: their extra chunk's
+          // drop/dedup semantics need the executing watermark (derived
+          // from the data TWO batches earlier) to have advanced past real
+          // time when the extra batch runs, so ≥2 real batches must
+          // precede it. With 2 merged files the extra batch filters
+          // against merged-chunk-0's max (≈ mid-span): the late rows are
+          // calibrated ≥ span/2 + 1h older than final time — a full hour
+          // older than even that mid-span watermark — and the dup tail's
+          // first-occurrence keys (all ≥ mxUs − 90 min) are far inside
+          // it, so both variants' verdicts are unchanged.
           val d = Files.createTempDirectory(s"graft-stream-$variant-").toFile
-          Option(base.dir.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
-            val dst = new File(d, f.getName)
-            Files.copy(f.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
-            dst.setLastModified(f.lastModified())
+          val parts = Option(base.dir.listFiles()).getOrElse(Array.empty[File])
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          parts.grouped((parts.length + 1) / 2).zipWithIndex.foreach {
+            case (grp, i) =>
+              writeChunk(spark.read.parquet(grp.map(_.getAbsolutePath).toSeq: _*), d, i)
           }
           d
         }
