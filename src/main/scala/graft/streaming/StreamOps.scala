@@ -334,12 +334,14 @@ object StreamOps {
     *
     * State-store partitioning: each stateful operator creates
     * `spark.sql.shuffle.partitions` state partitions PER MICRO-BATCH; with
-    * up to ~7 replay batches and a batch bench config of 32, that is
-    * hundreds of tiny state tasks of pure overhead at test scale. The
-    * replay pins 8 state partitions for the duration of the stream
-    * (restored after) — on a real cluster this knob is sized to executor
-    * count, and is fixed at the query's FIRST start (it persists in the
-    * checkpoint).
+    * the batch bench config of 32, that is dozens of tiny state tasks of
+    * pure overhead at test scale. The replay pins 4 state partitions for
+    * the duration of the stream (restored after; 8 through r15 — at the
+    * r16 four-batch replay floor the per-batch state-commit IO is the
+    * dominant term, and halving the store count measured −10–30 % per
+    * streaming key with all equivalence gates green). On a real cluster
+    * this knob is sized to executor count, and is fixed at the query's
+    * FIRST start (it persists in the checkpoint).
     *
     * `filesPerTrigger` tunes micro-batch count per key. Keys whose
     * correctness rests on WATERMARK-FINALIZED emission (append-mode aggs on
@@ -356,7 +358,7 @@ object StreamOps {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(rep.srcDir)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    spark.conf.set("spark.sql.shuffle.partitions", 4)
     try start(src).awaitTermination()
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
@@ -400,7 +402,7 @@ object StreamOps {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(rep.srcDir)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    spark.conf.set("spark.sql.shuffle.partitions", 4)
     val seen = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
@@ -683,7 +685,7 @@ object StreamOps {
     val signups = side("signup", "s_id", "s_user", "s_ts")
       .withWatermark("s_ts", "1 hour")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.shuffle.partitions", 4)
     try {
       val q = purchases.join(signups,
           col("p_user") === col("s_user") &&
@@ -777,7 +779,7 @@ object StreamOps {
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
       val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", 8)
+      s.conf.set("spark.sql.shuffle.partitions", 4)
       try {
         def src(dir: String) = s.readStream.schema(rep.schema)
           .option("maxFilesPerTrigger", 1).parquet(dir)
