@@ -160,7 +160,10 @@ object GraphOps {
     * Σ_z 1/ln(deg(z)) — rare shared counterparties weigh more than hubs.
     * A shared z has deg ≥ 2, so ln never divides by zero. */
   private[graft] def adamicAdarOf(pairs: DataFrame, minCommon: Int): DataFrame = {
-    val adj = pairs.select("doc_a", "doc_b")
+    // three consumers (both pair sides + the counterparty-degree agg) —
+    // cache so a join-derived membership fixture builds once (tracked
+    // for Graft.clearCaches)
+    val adj = graft.GraftCaches.track(pairs.select("doc_a", "doc_b").cache())
     val deg = adj.groupBy("doc_b").agg(count(lit(1)).as("ds"))
       .select(col("doc_b").as("zb"), col("ds"))
     adj.as("x")
@@ -177,7 +180,11 @@ object GraphOps {
     * Graph.assortativity): Pearson corr of (deg(src), deg(dst)) over all
     * directed edges of a (src, dst) frame → one row
     * (n_edges, assortativity 4dp, mean_deg 4dp). */
-  private[graft] def assortativityOf(edges: DataFrame): DataFrame = {
+  private[graft] def assortativityOf(edgesIn: DataFrame): DataFrame = {
+    // three consumers (the degree agg + the joined edge scan; deg itself
+    // fans out to both endpoints) — cache so a join-derived fixture
+    // builds once (tracked for Graft.clearCaches)
+    val edges = graft.GraftCaches.track(edgesIn.cache())
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val ds = deg.select(col("src").as("s_node"), col("deg").as("deg_s"))
     val dt = deg.select(col("src").as("t_node"), col("deg").as("deg_t"))
@@ -333,7 +340,12 @@ object GraphOps {
     * existence join enumerates each triangle once as a<b<c; the per-node
     * count unions the three corners. Shared with the OperatorSpec
     * hand-graph test (planted K4 ⇒ every node counts 3). */
-  private[graft] def perNodeTriangles(e: DataFrame): DataFrame = {
+  private[graft] def perNodeTriangles(eIn: DataFrame): DataFrame = {
+    // three consumers (the triangle join's three legs) — cache so a
+    // join-derived edge fixture builds once (tracked for
+    // Graft.clearCaches; CacheManager dedupes by plan, so a caller that
+    // already cached the same frame shares this entry)
+    val e = graft.GraftCaches.track(eIn.cache())
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
@@ -390,7 +402,11 @@ object GraphOps {
     * undirected edge once) edge frame: coeff(v) = 2·tri(v) /
     * (deg(v)·(deg(v)−1)) for deg ≥ 2; triangle-less connected nodes
     * surface at 0.0 via the left join. Shares [[perNodeTriangles]]. */
-  private[graft] def clusteringCoeffOf(e: DataFrame): DataFrame = {
+  private[graft] def clusteringCoeffOf(eIn: DataFrame): DataFrame = {
+    // both degree unions + the triangle join's three legs read the same
+    // edge frame — one shared cache entry (plan-deduped with
+    // perNodeTriangles' own cache of the identical frame)
+    val e = graft.GraftCaches.track(eIn.cache())
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -658,7 +674,9 @@ object GraphOps {
       adamicAdarOf(repeatTradePairs(s, d), minCommon = 2).orderBy("a", "b")),
 
     "graph_jaccard_neighbors" -> ((s, d) => {
-      val adj = repeatTradePairs(s, d)
+      // four consumers (both pair sides + the degree frame read twice) —
+      // cache the join-derived membership fixture
+      val adj = graft.GraftCaches.track(repeatTradePairs(s, d).cache())
       val deg = adj.groupBy("doc_a").agg(count(lit(1)).as("deg"))
       val common = adj.as("x")
         .join(adj.as("y"),
@@ -825,7 +843,11 @@ object GraphOps {
     * first diagnostic before choosing directed vs undirected
     * algorithms. Returns one row (n_edges, n_recip, reciprocity 4dp).
     * Callers should dedup the frame first. */
-  private[graft] def reciprocityOf(e: DataFrame): DataFrame = {
+  private[graft] def reciprocityOf(eIn: DataFrame): DataFrame = {
+    // three consumers (both sides of the flipped-pair join + the edge
+    // count) — cache the edge-sized frame so a join-derived fixture is
+    // built once, not three times (tracked for Graft.clearCaches)
+    val e = graft.GraftCaches.track(eIn.cache())
     val rev = e.select(col("dst").as("r_src"), col("src").as("r_dst"))
     val recip = e.join(rev,
       col("src") === col("r_src") && col("dst") === col("r_dst"),
