@@ -427,12 +427,17 @@ object TextOps {
     // bigram guard: sequence() counts DOWN for start > stop (the same
     // trap the framesample key pins), so 1-word docs get array() not
     // a descending range over missing elements
-    val grams = docs.select(col("doc_id"), col("tgt"), explode(concat(
-        col("ws"),
-        expr("if(size(ws) < 2, array(), transform(sequence(1, size(ws) - 1), " +
-             "i -> concat(ws[i-1], '_', ws[i])))"))).as("g"))
-      .select(col("doc_id"), col("tgt"),
-              substring(md5(col("g")), 1, 2).as("b"))
+    // four consumers (raw counts, target counts, totals, final scoring
+    // join) — cache so the gram explode runs once, not per consumer
+    // (tracked for Graft.clearCaches; same pattern as llm_perplexity_proxy)
+    val grams = graft.GraftCaches.track(
+      docs.select(col("doc_id"), col("tgt"), explode(concat(
+          col("ws"),
+          expr("if(size(ws) < 2, array(), transform(sequence(1, size(ws) - 1), " +
+               "i -> concat(ws[i-1], '_', ws[i])))"))).as("g"))
+        .select(col("doc_id"), col("tgt"),
+                substring(md5(col("g")), 1, 2).as("b"))
+        .cache())
     val raw = grams.groupBy("b").agg(count(lit(1)).as("cr"))
     val tgt = grams.filter(col("tgt"))
       .groupBy("b").agg(count(lit(1)).as("ct"))
