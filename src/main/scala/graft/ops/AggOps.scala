@@ -282,11 +282,16 @@ object AggOps {
       min(col(scoreCol).cast("double")).as("lo"),
       max(col(scoreCol).cast("double")).as("hi"))
     val bucketed = scored.crossJoin(broadcast(stats))
+      // NULL scores pin to bucket -1, which sorts LAST under bkt DESC —
+      // the same place the r15 global `score DESC` window put them
+      // (desc = NULLS LAST); without the explicit branch a NULL score
+      // would yield a NULL bkt and silently vanish at the offs equi-join
       .withColumn("bkt",
-        when(col("hi") > col("lo"),
-          least(floor((col(scoreCol).cast("double") - col("lo"))
-                      / ((col("hi") - col("lo")) / nBkts)),
-                lit(nBkts - 1L)))
+        when(col(scoreCol).isNull, lit(-1L))
+          .when(col("hi") > col("lo"),
+            least(floor((col(scoreCol).cast("double") - col("lo"))
+                        / ((col("hi") - col("lo")) / nBkts)),
+                  lit(nBkts - 1L)))
           .otherwise(lit(0L)))
     val wS = Window.orderBy(col("bkt").desc)
     val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))

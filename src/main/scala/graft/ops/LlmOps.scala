@@ -1698,8 +1698,11 @@ object LlmOps {
     // the audit reads index metadata volumes, never vectors.
     "llm_ann_index_stats" -> ((s, d) => {
       val idx = annIndexPath(s, d)
-      val cells = s.read.parquet(s"$idx/posting").select("cell")
-        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      // two consumers (the 1-row total + the output) — cache the
+      // ≤IvfCells-row cell table so the posting scans once
+      val cells = graft.GraftCaches.track(
+        s.read.parquet(s"$idx/posting").select("cell")
+          .groupBy("cell").agg(count(lit(1)).as("n_vecs")).cache())
       val tot = cells.agg(sum("n_vecs").as("total"),
                           count(lit(1)).as("n_cells"))
       cells.crossJoin(broadcast(tot))
@@ -2291,13 +2294,6 @@ object LlmOps {
   private val OracleAnnDir = graft.StoreDir.fixedPath("graft-annindex", OracleSfDir)
   private val OracleAnnIncDir = graft.StoreDir.fixedPath("graft-anninc", OracleSfDir)
 
-  /** DuckDB mirror of [[ivfPqSearchPosting]] over a persisted store
-    * (VERDICT r6 #4): probe cells (top-nprobe by cell cosine, cell-asc
-    * ties) → ADC shortlist-25 over the stored vhat reconstructions
-    * (n_id-asc ties) → exact float rerank top-5 — every stage's tiebreak
-    * chain matches the Spark plan, so the hash gate covers the full
-    * search half. `postingSql` lets the incremental key union its two
-    * posting halves. */
   /** Brute-force top-5 ground truth as CTEs `bf_pairs`/`bf` — shared by
     * every recall-gate oracle so truth is ONE definition cross-key. */
   private def bfTop5CtesSql: String = s"""
@@ -2324,9 +2320,15 @@ object LlmOps {
       GROUP BY bf.q_id
       ORDER BY bf.q_id"""
 
-  /** The IVF-PQ store-search CTE chain (probe + ADC + rerank, tiebreaks
-    * matched stage by stage); ends at `r` carrying (q_id, n_id, cos, rk)
-    * so both the search oracle and the recall oracle share it. */
+  /** DuckDB mirror of [[ivfPqSearchPosting]] over a persisted store
+    * (VERDICT r6 #4), as a CTE chain: probe cells (top-nprobe by cell
+    * cosine, cell-asc ties) → ADC shortlist-25 over the stored vhat
+    * reconstructions (n_id-asc ties) → exact float rerank top-5 — every
+    * stage's tiebreak chain matches the Spark plan, so the hash gate
+    * covers the full search half. `postingSql` lets the incremental key
+    * union its two posting halves. Ends at `r` carrying
+    * (q_id, n_id, cos, rk) so the search oracle and the recall oracle
+    * share one definition. */
   private def ivfPqSearchStoreCtesSql(cenPath: String, postingSql: String): String = s"""
       q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

@@ -128,8 +128,8 @@ object StreamOps {
           // streaming diet finished the merge; state-commit overhead is
           // per-batch, so the watermark-driven minimum of 1 data + 3
           // sentinel batches is the floor and we now sit on it).
-          // ("late" keeps the 4-chunk layout: its late-vs-watermark
-          // margin is calibrated against chunk span.)
+          // ("late"/"dup" merge to TWO files in the else branch below —
+          // their extra chunk needs ≥2 real batches ahead of it.)
           val d = Files.createTempDirectory(s"graft-stream-$variant-").toFile
           val parts = Option(base.dir.listFiles()).getOrElse(Array.empty[File])
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -650,9 +650,10 @@ object StreamOps {
     * conventions. rep.schema is reused — re-reading the replay dir would
     * add two redundant batch footer-scans (one per source).
     *
-    * Inner runs on the "base" replay (matches emit as they arrive). Outer
-    * runs on the "flush" replay and keeps the `__flush__` sentinels inside
-    * BOTH sides' filters: unmatched-row emission is driven by state
+    * Both variants ride the "flush" replay (r16 diet). Inner emits
+    * matches as they arrive, tolerates any file grouping, and drops the
+    * sentinels at its event-type filters. Outer keeps the `__flush__`
+    * sentinels inside BOTH sides' filters: unmatched-row emission is driven by state
     * eviction under the global watermark, which is the MIN of the two
     * sides' watermarks — if either filter dropped the sentinels before its
     * withWatermark node, that side would stall at the last real event and

@@ -2124,10 +2124,14 @@ class OperatorSpec extends AnyFunSuite {
   test("decileLiftOf: two-pass rank matches a global-window rank; degenerate inputs behave") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    // planted frame: 100 users, varied scores incl. exact ties, 0/1 resp
+    // planted frame: 100 users, varied scores incl. exact ties AND NULLs
+    // (every 11th user, e.g. an upstream avg over an empty group) — NULL
+    // scores must rank LAST like the global desc window's nulls-last,
+    // never vanish at the bucket join
     val df = spark.range(100).select(
       col("id").as("uid"),
-      (col("id") % 7).cast("double").as("score"), // many exact ties
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise((col("id") % 7).cast("double")).as("score"),
       (col("id") % 5 === 0).cast("long").as("resp"))
     val two = graft.ops.AggOps.decileLiftOf(df, "uid", "score", "resp")
       .orderBy("decile").collect()

@@ -185,8 +185,6 @@ def main():
     if not contract and os.path.exists(os.path.join(out_dir, "_keys.json")):
         nkeys = len(json.load(open(os.path.join(out_dir, "_keys.json"))))
         print(f"contract: {nkeys} keys, SURVEY §2 diff empty both directions")
-    if contract:
-        sys.exit(2)
     # note which query keys have no oracle (rows-only)
     missing = [n for n in os.listdir(out_dir)
                if os.path.isdir(os.path.join(out_dir, n)) and n not in oracle]
@@ -195,10 +193,15 @@ def main():
     if json_out:
         rec = {n: {"pass": v is None, "detail": v} for n, v in sorted(results.items())}
         rec["_summary"] = {"pass": npass, "total": len(results),
-                           "rows_only": sorted(missing)}
+                           "rows_only": sorted(missing),
+                           "contract_problems": contract}
         with open(json_out, "w") as f:
             json.dump(rec, f, indent=1)
         print("json ->", json_out)
+    # exit LAST so a contract failure never suppresses the per-key
+    # snapshot or the rows-only note computed above
+    if contract:
+        sys.exit(2)
 
 if __name__ == "__main__":
     main()
