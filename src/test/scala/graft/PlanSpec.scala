@@ -372,6 +372,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"row-level ranking window lost its bucket partitioning:\n$p")
   }
 
+  test("llm_ann_recall_ivf: the truth-join eval is an equi-join, never a nested loop") {
+    // recallEvalOf's comparison must stay one co-partitionable equi-join
+    // on (q_id, n_id) — eval cost is index cost, not corpus cost. The
+    // BNLJs inside the plan are the declared capped-query ×
+    // broadcast-candidate knn shapes; the LeftOuter comparison itself
+    // must be a hash/sort-merge equi-join and nothing may be Cartesian.
+    val p = plan("llm_ann_recall_ivf")
+    assert(!p.contains("CartesianProduct"), "cartesian in the recall plan")
+    val outer = p.linesIterator.filter(_.contains("LeftOuter")).toSeq
+    assert(outer.nonEmpty, s"no LeftOuter comparison join found:\n$p")
+    assert(outer.forall(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin")),
+      s"recall comparison degraded to a non-equi join:\n${outer.mkString("\n")}")
+  }
+
   test("llm_substring_dedup: no pair enumeration anywhere in the plan") {
     // the scale claim: repeated-span detection is agg + join-back on the
     // span hash — a doc-pair expansion (cartesian or nested-loop) would
