@@ -276,20 +276,31 @@ object AggOps {
     // runs once, not per consumer (hitsOf economics; tracked for
     // Graft.clearCaches)
     val scored = graft.GraftCaches.track(scoredIn.cache())
+    // lo/hi over the NON-NaN scores only: Spark's min/max order NaN above
+    // every double, so a single NaN score would make hi NaN and poison
+    // every row's bucket arithmetic ((x-lo)/NaN = NaN ⇒ one giant bucket)
+    val sd = col(scoreCol).cast("double")
     val stats = scored.agg(
       count(lit(1)).as("n"),
       sum(respCol).cast("long").as("base"),
-      min(col(scoreCol).cast("double")).as("lo"),
-      max(col(scoreCol).cast("double")).as("hi"))
+      min(when(!isnan(sd), sd)).as("lo"),
+      max(when(!isnan(sd), sd)).as("hi"))
     val bucketed = scored.crossJoin(broadcast(stats))
       // NULL scores pin to bucket -1, which sorts LAST under bkt DESC —
       // the same place the r15 global `score DESC` window put them
       // (desc = NULLS LAST); without the explicit branch a NULL score
-      // would yield a NULL bkt and silently vanish at the offs equi-join
+      // would yield a NULL bkt and silently vanish at the offs equi-join.
+      // NaN scores pin to the TOP bucket (ADVICE r16): the r15 global
+      // window ranked NaN FIRST (NaN > any double under desc), and the
+      // within-bucket score-desc window below orders NaN first inside
+      // that top bucket, so the two-pass rank matches the global one on
+      // NaN input too instead of silently demoting NaN to bucket 0 via
+      // floor(NaN)→0.
       .withColumn("bkt",
         when(col(scoreCol).isNull, lit(-1L))
+          .when(isnan(sd), lit(nBkts - 1L))
           .when(col("hi") > col("lo"),
-            least(floor((col(scoreCol).cast("double") - col("lo"))
+            least(floor((sd - col("lo"))
                         / ((col("hi") - col("lo")) / nBkts)),
                   lit(nBkts - 1L)))
           .otherwise(lit(0L)))

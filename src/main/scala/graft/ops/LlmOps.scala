@@ -744,11 +744,18 @@ object LlmOps {
     * and `approx` are (q_id, n_id) top-k frames from the REAL operators;
     * the comparison is one co-partitioned equi-join on (q_id, n_id) plus
     * one count per query, so eval cost is index cost, not corpus cost.
-    * Returns (q_id, n_true, n_hits, recall 2dp), unordered. */
+    * The approx side is deduped on (q_id, n_id) before the join (ADVICE
+    * r16): a duplicate pair would otherwise fan out the left join and
+    * inflate BOTH n_true and n_hits. Current callers are row_number-
+    * filtered top-k frames where pairs are unique by construction — the
+    * dedup is a tiny (queries × k)-row agg that makes the eval safe for
+    * any future caller instead of a silent precondition. Returns
+    * (q_id, n_true, n_hits, recall 2dp), unordered. */
   private[graft] def recallEvalOf(truth: DataFrame,
                                   approx: DataFrame): DataFrame =
     truth.join(
-        approx.select(col("q_id").as("a_q"), col("n_id").as("a_n")),
+        approx.select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+          .dropDuplicates("a_q", "a_n"),
         col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_true"),

@@ -30,10 +30,15 @@ object ScanOps {
     * corpus to `nBands` fixed-width band counts per period (values are
     * clamped into [0, nBands-1] — negatives pin to band 0, overflow to
     * the top band); the PSI fold runs over the sorted band list
-    * (bit-stable); cells are Haldane-smoothed (+0.5 over the OBSERVED
-    * bands — a band empty in both periods contributes no row, and so no
-    * smoothing term) so a tail band emptying in ONE period stays
-    * finite. Returns one row (n_expected, n_actual, psi 4dp). */
+    * (bit-stable); cells are Haldane-smoothed so a tail band emptying in
+    * ONE period stays finite: +0.5 is added per OBSERVED band's cell (a
+    * band empty in BOTH periods contributes no row and so no numerator
+    * term), while the denominator keeps the FIXED-UNIVERSE smoothing
+    * mass nBands·0.5 — when some bands are empty in both periods the
+    * smoothed cell probabilities deliberately sum to <1 (a stable
+    * convention: the statistic never depends on which bands happen to be
+    * observed in a sample, and the oracle applies it identically).
+    * Returns one row (n_expected, n_actual, psi 4dp). */
   private[graft] def psiOf(df: DataFrame, valueCol: String,
                            isExpCol: String, bandWidth: Double,
                            nBands: Int): DataFrame = {

@@ -2124,13 +2124,17 @@ class OperatorSpec extends AnyFunSuite {
   test("decileLiftOf: two-pass rank matches a global-window rank; degenerate inputs behave") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    // planted frame: 100 users, varied scores incl. exact ties AND NULLs
-    // (every 11th user, e.g. an upstream avg over an empty group) — NULL
-    // scores must rank LAST like the global desc window's nulls-last,
-    // never vanish at the bucket join
+    // planted frame: 100 users, varied scores incl. exact ties, NULLs
+    // (every 11th user, e.g. an upstream avg over an empty group) AND
+    // NaNs (every 13th user, e.g. an upstream 0/0) — NULL scores must
+    // rank LAST like the global desc window's nulls-last and never
+    // vanish at the bucket join; NaN scores must rank FIRST like the
+    // global desc window (NaN > any double), not fall to the bottom
+    // bucket via floor(NaN)→0 (ADVICE r16)
     val df = spark.range(100).select(
       col("id").as("uid"),
       when(col("id") % 11 === 0, lit(null))
+        .when(col("id") % 13 === 0, lit(Double.NaN))
         .otherwise((col("id") % 7).cast("double")).as("score"),
       (col("id") % 5 === 0).cast("long").as("resp"))
     val two = graft.ops.AggOps.decileLiftOf(df, "uid", "score", "resp")
