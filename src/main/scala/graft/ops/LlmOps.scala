@@ -631,15 +631,32 @@ object LlmOps {
       .select(col("q_id"), col("q_emb"), col("cell"))
   }
 
-  private[graft] def ivfSearchOf(queries: DataFrame, corpus: DataFrame,
-                                 cen: DataFrame, nprobe: Int, k: Int,
-                                 excludeSelfId: Boolean = true): DataFrame = {
-    val posting = corpus.crossJoin(broadcast(cen))
+  /** (cell, n_id, n_emb): the plain-IVF posting — every corpus vector
+    * assigned to its single nearest trained cell, carrying the RAW
+    * embedding (a plain-IVF index stores originals; the PQ posting
+    * stores reconstructions). Persisted by [[annIndexPath]] beside the
+    * PQ posting (r16 verdict #1) so both IVF flavors share one trained
+    * day-1 store. */
+  private[graft] def ivfPosting(corpus: DataFrame, cen: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cen))
       .withColumn("cell_cos", cosD(col("embedding"), col("cvec")))
       .groupBy(col("vec_id"))
       .agg(nearestCellAgg.as("cell"),
            first(col("embedding")).as("n_emb"))
       .select(col("cell"), col("vec_id").as("n_id"), col("n_emb"))
+
+  private[graft] def ivfSearchOf(queries: DataFrame, corpus: DataFrame,
+                                 cen: DataFrame, nprobe: Int, k: Int,
+                                 excludeSelfId: Boolean = true): DataFrame =
+    ivfSearchPosting(queries, ivfPosting(corpus, cen), cen, nprobe, k,
+                     excludeSelfId)
+
+  /** Search against an ALREADY-BUILT plain-IVF posting (the store-read
+    * path — same economics as [[ivfPqSearchPosting]]: a real deployment
+    * never reassigns the corpus per query batch). */
+  private[graft] def ivfSearchPosting(queries: DataFrame, posting: DataFrame,
+                                      cen: DataFrame, nprobe: Int, k: Int,
+                                      excludeSelfId: Boolean = true): DataFrame = {
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     val cand = posting.join(broadcast(probeCells(queries, cen, nprobe)), "cell")
     (if (excludeSelfId) cand.filter(col("q_id") =!= col("n_id")) else cand)
@@ -816,6 +833,19 @@ object LlmOps {
       // (cell, n_id, vhat) persisted so a search is read-only — the
       // per-invocation corpus crossJoin + full pqEncode move to day 1
       pqPosting(e, cen, cb).write.mode("overwrite").parquet(s"$dir/posting")
+      // the PLAIN-IVF posting (cell, n_id, n_emb) lives beside it (r16
+      // verdict #1): llm_knn_ivf / llm_ann_recall_ivf / llm_semdedup read
+      // this one trained store instead of re-running k-means per
+      // invocation — the same day-1/day-N split the PQ path already has
+      ivfPosting(e, cen).write.mode("overwrite").parquet(s"$dir/posting_ivf")
+      // the exploded (n_id, sub, code) PQ code table — the 8-codes/vector
+      // payload a 100 TB index actually stores; persisted for the
+      // codebook-utilization audit (llm_ann_pq_stats), which reads index
+      // METADATA volumes, never vectors
+      pqEncode(e, cb)
+        .select(col("vec_id").as("n_id"),
+                posexplode(col("codes")).as(Seq("sub", "code")))
+        .write.mode("overwrite").parquet(s"$dir/codes")
       ()
     }
 
@@ -1472,15 +1502,16 @@ object LlmOps {
     // Semantic dedup (SemDeDup): cluster-bounded embedding near-dup with a
     // per-vector keep/drop verdict — the REMEDIATION operator the exact
     // all-pairs key above only diagnoses. Cells come from the same trained
-    // coarse quantizer the IVF search uses (kmeansCells — its cached frame
-    // is shared when both run in one session); candidates are in-cell only,
+    // coarse quantizer the IVF search uses — read from the persisted
+    // day-1 ANN store since r17 (the oracle still retrains, proving
+    // store ≡ fresh training); candidates are in-cell only,
     // so pair expansion is quadratic per CELL, not per corpus (scale notes
     // on semDedupOf). τ = 0.3 matches llm_neardup_embedding's predicate, so
     // the two keys' outputs are directly comparable recall evidence.
     "llm_semdedup" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddingsWide(s, d)
-      semDedupOf(e, kmeansCells(e, IvfCells, IvfIters), 0.3)
+      semDedupOf(e, s.read.parquet(s"${annIndexPath(s, d)}/cen"), 0.3)
         .orderBy("vec_id")
     }),
 
@@ -1651,22 +1682,26 @@ object LlmOps {
 
     // Recall gate for the IVF path (r15 verdict, Next round #2): the
     // same truth-join eval as llm_ann_recall_eval, measuring the REAL
-    // llm_knn_ivf search (kmeansCells + ivfSearchOf, default knobs)
+    // llm_knn_ivf search (store-read posting + probe, default knobs)
     // against the real brute-force ground truth — both cores reused
     // verbatim, so a regression in either index half moves this gated
-    // row. PropertySpec holds the floor/monotonicity bounds; this key
-    // hash-pins the exact per-query recall.
+    // row. Store-read since r17 like llm_knn_ivf itself; the oracle
+    // still recomputes the training chain, so this gate doubles as a
+    // store ≡ fresh-training proof. PropertySpec holds the floor/
+    // monotonicity bounds; this key hash-pins the exact per-query recall.
     "llm_ann_recall_ivf" -> ((s, d) => {
       CosineSimilarity.register(s)
+      val idx = annIndexPath(s, d)
       val e = Tables.embeddingsWide(s, d)
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .filter(col("q_id") < 100)
       val c = Tables.embeddings(s, d)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      val cen = kmeansCells(e, IvfCells, IvfIters)
       recallEvalOf(
         knnOf(q, c, 5).select(col("q_id"), col("n_id")),
-        ivfSearchOf(e.filter(col("vec_id") < 100), e, cen, IvfProbes, 5)
+        ivfSearchPosting(e.filter(col("vec_id") < 100),
+            s.read.parquet(s"$idx/posting_ivf"), s.read.parquet(s"$idx/cen"),
+            IvfProbes, 5)
           .select(col("q_id"), col("n_id")))
         .orderBy("q_id")
     }),
@@ -1974,12 +2009,22 @@ object LlmOps {
     // recall vs llm_knn_bruteforce is a measured property (PropertySpec),
     // not a promise — on real clustered corpora the same plan recovers
     // high recall while scanning a small fraction of the index.
+    // Store-read since r17 (r16 verdict #1): the trained centroids and the
+    // plain-IVF posting come from the persisted day-1 ANN store
+    // (annIndexPath — the same dir the PQ keys read), so an invocation is
+    // probe + rank over stored index parquet, never a k-means retrain.
+    // The ORACLE still unrolls the full training chain from the raw
+    // embeddings (ivfSearchCtesSql), so the hash gate now also proves
+    // store-read ≡ fresh-training (6dp-rounded doubles and raw float
+    // embeddings round-trip parquet exactly).
     "llm_knn_ivf" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val e = Tables.embeddingsWide(s, d) // posting build + probe assignment side
-      val cen = kmeansCells(e, IvfCells, IvfIters)
+      val idx = annIndexPath(s, d)
+      val e = Tables.embeddingsWide(s, d) // probe assignment side
       val nprobe = s.conf.getOption(IvfNprobeKey).map(_.toInt).getOrElse(IvfProbes)
-      ivfSearchOf(e.filter(col("vec_id") < 100), e, cen, nprobe, 5)
+      ivfSearchPosting(e.filter(col("vec_id") < 100),
+        s.read.parquet(s"$idx/posting_ivf"), s.read.parquet(s"$idx/cen"),
+        nprobe, 5)
         .orderBy("q_id", "rk")
     }),
 

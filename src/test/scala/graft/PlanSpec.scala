@@ -233,6 +233,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected >=2 signature-store scans (bands + sh), found $storeScans:\n$p")
   }
 
+  test("llm_knn_ivf reads the trained ANN store, not a k-means retrain (r16 verdict #1)") {
+    // the store contract: the centroids AND the plain-IVF posting come
+    // from the persisted day-1 ANN index (two graft-annindex scans in the
+    // plan). A refactor that quietly re-trained k-means per invocation
+    // would drop the store paths from the scan locations and reintroduce
+    // the iterative crossJoin/agg chain this pin exists to keep out.
+    val p = plan("llm_knn_ivf")
+    val storeScans = "graft-annindex".r.findAllIn(p).length
+    assert(storeScans >= 2,
+      s"expected >=2 ANN-store scans (cen + posting_ivf), found $storeScans:\n$p")
+  }
+
   test("sink_parquet_partitioned: read-back filter prunes partitions") {
     val p = plan("sink_parquet_partitioned")
     assert(p.contains("PartitionFilters: ["), p)
