@@ -1755,6 +1755,60 @@ object LlmOps {
         .orderBy("cell")
     }),
 
+    // LSH index-health twin (r16 verdict #4): band-bucket balance over
+    // the 16×4 sign-band hash tables llm_knn_lsh posts into — per
+    // (band, bucket) occupancy, in-band fraction, and imbalance vs
+    // uniform over that band's OBSERVED buckets. A skewed band table is
+    // the LSH analogue of a hot IVF cell: every query hashing into the
+    // hot bucket pays a corpus-sized candidate scan, and the bands stop
+    // being independent selectivity dials. ONE hash-agg over the posting
+    // table (ids only, never embeddings) + a ≤16-row per-band rollup
+    // broadcast back — at 100 TB the audit reads index metadata volumes.
+    "llm_ann_lsh_stats" -> ((s, d) => {
+      val c = Tables.embeddings(s, d)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      // two consumers (per-band totals + the output join) — cache the
+      // ≤16·2^4-row bucket table so the banding scan runs once
+      val buckets = graft.GraftCaches.track(
+        lshBandsOf(c, "n_id", "n_emb", 16, 4)
+          .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n_vecs"))
+          .cache())
+      val per = buckets.groupBy("band_idx")
+        .agg(sum("n_vecs").as("band_total"), count(lit(1)).as("n_buckets"))
+      buckets.join(broadcast(per), "band_idx")
+        .select(col("band_idx"), col("band_val"), col("n_vecs"),
+          round(col("n_vecs") / col("band_total").cast("double"), 4).as("frac"),
+          round((col("n_vecs") * col("n_buckets"))
+                / col("band_total").cast("double"), 4).as("imbalance"))
+        .orderBy("band_idx", "band_val")
+    }),
+
+    // PQ index-health twin (r16 verdict #4): codebook utilization over
+    // the persisted (n_id, sub, code) code table — per (subspace, code)
+    // usage, in-subspace fraction, imbalance vs uniform over that
+    // subspace's USED codes, and the subspace's codebook utilization
+    // (used/k). Dead codewords waste reconstruction precision (the
+    // effective codebook shrinks below 4 bits) and a hot codeword means
+    // the subspace's residuals collapsed — either way the re-train pager
+    // fires. Same one-hash-agg, metadata-only audit shape as the IVF and
+    // LSH rows; the 8-byte-per-vector code table IS what a 100 TB PQ
+    // index stores, so this audit never touches float vectors.
+    "llm_ann_pq_stats" -> ((s, d) => {
+      val idx = annIndexPath(s, d)
+      val codes = graft.GraftCaches.track(
+        s.read.parquet(s"$idx/codes")
+          .groupBy("sub", "code").agg(count(lit(1)).as("n_vecs")).cache())
+      val per = codes.groupBy("sub")
+        .agg(sum("n_vecs").as("sub_total"), count(lit(1)).as("n_used"))
+      codes.join(broadcast(per), "sub")
+        .select(col("sub"), col("code"), col("n_vecs"),
+          round(col("n_vecs") / col("sub_total").cast("double"), 4).as("frac"),
+          round((col("n_vecs") * col("n_used"))
+                / col("sub_total").cast("double"), 4).as("imbalance"),
+          round(col("n_used") / lit(PqK.toDouble), 4).as("util"))
+        .orderBy("sub", "code")
+    }),
+
     "llm_knn_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
@@ -3156,6 +3210,49 @@ object LlmOps {
              round(CAST(c.n_vecs * t.n_cells AS DOUBLE) / t.total, 4) AS imbalance
       FROM c CROSS JOIN t
       ORDER BY c.cell""",
+
+    // The same 16×4 sign-band derivation as llm_knn_lsh's oracle, rolled
+    // up to (band, bucket) occupancy + per-band balance ratios.
+    "llm_ann_lsh_stats" -> """
+      WITH bands AS (
+        SELECT vec_id, CAST(j AS INTEGER) AS band_idx,
+               (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[4*j + 2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4*j + 3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4*j + 4] > 0 THEN 8 ELSE 0 END) AS band_val
+        FROM embeddings, range(16) t(j)),
+      b AS (
+        SELECT band_idx, band_val, count(*) AS n_vecs
+        FROM bands GROUP BY band_idx, band_val),
+      p AS (
+        SELECT band_idx, CAST(sum(n_vecs) AS BIGINT) AS band_total,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM b GROUP BY band_idx)
+      SELECT b.band_idx, b.band_val, CAST(b.n_vecs AS BIGINT) AS n_vecs,
+             round(CAST(b.n_vecs AS DOUBLE) / p.band_total, 4) AS frac,
+             round(CAST(b.n_vecs * p.n_buckets AS DOUBLE) / p.band_total, 4)
+               AS imbalance
+      FROM b JOIN p ON b.band_idx = p.band_idx
+      ORDER BY b.band_idx, b.band_val""",
+
+    // Same persisted code table the Spark side reads (annIndexPath's
+    // codes/ half — deterministic path notes on OracleAnnDir).
+    "llm_ann_pq_stats" -> s"""
+      WITH c AS (
+        SELECT sub, code, count(*) AS n_vecs
+        FROM read_parquet('$OracleAnnDir/codes/*.parquet')
+        GROUP BY sub, code),
+      p AS (
+        SELECT sub, CAST(sum(n_vecs) AS BIGINT) AS sub_total,
+               CAST(count(*) AS BIGINT) AS n_used
+        FROM c GROUP BY sub)
+      SELECT c.sub, c.code, CAST(c.n_vecs AS BIGINT) AS n_vecs,
+             round(CAST(c.n_vecs AS DOUBLE) / p.sub_total, 4) AS frac,
+             round(CAST(c.n_vecs * p.n_used AS DOUBLE) / p.sub_total, 4)
+               AS imbalance,
+             round(CAST(p.n_used AS DOUBLE) / $PqK, 4) AS util
+      FROM c JOIN p ON c.sub = p.sub
+      ORDER BY c.sub, c.code""",
 
     "llm_knn_lsh" -> """
       WITH bands AS (

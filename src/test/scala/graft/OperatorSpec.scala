@@ -2185,6 +2185,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_ann_lsh_stats: every band accounts for the whole corpus, per-band fracs sum to 1") {
+    val rows = SparkEntry.queries("llm_ann_lsh_stats")(spark, d).collect()
+    val nVecs = Tables.embeddings(spark, d).count()
+    val byBand = rows.groupBy(_.getInt(0))
+    assert(byBand.keySet === (0 until 16).toSet, "16 band tables expected")
+    byBand.foreach { case (b, rs) =>
+      // each vector posts exactly once per band table
+      assert(rs.map(_.getLong(2)).sum === nVecs, s"band $b occupancy")
+      assert(rs.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16), s"band $b bucket range (4 bits)")
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-2, s"band $b fracs")
+      // imbalance = n_vecs * n_buckets / band_total
+      rs.foreach { r =>
+        assert(math.abs(r.getDouble(4) -
+          r.getLong(2).toDouble * rs.length / nVecs) < 1e-3)
+      }
+    }
+  }
+
+  test("llm_ann_pq_stats: every subspace accounts for the whole corpus, util = used/k") {
+    val rows = SparkEntry.queries("llm_ann_pq_stats")(spark, d).collect()
+    val nVecs = Tables.embeddings(spark, d).count()
+    val bySub = rows.groupBy(_.getInt(0))
+    assert(bySub.keySet === (0 until 8).toSet, "8 PQ subspaces expected")
+    bySub.foreach { case (m, rs) =>
+      // each vector carries exactly one code per subspace
+      assert(rs.map(_.getLong(2)).sum === nVecs, s"sub $m code coverage")
+      assert(rs.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16), s"sub $m code range (k=16)")
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-2, s"sub $m fracs")
+      // util is constant within the subspace and equals used-codes/16
+      assert(rs.forall(r => math.abs(r.getDouble(5) - rs.length / 16.0) < 1e-9),
+        s"sub $m util")
+    }
+  }
+
   test("agg_bitmap_functions: bitmap distincts equal plain countDistinct") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("agg_bitmap_functions")(spark, d).collect()
