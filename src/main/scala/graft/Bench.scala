@@ -91,6 +91,7 @@ object Bench {
     catch { case _: Throwable => () }
     def quietly(f: => Any): Unit = try { f; () } catch { case _: Throwable => () }
     quietly(graft.streaming.StreamOps.prewarm(spark, sfDir))
+    quietly(graft.ops.GraphOps.pairStorePath(spark, sfDir))
     quietly(graft.ops.LlmOps.sigStorePath(spark, sfDir))
     quietly(graft.ops.LlmOps.annIndexPath(spark, sfDir))
     quietly(graft.ops.LlmOps.annIncPath(spark, sfDir))

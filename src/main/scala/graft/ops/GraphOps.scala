@@ -78,18 +78,45 @@ object GraphOps {
     * supporting lineitems, node ids namespaced `c<id>` / `s<id>` — the ONE
     * pair builder behind every graph key (threshold 1 = the dense trade
     * graph, 3 = the sparse repeat-trade subgraph), so the graph
-    * definitions cannot drift apart. */
+    * definitions cannot drift apart.
+    *
+    * Store-read since r17 (r16 verdict #3): the pair aggregation is built
+    * ONCE per (JVM, sfDir) by [[pairStorePath]] and every call reads the
+    * persisted parquet with the threshold as a pushed-down `n >=` filter
+    * — yesterday's edge list IS a store in production, and 19 graph keys
+    * each re-running the lineitem⋈orders join to re-derive it measured
+    * scaffolding, not algorithm. No oracle reads the store: every graph
+    * oracle still recomputes the pairs from the base tables in SQL, so
+    * the hash gates prove store-read ≡ fresh derivation (strings and
+    * BIGINTs round-trip parquet exactly). */
   private def custSuppPairs(s: SparkSession, d: String,
                             minLineitems: Long): DataFrame = {
+    val p = s.read.parquet(pairStorePath(s, d))
+    if (minLineitems <= 1L) p else p.filter(col("n") >= minLineitems)
+  }
+
+  /** The fresh derivation custSuppPairs persists — only the store build
+    * runs it. */
+  private def custSuppPairsFresh(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"), col("l_suppkey"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= minLineitems)
+      .agg(count(lit(1)).as("n"))
       .select(concat(lit("c"), col("o_custkey")).as("doc_a"),
               concat(lit("s"), col("l_suppkey")).as("doc_b"),
               col("n"))
   }
+
+  /** Per-(JVM, sfDir) persisted trade-pair fixture — unique tempdir +
+    * shutdown reaper ([[graft.StoreDir.of]]), like the dedup signature
+    * store: only this JVM reads it. */
+  private val pairStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def pairStorePath(s: SparkSession, d: String): String =
+    graft.StoreDir.of(pairStoreCache, d, "graft-tradepairs-") { dir =>
+      custSuppPairsFresh(s, d).write.mode("overwrite").parquet(dir)
+    }
 
   /** Deterministic random-walk core (graph_random_walk /
     * Graph.randomWalks): from each row of `seeds` ("seed" column), a
