@@ -120,6 +120,47 @@ def contract_check(out_dir):
     return problems
 
 
+def perf_check(new_path, prior_path, factor=1.5, floor_sec=0.25):
+    """Build-time per-key perf-drift gate (r16 verdict #2): compare a fresh
+    BENCH_FULL.json's per-key MEDIANS against a committed prior-round
+    record. Flags non-suspect keys whose median grew > `factor`x AND by
+    more than `floor_sec` absolute (tiny keys live at the scheduler floor
+    where ratios are pure noise). Keys in either record's suspect list are
+    reported but not flagged (box-noise adjudication is the sentinel's
+    job, not this gate's). tools/perf_waivers.json holds deliberate
+    trades: {key: reason} entries are reported as waived, never flagged.
+    Returns (flagged, report_lines)."""
+    new = json.load(open(new_path))
+    prior = json.load(open(prior_path))
+    nmed, pmed = new.get("median", {}), prior.get("median", {})
+    suspects = set(new.get("suspect", [])) | set(prior.get("suspect", []))
+    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf_waivers.json")
+    waivers = json.load(open(wpath)) if os.path.exists(wpath) else {}
+    lines, flagged = [], []
+    added = sorted(set(nmed) - set(pmed))
+    gone = sorted(set(pmed) - set(nmed))
+    if added:
+        lines.append(f"perf: new keys (no prior): {', '.join(added)}")
+    if gone:
+        lines.append(f"perf: keys missing from fresh record: {', '.join(gone)}")
+    for k in sorted(set(nmed) & set(pmed)):
+        n, p = nmed[k], pmed[k]
+        if p <= 0 or n <= p * factor or n - p <= floor_sec:
+            continue
+        tag = f"{k} {p:.3f}s -> {n:.3f}s ({n/p:.2f}x)"
+        if k in waivers:
+            lines.append(f"perf: WAIVED {tag} :: {waivers[k]}")
+        elif k in suspects:
+            lines.append(f"perf: SUSPECT-SEGMENT {tag} (not flagged; re-measure)")
+        else:
+            flagged.append(k)
+            lines.append(f"perf: FLAG {tag}")
+    if not flagged:
+        lines.append(f"perf: no unwaived regressions > {factor}x (+{floor_sec}s floor) "
+                     f"across {len(set(nmed) & set(pmed))} shared keys")
+    return flagged, lines
+
+
 def main():
     # optional: --json <path> writes the per-key results as JSON (the
     # round-end local snapshot VERDICT r11 #8 asked for)
@@ -129,6 +170,15 @@ def main():
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # optional: --perf <fresh BENCH_FULL.json> <prior BENCH_FULL.json>
+    # runs ONLY the perf gate (no sfDir/outDir needed) and exits 3 on an
+    # unwaived >1.5x median regression.
+    if "--perf" in argv:
+        i = argv.index("--perf")
+        flagged, lines = perf_check(argv[i + 1], argv[i + 2])
+        for l in lines:
+            print(l)
+        sys.exit(3 if flagged else 0)
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
