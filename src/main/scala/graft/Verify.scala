@@ -8,6 +8,13 @@ object Verify {
     // args: sfDir outDir [key ...] — trailing keys restrict the dump (local
     // iteration); the driver always passes exactly two.
     val Array(sfDir, outDir, keyFilter @ _*) = args
+    // Before ANY ops object initializes: point the store-reading oracle
+    // constants (LlmOps.OracleSfDir, TextOps.OracleBpeDir,
+    // ScanOps.scan_metadata_cols) at THIS run's data dir, so a local
+    // sweep at sf0.001 generates oracle SQL against sf0.001's stores
+    // (r16 verdict #6). The driver always passes sf0.01 — the default —
+    // so its oracle strings are byte-identical to before.
+    System.setProperty("graft.oracle.sfdir", sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -2396,7 +2396,13 @@ object LlmOps {
     * the store-reading oracles below recompute — via the SAME
     * StoreDir.fixedPath the Spark side uses — the dirs that
     * annIndexPath/annIncPath produce for that input. */
-  private val OracleSfDir = "/root/testdata/sf0.01"
+  /** Property-driven since r17 (r16 verdict #6, two-SF sweep): Verify
+    * sets `graft.oracle.sfdir` from its sfDir argument before any oracle
+    * table initializes, so a local sweep at another SF generates
+    * store-reading oracle SQL against THAT SF's stores. The default is
+    * the driver's fixed gate dir, so driver behavior is unchanged. */
+  private val OracleSfDir =
+    sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01")
   private val OracleAnnDir = graft.StoreDir.fixedPath("graft-annindex", OracleSfDir)
   private val OracleAnnIncDir = graft.StoreDir.fixedPath("graft-anninc", OracleSfDir)
 

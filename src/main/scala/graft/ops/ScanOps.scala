@@ -843,12 +843,14 @@ object ScanOps {
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
 
-    // The oracle always runs over the harness's fixed sf0.01 dir (same
-    // convention as every store-path oracle constant).
-    "scan_metadata_cols" -> """
+    // The oracle runs over the harness's gate dir (fixed sf0.01 for the
+    // driver; `graft.oracle.sfdir` — set by Verify — for local sweeps at
+    // another SF, same convention as every store-path oracle constant).
+    "scan_metadata_cols" -> s"""
       SELECT parse_filename(filename) AS file_name,
              count(*) AS n_rows, min(doc_id) AS first_doc
-      FROM read_parquet('/root/testdata/sf0.01/documents.parquet', filename=true)
+      FROM read_parquet('${sys.props.getOrElse("graft.oracle.sfdir",
+        "/root/testdata/sf0.01")}/documents.parquet', filename=true)
       GROUP BY 1 ORDER BY 1""",
 
     "scan_filter_pushdown" -> """

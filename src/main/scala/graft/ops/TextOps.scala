@@ -1218,11 +1218,12 @@ object TextOps {
   }
 
   /** The tokenizer store's deterministic location at the ORACLE scale
-    * factor (the driver's correctness gate always runs at sf0.01 over
-    * /root/testdata/sf0.01 — same contract note as LlmOps.OracleAnnDir;
-    * recomputed via the same StoreDir.fixedPath the Spark side uses). */
-  private val OracleBpeDir =
-    graft.StoreDir.fixedPath("graft-bpestore", "/root/testdata/sf0.01")
+    * factor (the driver's correctness gate always runs at sf0.01 —
+    * same contract note as LlmOps.OracleAnnDir; recomputed via the same
+    * StoreDir.fixedPath the Spark side uses). `graft.oracle.sfdir` is
+    * set by Verify for local sweeps at other SFs (r16 verdict #6). */
+  private val OracleBpeDir = graft.StoreDir.fixedPath("graft-bpestore",
+    sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01"))
 
   val oracle: Map[String, String] = graft.Contract.uniqueMap("TextOps.oracle", Seq(
     // Same mask derivation (md5 nibble), same list-op reassembly. DuckDB
