@@ -92,6 +92,7 @@ object Bench {
     def quietly(f: => Any): Unit = try { f; () } catch { case _: Throwable => () }
     quietly(graft.streaming.StreamOps.prewarm(spark, sfDir))
     quietly(graft.ops.GraphOps.pairStorePath(spark, sfDir))
+    quietly(graft.ops.LlmOps.shingleStorePath(spark, sfDir))
     quietly(graft.ops.LlmOps.sigStorePath(spark, sfDir))
     quietly(graft.ops.LlmOps.annIndexPath(spark, sfDir))
     quietly(graft.ops.LlmOps.annIncPath(spark, sfDir))
