@@ -588,10 +588,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"centroids must broadcast:\n$p")
     // the cached assignment frame serves the pair sides and the verdict
-    // join — all three consumers read the InMemoryRelation, so the
-    // crossJoin+argmax aggregate appears ONLY under the cache build
+    // join — all three consumers read the InMemoryRelation (a consumer
+    // collapsed into a ReusedExchange counts: since r17 the store-backed
+    // cen lineage is deterministic enough that the planner shares ONE
+    // shuffle between the identical a/b pair sides — strictly fewer
+    // reads, same no-recompute guarantee), so the crossJoin+argmax
+    // aggregate appears ONLY under the cache build
     val scans = "InMemoryTableScan".r.findAllIn(p).length
-    assert(scans >= 3, s"expected >=3 cache reads (a, b, verdict), got $scans:\n$p")
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    assert(scans + reused >= 3,
+      s"expected >=3 cache/reuse reads (a, b, verdict), got $scans scans + $reused reused:\n$p")
+    assert(scans >= 2, s"expected >=2 direct cache reads, got $scans:\n$p")
   }
 
   // sql_recursive_cte must actually exercise Spark 4.1's recursive-CTE
