@@ -53,6 +53,13 @@ object GraphOps {
     * hop-bounded walk recursion. */
   private[graft] val SsspRounds = 4
 
+  /** graph_harmonic seed count and hop bound — shared with the oracle's
+    * recursion. Fixed hop bound keeps the per-distance counts a finite
+    * set of integer slots, so the harmonic sum is ONE deterministic
+    * expression over exact counts (bit-identical cross-engine). */
+  private[graft] val HarmonicSeeds = 4
+  private[graft] val HarmonicRounds = 4
+
   /** One row per undirected REPEAT-trade edge (threshold 3) — the sparse
     * subgraph graph_components and graph_bfs both run on. */
   private[graft] def repeatTradePairs(s: SparkSession, d: String): DataFrame =
@@ -850,6 +857,47 @@ object GraphOps {
     // directed frame here is customer→supplier with a REVERSED arc for
     // pairs above the repeat threshold, so reciprocity is genuinely
     // strictly between 0 and 1.
+    // Sampled harmonic centrality (the Eppstein–Wang estimator shape):
+    // multi-source hop-bounded BFS from a FIXED deterministic seed set
+    // (the HarmonicSeeds lexicographically-smallest nodes — a production
+    // run samples seeds; determinism here is what makes the row
+    // hash-gatable), then per node harmonic = Σ_seeds 1/d(seed, node)
+    // over seeds that reach it within HarmonicRounds hops. Exact
+    // all-sources closeness is O(V·E) — the sampled-seed estimate is the
+    // published scale path, and the per-round cost is one frontier join +
+    // min-agg like graph_bfs, with (seed, node) state instead of node.
+    // The harmonic sum is computed from the per-distance INTEGER counts
+    // (n1/1 + n2/2 + n3/3 + n4/4), one fixed-shape double expression —
+    // never a float fold over an engine-ordered list.
+    "graph_harmonic" -> ((s, d) => {
+      val edges = graft.GraftCaches.track(repeatTradeEdges(s, d).cache())
+      val seeds = edges.select(col("src").as("seed")).distinct()
+        .orderBy("seed").limit(HarmonicSeeds)
+      var dist = seeds.select(col("seed"), col("seed").as("node"),
+                              lit(0).as("dist"))
+      var frontier = dist
+      for (_ <- 1 to HarmonicRounds) {
+        val cand = edges.join(frontier, col("src") === col("node"))
+          .select(col("seed"), col("dst").as("node"),
+                  (col("dist") + 1).as("dist"))
+          .groupBy("seed", "node").agg(min("dist").as("dist"))
+        frontier = LlmOps.cutLineage(
+          cand.join(dist.select(col("seed").as("s2"), col("node").as("seen")),
+                    col("seed") === col("s2") && col("node") === col("seen"),
+                    "left_anti"))
+        dist = LlmOps.cutLineage(dist.unionByName(frontier))
+      }
+      val slots = (1 to HarmonicRounds).map(h =>
+        sum(when(col("dist") === h, 1L).otherwise(0L)).as(s"n$h"))
+      dist.filter(col("dist") > 0)
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_reached"), slots: _*)
+        .select(col("node"), col("n_reached"),
+          round((1 to HarmonicRounds).map(h =>
+              col(s"n$h") / lit(h.toDouble)).reduce(_ + _), 4).as("harmonic"))
+        .orderBy("node")
+    }),
+
     "graph_reciprocity" -> ((s, d) =>
       reciprocityOf(reciprocityEdges(s, d)))
   ))
@@ -1000,6 +1048,28 @@ object GraphOps {
     // Min over hop-bounded weighted walks — the recursion state is finite
     // because weights are small integers (dist ≤ 5·cap) and UNION dedups
     // (node, dist, hops) tuples; equals Bellman-Ford after `cap` rounds.
+    // Multi-seed hop-bounded BFS as one recursive CTE with (seed, node)
+    // state; harmonic from per-distance integer counts in the same fixed
+    // expression shape as the Spark side (left-assoc n1/1 + … + n4/4).
+    "graph_harmonic" -> s"""
+      WITH RECURSIVE p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s AS src, c AS dst FROM p),
+      seeds AS (SELECT src AS seed FROM e GROUP BY 1 ORDER BY 1 LIMIT $HarmonicSeeds),
+      reach(seed, node, dist) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT r.seed, e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+        WHERE r.dist < $HarmonicRounds),
+      d AS (SELECT seed, node, min(dist) AS dist FROM reach GROUP BY 1, 2)
+      SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+             round(${(1 to HarmonicRounds).map(h =>
+               s"CAST(sum(CASE WHEN dist = $h THEN 1 ELSE 0 END) AS DOUBLE) / $h")
+               .mkString(" + ")}, 4) AS harmonic
+      FROM d WHERE dist > 0 GROUP BY node ORDER BY node""",
+
     "graph_sssp" -> s"""
       WITH RECURSIVE p AS (
         SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,

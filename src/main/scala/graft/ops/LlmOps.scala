@@ -792,12 +792,18 @@ object LlmOps {
     * on a corpus snapshot id). computeIfAbsent gives per-key build
     * exclusivity — a concurrent first call blocks instead of building a
     * second orphaned store dir (TrieMap.getOrElseUpdate runs the thunk
-    * outside the lock and races). Store dirs are registered for JVM-exit
-    * deletion so repeated harness launches don't accrete tmp dirs. */
+    * outside the lock and races). */
+  /** FIXED path since r17 (was a unique reaper tempdir): the minhash-band
+    * index-health audit's DuckDB oracle (llm_dedup_index_stats) reads the
+    * stored band table after the Verify JVM exits — the same
+    * deterministic-path/no-reaper contract as [[annIndexPath]], and the
+    * band fingerprints are Spark Murmur3 hashes no SQL engine recomputes,
+    * so the store IS the only possible oracle input. */
   private val sigStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def sigStorePath(s: SparkSession, d: String): String =
-    graft.StoreDir.of(sigStoreCache, d, "graft-sigstore-") { dir =>
+    graft.StoreDir.fixed(sigStoreCache,
+        graft.StoreDir.fixedPath("graft-sigstore", d)) { dir =>
       val day1 = shingled(s, d).filter(pmod(col("doc_id"), lit(4)) =!= 0).cache()
       bandedSigs(day1).write.mode("overwrite").parquet(s"$dir/bands")
       day1.write.mode("overwrite").parquet(s"$dir/sh")
@@ -1829,6 +1835,62 @@ object LlmOps {
         .orderBy("sub", "code")
     }),
 
+    // MinHash-band index-health audit — the FOURTH index family's row on
+    // the audit board (IVF cells / LSH sign-bands / PQ codes / minhash
+    // bands): per (band, bucket) occupancy over the persisted day-1
+    // signature store's band table, the index llm_dedup_incremental
+    // probes. A hot band bucket is the dedup pipeline's skew tail — every
+    // incoming doc hashing into it pays a bucket-sized candidate
+    // expansion (the exact failure BandingBucketCapKey exists to cap) —
+    // and a band whose buckets collapse means its 4 signature rows
+    // stopped discriminating. Same metadata-only one-hash-agg shape as
+    // the other three audits; reads (doc_id, band, bh) posting rows only,
+    // never shingles.
+    "llm_dedup_index_stats" -> ((s, d) => {
+      val store = sigStorePath(s, d)
+      // two consumers (per-band totals + the output join) — cache the
+      // bucket table so the band-posting scan runs once
+      val buckets = graft.GraftCaches.track(
+        s.read.parquet(s"$store/bands")
+          .groupBy("band", "bh").agg(count(lit(1)).as("n_docs")).cache())
+      val per = buckets.groupBy("band")
+        .agg(sum("n_docs").as("band_total"), count(lit(1)).as("n_buckets"))
+      buckets.join(broadcast(per), "band")
+        .select(col("band"), col("bh"), col("n_docs"),
+          round(col("n_docs") / col("band_total").cast("double"), 4).as("frac"),
+          round((col("n_docs") * col("n_buckets"))
+                / col("band_total").cast("double"), 4).as("imbalance"))
+        .orderBy("band", "bh")
+    }),
+
+    // Mean-reciprocal-rank eval of the LSH index against brute-force
+    // truth — the recall board's companion metric: recall@5 measures how
+    // MANY true neighbors an index returns, MRR how EARLY the first one
+    // appears (the retrieval-quality number RAG rerankers are budgeted
+    // against). Reuses the two REAL knn cores verbatim like every recall
+    // key; per query: first_rank = min approx rank holding a true top-5
+    // neighbor (NULL when the index misses entirely), rr = 1/first_rank
+    // else 0. The hit join is one co-partitioned equi-join on
+    // (q_id, n_id) — eval cost is index cost, not corpus cost.
+    "llm_mrr_eval" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .filter(col("q_id") < 100)
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val truth = knnOf(q, c, 5).select(col("q_id"), col("n_id"))
+      val approx = lshKnnOf(q, c).select(col("q_id"), col("n_id"), col("rk"))
+      val hits = approx.join(
+          truth.select(col("q_id").as("t_q"), col("n_id").as("t_n")),
+          col("q_id") === col("t_q") && col("n_id") === col("t_n"))
+        .groupBy("q_id").agg(min("rk").as("first_rank"))
+      truth.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("first_rank"),
+          round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 4).as("rr"))
+        .orderBy("q_id")
+    }),
+
     "llm_knn_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
@@ -2425,6 +2487,7 @@ object LlmOps {
     sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01")
   private val OracleAnnDir = graft.StoreDir.fixedPath("graft-annindex", OracleSfDir)
   private val OracleAnnIncDir = graft.StoreDir.fixedPath("graft-anninc", OracleSfDir)
+  private val OracleSigDir = graft.StoreDir.fixedPath("graft-sigstore", OracleSfDir)
 
   /** Brute-force top-5 ground truth as CTEs `bf_pairs`/`bf` — shared by
     * every recall-gate oracle so truth is ONE definition cross-key. */
@@ -3279,6 +3342,64 @@ object LlmOps {
              round(CAST(p.n_used AS DOUBLE) / $PqK, 4) AS util
       FROM c JOIN p ON c.sub = p.sub
       ORDER BY c.sub, c.code""",
+
+    // The persisted day-1 signature store's band table (fixed path since
+    // r17 — the band fingerprints are Spark Murmur3 hashes no SQL engine
+    // recomputes, so the store is the only possible oracle input; same
+    // contract as the ANN-store oracles).
+    "llm_dedup_index_stats" -> s"""
+      WITH b AS (
+        SELECT band, bh, count(*) AS n_docs
+        FROM read_parquet('$OracleSigDir/bands/*.parquet')
+        GROUP BY band, bh),
+      p AS (
+        SELECT band, CAST(sum(n_docs) AS BIGINT) AS band_total,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM b GROUP BY band)
+      SELECT b.band, b.bh, CAST(b.n_docs AS BIGINT) AS n_docs,
+             round(CAST(b.n_docs AS DOUBLE) / p.band_total, 4) AS frac,
+             round(CAST(b.n_docs * p.n_buckets AS DOUBLE) / p.band_total, 4)
+               AS imbalance
+      FROM b JOIN p ON b.band = p.band
+      ORDER BY b.band, b.bh""",
+
+    // The llm_knn_lsh chain with ranks kept, joined to the shared
+    // brute-force truth: first_rank = min approx rank holding a true
+    // top-5 neighbor, rr = 1/first_rank (0 on a complete miss).
+    "llm_mrr_eval" -> s"""
+      WITH bands AS (
+        SELECT vec_id, j AS band_idx,
+               (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[4*j + 2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4*j + 3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4*j + 4] > 0 THEN 8 ELSE 0 END) AS band_val
+        FROM embeddings, range(16) t(j)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM bands q
+        JOIN bands c ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+        WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id),
+      lsh_pairs AS (
+        SELECT cand.q_id, cand.n_id,
+               ${ffCosSql("qe.embedding", "ce.embedding")} AS cos
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.q_id
+        JOIN embeddings ce ON ce.vec_id = cand.n_id),
+      lsh AS (
+        SELECT q_id, n_id, rk FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+          FROM lsh_pairs) WHERE rk <= 5),
+      ${bfTop5CtesSql},
+      hits AS (
+        SELECT l.q_id, CAST(min(l.rk) AS INTEGER) AS first_rank
+        FROM lsh l JOIN bf ON bf.q_id = l.q_id AND bf.n_id = l.n_id
+        GROUP BY l.q_id),
+      qs AS (SELECT DISTINCT q_id FROM bf)
+      SELECT qs.q_id, h.first_rank,
+             round(coalesce(CAST(1.0 AS DOUBLE) / h.first_rank, 0.0), 4) AS rr
+      FROM qs LEFT JOIN hits h ON qs.q_id = h.q_id
+      ORDER BY qs.q_id""",
 
     "llm_knn_lsh" -> """
       WITH bands AS (

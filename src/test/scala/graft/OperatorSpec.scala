@@ -2203,6 +2203,69 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_dedup_index_stats: every band accounts for all day-1 docs, per-band fracs sum to 1") {
+    val rows = SparkEntry.queries("llm_dedup_index_stats")(spark, d).collect()
+    // day-1 = doc_id % 4 != 0 with >=1 shingle — recompute the expected
+    // per-band occupancy from the same slice definition
+    val nDay1 = graft.ops.LlmOps.shingled(spark, d)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(4)) =!= 0).count()
+    val byBand = rows.groupBy(_.getInt(0))
+    assert(byBand.keySet === (0 until 16).toSet, "16 minhash bands expected")
+    byBand.foreach { case (b, rs) =>
+      assert(rs.map(_.getLong(2)).sum === nDay1, s"band $b posting occupancy")
+      // each frac is rounded to 4dp, so the sum drifts up to 5e-5/bucket
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-2 + 5e-5 * rs.length,
+        s"band $b fracs")
+      rs.foreach { r =>
+        assert(math.abs(r.getDouble(4) -
+          r.getLong(2).toDouble * rs.length / nDay1) < 1e-3)
+      }
+    }
+  }
+
+  test("llm_mrr_eval: one row per query, rr = 1/first_rank, misses are rr=0") {
+    val rows = SparkEntry.queries("llm_mrr_eval")(spark, d).collect()
+    val nQueries = Tables.embeddings(spark, d)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 100).count()
+    assert(rows.length.toLong === nQueries, "every query scored exactly once")
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.getDouble(2) === 0.0, s"miss must be rr=0: $r")
+      else {
+        val fr = r.getInt(1)
+        assert(fr >= 1 && fr <= 5, s"first_rank in 1..5: $r")
+        assert(math.abs(r.getDouble(2) -
+          math.rint(10000.0 / fr) / 10000.0) < 1e-9, s"rr = round(1/first_rank, 4): $r")
+      }
+    }
+    // the LSH index has measured recall >0.9 here — MRR must reflect that
+    // (most queries hit at rank 1); guard the metric against a silent
+    // truth/approx side swap, which would crater it
+    val mrr = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mrr > 0.5, s"implausible MRR $mrr for an index with recall ~0.9")
+  }
+
+  test("graph_harmonic: bounds hold and the first seed's BFS distances lower-bound it") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("graph_harmonic")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (n, h) =>
+      assert(h <= n + 1e-9, "each reaching seed contributes at most 1")
+      assert(h >= n / 4.0 - 1e-9, "each reaching seed contributes at least 1/HarmonicRounds")
+    }
+    // graph_bfs walks from min(src) — the lexicographically-first harmonic
+    // seed; any node it reaches within 4 hops must carry >= 1/dist
+    val bfs = SparkEntry.queries("graph_bfs")(spark, d).collect()
+    bfs.filter(r => r.getInt(1) >= 1 && r.getInt(1) <= 4).foreach { r =>
+      val (node, dist) = (r.getString(0), r.getInt(1))
+      assert(rows.contains(node), s"$node reached by seed BFS but absent from harmonic")
+      assert(rows(node)._2 >= 1.0 / dist - 1e-4,
+        s"$node harmonic ${rows(node)._2} < 1/$dist from the first seed alone")
+    }
+  }
+
   test("llm_ann_pq_stats: every subspace accounts for the whole corpus, util = used/k") {
     val rows = SparkEntry.queries("llm_ann_pq_stats")(spark, d).collect()
     val nVecs = Tables.embeddings(spark, d).count()

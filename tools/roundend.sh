@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-end local gate (r16 verdict #6): the full contract swept at BOTH
+# scale factors (the driver's sf0.01 gate dir plus the cheap sf0.001
+# sweep that exercises every SF-coupled fixture — store builds, JDBC
+# stride bounds, watermark calibrations), each recorded as a committed
+# snapshot JSON, followed by the per-key perf-drift gate against the
+# prior round's bench record.
+#
+# Usage: tools/roundend.sh [prior BENCH_FULL record]   (default: r16's)
+set -e
+cd "$(dirname "$0")/.."
+PRIOR="${1:-BENCH_FULL_r16_builder.json}"
+for SF in 0.01 0.001; do
+  OUT="/tmp/roundend_sf$SF"
+  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT" \
+    2>&1 | grep -E '\[verify\]' && { echo "FATAL: keys threw at sf$SF"; exit 1; } || true
+  python3 tools/selfcheck.py "/root/testdata/sf$SF" "$OUT" --json "tools/roundend_sf$SF.json"
+done
+python3 tools/selfcheck.py --perf BENCH_FULL.json "$PRIOR"
+echo "roundend: both-SF snapshots written to tools/roundend_sf{0.01,0.001}.json"
