@@ -51,6 +51,17 @@ private[graft] object GraftCaches {
   * tokenizer). computeIfAbsent gives per-key in-JVM build exclusivity;
   * fixed() additionally takes an OS file lock for cross-process safety. */
 private[graft] object StoreDir {
+  /** The data dir every STORE-READING oracle SQL constant is generated
+    * against — ONE definition (r17 review: three modules each spelled
+    * the property+default, and a missed site on a future rename would
+    * recreate exactly the cross-SF store/oracle mismatch the r16 #6 fix
+    * prevents). The driver's correctness gate always runs at sf0.01;
+    * `graft.oracle.sfdir` is set by Verify.main from its sfDir argument
+    * BEFORE any ops object initializes, so local sweeps at other SFs get
+    * oracle SQL pointing at that SF's stores. */
+  def oracleSfDir: String =
+    sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01")
+
   /** Deterministic, JVM-OUTLIVING store dir (VERDICT r6 #4): built ONCE
     * per (JVM, key) at a FIXED path with no shutdown reaper — the DuckDB
     * oracle reads the persisted parquet AFTER the Verify JVM exits, so

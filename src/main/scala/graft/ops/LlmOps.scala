@@ -756,6 +756,53 @@ object LlmOps {
       .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Shared occupancy/balance rollup behind the partitioned index-health
+    * audits (llm_ann_lsh_stats / llm_ann_pq_stats / llm_dedup_index_stats
+    * — r17 review: one definition so the 4dp/imbalance conventions cannot
+    * drift between the three gated rows): per (partition, bucket) count
+    * over `posting`, then in-partition fraction and imbalance vs uniform
+    * over that partition's observed buckets, via a broadcast per-partition
+    * rollup. `extra` appends audit-specific columns (PQ's util) that may
+    * reference `n_buckets`/`part_total`. ONE hash-agg over id-only index
+    * metadata — never vectors/shingles. [[indexStatsSql]] is its DuckDB
+    * twin. */
+  private def indexStatsOf(posting: DataFrame, partCol: String,
+                           bucketCol: String, cntName: String,
+                           extra: Seq[Column] = Nil): DataFrame = {
+    // two consumers (per-partition totals + the output join) — cache the
+    // bucket table so the posting scan runs once
+    val buckets = graft.GraftCaches.track(
+      posting.groupBy(partCol, bucketCol).agg(count(lit(1)).as(cntName))
+        .cache())
+    val per = buckets.groupBy(partCol)
+      .agg(sum(cntName).as("part_total"), count(lit(1)).as("n_buckets"))
+    buckets.join(broadcast(per), partCol)
+      .select(Seq(col(partCol), col(bucketCol), col(cntName),
+        round(col(cntName) / col("part_total").cast("double"), 4).as("frac"),
+        round((col(cntName) * col("n_buckets"))
+              / col("part_total").cast("double"), 4).as("imbalance"))
+        ++ extra: _*)
+      .orderBy(partCol, bucketCol)
+  }
+
+  /** DuckDB twin of [[indexStatsOf]] over `srcSql` rows. `extraSel` may
+    * reference `p.n_buckets`/`p.part_total` (must start with ", "). */
+  private def indexStatsSql(srcSql: String, part: String, bucket: String,
+                            cnt: String, extraSel: String = ""): String = s"""
+      WITH b AS (
+        SELECT $part, $bucket, count(*) AS $cnt
+        FROM ($srcSql) GROUP BY $part, $bucket),
+      p AS (
+        SELECT $part, CAST(sum($cnt) AS BIGINT) AS part_total,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM b GROUP BY $part)
+      SELECT b.$part, b.$bucket, CAST(b.$cnt AS BIGINT) AS $cnt,
+             round(CAST(b.$cnt AS DOUBLE) / p.part_total, 4) AS frac,
+             round(CAST(b.$cnt * p.n_buckets AS DOUBLE) / p.part_total, 4)
+               AS imbalance$extraSel
+      FROM b JOIN p ON b.$part = p.$part
+      ORDER BY b.$part, b.$bucket"""
+
   /** Recall@k truth-join eval — ONE definition for every approximate
     * index's quality gate (llm_ann_recall_eval / _ivf / _ivfpq): `truth`
     * and `approx` are (q_id, n_id) top-k frames from the REAL operators;
@@ -1793,20 +1840,8 @@ object LlmOps {
     "llm_ann_lsh_stats" -> ((s, d) => {
       val c = Tables.embeddings(s, d)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      // two consumers (per-band totals + the output join) — cache the
-      // ≤16·2^4-row bucket table so the banding scan runs once
-      val buckets = graft.GraftCaches.track(
-        lshBandsOf(c, "n_id", "n_emb", 16, 4)
-          .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n_vecs"))
-          .cache())
-      val per = buckets.groupBy("band_idx")
-        .agg(sum("n_vecs").as("band_total"), count(lit(1)).as("n_buckets"))
-      buckets.join(broadcast(per), "band_idx")
-        .select(col("band_idx"), col("band_val"), col("n_vecs"),
-          round(col("n_vecs") / col("band_total").cast("double"), 4).as("frac"),
-          round((col("n_vecs") * col("n_buckets"))
-                / col("band_total").cast("double"), 4).as("imbalance"))
-        .orderBy("band_idx", "band_val")
+      indexStatsOf(lshBandsOf(c, "n_id", "n_emb", 16, 4),
+                   "band_idx", "band_val", "n_vecs")
     }),
 
     // PQ index-health twin (r16 verdict #4): codebook utilization over
@@ -1821,18 +1856,8 @@ object LlmOps {
     // index stores, so this audit never touches float vectors.
     "llm_ann_pq_stats" -> ((s, d) => {
       val idx = annIndexPath(s, d)
-      val codes = graft.GraftCaches.track(
-        s.read.parquet(s"$idx/codes")
-          .groupBy("sub", "code").agg(count(lit(1)).as("n_vecs")).cache())
-      val per = codes.groupBy("sub")
-        .agg(sum("n_vecs").as("sub_total"), count(lit(1)).as("n_used"))
-      codes.join(broadcast(per), "sub")
-        .select(col("sub"), col("code"), col("n_vecs"),
-          round(col("n_vecs") / col("sub_total").cast("double"), 4).as("frac"),
-          round((col("n_vecs") * col("n_used"))
-                / col("sub_total").cast("double"), 4).as("imbalance"),
-          round(col("n_used") / lit(PqK.toDouble), 4).as("util"))
-        .orderBy("sub", "code")
+      indexStatsOf(s.read.parquet(s"$idx/codes"), "sub", "code", "n_vecs",
+        extra = Seq(round(col("n_buckets") / lit(PqK.toDouble), 4).as("util")))
     }),
 
     // MinHash-band index-health audit — the FOURTH index family's row on
@@ -1846,22 +1871,9 @@ object LlmOps {
     // stopped discriminating. Same metadata-only one-hash-agg shape as
     // the other three audits; reads (doc_id, band, bh) posting rows only,
     // never shingles.
-    "llm_dedup_index_stats" -> ((s, d) => {
-      val store = sigStorePath(s, d)
-      // two consumers (per-band totals + the output join) — cache the
-      // bucket table so the band-posting scan runs once
-      val buckets = graft.GraftCaches.track(
-        s.read.parquet(s"$store/bands")
-          .groupBy("band", "bh").agg(count(lit(1)).as("n_docs")).cache())
-      val per = buckets.groupBy("band")
-        .agg(sum("n_docs").as("band_total"), count(lit(1)).as("n_buckets"))
-      buckets.join(broadcast(per), "band")
-        .select(col("band"), col("bh"), col("n_docs"),
-          round(col("n_docs") / col("band_total").cast("double"), 4).as("frac"),
-          round((col("n_docs") * col("n_buckets"))
-                / col("band_total").cast("double"), 4).as("imbalance"))
-        .orderBy("band", "bh")
-    }),
+    "llm_dedup_index_stats" -> ((s, d) =>
+      indexStatsOf(s.read.parquet(s"${sigStorePath(s, d)}/bands"),
+                   "band", "bh", "n_docs")),
 
     // Mean-reciprocal-rank eval of the LSH index against brute-force
     // truth — the recall board's companion metric: recall@5 measures how
@@ -2483,8 +2495,7 @@ object LlmOps {
     * table initializes, so a local sweep at another SF generates
     * store-reading oracle SQL against THAT SF's stores. The default is
     * the driver's fixed gate dir, so driver behavior is unchanged. */
-  private val OracleSfDir =
-    sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01")
+  private val OracleSfDir = graft.StoreDir.oracleSfDir
   private val OracleAnnDir = graft.StoreDir.fixedPath("graft-annindex", OracleSfDir)
   private val OracleAnnIncDir = graft.StoreDir.fixedPath("graft-anninc", OracleSfDir)
   private val OracleSigDir = graft.StoreDir.fixedPath("graft-sigstore", OracleSfDir)
@@ -3301,67 +3312,31 @@ object LlmOps {
       ORDER BY c.cell""",
 
     // The same 16×4 sign-band derivation as llm_knn_lsh's oracle, rolled
-    // up to (band, bucket) occupancy + per-band balance ratios.
-    "llm_ann_lsh_stats" -> """
-      WITH bands AS (
+    // up through the shared indexStatsSql template.
+    "llm_ann_lsh_stats" -> indexStatsSql(
+      srcSql = """
         SELECT vec_id, CAST(j AS INTEGER) AS band_idx,
                (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
               + CASE WHEN embedding[4*j + 2] > 0 THEN 2 ELSE 0 END
               + CASE WHEN embedding[4*j + 3] > 0 THEN 4 ELSE 0 END
               + CASE WHEN embedding[4*j + 4] > 0 THEN 8 ELSE 0 END) AS band_val
-        FROM embeddings, range(16) t(j)),
-      b AS (
-        SELECT band_idx, band_val, count(*) AS n_vecs
-        FROM bands GROUP BY band_idx, band_val),
-      p AS (
-        SELECT band_idx, CAST(sum(n_vecs) AS BIGINT) AS band_total,
-               CAST(count(*) AS BIGINT) AS n_buckets
-        FROM b GROUP BY band_idx)
-      SELECT b.band_idx, b.band_val, CAST(b.n_vecs AS BIGINT) AS n_vecs,
-             round(CAST(b.n_vecs AS DOUBLE) / p.band_total, 4) AS frac,
-             round(CAST(b.n_vecs * p.n_buckets AS DOUBLE) / p.band_total, 4)
-               AS imbalance
-      FROM b JOIN p ON b.band_idx = p.band_idx
-      ORDER BY b.band_idx, b.band_val""",
+        FROM embeddings, range(16) t(j)""",
+      part = "band_idx", bucket = "band_val", cnt = "n_vecs"),
 
     // Same persisted code table the Spark side reads (annIndexPath's
     // codes/ half — deterministic path notes on OracleAnnDir).
-    "llm_ann_pq_stats" -> s"""
-      WITH c AS (
-        SELECT sub, code, count(*) AS n_vecs
-        FROM read_parquet('$OracleAnnDir/codes/*.parquet')
-        GROUP BY sub, code),
-      p AS (
-        SELECT sub, CAST(sum(n_vecs) AS BIGINT) AS sub_total,
-               CAST(count(*) AS BIGINT) AS n_used
-        FROM c GROUP BY sub)
-      SELECT c.sub, c.code, CAST(c.n_vecs AS BIGINT) AS n_vecs,
-             round(CAST(c.n_vecs AS DOUBLE) / p.sub_total, 4) AS frac,
-             round(CAST(c.n_vecs * p.n_used AS DOUBLE) / p.sub_total, 4)
-               AS imbalance,
-             round(CAST(p.n_used AS DOUBLE) / $PqK, 4) AS util
-      FROM c JOIN p ON c.sub = p.sub
-      ORDER BY c.sub, c.code""",
+    "llm_ann_pq_stats" -> indexStatsSql(
+      srcSql = s"SELECT sub, code FROM read_parquet('$OracleAnnDir/codes/*.parquet')",
+      part = "sub", bucket = "code", cnt = "n_vecs",
+      extraSel = s",\n             round(CAST(p.n_buckets AS DOUBLE) / $PqK, 4) AS util"),
 
     // The persisted day-1 signature store's band table (fixed path since
     // r17 — the band fingerprints are Spark Murmur3 hashes no SQL engine
     // recomputes, so the store is the only possible oracle input; same
     // contract as the ANN-store oracles).
-    "llm_dedup_index_stats" -> s"""
-      WITH b AS (
-        SELECT band, bh, count(*) AS n_docs
-        FROM read_parquet('$OracleSigDir/bands/*.parquet')
-        GROUP BY band, bh),
-      p AS (
-        SELECT band, CAST(sum(n_docs) AS BIGINT) AS band_total,
-               CAST(count(*) AS BIGINT) AS n_buckets
-        FROM b GROUP BY band)
-      SELECT b.band, b.bh, CAST(b.n_docs AS BIGINT) AS n_docs,
-             round(CAST(b.n_docs AS DOUBLE) / p.band_total, 4) AS frac,
-             round(CAST(b.n_docs * p.n_buckets AS DOUBLE) / p.band_total, 4)
-               AS imbalance
-      FROM b JOIN p ON b.band = p.band
-      ORDER BY b.band, b.bh""",
+    "llm_dedup_index_stats" -> indexStatsSql(
+      srcSql = s"SELECT band, bh FROM read_parquet('$OracleSigDir/bands/*.parquet')",
+      part = "band", bucket = "bh", cnt = "n_docs"),
 
     // The llm_knn_lsh chain with ranks kept, joined to the shared
     // brute-force truth: first_rank = min approx rank holding a true

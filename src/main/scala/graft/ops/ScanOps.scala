@@ -849,8 +849,7 @@ object ScanOps {
     "scan_metadata_cols" -> s"""
       SELECT parse_filename(filename) AS file_name,
              count(*) AS n_rows, min(doc_id) AS first_doc
-      FROM read_parquet('${sys.props.getOrElse("graft.oracle.sfdir",
-        "/root/testdata/sf0.01")}/documents.parquet', filename=true)
+      FROM read_parquet('${graft.StoreDir.oracleSfDir}/documents.parquet', filename=true)
       GROUP BY 1 ORDER BY 1""",
 
     "scan_filter_pushdown" -> """

@@ -1222,8 +1222,8 @@ object TextOps {
     * same contract note as LlmOps.OracleAnnDir; recomputed via the same
     * StoreDir.fixedPath the Spark side uses). `graft.oracle.sfdir` is
     * set by Verify for local sweeps at other SFs (r16 verdict #6). */
-  private val OracleBpeDir = graft.StoreDir.fixedPath("graft-bpestore",
-    sys.props.getOrElse("graft.oracle.sfdir", "/root/testdata/sf0.01"))
+  private val OracleBpeDir =
+    graft.StoreDir.fixedPath("graft-bpestore", graft.StoreDir.oracleSfDir)
 
   val oracle: Map[String, String] = graft.Contract.uniqueMap("TextOps.oracle", Seq(
     // Same mask derivation (md5 nibble), same list-op reassembly. DuckDB

@@ -137,6 +137,14 @@ def perf_check(new_path, prior_path, factor=1.5, floor_sec=0.25):
     wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf_waivers.json")
     waivers = json.load(open(wpath)) if os.path.exists(wpath) else {}
     lines, flagged = [], []
+    # a record without medians (driver summary format, truncated file)
+    # must FAIL the gate, not void it — zero shared keys means nothing
+    # was compared (r17 review)
+    if not set(nmed) & set(pmed):
+        flagged.append("_no_shared_keys")
+        lines.append("perf: FLAG no shared median keys between the two records — "
+                     "gate is vacuous (wrong or truncated bench record?)")
+        return flagged, lines
     added = sorted(set(nmed) - set(pmed))
     gone = sorted(set(pmed) - set(nmed))
     if added:
