@@ -445,6 +445,28 @@ object Similarity {
     graft.ops.LlmOps.hardNegativesOf(queries, candidates, k)
   }
 
+  /** Partitioned-index health audit (llm_ann_lsh_stats / llm_ann_pq_stats
+    * / llm_dedup_index_stats' exact core) over ANY (partition, bucket)
+    * posting frame — LSH band tables, PQ code tables, IVF-within-shard
+    * postings: per-bucket occupancy, in-partition fraction, and imbalance
+    * vs uniform over that partition's observed buckets. One hash-agg over
+    * index metadata plus a broadcast per-partition rollup — never touches
+    * payloads, so the audit is metadata-priced at any corpus size.
+    * Returns (partCol, bucketCol, n, frac 4dp, imbalance 4dp), unordered. */
+  def indexStats(posting: DataFrame, partCol: String,
+                 bucketCol: String): DataFrame =
+    LlmOps.indexStatsOf(posting, partCol, bucketCol, "n")
+
+  /** Mean-reciprocal-rank eval (llm_mrr_eval's exact core): `truth` =
+    * (q_id, n_id) relevant pairs, `approx` = (q_id, n_id, rk) ranked
+    * results; per query first_rank = min rank holding a truth pair (NULL
+    * on a miss), rr = 1/first_rank else 0 — the how-early companion to
+    * the recall eval's how-many. Query universe comes from `truth`, so
+    * silent index misses score 0 instead of vanishing. Returns
+    * (q_id, first_rank, rr 4dp), unordered. */
+  def mrr(truth: DataFrame, approx: DataFrame): DataFrame =
+    LlmOps.mrrEvalOf(truth, approx)
+
 }
 
 /** Text analysis / corpus hygiene over document frames. */
@@ -1245,6 +1267,22 @@ object Graph {
                   srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     graft.ops.GraphOps.reciprocityOf(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+
+  /** Sampled harmonic centrality (graph_harmonic's exact core): per node
+    * Σ 1/d(seed, node) over a caller-supplied (seed) frame's seeds that
+    * reach it within `rounds` hops — the Eppstein–Wang estimator shape,
+    * where seed count (not graph size) prices the job. Multi-source BFS
+    * with (seed, node) frontier state, one join + min-agg per round,
+    * lineage-cut; the harmonic sum is a fixed expression over exact
+    * per-distance counts, so results are identical at any parallelism.
+    * Returns (node, n_reached, harmonic 4dp); seeds' d=0 self-rows are
+    * excluded. Emit both edge directions for an undirected graph. */
+  def harmonic(edges: DataFrame, seeds: DataFrame, rounds: Int = 4,
+               srcCol: String = "src", dstCol: String = "dst",
+               seedCol: String = "seed"): DataFrame =
+    graft.ops.GraphOps.harmonicOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      seeds.select(col(seedCol).as("seed")), rounds)
 
 }
 

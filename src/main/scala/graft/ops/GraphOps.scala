@@ -60,6 +60,41 @@ object GraphOps {
   private[graft] val HarmonicSeeds = 4
   private[graft] val HarmonicRounds = 4
 
+  /** Sampled harmonic-centrality core (graph_harmonic / Graph.harmonic):
+    * multi-source hop-bounded BFS from a (seed) frame over (src, dst)
+    * edges — (seed, node) frontier state, one join + min-agg per round,
+    * per-round lineage cuts — then per node harmonic = Σ_seeds 1/d over
+    * seeds reaching it within `rounds` hops, computed from the
+    * per-distance INTEGER counts in one fixed left-assoc double
+    * expression (bit-identical at any parallelism; never a float fold
+    * over an engine-ordered list). Returns (node, n_reached,
+    * harmonic 4dp), unordered; seed self-rows (d = 0) are excluded. */
+  private[graft] def harmonicOf(edges: DataFrame, seeds: DataFrame,
+                                rounds: Int): DataFrame = {
+    var dist = seeds.select(col("seed"), col("seed").as("node"),
+                            lit(0).as("dist"))
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = edges.join(frontier, col("src") === col("node"))
+        .select(col("seed"), col("dst").as("node"),
+                (col("dist") + 1).as("dist"))
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+      frontier = LlmOps.cutLineage(
+        cand.join(dist.select(col("seed").as("s2"), col("node").as("seen")),
+                  col("seed") === col("s2") && col("node") === col("seen"),
+                  "left_anti"))
+      dist = LlmOps.cutLineage(dist.unionByName(frontier))
+    }
+    val slots = (1 to rounds).map(h =>
+      sum(when(col("dist") === h, 1L).otherwise(0L)).as(s"n$h"))
+    dist.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"), slots: _*)
+      .select(col("node"), col("n_reached"),
+        round((1 to rounds).map(h =>
+            col(s"n$h") / lit(h.toDouble)).reduce(_ + _), 4).as("harmonic"))
+  }
+
   /** One row per undirected REPEAT-trade edge (threshold 3) — the sparse
     * subgraph graph_components and graph_bfs both run on. */
   private[graft] def repeatTradePairs(s: SparkSession, d: String): DataFrame =
@@ -873,29 +908,7 @@ object GraphOps {
       val edges = graft.GraftCaches.track(repeatTradeEdges(s, d).cache())
       val seeds = edges.select(col("src").as("seed")).distinct()
         .orderBy("seed").limit(HarmonicSeeds)
-      var dist = seeds.select(col("seed"), col("seed").as("node"),
-                              lit(0).as("dist"))
-      var frontier = dist
-      for (_ <- 1 to HarmonicRounds) {
-        val cand = edges.join(frontier, col("src") === col("node"))
-          .select(col("seed"), col("dst").as("node"),
-                  (col("dist") + 1).as("dist"))
-          .groupBy("seed", "node").agg(min("dist").as("dist"))
-        frontier = LlmOps.cutLineage(
-          cand.join(dist.select(col("seed").as("s2"), col("node").as("seen")),
-                    col("seed") === col("s2") && col("node") === col("seen"),
-                    "left_anti"))
-        dist = LlmOps.cutLineage(dist.unionByName(frontier))
-      }
-      val slots = (1 to HarmonicRounds).map(h =>
-        sum(when(col("dist") === h, 1L).otherwise(0L)).as(s"n$h"))
-      dist.filter(col("dist") > 0)
-        .groupBy("node")
-        .agg(count(lit(1)).as("n_reached"), slots: _*)
-        .select(col("node"), col("n_reached"),
-          round((1 to HarmonicRounds).map(h =>
-              col(s"n$h") / lit(h.toDouble)).reduce(_ + _), 4).as("harmonic"))
-        .orderBy("node")
+      harmonicOf(edges, seeds, HarmonicRounds).orderBy("node")
     }),
 
     "graph_reciprocity" -> ((s, d) =>

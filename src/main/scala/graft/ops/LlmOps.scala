@@ -766,9 +766,9 @@ object LlmOps {
     * reference `n_buckets`/`part_total`. ONE hash-agg over id-only index
     * metadata — never vectors/shingles. [[indexStatsSql]] is its DuckDB
     * twin. */
-  private def indexStatsOf(posting: DataFrame, partCol: String,
-                           bucketCol: String, cntName: String,
-                           extra: Seq[Column] = Nil): DataFrame = {
+  private[graft] def indexStatsOf(posting: DataFrame, partCol: String,
+                                  bucketCol: String, cntName: String,
+                                  extra: Seq[Column] = Nil): DataFrame = {
     // two consumers (per-partition totals + the output join) — cache the
     // bucket table so the posting scan runs once
     val buckets = graft.GraftCaches.track(
@@ -825,6 +825,24 @@ object LlmOps {
       .agg(count(lit(1)).as("n_true"),
            sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("n_hits"))
       .withColumn("recall", round(col("n_hits") / col("n_true"), 2))
+
+  /** Mean-reciprocal-rank eval core — llm_mrr_eval's exact shape over any
+    * (q_id, n_id) truth frame and (q_id, n_id, rk) ranked approx frame:
+    * per query, first_rank = min approx rank holding a truth pair (NULL
+    * on a complete miss), rr = 1/first_rank else 0. One co-partitioned
+    * equi-join + one min-agg — eval cost is index cost, not corpus cost.
+    * Queries absent from `approx` entirely still score (rr = 0): the
+    * query universe is taken from `truth`. */
+  private[graft] def mrrEvalOf(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = approx.join(
+        truth.select(col("q_id").as("t_q"), col("n_id").as("t_n")),
+        col("q_id") === col("t_q") && col("n_id") === col("t_n"))
+      .groupBy("q_id").agg(min("rk").as("first_rank"))
+    truth.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("first_rank"),
+        round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 4).as("rr"))
+  }
 
   /** Day-1 MinHash signature store for `llm_dedup_incremental`, built once
     * per sfDir per JVM (the "day 1 job") and then only READ: bands/ holds
@@ -1890,16 +1908,8 @@ object LlmOps {
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .filter(col("q_id") < 100)
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      val truth = knnOf(q, c, 5).select(col("q_id"), col("n_id"))
-      val approx = lshKnnOf(q, c).select(col("q_id"), col("n_id"), col("rk"))
-      val hits = approx.join(
-          truth.select(col("q_id").as("t_q"), col("n_id").as("t_n")),
-          col("q_id") === col("t_q") && col("n_id") === col("t_n"))
-        .groupBy("q_id").agg(min("rk").as("first_rank"))
-      truth.select("q_id").distinct()
-        .join(hits, Seq("q_id"), "left")
-        .select(col("q_id"), col("first_rank"),
-          round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 4).as("rr"))
+      mrrEvalOf(knnOf(q, c, 5).select(col("q_id"), col("n_id")),
+                lshKnnOf(q, c).select(col("q_id"), col("n_id"), col("rk")))
         .orderBy("q_id")
     }),
 

@@ -908,6 +908,34 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("win_autocorr")(spark, d)))
   }
 
+  test("Similarity.{indexStats, mrr} and Graph.harmonic equal their keys") {
+    // indexStats vs the LSH band audit (the facade's "n" renamed to the
+    // key's "n_vecs")
+    val c = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    assert(rowSet(api.Similarity.indexStats(
+        graft.ops.LlmOps.lshBandsOf(c, "n_id", "n_emb", 16, 4),
+        "band_idx", "band_val").withColumnRenamed("n", "n_vecs")) ===
+      rowSet(SparkEntry.queries("llm_ann_lsh_stats")(spark, d)))
+    // mrr over the same real truth/approx frames the key composes
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, d)
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .filter(col("q_id") < 100)
+    val cc = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    assert(rowSet(api.Similarity.mrr(
+        graft.ops.LlmOps.knnOf(q, cc, 5).select(col("q_id"), col("n_id")),
+        graft.ops.LlmOps.lshKnnOf(q, cc)
+          .select(col("q_id"), col("n_id"), col("rk")))) ===
+      rowSet(SparkEntry.queries("llm_mrr_eval")(spark, d)))
+    // harmonic over the same sparse trade edges + seed rule as the key
+    val edges = graft.ops.GraphOps.repeatTradeEdges(spark, d)
+    val seeds = edges.select(col("src").as("seed")).distinct()
+      .orderBy("seed").limit(4)
+    assert(rowSet(api.Graph.harmonic(edges, seeds)) ===
+      rowSet(SparkEntry.queries("graph_harmonic")(spark, d)))
+  }
+
   test("Ingest.{seasonalDecompose, cusumDrawup} equal their win keys") {
     val ev = Tables.events(spark, d)
     assert(rowSet(api.Ingest.seasonalDecompose(ev, "event_type", "ts", "value")) ===

@@ -166,5 +166,13 @@ class GoldenSpec extends AnyFunSuite {
     assert(meanRecall("llm_ann_recall_ivf") === 0.612)
     assert(meanRecall("llm_ann_recall_ivfpq") === 0.476)
     assert(meanRecall("llm_matryoshka_ann") === 0.06)
+    // MRR of the LSH index (r17): exactly 1.0 here — recall@5 = 0.914
+    // means the index misses some LOWER-ranked true neighbors, but every
+    // query's rank-1 result is a true top-5 member on this fixture. The
+    // pin is a swap detector: exchanging truth/approx sides or breaking
+    // the first_rank min would crater it.
+    val mrr = SparkEntry.queries("llm_mrr_eval")(spark, d)
+      .agg(rnd(avg("rr"), 4)).head.getDouble(0)
+    assert(mrr === 1.0)
   }
 }
