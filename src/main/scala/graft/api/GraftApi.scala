@@ -1096,6 +1096,17 @@ object Quality {
   def psi(df: DataFrame, valueCol: String, isExpCol: String,
           bandWidth: Double, nBands: Int = 10): DataFrame =
     graft.ops.ScanOps.psiOf(df, valueCol, isExpCol, bandWidth, nBands)
+
+  /** k-anonymity audit (obs_k_anonymity's exact core): per threshold in
+    * `ks`, how many quasi-identifier groups — and what fraction of rows —
+    * are smaller than k (re-identifiable at that privacy level), plus the
+    * frame's actual min group size. One QI hash-agg (bounded by the QI
+    * domain, never corpus size) + a 1-row rollup unstacked to the
+    * k-table. Returns (k, min_k, n_groups_below, n_rows_below,
+    * frac_rows_below 4dp), unordered. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String],
+                 ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame =
+    graft.ops.ScanOps.kAnonymityOf(df, qiCols, ks)
 }
 
 /** Graph analytics over (src, dst) edge frames. */

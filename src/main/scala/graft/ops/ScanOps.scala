@@ -83,6 +83,33 @@ object ScanOps {
       .selectExpr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)")
   }
 
+  /** k-anonymity audit core (obs_k_anonymity / Quality.kAnonymity) over
+    * any frame and quasi-identifier column set: per threshold in `ks`,
+    * the count and row-fraction of QI groups smaller than k, plus the
+    * actual min group size. ONE map-side-combinable hash-agg to (QI, n)
+    * — cardinality-bounded by the QI domain, never the corpus — then a
+    * 1-row conditional rollup unstacked to the k-table; every output
+    * derives from exact integer counts. Returns (k, min_k,
+    * n_groups_below, n_rows_below, frac_rows_below 4dp), unordered. */
+  private[graft] def kAnonymityOf(df: DataFrame, qiCols: Seq[String],
+                                  ks: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty && ks.nonEmpty && ks.forall(_ >= 1),
+      s"bad k-anonymity knobs: $qiCols / $ks")
+    val g = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val aggs = Seq(sum("n").as("n_rows"), min("n").as("min_k")) ++
+      ks.flatMap(k => Seq(
+        sum(when(col("n") < k, 1L).otherwise(0L)).as(s"g$k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as(s"r$k")))
+    val stacked = ks.map(k => s"$k, g$k, r$k").mkString(", ")
+    g.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("min_k", "n_rows",
+        s"stack(${ks.size}, $stacked) AS (k, n_groups_below, n_rows_below)")
+      .select(col("k"), col("min_k"),
+        col("n_groups_below"), col("n_rows_below"),
+        round(col("n_rows_below") / col("n_rows").cast("double"), 4)
+          .as("frac_rows_below"))
+  }
+
   private[graft] def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -554,6 +581,20 @@ object ScanOps {
         .select(lit("key_unique").as("rule"), col("n_violations"))
       rowLocal.unionByName(orphan).unionByName(dups).orderBy("rule")
     }),
+
+    // k-anonymity audit over a quasi-identifier tuple — the compliance
+    // check a training-data pipeline runs BEFORE releasing or joining
+    // user-derived rows: for each k threshold, how many QI groups (and
+    // what fraction of rows) are smaller than k, i.e. re-identifiable at
+    // that privacy level, plus the corpus's actual min group size. ONE
+    // map-side-combinable hash-agg to (QI, n) — cardinality-bounded by
+    // the QI domain, never the corpus — then one 1-row conditional agg
+    // unstacked to the k-table; every output derives from exact integer
+    // counts. QI here = (nation, market segment) on customer.
+    "obs_k_anonymity" -> ((s, d) =>
+      kAnonymityOf(Tables.customer(s, d),
+                   Seq("c_nationkey", "c_mktsegment"), Seq(2, 5, 10, 20))
+        .orderBy("k")),
 
     "obs_metrics" -> ((s, d) => {
       val o = new org.apache.spark.sql.Observation(
@@ -1031,6 +1072,32 @@ object ScanOps {
              ((gx_us - mx_us) // 60000000 <= 120) AS fresh
       FROM t, g
       ORDER BY event_type""",
+
+    // One grouped count + one 1-row conditional rollup, unstacked to the
+    // same k-table (UNION ALL of the four thresholds).
+    "obs_k_anonymity" -> """
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment),
+      t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(min(n) AS BIGINT) AS min_k,
+               CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+               CAST(sum(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT) AS r2,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS g5,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS r5,
+               CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS g10,
+               CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS r10,
+               CAST(sum(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT) AS g20,
+               CAST(sum(CASE WHEN n < 20 THEN n ELSE 0 END) AS BIGINT) AS r20
+        FROM g)
+      SELECT k, min_k, n_groups_below, n_rows_below,
+             round(CAST(n_rows_below AS DOUBLE) / n_rows, 4) AS frac_rows_below
+      FROM (
+        SELECT 2 AS k, min_k, g2 AS n_groups_below, r2 AS n_rows_below, n_rows FROM t
+        UNION ALL SELECT 5, min_k, g5, r5, n_rows FROM t
+        UNION ALL SELECT 10, min_k, g10, r10, n_rows FROM t
+        UNION ALL SELECT 20, min_k, g20, r20, n_rows FROM t)
+      ORDER BY k""",
 
     "obs_dq_checks" -> """
       WITH rl AS (

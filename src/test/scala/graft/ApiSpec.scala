@@ -825,6 +825,12 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("agg_mad_outliers")(spark, d)))
   }
 
+  test("Quality.kAnonymity equals obs_k_anonymity") {
+    assert(rowSet(api.Quality.kAnonymity(Tables.customer(spark, d),
+        Seq("c_nationkey", "c_mktsegment"))) ===
+      rowSet(SparkEntry.queries("obs_k_anonymity")(spark, d)))
+  }
+
   test("Quality.psi equals obs_drift_psi") {
     val base = Tables.events(spark, d)
       .filter(col("event_type") === "purchase")

@@ -2203,6 +2203,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("obs_k_anonymity: thresholds monotone, min_k consistent, fractions exact") {
+    val rows = SparkEntry.queries("obs_k_anonymity")(spark, d).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(2, 5, 10, 20))
+    val minK = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) === minK), "min_k constant across threshold rows")
+    val nRows = Tables.customer(spark, d).count()
+    // groups/rows below k are monotone non-decreasing in k
+    val gs = rows.map(_.getLong(2)); val rs = rows.map(_.getLong(3))
+    assert(gs.zip(gs.tail).forall { case (a, b) => a <= b })
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) -
+        math.rint(10000.0 * r.getLong(3) / nRows) / 10000.0) < 1e-9,
+        s"frac = round(rows_below/n_rows, 4): $r")
+      // a threshold at or below the actual min group size catches nothing
+      if (r.getInt(0) <= minK) assert(r.getLong(2) === 0L, s"k <= min_k must flag 0 groups: $r")
+      else assert(r.getLong(2) > 0L || minK >= r.getInt(0), s"k > min_k must flag >= 1 group: $r")
+    }
+  }
+
   test("llm_dedup_index_stats: every band accounts for all day-1 docs, per-band fracs sum to 1") {
     val rows = SparkEntry.queries("llm_dedup_index_stats")(spark, d).collect()
     // day-1 = doc_id % 4 != 0 with >=1 shingle — recompute the expected
