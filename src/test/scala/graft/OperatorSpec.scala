@@ -2203,6 +2203,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("kAnonymityOf: planted QI frame gives exact counts") {
+    import org.apache.spark.sql.functions._
+    // groups: (a,x)=1 row, (a,y)=3, (b,x)=6 → min_k=1
+    val df = spark.range(10).select(
+      when(col("id") < 4, "a").otherwise("b").as("qa"),
+      when(col("id") === 0, "x").when(col("id") < 4, "y").otherwise("x").as("qb"))
+    val rows = graft.ops.ScanOps.kAnonymityOf(df, Seq("qa", "qb"), Seq(2, 4, 7))
+      .orderBy("k").collect()
+    // k=2: only the singleton below; k=4: singleton + the 3-group;
+    // k=7: all three groups (1+3+6 rows)
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                          r.getDouble(4))).toSeq ===
+      Seq((2, 1L, 1L, 1L, 0.1), (4, 1L, 2L, 4L, 0.4), (7, 1L, 3L, 10L, 1.0)))
+  }
+
+  test("harmonicOf: planted path graph gives exact 1/d sums") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // undirected path a-b-c-d-e (both directions emitted), seeds {a, e}
+    val und = Seq(("a","b"),("b","c"),("c","d"),("d","e")).toDF("src","dst")
+    val edges = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq("a","e").toDF("seed")
+    val got = graft.ops.GraphOps.harmonicOf(edges, seeds, rounds = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // distances: a→(b1,c2,d3,e4), e→(d1,c2,b3,a4); harmonic per node =
+    // 1/d(a,·)+1/d(e,·), seed self-rows (d=0) excluded
+    assert(got === Seq(
+      ("a", 1L, 0.25),              // from e at d=4
+      ("b", 2L, 1.0 + 1.0/3),       // a:1, e:3
+      ("c", 2L, 1.0),               // 1/2 + 1/2
+      ("d", 2L, 1.0/3 + 1.0),       // a:3, e:1
+      ("e", 1L, 0.25))              // from a at d=4
+      .map { case (n, c, h) => (n, c, math.rint(h * 10000) / 10000) })
+  }
+
   test("obs_k_anonymity: thresholds monotone, min_k consistent, fractions exact") {
     val rows = SparkEntry.queries("obs_k_anonymity")(spark, d).collect()
     assert(rows.map(_.getInt(0)).toSeq === Seq(2, 5, 10, 20))
