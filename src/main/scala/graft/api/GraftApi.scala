@@ -1107,6 +1107,18 @@ object Quality {
   def kAnonymity(df: DataFrame, qiCols: Seq[String],
                  ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame =
     graft.ops.ScanOps.kAnonymityOf(df, qiCols, ks)
+
+  /** l-diversity audit (obs_l_diversity's exact core) — [[kAnonymity]]'s
+    * homogeneity-attack companion: per threshold in `ls`, how many QI
+    * groups (and what row fraction) carry fewer than l DISTINCT
+    * `sensCol` values, plus the actual min diversity. A group can be
+    * k-anonymous yet fully disclosing if everyone in it shares the
+    * sensitive value — this is the audit that catches it. Returns
+    * (l, min_l, n_groups_below, n_rows_below, frac_rows_below 4dp),
+    * unordered. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensCol: String,
+                 ls: Seq[Int] = Seq(2, 3, 4)): DataFrame =
+    graft.ops.ScanOps.lDiversityOf(df, qiCols, sensCol, ls)
 }
 
 /** Graph analytics over (src, dst) edge frames. */

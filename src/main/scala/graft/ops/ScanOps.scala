@@ -95,16 +95,48 @@ object ScanOps {
                                   ks: Seq[Int]): DataFrame = {
     require(qiCols.nonEmpty && ks.nonEmpty && ks.forall(_ >= 1),
       s"bad k-anonymity knobs: $qiCols / $ks")
-    val g = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("n"))
-    val aggs = Seq(sum("n").as("n_rows"), min("n").as("min_k")) ++
+    thresholdTableOf(
+      df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("n")),
+      measure = "n", ks = ks, kName = "k")
+  }
+
+  /** l-diversity audit core (obs_l_diversity / Quality.lDiversity) — the
+    * homogeneity-attack companion to [[kAnonymityOf]]: a QI group can be
+    * large (k-anonymous) yet share ONE sensitive value, so membership
+    * still discloses it. Per threshold in `ls`: the count and
+    * row-fraction of QI groups with fewer than l DISTINCT sensitive
+    * values, plus the corpus's actual min diversity. Same QI hash-agg
+    * economics (the distinct-count state is bounded by the sensitive
+    * domain); same exact-integer k-table shape. Returns (l, min_l,
+    * n_groups_below, n_rows_below, frac_rows_below 4dp), unordered. */
+  private[graft] def lDiversityOf(df: DataFrame, qiCols: Seq[String],
+                                  sensCol: String, ls: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty && ls.nonEmpty && ls.forall(_ >= 1),
+      s"bad l-diversity knobs: $qiCols / $ls")
+    thresholdTableOf(
+      df.groupBy(qiCols.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col(sensCol)).as("ldiv")),
+      measure = "ldiv", ks = ls, kName = "l")
+  }
+
+  /** Shared threshold rollup behind the two privacy audits: `groups`
+    * carries one row per QI group with its size `n` and the audited
+    * `measure` column (group size for k-anonymity, distinct-sensitive
+    * count for l-diversity); for each threshold, the groups and ROWS
+    * (always n-weighted) where measure < threshold, unstacked to the
+    * k-table — one 1-row conditional agg, exact integer counts. */
+  private def thresholdTableOf(groups: DataFrame, measure: String,
+                               ks: Seq[Int], kName: String): DataFrame = {
+    val aggs = Seq(sum("n").as("n_rows"), min(measure).as(s"min_$kName")) ++
       ks.flatMap(k => Seq(
-        sum(when(col("n") < k, 1L).otherwise(0L)).as(s"g$k"),
-        sum(when(col("n") < k, col("n")).otherwise(0L)).as(s"r$k")))
+        sum(when(col(measure) < k, 1L).otherwise(0L)).as(s"g$k"),
+        sum(when(col(measure) < k, col("n")).otherwise(0L)).as(s"r$k")))
     val stacked = ks.map(k => s"$k, g$k, r$k").mkString(", ")
-    g.agg(aggs.head, aggs.tail: _*)
-      .selectExpr("min_k", "n_rows",
-        s"stack(${ks.size}, $stacked) AS (k, n_groups_below, n_rows_below)")
-      .select(col("k"), col("min_k"),
+    groups.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"min_$kName", "n_rows",
+        s"stack(${ks.size}, $stacked) AS ($kName, n_groups_below, n_rows_below)")
+      .select(col(kName), col(s"min_$kName"),
         col("n_groups_below"), col("n_rows_below"),
         round(col("n_rows_below") / col("n_rows").cast("double"), 4)
           .as("frac_rows_below"))
@@ -596,6 +628,21 @@ object ScanOps {
                    Seq("c_nationkey", "c_mktsegment"), Seq(2, 5, 10, 20))
         .orderBy("k")),
 
+    // l-diversity audit — k-anonymity's homogeneity-attack companion: a
+    // QI group can be comfortably large yet share ONE sensitive value,
+    // so group membership still discloses it. Sensitive attribute here =
+    // the customer's 2500-wide account-balance band; per l threshold,
+    // how many QI groups (and what row fraction) carry fewer than l
+    // distinct bands. Same QI hash-agg economics as obs_k_anonymity
+    // (distinct-count state bounded by the sensitive domain), all exact
+    // integer counts.
+    "obs_l_diversity" -> ((s, d) =>
+      lDiversityOf(Tables.customer(s, d)
+          .withColumn("bal_band",
+            floor(col("c_acctbal").cast("double") / 2500.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", Seq(2, 3, 4))
+        .orderBy("l")),
+
     "obs_metrics" -> ((s, d) => {
       val o = new org.apache.spark.sql.Observation(
         s"graft_obs_${obsCounter.incrementAndGet()}")
@@ -1072,6 +1119,31 @@ object ScanOps {
              ((gx_us - mx_us) // 60000000 <= 120) AS fresh
       FROM t, g
       ORDER BY event_type""",
+
+    // Same grouped rollup with a distinct-band count per QI group; the
+    // band is floor(acctbal/2500) computed identically in both engines.
+    "obs_l_diversity" -> """
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n,
+               count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 2500.0)
+                                   AS BIGINT)) AS ldiv
+        FROM customer GROUP BY c_nationkey, c_mktsegment),
+      t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(min(ldiv) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+               CAST(sum(CASE WHEN ldiv < 2 THEN n ELSE 0 END) AS BIGINT) AS r2,
+               CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+               CAST(sum(CASE WHEN ldiv < 3 THEN n ELSE 0 END) AS BIGINT) AS r3,
+               CAST(sum(CASE WHEN ldiv < 4 THEN 1 ELSE 0 END) AS BIGINT) AS g4,
+               CAST(sum(CASE WHEN ldiv < 4 THEN n ELSE 0 END) AS BIGINT) AS r4
+        FROM g)
+      SELECT l, min_l, n_groups_below, n_rows_below,
+             round(CAST(n_rows_below AS DOUBLE) / n_rows, 4) AS frac_rows_below
+      FROM (
+        SELECT 2 AS l, min_l, g2 AS n_groups_below, r2 AS n_rows_below, n_rows FROM t
+        UNION ALL SELECT 3, min_l, g3, r3, n_rows FROM t
+        UNION ALL SELECT 4, min_l, g4, r4, n_rows FROM t)
+      ORDER BY l""",
 
     // One grouped count + one 1-row conditional rollup, unstacked to the
     // same k-table (UNION ALL of the four thresholds).

@@ -831,6 +831,14 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("obs_k_anonymity")(spark, d)))
   }
 
+  test("Quality.lDiversity equals obs_l_diversity") {
+    assert(rowSet(api.Quality.lDiversity(
+        Tables.customer(spark, d).withColumn("bal_band",
+          floor(col("c_acctbal").cast("double") / 2500.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band")) ===
+      rowSet(SparkEntry.queries("obs_l_diversity")(spark, d)))
+  }
+
   test("Quality.psi equals obs_drift_psi") {
     val base = Tables.events(spark, d)
       .filter(col("event_type") === "purchase")

@@ -2218,6 +2218,22 @@ class OperatorSpec extends AnyFunSuite {
       Seq((2, 1L, 1L, 1L, 0.1), (4, 1L, 2L, 4L, 0.4), (7, 1L, 3L, 10L, 1.0)))
   }
 
+  test("lDiversityOf: planted frame — a large homogeneous group is flagged, a small diverse one is not") {
+    import org.apache.spark.sql.functions._
+    // group (a): 6 rows, ALL sensitive value 0 (k-anonymous, 1-diverse);
+    // group (b): 2 rows, sensitive values 1 and 2 (small but 2-diverse)
+    val df = spark.range(8).select(
+      when(col("id") < 6, "a").otherwise("b").as("qa"),
+      when(col("id") < 6, 0L).otherwise(col("id") - 5).as("sv"))
+    val rows = graft.ops.ScanOps.lDiversityOf(df, Seq("qa"), "sv", Seq(2, 3))
+      .orderBy("l").collect()
+    // l=2: only group a (1 distinct) below → 1 group, 6 rows, 0.75;
+    // l=3: both groups below (1 and 2 distinct) → 2 groups, 8 rows, 1.0
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                          r.getDouble(4))).toSeq ===
+      Seq((2, 1L, 1L, 6L, 0.75), (3, 1L, 2L, 8L, 1.0)))
+  }
+
   test("harmonicOf: planted path graph gives exact 1/d sums") {
     import org.apache.spark.sql.functions._
     val sp = spark
