@@ -1015,6 +1015,21 @@ object Stats {
                   k: Double = 3.0): DataFrame =
     graft.ops.AggOps.madOutliersOf(df, keyCol, valueCol, k)
 
+  /** Mann-Kendall monotonic-trend test per `groupCol` over the daily
+    * count series of `tsCol` (agg_mann_kendall's exact core) — "is this
+    * feed growing or decaying?" without assuming linearity. S and the
+    * tie-corrected variance are exact integers on the calendar-bounded
+    * grid. Returns (group, n_days, s_stat, var18, z, trend), unordered. */
+  def mannKendall(df: DataFrame, groupCol: String, tsCol: String): DataFrame =
+    graft.ops.AggOps.mannKendallOf(df, groupCol, tsCol)
+
+  /** Herfindahl-Hirschman concentration of each `keyCol`'s composition
+    * over `catCol` (agg_hhi's exact core) — category-mix / market-share
+    * concentration from exact counts. Returns (keyCol, n_rows, n_cats,
+    * hhi, top_share, eff_cats), unordered. */
+  def hhi(df: DataFrame, keyCol: String, catCol: String): DataFrame =
+    graft.ops.AggOps.hhiOf(df, keyCol, catCol)
+
   /** Market-basket association rules from a (basket, item) frame
     * (agg_association_rules' exact core): pairs co-occurring in ≥
     * `minPairs` baskets with support/confidence/lift — pair expansion
@@ -1119,6 +1134,20 @@ object Quality {
   def lDiversity(df: DataFrame, qiCols: Seq[String], sensCol: String,
                  ls: Seq[Int] = Seq(2, 3, 4)): DataFrame =
     graft.ops.ScanOps.lDiversityOf(df, qiCols, sensCol, ls)
+
+  /** t-closeness audit (obs_t_closeness's exact core) — the
+    * distribution-skew companion completing the trio with [[kAnonymity]]
+    * and [[lDiversity]]: per threshold (in hundredths, t100 = 20 means
+    * t = 0.20), how many QI groups (and what row fraction) have an
+    * ordered-band Earth Mover's Distance ABOVE t from the global
+    * sensitive distribution, plus the frame's actual max EMD. `bandCol`
+    * is a LONG band id (clamped into [0, nBands)); the EMD numerator is
+    * exact int64, so the verdicts carry zero float drift. Returns
+    * (t, max_emd 4dp, n_groups_above, n_rows_above, frac_rows_above
+    * 4dp), unordered. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], bandCol: String,
+                 nBands: Int, t100s: Seq[Int] = Seq(10, 20, 30)): DataFrame =
+    graft.ops.ScanOps.tClosenessOf(df, qiCols, bandCol, nBands, t100s)
 }
 
 /** Graph analytics over (src, dst) edge frames. */

@@ -402,6 +402,80 @@ object AggOps {
           .as("chi2"))
   }
 
+  /** Mann-Kendall monotonic-trend test per `groupCol`
+    * (agg_mann_kendall / Stats.mannKendall): is each group's daily
+    * activity series trending, without assuming linearity or a
+    * distribution? S = sum over ordered day pairs of sign(c_j - c_i)
+    * with the tie-corrected variance Var(S)*18 = n(n-1)(2n+5) -
+    * sum_k t_k(t_k-1)(2t_k+5) (Mann 1945 / Kendall 1975), z via the
+    * standard continuity correction. Engineering: the corpus collapses
+    * FIRST to (group, day, count) — one map-side-combinable hash-agg
+    * bounded by |groups| x |days|, never corpus size — and the O(n^2)
+    * pair join runs on that calendar-bounded grid, so the statistic is
+    * corpus-scale-free. Counts are exact integers, so S, the tie term,
+    * and var18 carry zero float drift; z is one sqrt+divide from exact
+    * ints. Returns (group, n_days, s_stat, var18, z 4dp, trend), where
+    * trend applies the |z| > 1.96 two-sided 5% verdict to the ROUNDED z
+    * (so both engines judge the same value). */
+  private[graft] def mannKendallOf(df: DataFrame, groupCol: String,
+                                   tsCol: String): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .groupBy("g", "day").agg(count(lit(1)).as("c"))
+    val a = daily.select(col("g"), col("day").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("g").as("gb"), col("day").as("d2"),
+                         col("c").as("c2"))
+    val s = a.join(b, col("g") === col("gb") && col("d1") < col("d2"))
+      .groupBy("g")
+      .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_stat"))
+    val n = daily.groupBy("g").agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy("g", "c").agg(count(lit(1)).as("t"))
+      .groupBy("g")
+      .agg(sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L)).as("tie18"))
+    val zCol = when(col("s_stat") > 0, (col("s_stat") - 1L).cast("double") /
+                 sqrt(col("var18").cast("double") / 18.0))
+      .when(col("s_stat") < 0, (col("s_stat") + 1L).cast("double") /
+        sqrt(col("var18").cast("double") / 18.0))
+      .otherwise(lit(0.0))
+    n.join(s, "g").join(ties, "g")
+      .select(col("g").as(groupCol), col("n_days"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1L) * (col("n_days") * 2L + 5L)
+          - col("tie18")).as("var18"))
+      .withColumn("z", round(zCol, 4))
+      .withColumn("trend",
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("none"))
+  }
+
+  /** Herfindahl-Hirschman concentration per `keyCol`
+    * (agg_hhi / Stats.hhi): how concentrated is each key's composition
+    * over `catCol` — the category-mix audit (a nation whose customers
+    * sit in one market segment is a sampling red flag; the same shape
+    * prices market concentration or corpus domain mix). With exact
+    * per-(key, category) counts c_s and n = sum c_s: HHI = sum c_s^2 /
+    * n^2, top share = max c_s / n, effective category count = n^2 /
+    * sum c_s^2 (inverse Simpson). ONE hash-agg to the (key, category)
+    * grid — bounded by the domain product, never corpus size — then a
+    * per-key rollup; every ratio is a single division from exact int64.
+    * Returns (keyCol, n_rows, n_cats, hhi 4dp, top_share 4dp,
+    * eff_cats 4dp), unordered. */
+  private[graft] def hhiOf(df: DataFrame, keyCol: String,
+                           catCol: String): DataFrame = {
+    df.groupBy(keyCol, catCol).agg(count(lit(1)).as("__hhi_c"))
+      .groupBy(keyCol)
+      .agg(sum("__hhi_c").as("n_rows"),
+           count(lit(1)).as("n_cats"),
+           sum(col("__hhi_c") * col("__hhi_c")).as("sq"),
+           max("__hhi_c").as("mx"))
+      .select(col(keyCol), col("n_rows"), col("n_cats"),
+        round(col("sq").cast("double") /
+              (col("n_rows") * col("n_rows")).cast("double"), 4).as("hhi"),
+        round(col("mx").cast("double") / col("n_rows").cast("double"), 4)
+          .as("top_share"),
+        round((col("n_rows") * col("n_rows")).cast("double") /
+              col("sq").cast("double"), 4).as("eff_cats"))
+  }
+
   /** Median-absolute-deviation outlier screen per `keyCol`
     * (agg_mad_outliers / Stats.madOutliers): exact percentile(0.5)
     * median and MAD (both engines interpolate identically), deviations
@@ -960,6 +1034,29 @@ object AggOps {
     // bit-stable, then rounded 4dp.
     "agg_chi_square" -> ((s, d) =>
       chiSquareOf(Tables.documents(s, d), "lang", "source")),
+
+    // Mann-Kendall monotonic-trend test per event type over the daily
+    // activity series — "is this feed growing, decaying, or flat?"
+    // without assuming linearity (the seasonal_decompose/cusum
+    // companion for MONOTONIC drift). The corpus collapses first to the
+    // calendar-bounded (type, day, count) grid; the O(days^2) pair join
+    // and tie-corrected variance run on that grid with exact integer
+    // counts, so S and var18 carry zero float drift; z is one
+    // sqrt+divide, and the 5% two-sided verdict is applied to the
+    // rounded z in both engines.
+    "agg_mann_kendall" -> ((s, d) =>
+      mannKendallOf(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // Herfindahl-Hirschman concentration of each nation's customer mix
+    // over market segments — the category-concentration audit (corpus
+    // domain mix, market share, sampling skew all share this shape).
+    // One (nation, segment) hash-agg bounded by the domain product;
+    // HHI / top-share / effective-category-count are single divisions
+    // from exact int64 counts.
+    "agg_hhi" -> ((s, d) =>
+      hhiOf(Tables.customer(s, d), "c_nationkey", "c_mktsegment")
+        .orderBy("c_nationkey")),
 
     // Median-absolute-deviation outlier screen — the ROBUST twin of
     // win_rolling_zscore's 3σ rule: median and MAD are unmoved by the
@@ -1598,6 +1695,67 @@ object AggOps {
                     / (CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
                        / CAST(x.n AS DOUBLE)))), 4) AS chi2
       FROM l""",
+
+    // Exact-integer S and tie-corrected var18 over the (type, day,
+    // count) grid; z is one sqrt+divide and the 1.96 verdict reads the
+    // ROUNDED z, matching the Spark side.
+    "agg_mann_kendall" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT a.g, CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+        GROUP BY a.g),
+      n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1),
+      ties AS (
+        SELECT g, CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie18
+        FROM (SELECT g, c, CAST(count(*) AS BIGINT) AS t
+              FROM daily GROUP BY 1, 2)
+        GROUP BY g),
+      j AS (
+        SELECT n.g, n.n_days, s.s_stat,
+               CAST(n.n_days * (n.n_days - 1) * (n.n_days * 2 + 5)
+                    - ties.tie18 AS BIGINT) AS var18
+        FROM n JOIN s ON n.g = s.g JOIN ties ON n.g = ties.g),
+      z AS (
+        SELECT g, n_days, s_stat, var18,
+               round(CASE
+                 WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                 WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                 ELSE 0.0 END, 4) AS z
+        FROM j)
+      SELECT g AS event_type, n_days, s_stat, var18, z,
+             CASE WHEN z > 1.96 THEN 'increasing'
+                  WHEN z < -1.96 THEN 'decreasing'
+                  ELSE 'none' END AS trend
+      FROM z ORDER BY event_type""",
+
+    // Single divisions from exact int64 counts over the
+    // (nation, segment) grid.
+    "agg_hhi" -> """
+      WITH c AS (
+        SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS c
+        FROM customer GROUP BY 1, 2),
+      g AS (
+        SELECT c_nationkey,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_cats,
+               CAST(sum(c * c) AS BIGINT) AS sq,
+               CAST(max(c) AS BIGINT) AS mx
+        FROM c GROUP BY 1)
+      SELECT c_nationkey, n_rows, n_cats,
+             round(CAST(sq AS DOUBLE)
+                   / CAST(n_rows * n_rows AS DOUBLE), 4) AS hhi,
+             round(CAST(mx AS DOUBLE) / CAST(n_rows AS DOUBLE), 4)
+               AS top_share,
+             round(CAST(n_rows * n_rows AS DOUBLE)
+                   / CAST(sq AS DOUBLE), 4) AS eff_cats
+      FROM g ORDER BY c_nationkey""",
 
     // quantile_cont == Spark's percentile (lower + frac·(upper−lower));
     // the outlier threshold compares UNROUNDED med/mad exactly like the

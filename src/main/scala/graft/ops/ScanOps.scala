@@ -142,6 +142,79 @@ object ScanOps {
           .as("frac_rows_below"))
   }
 
+  /** t-closeness audit core (obs_t_closeness / Quality.tCloseness) — the
+    * third privacy gate after [[kAnonymityOf]] and [[lDiversityOf]]: a QI
+    * group can be large AND diverse yet still disclosing when its
+    * sensitive DISTRIBUTION is skewed against the corpus (90% of one
+    * group in the lowest balance band says plenty). Per Li et al. 2007,
+    * the ordered-attribute Earth Mover's Distance between a group's
+    * banded distribution and the global one is the mean absolute
+    * cumulative difference: EMD = (1/(m-1)) * sum_i |P_i - Q_i| over the
+    * first m-1 cumulative fractions. Engineering: ONE (QI, band)
+    * hash-agg — cardinality bounded by |QI domain| * m, never corpus
+    * size — then the m-row global histogram broadcasts and the per-group
+    * EMD NUMERATOR folds in EXACT integer arithmetic: with C_i/G_i the
+    * cumulative group/global counts, num = sum_i |N*C_i - n_g*G_i| and
+    * EMD = num / ((m-1)*n_g*N), so every threshold verdict is an integer
+    * compare (num*100 > t100*(m-1)*n_g*N) with zero float drift; the one
+    * double division feeds only the reported max. int64-safe while
+    * 100*(m-1)*n_g*N < 2^63 (corpora under ~1e8 rows per call — swap the
+    * fold to DECIMAL(38,0) past that). `bandCol` must be a LONG band id;
+    * it is clamped into [0, nBands). Thresholds arrive in hundredths
+    * (t100 = 20 means t = 0.20). Returns (t, max_emd 4dp,
+    * n_groups_above, n_rows_above, frac_rows_above 4dp), unordered. */
+  private[graft] def tClosenessOf(df: DataFrame, qiCols: Seq[String],
+                                  bandCol: String, nBands: Int,
+                                  t100s: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty && nBands >= 2 &&
+            t100s.nonEmpty && t100s.forall(t => t >= 1 && t <= 100),
+      s"bad t-closeness knobs: $qiCols / $nBands / $t100s")
+    val counts = df
+      .select(qiCols.map(col) :+
+        greatest(least(col(bandCol), lit((nBands - 1).toLong)),
+                 lit(0L)).as("band"): _*)
+      .groupBy((qiCols :+ "band").map(col): _*).agg(count(lit(1)).as("c"))
+    val groups = counts.groupBy(qiCols.map(col): _*)
+      .agg(sum("c").as("n_g"),
+           map_from_entries(collect_list(struct(col("band"), col("c"))))
+             .as("pm"))
+    val glob = counts.groupBy("band").agg(sum("c").as("g"))
+      .agg(sum("g").as("n_tot"),
+           map_from_entries(collect_list(struct(col("band"), col("g"))))
+             .as("qm"))
+    // Fold over bands 0..m-2 carrying (cumulative group count, cumulative
+    // global count, integer numerator) — collect_list order is irrelevant
+    // because lookups go through the maps.
+    val numExpr = expr(
+      s"""aggregate(sequence(0L, ${nBands - 2}L),
+           named_struct('cc', 0L, 'gc', 0L, 'acc', 0L),
+           (a, i) -> named_struct(
+             'cc', a.cc + coalesce(pm[i], 0L),
+             'gc', a.gc + coalesce(qm[i], 0L),
+             'acc', a.acc + abs(n_tot * (a.cc + coalesce(pm[i], 0L))
+                                - n_g * (a.gc + coalesce(qm[i], 0L)))),
+           a -> a.acc)""")
+    val scored = groups.crossJoin(broadcast(glob))
+      .select(col("n_g"), col("n_tot"), numExpr.as("num"))
+    val den = col("n_g") * col("n_tot") * lit((nBands - 1).toLong)
+    val aggs = Seq(sum("n_g").as("n_rows"),
+        round(max(col("num").cast("double") / den.cast("double")), 4)
+          .as("max_emd")) ++
+      t100s.flatMap(t => Seq(
+        sum(when(col("num") * 100L > den * t, 1L).otherwise(0L)).as(s"g$t"),
+        sum(when(col("num") * 100L > den * t, col("n_g")).otherwise(0L))
+          .as(s"r$t")))
+    val stacked =
+      t100s.map(t => s"CAST($t AS DOUBLE) / 100.0, g$t, r$t").mkString(", ")
+    scored.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("max_emd", "n_rows",
+        s"stack(${t100s.size}, $stacked) AS (t, n_groups_above, n_rows_above)")
+      .select(col("t"), col("max_emd"), col("n_groups_above"),
+        col("n_rows_above"),
+        round(col("n_rows_above") / col("n_rows").cast("double"), 4)
+          .as("frac_rows_above"))
+  }
+
   private[graft] def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -642,6 +715,24 @@ object ScanOps {
             floor(col("c_acctbal").cast("double") / 2500.0).cast("long")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", Seq(2, 3, 4))
         .orderBy("l")),
+
+    // t-closeness audit — the distribution-skew companion completing the
+    // privacy trio: a QI group can be k-anonymous AND l-diverse yet leak
+    // when its sensitive-value DISTRIBUTION diverges from the corpus
+    // (ordered-band EMD, Li et al. 2007). Sensitive attribute = the
+    // 2500-wide account-balance band shifted positive ((bal+1000)/2500,
+    // 5 bands); per t threshold, how many QI groups (and what row
+    // fraction) sit farther than t from the global distribution. The
+    // EMD numerator is exact int64 (see tClosenessOf), so the verdicts
+    // carry zero float drift.
+    "obs_t_closeness" -> ((s, d) =>
+      tClosenessOf(Tables.customer(s, d)
+          .withColumn("bal_band",
+            floor((col("c_acctbal").cast("double") + 1000.0) / 2500.0)
+              .cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", nBands = 5,
+        t100s = Seq(10, 20, 30))
+        .orderBy("t")),
 
     "obs_metrics" -> ((s, d) => {
       val o = new org.apache.spark.sql.Observation(
@@ -1144,6 +1235,75 @@ object ScanOps {
         UNION ALL SELECT 3, min_l, g3, r3, n_rows FROM t
         UNION ALL SELECT 4, min_l, g4, r4, n_rows FROM t)
       ORDER BY l""",
+
+    // Independent EMD restatement: grid (QI groups x full band universe)
+    // + window cumulatives instead of the engine's map fold — legal
+    // because the numerator is exact integer arithmetic, so ANY
+    // evaluation order agrees bit-for-bit. band < 4 keeps the first
+    // m-1 = 4 cumulative terms, matching the fold over 0..m-2.
+    "obs_t_closeness" -> """
+      WITH b AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg,
+               LEAST(GREATEST(CAST(floor((CAST(c_acctbal AS DOUBLE) + 1000.0)
+                                         / 2500.0) AS BIGINT), 0), 4) AS band
+        FROM customer),
+      c AS (SELECT nk, seg, band, CAST(count(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2, 3),
+      gt AS (SELECT band, CAST(sum(c) AS BIGINT) AS g FROM c GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM c),
+      grp AS (SELECT nk, seg, CAST(sum(c) AS BIGINT) AS n_g
+              FROM c GROUP BY 1, 2),
+      grid AS (
+        SELECT grp.nk, grp.seg, grp.n_g, bands.band,
+               CAST(COALESCE(c.c, 0) AS BIGINT) AS c,
+               CAST(COALESCE(gt.g, 0) AS BIGINT) AS g
+        FROM grp
+        CROSS JOIN (SELECT UNNEST(range(0, 5)) AS band) bands
+        LEFT JOIN c ON c.nk = grp.nk AND c.seg = grp.seg
+                   AND c.band = bands.band
+        LEFT JOIN gt ON gt.band = bands.band),
+      cum AS (
+        SELECT nk, seg, n_g, band,
+               CAST(SUM(c) OVER w AS BIGINT) AS cc,
+               CAST(SUM(g) OVER w AS BIGINT) AS gc
+        FROM grid
+        WINDOW w AS (PARTITION BY nk, seg ORDER BY band
+                     ROWS UNBOUNDED PRECEDING)),
+      e AS (
+        SELECT nk, seg, n_g,
+               CAST(SUM(CASE WHEN band < 4
+                             THEN abs(n_tot * cc - n_g * gc)
+                             ELSE 0 END) AS BIGINT) AS num,
+               CAST(max(n_tot) AS BIGINT) AS n_tot
+        FROM cum, tot GROUP BY nk, seg, n_g),
+      t AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n_rows,
+               round(max(CAST(num AS DOUBLE)
+                         / (4.0 * n_g * n_tot)), 4) AS max_emd,
+               CAST(sum(CASE WHEN num * 100 > 4 * n_g * n_tot * 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS g10,
+               CAST(sum(CASE WHEN num * 100 > 4 * n_g * n_tot * 10
+                             THEN n_g ELSE 0 END) AS BIGINT) AS r10,
+               CAST(sum(CASE WHEN num * 100 > 4 * n_g * n_tot * 20
+                             THEN 1 ELSE 0 END) AS BIGINT) AS g20,
+               CAST(sum(CASE WHEN num * 100 > 4 * n_g * n_tot * 20
+                             THEN n_g ELSE 0 END) AS BIGINT) AS r20,
+               CAST(sum(CASE WHEN num * 100 > 4 * n_g * n_tot * 30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS g30,
+               CAST(sum(CASE WHEN num * 100 > 4 * n_g * n_tot * 30
+                             THEN n_g ELSE 0 END) AS BIGINT) AS r30
+        FROM e)
+      SELECT t, max_emd, n_groups_above, n_rows_above,
+             round(CAST(n_rows_above AS DOUBLE) / n_rows, 4)
+               AS frac_rows_above
+      FROM (
+        SELECT CAST(10 AS DOUBLE) / 100.0 AS t, max_emd,
+               g10 AS n_groups_above, r10 AS n_rows_above, n_rows FROM t
+        UNION ALL SELECT CAST(20 AS DOUBLE) / 100.0, max_emd, g20, r20,
+                         n_rows FROM t
+        UNION ALL SELECT CAST(30 AS DOUBLE) / 100.0, max_emd, g30, r30,
+                         n_rows FROM t)
+      ORDER BY t""",
 
     // One grouped count + one 1-row conditional rollup, unstacked to the
     // same k-table (UNION ALL of the four thresholds).

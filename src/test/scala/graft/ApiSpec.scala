@@ -839,6 +839,24 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("obs_l_diversity")(spark, d)))
   }
 
+  test("Stats.mannKendall equals agg_mann_kendall and Stats.hhi equals agg_hhi") {
+    assert(rowSet(api.Stats.mannKendall(
+        Tables.events(spark, d), "event_type", "ts")) ===
+      rowSet(SparkEntry.queries("agg_mann_kendall")(spark, d)))
+    assert(rowSet(api.Stats.hhi(
+        Tables.customer(spark, d), "c_nationkey", "c_mktsegment")) ===
+      rowSet(SparkEntry.queries("agg_hhi")(spark, d)))
+  }
+
+  test("Quality.tCloseness equals obs_t_closeness") {
+    assert(rowSet(api.Quality.tCloseness(
+        Tables.customer(spark, d).withColumn("bal_band",
+          floor((col("c_acctbal").cast("double") + 1000.0) / 2500.0)
+            .cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", nBands = 5)) ===
+      rowSet(SparkEntry.queries("obs_t_closeness")(spark, d)))
+  }
+
   test("Quality.psi equals obs_drift_psi") {
     val base = Tables.events(spark, d)
       .filter(col("event_type") === "purchase")

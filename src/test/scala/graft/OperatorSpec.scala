@@ -2234,6 +2234,60 @@ class OperatorSpec extends AnyFunSuite {
       Seq((2, 1L, 1L, 6L, 0.75), (3, 1L, 2L, 8L, 1.0)))
   }
 
+  test("mannKendallOf: planted rising and flat series give exact S/var18") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // "up": daily counts 1,2,3,4,5 (strictly rising) -> S = C(5,2) = 10,
+    // no ties -> var18 = 5*4*15 = 300, z = 9/sqrt(300/18) = 2.2045;
+    // "fl": count 2 every day -> S = 0, one 5-way tie -> var18 = 0, z 0.
+    val rows =
+      (1 to 5).flatMap(i => Seq.fill(i)(("up", s"2024-01-0$i"))) ++
+      (1 to 5).flatMap(i => Seq.fill(2)(("fl", s"2024-01-0$i")))
+    val df = rows.toDF("g", "dstr")
+      .select(col("g"), col("dstr").cast("timestamp").as("ts"))
+    val out = graft.ops.AggOps.mannKendallOf(df, "g", "ts")
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                         r.getLong(3), r.getDouble(4), r.getString(5)))
+      .toSeq ===
+      Seq(("fl", 5L, 0L, 0L, 0.0, "none"),
+          ("up", 5L, 10L, 300L, 2.2045, "increasing")))
+  }
+
+  test("hhiOf: planted mixes give the hand-computed concentration") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // A: cats x*3 + y*1 -> hhi = (9+1)/16 = 0.625, top 0.75, eff 1.6;
+    // B: one cat -> hhi = top = eff = 1.0
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+                 ("B", "z"), ("B", "z")).toDF("k", "c")
+    val out = graft.ops.AggOps.hhiOf(df, "k", "c").orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                         r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toSeq ===
+      Seq(("A", 4L, 2L, 0.625, 0.75, 1.6), ("B", 2L, 1L, 1.0, 1.0, 1.0)))
+  }
+
+  test("tClosenessOf: planted frame gives the hand-computed EMD verdicts") {
+    import org.apache.spark.sql.functions._
+    // m=3 bands; group a: 4 rows all band 0; group b: 2 rows band 1 +
+    // 2 rows band 2. Global G = (4,2,2), N=8, cumulative G = (4,6).
+    // a: C=(4,4) -> num = |8*4-4*4| + |8*4-4*6| = 16+8 = 24
+    // b: C=(0,2) -> num = |0-4*4|   + |8*2-4*6| = 16+8 = 24
+    // EMD = 24 / ((3-1)*4*8) = 0.375 for both groups.
+    val df = spark.range(8).select(
+      when(col("id") < 4, "a").otherwise("b").as("qa"),
+      when(col("id") < 4, 0L).when(col("id") < 6, 1L).otherwise(2L)
+        .as("band"))
+    val rows = graft.ops.ScanOps
+      .tClosenessOf(df, Seq("qa"), "band", nBands = 3, t100s = Seq(30, 40))
+      .orderBy("t").collect()
+    // t=0.30: both groups above (0.375 > 0.30); t=0.40: none.
+    assert(rows.map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2),
+                          r.getLong(3), r.getDouble(4))).toSeq ===
+      Seq((0.3, 0.375, 2L, 8L, 1.0), (0.4, 0.375, 0L, 0L, 0.0)))
+  }
+
   test("harmonicOf: planted path graph gives exact 1/d sums") {
     import org.apache.spark.sql.functions._
     val sp = spark
