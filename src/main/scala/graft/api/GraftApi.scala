@@ -718,6 +718,14 @@ object Text {
   def corpusStats(docs: DataFrame): DataFrame =
     graft.ops.TextOps.corpusStatsOf(docs)
 
+  /** Jensen-Shannon divergence in bits between two `tagCol` slices'
+    * term distributions (llm_js_divergence's exact core) — the
+    * corpus-mix drift monitor; support capped at `topK` terms plus an
+    * `<other>` bucket so no mass is dropped at any corpus size.
+    * Returns one row (n_a, n_b, n_cells, js_bits). */
+  def jsDivergence(docs: DataFrame, textCol: String, tagCol: String,
+                   a: String, b: String, topK: Int = 100): DataFrame =
+    graft.ops.TextOps.jsDivergenceOf(docs, textCol, tagCol, a, b, topK)
 }
 
 /** Ingestion plumbing — the reference pipeline's shape (JSON records →
@@ -1022,6 +1030,15 @@ object Stats {
     * grid. Returns (group, n_days, s_stat, var18, z, trend), unordered. */
   def mannKendall(df: DataFrame, groupCol: String, tsCol: String): DataFrame =
     graft.ops.AggOps.mannKendallOf(df, groupCol, tsCol)
+
+  /** Theil-Sen robust trend line per `groupCol` over the daily count
+    * series of `tsCol` (agg_theil_sen's exact core) — median of
+    * pairwise slopes (events/day, ~29% breakdown point) with
+    * intercept = median(y - m*x); the magnitude twin of
+    * [[mannKendall]]'s direction test. Returns (group, n_days,
+    * n_pairs, slope, intercept), unordered. */
+  def theilSen(df: DataFrame, groupCol: String, tsCol: String): DataFrame =
+    graft.ops.AggOps.theilSenOf(df, groupCol, tsCol)
 
   /** Herfindahl-Hirschman concentration of each `keyCol`'s composition
     * over `catCol` (agg_hhi's exact core) — category-mix / market-share

@@ -447,6 +447,43 @@ object AggOps {
           .otherwise("none"))
   }
 
+  /** Theil-Sen robust trend line per `groupCol` over the daily count
+    * series of `tsCol` (agg_theil_sen / Stats.theilSen) — the
+    * outlier-resistant companion to agg_regression's OLS and the
+    * magnitude twin of [[mannKendallOf]]'s direction test: slope =
+    * median of all pairwise slopes (Theil 1950/Sen 1968, ~29%
+    * breakdown point vs OLS's zero), intercept = median(y - m*x).
+    * Engineering: the corpus collapses FIRST to the calendar-bounded
+    * (group, day, count) grid, the O(days^2) pair expansion runs on
+    * that grid, and the group-dimension-sized fit broadcasts back —
+    * corpus-scale-free like the Mann-Kendall key. Every slope is one
+    * double division of exact ints and both engines interpolate the
+    * median identically, so the gate is hash-exact. x is epoch days.
+    * Returns (group, n_days, n_pairs, slope 4dp, intercept 4dp),
+    * unordered. */
+  private[graft] def theilSenOf(df: DataFrame, groupCol: String,
+                                tsCol: String): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .groupBy("g", "day").agg(count(lit(1)).as("c"))
+    val a = daily.select(col("g"), col("day").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("g").as("gb"), col("day").as("d2"),
+                         col("c").as("c2"))
+    val slopes = a.join(b, col("g") === col("gb") && col("d1") < col("d2"))
+      .select(col("g"), ((col("c2") - col("c1")).cast("double") /
+        datediff(col("d2"), col("d1")).cast("double")).as("m"))
+    val fit = slopes.groupBy("g")
+      .agg(expr("percentile(m, 0.5)").as("m"), count(lit(1)).as("n_pairs"))
+    daily.join(broadcast(fit), "g")
+      .select(col("g"), col("n_pairs"), col("m"),
+        (col("c").cast("double") - col("m") *
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("double")).as("b0"))
+      .groupBy("g", "n_pairs", "m")
+      .agg(count(lit(1)).as("n_days"), expr("percentile(b0, 0.5)").as("b0"))
+      .select(col("g").as(groupCol), col("n_days"), col("n_pairs"),
+        round(col("m"), 4).as("slope"), round(col("b0"), 4).as("intercept"))
+  }
+
   /** Herfindahl-Hirschman concentration per `keyCol`
     * (agg_hhi / Stats.hhi): how concentrated is each key's composition
     * over `catCol` — the category-mix audit (a nation whose customers
@@ -1046,6 +1083,17 @@ object AggOps {
     // rounded z in both engines.
     "agg_mann_kendall" -> ((s, d) =>
       mannKendallOf(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // Theil-Sen robust trend line per event type over the daily count
+    // series — HOW FAST is the feed moving (events/day), where
+    // agg_mann_kendall only answers WHETHER it moves; the median of
+    // pairwise slopes shrugs off the outlier days that would drag
+    // agg_regression's OLS line. Pair expansion runs on the
+    // calendar-bounded daily grid; both engines interpolate the median
+    // identically from exact-int-derived slopes.
+    "agg_theil_sen" -> ((s, d) =>
+      theilSenOf(Tables.events(s, d), "event_type", "ts")
         .orderBy("event_type")),
 
     // Herfindahl-Hirschman concentration of each nation's customer mix
@@ -1734,6 +1782,36 @@ object AggOps {
                   WHEN z < -1.96 THEN 'decreasing'
                   ELSE 'none' END AS trend
       FROM z ORDER BY event_type""",
+
+    // Pairwise slopes from exact ints; quantile_cont == Spark's
+    // percentile interpolation; x = epoch days in both engines.
+    "agg_theil_sen" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      sl AS (
+        SELECT a.g,
+               CAST(b.c - a.c AS DOUBLE)
+                 / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS m
+        FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day),
+      fit AS (
+        SELECT g, quantile_cont(m, 0.5) AS m,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM sl GROUP BY g),
+      ic AS (
+        SELECT d.g, fit.n_pairs, fit.m,
+               CAST(d.c AS DOUBLE) - fit.m
+                 * CAST(date_diff('day', DATE '1970-01-01', d.day)
+                        AS DOUBLE) AS b0
+        FROM daily d JOIN fit ON d.g = fit.g),
+      f AS (
+        SELECT g, n_pairs, m, CAST(count(*) AS BIGINT) AS n_days,
+               quantile_cont(b0, 0.5) AS b0
+        FROM ic GROUP BY g, n_pairs, m)
+      SELECT g AS event_type, n_days, n_pairs,
+             round(m, 4) AS slope, round(b0, 4) AS intercept
+      FROM f ORDER BY event_type""",
 
     // Single divisions from exact int64 counts over the
     // (nation, segment) grid.

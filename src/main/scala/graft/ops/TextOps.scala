@@ -491,6 +491,62 @@ object TextOps {
       .select("lang", "n_docs", "rate", "thresh", "n_kept", "kept_chars")
   }
 
+  /** Jensen-Shannon divergence between two sub-corpora's term
+    * distributions (llm_js_divergence / Text.jsDivergence) — the
+    * corpus-mix drift monitor in DISTRIBUTION space: "how far apart are
+    * slices A and B lexically?" (0 bits = identical, 1 bit = disjoint);
+    * the symmetric, always-finite cousin of KL, and the term-level
+    * companion of obs_drift_psi's numeric bands. Engineering: one
+    * vocab-bounded hash-agg builds per-term counts for both sides; the
+    * distribution support is capped at the `topK` terms by combined
+    * count (total order: count desc, term asc — TakeOrdered, no global
+    * window) plus ONE aggregate `<other>` bucket holding the remaining
+    * mass, so the final fold is over topK+1 cells regardless of corpus
+    * or vocabulary size and no probability mass is dropped. Counts are
+    * exact ints; the JS sum folds over a term-SORTED cell array
+    * (bit-stable, chi2/psi precedent), in bits (/ln 2). Returns one row
+    * (n_a, n_b, n_cells, js_bits 4dp). */
+  private[graft] def jsDivergenceOf(df: DataFrame, textCol: String,
+                                    tagCol: String, a: String, b: String,
+                                    topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"bad topK: $topK")
+    val counts = df.filter(col(tagCol).isin(a, b))
+      .select(col(tagCol).as("tag"),
+              explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("tag") === a, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("tag") === b, 1L).otherwise(0L)).as("cb"))
+    val top = counts
+      .orderBy((col("ca") + col("cb")).desc, col("term").asc)
+      .limit(topK)
+    val rest = counts.join(top.select("term"), Seq("term"), "left_anti")
+      .agg(coalesce(sum("ca"), lit(0L)).as("ca"),
+           coalesce(sum("cb"), lit(0L)).as("cb"))
+      .select(lit("<other>").as("term"), col("ca"), col("cb"))
+    top.unionByName(rest)
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+           count(lit(1)).cast("int").as("n_cells"),
+           sort_array(collect_list(struct(col("term"), col("ca"),
+                                          col("cb")))).as("cl"))
+      .select(col("n_a"), col("n_b"), col("n_cells"),
+        round(expr(
+          """aggregate(cl, CAST(0.0 AS DOUBLE), (acc, x) ->
+               acc
+               + ((CASE WHEN x.ca > 0
+                   THEN 0.5 * (CAST(x.ca AS DOUBLE) / n_a)
+                        * ln((CAST(x.ca AS DOUBLE) / n_a)
+                             / ((CAST(x.ca AS DOUBLE) / n_a
+                                 + CAST(x.cb AS DOUBLE) / n_b) / 2.0))
+                   ELSE CAST(0.0 AS DOUBLE) END)
+                  + (CASE WHEN x.cb > 0
+                     THEN 0.5 * (CAST(x.cb AS DOUBLE) / n_b)
+                          * ln((CAST(x.cb AS DOUBLE) / n_b)
+                               / ((CAST(x.ca AS DOUBLE) / n_a
+                                   + CAST(x.cb AS DOUBLE) / n_b) / 2.0))
+                     ELSE CAST(0.0 AS DOUBLE) END))) / ln(2.0)"""), 4)
+          .as("js_bits"))
+  }
+
   val queries: Map[String, Q] = graft.Contract.uniqueMap("TextOps.queries", Seq(
     // Language ID by character-trigram profile overlap: per-lang top-50
     // trigram profiles (trained on the corpus itself — deterministic),
@@ -852,6 +908,15 @@ object TextOps {
       dsirOf(Tables.documentsWide(s, d),
              col("source").isin("src0", "src1", "src2", "src3"))
         .orderBy("doc_id")),
+
+    // Jensen-Shannon divergence between the en and de slices' term
+    // distributions — "how far apart are these corpus slices lexically,
+    // in bits?" The support is the top-100 terms by combined count plus
+    // one <other> bucket carrying ALL remaining mass, so the fold is
+    // 101 cells at any corpus size and nothing is silently dropped;
+    // counts exact ints, JS folded over a term-sorted cell array.
+    "llm_js_divergence" -> ((s, d) =>
+      jsDivergenceOf(Tables.documents(s, d), "text", "lang", "en", "de")),
 
     // Temperature-scaled mixture quotas (the XLM-R/mT5 α-sampling shape,
     // α = 0.5): per-language sampling rates q_l ∝ n_l^α boost low-resource
@@ -1383,6 +1448,51 @@ object TextOps {
       FROM grams JOIN lr ON grams.b = lr.b
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // Same top-100 + <other> support (total order: combined count desc,
+    // term asc) and the same term-sorted fold as the Spark side.
+    "llm_js_divergence" -> """
+      WITH toks AS (
+        SELECT lang AS tag, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE lang IN ('en', 'de')),
+      c AS (
+        SELECT term,
+               CAST(sum(CASE WHEN tag = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN tag = 'de' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM toks GROUP BY term),
+      top AS (
+        SELECT term, ca, cb FROM c
+        ORDER BY ca + cb DESC, term LIMIT 100),
+      rest AS (
+        SELECT '<other>' AS term,
+               CAST(coalesce(sum(ca), 0) AS BIGINT) AS ca,
+               CAST(coalesce(sum(cb), 0) AS BIGINT) AS cb
+        FROM c WHERE term NOT IN (SELECT term FROM top)),
+      u AS (SELECT * FROM top UNION ALL SELECT * FROM rest),
+      l AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               CAST(count(*) AS INTEGER) AS n_cells,
+               list(struct_pack(term := term, ca := ca, cb := cb)
+                    ORDER BY term) AS cl
+        FROM u)
+      SELECT n_a, n_b, n_cells,
+             round(list_sum(list_transform(cl, x ->
+               (CASE WHEN x.ca > 0
+                THEN 0.5 * (CAST(x.ca AS DOUBLE) / n_a)
+                     * ln((CAST(x.ca AS DOUBLE) / n_a)
+                          / ((CAST(x.ca AS DOUBLE) / n_a
+                              + CAST(x.cb AS DOUBLE) / n_b) / 2.0))
+                ELSE 0.0 END)
+               + (CASE WHEN x.cb > 0
+                  THEN 0.5 * (CAST(x.cb AS DOUBLE) / n_b)
+                       * ln((CAST(x.cb AS DOUBLE) / n_b)
+                            / ((CAST(x.ca AS DOUBLE) / n_a
+                                + CAST(x.cb AS DOUBLE) / n_b) / 2.0))
+                  ELSE 0.0 END))) / ln(2.0), 4) AS js_bits
+      FROM l""",
 
     // The same 2-hex md5 gate as llm_mixture_sample, folded to an integer
     // with the simhash family's ascii arithmetic; sqrt/div/mul are

@@ -848,6 +848,15 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("agg_hhi")(spark, d)))
   }
 
+  test("Stats.theilSen equals agg_theil_sen and Text.jsDivergence equals llm_js_divergence") {
+    assert(rowSet(api.Stats.theilSen(
+        Tables.events(spark, d), "event_type", "ts")) ===
+      rowSet(SparkEntry.queries("agg_theil_sen")(spark, d)))
+    assert(rowSet(api.Text.jsDivergence(
+        Tables.documents(spark, d), "text", "lang", "en", "de")) ===
+      rowSet(SparkEntry.queries("llm_js_divergence")(spark, d)))
+  }
+
   test("Quality.tCloseness equals obs_t_closeness") {
     assert(rowSet(api.Quality.tCloseness(
         Tables.customer(spark, d).withColumn("bal_band",

@@ -2268,6 +2268,40 @@ class OperatorSpec extends AnyFunSuite {
       Seq(("A", 4L, 2L, 0.625, 0.75, 1.6), ("B", 2L, 1L, 1.0, 1.0, 1.0)))
   }
 
+  test("theilSenOf: planted linear and flat series recover exact slope/intercept") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // "ln": daily counts 2,4,6,8 on consecutive days -> every pairwise
+    // slope is exactly 2; intercept = c - 2*epochday = 2(i+1) -
+    // 2*(19723+i) = -39444 for all i (2024-01-01 = epoch day 19723).
+    // "fl": count 3 every day -> slope 0, intercept 3.
+    val rows =
+      (0 to 3).flatMap(i => Seq.fill(2 * (i + 1))(("ln", s"2024-01-0${i + 1}"))) ++
+      (0 to 3).flatMap(i => Seq.fill(3)(("fl", s"2024-01-0${i + 1}")))
+    val df = rows.toDF("g", "dstr")
+      .select(col("g"), col("dstr").cast("timestamp").as("ts"))
+    val out = graft.ops.AggOps.theilSenOf(df, "g", "ts")
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                         r.getDouble(3), r.getDouble(4))).toSeq ===
+      Seq(("fl", 4L, 6L, 0.0, 3.0), ("ln", 4L, 6L, 2.0, -39444.0)))
+  }
+
+  test("jsDivergenceOf: identical slices give 0, disjoint vocabularies give 1 bit") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // identical: same text both tags -> every cell has p = q -> JS = 0
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("tag", "text")
+    val js0 = graft.ops.TextOps.jsDivergenceOf(same, "text", "tag", "a", "b")
+      .collect().head
+    assert((js0.getLong(0), js0.getLong(1), js0.getDouble(3)) === (3L, 3L, 0.0))
+    // disjoint: no shared term -> JS = 1 bit exactly
+    val disj = Seq(("a", "x x y"), ("b", "u v w")).toDF("tag", "text")
+    val js1 = graft.ops.TextOps.jsDivergenceOf(disj, "text", "tag", "a", "b")
+      .collect().head
+    assert(js1.getDouble(3) === 1.0)
+  }
+
   test("tClosenessOf: planted frame gives the hand-computed EMD verdicts") {
     import org.apache.spark.sql.functions._
     // m=3 bands; group a: 4 rows all band 0; group b: 2 rows band 1 +
