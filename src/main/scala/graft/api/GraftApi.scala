@@ -726,6 +726,14 @@ object Text {
   def jsDivergence(docs: DataFrame, textCol: String, tagCol: String,
                    a: String, b: String, topK: Int = 100): DataFrame =
     graft.ops.TextOps.jsDivergenceOf(docs, textCol, tagCol, a, b, topK)
+
+  /** Classifier scorecard of the trigram language-ID against the
+    * labeled `lang` (llm_langid_eval's exact core): accuracy, Cohen's
+    * kappa (exact-integer formulation), macro-F1 over truth classes.
+    * Expects (doc_id, lang, text). Returns one row (n_docs, n_correct,
+    * n_classes, accuracy, kappa, macro_f1). */
+  def langidEval(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.langidEvalOf(docs)
 }
 
 /** Ingestion plumbing — the reference pipeline's shape (JSON records →

@@ -547,37 +547,100 @@ object TextOps {
           .as("js_bits"))
   }
 
+  /** Character-trigram language-ID confusion core shared by llm_langid
+    * and [[langidEvalOf]]: per-lang top-50 trigram profiles (trained on
+    * the corpus itself — deterministic), each doc classified by overlap
+    * of its top-30 trigrams (ties break score desc, lang asc); returns
+    * the (lang, predicted, n) confusion matrix, unordered. Expects
+    * (doc_id, lang, text). */
+  private[graft] def langidConfusionOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+    // two consumers (doc-top grams + per-lang profiles) — cache the
+    // exploded trigram frame once (see llm_perplexity_proxy's note)
+    val grams = graft.GraftCaches.track(docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
+      .cache())
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g").asc)
+    val docTop = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wDoc)).filter(col("rk") <= 30)
+      .select(col("doc_id"), col("lang"), col("g"))
+    val wLang = Window.partitionBy("plang").orderBy(col("cnt").desc, col("g").asc)
+    val profile = grams.groupBy(col("lang").as("plang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wLang)).filter(col("rk") <= 50)
+      .select(col("plang"), col("g"))
+    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)
+    docTop.join(broadcast(profile), "g")
+      .groupBy("doc_id", "lang", "plang").agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .groupBy(col("lang"), col("plang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Classifier scorecard over [[langidConfusionOf]]
+    * (llm_langid_eval / Text.langidEval): the one-row eval a pipeline
+    * gates a language-ID model on — accuracy, Cohen's kappa
+    * (chance-corrected agreement), macro-F1. With integer marginals
+    * rm/cm and diagonal tp: kappa = (correct*N - sum rm*cm) /
+    * (N^2 - sum rm*cm) — EXACT integer numerator and denominator, one
+    * division, zero float drift (0 when the denominator is 0, i.e. a
+    * degenerate single-class corpus); per-class F1 = 2*tp/(rm+cm)
+    * folded over a lang-SORTED class list (bit-stable), macro over the
+    * TRUTH classes. The confusion is |langs|^2 rows at any corpus
+    * size, so everything here is dimension-sized. Returns one row
+    * (n_docs, n_correct, n_classes, accuracy 4dp, kappa 4dp,
+    * macro_f1 4dp). */
+  private[graft] def langidEvalOf(docsIn: DataFrame): DataFrame = {
+    // three consumers (row marginal, column marginal, diagonal) — cache
+    // the confusion so the trigram chain runs once
+    val conf = graft.GraftCaches.track(langidConfusionOf(docsIn).cache())
+    val rowm = conf.groupBy("lang").agg(sum("n").as("rm"))
+    val colm = conf.groupBy(col("predicted").as("lang")).agg(sum("n").as("cm"))
+    val diag = conf.filter(col("lang") === col("predicted"))
+      .select(col("lang"), col("n").as("tp"))
+    rowm.join(colm, Seq("lang"), "left").join(diag, Seq("lang"), "left")
+      .select(col("lang"), col("rm"),
+              coalesce(col("cm"), lit(0L)).as("cm"),
+              coalesce(col("tp"), lit(0L)).as("tp"))
+      .agg(sum("rm").as("n_docs"), sum("tp").as("n_correct"),
+           count(lit(1)).cast("int").as("n_classes"),
+           sum(col("rm") * col("cm")).as("pe_num"),
+           sort_array(collect_list(struct(col("lang"), col("tp"),
+                                          col("rm"), col("cm")))).as("cl"))
+      .select(col("n_docs"), col("n_correct"), col("n_classes"),
+        round(col("n_correct").cast("double") /
+              col("n_docs").cast("double"), 4).as("accuracy"),
+        round(when(col("n_docs") * col("n_docs") === col("pe_num"), lit(0.0))
+          .otherwise(
+            (col("n_correct") * col("n_docs") - col("pe_num")).cast("double")
+              / (col("n_docs") * col("n_docs") - col("pe_num"))
+                  .cast("double")), 4).as("kappa"),
+        round(expr(
+          """aggregate(cl, CAST(0.0 AS DOUBLE), (a, x) ->
+               a + (CASE WHEN x.rm + x.cm > 0
+                    THEN 2.0 * CAST(x.tp AS DOUBLE)
+                         / CAST(x.rm + x.cm AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END))""") / col("n_classes"), 4)
+          .as("macro_f1"))
+  }
+
   val queries: Map[String, Q] = graft.Contract.uniqueMap("TextOps.queries", Seq(
     // Language ID by character-trigram profile overlap: per-lang top-50
     // trigram profiles (trained on the corpus itself — deterministic),
     // each doc classified by overlap of its top-30 trigrams; output is the
     // confusion matrix against the labeled lang.
-    "llm_langid" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
-        .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-      // two consumers (doc-top grams + per-lang profiles) — cache the
-      // exploded trigram frame once (see llm_perplexity_proxy's note)
-      val grams = graft.GraftCaches.track(docs.select(col("doc_id"), col("lang"),
-        explode(expr(
-          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
-        .cache())
-      val wDoc = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g").asc)
-      val docTop = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(wDoc)).filter(col("rk") <= 30)
-        .select(col("doc_id"), col("lang"), col("g"))
-      val wLang = Window.partitionBy("plang").orderBy(col("cnt").desc, col("g").asc)
-      val profile = grams.groupBy(col("lang").as("plang"), col("g"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(wLang)).filter(col("rk") <= 50)
-        .select(col("plang"), col("g"))
-      val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)
-      docTop.join(broadcast(profile), "g")
-        .groupBy("doc_id", "lang", "plang").agg(count(lit(1)).as("score"))
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-        .groupBy(col("lang"), col("plang").as("predicted"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted")
-    }),
+    "llm_langid" -> ((s, d) =>
+      langidConfusionOf(Tables.documentsWide(s, d))
+        .orderBy("lang", "predicted")),
+
+    // Classifier scorecard over the langid confusion — accuracy, Cohen's
+    // kappa (chance-corrected; exact-integer numerator/denominator), and
+    // macro-F1 over the truth classes: the one-row gate a pipeline holds
+    // its language-ID model to before trusting its mixture accounting.
+    "llm_langid_eval" -> ((s, d) =>
+      langidEvalOf(Tables.documentsWide(s, d))),
 
     // Per-document quality signals: char/token counts, mean token length,
     // stopword ratio, punctuation ratio, and a simple composite score.
@@ -1593,6 +1656,71 @@ object TextOps {
       FROM best WHERE rn = 1
       GROUP BY 1, 2
       ORDER BY lang, predicted""",
+
+    // Same trigram-confusion chain as llm_langid, then the scorecard
+    // rollup: kappa from exact integer marginals, macro-F1 folded over
+    // the lang-sorted class list.
+    "llm_langid_eval" -> """
+      WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      grams AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                     i -> substr(t, i, 3))) AS g
+        FROM docs),
+      doctop AS (
+        SELECT doc_id, lang, g FROM (
+          SELECT doc_id, lang, g, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rk
+          FROM grams GROUP BY doc_id, lang, g)
+        WHERE rk <= 30),
+      prof AS (
+        SELECT plang, g FROM (
+          SELECT lang AS plang, g, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rk
+          FROM grams GROUP BY lang, g)
+        WHERE rk <= 50),
+      scored AS (
+        SELECT dt.doc_id, dt.lang, p.plang, count(*) AS score
+        FROM doctop dt JOIN prof p ON dt.g = p.g
+        GROUP BY 1, 2, 3),
+      best AS (
+        SELECT doc_id, lang, plang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+        FROM scored),
+      conf AS (
+        SELECT lang, plang AS predicted, CAST(count(*) AS BIGINT) AS n
+        FROM best WHERE rn = 1 GROUP BY 1, 2),
+      rowm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rm
+               FROM conf GROUP BY 1),
+      colm AS (SELECT predicted AS lang, CAST(sum(n) AS BIGINT) AS cm
+               FROM conf GROUP BY 1),
+      diag AS (SELECT lang, n AS tp FROM conf WHERE lang = predicted),
+      cls AS (
+        SELECT rowm.lang, rowm.rm,
+               CAST(coalesce(colm.cm, 0) AS BIGINT) AS cm,
+               CAST(coalesce(diag.tp, 0) AS BIGINT) AS tp
+        FROM rowm
+        LEFT JOIN colm ON rowm.lang = colm.lang
+        LEFT JOIN diag ON rowm.lang = diag.lang),
+      r AS (
+        SELECT CAST(sum(rm) AS BIGINT) AS n_docs,
+               CAST(sum(tp) AS BIGINT) AS n_correct,
+               CAST(count(*) AS INTEGER) AS n_classes,
+               CAST(sum(rm * cm) AS BIGINT) AS pe_num,
+               list(struct_pack(lang := lang, tp := tp, rm := rm, cm := cm)
+                    ORDER BY lang) AS cl
+        FROM cls)
+      SELECT n_docs, n_correct, n_classes,
+             round(CAST(n_correct AS DOUBLE) / n_docs, 4) AS accuracy,
+             round(CASE WHEN n_docs * n_docs = pe_num THEN 0.0
+                   ELSE CAST(n_correct * n_docs - pe_num AS DOUBLE)
+                        / CAST(n_docs * n_docs - pe_num AS DOUBLE)
+                   END, 4) AS kappa,
+             round(list_sum(list_transform(cl, x ->
+               CASE WHEN x.rm + x.cm > 0
+               THEN 2.0 * CAST(x.tp AS DOUBLE) / CAST(x.rm + x.cm AS DOUBLE)
+               ELSE 0.0 END)) / n_classes, 4) AS macro_f1
+      FROM r""",
 
     // DuckDB length() counts characters (not bytes — that's strlen),
     // matching Spark's length(); the fixture corpus is ASCII so either

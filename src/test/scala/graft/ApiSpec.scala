@@ -857,6 +857,11 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("llm_js_divergence")(spark, d)))
   }
 
+  test("Text.langidEval equals llm_langid_eval") {
+    assert(rowSet(api.Text.langidEval(Tables.documentsWide(spark, d))) ===
+      rowSet(SparkEntry.queries("llm_langid_eval")(spark, d)))
+  }
+
   test("Quality.tCloseness equals obs_t_closeness") {
     assert(rowSet(api.Quality.tCloseness(
         Tables.customer(spark, d).withColumn("bal_band",

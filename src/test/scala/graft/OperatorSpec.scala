@@ -2302,6 +2302,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(js1.getDouble(3) === 1.0)
   }
 
+  test("langidEvalOf: planted corpus gives the hand-computed scorecard") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // doc1 (aa, "aaaa") -> only trigram aaa, in profile(aa) only -> aa.
+    // doc2 (aa, "bbbb") -> bbb is in BOTH profiles (aa trained on doc2
+    // too) -> tie breaks lang asc -> aa ("correct" by luck).
+    // doc3 (bb, "bbbb") -> same tie -> aa -> WRONG.
+    // conf: (aa,aa,2), (bb,aa,1); N=3, correct=2, acc=0.6667;
+    // pe_num = 2*3 + 1*0 = 6 -> kappa = (6-6)/(9-6) = 0;
+    // F1(aa) = 2*2/(2+3) = 0.8, F1(bb) = 0 -> macro 0.4.
+    val docs = Seq((1L, "aa", "aaaa"), (2L, "aa", "bbbb"),
+                   (3L, "bb", "bbbb")).toDF("doc_id", "lang", "text")
+    val r = graft.ops.TextOps.langidEvalOf(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)) ===
+      ((3L, 2L, 2, 0.6667, 0.0, 0.4)))
+  }
+
   test("tClosenessOf: planted frame gives the hand-computed EMD verdicts") {
     import org.apache.spark.sql.functions._
     // m=3 bands; group a: 4 rows all band 0; group b: 2 rows band 1 +
