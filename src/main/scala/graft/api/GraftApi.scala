@@ -1039,6 +1039,15 @@ object Stats {
   def mannKendall(df: DataFrame, groupCol: String, tsCol: String): DataFrame =
     graft.ops.AggOps.mannKendallOf(df, groupCol, tsCol)
 
+  /** Mann-Whitney U rank-sum test of `valueCol` between `tagCol`
+    * cohorts `a` and `b` (agg_mann_whitney's exact core) — the
+    * rank-based location test (no normality assumption); ranks and U
+    * are exact integers on the distinct-value grid. Returns one row
+    * (n_a, n_b, u_a, z, significant). */
+  def mannWhitney(df: DataFrame, valueCol: String, tagCol: String,
+                  a: String, b: String): DataFrame =
+    graft.ops.AggOps.mannWhitneyOf(df, valueCol, tagCol, a, b)
+
   /** Theil-Sen robust trend line per `groupCol` over the daily count
     * series of `tsCol` (agg_theil_sen's exact core) — median of
     * pairwise slopes (events/day, ~29% breakdown point) with

@@ -402,6 +402,53 @@ object AggOps {
           .as("chi2"))
   }
 
+  /** Mann-Whitney U rank-sum test of `valueCol` between `tagCol`
+    * cohorts `a` and `b` (agg_mann_whitney / Stats.mannWhitney) — the
+    * rank-based cohort comparison that sees LOCATION shift where
+    * [[ksTestOf]] sees any distribution gap, and needs no normality
+    * like the t-test does. The corpus collapses to the distinct-VALUE
+    * grid first (ks_test economics — the ranking window runs on grid
+    * cardinality, never corpus size); with tied blocks of size t at
+    * cumulative offset prev, the doubled a-side rank sum
+    * 2R_a = sum ca*(2*prev + t + 1) is an exact integer, as are
+    * 2U_a = 2R_a - na(na+1) and the tie term sum(t^3 - t). The normal
+    * approximation z = (U - na*nb/2)/sigma uses the tie-corrected
+    * sigma^2 = (na*nb/12)((n+1) - T/(n(n-1))) written in the same
+    * operation order in both engines. Returns one row (n_a, n_b,
+    * u_a — exact halves, z 4dp, significant at |z| > 1.96 on the
+    * rounded z). */
+  private[graft] def mannWhitneyOf(df: DataFrame, valueCol: String,
+                                   tagCol: String, a: String,
+                                   b: String): DataFrame = {
+    val w = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, -1)
+    val grid = df.filter(col(tagCol).isin(a, b))
+      .groupBy(valueCol)
+      .agg(sum(when(col(tagCol) === a, 1L).otherwise(0L)).as("ca"),
+           sum(when(col(tagCol) === b, 1L).otherwise(0L)).as("cb"))
+      .withColumn("nv", col("ca") + col("cb"))
+    val agg = grid
+      .select(col("ca"), col("cb"), col("nv"),
+              coalesce(sum("nv").over(w), lit(0L)).as("prev"))
+      .agg(sum("ca").as("na"), sum("cb").as("nb"),
+           sum(col("ca") * (col("prev") * 2L + col("nv") + 1L)).as("r2a"),
+           sum(col("nv") * col("nv") * col("nv") - col("nv")).as("tsum"))
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn("u2", col("r2a") - col("na") * (col("na") + 1L))
+      .withColumn("sigma2",
+        (col("na").cast("double") * col("nb").cast("double") / 12.0) *
+          ((col("n") + 1L).cast("double") -
+           col("tsum").cast("double") /
+             (col("n") * (col("n") - 1L)).cast("double")))
+      .withColumn("z", round(
+        when(col("sigma2") > 0.0,
+          (col("u2") - col("na") * col("nb")).cast("double") /
+            (sqrt(col("sigma2")) * 2.0))
+          .otherwise(lit(0.0)), 4))
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      (col("u2").cast("double") / 2.0).as("u_a"), col("z"),
+      (abs(col("z")) > 1.96).as("significant"))
+  }
+
   /** Mann-Kendall monotonic-trend test per `groupCol`
     * (agg_mann_kendall / Stats.mannKendall): is each group's daily
     * activity series trending, without assuming linearity or a
@@ -1071,6 +1118,18 @@ object AggOps {
     // bit-stable, then rounded 4dp.
     "agg_chi_square" -> ((s, d) =>
       chiSquareOf(Tables.documents(s, d), "lang", "source")),
+
+    // Mann-Whitney U rank-sum between the click and view cohorts'
+    // values — the rank-based location test next to agg_ks_test's
+    // any-gap test and agg_ab_ttest's normal-theory one. Ranks, U, and
+    // the tie term are exact integers on the distinct-value grid; the
+    // tie-corrected normal z is written in the same operation order in
+    // both engines.
+    "agg_mann_whitney" -> ((s, d) =>
+      mannWhitneyOf(Tables.events(s, d), "value", "event_type",
+                    "click", "view")
+        .withColumnRenamed("n_a", "n_click")
+        .withColumnRenamed("n_b", "n_view")),
 
     // Mann-Kendall monotonic-trend test per event type over the daily
     // activity series — "is this feed growing, decaying, or flat?"
@@ -1782,6 +1841,51 @@ object AggOps {
                   WHEN z < -1.96 THEN 'decreasing'
                   ELSE 'none' END AS trend
       FROM z ORDER BY event_type""",
+
+    // Exact-integer doubled rank sum / U / tie term over the
+    // distinct-value grid; the tie-corrected sigma^2 and z match the
+    // Spark side's operation order term for term.
+    "agg_mann_whitney" -> """
+      WITH grid AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY value),
+      g2 AS (
+        SELECT ca, cb, ca + cb AS nv,
+               CAST(coalesce(sum(ca + cb) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS prev
+        FROM grid),
+      s AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb,
+               CAST(sum(ca * (prev * 2 + nv + 1)) AS BIGINT) AS r2a,
+               CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tsum
+        FROM g2),
+      k AS (
+        SELECT na, nb, na + nb AS n,
+               r2a - na * (na + 1) AS u2, tsum
+        FROM s),
+      f AS (
+        SELECT na, nb, u2,
+               (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                 * (CAST(n + 1 AS DOUBLE)
+                    - CAST(tsum AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE)) AS sigma2
+        FROM k)
+      SELECT na AS n_click, nb AS n_view,
+             CAST(u2 AS DOUBLE) / 2.0 AS u_a, z,
+             abs(z) > 1.96 AS significant
+      FROM (
+        SELECT na, nb, u2,
+               round(CASE WHEN sigma2 > 0.0
+                 THEN CAST(u2 - na * nb AS DOUBLE) / (sqrt(sigma2) * 2.0)
+                 ELSE 0.0 END, 4) AS z
+        FROM f)""",
 
     // Pairwise slopes from exact ints; quantile_cont == Spark's
     // percentile interpolation; x = epoch days in both engines.

@@ -857,6 +857,14 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("llm_js_divergence")(spark, d)))
   }
 
+  test("Stats.mannWhitney equals agg_mann_whitney") {
+    assert(rowSet(api.Stats.mannWhitney(
+        Tables.events(spark, d), "value", "event_type", "click", "view")
+        .withColumnRenamed("n_a", "n_click")
+        .withColumnRenamed("n_b", "n_view")) ===
+      rowSet(SparkEntry.queries("agg_mann_whitney")(spark, d)))
+  }
+
   test("Text.langidEval equals llm_langid_eval") {
     assert(rowSet(api.Text.langidEval(Tables.documentsWide(spark, d))) ===
       rowSet(SparkEntry.queries("llm_langid_eval")(spark, d)))

@@ -2302,6 +2302,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(js1.getDouble(3) === 1.0)
   }
 
+  test("mannWhitneyOf: planted separated and tied cohorts give exact U") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // complete separation: a = {1,2,3}, b = {4,5,6} -> R_a = 6, U_a = 0,
+    // no ties -> sigma2 = (9/12)*7 = 5.25, z = -9/(2*sqrt(5.25))
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+                 ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("tag", "v")
+    val r = graft.ops.AggOps.mannWhitneyOf(df, "v", "tag", "a", "b")
+      .collect().head
+    val zExp = BigDecimal(-9.0 / (2.0 * math.sqrt(5.25)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((3L, 3L, 0.0)))
+    assert(r.getDouble(3) === zExp)
+    assert(r.getBoolean(4) === (math.abs(zExp) > 1.96))
+    // tied block: a = {1,1}, b = {1,2} -> 2R_a = 8 (both a's at avg rank
+    // 2), U_a = 1, tsum = 24 -> sigma2 = (4/12)*(5-2), z = -1/sqrt(sigma2)
+    val dt = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0))
+      .toDF("tag", "v")
+    val rt = graft.ops.AggOps.mannWhitneyOf(dt, "v", "tag", "a", "b")
+      .collect().head
+    assert((rt.getLong(0), rt.getLong(1), rt.getDouble(2)) === ((2L, 2L, 1.0)))
+    val s2 = (4.0 / 12.0) * (5.0 - 24.0 / 12.0)
+    val ztExp = BigDecimal(-2.0 / (2.0 * math.sqrt(s2)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rt.getDouble(3) === ztExp)
+  }
+
   test("langidEvalOf: planted corpus gives the hand-computed scorecard") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
