@@ -1182,6 +1182,16 @@ object Quality {
   def tCloseness(df: DataFrame, qiCols: Seq[String], bandCol: String,
                  nBands: Int, t100s: Seq[Int] = Seq(10, 20, 30)): DataFrame =
     graft.ops.ScanOps.tClosenessOf(df, qiCols, bandCol, nBands, t100s)
+
+  /** Column-profile audit (obs_profile's exact core) — first-contact
+    * data profiling: per column, rows, nulls, EXACT distinct count, and
+    * numeric min/max (null for columns outside `numericCols`). One
+    * stacked scan + one pre-agg however many columns are profiled.
+    * Returns (col_name, n_rows, n_null, frac_null, n_distinct, min_v,
+    * max_v), unordered. */
+  def profile(df: DataFrame, cols: Seq[String],
+              numericCols: Set[String] = Set.empty): DataFrame =
+    graft.ops.ScanOps.profileOf(df, cols, numericCols)
 }
 
 /** Graph analytics over (src, dst) edge frames. */

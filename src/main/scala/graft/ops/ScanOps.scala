@@ -215,6 +215,45 @@ object ScanOps {
           .as("frac_rows_above"))
   }
 
+  /** Column-profile audit core (obs_profile / Quality.profile) — the
+    * Deequ/pandas-profiling table scan a pipeline runs on first contact
+    * with a feed: per column, row count, null count/fraction, EXACT
+    * distinct count, and numeric min/max. Engineering: the columns
+    * STACK to (column, value) rows in ONE scan (never a scan or a
+    * distinct-expand per column), a (column, value) pre-agg bounds the
+    * distinct state by each column's actual domain, and the per-column
+    * rollup is dimension-sized — one scan + one shuffle however many
+    * columns are profiled. Values group on their string form (injective
+    * per column type, used only as the grouping carrier, never output);
+    * min/max are taken on the double cast and are null for non-numeric
+    * columns, so no engine-specific string formatting ever reaches the
+    * output. Returns (column, n_rows, n_null, frac_null 4dp,
+    * n_distinct, min_v, max_v), unordered. */
+  private[graft] def profileOf(df: DataFrame, cols: Seq[String],
+                               numericCols: Set[String]): DataFrame = {
+    require(cols.nonEmpty && numericCols.subsetOf(cols.toSet),
+      s"bad profile columns: $cols / $numericCols")
+    cols.foreach { c =>
+      require(c.matches("[A-Za-z0-9_]+"), s"column '$c' must be an identifier") }
+    val arms = cols.map { c =>
+      val num = if (numericCols(c)) s"CAST($c AS DOUBLE)"
+                else "CAST(NULL AS DOUBLE)"
+      s"'$c', CAST($c AS STRING), $num"
+    }.mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $arms) AS (c, v, vn)")
+      .groupBy("c", "v")
+      .agg(count(lit(1)).as("nv"), min("vn").as("mn"), max("vn").as("mx"))
+      .groupBy("c")
+      .agg(sum("nv").as("n_rows"),
+           sum(when(col("v").isNull, col("nv")).otherwise(0L)).as("n_null"),
+           count(col("v")).as("n_distinct"),
+           min("mn").as("min_v"), max("mx").as("max_v"))
+      .select(col("c").as("col_name"), col("n_rows"), col("n_null"),
+        round(col("n_null") / col("n_rows").cast("double"), 4)
+          .as("frac_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
+
   private[graft] def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -733,6 +772,19 @@ object ScanOps {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", nBands = 5,
         t100s = Seq(10, 20, 30))
         .orderBy("t")),
+
+    // Column-profile audit over the orders feed — first-contact data
+    // profiling (the Deequ-profile shape): per column, rows, nulls,
+    // EXACT distinct count, numeric min/max. One stacked scan + one
+    // (column, value) pre-agg — never a scan or distinct-expand per
+    // column; min/max ride the double cast so no engine-specific string
+    // formatting reaches the output.
+    "obs_profile" -> ((s, d) =>
+      profileOf(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            "o_orderpriority"),
+        numericCols = Set("o_orderkey", "o_custkey", "o_totalprice"))
+        .orderBy("col_name")),
 
     "obs_metrics" -> ((s, d) => {
       val o = new org.apache.spark.sql.Observation(
@@ -1304,6 +1356,51 @@ object ScanOps {
         UNION ALL SELECT CAST(30 AS DOUBLE) / 100.0, max_emd, g30, r30,
                          n_rows FROM t)
       ORDER BY t""",
+
+    // One UNION ALL arm per profiled column; DuckDB's exact
+    // count(DISTINCT) and double-cast min/max mirror the stacked plan.
+    "obs_profile" -> """
+      SELECT col_name, n_rows, n_null,
+             round(CAST(n_null AS DOUBLE) / n_rows, 4) AS frac_null,
+             n_distinct, min_v, max_v
+      FROM (
+        SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+               CAST(max(o_orderkey) AS DOUBLE) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               CAST(min(o_totalprice) AS DOUBLE),
+               CAST(max(o_totalprice) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT o_orderdate) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders)
+      ORDER BY col_name""",
 
     // One grouped count + one 1-row conditional rollup, unstacked to the
     // same k-table (UNION ALL of the four thresholds).

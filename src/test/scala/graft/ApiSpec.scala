@@ -870,6 +870,14 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("llm_langid_eval")(spark, d)))
   }
 
+  test("Quality.profile equals obs_profile") {
+    assert(rowSet(api.Quality.profile(Tables.orders(spark, d),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            "o_orderpriority"),
+        Set("o_orderkey", "o_custkey", "o_totalprice"))) ===
+      rowSet(SparkEntry.queries("obs_profile")(spark, d)))
+  }
+
   test("Quality.tCloseness equals obs_t_closeness") {
     assert(rowSet(api.Quality.tCloseness(
         Tables.customer(spark, d).withColumn("bal_band",

@@ -2302,6 +2302,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(js1.getDouble(3) === 1.0)
   }
 
+  test("profileOf: planted frame with nulls gives exact per-column stats") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // k: 1,1,2,null -> 4 rows, 1 null, 2 distinct, min 1 max 2;
+    // s: "x","y","y","y" -> 0 null, 2 distinct, non-numeric -> null min/max
+    val df = Seq((Some(1L), "x"), (Some(1L), "y"), (Some(2L), "y"),
+                 (None: Option[Long], "y")).toDF("k", "s")
+    val out = graft.ops.ScanOps
+      .profileOf(df, Seq("k", "s"), numericCols = Set("k"))
+      .orderBy("col_name").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                         r.getDouble(3), r.getLong(4))).toSeq ===
+      Seq(("k", 4L, 1L, 0.25, 2L), ("s", 4L, 0L, 0.0, 2L)))
+    assert((out(0).getDouble(5), out(0).getDouble(6)) === ((1.0, 2.0)))
+    assert(out(1).isNullAt(5) && out(1).isNullAt(6))
+  }
+
   test("mannWhitneyOf: planted separated and tied cohorts give exact U") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
