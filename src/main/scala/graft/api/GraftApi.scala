@@ -1057,6 +1057,16 @@ object Stats {
   def theilSen(df: DataFrame, groupCol: String, tsCol: String): DataFrame =
     graft.ops.AggOps.theilSenOf(df, groupCol, tsCol)
 
+  /** Kendall tau-b rank correlation per `groupCol` between the daily
+    * count and daily distinct-`userCol` reach of `tsCol`
+    * (agg_kendall_tau's exact core) — outlier-proof co-movement with
+    * tie correction; C-D and tie terms are exact integers on the
+    * calendar-bounded grid. Returns (group, n_days, cd, n0, n1, n2,
+    * tau), unordered. */
+  def kendallTau(df: DataFrame, groupCol: String, tsCol: String,
+                 userCol: String): DataFrame =
+    graft.ops.AggOps.kendallTauOf(df, groupCol, tsCol, userCol)
+
   /** Herfindahl-Hirschman concentration of each `keyCol`'s composition
     * over `catCol` (agg_hhi's exact core) — category-mix / market-share
     * concentration from exact counts. Returns (keyCol, n_rows, n_cats,

@@ -463,7 +463,9 @@ object AggOps {
     * and var18 carry zero float drift; z is one sqrt+divide from exact
     * ints. Returns (group, n_days, s_stat, var18, z 4dp, trend), where
     * trend applies the |z| > 1.96 two-sided 5% verdict to the ROUNDED z
-    * (so both engines judge the same value). */
+    * (so both engines judge the same value). Groups observed on a
+    * single day are OMITTED (the inner join with the pair frame drops
+    * them) — a trend verdict needs at least two points. */
   private[graft] def mannKendallOf(df: DataFrame, groupCol: String,
                                    tsCol: String): DataFrame = {
     val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
@@ -506,8 +508,9 @@ object AggOps {
     * corpus-scale-free like the Mann-Kendall key. Every slope is one
     * double division of exact ints and both engines interpolate the
     * median identically, so the gate is hash-exact. x is epoch days.
-    * Returns (group, n_days, n_pairs, slope 4dp, intercept 4dp),
-    * unordered. */
+    * Groups observed on a single day are OMITTED (no pairwise slope
+    * evidence exists; same contract as [[mannKendallOf]]). Returns
+    * (group, n_days, n_pairs, slope 4dp, intercept 4dp), unordered. */
   private[graft] def theilSenOf(df: DataFrame, groupCol: String,
                                 tsCol: String): DataFrame = {
     val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
@@ -529,6 +532,54 @@ object AggOps {
       .agg(count(lit(1)).as("n_days"), expr("percentile(b0, 0.5)").as("b0"))
       .select(col("g").as(groupCol), col("n_days"), col("n_pairs"),
         round(col("m"), 4).as("slope"), round(col("b0"), 4).as("intercept"))
+  }
+
+  /** Kendall tau-b rank correlation per `groupCol` between two daily
+    * series — count and distinct-`userCol` reach — over `tsCol`
+    * (agg_kendall_tau / Stats.kendallTau): "do volume and reach move
+    * together, or is growth coming from a shrinking user set?" Rank
+    * correlation is outlier-proof where Pearson (agg_corr_stats) is
+    * not, and tau-b's tie correction keeps flat stretches honest:
+    * tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with n0 = n(n-1)/2 and
+    * n1/n2 the per-series tie-pair counts (Kendall 1945). Engineering:
+    * the corpus collapses FIRST to the calendar-bounded (group, day,
+    * count, distinct-users) grid — count-distinct state bounded by the
+    * per-day user set — then C - D = sum over day pairs of
+    * sign(dx)*sign(dy) and the tie terms are exact integers on that
+    * grid; the one sqrt+divide comes last. Groups observed on a single
+    * day are OMITTED (same contract as [[mannKendallOf]]). Returns
+    * (group, n_days, cd, n0, n1, n2, tau 4dp), unordered. */
+  private[graft] def kendallTauOf(df: DataFrame, groupCol: String,
+                                  tsCol: String,
+                                  userCol: String): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"),
+                          col(userCol).as("u"))
+      .groupBy("g", "day")
+      .agg(count(lit(1)).as("x"), countDistinct(col("u")).as("y"))
+    val a = daily.select(col("g"), col("day").as("d1"),
+                         col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("g").as("gb"), col("day").as("d2"),
+                         col("x").as("x2"), col("y").as("y2"))
+    val cd = a.join(b, col("g") === col("gb") && col("d1") < col("d2"))
+      .groupBy("g")
+      .agg(sum((signum(col("x2") - col("x1")) *
+                signum(col("y2") - col("y1"))).cast("long")).as("cd"))
+    val n = daily.groupBy("g").agg(count(lit(1)).as("n_days"))
+    val tx = daily.groupBy("g", "x").agg(count(lit(1)).as("t"))
+      .groupBy("g").agg(sum(col("t") * (col("t") - 1L)).as("n1x2"))
+    val ty = daily.groupBy("g", "y").agg(count(lit(1)).as("t"))
+      .groupBy("g").agg(sum(col("t") * (col("t") - 1L)).as("n2x2"))
+    n.join(cd, "g").join(tx, "g").join(ty, "g")
+      .select(col("g").as(groupCol), col("n_days"), col("cd"),
+        // `div`, not `/`: Column./ on longs widens to double
+        expr("n_days * (n_days - 1L) div 2L").as("n0"),
+        expr("n1x2 div 2L").as("n1"), expr("n2x2 div 2L").as("n2"))
+      .withColumn("tau", round(
+        when((col("n0") - col("n1")) * (col("n0") - col("n2")) > 0L,
+          col("cd").cast("double") /
+            sqrt(((col("n0") - col("n1")) *
+                  (col("n0") - col("n2"))).cast("double")))
+          .otherwise(lit(0.0)), 4))
   }
 
   /** Herfindahl-Hirschman concentration per `keyCol`
@@ -1153,6 +1204,16 @@ object AggOps {
     // identically from exact-int-derived slopes.
     "agg_theil_sen" -> ((s, d) =>
       theilSenOf(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // Kendall tau-b rank correlation per event type between daily
+    // volume and daily distinct-user reach — is growth real users or a
+    // shrinking set hammering harder? Outlier-proof where Pearson
+    // (agg_corr_stats) is not; C-D and both tie terms are exact
+    // integers on the calendar-bounded daily grid, one sqrt+divide
+    // last.
+    "agg_kendall_tau" -> ((s, d) =>
+      kendallTauOf(Tables.events(s, d), "event_type", "ts", "user_id")
         .orderBy("event_type")),
 
     // Herfindahl-Hirschman concentration of each nation's customer mix
@@ -1916,6 +1977,43 @@ object AggOps {
       SELECT g AS event_type, n_days, n_pairs,
              round(m, 4) AS slope, round(b0, 4) AS intercept
       FROM f ORDER BY event_type""",
+
+    // Exact-integer C-D and tie terms over the daily grid; sign() and
+    // the final sqrt+divide mirror the Spark side.
+    "agg_kendall_tau" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      cd AS (
+        SELECT a.g,
+               CAST(sum(sign(b.x - a.x) * sign(b.y - a.y)) AS BIGINT) AS cd
+        FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+        GROUP BY a.g),
+      n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1),
+      tx AS (
+        SELECT g, CAST(sum(t * (t - 1)) AS BIGINT) AS n1x2
+        FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t
+              FROM daily GROUP BY 1, 2) GROUP BY g),
+      ty AS (
+        SELECT g, CAST(sum(t * (t - 1)) AS BIGINT) AS n2x2
+        FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t
+              FROM daily GROUP BY 1, 2) GROUP BY g),
+      j AS (
+        SELECT n.g, n.n_days, cd.cd,
+               CAST(n.n_days * (n.n_days - 1) // 2 AS BIGINT) AS n0,
+               CAST(tx.n1x2 // 2 AS BIGINT) AS n1,
+               CAST(ty.n2x2 // 2 AS BIGINT) AS n2
+        FROM n JOIN cd ON n.g = cd.g
+               JOIN tx ON n.g = tx.g JOIN ty ON n.g = ty.g)
+      SELECT g AS event_type, n_days, cd, n0, n1, n2,
+             round(CASE WHEN (n0 - n1) * (n0 - n2) > 0
+               THEN CAST(cd AS DOUBLE)
+                    / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
+               ELSE 0.0 END, 4) AS tau
+      FROM j ORDER BY event_type""",
 
     // Single divisions from exact int64 counts over the
     // (nation, segment) grid.

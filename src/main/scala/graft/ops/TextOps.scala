@@ -504,7 +504,9 @@ object TextOps {
     * mass, so the final fold is over topK+1 cells regardless of corpus
     * or vocabulary size and no probability mass is dropped. Counts are
     * exact ints; the JS sum folds over a term-SORTED cell array
-    * (bit-stable, chi2/psi precedent), in bits (/ln 2). Returns one row
+    * (bit-stable, chi2/psi precedent), in bits (/ln 2). Both slices
+    * must be non-empty (an empty side makes every p/n division NaN —
+    * there is no distribution to compare). Returns one row
     * (n_a, n_b, n_cells, js_bits 4dp). */
   private[graft] def jsDivergenceOf(df: DataFrame, textCol: String,
                                     tagCol: String, a: String, b: String,

@@ -857,6 +857,12 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("llm_js_divergence")(spark, d)))
   }
 
+  test("Stats.kendallTau equals agg_kendall_tau") {
+    assert(rowSet(api.Stats.kendallTau(
+        Tables.events(spark, d), "event_type", "ts", "user_id")) ===
+      rowSet(SparkEntry.queries("agg_kendall_tau")(spark, d)))
+  }
+
   test("Stats.mannWhitney equals agg_mann_whitney") {
     assert(rowSet(api.Stats.mannWhitney(
         Tables.events(spark, d), "value", "event_type", "click", "view")

@@ -2302,6 +2302,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(js1.getDouble(3) === 1.0)
   }
 
+  test("kendallTauOf: planted concordant and tied series give exact tau-b") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // "up": daily (count, reach) = (1,1),(2,2),(3,3) -> perfectly
+    // concordant, no ties: cd = 3, n0 = 3, tau = 1.
+    // "ti": (2,1),(2,1),(3,1) -> reach all tied -> cd = 0, n1 = 1
+    // (x-pair tie), n2 = 3 (all y pairs) -> denominator 0 -> tau 0.
+    val rows =
+      (1 to 3).flatMap(i => (1 to i).map(u => ("up", s"2024-01-0$i", u.toLong))) ++
+      Seq(("ti", "2024-01-01", 9L), ("ti", "2024-01-01", 9L),
+          ("ti", "2024-01-02", 9L), ("ti", "2024-01-02", 9L),
+          ("ti", "2024-01-03", 9L), ("ti", "2024-01-03", 9L),
+          ("ti", "2024-01-03", 9L))
+    val df = rows.toDF("g", "dstr", "u")
+      .select(col("g"), col("dstr").cast("timestamp").as("ts"), col("u"))
+    val out = graft.ops.AggOps.kendallTauOf(df, "g", "ts", "u")
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                         r.getLong(3), r.getLong(4), r.getLong(5),
+                         r.getDouble(6))).toSeq ===
+      Seq(("ti", 3L, 0L, 3L, 1L, 3L, 0.0),
+          ("up", 3L, 3L, 3L, 0L, 0L, 1.0)))
+  }
+
   test("profileOf: planted frame with nulls gives exact per-column stats") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
