@@ -1067,6 +1067,15 @@ object Stats {
                  userCol: String): DataFrame =
     graft.ops.AggOps.kendallTauOf(df, groupCol, tsCol, userCol)
 
+  /** Spearman rank correlation per `groupCol` between the daily count
+    * and daily distinct-`userCol` reach of `tsCol` (agg_spearman's
+    * exact core) — rank-linear association with average-tie ranks;
+    * moment sums are exact order-free doubles. Returns (group, n_days,
+    * rho), unordered. */
+  def spearman(df: DataFrame, groupCol: String, tsCol: String,
+               userCol: String): DataFrame =
+    graft.ops.AggOps.spearmanOf(df, groupCol, tsCol, userCol)
+
   /** Herfindahl-Hirschman concentration of each `keyCol`'s composition
     * over `catCol` (agg_hhi's exact core) — category-mix / market-share
     * concentration from exact counts. Returns (keyCol, n_rows, n_cats,

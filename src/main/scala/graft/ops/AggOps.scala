@@ -582,6 +582,51 @@ object AggOps {
           .otherwise(lit(0.0)), 4))
   }
 
+  /** Spearman rank correlation per `groupCol` between the same two
+    * daily series as [[kendallTauOf]] — count and distinct-`userCol`
+    * reach (agg_spearman / Stats.spearman): the third leg of the
+    * correlation board (Pearson = linear on values, tau-b = concordant
+    * pairs, rho = linear on RANKS — monotone association with more
+    * statistical efficiency than tau on near-linear data). Ties take
+    * the conventional average rank r_min + (t-1)/2 — an exact multiple
+    * of 1/2 — so every moment (sums of ranks, squares, cross products)
+    * is an exact multiple of 1/4 far below 2^53: the distributed sums
+    * are order-free EXACT doubles, and rho = (n*Sxy - Sx*Sy) /
+    * sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) is deterministic with one
+    * sqrt+divide last (0 when either series is constant). Same
+    * calendar-bounded grid economics; single-day groups yield rho 0
+    * (constant-series guard). Returns (group, n_days, rho 4dp),
+    * unordered. */
+  private[graft] def spearmanOf(df: DataFrame, groupCol: String,
+                                tsCol: String, userCol: String): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"),
+                          col(userCol).as("u"))
+      .groupBy("g", "day")
+      .agg(count(lit(1)).as("x"), countDistinct(col("u")).as("y"))
+    val rx = rank().over(Window.partitionBy("g").orderBy("x")).cast("double") +
+      (count(lit(1)).over(Window.partitionBy("g", "x")) - 1L)
+        .cast("double") / 2.0
+    val ry = rank().over(Window.partitionBy("g").orderBy("y")).cast("double") +
+      (count(lit(1)).over(Window.partitionBy("g", "y")) - 1L)
+        .cast("double") / 2.0
+    daily.select(col("g"), rx.as("rx"), ry.as("ry"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_days"),
+           sum("rx").as("sx"), sum("ry").as("sy"),
+           sum(col("rx") * col("rx")).as("sxx"),
+           sum(col("ry") * col("ry")).as("syy"),
+           sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("g").as(groupCol), col("n_days"),
+        round({
+          val n = col("n_days").cast("double")
+          val vx = n * col("sxx") - col("sx") * col("sx")
+          val vy = n * col("syy") - col("sy") * col("sy")
+          when(vx > 0.0 && vy > 0.0,
+            (n * col("sxy") - col("sx") * col("sy")) / sqrt(vx * vy))
+            .otherwise(lit(0.0))
+        }, 4).as("rho"))
+  }
+
   /** Herfindahl-Hirschman concentration per `keyCol`
     * (agg_hhi / Stats.hhi): how concentrated is each key's composition
     * over `catCol` — the category-mix audit (a nation whose customers
@@ -1214,6 +1259,15 @@ object AggOps {
     // last.
     "agg_kendall_tau" -> ((s, d) =>
       kendallTauOf(Tables.events(s, d), "event_type", "ts", "user_id")
+        .orderBy("event_type")),
+
+    // Spearman rho per event type over the same daily volume/reach
+    // grid as agg_kendall_tau — rank-linear association beside tau-b's
+    // concordance and agg_corr_stats' value-linear Pearson. Average-tie
+    // ranks are exact halves, so every moment sum is an exact
+    // order-free double; one sqrt+divide last.
+    "agg_spearman" -> ((s, d) =>
+      spearmanOf(Tables.events(s, d), "event_type", "ts", "user_id")
         .orderBy("event_type")),
 
     // Herfindahl-Hirschman concentration of each nation's customer mix
@@ -2014,6 +2068,39 @@ object AggOps {
                     / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
                ELSE 0.0 END, 4) AS tau
       FROM j ORDER BY event_type""",
+
+    // rank() + same-value count windows give the identical average-tie
+    // ranks; the moment sums are exact doubles, so any evaluation order
+    // agrees bit-for-bit.
+    "agg_spearman" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT g,
+               CAST(rank() OVER (PARTITION BY g ORDER BY x) AS DOUBLE)
+                 + CAST(count(*) OVER (PARTITION BY g, x) - 1 AS DOUBLE)
+                   / 2.0 AS rx,
+               CAST(rank() OVER (PARTITION BY g ORDER BY y) AS DOUBLE)
+                 + CAST(count(*) OVER (PARTITION BY g, y) - 1 AS DOUBLE)
+                   / 2.0 AS ry
+        FROM daily),
+      m AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+               sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+               sum(rx * ry) AS sxy
+        FROM r GROUP BY g)
+      SELECT g AS event_type, n_days,
+             round(CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx > 0.0
+                         AND CAST(n_days AS DOUBLE) * syy - sy * sy > 0.0
+               THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                    / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                           * (CAST(n_days AS DOUBLE) * syy - sy * sy))
+               ELSE 0.0 END, 4) AS rho
+      FROM m ORDER BY event_type""",
 
     // Single divisions from exact int64 counts over the
     // (nation, segment) grid.

@@ -857,6 +857,12 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("llm_js_divergence")(spark, d)))
   }
 
+  test("Stats.spearman equals agg_spearman") {
+    assert(rowSet(api.Stats.spearman(
+        Tables.events(spark, d), "event_type", "ts", "user_id")) ===
+      rowSet(SparkEntry.queries("agg_spearman")(spark, d)))
+  }
+
   test("Stats.kendallTau equals agg_kendall_tau") {
     assert(rowSet(api.Stats.kendallTau(
         Tables.events(spark, d), "event_type", "ts", "user_id")) ===

@@ -2326,6 +2326,28 @@ class OperatorSpec extends AnyFunSuite {
           ("up", 3L, 3L, 3L, 0L, 0L, 1.0)))
   }
 
+  test("spearmanOf: planted monotone and constant series give exact rho") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // "up": daily (count, reach) = (1,1),(2,2),(3,3) -> rho 1;
+    // "dn": (3,3),(4,2),(5,1) -> volume up, reach down -> rho -1;
+    // "ti": reach constant -> zero variance -> rho 0.
+    val rows =
+      (1 to 3).flatMap(i => (1 to i).map(u => ("up", s"2024-01-0$i", u.toLong))) ++
+      (1 to 3).flatMap(i => (1 to (i + 2)).map(r =>
+        ("dn", s"2024-01-0$i", math.min(r, 4 - i).toLong))) ++
+      Seq(("ti", "2024-01-01", 1L), ("ti", "2024-01-01", 1L),
+          ("ti", "2024-01-02", 1L), ("ti", "2024-01-02", 1L),
+          ("ti", "2024-01-02", 1L))
+    val df = rows.toDF("g", "dstr", "u")
+      .select(col("g"), col("dstr").cast("timestamp").as("ts"), col("u"))
+    val out = graft.ops.AggOps.spearmanOf(df, "g", "ts", "u")
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq ===
+      Seq(("dn", 3L, -1.0), ("ti", 2L, 0.0), ("up", 3L, 1.0)))
+  }
+
   test("profileOf: planted frame with nulls gives exact per-column stats") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
