@@ -1375,6 +1375,17 @@ object Graph {
     graft.ops.GraphOps.modularityOf(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), labels)
 
+  /** Katz centrality, `iters`-truncated series (graph_katz's exact
+    * core): x'(v) = 1 + alpha * sum of in-neighbor x, init 1 — walk
+    * counts damped by length; pick alpha < 1/lambda_max. Same
+    * broadcast-under-cap iteration economics as [[pagerank]]. Emit both
+    * directions for undirected graphs. Returns (node, x). */
+  def katz(edges: DataFrame, alpha: Double = 0.005, iters: Int = 3,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    graft.ops.GraphOps.katzOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      alpha, iters)
+
   /** Edge reciprocity (mutual-edge fraction) of a directed edge frame
     * (graph_reciprocity's exact core) — dedup the frame first. Returns
     * one row (n_edges, n_recip, reciprocity). */

@@ -381,6 +381,44 @@ object GraphOps {
       when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)),
       iters, requireNode = Some(seed))
 
+  /** Katz centrality, `iters`-truncated series (graph_katz /
+    * Graph.katz): x'(v) = 1 + alpha * sum_{u->v} x(u), init 1 — walk
+    * counts damped by length, the in-degree-weighted cousin of PageRank
+    * that does NOT normalize by out-degree (a hub passes its full
+    * weight to every neighbor; alpha < 1/lambda_max converges the
+    * infinite series, a FIXED iteration count truncates it
+    * deterministically, same policy as [[pageRankOf]]). Mechanics
+    * mirror [[rankRounds]] minus the degree division: cached edge
+    * frame, nodes-sized x frame broadcast under [[BroadcastNodeCap]]
+    * with graceful shuffle fallback, lineage cut per round. Without
+    * the degree division the per-round sums are hub-degree-sized, so
+    * each round's x is rounded 6dp (the graph_hits convention) — both
+    * engines feed bit-identical scores forward and reassociation noise
+    * cannot compound across rounds. Node universe = distinct src
+    * (callers emit both directions for undirected graphs). Returns
+    * (node, x). */
+  private[graft] def katzOf(edges0: DataFrame, alpha: Double,
+                            iters: Int): DataFrame = {
+    val edges = edges0.cache()
+    graft.GraftCaches.track(edges)
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    graft.GraftCaches.track(nodes)
+    var x = nodes.withColumn("x", lit(1.0))
+    val broadcastX = nodes.count() <= BroadcastNodeCap
+    for (_ <- 1 to iters) {
+      val r = if (broadcastX) broadcast(x) else x
+      val contrib = edges.join(r, col("src") === col("node"))
+        .select(col("dst"), col("x").as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      x = LlmOps.cutLineage(
+        nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+                  round(lit(alpha) * coalesce(col("contrib"), lit(0.0)) +
+                     lit(1.0), 6).as("x")))
+    }
+    x
+  }
+
   /** Deterministic md5 day gate over a pair — layout-independent. */
   private def dayGate: Column =
     pmod(conv(substring(
@@ -570,6 +608,21 @@ object GraphOps {
       pageRankOf(tradeEdges(s, d), Iterations)
         .filter(col("node").startsWith("s"))
         .select(col("node"), round(col("rank"), 4).as("rank"))
+        .orderBy("node")
+    }),
+
+    // Katz centrality over the same trade graph, alpha = 0.005, 3 fixed
+    // iterations — walk counts damped by length, the non-normalized
+    // cousin of PageRank (a hub passes full weight to every neighbor).
+    // alpha sits below 1/lambda_max for this graph (~1/60: supplier
+    // degree ~600 x customer degree ~6), so the truncated series is a
+    // genuine convergent-centrality prefix, not a divergent blowup;
+    // same broadcast-under-cap iteration economics, same supplier-node
+    // output convention.
+    "graph_katz" -> ((s, d) => {
+      katzOf(tradeEdges(s, d), alpha = 0.005, Iterations)
+        .filter(col("node").startsWith("s"))
+        .select(col("node"), round(col("x"), 4).as("x"))
         .orderBy("node")
     }),
 
@@ -1038,6 +1091,28 @@ object GraphOps {
       r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(r2.rank / e.outdeg) AS rank
              FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
       SELECT node, round(rank, 4) AS rank
+      FROM r3 WHERE node LIKE 's%' ORDER BY node""",
+
+    // Same 3 unrolled rounds as the pagerank oracle, minus the degree
+    // division: x_k = round(0.005 * sum of in-neighbor x_{k-1} + 1, 6)
+    // — the per-round 6dp rounding matches the Spark side so both
+    // engines feed bit-identical scores forward.
+    "graph_katz" -> """
+      WITH pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM pairs),
+      r0 AS (SELECT DISTINCT src AS node, 1.0 AS x FROM edges),
+      r1 AS (SELECT e.dst AS node, round(0.005 * sum(r0.x) + 1.0, 6) AS x
+             FROM edges e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+      r2 AS (SELECT e.dst AS node, round(0.005 * sum(r1.x) + 1.0, 6) AS x
+             FROM edges e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+      r3 AS (SELECT e.dst AS node, round(0.005 * sum(r2.x) + 1.0, 6) AS x
+             FROM edges e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
+      SELECT node, round(x, 4) AS x
       FROM r3 WHERE node LIKE 's%' ORDER BY node""",
 
     // Recursive frontier expansion, capped at the same hop bound as the

@@ -857,6 +857,13 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("llm_js_divergence")(spark, d)))
   }
 
+  test("Graph.katz equals graph_katz") {
+    assert(rowSet(api.Graph.katz(graft.ops.GraphOps.tradeEdges(spark, d))
+        .filter(col("node").startsWith("s"))
+        .select(col("node"), round(col("x"), 4).as("x"))) ===
+      rowSet(SparkEntry.queries("graph_katz")(spark, d)))
+  }
+
   test("Stats.spearman equals agg_spearman") {
     assert(rowSet(api.Stats.spearman(
         Tables.events(spark, d), "event_type", "ts", "user_id")) ===

@@ -2326,6 +2326,20 @@ class OperatorSpec extends AnyFunSuite {
           ("up", 3L, 3L, 3L, 0L, 0L, 1.0)))
   }
 
+  test("katzOf: planted path graph gives the hand-unrolled series") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // path a-b-c (symmetric edges), alpha = 0.5, 2 iterations:
+    // x1 = (1.5, 2, 1.5); x2(a) = 1 + .5*x1(b) = 2,
+    // x2(b) = 1 + .5*(1.5+1.5) = 2.5, x2(c) = 2.
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val out = graft.ops.GraphOps.katzOf(edges, alpha = 0.5, iters = 2)
+      .orderBy("node").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("a", 2.0), ("b", 2.5), ("c", 2.0)))
+  }
+
   test("spearmanOf: planted monotone and constant series give exact rho") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._

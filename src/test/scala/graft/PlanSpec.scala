@@ -858,4 +858,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("win_seasonal_decompose: seasonal frame joins back broadcast") {
     assert(plan("win_seasonal_decompose").contains("BroadcastHashJoin"))
   }
+
+  test("r17 daily-grid stats: the pair join runs on aggregated grids, never raw rows") {
+    // agg_mann_kendall / agg_theil_sen / agg_kendall_tau self-join the
+    // calendar-bounded daily grid. Pin the scale property: every join
+    // input aggregates BEFORE joining (HashAggregate below the join) and
+    // no cartesian product sneaks in. The grid is built once per side —
+    // the corpus scan never feeds a join directly.
+    Seq("agg_mann_kendall", "agg_theil_sen", "agg_kendall_tau").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k:\n${p.take(2000)}")
+      assert(p.contains("HashAggregate"), s"$k:\n${p.take(2000)}")
+      val lines = p.linesIterator.toIndexedSeq
+      val joinIdx = lines.indexWhere(l => l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
+      assert(joinIdx >= 0, s"$k has no join:\n${p.take(2000)}")
+      // below the first (outermost) pair join there must be aggregation
+      assert(lines.drop(joinIdx + 1).exists(_.contains("HashAggregate")),
+        s"$k joins non-aggregated input:\n${p.take(3000)}")
+    }
+  }
+
+  test("obs_profile: one scan feeds all columns — never a scan per column") {
+    val p = plan("obs_profile")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n${p.take(3000)}")
+  }
+
+  test("llm_js_divergence: top-k support is TakeOrdered, not a global sort+window") {
+    val p = plan("llm_js_divergence")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
