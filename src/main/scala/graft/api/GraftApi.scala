@@ -699,6 +699,14 @@ object Text {
   def rouge1(cand: DataFrame, ref: DataFrame): DataFrame =
     graft.ops.TextOps.rouge1Of(cand, ref)
 
+  /** BLEU-2 between candidate and reference texts sharing `pair_id`
+    * (llm_bleu's exact core) — clipped n-gram precision with the
+    * brevity penalty, the precision-side twin of [[rouge1]]. Inputs:
+    * cand (pair_id, cand_text), ref (pair_id, ref_text). Returns
+    * (pair_id, cand_len, ref_len, m1, t1, m2, t2, bleu2). */
+  def bleu2(cand: DataFrame, ref: DataFrame): DataFrame =
+    graft.ops.TextOps.bleu2Of(cand, ref)
+
   /** Out-of-vocabulary rate per doc against the corpus's own top-`k`
     * term vocabulary (llm_oov_rate's exact core) — the tokenizer-fit
     * audit; the vocab is k-bounded however large the corpus. */

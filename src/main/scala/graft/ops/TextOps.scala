@@ -762,6 +762,23 @@ object TextOps {
         .orderBy("pair_id")
     }),
 
+    // BLEU-2 over the same 250 cand/ref pairs as llm_rouge_overlap —
+    // the precision-side generation eval beside ROUGE's recall-side
+    // one: clipped n-gram precision (repeats can't farm credit) with
+    // the brevity penalty; sqrt(p1*p2) replaces the log-mean exp, so
+    // the grid stays exact ints until one sqrt (and exp only on short
+    // candidates).
+    "llm_bleu" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+      bleu2Of(
+        t.filter(col("doc_id") < 250)
+          .select(col("doc_id").as("pair_id"), col("text").as("cand_text")),
+        t.select((col("doc_id") - 250).as("pair_id"),
+                 col("text").as("ref_text"))
+          .filter(col("pair_id") >= 0 && col("pair_id") < 250))
+        .orderBy("pair_id")
+    }),
+
     // Character-distribution entropy per document — the gibberish/
     // boilerplate detector orthogonal to llm_quality_score's ratio
     // heuristics: natural language sits in a narrow entropy band (~3.5-4.5
@@ -1287,6 +1304,64 @@ object TextOps {
             / (col("n_overlap") / col("n_cand_types")
                + col("n_overlap") / col("n_ref_types")), 4)))
 
+  /** BLEU-2 core (llm_bleu / Text.bleu2) between candidate and
+    * reference texts sharing `pair_id` — the OTHER canonical
+    * generation-eval metric beside [[rouge1Of]]: clipped n-gram
+    * PRECISION (a candidate word only scores up to its count in the
+    * reference — "the the the" cannot farm credit) with the brevity
+    * penalty exp(1 - ref/cand) punishing too-short candidates
+    * (Papineni et al. 2002). BLEU-2 = BP * sqrt(p1*p2) — the exp of
+    * the mean log precision reduces to a sqrt, so the only
+    * transcendental is BP's exp, and only on short candidates.
+    * Engineering: grams explode to a (pair, n, gram) count grid (never
+    * an O(len^2) row-local fold), clipping is one left join +
+    * least(), and every precision is a division of exact ints.
+    * Candidates with no bigram or zero overlap score 0 by convention.
+    * Inputs: cand (pair_id, cand_text), ref (pair_id, ref_text).
+    * Returns (pair_id, cand_len, ref_len, m1, t1, m2, t2,
+    * bleu2 4dp). */
+  private[graft] def bleu2Of(cand: DataFrame, ref: DataFrame): DataFrame = {
+    def grams(df: DataFrame, textCol: String): DataFrame =
+      df.select(col("pair_id"), split(col(textCol), " ").as("ws"))
+        .select(col("pair_id"), explode(concat(
+          expr("transform(ws, w -> named_struct('n', 1, 'g', w))"),
+          expr("""if(size(ws) < 2, array(),
+                    transform(sequence(1, size(ws) - 1),
+                      i -> named_struct('n', 2,
+                                        'g', concat(ws[i-1], ' ', ws[i]))))""")
+        )).as("t"))
+        .select(col("pair_id"), col("t.n").as("n"), col("t.g").as("g"))
+        .groupBy("pair_id", "n", "g").agg(count(lit(1)).as("c"))
+    val clipped = grams(cand, "cand_text")
+      .join(grams(ref, "ref_text").withColumnRenamed("c", "rc"),
+            Seq("pair_id", "n", "g"), "left")
+      .groupBy("pair_id", "n")
+      .agg(sum(least(col("c"), coalesce(col("rc"), lit(0L)))).as("m"),
+           sum("c").as("t"))
+      .groupBy("pair_id")
+      .agg(sum(when(col("n") === 1, col("m")).otherwise(0L)).as("m1"),
+           sum(when(col("n") === 1, col("t")).otherwise(0L)).as("t1"),
+           sum(when(col("n") === 2, col("m")).otherwise(0L)).as("m2"),
+           sum(when(col("n") === 2, col("t")).otherwise(0L)).as("t2"))
+    cand.select(col("pair_id"),
+                size(split(col("cand_text"), " ")).cast("long").as("cand_len"))
+      .join(ref.select(col("pair_id"),
+                size(split(col("ref_text"), " ")).cast("long").as("ref_len")),
+            "pair_id")
+      .join(clipped, "pair_id")
+      .withColumn("bleu2", round(
+        when(col("m1") === 0L || col("m2") === 0L || col("t2") === 0L,
+             lit(0.0))
+          .otherwise(
+            when(col("cand_len") >= col("ref_len"), lit(1.0))
+              .otherwise(exp(lit(1.0) -
+                col("ref_len").cast("double") /
+                  col("cand_len").cast("double"))) *
+            sqrt((col("m1").cast("double") / col("t1").cast("double")) *
+                 (col("m2").cast("double") / col("t2").cast("double")))),
+        4))
+  }
+
   /** Span-corruption core (llm_span_mask / Text.spanMask): contiguous
     * `spanLen`-token spans masked deterministically (~19%: first md5
     * nibble of doc_id:span_id ∈ 0–2), each masked span replaced by its
@@ -1803,6 +1878,67 @@ object TextOps {
                                 + CAST(n_overlap AS DOUBLE) / n_ref_types), 4)
              END AS rouge1_f1
       FROM p ORDER BY pair_id""",
+
+    // Same (pair, n, gram) count grid, clipping via left join +
+    // least(); DuckDB's 1-based list indexing builds the same bigrams
+    // as Spark's 0-based lambda.
+    "llm_bleu" -> """
+      WITH cand AS (
+        SELECT doc_id AS pair_id, text AS t FROM documents
+        WHERE doc_id < 250),
+      ref AS (
+        SELECT doc_id - 250 AS pair_id, text AS t FROM documents
+        WHERE doc_id >= 250 AND doc_id < 500),
+      cg AS (
+        SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT pair_id, 1 AS n, unnest(string_split(t, ' ')) AS g
+          FROM cand
+          UNION ALL
+          SELECT pair_id, 2 AS n,
+                 unnest(list_transform(range(1, len(string_split(t, ' '))),
+                   i -> string_split(t, ' ')[i] || ' '
+                        || string_split(t, ' ')[i+1])) AS g
+          FROM cand)
+        GROUP BY 1, 2, 3),
+      rg AS (
+        SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT pair_id, 1 AS n, unnest(string_split(t, ' ')) AS g
+          FROM ref
+          UNION ALL
+          SELECT pair_id, 2 AS n,
+                 unnest(list_transform(range(1, len(string_split(t, ' '))),
+                   i -> string_split(t, ' ')[i] || ' '
+                        || string_split(t, ' ')[i+1])) AS g
+          FROM ref)
+        GROUP BY 1, 2, 3),
+      cl AS (
+        SELECT cg.pair_id, cg.n,
+               CAST(sum(least(cg.c, COALESCE(rg.c, 0))) AS BIGINT) AS m,
+               CAST(sum(cg.c) AS BIGINT) AS t
+        FROM cg LEFT JOIN rg ON cg.pair_id = rg.pair_id
+                AND cg.n = rg.n AND cg.g = rg.g
+        GROUP BY 1, 2),
+      a AS (
+        SELECT pair_id,
+               CAST(sum(CASE WHEN n = 1 THEN m ELSE 0 END) AS BIGINT) AS m1,
+               CAST(sum(CASE WHEN n = 1 THEN t ELSE 0 END) AS BIGINT) AS t1,
+               CAST(sum(CASE WHEN n = 2 THEN m ELSE 0 END) AS BIGINT) AS m2,
+               CAST(sum(CASE WHEN n = 2 THEN t ELSE 0 END) AS BIGINT) AS t2
+        FROM cl GROUP BY pair_id),
+      lens AS (
+        SELECT c.pair_id,
+               CAST(len(string_split(c.t, ' ')) AS BIGINT) AS cand_len,
+               CAST(len(string_split(r.t, ' ')) AS BIGINT) AS ref_len
+        FROM cand c JOIN ref r ON c.pair_id = r.pair_id)
+      SELECT lens.pair_id, cand_len, ref_len, m1, t1, m2, t2,
+             round(CASE WHEN m1 = 0 OR m2 = 0 OR t2 = 0 THEN 0.0
+               ELSE (CASE WHEN cand_len >= ref_len THEN 1.0
+                     ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END)
+                    * sqrt((CAST(m1 AS DOUBLE) / t1)
+                           * (CAST(m2 AS DOUBLE) / t2))
+               END, 4) AS bleu2
+      FROM lens JOIN a ON lens.pair_id = a.pair_id
+      ORDER BY 1""",
 
     // DuckDB's native entropy() aggregate is log2-based — the same
     // statistic our moment identity computes, via a different

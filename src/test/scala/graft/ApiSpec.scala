@@ -884,6 +884,17 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("agg_mann_whitney")(spark, d)))
   }
 
+  test("Text.bleu2 equals llm_bleu") {
+    val t = Tables.documents(spark, d)
+    assert(rowSet(api.Text.bleu2(
+        t.filter(col("doc_id") < 250)
+          .select(col("doc_id").as("pair_id"), col("text").as("cand_text")),
+        t.select((col("doc_id") - 250).as("pair_id"),
+                 col("text").as("ref_text"))
+          .filter(col("pair_id") >= 0 && col("pair_id") < 250))) ===
+      rowSet(SparkEntry.queries("llm_bleu")(spark, d)))
+  }
+
   test("Text.langidEval equals llm_langid_eval") {
     assert(rowSet(api.Text.langidEval(Tables.documentsWide(spark, d))) ===
       rowSet(SparkEntry.queries("llm_langid_eval")(spark, d)))

@@ -2326,6 +2326,24 @@ class OperatorSpec extends AnyFunSuite {
           ("up", 3L, 3L, 3L, 0L, 0L, 1.0)))
   }
 
+  test("bleu2Of: planted pairs — identity 1.0, clipped repeats 0, brevity penalty exact") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val cand = Seq((1L, "a b c"), (2L, "a a a"), (3L, "a b"))
+      .toDF("pair_id", "cand_text")
+    val ref = Seq((1L, "a b c"), (2L, "a b"), (3L, "a b c"))
+      .toDF("pair_id", "ref_text")
+    val out = graft.ops.TextOps.bleu2Of(cand, ref)
+      .orderBy("pair_id").select("pair_id", "bleu2").collect()
+    // pair 1: identical -> 1.0; pair 2: "a a a" vs "a b" -> the clipped
+    // bigram count is 0 ("a a" not in ref) -> 0.0; pair 3: "a b" vs
+    // "a b c" -> p1 = p2 = 1, BP = exp(1 - 3/2)
+    val bp = BigDecimal(math.exp(1.0 - 3.0 / 2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.0), (2L, 0.0), (3L, bp)))
+  }
+
   test("katzOf: planted path graph gives the hand-unrolled series") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
