@@ -1056,6 +1056,14 @@ object Stats {
                   a: String, b: String): DataFrame =
     graft.ops.AggOps.mannWhitneyOf(df, valueCol, tagCol, a, b)
 
+  /** Wald-Wolfowitz runs test per `keyCol` over the daily count series
+    * of `tsCol` (win_runs_test's exact core) — streaking vs
+    * oscillation vs randomness in day-over-day movement; counts are
+    * exact integers on the daily grid. Returns (key, n_up, n_down,
+    * n_runs, z, random), unordered. */
+  def runsTest(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    graft.ops.WinOps.runsTestOf(df, keyCol, tsCol)
+
   /** Theil-Sen robust trend line per `groupCol` over the daily count
     * series of `tsCol` (agg_theil_sen's exact core) — median of
     * pairwise slopes (events/day, ~29% breakdown point) with

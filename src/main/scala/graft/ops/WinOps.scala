@@ -114,6 +114,17 @@ object WinOps {
       cusumDrawupOf(Tables.events(s, d), "event_type", "ts", "value")
         .orderBy("event_type", "day")),
 
+    // Wald-Wolfowitz runs test per event type over daily up/down moves
+    // — does the feed streak (momentum) or oscillate (overcorrection),
+    // or is day-over-day movement random? The randomness complement to
+    // win_cusum_drawup's drift and agg_mann_kendall's trend: a series
+    // can be trend-free yet glaringly non-random. Runs/up/down counts
+    // are exact integers on the lag-windowed daily grid; z is a
+    // fixed-order double expression from them.
+    "win_runs_test" -> ((s, d) =>
+      runsTestOf(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type")),
+
     // Classical seasonal decomposition (value = trend + seasonal +
     // residual) of the per-type daily series — the before-anomaly-
     // detection step that stops a weekly rhythm from reading as drift:
@@ -542,6 +553,51 @@ object WinOps {
         round(col("srun") - col("smin"), 4).as("drawup"))
   }
 
+  /** Wald-Wolfowitz runs test per `keyCol` over the daily count series
+    * of `tsCol` (win_runs_test / Stats.runsTest) — is the feed's
+    * day-over-day movement RANDOM, or does it streak (momentum) or
+    * oscillate (overcorrection)? Up/down signs come from a lag window
+    * on the calendar-bounded daily grid (flat days dropped, the
+    * standard convention); R = number of sign runs, and with n1 ups /
+    * n2 downs the normal approximation uses mu = 2*n1*n2/n + 1,
+    * sigma^2 = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)). R/n1/n2 are exact
+    * integers; mu/sigma/z are fixed-order double expressions from
+    * them. Verdict `random` = |z| <= 1.96 on the ROUNDED z. Degenerate
+    * series (all moves one way, or fewer than 2 moves) report z = 0
+    * and random = true. Returns (key, n_up, n_down, n_runs, z 4dp,
+    * random), unordered. */
+  private[graft] def runsTestOf(df: DataFrame, keyCol: String,
+                                tsCol: String): DataFrame = {
+    val w = Window.partitionBy("g").orderBy("day")
+    val moves = df
+      .select(col(keyCol).as("g"), to_date(col(tsCol)).as("day"))
+      .groupBy("g", "day").agg(count(lit(1)).as("c"))
+      .withColumn("prev", lag("c", 1).over(w))
+      .filter(col("prev").isNotNull && col("c") =!= col("prev"))
+      .withColumn("s", signum(col("c") - col("prev")).cast("int"))
+    moves
+      .withColumn("ps", lag("s", 1).over(w))
+      .groupBy("g")
+      .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_up"),
+           sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_down"),
+           (sum(when(col("ps").isNotNull && col("s") =!= col("ps"), 1L)
+                  .otherwise(0L)) + 1L).as("n_runs"))
+      .select(col("g").as(keyCol), col("n_up"), col("n_down"),
+              col("n_runs"),
+        round({
+          val n1 = col("n_up").cast("double")
+          val n2 = col("n_down").cast("double")
+          val n = (col("n_up") + col("n_down")).cast("double")
+          val a = lit(2.0) * n1 * n2
+          val sig2 = a * (a - n) / (n * n * (n - lit(1.0)))
+          when(col("n_up") > 0L && col("n_down") > 0L &&
+               col("n_up") + col("n_down") > 1L && sig2 > 0.0,
+            (col("n_runs").cast("double") - (a / n + lit(1.0))) / sqrt(sig2))
+            .otherwise(lit(0.0))
+        }, 4).as("z"))
+      .withColumn("random", abs(col("z")) <= 1.96)
+  }
+
   /** Autocorrelation function at lags 1..maxLag (win_autocorr /
     * Stats.autocorr): Pearson r from EXPLICIT sufficient moments — the
     * engines' corr() streaming recurrences are not order-stable, while
@@ -932,6 +988,48 @@ object WinOps {
                                     * (n_pairs * syy - sy * sy)), 4)
              END AS acf
       FROM m ORDER BY event_type, lag""",
+
+    // Same lag-window sign sequence; R/n1/n2 exact ints, z the same
+    // fixed-order double chain, verdict on the rounded z.
+    "win_runs_test" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      mv AS (
+        SELECT g, day, CAST(sign(c - prev) AS INTEGER) AS s
+        FROM (
+          SELECT g, day, c,
+                 lag(c) OVER (PARTITION BY g ORDER BY day) AS prev
+          FROM daily)
+        WHERE prev IS NOT NULL AND c <> prev),
+      sq AS (
+        SELECT g, s, lag(s) OVER (PARTITION BY g ORDER BY day) AS ps
+        FROM mv),
+      a AS (
+        SELECT g,
+               CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_up,
+               CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_down,
+               CAST(sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+        FROM sq GROUP BY g),
+      f AS (
+        SELECT g, n_up, n_down, n_runs,
+               2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) AS aa,
+               CAST(n_up + n_down AS DOUBLE) AS n
+        FROM a)
+      SELECT g AS event_type, n_up, n_down, n_runs, z, abs(z) <= 1.96 AS random
+      FROM (
+        SELECT g, n_up, n_down, n_runs,
+               round(CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+                           AND aa * (aa - n) / (n * n * (n - 1.0)) > 0.0
+                 THEN (CAST(n_runs AS DOUBLE) - (aa / n + 1.0))
+                      / sqrt(aa * (aa - n) / (n * n * (n - 1.0)))
+                 ELSE 0.0 END, 4) AS z
+        FROM f)
+      ORDER BY event_type""",
 
     // Same DECIMAL running sums; srun = CAST(S AS DOUBLE) − mu·i is the
     // identical literal chain, so smin compares identical doubles.

@@ -864,6 +864,12 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("graph_katz")(spark, d)))
   }
 
+  test("Stats.runsTest equals win_runs_test") {
+    assert(rowSet(api.Stats.runsTest(
+        Tables.events(spark, d), "event_type", "ts")) ===
+      rowSet(SparkEntry.queries("win_runs_test")(spark, d)))
+  }
+
   test("Stats.spearman equals agg_spearman") {
     assert(rowSet(api.Stats.spearman(
         Tables.events(spark, d), "event_type", "ts", "user_id")) ===

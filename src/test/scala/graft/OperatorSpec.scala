@@ -2326,6 +2326,31 @@ class OperatorSpec extends AnyFunSuite {
           ("up", 3L, 3L, 3L, 0L, 0L, 1.0)))
   }
 
+  test("runsTestOf: planted alternating and monotone series give exact runs") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // "alt": daily counts 1,2,1,2,1 -> signs +,-,+,- -> R = 4, n1 = n2
+    // = 2: mu = 3, sigma2 = 8*(8-4)/(16*3) = 2/3, z = 1/sqrt(2/3).
+    // "mono": 1,2,3,4 -> +,+,+ -> R = 1, n2 = 0 -> degenerate z = 0.
+    val alt = Seq(1, 2, 1, 2, 1); val mono = Seq(1, 2, 3, 4)
+    val rows =
+      alt.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(("alt", f"2024-01-${i + 1}%02d")) } ++
+      mono.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(("mono", f"2024-01-${i + 1}%02d")) }
+    val df = rows.toDF("g", "dstr")
+      .select(col("g"), col("dstr").cast("timestamp").as("ts"))
+    val out = graft.ops.WinOps.runsTestOf(df, "g", "ts")
+      .orderBy("g").collect()
+    val zExp = BigDecimal(1.0 / math.sqrt(2.0 / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                         r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toSeq ===
+      Seq(("alt", 2L, 2L, 4L, zExp, true),
+          ("mono", 3L, 0L, 1L, 0.0, true)))
+  }
+
   test("bleu2Of: planted pairs — identity 1.0, clipped repeats 0, brevity penalty exact") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
