@@ -1031,6 +1031,14 @@ object Stats {
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame =
     graft.ops.AggOps.chiSquareOf(df, aCol, bCol)
 
+  /** Cramer's V effect size of the `aCol` × `bCol` contingency
+    * (agg_cramers_v's exact core) — chi-square says an association
+    * exists; V says how strong, on [0, 1], comparable across table
+    * shapes and corpus sizes. Returns one row (n, n_cells, dof, chi2,
+    * cramers_v, strength). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    graft.ops.AggOps.cramersVOf(df, aCol, bCol)
+
   /** Median-absolute-deviation outlier screen per `keyCol`
     * (agg_mad_outliers' exact core) — the robust 3σ twin; `k` scales the
     * 1.4826·MAD threshold. Returns per-key (keyCol, n, median, mad,

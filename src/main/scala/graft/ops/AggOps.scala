@@ -379,28 +379,70 @@ object AggOps {
     * cells, marginals broadcast-join on the dimension-sized cell table,
     * the χ² fold runs over a SORTED cell array (bit-stable). Returns one
     * row (n_cells, dof, chi2 4dp). */
-  private[graft] def chiSquareOf(df: DataFrame, aCol: String,
-                                 bCol: String): DataFrame = {
+  /** Shared 1-row contingency stats behind [[chiSquareOf]] and
+    * [[cramersVOf]]: (n_cells, ra, cb, n, chi2raw UNROUNDED) with the
+    * chi-square folded over the SORTED cell array (bit-stable). */
+  private def chi2StatsOf(df: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
     val cells = df.groupBy(aCol, bCol).agg(count(lit(1)).as("c"))
     val rl = cells.groupBy(aCol).agg(sum("c").as("rl"))
     val cs = cells.groupBy(bCol).agg(sum("c").as("cs"))
     cells.join(broadcast(rl), aCol).join(broadcast(cs), bCol)
       .crossJoin(broadcast(cells.agg(sum("c").as("n"))))
       .agg(count(lit(1)).cast("int").as("n_cells"),
-           ((countDistinct(aCol) - 1) *
-            (countDistinct(bCol) - 1)).cast("int").as("dof"),
+           countDistinct(col(aCol)).cast("int").as("ra"),
+           countDistinct(col(bCol)).cast("int").as("cb"),
+           max("n").as("n"),
            sort_array(collect_list(struct(col(aCol), col(bCol),
              col("c"), col("rl"), col("cs"), col("n")))).as("cl"))
-      .select(col("n_cells"), col("dof"),
-        round(expr(
+      .select(col("n_cells"), col("ra"), col("cb"), col("n"),
+        expr(
           """aggregate(cl, CAST(0.0 AS DOUBLE),
              (a, x) -> a + pow(CAST(x.c AS DOUBLE)
                                - CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
                                  / CAST(x.n AS DOUBLE), 2)
                            / (CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
-                              / CAST(x.n AS DOUBLE)))"""), 4)
-          .as("chi2"))
+                              / CAST(x.n AS DOUBLE)))""")
+          .as("chi2raw"))
   }
+
+  private[graft] def chiSquareOf(df: DataFrame, aCol: String,
+                                 bCol: String): DataFrame =
+    chi2StatsOf(df, aCol, bCol)
+      .select(col("n_cells"),
+        ((col("ra") - 1) * (col("cb") - 1)).cast("int").as("dof"),
+        round(col("chi2raw"), 4).as("chi2"))
+
+  /** Cramer's V effect size over the same contingency
+    * (agg_cramers_v / Stats.cramersV): chi-square answers IS there an
+    * association; V = sqrt(chi2 / (n * min(r-1, c-1))) answers HOW
+    * STRONG, normalized to [0, 1] so it is comparable across table
+    * shapes and corpus sizes (a huge n makes microscopic associations
+    * "significant" — V is what you act on). Same sorted-fold chi2 as
+    * [[chiSquareOf]] (shared core), one extra sqrt+divide; the
+    * conventional strength verdict reads the ROUNDED V. Inherited
+    * convention from the shared core: only OBSERVED cells contribute
+    * (a structurally absent cell's (0-E)^2/E term is dropped), so V
+    * understates on tables with empty cells — both engines agree
+    * because the oracle folds the identical observed-cell list.
+    * Returns one row (n, n_cells, dof, chi2 4dp, cramers_v 4dp,
+    * strength). */
+  private[graft] def cramersVOf(df: DataFrame, aCol: String,
+                                bCol: String): DataFrame =
+    chi2StatsOf(df, aCol, bCol)
+      .select(col("n"), col("n_cells"),
+        ((col("ra") - 1) * (col("cb") - 1)).cast("int").as("dof"),
+        round(col("chi2raw"), 4).as("chi2"),
+        round(when(least(col("ra") - 1, col("cb") - 1) > 0,
+            sqrt(col("chi2raw") /
+              (col("n") * least(col("ra") - 1, col("cb") - 1))
+                .cast("double")))
+          .otherwise(lit(0.0)), 4).as("cramers_v"))
+      .withColumn("strength",
+        when(col("cramers_v") < 0.1, "negligible")
+          .when(col("cramers_v") < 0.3, "weak")
+          .when(col("cramers_v") < 0.5, "moderate")
+          .otherwise("strong"))
 
   /** Mann-Whitney U rank-sum test of `valueCol` between `tagCol`
     * cohorts `a` and `b` (agg_mann_whitney / Stats.mannWhitney) — the
@@ -1215,6 +1257,14 @@ object AggOps {
     "agg_chi_square" -> ((s, d) =>
       chiSquareOf(Tables.documents(s, d), "lang", "source")),
 
+    // Cramer's V effect size on the same lang x source contingency as
+    // agg_chi_square — significance says an association EXISTS; V
+    // says how strong, normalized to [0,1] so it survives corpus
+    // growth (at 100 TB everything is "significant"; V is what you
+    // act on). Shared sorted-fold chi2 core, one extra sqrt+divide.
+    "agg_cramers_v" -> ((s, d) =>
+      cramersVOf(Tables.documents(s, d), "lang", "source")),
+
     // Mann-Whitney U rank-sum between the click and view cohorts'
     // values — the rank-based location test next to agg_ks_test's
     // any-gap test and agg_ab_ttest's normal-theory one. Ranks, U, and
@@ -1956,6 +2006,53 @@ object AggOps {
                   WHEN z < -1.96 THEN 'decreasing'
                   ELSE 'none' END AS trend
       FROM z ORDER BY event_type""",
+
+    // Same sorted cell-list fold as the agg_chi_square oracle, plus n
+    // and the V = sqrt(chi2/(n*min(r-1,c-1))) rollup; strength reads
+    // the rounded V.
+    "agg_cramers_v" -> """
+      WITH cells AS (
+        SELECT lang, source, count(*) AS c
+        FROM documents GROUP BY 1, 2),
+      m AS (
+        SELECT cells.lang, cells.source, cells.c,
+               CAST(rl.rl AS BIGINT) AS rl, CAST(cs.cs AS BIGINT) AS cs,
+               CAST(t.n AS BIGINT) AS n
+        FROM cells
+        JOIN (SELECT lang, sum(c) AS rl FROM cells GROUP BY 1) rl USING (lang)
+        JOIN (SELECT source, sum(c) AS cs FROM cells GROUP BY 1) cs USING (source)
+        CROSS JOIN (SELECT sum(c) AS n FROM cells) t),
+      l AS (
+        SELECT CAST(count(*) AS INTEGER) AS n_cells,
+               CAST(count(DISTINCT lang) AS INTEGER) AS ra,
+               CAST(count(DISTINCT source) AS INTEGER) AS cb,
+               CAST(max(n) AS BIGINT) AS n,
+               list(struct_pack(c := c, rl := rl, cs := cs, n := n)
+                    ORDER BY lang, source) AS cl
+        FROM m),
+      r AS (
+        SELECT n, n_cells, CAST((ra - 1) * (cb - 1) AS INTEGER) AS dof,
+               ra, cb,
+               list_sum(list_transform(cl,
+                 x -> pow(CAST(x.c AS DOUBLE)
+                          - CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
+                            / CAST(x.n AS DOUBLE), 2)
+                      / (CAST(x.rl AS DOUBLE) * CAST(x.cs AS DOUBLE)
+                         / CAST(x.n AS DOUBLE)))) AS chi2raw
+        FROM l),
+      v AS (
+        SELECT n, n_cells, dof, round(chi2raw, 4) AS chi2,
+               round(CASE WHEN least(ra - 1, cb - 1) > 0
+                 THEN sqrt(chi2raw
+                           / CAST(n * least(ra - 1, cb - 1) AS DOUBLE))
+                 ELSE 0.0 END, 4) AS cramers_v
+        FROM r)
+      SELECT n, n_cells, dof, chi2, cramers_v,
+             CASE WHEN cramers_v < 0.1 THEN 'negligible'
+                  WHEN cramers_v < 0.3 THEN 'weak'
+                  WHEN cramers_v < 0.5 THEN 'moderate'
+                  ELSE 'strong' END AS strength
+      FROM v""",
 
     // Exact-integer doubled rank sum / U / tie term over the
     // distinct-value grid; the tie-corrected sigma^2 and z match the

@@ -864,6 +864,12 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("graph_katz")(spark, d)))
   }
 
+  test("Stats.cramersV equals agg_cramers_v") {
+    assert(rowSet(api.Stats.cramersV(
+        Tables.documents(spark, d), "lang", "source")) ===
+      rowSet(SparkEntry.queries("agg_cramers_v")(spark, d)))
+  }
+
   test("Stats.runsTest equals win_runs_test") {
     assert(rowSet(api.Stats.runsTest(
         Tables.events(spark, d), "event_type", "ts")) ===

@@ -2326,6 +2326,25 @@ class OperatorSpec extends AnyFunSuite {
           ("up", 3L, 3L, 3L, 0L, 0L, 1.0)))
   }
 
+  test("cramersVOf: perfect association gives V=1, independence gives V=0") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // perfect 2x2 association: only the diagonal cells EXIST, and the
+    // core (like agg_chi_square, by inherited convention) sums observed
+    // cells only — chi2 = 2*(5-2.5)^2/2.5 = 5 -> V = sqrt(5/10) =
+    // 0.7071, still "strong"
+    val perf = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("u", "v")
+    val rp = graft.ops.AggOps.cramersVOf(perf, "u", "v").collect().head
+    assert((rp.getLong(0), rp.getInt(2), rp.getDouble(4),
+            rp.getString(5)) === ((10L, 1, 0.7071, "strong")))
+    // independent 2x2 (uniform cells): chi2 = 0 -> V = 0, negligible
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .flatMap(Seq.fill(2)(_)).toDF("u", "v")
+    val ri = graft.ops.AggOps.cramersVOf(ind, "u", "v").collect().head
+    assert((ri.getDouble(4), ri.getString(5)) === ((0.0, "negligible")))
+  }
+
   test("runsTestOf: planted alternating and monotone series give exact runs") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
