@@ -205,6 +205,14 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("cluster_id") === col("doc_id"))
   }
+
+  /** The dedup report (llm_dedup_cluster_stats' exact core) over a
+    * (doc_id, cluster_id) label frame — e.g. [[clusters]]' output: per
+    * cluster size, the cluster count, docs covered, removable
+    * duplicates, and the size's corpus share. Returns (cluster_size,
+    * n_clusters, n_docs, n_dupes, frac_docs), unordered. */
+  def clusterStats(labels: DataFrame): DataFrame =
+    LlmOps.dedupClusterStatsOf(labels)
 }
 
 /** Similarity search over embedding frames (vec_id, embedding). */

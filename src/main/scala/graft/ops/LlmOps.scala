@@ -1255,6 +1255,25 @@ object LlmOps {
     * Input: (doc_a, doc_b) pairs. Output: (node, lbl) where lbl = min
     * doc_id of the node's component.
     */
+  /** Dedup report core (llm_dedup_cluster_stats / Dedup.clusterStats)
+    * over a (doc_id, cluster_id) label frame: per cluster size, the
+    * cluster count, docs covered, removable duplicates ((size-1) per
+    * cluster), and the size's corpus share. Two hash-aggs over
+    * cluster-count-sized frames; every ratio one division from exact
+    * ints. Returns (cluster_size, n_clusters, n_docs, n_dupes,
+    * frac_docs 4dp), unordered. */
+  private[graft] def dedupClusterStatsOf(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("s"))
+    val tot = labels.agg(count(lit(1)).as("n"))
+    sizes.groupBy("s").agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("s").as("cluster_size"), col("n_clusters"),
+        (col("s") * col("n_clusters")).as("n_docs"),
+        ((col("s") - 1L) * col("n_clusters")).as("n_dupes"),
+        round((col("s") * col("n_clusters")).cast("double") /
+              col("n").cast("double"), 4).as("frac_docs"))
+  }
+
   private[graft] def resolveClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -1518,6 +1537,23 @@ object LlmOps {
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
         .withColumn("keep", col("cluster_id") === col("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // The dedup REPORT over the same cluster labels — the number every
+    // dedup run is judged by before anyone trusts the keeper table:
+    // cluster-size histogram (how big do dup families get?), removable
+    // docs per size ((s-1) per cluster), and each size's share of the
+    // corpus. Cluster labels are cluster-count-sized, the histogram is
+    // size-domain-sized — the report costs two tiny hash-aggs beyond
+    // the clustering itself.
+    "llm_dedup_cluster_stats" -> ((s, d) => {
+      val labels = resolveClusters(neardupPairs(s, d).select("doc_a", "doc_b"))
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      dedupClusterStatsOf(
+        docs.join(labels, docs("doc_id") === labels("node"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("lbl"), col("doc_id")).as("cluster_id")))
+        .orderBy("cluster_size")
     }),
 
     // SimHash near-dup: 60-bit signature from weighted token-bit votes,
@@ -2926,6 +2962,47 @@ object LlmOps {
       FROM documents d
       LEFT JOIN minlab m ON d.doc_id = m.doc_id
       ORDER BY d.doc_id""",
+
+    // Same transitive-closure labels, then the histogram rollup: per
+    // cluster size, count/coverage/removables and the corpus share.
+    "llm_dedup_cluster_stats" -> s"""
+      WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      minlab AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u),
+      lab AS (
+        SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN minlab m ON d.doc_id = m.doc_id),
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS s
+             FROM lab GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+      h AS (SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sz GROUP BY s)
+      SELECT cluster_size, n_clusters,
+             CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+             CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_dupes,
+             round(CAST(cluster_size * n_clusters AS DOUBLE) / n, 4)
+               AS frac_docs
+      FROM h, tot ORDER BY cluster_size""",
 
     // Honest all-pairs Hamming predicate — banding recall is 1.0 by
     // pigeonhole (4 errors, 5 bands), so exact match is REQUIRED.

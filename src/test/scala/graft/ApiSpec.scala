@@ -896,6 +896,13 @@ class ApiSpec extends AnyFunSuite {
       rowSet(SparkEntry.queries("agg_mann_whitney")(spark, d)))
   }
 
+  test("Dedup.clusterStats equals llm_dedup_cluster_stats") {
+    val labels = SparkEntry.queries("llm_neardup_clusters")(spark, d)
+      .select(col("doc_id"), col("cluster_id"))
+    assert(rowSet(api.Dedup.clusterStats(labels)) ===
+      rowSet(SparkEntry.queries("llm_dedup_cluster_stats")(spark, d)))
+  }
+
   test("Text.bleu2 equals llm_bleu") {
     val t = Tables.documents(spark, d)
     assert(rowSet(api.Text.bleu2(

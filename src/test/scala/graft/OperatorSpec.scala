@@ -2326,6 +2326,21 @@ class OperatorSpec extends AnyFunSuite {
           ("up", 3L, 3L, 3L, 0L, 0L, 1.0)))
   }
 
+  test("dedupClusterStatsOf: planted labels give the exact histogram") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // clusters: {1,2,3} (size 3), {4,5} (size 2), {6} and {7}
+    // (singletons) -> sizes 1x2, 2x1, 3x1 over 7 docs
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+                     (6L, 6L), (7L, 7L)).toDF("doc_id", "cluster_id")
+    val out = graft.ops.LlmOps.dedupClusterStatsOf(labels)
+      .orderBy("cluster_size").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                         r.getLong(3), r.getDouble(4))).toSeq ===
+      Seq((1L, 2L, 2L, 0L, 0.2857), (2L, 1L, 2L, 1L, 0.2857),
+          (3L, 1L, 3L, 2L, 0.4286)))
+  }
+
   test("cramersVOf: perfect association gives V=1, independence gives V=0") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
