@@ -362,7 +362,10 @@ object AggOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    df.filter(col(tagCol).isin(a, b))
+    // NULLs excluded for the same reason as mannWhitneyOf: no ECDF
+    // position for a missing value, and the engines' null ordering
+    // conventions differ (Spark NULLS FIRST, DuckDB NULLS LAST)
+    df.filter(col(tagCol).isin(a, b) && col(valueCol).isNotNull)
       .groupBy(valueCol)
       .agg(sum(when(col(tagCol) === a, 1L).otherwise(0L)).as("ca"),
            sum(when(col(tagCol) === b, 1L).otherwise(0L)).as("cb"))
@@ -463,7 +466,10 @@ object AggOps {
                                    tagCol: String, a: String,
                                    b: String): DataFrame = {
     val w = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, -1)
-    val grid = df.filter(col(tagCol).isin(a, b))
+    // NULL observations are excluded: a rank-sum test has no rank for a
+    // missing value, and Spark (NULLS FIRST) and DuckDB (NULLS LAST)
+    // would grid-order a null row differently anyway
+    val grid = df.filter(col(tagCol).isin(a, b) && col(valueCol).isNotNull)
       .groupBy(valueCol)
       .agg(sum(when(col(tagCol) === a, 1L).otherwise(0L)).as("ca"),
            sum(when(col(tagCol) === b, 1L).otherwise(0L)).as("cb"))
@@ -491,6 +497,27 @@ object AggOps {
       (abs(col("z")) > 1.96).as("significant"))
   }
 
+  /** Calendar-bounded (g, day, c) daily-count grid shared by the trend
+    * keys ([[mannKendallOf]], [[theilSenOf]], WinOps.runsTestOf): the
+    * corpus collapses here FIRST — one map-side-combinable hash-agg
+    * bounded by |groups| x |days| — so every downstream pair join and
+    * window is grid-sized, never corpus-sized. */
+  private[graft] def dailyGridOf(df: DataFrame, groupCol: String,
+                                 tsCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .groupBy("g", "day").agg(count(lit(1)).as("c"))
+
+  /** [[dailyGridOf]] plus the distinct-`userCol` reach column
+    * (x = daily count, y = daily reach) — the volume/reach grid behind
+    * [[kendallTauOf]] and [[spearmanOf]]. */
+  private[graft] def dailyReachGridOf(df: DataFrame, groupCol: String,
+                                      tsCol: String,
+                                      userCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"),
+              col(userCol).as("u"))
+      .groupBy("g", "day")
+      .agg(count(lit(1)).as("x"), countDistinct(col("u")).as("y"))
+
   /** Mann-Kendall monotonic-trend test per `groupCol`
     * (agg_mann_kendall / Stats.mannKendall): is each group's daily
     * activity series trending, without assuming linearity or a
@@ -510,8 +537,7 @@ object AggOps {
     * them) — a trend verdict needs at least two points. */
   private[graft] def mannKendallOf(df: DataFrame, groupCol: String,
                                    tsCol: String): DataFrame = {
-    val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
-      .groupBy("g", "day").agg(count(lit(1)).as("c"))
+    val daily = dailyGridOf(df, groupCol, tsCol)
     val a = daily.select(col("g"), col("day").as("d1"), col("c").as("c1"))
     val b = daily.select(col("g").as("gb"), col("day").as("d2"),
                          col("c").as("c2"))
@@ -555,8 +581,7 @@ object AggOps {
     * (group, n_days, n_pairs, slope 4dp, intercept 4dp), unordered. */
   private[graft] def theilSenOf(df: DataFrame, groupCol: String,
                                 tsCol: String): DataFrame = {
-    val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
-      .groupBy("g", "day").agg(count(lit(1)).as("c"))
+    val daily = dailyGridOf(df, groupCol, tsCol)
     val a = daily.select(col("g"), col("day").as("d1"), col("c").as("c1"))
     val b = daily.select(col("g").as("gb"), col("day").as("d2"),
                          col("c").as("c2"))
@@ -594,10 +619,7 @@ object AggOps {
   private[graft] def kendallTauOf(df: DataFrame, groupCol: String,
                                   tsCol: String,
                                   userCol: String): DataFrame = {
-    val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"),
-                          col(userCol).as("u"))
-      .groupBy("g", "day")
-      .agg(count(lit(1)).as("x"), countDistinct(col("u")).as("y"))
+    val daily = dailyReachGridOf(df, groupCol, tsCol, userCol)
     val a = daily.select(col("g"), col("day").as("d1"),
                          col("x").as("x1"), col("y").as("y1"))
     val b = daily.select(col("g").as("gb"), col("day").as("d2"),
@@ -641,10 +663,7 @@ object AggOps {
     * unordered. */
   private[graft] def spearmanOf(df: DataFrame, groupCol: String,
                                 tsCol: String, userCol: String): DataFrame = {
-    val daily = df.select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"),
-                          col(userCol).as("u"))
-      .groupBy("g", "day")
-      .agg(count(lit(1)).as("x"), countDistinct(col("u")).as("y"))
+    val daily = dailyReachGridOf(df, groupCol, tsCol, userCol)
     val rx = rank().over(Window.partitionBy("g").orderBy("x")).cast("double") +
       (count(lit(1)).over(Window.partitionBy("g", "x")) - 1L)
         .cast("double") / 2.0

@@ -333,7 +333,15 @@ object GraphOps {
     * frame, not the edges) when a caller's seed has no out-edges — the
     * rank would silently be all-zero otherwise. */
   private def rankRounds(edges0: DataFrame, restart: Column, iters: Int,
-                         requireNode: Option[String] = None): DataFrame = {
+                         requireNode: Option[String] = None,
+                         // per-edge contribution of the src node's rank
+                         // (PageRank/PPR split it by out-degree; Katz
+                         // passes it whole) and the per-node combine of
+                         // the summed contribution — parameterized so all
+                         // three centralities share ONE copy of the
+                         // cache/universe/broadcast-cap/lineage-cut policy
+                         contrib: Column = col("rank") / col("outdeg"),
+                         combine: Column => Column = null): DataFrame = {
     val withDeg = edges0
       .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
       .cache()
@@ -347,21 +355,23 @@ object GraphOps {
     }
     var ranks = nodes.withColumn("rank", restart)
     val broadcastRanks = nodes.count() <= BroadcastNodeCap
+    // literal 0.15 in the default combine, not (1.0 - 0.85): the
+    // subtraction is 1 ulp off the nearest double to 0.15, which is what
+    // the oracle's literal parses to; + is commutative in IEEE, so this
+    // term order reproduces both PageRank callers' oracles bit-for-bit
+    val comb: Column => Column =
+      if (combine != null) combine
+      else c => lit(Damping) * c + lit(0.15) * restart
     for (_ <- 1 to iters) {
       val r = if (broadcastRanks) broadcast(ranks) else ranks
-      val contrib = withDeg
+      val contribs = withDeg
         .join(r, col("src") === col("node"))
-        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .select(col("dst"), contrib.as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
-      // literal 0.15, not (1.0 - 0.85): the subtraction is 1 ulp off the
-      // nearest double to 0.15, which is what the oracle's literal parses
-      // to; + is commutative in IEEE, so this term order reproduces both
-      // callers' oracles bit-for-bit
       ranks = LlmOps.cutLineage(
-        nodes.join(contrib, col("node") === col("dst"), "left")
+        nodes.join(contribs, col("node") === col("dst"), "left")
           .select(col("node"),
-                  (lit(Damping) * coalesce(col("contrib"), lit(0.0)) +
-                     lit(0.15) * restart).as("rank")))
+                  comb(coalesce(col("contrib"), lit(0.0))).as("rank")))
     }
     ranks
   }
@@ -394,30 +404,17 @@ object GraphOps {
     * the degree division the per-round sums are hub-degree-sized, so
     * each round's x is rounded 6dp (the graph_hits convention) — both
     * engines feed bit-identical scores forward and reassociation noise
-    * cannot compound across rounds. Node universe = distinct src
-    * (callers emit both directions for undirected graphs). Returns
-    * (node, x). */
+    * cannot compound across rounds. Shares [[rankRounds]]' iteration
+    * shell (cache/universe/broadcast-cap/lineage-cut policy lives in
+    * ONE place): contribution = the whole rank, combine = the damped
+    * Katz update. Node universe = distinct src (callers emit both
+    * directions for undirected graphs). Returns (node, x). */
   private[graft] def katzOf(edges0: DataFrame, alpha: Double,
-                            iters: Int): DataFrame = {
-    val edges = edges0.cache()
-    graft.GraftCaches.track(edges)
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
-    graft.GraftCaches.track(nodes)
-    var x = nodes.withColumn("x", lit(1.0))
-    val broadcastX = nodes.count() <= BroadcastNodeCap
-    for (_ <- 1 to iters) {
-      val r = if (broadcastX) broadcast(x) else x
-      val contrib = edges.join(r, col("src") === col("node"))
-        .select(col("dst"), col("x").as("c"))
-        .groupBy("dst").agg(sum("c").as("contrib"))
-      x = LlmOps.cutLineage(
-        nodes.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-                  round(lit(alpha) * coalesce(col("contrib"), lit(0.0)) +
-                     lit(1.0), 6).as("x")))
-    }
-    x
-  }
+                            iters: Int): DataFrame =
+    rankRounds(edges0, lit(1.0), iters,
+      contrib = col("rank"),
+      combine = c => round(lit(alpha) * c + lit(1.0), 6))
+      .withColumnRenamed("rank", "x")
 
   /** Deterministic md5 day gate over a pair — layout-independent. */
   private def dayGate: Column =

@@ -160,7 +160,11 @@ object ScanOps {
     * double division feeds only the reported max. int64-safe while
     * 100*(m-1)*n_g*N < 2^63 (corpora under ~1e8 rows per call — swap the
     * fold to DECIMAL(38,0) past that). `bandCol` must be a LONG band id;
-    * it is clamped into [0, nBands). Thresholds arrive in hundredths
+    * non-null values are clamped into [0, nBands) and NULL-band rows are
+    * EXCLUDED (Spark's least/greatest skip nulls, which would otherwise
+    * silently reclassify a null as the TOP band and fabricate skew —
+    * callers auditing null-heavy sensitive columns should band the nulls
+    * explicitly first). Thresholds arrive in hundredths
     * (t100 = 20 means t = 0.20). Returns (t, max_emd 4dp,
     * n_groups_above, n_rows_above, frac_rows_above 4dp), unordered. */
   private[graft] def tClosenessOf(df: DataFrame, qiCols: Seq[String],
@@ -170,6 +174,7 @@ object ScanOps {
             t100s.nonEmpty && t100s.forall(t => t >= 1 && t <= 100),
       s"bad t-closeness knobs: $qiCols / $nBands / $t100s")
     val counts = df
+      .filter(col(bandCol).isNotNull)
       .select(qiCols.map(col) :+
         greatest(least(col(bandCol), lit((nBands - 1).toLong)),
                  lit(0L)).as("band"): _*)

@@ -563,15 +563,15 @@ object WinOps {
     * sigma^2 = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)). R/n1/n2 are exact
     * integers; mu/sigma/z are fixed-order double expressions from
     * them. Verdict `random` = |z| <= 1.96 on the ROUNDED z. Degenerate
-    * series (all moves one way, or fewer than 2 moves) report z = 0
-    * and random = true. Returns (key, n_up, n_down, n_runs, z 4dp,
+    * series with at least one move but all one way (or fewer than 2
+    * moves) report z = 0 and random = true; a series with NO
+    * day-over-day moves at all is OMITTED from the report — there is
+    * no movement to test. Returns (key, n_up, n_down, n_runs, z 4dp,
     * random), unordered. */
   private[graft] def runsTestOf(df: DataFrame, keyCol: String,
                                 tsCol: String): DataFrame = {
     val w = Window.partitionBy("g").orderBy("day")
-    val moves = df
-      .select(col(keyCol).as("g"), to_date(col(tsCol)).as("day"))
-      .groupBy("g", "day").agg(count(lit(1)).as("c"))
+    val moves = AggOps.dailyGridOf(df, keyCol, tsCol)
       .withColumn("prev", lag("c", 1).over(w))
       .filter(col("prev").isNotNull && col("c") =!= col("prev"))
       .withColumn("s", signum(col("c") - col("prev")).cast("int"))
