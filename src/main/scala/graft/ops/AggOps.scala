@@ -1942,7 +1942,8 @@ object AggOps {
         SELECT value,
                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
                sum(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS cb
-        FROM events WHERE event_type IN ('click', 'view')
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
         GROUP BY value),
       e AS (
         SELECT CAST(sum(ca) OVER w AS BIGINT) AS cuma,
@@ -2083,7 +2084,8 @@ object AggOps {
                     AS BIGINT) AS ca,
                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                     AS BIGINT) AS cb
-        FROM events WHERE event_type IN ('click', 'view')
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
         GROUP BY value),
       g2 AS (
         SELECT ca, cb, ca + cb AS nv,

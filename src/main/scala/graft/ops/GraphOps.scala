@@ -1093,7 +1093,11 @@ object GraphOps {
     // Same 3 unrolled rounds as the pagerank oracle, minus the degree
     // division: x_k = round(0.005 * sum of in-neighbor x_{k-1} + 1, 6)
     // — the per-round 6dp rounding matches the Spark side so both
-    // engines feed bit-identical scores forward.
+    // engines feed bit-identical scores forward. Each round LEFT JOINs
+    // from the r0 node universe with COALESCE(sum, 0) so nodes with no
+    // in-edges hold x = 1 every round exactly as the Spark side's left
+    // join does — equivalent on any directed graph, not just the
+    // both-directions trade graph.
     "graph_katz" -> """
       WITH pairs AS (
         SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
@@ -1103,12 +1107,18 @@ object GraphOps {
         UNION ALL
         SELECT supp AS src, cust AS dst FROM pairs),
       r0 AS (SELECT DISTINCT src AS node, 1.0 AS x FROM edges),
-      r1 AS (SELECT e.dst AS node, round(0.005 * sum(r0.x) + 1.0, 6) AS x
-             FROM edges e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
-      r2 AS (SELECT e.dst AS node, round(0.005 * sum(r1.x) + 1.0, 6) AS x
-             FROM edges e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
-      r3 AS (SELECT e.dst AS node, round(0.005 * sum(r2.x) + 1.0, 6) AS x
-             FROM edges e JOIN r2 ON e.src = r2.node GROUP BY e.dst)
+      r1 AS (SELECT n.node, round(0.005 * COALESCE(sum(p.x), 0) + 1.0, 6) AS x
+             FROM (SELECT node FROM r0) n
+             LEFT JOIN edges e ON e.dst = n.node
+             LEFT JOIN r0 p ON e.src = p.node GROUP BY n.node),
+      r2 AS (SELECT n.node, round(0.005 * COALESCE(sum(p.x), 0) + 1.0, 6) AS x
+             FROM (SELECT node FROM r0) n
+             LEFT JOIN edges e ON e.dst = n.node
+             LEFT JOIN r1 p ON e.src = p.node GROUP BY n.node),
+      r3 AS (SELECT n.node, round(0.005 * COALESCE(sum(p.x), 0) + 1.0, 6) AS x
+             FROM (SELECT node FROM r0) n
+             LEFT JOIN edges e ON e.dst = n.node
+             LEFT JOIN r2 p ON e.src = p.node GROUP BY n.node)
       SELECT node, round(x, 4) AS x
       FROM r3 WHERE node LIKE 's%' ORDER BY node""",
 

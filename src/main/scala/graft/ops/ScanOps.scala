@@ -171,7 +171,8 @@ object ScanOps {
                                   bandCol: String, nBands: Int,
                                   t100s: Seq[Int]): DataFrame = {
     require(qiCols.nonEmpty && nBands >= 2 &&
-            t100s.nonEmpty && t100s.forall(t => t >= 1 && t <= 100),
+            t100s.nonEmpty && t100s.forall(t => t >= 1 && t <= 100) &&
+            t100s.distinct.size == t100s.size,
       s"bad t-closeness knobs: $qiCols / $nBands / $t100s")
     val counts = df
       .filter(col(bandCol).isNotNull)
@@ -1303,7 +1304,8 @@ object ScanOps {
         SELECT c_nationkey AS nk, c_mktsegment AS seg,
                LEAST(GREATEST(CAST(floor((CAST(c_acctbal AS DOUBLE) + 1000.0)
                                          / 2500.0) AS BIGINT), 0), 4) AS band
-        FROM customer),
+        FROM customer
+        WHERE c_acctbal IS NOT NULL),
       c AS (SELECT nk, seg, band, CAST(count(*) AS BIGINT) AS c
             FROM b GROUP BY 1, 2, 3),
       gt AS (SELECT band, CAST(sum(c) AS BIGINT) AS g FROM c GROUP BY 1),
