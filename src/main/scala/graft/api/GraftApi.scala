@@ -1442,6 +1442,22 @@ object Graph {
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
       seeds.select(col(seedCol).as("seed")), rounds)
 
+  /** k-source sampled betweenness centrality (graph_betweenness' exact
+    * core): Brandes dependency accumulation from a caller-supplied
+    * source frame, hop-bounded at `maxHops` — sample size (not graph
+    * size) prices the job, the Brandes–Pich scale path. Forward BFS
+    * carries exact integer shortest-path counts; backward δ rounds 6dp
+    * per level and the folds are sorted, so results are identical at
+    * any parallelism. Returns (node, bc 4dp) over nodes reached at
+    * levels 1..maxHops; source self-rows are excluded. Emit both edge
+    * directions for an undirected graph. */
+  def betweenness(edges: DataFrame, sources: DataFrame, maxHops: Int = 4,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  sourceCol: String = "seed"): DataFrame =
+    graft.ops.GraphOps.betweennessOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      sources.select(col(sourceCol).as("seed")), maxHops)
+
 }
 
 /** Data-layout levers for write-side clustering. */

@@ -60,6 +60,14 @@ object GraphOps {
   private[graft] val HarmonicSeeds = 4
   private[graft] val HarmonicRounds = 4
 
+  /** graph_betweenness source-sample size and BFS hop bound — shared
+    * with the oracle's unrolled level CTEs. The FIXED deterministic
+    * source set (lexicographically-smallest nodes, the graph_harmonic
+    * convention) is what makes a sampled estimator hash-gatable; a
+    * production run swaps in random sources at the same k. */
+  private[graft] val BetweennessSeeds = 4
+  private[graft] val BetweennessRounds = 4
+
   /** Sampled harmonic-centrality core (graph_harmonic / Graph.harmonic):
     * multi-source hop-bounded BFS from a (seed) frame over (src, dst)
     * edges — (seed, node) frontier state, one join + min-agg per round,
@@ -93,6 +101,82 @@ object GraphOps {
       .select(col("node"), col("n_reached"),
         round((1 to rounds).map(h =>
             col(s"n$h") / lit(h.toDouble)).reduce(_ + _), 4).as("harmonic"))
+  }
+
+  /** k-source sampled betweenness centrality (Brandes' dependency
+    * accumulation, Alg. 1 of "A faster algorithm for betweenness
+    * centrality" 2001; source sampling per Brandes–Pich 2007 — the
+    * published scale path, exact Brandes is O(V·E)), hop-bounded at
+    * `maxHops` (graph_betweenness / Graph.betweenness).
+    *
+    * Forward sweep: level-synchronous multi-source BFS carrying EXACT
+    * INTEGER shortest-path counts — per level one frontier⋈edges join +
+    * sum-agg (σ(v) = Σ σ over dist-(d−1) predecessors, the BFS
+    * invariant) and an anti-join against the settled set; per-level
+    * frames are (source, node)-sized, lineage-cut and cached (each is
+    * read again by the backward sweep). Backward sweep: dependency
+    * δ(v) = σ(v) · Σ_{w: succ} (1+δ(w))/σ(w) accumulated from the
+    * deepest level inward, one join per level against the level-(d+1)
+    * delta frame; the successor terms are folded over a node-SORTED
+    * collected list and δ rounds 6dp per level (the graph_hits
+    * convention — both engines feed bit-identical deltas inward).
+    * bc(v) = Σ over sampled sources of δ(v), source self-rows (level 0)
+    * excluded; the cross-source sum folds a source-sorted list (the
+    * agg_chi_square discipline). At cluster scale every join is
+    * (k·nodes)-sized against the one cached edge frame — no all-pairs
+    * stage anywhere. Returns (node, bc 4dp) over nodes reached at
+    * levels 1..maxHops, unordered. */
+  private[graft] def betweennessOf(edges: DataFrame, seeds: DataFrame,
+                                   maxHops: Int): DataFrame = {
+    var settled = seeds.select(col("seed").as("s"), col("seed").as("node"),
+                               lit(1L).as("sigma"))
+    var frontier = settled
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to maxHops) {
+      val cand = frontier.join(edges, col("node") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum("sigma").as("sigma"))
+        .select(col("s"), col("dst").as("node"), col("sigma"))
+      val next = graft.GraftCaches.track(LlmOps.cutLineage(
+        cand.join(settled.select(col("s").as("vs"), col("node").as("vn")),
+                  col("s") === col("vs") && col("node") === col("vn"),
+                  "left_anti")).cache())
+      levels += next
+      settled = LlmOps.cutLineage(settled.unionByName(next))
+      frontier = next
+    }
+    var deltaNext = levels(maxHops).withColumn("delta", lit(0.0))
+    val deltas = scala.collection.mutable.ArrayBuffer(deltaNext)
+    for (lvl <- (maxHops - 1) to 0 by -1) {
+      val contrib = levels(lvl).as("v")
+        .join(edges.as("e"), col("v.node") === col("e.src"))
+        .join(deltaNext.as("w"),
+              col("v.s") === col("w.s") && col("e.dst") === col("w.node"))
+        .groupBy(col("v.s").as("s"), col("v.node").as("node"))
+        .agg(sort_array(collect_list(struct(col("w.node").as("wn"),
+          ((lit(1.0) + col("w.delta")) / col("w.sigma").cast("double"))
+            .as("t")))).as("ts"))
+        .select(col("s"), col("node"),
+          expr("aggregate(ts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.t)")
+            .as("dsum"))
+      val cur = graft.GraftCaches.track(LlmOps.cutLineage(levels(lvl)
+        .join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("sigma"),
+          round(coalesce(col("sigma").cast("double") * col("dsum"),
+                         lit(0.0)), 6).as("delta"))).cache())
+      deltas += cur
+      deltaNext = cur
+    }
+    // deltas = [level maxHops, …, level 0]; drop the level-0 source rows
+    deltas.init.map(_.select(col("s"), col("node"), col("delta")))
+      .reduce(_ unionByName _)
+      .groupBy("node")
+      .agg(sort_array(collect_list(struct(col("s"), col("delta"))))
+        .as("ds"))
+      .select(col("node"),
+        round(expr(
+          "aggregate(ds, CAST(0.0 AS DOUBLE), (a, x) -> a + x.delta)"), 4)
+          .as("bc"))
   }
 
   /** One row per undirected REPEAT-trade edge (threshold 3) — the sparse
@@ -961,6 +1045,18 @@ object GraphOps {
       harmonicOf(edges, seeds, HarmonicRounds).orderBy("node")
     }),
 
+    // Sampled Brandes betweenness over the sparse repeat-trade graph:
+    // k-source exact dependency accumulation (integer path counts
+    // forward, δ backward), hop-bounded so the oracle's unrolled level
+    // CTEs stay finite; the fixed lexicographic source set is the
+    // graph_harmonic sampling convention (determinism = hash-gatable).
+    "graph_betweenness" -> ((s, d) => {
+      val edges = graft.GraftCaches.track(repeatTradeEdges(s, d).cache())
+      val seeds = edges.select(col("src").as("seed")).distinct()
+        .orderBy("seed").limit(BetweennessSeeds)
+      betweennessOf(edges, seeds, BetweennessRounds).orderBy("node")
+    }),
+
     "graph_reciprocity" -> ((s, d) =>
       reciprocityOf(reciprocityEdges(s, d)))
   ))
@@ -1036,6 +1132,40 @@ object GraphOps {
           SELECT e.dst AS node, sum(r${i - 1}.rank / e.outdeg) AS s
           FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY e.dst) c
         ON n.node = c.node)"""
+
+  /** One forward Brandes level as DuckDB CTEs (see graph_betweenness):
+    * candidate path-count agg over the previous level's frontier, then
+    * the anti-join against every prior level (the BFS settled set). */
+  private def bwLevelSql(i: Int): String = {
+    val prior = (0 until i).map(j => s"SELECT s, node FROM l$j")
+      .mkString(" UNION ALL ")
+    s"""c$i AS (
+        SELECT f.s, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        FROM l${i - 1} f JOIN e ON e.src = f.node GROUP BY 1, 2),
+      l$i AS (
+        SELECT c.s, c.node, c.sigma FROM c$i c
+        LEFT JOIN ($prior) v ON v.s = c.s AND v.node = c.node
+        WHERE v.node IS NULL)"""
+  }
+
+  /** One backward Brandes level as DuckDB CTEs: the inner-join successor
+    * contribution (terms folded over a node-SORTED list — the Spark
+    * side's sort_array/aggregate discipline) then the LEFT JOIN that
+    * keeps successor-less nodes at δ = 0, δ rounded 6dp per level. */
+  private def bwDeltaSql(i: Int): String = s"""x$i AS (
+        SELECT v.s, v.node,
+               list_sum(list_transform(
+                 list(struct_pack(wn := w.node,
+                      t := (1.0 + w.delta) / CAST(w.sigma AS DOUBLE))
+                      ORDER BY w.node), x -> x.t)) AS dsum
+        FROM l$i v JOIN e ON e.src = v.node
+        JOIN d${i + 1} w ON w.s = v.s AND w.node = e.dst
+        GROUP BY v.s, v.node),
+      d$i AS (
+        SELECT v.s, v.node, v.sigma,
+               round(COALESCE(CAST(v.sigma AS DOUBLE) * x.dsum, 0.0), 6)
+                 AS delta
+        FROM l$i v LEFT JOIN x$i x ON x.s = v.s AND x.node = v.node)"""
 
   /** Oracle: the same three rounds unrolled as chained CTEs (DuckDB has no
     * iterative DataFrame loop; recursion with per-round global aggregation
@@ -1164,6 +1294,36 @@ object GraphOps {
                s"CAST(sum(CASE WHEN dist = $h THEN 1 ELSE 0 END) AS DOUBLE) / $h")
                .mkString(" + ")}, 4) AS harmonic
       FROM d WHERE dist > 0 GROUP BY node ORDER BY node""",
+
+    // Sampled Brandes, every stage mirrored: path-count BFS levels with
+    // anti-joins against the settled set (exact integer σ), backward δ
+    // accumulation with per-level 6dp rounding and node-sorted term
+    // folds, then the source-sorted cross-sample fold — so each level's
+    // inputs are bit-identical cross-engine.
+    "graph_betweenness" -> s"""
+      WITH p AS (
+        SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      e AS (SELECT c AS src, s AS dst FROM p
+            UNION ALL SELECT s AS src, c AS dst FROM p),
+      seeds AS (SELECT src AS sd FROM e GROUP BY 1
+                ORDER BY 1 LIMIT $BetweennessSeeds),
+      l0 AS (SELECT sd AS s, sd AS node, CAST(1 AS BIGINT) AS sigma
+             FROM seeds),
+      ${(1 to BetweennessRounds).map(bwLevelSql).mkString(",\n      ")},
+      d$BetweennessRounds AS (
+        SELECT s, node, sigma, CAST(0.0 AS DOUBLE) AS delta
+        FROM l$BetweennessRounds),
+      ${((BetweennessRounds - 1) to 0 by -1).map(bwDeltaSql)
+        .mkString(",\n      ")},
+      allv AS (${(1 to BetweennessRounds)
+        .map(i => s"SELECT s, node, delta FROM d$i").mkString(" UNION ALL ")})
+      SELECT node,
+             round(list_sum(list_transform(
+               list(struct_pack(s := s, delta := delta) ORDER BY s, delta),
+               x -> x.delta)), 4) AS bc
+      FROM allv GROUP BY node ORDER BY node""",
 
     "graph_sssp" -> s"""
       WITH RECURSIVE p AS (

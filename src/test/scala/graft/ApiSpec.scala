@@ -1045,6 +1045,9 @@ class ApiSpec extends AnyFunSuite {
       .orderBy("seed").limit(4)
     assert(rowSet(api.Graph.harmonic(edges, seeds)) ===
       rowSet(SparkEntry.queries("graph_harmonic")(spark, d)))
+    // betweenness over the same edges + source rule as its key
+    assert(rowSet(api.Graph.betweenness(edges, seeds)) ===
+      rowSet(SparkEntry.queries("graph_betweenness")(spark, d)))
   }
 
   test("Ingest.{seasonalDecompose, cusumDrawup} equal their win keys") {

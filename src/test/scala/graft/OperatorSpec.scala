@@ -2521,6 +2521,30 @@ class OperatorSpec extends AnyFunSuite {
       Seq((0.3, 0.375, 2L, 8L, 1.0), (0.4, 0.375, 0L, 0L, 0.0)))
   }
 
+  test("betweennessOf: planted path and diamond graphs give the hand-run Brandes values") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // path a-b-c-d-e, sources {a, e}: δ_a = (b:3, c:2, d:1, e:0),
+    // δ_e = (d:3, c:2, b:1, a:0) ⇒ bc = (a:0, b:4, c:4, d:4, e:0)
+    val und = Seq(("a","b"),("b","c"),("c","d"),("d","e")).toDF("src","dst")
+    val path = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+    val got = graft.ops.GraphOps
+      .betweennessOf(path, Seq("a","e").toDF("seed"), maxHops = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === Seq(("a", 0.0), ("b", 4.0), ("c", 4.0), ("d", 4.0), ("e", 0.0)))
+    // diamond a-{b,c}-d, source {a}: σ(d) = 2 so b and c each carry
+    // half of d's dependency — δ(b) = δ(c) = 1·(1+0)/2 = 0.5
+    val dund = Seq(("a","b"),("a","c"),("b","d"),("c","d")).toDF("src","dst")
+    val diamond = dund.unionByName(dund.select(col("dst").as("src"), col("src").as("dst")))
+    val got2 = graft.ops.GraphOps
+      .betweennessOf(diamond, Seq("a").toDF("seed"), maxHops = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got2 === Seq(("b", 0.5), ("c", 0.5), ("d", 0.0)))
+  }
+
   test("harmonicOf: planted path graph gives exact 1/d sums") {
     import org.apache.spark.sql.functions._
     val sp = spark
