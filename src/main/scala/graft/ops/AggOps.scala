@@ -761,11 +761,17 @@ object AggOps {
       .agg(count(lit(1)).as("n"),
            sum("xd").as("sx"),
            sum(col("xd") * col("i")).as("six"))
-      .select(col(cohortCol), col("n"),
+      .select(col(cohortCol), col("n"), {
+        // n·Σx = 0 (an all-zero cohort) leaves G undefined — report NULL
+        // instead of an ANSI DIVIDE_BY_ZERO; the when-guard is the
+        // identity whenever mass exists, and the oracle carries the same
+        // NULLIF, so fixture hashes and the cross-engine contract hold.
+        val den = col("n").cast("double") * col("sx").cast("double")
         round((lit(2) * col("six").cast("double") -
                (col("n") + 1).cast("double") * col("sx").cast("double")) /
-              (col("n").cast("double") * col("sx").cast("double")), 6)
-          .as("gini"))
+              when(den =!= 0.0, den), 6)
+          .as("gini")
+      })
   }
 
   /** Poisson-bootstrap mean-CI core (agg_bootstrap_ci /
@@ -827,21 +833,28 @@ object AggOps {
       sum(when(col(cohortCol) === p, xd)).cast("double").as(s"sx_$t"),
       sum(when(col(cohortCol) === p, xd * xd)).cast("double").as(s"sxx_$t"))
     val cols = grp(a, "a") ++ grp(b, "b")
+    // Every denominator that CAN be zero on degenerate input (empty or
+    // single-row cohort, zero pooled variance) is nullif-guarded: under
+    // ANSI SQL a bare division would throw DIVIDE_BY_ZERO; the guarded
+    // stats come back NULL instead ("not estimable"), and nullif is the
+    // identity on every non-degenerate input so fixture hashes are
+    // untouched. The oracle carries the same NULLIFs — the cross-engine
+    // contract holds on any data, not just the non-degenerate fixture.
     df.agg(cols.head, cols.tail: _*)
       .selectExpr(
         "n_a", "n_b",
-        "round(sx_a / n_a, 4) AS mean_a",
-        "round(sx_b / n_b, 4) AS mean_b",
-        "round((sxx_a - sx_a * sx_a / n_a) / (n_a - 1), 2) AS var_a",
-        "round((sxx_b - sx_b * sx_b / n_b) / (n_b - 1), 2) AS var_b",
-        """round((sx_a / n_a - sx_b / n_b) /
-             sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4)
+        "round(sx_a / nullif(n_a, 0), 4) AS mean_a",
+        "round(sx_b / nullif(n_b, 0), 4) AS mean_b",
+        "round((sxx_a - sx_a * sx_a / nullif(n_a, 0)) / nullif(n_a - 1, 0), 2) AS var_a",
+        "round((sxx_b - sx_b * sx_b / nullif(n_b, 0)) / nullif(n_b - 1, 0), 2) AS var_b",
+        """round((sx_a / nullif(n_a, 0) - sx_b / nullif(n_b, 0)) /
+             nullif(sqrt(((sxx_a - sx_a * sx_a / nullif(n_a, 0)) / nullif(n_a - 1, 0)) / n_a
+                + ((sxx_b - sx_b * sx_b / nullif(n_b, 0)) / nullif(n_b - 1, 0)) / n_b), 0), 4)
            AS t_stat""",
-        """round(pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                   + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) /
-             (pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a, 2) / (n_a - 1)
-            + pow(((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) / (n_b - 1)), 2)
+        """round(pow(((sxx_a - sx_a * sx_a / nullif(n_a, 0)) / nullif(n_a - 1, 0)) / n_a
+                   + ((sxx_b - sx_b * sx_b / nullif(n_b, 0)) / nullif(n_b - 1, 0)) / n_b, 2) /
+             nullif(pow(((sxx_a - sx_a * sx_a / nullif(n_a, 0)) / nullif(n_a - 1, 0)) / n_a, 2) / nullif(n_a - 1, 0)
+            + pow(((sxx_b - sx_b * sx_b / nullif(n_b, 0)) / nullif(n_b - 1, 0)) / n_b, 2) / nullif(n_b - 1, 0), 0), 2)
            AS welch_df""")
   }
 
@@ -2279,7 +2292,7 @@ object AggOps {
       SELECT o_orderpriority, n,
              round((2 * CAST(six AS DOUBLE)
                     - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
-                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+                   / nullif(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) AS gini
       FROM m ORDER BY o_orderpriority""",
 
     // Same md5-byte ladder, same DECIMAL resample sums, same order-stat
@@ -2347,17 +2360,17 @@ object AggOps {
                            * CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sxx_b
         FROM orders)
       SELECT n_a, n_b,
-             round(sx_a / n_a, 4) AS mean_a,
-             round(sx_b / n_b, 4) AS mean_b,
-             round((sxx_a - sx_a * sx_a / n_a) / (n_a - 1), 2) AS var_a,
-             round((sxx_b - sx_b * sx_b / n_b) / (n_b - 1), 2) AS var_b,
-             round((sx_a / n_a - sx_b / n_b) /
-               sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                  + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4) AS t_stat,
-             round(pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                     + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) /
-               (pow(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a, 2) / (n_a - 1)
-              + pow(((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b, 2) / (n_b - 1)), 2)
+             round(sx_a / nullif(n_a, 0), 4) AS mean_a,
+             round(sx_b / nullif(n_b, 0), 4) AS mean_b,
+             round((sxx_a - sx_a * sx_a / nullif(n_a, 0)) / nullif(n_a - 1, 0), 2) AS var_a,
+             round((sxx_b - sx_b * sx_b / nullif(n_b, 0)) / nullif(n_b - 1, 0), 2) AS var_b,
+             round((sx_a / nullif(n_a, 0) - sx_b / nullif(n_b, 0)) /
+               nullif(sqrt(((sxx_a - sx_a * sx_a / nullif(n_a, 0)) / nullif(n_a - 1, 0)) / n_a
+                  + ((sxx_b - sx_b * sx_b / nullif(n_b, 0)) / nullif(n_b - 1, 0)) / n_b), 0), 4) AS t_stat,
+             round(pow(((sxx_a - sx_a * sx_a / nullif(n_a, 0)) / nullif(n_a - 1, 0)) / n_a
+                     + ((sxx_b - sx_b * sx_b / nullif(n_b, 0)) / nullif(n_b - 1, 0)) / n_b, 2) /
+               nullif(pow(((sxx_a - sx_a * sx_a / nullif(n_a, 0)) / nullif(n_a - 1, 0)) / n_a, 2) / nullif(n_a - 1, 0)
+              + pow(((sxx_b - sx_b * sx_b / nullif(n_b, 0)) / nullif(n_b - 1, 0)) / n_b, 2) / nullif(n_b - 1, 0), 0), 2)
              AS welch_df
       FROM m""",
 

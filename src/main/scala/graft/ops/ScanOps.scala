@@ -75,8 +75,11 @@ object ScanOps {
     require(rules.nonEmpty, "at least one rule")
     rules.foreach { case (n, _) =>
       require(n.matches("[A-Za-z0-9_]+"), s"rule name '$n' must be an identifier") }
+    // coalesce: sum over ZERO rows is NULL — an empty frame must report
+    // 0 violations per rule, not null (the oracle's CTE sums hit the
+    // same SQL rule and carry the same coalesce)
     val aggs = rules.zipWithIndex.map { case ((_, cond), i) =>
-      sum(when(cond, 1L).otherwise(0L)).as(s"v$i") }
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"v$i") }
     val stacked = rules.zipWithIndex
       .map { case ((name, _), i) => s"'$name', v$i" }.mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
@@ -246,7 +249,7 @@ object ScanOps {
                 else "CAST(NULL AS DOUBLE)"
       s"'$c', CAST($c AS STRING), $num"
     }.mkString(", ")
-    df.selectExpr(s"stack(${cols.size}, $arms) AS (c, v, vn)")
+    val agg = df.selectExpr(s"stack(${cols.size}, $arms) AS (c, v, vn)")
       .groupBy("c", "v")
       .agg(count(lit(1)).as("nv"), min("vn").as("mn"), max("vn").as("mx"))
       .groupBy("c")
@@ -254,10 +257,24 @@ object ScanOps {
            sum(when(col("v").isNull, col("nv")).otherwise(0L)).as("n_null"),
            count(col("v")).as("n_distinct"),
            min("mn").as("min_v"), max("mx").as("max_v"))
-      .select(col("c").as("col_name"), col("n_rows"), col("n_null"),
-        round(col("n_null") / col("n_rows").cast("double"), 4)
+    // An EMPTY frame must still profile as one zero-count row per column
+    // (the honest "this table is empty" report), not vanish: left-join
+    // the aggregate onto the literal column list. On any non-empty frame
+    // every column has a group, so the join and coalesces are the
+    // identity and the contract hash is untouched; frac_null is
+    // when-guarded (NULL at n_rows = 0 — an ANSI DIVIDE_BY_ZERO
+    // otherwise).
+    val base = df.sparkSession
+      .createDataset(cols)(org.apache.spark.sql.Encoders.STRING).toDF("c")
+    base.join(agg, Seq("c"), "left")
+      .select(col("c").as("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
+        round(col("n_null") /
+          when(col("n_rows") =!= 0L, col("n_rows").cast("double")), 4)
           .as("frac_null"),
-        col("n_distinct"), col("min_v"), col("max_v"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_v"), col("max_v"))
   }
 
   private[graft] def tmpDir(prefix: String): String = {
@@ -1368,11 +1385,11 @@ object ScanOps {
     // count(DISTINCT) and double-cast min/max mirror the stacked plan.
     "obs_profile" -> """
       SELECT col_name, n_rows, n_null,
-             round(CAST(n_null AS DOUBLE) / n_rows, 4) AS frac_null,
+             round(CAST(n_null AS DOUBLE) / nullif(n_rows, 0), 4) AS frac_null,
              n_distinct, min_v, max_v
       FROM (
         SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS n_null,
                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
                CAST(min(o_orderkey) AS DOUBLE) AS min_v,
@@ -1380,14 +1397,14 @@ object ScanOps {
         FROM orders
         UNION ALL
         SELECT 'o_custkey', CAST(count(*) AS BIGINT),
-               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
                     AS BIGINT),
                CAST(count(DISTINCT o_custkey) AS BIGINT),
                CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
         FROM orders
         UNION ALL
         SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
-               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+               CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0)
                     AS BIGINT),
                CAST(count(DISTINCT o_totalprice) AS BIGINT),
                CAST(min(o_totalprice) AS DOUBLE),
@@ -1395,14 +1412,14 @@ object ScanOps {
         FROM orders
         UNION ALL
         SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
-               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+               CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0)
                     AS BIGINT),
                CAST(count(DISTINCT o_orderdate) AS BIGINT),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
         FROM orders
         UNION ALL
         SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
-               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+               CAST(coalesce(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), 0)
                     AS BIGINT),
                CAST(count(DISTINCT o_orderpriority) AS BIGINT),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
@@ -1437,11 +1454,11 @@ object ScanOps {
 
     "obs_dq_checks" -> """
       WITH rl AS (
-        SELECT sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nk,
-               sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS np,
-               sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        SELECT coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS nk,
+               coalesce(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END), 0) AS np,
+               coalesce(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
                           OR o_orderdate >= TIMESTAMP '2002-01-01'
-                        THEN 1 ELSE 0 END) AS dr
+                        THEN 1 ELSE 0 END), 0) AS dr
         FROM orders)
       SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
         SELECT 'key_not_null' AS rule, nk AS n_violations FROM rl

@@ -1175,9 +1175,13 @@ object TextOps {
       .withColumn("stop_ratio", round(
         size(filter(toks, t => t.isin(LlmOps.stopwords: _*))).cast("double")
           / size(toks), 4))
-      .withColumn("punct_ratio", round(
-        expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("double")
-          / length(col("text")), 4))
+      // length 0 (an empty-string doc) would be an ANSI DIVIDE_BY_ZERO:
+      // zero punctuation in zero chars is ratio 0, same branch in the
+      // oracle — identity on any non-empty text
+      .withColumn("punct_ratio",
+        when(length(col("text")) === 0, lit(0.0)).otherwise(round(
+          expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("double")
+            / length(col("text")), 4)))
       .withColumn("quality", round(
         lit(1.0)
           - least(col("stop_ratio") * 2, lit(0.5))
@@ -1993,11 +1997,11 @@ object TextOps {
              round((length(text) - n_tok + 1) * 1.0 / n_tok, 4) AS avg_tok_len,
              round(len(list_filter(toks, t -> t IN $stopwordsSql)) * 1.0 / n_tok, 4)
                AS stop_ratio,
-             round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4)
+             CASE WHEN length(text) = 0 THEN 0.0 ELSE round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) END
                AS punct_ratio,
              round(1.0
                - least(round(len(list_filter(toks, t -> t IN $stopwordsSql)) * 1.0 / n_tok, 4) * 2, 0.5)
-               - least(round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) * 5, 0.5),
+               - least(CASE WHEN length(text) = 0 THEN 0.0 ELSE round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) END * 5, 0.5),
                4) AS quality
       FROM x
       ORDER BY doc_id""",
@@ -2016,7 +2020,7 @@ object TextOps {
         SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS toks,
                round(1.0
                  - least(round(len(list_filter(toks, t -> t IN $stopwordsSql)) * 1.0 / n_tok, 4) * 2, 0.5)
-                 - least(round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) * 5, 0.5),
+                 - least(CASE WHEN length(text) = 0 THEN 0.0 ELSE round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text), 4) END * 5, 0.5),
                  4) AS quality
         FROM x),
       r AS (
