@@ -750,6 +750,26 @@ object Text {
     * n_classes, accuracy, kappa, macro_f1). */
   def langidEval(docs: DataFrame): DataFrame =
     graft.ops.TextOps.langidEvalOf(docs)
+
+  /** One-EM-round unigram-LM tokenizer training (llm_unigram_tokenize's
+    * exact trainer core; Kudo 2018, the SentencePiece unigram model):
+    * piece → logprob over the corpus's whitespace words. The model is
+    * driver-bounded (seed K + alphabet) — ship it to [[unigramSegment]]
+    * or persist it as the day-1 tokenizer artifact. */
+  def trainUnigram(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): Map[String, Double] =
+    graft.ops.TextOps.unigramTrain(
+      graft.ops.TextOps.ugWords(std(docs, idCol, textCol)))
+
+  /** Viterbi-segment every distinct whitespace word of `docs` under a
+    * [[trainUnigram]] model → (word, ps array). Pure higher-order folds
+    * over the distinct-word frame — corpus text never shuffles; join the
+    * result back to tokenize at corpus scale. */
+  def unigramSegment(docs: DataFrame, model: Map[String, Double],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    graft.ops.TextOps.ugSegment(
+      graft.ops.TextOps.ugWords(std(docs, idCol, textCol)), model)
 }
 
 /** Ingestion plumbing — the reference pipeline's shape (JSON records →

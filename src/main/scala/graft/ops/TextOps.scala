@@ -250,6 +250,101 @@ object TextOps {
       ORDER BY rank"""
   }
 
+  /** One unigram-LM Viterbi pass as DuckDB CTE blocks (suffix `sfx`,
+    * piece scores from CTE `sTab`): a per-(word, position) score pivot
+    * (one LEFT JOIN per piece length — sc_l NULL when no length-l piece
+    * ends there), the forward DP as a recursive CTE appending one
+    * (s, l) struct per step, and the backtrace recursion walking the
+    * stored winning lengths. The nested CASE folds lengths 1..L with a
+    * STRICTLY-greater update exactly like the Spark inner fold, so both
+    * engines keep the smallest length on score ties. */
+  private def ugOracleViterbi(sfx: String, sTab: String): String = {
+    val L = UnigramMaxPiece
+    val scJoins = (1 to L).map(l =>
+      s"LEFT JOIN $sTab z$l ON t.i >= $l AND z$l.p = substr(t.word, t.i - ${l - 1}, $l)")
+      .mkString("\n        ")
+    val scCols = (1 to L).map(l => s"z$l.sc AS sc$l").mkString(", ")
+    val best = (2 to L).foldLeft(
+      "struct_pack(s := (r.dp[r.i + 1]).s + c.sc1, l := 1)") { (inner, l) =>
+      s"""CASE WHEN c.sc$l IS NOT NULL
+               AND (r.dp[r.i + 2 - $l]).s + c.sc$l > ($inner).s
+          THEN struct_pack(s := (r.dp[r.i + 2 - $l]).s + c.sc$l, l := $l)
+          ELSE $inner END"""
+    }
+    s"""cand$sfx AS (
+        SELECT t.word, t.i, $scCols
+        FROM posn t
+        $scJoins),
+      vit$sfx(word, i, dp) AS (
+        SELECT word, 0, [struct_pack(s := CAST(0.0 AS DOUBLE), l := 0)]
+        FROM w
+        UNION ALL
+        SELECT r.word, r.i + 1, list_append(r.dp, $best)
+        FROM vit$sfx r JOIN cand$sfx c ON c.word = r.word AND c.i = r.i + 1),
+      fin$sfx AS (SELECT word, dp FROM vit$sfx WHERE i = len(word)),
+      bt$sfx(word, pos, ps) AS (
+        SELECT word, len(word), CAST([] AS VARCHAR[]) FROM w
+        UNION ALL
+        SELECT b.word, b.pos - (f.dp[b.pos + 1]).l,
+               list_prepend(substr(b.word, b.pos - (f.dp[b.pos + 1]).l + 1,
+                                   (f.dp[b.pos + 1]).l), b.ps)
+        FROM bt$sfx b JOIN fin$sfx f ON f.word = b.word
+        WHERE b.pos > 0),
+      seg$sfx AS (SELECT word, ps FROM bt$sfx WHERE pos = 0)"""
+  }
+
+  /** Full llm_unigram_tokenize oracle: replays seed counting, top-K
+    * vocab selection, both Viterbi passes and the EM re-estimation from
+    * the raw corpus — training and decoding both inside the hash gate
+    * (the llm_bpe_merge_audit discipline). */
+  private[graft] def ugOracleSql: String = s"""
+      WITH RECURSIVE w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0 GROUP BY word),
+      pc AS (
+        SELECT p, CAST(sum(cnt) AS BIGINT) AS n FROM (
+          SELECT cnt, unnest(flatten(list_transform(range(1, len(word) + 1), i ->
+            list_transform(range(1, least($UnigramMaxPiece, len(word) - i + 1) + 1),
+                           l -> substr(word, i, l))))) AS p
+          FROM w)
+        GROUP BY p),
+      v0 AS (
+        SELECT p, n FROM pc WHERE len(p) = 1
+        UNION ALL
+        SELECT p, n FROM (
+          SELECT p, n, row_number() OVER (ORDER BY n DESC, p ASC) AS rk
+          FROM pc WHERE len(p) >= 2) WHERE rk <= $UnigramSeedK),
+      s0 AS (
+        SELECT p, round(ln(CAST(n AS DOUBLE)
+                 / (SELECT CAST(sum(n) AS DOUBLE) FROM v0)), 6) AS sc
+        FROM v0),
+      posn AS (
+        SELECT word, CAST(unnest(range(1, len(word) + 1)) AS INTEGER) AS i
+        FROM w),
+      ${ugOracleViterbi("0", "s0")},
+      us AS (
+        SELECT p, CAST(sum(cnt) AS BIGINT) AS u FROM (
+          SELECT w.cnt, unnest(s.ps) AS p
+          FROM seg0 s JOIN w USING (word))
+        GROUP BY p),
+      s1 AS (
+        SELECT v0.p, round(ln((CAST(coalesce(us.u, 0) AS DOUBLE) + 0.5)
+                 / ((SELECT CAST(sum(u) AS DOUBLE) FROM us)
+                    + 0.5 * (SELECT count(*) FROM v0))), 6) AS sc
+        FROM v0 LEFT JOIN us ON us.p = v0.p),
+      ${ugOracleViterbi("1", "s1")},
+      j AS (
+        SELECT d.doc_id, d.lang, CAST(len(s.ps) AS BIGINT) AS n_tok
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+              FROM documents) d
+        JOIN seg1 s ON s.word = d.word
+        WHERE len(d.word) > 0)
+      SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS tokens_per_word
+      FROM j GROUP BY lang ORDER BY lang"""
+
   /** Candidate pairs collected per training round; the applied batch is
     * the maximal PROVABLY-sequential-equivalent prefix of them (≤ K). */
   private[graft] val BpeBatchK = 8
@@ -406,6 +501,129 @@ object TextOps {
         val stepped = df.withColumn("syms", mergeOnce(a, b))
         if ((r + 1) % 16 == 0) LlmOps.cutLineage(stepped) else stepped
     }
+
+  /** llm_unigram_tokenize knobs — shared with the oracle's CTE chain.
+    * SeedK bounds the multi-char seed vocabulary (every single char is
+    * always in-vocab, so any word segments); MaxPiece bounds piece
+    * length and therefore the Viterbi DP's inner fold. */
+  private[graft] val UnigramSeedK = 64
+  private[graft] val UnigramMaxPiece = 4
+
+  /** Viterbi DP over one `word` column as a pure higher-order expression
+    * (Kudo 2018 unigram-LM decoding, arXiv:1804.10959): dp is an array
+    * of (best score, winning piece length) structs over prefix lengths
+    * 0..n, built by one fold over positions with an inner fold over
+    * piece lengths 1..[[UnigramMaxPiece]]. The inner fold updates on
+    * STRICTLY-greater score only, so ties keep the SMALLEST length —
+    * the deterministic tie-break the oracle's nested CASE chain
+    * reproduces. `sm` names a map<string,double> piece-score column
+    * (a driver-bounded literal — seed vocab + alphabet, the BPE
+    * merges-Seq economics); try_element_at keeps missing pieces NULL
+    * under ANSI, and the leading `l <= i` conjunct short-circuits the
+    * negative-index back-reference a too-long piece would take. */
+  private def ugDpSql: String = {
+    val L = UnigramMaxPiece
+    s"""aggregate(
+         sequence(1, length(word)),
+         array(named_struct('s', CAST(0.0 AS DOUBLE), 'l', 0)),
+         (acc, i) -> concat(acc, array(
+           aggregate(
+             sequence(1, $L),
+             named_struct('s', CAST(-1.0e18 AS DOUBLE), 'l', 0),
+             (best, l) -> CASE
+               WHEN l <= i
+                AND try_element_at(sm, substring(word, i - l + 1, l)) IS NOT NULL
+                AND element_at(acc, i - l + 1).s
+                    + try_element_at(sm, substring(word, i - l + 1, l)) > best.s
+               THEN named_struct(
+                 's', element_at(acc, i - l + 1).s
+                      + try_element_at(sm, substring(word, i - l + 1, l)),
+                 'l', l)
+               ELSE best END))))"""
+  }
+
+  /** Backtrace of [[ugDpSql]]'s dp into the piece array: walk from
+    * position n back through the stored winning lengths (≤ n steps, so
+    * one n-step fold with a no-op tail once pos hits 0). Every single
+    * char is in-vocab, so every position is reachable and l > 0. */
+  private def ugPiecesSql: String =
+    """aggregate(
+         sequence(1, length(word)),
+         named_struct('pos', length(word), 'ps', CAST(array() AS array<string>)),
+         (st, z) -> CASE WHEN st.pos > 0 THEN named_struct(
+             'pos', st.pos - element_at(dp, st.pos + 1).l,
+             'ps', concat(
+               array(substring(word, st.pos - element_at(dp, st.pos + 1).l + 1,
+                               element_at(dp, st.pos + 1).l)),
+               st.ps))
+           ELSE st END,
+         st -> st.ps)"""
+
+  /** Spark-side HALF_UP 6dp — the driver twin of round(x, 6). */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The whitespace word-count frame every unigram stage trains/decodes
+    * over — shared by the contract key and the Text facade. */
+  private[graft] def ugWords(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Segment every distinct word with piece scores `sm` → (word, ps). */
+  private[graft] def ugSegment(words: DataFrame, sm: Map[String, Double]): DataFrame =
+    words.select(col("word"))
+      .withColumn("sm", typedLit(sm))
+      .withColumn("dp", expr(ugDpSql))
+      .select(col("word"), expr(ugPiecesSql).as("ps"))
+
+  /** One-EM-round unigram-LM tokenizer training (Kudo 2018, the
+    * SentencePiece unigram model) over a (word, cnt) frame — returns the
+    * trained piece→logprob map. Seed vocabulary = every single char plus
+    * the top-[[UnigramSeedK]] length-2..[[UnigramMaxPiece]] substrings by
+    * corpus occurrence count ((n DESC, piece ASC) — deterministic); seed
+    * scores = round(ln(count/total), 6). E-step: Viterbi-segment the
+    * distinct words under the seed scores; M-step: re-estimate
+    * score(p) = round(ln((usage + 0.5) / (total + 0.5·|V|)), 6) from the
+    * count-weighted piece usage (Haldane smoothing keeps unused pieces
+    * finite instead of pruning — one round cannot orphan the alphabet).
+    * Per-round 6dp score rounding is the graph_hits convention: both
+    * engines feed bit-identical scores into every argmax. All frames are
+    * distinct-words- or vocab-sized; the corpus itself is touched only
+    * by the caller's word count. The vocab collects to the driver (seed
+    * K + alphabet entries — the BPE merges-Seq economics) and ships as a
+    * typedLit map, so no literal-escaping and no per-row join. */
+  private[graft] def unigramTrain(words: DataFrame): Map[String, Double] = {
+    val L = UnigramMaxPiece
+    val w = graft.GraftCaches.track(words.select("word", "cnt").cache())
+    // exact-length substring generation: the inner bound least(L, n-i+1)
+    // stops at the word end, so no truncated piece double-counts a
+    // shorter length
+    val pieceCounts = graft.GraftCaches.track(
+      w.select(col("cnt"), explode(expr(
+          s"""flatten(transform(sequence(1, length(word)), i ->
+                transform(sequence(1, least($L, length(word) - i + 1)),
+                          l -> substring(word, i, l))))""")).as("p"))
+        .groupBy("p").agg(sum("cnt").as("n"))
+        .cache())
+    val chars = pieceCounts.filter(length(col("p")) === 1)
+    val multi = pieceCounts.filter(length(col("p")) >= 2)
+      .orderBy(col("n").desc, col("p").asc).limit(UnigramSeedK)
+    val vocab = chars.unionByName(multi).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = vocab.map(_._2).sum.toDouble
+    val seed = vocab.map { case (p, n) => p -> r6(math.log(n / total)) }.toMap
+    val usage = ugSegment(w, seed)
+      .join(w, "word")
+      .select(col("cnt"), explode(col("ps")).as("p"))
+      .groupBy("p").agg(sum("cnt").as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val totalU = usage.values.sum.toDouble
+    val denom = totalU + 0.5 * vocab.length
+    vocab.map { case (p, _) =>
+      p -> r6(math.log((usage.getOrElse(p, 0L) + 0.5) / denom))
+    }.toMap
+  }
 
   /** DSIR-style importance resampling core (Xie et al. 2023,
     * arXiv:2302.03169): per-doc importance weight of `docs` toward the
@@ -907,6 +1125,36 @@ object TextOps {
              sum(length(encode(col("word"), "UTF-8")).cast("long")).as("n_bytes"))
         .withColumn("tokens_per_word", round(col("n_tokens") / col("n_words"), 4))
         .withColumn("bytes_per_token", round(col("n_bytes") / col("n_tokens"), 4))
+        .orderBy("lang")
+    }),
+
+    // Unigram-LM tokenizer (Kudo 2018 / SentencePiece unigram), the
+    // probabilistic alternative beside BPE's greedy merges: seed vocab =
+    // alphabet + top-K substrings, ONE EM round (Viterbi E-step with the
+    // smallest-length tie-break, Haldane-smoothed M-step), then the
+    // per-lang corpus audit under the trained model. Training is
+    // distinct-words-sized; tokenization is one broadcast join of the
+    // word→pieces frame against the corpus words. The oracle replays the
+    // ENTIRE chain in DuckDB — substring counts, top-K seed, both
+    // Viterbi passes as recursive CTEs with the identical
+    // strictly-greater nested-CASE argmax — so the hash gate covers
+    // training AND decoding (the llm_bpe_merge_audit discipline, not
+    // the store-replay shortcut).
+    "llm_unigram_tokenize" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d)
+      val words = graft.GraftCaches.track(ugWords(docs).cache())
+      val model = unigramTrain(words)
+      val wordTok = ugSegment(words, model)
+        .select(col("word"), size(col("ps")).cast("long").as("n_tok"))
+      docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(wordTok), "word")
+        .groupBy("lang")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_words"),
+             sum("n_tok").as("n_tokens"))
+        .withColumn("tokens_per_word", round(col("n_tokens") / col("n_words"), 4))
         .orderBy("lang")
     }),
 
@@ -2101,6 +2349,10 @@ object TextOps {
       ORDER BY doc_id""",
 
     "llm_bpe_merge_audit" -> bpeAuditOracleSql,
+
+    // Full-chain unigram-LM replay: seed counts, top-K vocab, both
+    // Viterbi recursions and the EM re-estimation — see ugOracleSql.
+    "llm_unigram_tokenize" -> ugOracleSql,
 
     "llm_group_sample" -> """
       SELECT doc_id, lang, n_chars, rk FROM (

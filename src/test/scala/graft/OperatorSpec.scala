@@ -2521,6 +2521,34 @@ class OperatorSpec extends AnyFunSuite {
       Seq((0.3, 0.375, 2L, 8L, 1.0), (0.4, 0.375, 0L, 0L, 0.0)))
   }
 
+  test("unigram tokenizer: planted corpus trains and segments to the hand-run EM values") {
+    val sp = spark
+    import sp.implicits._
+    // corpus = "ab" x3: seed vocab {a:3, b:3, ab:3}, total 9, every seed
+    // score ln(1/3); Viterbi picks "ab" over a+b (one term beats two),
+    // usage {ab:3}, M-step: ab = ln(3.5/4.5), a = b = ln(0.5/4.5)
+    val docs = Seq(("d1", "ab ab ab")).toDF("doc_id", "text")
+    val words = graft.ops.TextOps.ugWords(docs)
+    val model = graft.ops.TextOps.unigramTrain(words)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(model === Map(
+      "ab" -> r6(math.log(3.5 / 4.5)),
+      "a" -> r6(math.log(0.5 / 4.5)),
+      "b" -> r6(math.log(0.5 / 4.5))))
+    val seg = graft.ops.TextOps.ugSegment(words, model).collect()
+    assert(seg.length == 1 && seg(0).getSeq[String](1) == Seq("ab"))
+    // properties on the real corpus: every word round-trips
+    // (concat(pieces) = word) and training is deterministic
+    val corpus = Tables.documents(spark, d).limit(200)
+    val m1 = graft.api.Text.trainUnigram(corpus)
+    val m2 = graft.api.Text.trainUnigram(corpus)
+    assert(m1 === m2)
+    val segs = graft.api.Text.unigramSegment(corpus, m1)
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    assert(segs.filter(concat_ws("", col("ps")) =!= col("word")).count() == 0L)
+    assert(segs.count() > 0L)
+  }
+
   test("betweennessOf: planted path and diamond graphs give the hand-run Brandes values") {
     import org.apache.spark.sql.functions._
     val sp = spark
