@@ -555,6 +555,63 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.45, f"IVF mean recall@5 regressed: $recall%.2f")
   }
 
+  // --- Cross-SF two-point pins for the no-oracle sketch keys (r17
+  // verdict #6): the single-SF tolerance pins above bound the error at
+  // one corpus size; these re-run each key at sf0.01 too, so the
+  // evidence is two-point — the envelope holds as the data grows 10x,
+  // and the estimates move WITH the data (a sketch frozen on one
+  // corpus, or an estimator that degrades with scale, fails here).
+
+  test("agg_approx_distinct: error envelope holds at BOTH SFs and the estimate grows with the data") {
+    import org.apache.spark.sql.functions._
+    val est = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { sf =>
+      val exact = Tables.lineitem(spark, sf)
+        .agg(countDistinct("l_orderkey")).collect()(0).getLong(0).toDouble
+      val e = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+        .collect()(0).getLong(0).toDouble
+      assert(math.abs(e - exact) / exact < 0.05,
+        s"$sf: approx $e vs exact $exact outside 5%")
+      e
+    }
+    assert(est(1) > 5 * est(0), s"estimate did not scale with the corpus: $est")
+  }
+
+  test("agg_approx_percentile: 5% envelope holds per group at BOTH SFs") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val ap = SparkEntry.queries("agg_approx_percentile")(spark, sf).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      val ex = SparkEntry.queries("agg_percentile")(spark, sf).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(ap.keySet === ex.keySet)
+      ap.foreach { case (k, (p50, p90)) =>
+        val (e50, e90) = ex(k)
+        assert(math.abs(p50 - e50) <= 0.05 * e50, s"$sf $k p50: $p50 vs $e50")
+        assert(math.abs(p90 - e90) <= 0.05 * e90, s"$sf $k p90: $p90 vs $e90")
+      }
+    }
+  }
+
+  test("agg_sketch_union: merge-path envelope holds at BOTH SFs and tracks the 10x user domain") {
+    import org.apache.spark.sql.functions._
+    val perSf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { sf =>
+      val viaUnion = SparkEntry.queries("agg_sketch_union")(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Tables.events(spark, sf).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaUnion.keySet === exact.keySet)
+      viaUnion.foreach { case (k, est) =>
+        assert(math.abs(est - exact(k)) <= math.max(2L, (0.025 * exact(k)).toLong),
+          s"$sf $k: sketch $est vs exact ${exact(k)}")
+      }
+      viaUnion
+    }
+    perSf(0).keySet.foreach { k =>
+      assert(perSf(1)(k) > 5 * perSf(0)(k),
+        s"$k: union estimate did not scale with the corpus: ${perSf(0)(k)} -> ${perSf(1)(k)}")
+    }
+  }
+
   test("agg_approx_distinct: HLL estimate within rsd bound of exact") {
     import org.apache.spark.sql.functions._
     val exact = Tables.lineitem(spark, d)

@@ -325,6 +325,14 @@ class StreamingSpec extends AnyFunSuite {
       s"late rows leaked: $row")
   }
 
+  test("stream_late_data: the watermark-drop contract holds at BOTH SFs (r17 verdict #6 two-point pin)") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val row = StreamOps.queries("stream_late_data")(spark, sf).collect()(0)
+      assert(row.getAs[Long]("n_late_injected") > 0, s"$sf: no late rows injected")
+      assert(row.getAs[Boolean]("all_late_dropped"), s"$sf: late rows leaked: $row")
+    }
+  }
+
   test("stream_stream_join equals batch interval join") {
     val streamed = StreamOps.queries("stream_stream_join")(spark, d).collect()
     val ev = Tables.events(spark, d)
