@@ -358,7 +358,7 @@ object StreamOps {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(rep.srcDir)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 4)
+    spark.conf.set("spark.sql.shuffle.partitions", 2)
     try start(src).awaitTermination()
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
@@ -402,7 +402,7 @@ object StreamOps {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(rep.srcDir)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 4)
+    spark.conf.set("spark.sql.shuffle.partitions", 2)
     val seen = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
@@ -686,7 +686,7 @@ object StreamOps {
     val signups = side("signup", "s_id", "s_user", "s_ts")
       .withWatermark("s_ts", "1 hour")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", 4)
+    s.conf.set("spark.sql.shuffle.partitions", 2)
     try {
       val q = purchases.join(signups,
           col("p_user") === col("s_user") &&
@@ -780,7 +780,7 @@ object StreamOps {
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
       val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      s.conf.set("spark.sql.shuffle.partitions", 2)
       try {
         def src(dir: String) = s.readStream.schema(rep.schema)
           .option("maxFilesPerTrigger", 1).parquet(dir)
