@@ -2363,8 +2363,12 @@ object LlmOps {
     // JNI/library decode changes only the inner function.
     "llm_multimodal_features" -> ((s, d) => {
       import s.implicits._
+      // a missing (NULL) payload decodes as the EMPTY asset, not an NPE —
+      // the src_binary_files canonicalization; the oracle coalesces the
+      // same way (identity on the non-null fixture)
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+                encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       docs.mapPartitions { it =>
         it.grouped(64).flatMap { batch => // batch shape of a real decoder
@@ -2407,8 +2411,11 @@ object LlmOps {
     // before the output sort, digest-keyed output) is real.
     "llm_multimodal_resize" -> ((s, d) => {
       val box = 256
+      // coalesce: a NULL text would null the hash and dims, and concat_ws
+      // SKIPS nulls — the thumb hash would silently become md5('') with
+      // no dims; the empty-asset canonicalization keeps every row defined
       val dims = Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("content_hash"))
         .withColumn("fake_w", (lit(64) +
           (ascii(substring(col("content_hash"), 1, 1)) * 256 +
            ascii(substring(col("content_hash"), 2, 1))) % 1024).cast("long"))
@@ -3722,8 +3729,8 @@ object LlmOps {
 
     "llm_multimodal_features" -> """
       WITH f AS (
-        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-               md5(text) AS content_hash
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes,
+               md5(coalesce(text, '')) AS content_hash
         FROM documents)
       SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, content_hash,
              CAST(64 + (ascii(substr(content_hash, 1, 1)) * 256
@@ -3759,7 +3766,8 @@ object LlmOps {
     // oracle, `//` = Spark's `div` (both floor non-negative integers),
     // `||':'||` with VARCHAR casts = concat_ws(":").
     "llm_multimodal_resize" -> """
-      WITH f AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      WITH f AS (SELECT doc_id, md5(coalesce(text, '')) AS content_hash
+                 FROM documents),
       dims AS (
         SELECT doc_id, content_hash,
           CAST(64 + (ascii(substr(content_hash, 1, 1)) * 256
@@ -3784,6 +3792,6 @@ object LlmOps {
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
       FROM documents JOIN embeddings ON doc_id = vec_id
       GROUP BY label, lang
-      ORDER BY label, lang"""
+      ORDER BY label NULLS FIRST, lang NULLS FIRST"""
   ))
 }

@@ -387,9 +387,13 @@ object ScanOps {
       val dir = tmpDir("graft_binfiles")
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 50).collect().foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
-            r.getString(1).getBytes("UTF-8"))
+          // a NULL or EMPTY payload stages NO file — a missing asset has
+          // nothing to write, and the binaryFile source skips zero-length
+          // files anyway; the oracle filters the same rows out
+          if (!r.isNullAt(1) && r.getString(1).nonEmpty)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8"))
         }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, "ignore_me.skip"),
@@ -621,8 +625,17 @@ object ScanOps {
     // the gate covers payload bytes end-to-end, not just counts.
     "src_text_roundtrip" -> ((s, d) => {
       val dir = tmpDir("graft_text")
+      // A text line cannot carry NULL: concat_ws SKIPS null fields, so a
+      // null lang/text would shear the layout (and the read-back
+      // getItem(2) is an ANSI INVALID_ARRAY_INDEX crash). The writer
+      // canonicalizes NULL to '' — the documented lossiness of the
+      // format — and the oracle audits the same coalesce, so the
+      // contract holds on null-bearing corpora too (identity on the
+      // fixture).
       Tables.documents(s, d)
-        .select(concat_ws("|", col("doc_id"), col("lang"), col("text")).as("value"))
+        .select(concat_ws("|", col("doc_id"),
+                coalesce(col("lang"), lit("")),
+                coalesce(col("text"), lit(""))).as("value"))
         .write.mode(SaveMode.Overwrite).text(dir)
       s.read.text(dir)
         .select(split(col("value"), "\\|", 3).as("p"))
@@ -1145,7 +1158,12 @@ object ScanOps {
 
     // Roundtrip is plumbing — the audit over the documents table itself;
     // the md5-prefix fold is the same ascii trick as llm_fingerprint's.
+    // coalesce mirrors the writer's NULL → '' canonicalization (a text
+    // line cannot carry NULL) — identity on the non-null fixture.
     "src_text_roundtrip" -> """
+      WITH t AS (
+        SELECT doc_id, coalesce(lang, '') AS lang, coalesce(text, '') AS text
+        FROM documents)
       SELECT lang, count(*) AS n_docs, count(DISTINCT doc_id) AS n_ids,
              CAST(sum(length(text)) AS BIGINT) AS total_chars,
              CAST(sum(list_reduce(list_transform(range(1, 9), j ->
@@ -1153,7 +1171,7 @@ object ScanOps {
                          THEN ascii(substr(md5(text), j, 1)) - 87
                          ELSE ascii(substr(md5(text), j, 1)) - 48 END AS BIGINT)),
                (a, b) -> a * 16 + b)) AS BIGINT) AS content_sum
-      FROM documents
+      FROM t
       GROUP BY lang
       ORDER BY lang""",
 
@@ -1200,7 +1218,7 @@ object ScanOps {
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              md5(text) AS content_hash
       FROM documents
-      WHERE doc_id < 50
+      WHERE doc_id < 50 AND length(text) > 0
       ORDER BY doc_id""",
 
     // Expected table content reconstructed from the ORIGINAL orders: the

@@ -449,7 +449,7 @@ object StreamOps {
   /** Read-back normalization shared by the sink keys: drop sentinels,
     * round, impose the oracle's total order. */
   private def sinkResult(df: DataFrame): DataFrame =
-    df.filter(col("event_type") =!= "__flush__")
+    df.filter(!(col("event_type") <=> "__flush__"))
       .select(col("window_start"), col("event_type"),
               col("n"), round(col("sv"), 2).as("sum_value"))
       .orderBy("window_start", "event_type")
@@ -741,7 +741,12 @@ object StreamOps {
         val ws = r.getTimestamp(0); val et = r.getString(1)
         del.setTimestamp(1, ws); del.setString(2, et); del.addBatch()
         ins.setTimestamp(1, ws); ins.setString(2, et)
-        ins.setLong(3, r.getLong(2)); ins.setDouble(4, r.getDouble(3))
+        ins.setLong(3, r.getLong(2))
+        // sv is NULL for an all-null-value window (SQL sum skips nulls) —
+        // store SQL NULL, not a getDouble crash; the oracle's sum is NULL
+        // on the same groups
+        if (r.isNullAt(3)) ins.setNull(4, java.sql.Types.DOUBLE)
+        else ins.setDouble(4, r.getDouble(3))
         ins.addBatch()
       }
       del.executeBatch(); ins.executeBatch()
@@ -759,7 +764,7 @@ object StreamOps {
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum("value").as("sv"))
       }
-        .filter(col("event_type") =!= "__flush__")
+        .filter(!(col("event_type") <=> "__flush__"))
         .select(col("window.start").as("window_start"), col("event_type"),
                 col("n"), round(col("sv"), 2).as("sum_value"))
         .orderBy("window_start", "event_type")
@@ -794,7 +799,7 @@ object StreamOps {
           .awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name)
-        .filter(col("event_type") =!= "__flush__")
+        .filter(!(col("event_type") <=> "__flush__"))
         .select(col("window.start").as("window_start"), col("event_type"),
                 col("n"), round(col("sv"), 2).as("sum_value"))
         .orderBy("window_start", "event_type")
@@ -808,7 +813,7 @@ object StreamOps {
           .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum("value").as("sv"))
       }
-        .filter(col("event_type") =!= "__flush__")
+        .filter(!(col("event_type") <=> "__flush__"))
         .select(col("window.start").as("window_start"), col("event_type"),
                 col("n"), round(col("sv"), 2).as("sum_value"))
         .orderBy("window_start", "event_type")
@@ -922,7 +927,7 @@ object StreamOps {
       // no watermark: final state equals the batch GROUP BY under any
       // file grouping; 2 files per trigger = 2 real update rounds.
       runStream(s, rep, "update", filesPerTrigger = 2) { src =>
-        src.select(col("user_id"), col("value")).as[Ev]
+        src.select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value")).as[Ev]
           .groupByKey(_.user_id)
           .mapGroupsWithState(GroupStateTimeout.NoTimeout)(statefulCount)
           .toDF()
@@ -942,7 +947,7 @@ object StreamOps {
       import s.implicits._
       withRocksDB(s) {
         runStream(s, rep, "update", filesPerTrigger = 2) { src =>
-          src.select(col("user_id"), col("value")).as[Ev]
+          src.select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value")).as[Ev]
             .groupByKey(_.user_id)
             .transformWithState(new RunningCountProcessor,
               TimeMode.None(), OutputMode.Update())
@@ -998,7 +1003,7 @@ object StreamOps {
       withRocksDB(s) {
         runStreamCaughtUp(s, rep, "update", rep.nBase + rep.nExtra,
                           filesPerTrigger = 2) { src =>
-          src.select(col("user_id"), col("value")).as[Ev]
+          src.select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value")).as[Ev]
             .groupByKey(_.user_id)
             .transformWithState(new TtlCountProcessor(3600000L),
               TimeMode.ProcessingTime(), OutputMode.Update())
@@ -1027,8 +1032,9 @@ object StreamOps {
       withRocksDB(s) {
         runStream(s, rep, "update", filesPerTrigger = 2) { src =>
           src.select(col("user_id"), unix_micros(col("ts")).as("tus"),
-                     col("event_id"), col("value"),
-                     (col("event_type") === "purchase").as("del")).as[CdcEv]
+                     col("event_id"), coalesce(col("value"), lit(0.0)).as("value"),
+                     coalesce(col("event_type") === "purchase", lit(false))
+                       .as("del")).as[CdcEv]
             .groupByKey(_.user_id)
             .transformWithState(new CdcApplyProcessor,
               TimeMode.None(), OutputMode.Update())
@@ -1198,7 +1204,12 @@ object StreamOps {
       }
       val ckpt = Files.createTempDirectory("graft-ckpt-").toFile.getAbsolutePath
       runReplay(s, rep, 1) { src =>
+        // the sink's (window_start, event_type) PRIMARY KEY cannot hold
+        // NULL — a null key canonicalizes to '' at the sink boundary (the
+        // src_text_roundtrip convention); the oracle groups the same
+        // coalesce, so NULL and '' merge identically on both engines
         windowAgg(src)
+          .withColumn("event_type", coalesce(col("event_type"), lit("")))
           .writeStream
           .outputMode("append")
           .option("checkpointLocation", ckpt)
@@ -1352,14 +1363,14 @@ object StreamOps {
              count(DISTINCT event_id) AS n_ids
       FROM events
       GROUP BY event_type
-      ORDER BY event_type""",
+      ORDER BY event_type NULLS FIRST""",
 
     "stream_tumbling" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY 1, 2
-      ORDER BY window_start, event_type""",
+      ORDER BY window_start, event_type NULLS FIRST""",
 
     // The union of the two disjoint halves IS the full log — identical
     // oracle to stream_tumbling.
@@ -1368,7 +1379,7 @@ object StreamOps {
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY 1, 2
-      ORDER BY window_start, event_type""",
+      ORDER BY window_start, event_type NULLS FIRST""",
 
     // Each event belongs to the 4 sliding 1-hour windows whose starts are
     // its 15-min bucket minus 0/15/30/45 minutes.
@@ -1382,7 +1393,7 @@ object StreamOps {
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM x
       GROUP BY 1, 2
-      ORDER BY window_start, event_type""",
+      ORDER BY window_start, event_type NULLS FIRST""",
 
     // Gaps-and-islands twin of session_window: a session breaks when the
     // gap is >= 30 minutes (Spark sessions are [start, last+gap) with an
@@ -1392,7 +1403,7 @@ object StreamOps {
       SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY event_type
-      ORDER BY event_type""",
+      ORDER BY event_type NULLS FIRST""",
 
     // Union-of-intervals semantics: a new session starts exactly when an
     // event's ts reaches the running MAX of all previous window ends
@@ -1462,13 +1473,15 @@ object StreamOps {
       ORDER BY event_id""",
 
     "stream_stateful_count" -> """
-      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      SELECT user_id, count(*) AS n_events,
+             round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
 
     "stream_stateful_tws" -> """
-      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      SELECT user_id, count(*) AS n_events,
+             round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
@@ -1477,8 +1490,8 @@ object StreamOps {
     // final) users are absent from the snapshot
     "stream_cdc_apply" -> """
       WITH ranked AS (
-        SELECT user_id, ts, value,
-               (event_type = 'purchase') AS del,
+        SELECT user_id, ts, coalesce(value, 0.0) AS value,
+               coalesce(event_type = 'purchase', false) AS del,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts DESC, event_id DESC) AS rn
         FROM events)
@@ -1489,7 +1502,8 @@ object StreamOps {
     // identical batch semantics to stream_stateful_tws — the key proves the
     // TTL'd-state write path, and a 1-hour TTL expires nothing in-replay
     "stream_state_ttl" -> """
-      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      SELECT user_id, count(*) AS n_events,
+             round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
@@ -1550,12 +1564,13 @@ object StreamOps {
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY 1, 2
-      ORDER BY window_start, event_type""",
+      ORDER BY window_start, event_type NULLS FIRST""",
 
     // identical semantics again — this key proves the foreachBatch JDBC
     // upsert path (idempotent keyed writes), not a new transform
     "stream_jdbc_sink" -> """
-      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             coalesce(event_type, '') AS event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY 1, 2
