@@ -1762,7 +1762,7 @@ object AggOps {
              round(avg(o_totalprice), 2) AS avg_price
       FROM orders
       GROUP BY 1, 2
-      ORDER BY bin""",
+      ORDER BY bin NULLS FIRST""",
 
     // Same RANGE-frame cumulative-weight derivation; integer-valued
     // weights keep both sums exact.
@@ -1791,13 +1791,13 @@ object AggOps {
                avg(pow(o_totalprice - m, 3)) AS m3,
                avg(pow(o_totalprice - m, 4)) AS m4,
                count(*) AS n
-        FROM orders JOIN mu ON o_orderpriority = g
+        FROM orders JOIN mu ON o_orderpriority IS NOT DISTINCT FROM g
         GROUP BY g)
       SELECT g AS o_orderpriority,
              round(m3 / pow(m2, 1.5), 4) AS skew,
              round(m4 / pow(m2, 2) - 3, 4) AS kurt,
              n
-      FROM c ORDER BY o_orderpriority""",
+      FROM c ORDER BY o_orderpriority NULLS FIRST""",
 
     "agg_geomean" -> """
       SELECT l_returnflag,
@@ -1816,7 +1816,7 @@ object AggOps {
              round(min(o_totalprice), 2) AS min_price
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     "agg_bool_logic" -> """
       SELECT o_orderstatus,
@@ -1839,7 +1839,7 @@ object AggOps {
              round(regr_avgy(o_totalprice, o_custkey), 2) AS avg_y
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     // Bitmaps are plumbing, not semantics — exactness is the claim, so the
     // oracle is the plain distinct count.
@@ -1847,7 +1847,7 @@ object AggOps {
       SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     // Same ranked-moment formula; DuckDB sums of DECIMAL×BIGINT are exact
     // like Spark's, the final expression is literal-identical doubles.
@@ -1874,7 +1874,7 @@ object AggOps {
             FROM events)
       SELECT pt.event_type, pt.n_distinct, g.n_total
       FROM pt CROSS JOIN g
-      ORDER BY pt.event_type""",
+      ORDER BY pt.event_type NULLS FIRST""",
 
     // Same explicit ((r-1)*10)//n + 1 decile index (NOT NTILE — its
     // remainder placement is engine-defined), same integer-count rates.
@@ -2231,7 +2231,7 @@ object AggOps {
                     / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
                            * (CAST(n_days AS DOUBLE) * syy - sy * sy))
                ELSE 0.0 END, 4) AS rho
-      FROM m ORDER BY event_type""",
+      FROM m ORDER BY event_type NULLS FIRST""",
 
     // Single divisions from exact int64 counts over the
     // (nation, segment) grid.
@@ -2293,7 +2293,7 @@ object AggOps {
              round((2 * CAST(six AS DOUBLE)
                     - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
                    / nullif(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) AS gini
-      FROM m ORDER BY o_orderpriority""",
+      FROM m ORDER BY o_orderpriority NULLS FIRST""",
 
     // Same md5-byte ladder, same DECIMAL resample sums, same order-stat
     // CI — the ladder is the DEFINED scheme, so both engines draw the
@@ -2338,7 +2338,7 @@ object AggOps {
              count(*) AS n
       FROM orders
       GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-      ORDER BY gid, o_orderpriority, o_orderstatus""",
+      ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
 
     // Same DECIMAL sufficient statistics, same literal double arithmetic.
     // Spark count(CASE…) ignores the ELSE-NULL rows exactly like DuckDB's
@@ -2383,7 +2383,7 @@ object AggOps {
              count(*) AS n
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     // Same explicit deterministic-mode derivation; median interpolates on
     // doubles in both engines.
@@ -2458,7 +2458,7 @@ object AggOps {
              count(*) AS n_events
       FROM events
       GROUP BY event_type
-      ORDER BY event_type""",
+      ORDER BY event_type NULLS FIRST""",
 
     "agg_collect" -> """
       SELECT o_orderstatus,
@@ -2494,7 +2494,7 @@ object AggOps {
              count(*) AS n
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     "agg_rollup" -> """
       SELECT c_mktsegment, o_orderstatus, grouping_id(c_mktsegment, o_orderstatus) AS gid,

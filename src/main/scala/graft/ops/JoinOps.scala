@@ -427,7 +427,7 @@ object JoinOps {
       SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment""",
+      ORDER BY c_mktsegment NULLS FIRST""",
 
     "join_broadcast" -> """
       SELECT n_nationkey, n_name, r_name
@@ -438,28 +438,28 @@ object JoinOps {
       SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment""",
+      ORDER BY c_mktsegment NULLS FIRST""",
 
     "join_sortmerge" -> """
       SELECT o_orderpriority, count(*) AS n_items,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     "join_left" -> """
       SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
              CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_custs_no_orders
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment""",
+      ORDER BY c_mktsegment NULLS FIRST""",
 
     "join_right" -> """
       SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
              CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_custs_no_orders
       FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment""",
+      ORDER BY c_mktsegment NULLS FIRST""",
 
     "join_full" -> """
       SELECT coalesce(jk, fk) AS custkey,

@@ -709,7 +709,7 @@ object OptOps {
       SELECT o_orderpriority, round(sum(o_totalprice), 2) AS rev, count(*) AS n
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     // Coalescing is physical re-bucketing only — plain agg is the oracle.
     // Spark's year()/month() return INT; DuckDB's return BIGINT — cast.
@@ -720,7 +720,7 @@ object OptOps {
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
       FROM orders
       GROUP BY 1, 2, 3
-      ORDER BY yr, mo, o_orderpriority""",
+      ORDER BY yr, mo, o_orderpriority NULLS FIRST""",
 
     // Layout is plumbing, not semantics: the same rollup over the FLAT
     // documents table — a mismatch would mean the nested re-layout lost
@@ -729,7 +729,7 @@ object OptOps {
       SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents
       GROUP BY lang
-      ORDER BY lang""",
+      ORDER BY lang NULLS FIRST""",
 
     "opt_dpp_prune" -> """
       WITH dim AS (

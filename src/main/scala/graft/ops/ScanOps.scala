@@ -1101,7 +1101,7 @@ object ScanOps {
              round(sum(o_totalprice), 2) AS total
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     "scan_parquet" -> """
       SELECT * FROM lineitem ORDER BY ALL""",
@@ -1204,7 +1204,7 @@ object ScanOps {
              count(DISTINCT event_id) AS n_ids
       FROM events
       GROUP BY event_type
-      ORDER BY event_type""",
+      ORDER BY event_type NULLS FIRST""",
 
     // The re-layout is content-preserving — same probe on ORIGINAL orders.
     "src_parquet_bloom" -> """
@@ -1302,7 +1302,7 @@ object ScanOps {
              (gx_us - mx_us) // 60000000 AS lag_min,
              ((gx_us - mx_us) // 60000000 <= 120) AS fresh
       FROM t, g
-      ORDER BY event_type""",
+      ORDER BY event_type NULLS FIRST""",
 
     // Same grouped rollup with a distinct-band count per QI group; the
     // band is floor(acctbal/2500) computed identically in both engines.
@@ -1522,7 +1522,7 @@ object ScanOps {
       SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     "src_orc_roundtrip" -> """
       SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price

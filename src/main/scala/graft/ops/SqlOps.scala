@@ -1191,7 +1191,7 @@ object SqlOps {
         WHERE c_custkey NOT IN
           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
       SELECT grp, n FROM (SELECT * FROM q4 UNION ALL SELECT * FROM cold) u
-      ORDER BY grp""",
+      ORDER BY grp NULLS FIRST""",
 
     // Variables resolve to their value at analysis — the inlined literal
     // is the semantic contract.
@@ -1306,7 +1306,7 @@ object SqlOps {
                     WHERE l.l_orderkey = o.o_orderkey
                       AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     "sql_q17_small_qty" -> """
       SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))

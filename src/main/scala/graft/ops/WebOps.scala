@@ -875,7 +875,7 @@ object WebOps {
                                    p -> NOT starts_with(p, 'utm_')), '&') AS cq
               FROM nf))
       SELECT canon_url, count(*) AS n_dups, min(doc_id) AS first_doc
-      FROM canon GROUP BY canon_url ORDER BY canon_url""",
+      FROM canon GROUP BY canon_url ORDER BY canon_url NULLS FIRST""",
 
     "llm_domain_filter" -> s"""
       WITH u AS ($UrlCte)
