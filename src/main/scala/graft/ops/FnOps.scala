@@ -556,7 +556,7 @@ object FnOps {
                list_filter(string_split(text, ' '), t -> length(t) >= 8) AS rare
         FROM documents)
       SELECT doc_id, CAST(len(rare) AS INTEGER) AS n_rare,
-             unnest(CASE WHEN len(rare) = 0 THEN [NULL] ELSE rare END) AS token
+             unnest(CASE WHEN rare IS NULL OR len(rare) = 0 THEN [NULL] ELSE rare END) AS token
       FROM r
       ORDER BY doc_id, token ASC NULLS FIRST""",
 
@@ -642,7 +642,8 @@ object FnOps {
     "fn_regex" -> """
       WITH h AS (SELECT doc_id, text, substring(text, 1, 40) AS head40 FROM documents)
       SELECT doc_id,
-             coalesce(regexp_extract(head40, '([a-z]+) ([a-z]+)', 2), '') AS second_word,
+             CASE WHEN head40 IS NULL THEN NULL
+                  ELSE coalesce(regexp_extract(head40, '([a-z]+) ([a-z]+)', 2), '') END AS second_word,
              CAST(len(regexp_extract_all(head40, '[a-z]+')) AS INTEGER) AS n_words40,
              regexp_replace(head40, '[aeiou]', '#', 'g') AS devoweled,
              regexp_matches(text, 'table .* value') AS has_tv,

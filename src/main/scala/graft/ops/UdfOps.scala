@@ -155,7 +155,8 @@ object UdfOps {
 
     "udf_scalar" -> """
       SELECT o_orderkey, round(o_totalprice, 2) AS price,
-             CASE WHEN o_totalprice < 50000 THEN 'low'
+             CASE WHEN o_totalprice IS NULL THEN NULL
+                  WHEN o_totalprice < 50000 THEN 'low'
                   WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS band_udf,
              CASE WHEN o_totalprice < 50000 THEN 'low'
                   WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS band_native

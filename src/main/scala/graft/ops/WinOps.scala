@@ -71,7 +71,13 @@ object WinOps {
         .select("bkt", "off", "n")
       val wL = Window.partitionBy("bkt")
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      bucketed.join(broadcast(offs), "bkt")
+      // null-SAFE bucket join: a NULL balance buckets to the NULL bucket,
+      // which the ascending bucket window already ranks FIRST (Spark's
+      // nulls-first sort) — a plain equi-join would silently DROP those
+      // rows from the ranking
+      bucketed.join(broadcast(offs.withColumnRenamed("bkt", "obkt")),
+                    col("bkt") <=> col("obkt"))
+        .drop("obkt")
         .withColumn("grank", col("off") + row_number().over(wL))
         // SQL-standard ntile: first (n mod k) buckets get ceil(n/k) rows
         // (n >= k always holds here: customers number >= 150).
@@ -774,8 +780,14 @@ object WinOps {
     val wBlk = Window.partitionBy(keyCol, "blk").orderBy(ordCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val p = pow(lit(1.0 / q), col("j"))
+    // NULL values contribute 0 with full weight: the plain windowed sum
+    // SKIPS a null, but a block whose PREFIX is all-null would make the
+    // in-block sum NULL and poison the carry combine — coalesce keeps the
+    // decomposition exactly equal to the one-window formula (the oracle
+    // carries the same coalesce)
+    val vSafe = coalesce(col(valCol), lit(0.0))
     val rows = daily
-      .withColumn("lnum", sum(col(valCol) * p).over(wBlk) * pow(lit(q), col("j")))
+      .withColumn("lnum", sum(vSafe * p).over(wBlk) * pow(lit(q), col("j")))
       .withColumn("lden", sum(p).over(wBlk) * pow(lit(q), col("j")))
     // Per-block end sums (n/B rows), then the carried prefix via a Horner
     // fold over the previous ≤M blocks: the frame is ordered by blk
@@ -785,7 +797,7 @@ object WinOps {
       arrCol, lit(0.0), (acc, x) => acc * lit(qB) + x)
     val carries = daily
       .groupBy(keyCol, "blk")
-      .agg(sum(col(valCol) * pow(lit(q), lit(B) - col("j"))).as("sblk"),
+      .agg(sum(vSafe * pow(lit(q), lit(B) - col("j"))).as("sblk"),
            sum(pow(lit(q), lit(B) - col("j"))).as("wblk"))
       .withColumn("cnum", horner(collect_list("sblk").over(wPrev)))
       .withColumn("cden", horner(collect_list("wblk").over(wPrev)))
@@ -865,7 +877,7 @@ object WinOps {
                pow(1.0 / 0.7, row_number() OVER (PARTITION BY user_id ORDER BY day)) AS p
         FROM daily)
       SELECT user_id, CAST(day AS TIMESTAMP) AS day, v,
-             round(sum(v * p) OVER w / sum(p) OVER w, 4) AS ewma
+             round(sum(coalesce(v, 0.0) * p) OVER w / sum(p) OVER w, 4) AS ewma
       FROM r
       WINDOW w AS (PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -882,7 +894,7 @@ object WinOps {
                pow(1.0 / 0.7, row_number() OVER (PARTITION BY user_id ORDER BY day)) AS p
         FROM daily)
       SELECT user_id, CAST(day AS TIMESTAMP) AS day, v,
-             round(sum(v * p) OVER w / sum(p) OVER w, 4) AS ewma
+             round(sum(coalesce(v, 0.0) * p) OVER w / sum(p) OVER w, 4) AS ewma
       FROM r
       WINDOW w AS (PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -941,7 +953,7 @@ object WinOps {
              round(percent_rank() OVER w, 6) AS pct_rank,
              round(cume_dist() OVER w, 6) AS cume
       FROM customer
-      WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+      WINDOW w AS (ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC)
       ORDER BY c_custkey""",
 
     // Same declared semantics as win_ntile_percent — the scalable plan must
@@ -952,7 +964,7 @@ object WinOps {
              round(percent_rank() OVER w, 6) AS pct_rank,
              round(cume_dist() OVER w, 6) AS cume
       FROM customer
-      WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+      WINDOW w AS (ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC)
       ORDER BY c_custkey""",
 
     // Same exact-moment derivation; DuckDB unpivots via UNION ALL of the
@@ -1059,7 +1071,7 @@ object WinOps {
              round(CAST(dvd AS DOUBLE), 2) AS daily_total,
              round(srun, 4) AS cusum,
              round(srun - smin, 4) AS drawup
-      FROM v ORDER BY event_type, day""",
+      FROM v ORDER BY event_type NULLS FIRST, day""",
 
     // Same DECIMAL daily totals, DECIMAL 7-day window sum, and
     // day-sorted seasonal fold; dow buckets differ by a constant across
@@ -1134,7 +1146,7 @@ object WinOps {
     "win_frame_range" -> """
       SELECT o_custkey, o_orderkey, o_totalprice,
              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-               ORDER BY o_totalprice ASC
+               ORDER BY o_totalprice ASC NULLS FIRST
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
       FROM orders
       ORDER BY o_orderkey""",
