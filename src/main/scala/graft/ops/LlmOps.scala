@@ -2772,7 +2772,7 @@ object LlmOps {
              count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_toks
       FROM c
       GROUP BY shard, bin
-      ORDER BY shard, bin""",
+      ORDER BY shard, bin NULLS FIRST""",
 
     "llm_mixture_sample" -> """
       SELECT lang, count(*) AS n_docs,
@@ -2782,7 +2782,7 @@ object LlmOps {
       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
               < CASE WHEN lang = 'en' THEN '80' ELSE '40' END
       GROUP BY lang
-      ORDER BY lang""",
+      ORDER BY lang NULLS FIRST""",
 
     "llm_doc_shard" -> """
       SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,

@@ -195,7 +195,7 @@ object RelOps {
                   WHEN l_quantity > 20 THEN 'mid'
                   ELSE 'light' END AS qty_band
       FROM lineitem
-      ORDER BY l_orderkey, l_linenumber, revenue, flag_status, qty_band""",
+      ORDER BY l_orderkey, l_linenumber, revenue NULLS FIRST, flag_status, qty_band""",
 
     "filter_in_between_like" -> """
       SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
@@ -285,6 +285,7 @@ object RelOps {
       UNION ALL
       SELECT o_orderkey, 'changed'
       FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        AND o_totalprice IS NOT NULL
       ORDER BY o_orderkey, change"""
   ))
 }

@@ -1143,7 +1143,7 @@ object ScanOps {
     // reconstructs exactly what mergeSchema produces.
     "src_schema_evolution" -> """
       SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
-                  ELSE o_orderpriority END AS gen,
+                  ELSE coalesce(o_orderpriority, '<pre-evolution>') END AS gen,
              count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders
       GROUP BY 1

@@ -670,7 +670,12 @@ object TextOps {
              (col("nr") + lit(256L)).cast("double"))).as("lr"))
     grams.join(broadcast(lr), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), round(avg("lr"), 4).as("weight"))
+      // + 0.0 canonicalizes IEEE signed zero: a doc whose gram log-ratios
+      // cancel can average to -0.0 on one engine and +0.0 on the other
+      // (summation-order freedom), and the byte-exact gate distinguishes
+      // them; x + 0.0 is the identity on every other double
+      .agg(count(lit(1)).as("n_grams"),
+           (round(avg("lr"), 4) + lit(0.0)).as("weight"))
       .withColumn("keep", col("weight") > 0)
   }
 
@@ -1465,15 +1470,25 @@ object TextOps {
               col("quality"))
       .cache())
     val wB = Window.partitionBy("lang").orderBy(col("quality").desc)
+    // NULL-text docs carry NULL toks and NULL quality: their tokens
+    // contribute 0 (both engines' sums skip them) but the ROWS must
+    // survive — the bucket equi-join below is null-SAFE so the
+    // null-quality bucket (ordered last under quality DESC on both
+    // engines) still gets the language's running total
     val buckets = perDoc.groupBy("lang", "quality")
-      .agg(sum("toks").as("btoks"))
+      .agg(sum(coalesce(col("toks"), lit(0L))).as("btoks"))
       .withColumn("cum_before", coalesce(
         sum("btoks").over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("lang", "quality", "cum_before")
     val wD = Window.partitionBy("lang", "quality").orderBy(col("doc_id").asc)
-    perDoc.join(broadcast(buckets), Seq("lang", "quality"))
+    perDoc.join(
+        broadcast(buckets.withColumnRenamed("lang", "blang")
+          .withColumnRenamed("quality", "bquality")),
+        col("lang") <=> col("blang") && col("quality") <=> col("bquality"))
+      .drop("blang", "bquality")
       .withColumn("cum", col("cum_before")
-        + sum("toks").over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        + sum(coalesce(col("toks"), lit(0L)))
+            .over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("doc_id"), col("lang"), col("toks"), col("quality"),
               (col("cum") <= budget).as("keep"))
   }
@@ -1867,7 +1882,7 @@ object TextOps {
              - ln(CAST(raw.cr + 1 AS DOUBLE) / CAST(tot.nr + 256 AS DOUBLE)) AS lr
         FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
       SELECT doc_id, count(*) AS n_grams,
-             round(avg(lr), 4) AS weight,
+             round(avg(lr), 4) + 0.0 AS weight,
              round(avg(lr), 4) > 0 AS keep
       FROM grams JOIN lr ON grams.b = lr.b
       GROUP BY doc_id
@@ -2149,7 +2164,9 @@ object TextOps {
         SELECT c.doc_id AS pair_id,
                CAST(len(c.u) AS BIGINT) AS n_cand_types,
                CAST(len(r.u) AS BIGINT) AS n_ref_types,
-               CAST(len(list_intersect(c.u, r.u)) AS BIGINT) AS n_overlap
+               CASE WHEN c.u IS NULL OR r.u IS NULL THEN NULL
+                    ELSE CAST(len(list_intersect(c.u, r.u)) AS BIGINT)
+               END AS n_overlap
         FROM t c JOIN t r ON r.doc_id = c.doc_id + 250
         WHERE c.doc_id < 250)
       SELECT pair_id, n_cand_types, n_ref_types, n_overlap,
@@ -2272,7 +2289,7 @@ object TextOps {
                  4) AS quality
         FROM x),
       r AS (
-        SELECT *, sum(toks) OVER (PARTITION BY lang
+        SELECT *, sum(coalesce(toks, 0)) OVER (PARTITION BY lang
                                   ORDER BY quality DESC, doc_id ASC
                                   ROWS UNBOUNDED PRECEDING) AS cum
         FROM q)
@@ -2292,7 +2309,7 @@ object TextOps {
              round(avg(bpe_tokens * 1.0 / ws_tokens), 4) AS bpe_per_ws
       FROM x
       GROUP BY lang
-      ORDER BY lang""",
+      ORDER BY lang NULLS FIRST""",
 
     // Same row-local boundary/slice lists in DuckDB (range() is
     // end-exclusive — range(1, len-2) = Spark's sequence(1, len-3));
@@ -2361,7 +2378,7 @@ object TextOps {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS rk
         FROM documents)
       WHERE rk <= 5
-      ORDER BY lang, rk""",
+      ORDER BY lang NULLS FIRST, rk""",
 
     // The same three stages as chained CTEs — quality predicate literals
     // mirror gopherOf(30, 100000), the keeper rule mirrors llm_exact_dedup,
@@ -2438,6 +2455,6 @@ object TextOps {
              round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
       FROM s
       GROUP BY lang, split
-      ORDER BY lang, split"""
+      ORDER BY lang NULLS FIRST, split"""
   ))
 }

@@ -291,7 +291,13 @@ object WebOps {
     graft.GraftCaches.track(dl)
     posting(base, dl)
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/posting$part")
-    dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    // ndl = docs with a NON-NULL dl: avgdl must merge as sum(sdl)/sum(ndl)
+    // — dividing by the ALL-docs count n would silently deflate avgdl on
+    // any corpus with null-text docs (avg() skips nulls; the moment merge
+    // must skip the same rows). n itself stays the all-docs count the idf
+    // uses.
+    dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"),
+           count(col("dl")).as("ndl"))
       .write.mode("overwrite").parquet(s"$dir/stats$part")
   }
 
@@ -316,7 +322,7 @@ object WebOps {
     }.reduce(_ unionByName _)
     val dfr = posting.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = s.read.parquet(parts.map(p => s"$dir/stats$p"): _*)
-      .agg(sum("n").as("n"), (sum("sdl") / sum("n")).as("avgdl"))
+      .agg(sum("n").as("n"), (sum("sdl") / sum("ndl")).as("avgdl"))
     posting.join(broadcast(dfr), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), bm25ScoreExpr(k1, b).as("s"))
@@ -600,7 +606,7 @@ object WebOps {
     parts.map(p => s.read.parquet(s"$dir/posting$p")).reduce(_ unionByName _)
       .write.mode("overwrite").partitionBy("tb").parquet(stagingP)
     parts.map(p => s.read.parquet(s"$dir/stats$p")).reduce(_ unionByName _)
-      .agg(sum("n").as("n"), sum("sdl").as("sdl"))
+      .agg(sum("n").as("n"), sum("sdl").as("sdl"), sum("ndl").as("ndl"))
       .write.mode("overwrite").parquet(stagingS)
     finishFromStaging()
   }
@@ -884,9 +890,10 @@ object WebOps {
              round(avg(n_chars), 2) AS avg_chars,
              count(DISTINCT lang) AS langs
       FROM u
-      WHERE lower(regexp_extract(url, '^https://([^/:#?]+)', 1))
+      WHERE url IS NULL
+         OR lower(regexp_extract(url, '^https://([^/:#?]+)', 1))
             NOT IN (${BlockedHosts.map(h => s"'$h'").mkString(", ")})
-      GROUP BY 1 ORDER BY 1""",
+      GROUP BY 1 ORDER BY 1 NULLS FIRST""",
 
     "llm_bm25_topk" -> Bm25OracleSql,
 
