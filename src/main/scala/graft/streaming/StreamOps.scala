@@ -1208,8 +1208,12 @@ object StreamOps {
         // NULL — a null key canonicalizes to '' at the sink boundary (the
         // src_text_roundtrip convention); the oracle groups the same
         // coalesce, so NULL and '' merge identically on both engines
-        windowAgg(src)
-          .withColumn("event_type", coalesce(col("event_type"), lit("")))
+        // BEFORE the aggregation, not after: post-agg coalescing would
+        // leave a NULL group and a genuine '' group as two rows sharing
+        // one PRIMARY KEY on a corpus carrying both — merging upstream
+        // is exactly the oracle's GROUP BY coalesce(event_type, '')
+        windowAgg(src.withColumn("event_type",
+            coalesce(col("event_type"), lit(""))))
           .writeStream
           .outputMode("append")
           .option("checkpointLocation", ckpt)
