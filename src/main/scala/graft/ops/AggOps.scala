@@ -1946,7 +1946,7 @@ object AggOps {
              round(list_sum(list_transform(cs,
                x -> -(CAST(x AS DOUBLE) / n) * log2(CAST(x AS DOUBLE) / n))),
                4) AS entropy_bits
-      FROM g ORDER BY user_id""",
+      FROM g ORDER BY user_id NULLS FIRST""",
 
     // Integer cumulative counts over the distinct-value grid — the max
     // |ECDF gap| is one division per cell, no double accumulation.

@@ -114,7 +114,10 @@ object FnOps {
     // /1-prefix test done as integer compares on the parsed value. The
     // round_trips column pins format∘parse = id.
     "fn_ipv4" -> ((s, d) =>
+      // a NULL user synthesizes no IP: concat_ws would SKIP the null
+      // octets and the round-trip cast would ANSI-crash on ''
       Tables.events(s, d).select(col("user_id")).distinct()
+        .filter(col("user_id").isNotNull)
         .withColumn("v",
           conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
             .cast("long"))
@@ -416,7 +419,7 @@ object FnOps {
       WITH v AS (
         SELECT DISTINCT user_id,
                ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS v
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
       o AS (
         SELECT user_id, v,
                v // 16777216 AS o1, (v // 65536) % 256 AS o2,
@@ -502,7 +505,8 @@ object FnOps {
              lpad(p_brand, 12, '*') AS padded,
              replace(p_name, ' ', '_') AS underscored,
              CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
-             coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+             CASE WHEN p_name IS NULL THEN NULL
+                  ELSE coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') END AS first_word,
              CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev,
              CAST(length(p_name) AS INTEGER) AS len,
              p_brand || '|' || p_type AS joined

@@ -895,7 +895,10 @@ object LlmOps {
   private[graft] def annIndexPath(s: SparkSession, d: String): String =
     graft.StoreDir.fixed(annIndexCache,
         graft.StoreDir.fixedPath("graft-annindex", d)) { dir =>
-      val e = Tables.embeddingsWide(s, d)
+      // a vector store cannot hold a NULL vector: the build rejects them
+      // at ingest (both engines read the SAME persisted posting, so the
+      // reject needs no oracle mirror)
+      val e = Tables.embeddingsWide(s, d).filter(col("embedding").isNotNull)
       val cen = kmeansCells(e, IvfCells, IvfIters)
       val cb = pqCodebooks(e)
       cen.write.mode("overwrite").parquet(s"$dir/cen")
@@ -939,7 +942,8 @@ object LlmOps {
   private[graft] def annIncPath(s: SparkSession, d: String): String =
     graft.StoreDir.fixed(annIncCache,
         graft.StoreDir.fixedPath("graft-anninc", d)) { dir =>
-      val e = Tables.embeddingsWide(s, d)
+      // same NULL-vector ingest reject as annIndexPath
+      val e = Tables.embeddingsWide(s, d).filter(col("embedding").isNotNull)
       val day1 = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
       val day2 = e.filter(pmod(col("vec_id"), lit(4)) === 0)
       // day-1 seeds must come from day-1 ids (the slice is NOT dense
@@ -1667,7 +1671,8 @@ object LlmOps {
     "llm_semdedup" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddingsWide(s, d)
-      semDedupOf(e, s.read.parquet(s"${annIndexPath(s, d)}/cen"), 0.3)
+      semDedupOf(e.filter(col("embedding").isNotNull),
+        s.read.parquet(s"${annIndexPath(s, d)}/cen"), 0.3)
         .orderBy("vec_id")
     }),
 
@@ -1855,7 +1860,8 @@ object LlmOps {
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       recallEvalOf(
         knnOf(q, c, 5).select(col("q_id"), col("n_id")),
-        ivfSearchPosting(e.filter(col("vec_id") < 100),
+        ivfSearchPosting(
+          e.filter(col("vec_id") < 100 && col("embedding").isNotNull),
             s.read.parquet(s"$idx/posting_ivf"), s.read.parquet(s"$idx/cen"),
             IvfProbes, 5)
           .select(col("q_id"), col("n_id")))
@@ -2162,7 +2168,9 @@ object LlmOps {
     // itself never shuffles. Stats round 6dp before use so both engines
     // feed identical mu/sigma into z; per-vector outputs round 4dp.
     "llm_embed_standardize" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      // NULL vectors cannot standardize — same ingest reject as the ANN
+      // stores; the oracle's unnest drops the same rows
+      val e = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
       val stats = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("pos"), col("v").cast("double").as("v"))
         .groupBy("pos")
@@ -2245,7 +2253,8 @@ object LlmOps {
       val idx = annIndexPath(s, d)
       val e = Tables.embeddingsWide(s, d) // probe assignment side
       val nprobe = s.conf.getOption(IvfNprobeKey).map(_.toInt).getOrElse(IvfProbes)
-      ivfSearchPosting(e.filter(col("vec_id") < 100),
+      ivfSearchPosting(
+        e.filter(col("vec_id") < 100 && col("embedding").isNotNull),
         s.read.parquet(s"$idx/posting_ivf"), s.read.parquet(s"$idx/cen"),
         nprobe, 5)
         .orderBy("q_id", "rk")
@@ -2670,12 +2679,13 @@ object LlmOps {
       init AS (
         SELECT CAST(vec_id AS INTEGER) AS cell,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-        FROM embeddings WHERE vec_id < 10),
+        FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
       ${kmeansRoundSql(1, "init")},
       ${kmeansRoundSql(2, "c1")},
       sc AS (
         SELECT v.vec_id, c.cell, ${cellCosSql("v.embedding", "c.cvec")} AS cc
-        FROM embeddings v CROSS JOIN c2 c),
+        FROM embeddings v CROSS JOIN c2 c
+        WHERE v.embedding IS NOT NULL),
       posting AS (
         SELECT cell, vec_id AS n_id FROM (
           SELECT vec_id, cell,
@@ -2706,7 +2716,8 @@ object LlmOps {
   private def kmeansRoundSql(n: Int, prevCen: String): String = s"""
       s$n AS (
         SELECT v.vec_id, c.cell, ${cellCosSql("v.embedding", "c.cvec")} AS cc
-        FROM embeddings v CROSS JOIN $prevCen c),
+        FROM embeddings v CROSS JOIN $prevCen c
+        WHERE v.embedding IS NOT NULL),
       a$n AS (
         SELECT vec_id, cell FROM (
           SELECT vec_id, cell,
@@ -3124,12 +3135,13 @@ object LlmOps {
       WITH init AS (
         SELECT CAST(vec_id AS INTEGER) AS cell,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-        FROM embeddings WHERE vec_id < 10),
+        FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
       ${kmeansRoundSql(1, "init")},
       ${kmeansRoundSql(2, "c1")},
       sc AS (
         SELECT v.vec_id, v.embedding, c.cell, ${cellCosSql("v.embedding", "c.cvec")} AS cc
-        FROM embeddings v CROSS JOIN c2 c),
+        FROM embeddings v CROSS JOIN c2 c
+        WHERE v.embedding IS NOT NULL),
       asg AS (
         SELECT vec_id, embedding, cell FROM (
           SELECT vec_id, embedding, cell,

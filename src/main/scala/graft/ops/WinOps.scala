@@ -934,7 +934,7 @@ object WinOps {
       SELECT user_id, count(*) AS n_streaks,
              CAST(max(len) AS BIGINT) AS max_streak,
              CAST(sum(len) AS BIGINT) AS n_active_days
-      FROM streaks GROUP BY user_id ORDER BY user_id""",
+      FROM streaks GROUP BY user_id ORDER BY user_id NULLS FIRST""",
 
     "win_rank_dense_rownum" -> """
       SELECT * FROM (
@@ -1188,7 +1188,7 @@ object WinOps {
         FROM g)
       SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
              count(*) AS n_events
-      FROM s GROUP BY user_id ORDER BY user_id""",
+      FROM s GROUP BY user_id ORDER BY user_id NULLS FIRST""",
 
     "win_cumulative_distinct" -> """
       WITH f AS (

@@ -927,7 +927,9 @@ object StreamOps {
       // no watermark: final state equals the batch GROUP BY under any
       // file grouping; 2 files per trigger = 2 real update rounds.
       runStream(s, rep, "update", filesPerTrigger = 2) { src =>
-        src.select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value")).as[Ev]
+        src.filter(col("user_id").isNotNull) // keyed state needs a key
+            .select(col("user_id"),
+                    coalesce(col("value"), lit(0.0)).as("value")).as[Ev]
           .groupByKey(_.user_id)
           .mapGroupsWithState(GroupStateTimeout.NoTimeout)(statefulCount)
           .toDF()
@@ -947,7 +949,9 @@ object StreamOps {
       import s.implicits._
       withRocksDB(s) {
         runStream(s, rep, "update", filesPerTrigger = 2) { src =>
-          src.select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value")).as[Ev]
+          src.filter(col("user_id").isNotNull) // keyed state needs a key
+            .select(col("user_id"),
+                    coalesce(col("value"), lit(0.0)).as("value")).as[Ev]
             .groupByKey(_.user_id)
             .transformWithState(new RunningCountProcessor,
               TimeMode.None(), OutputMode.Update())
@@ -974,6 +978,7 @@ object StreamOps {
       withRocksDB(s) {
         runStream(s, rep, "append") { src =>
           src.withWatermark("ts", "10 minutes")
+            .filter(col("user_id").isNotNull) // keyed state needs a key
             .select(col("user_id"), unix_micros(col("ts")).as("tus")).as[SessEv]
             .groupByKey(_.user_id)
             .transformWithState(new SessionTimerProcessor,
@@ -1003,7 +1008,9 @@ object StreamOps {
       withRocksDB(s) {
         runStreamCaughtUp(s, rep, "update", rep.nBase + rep.nExtra,
                           filesPerTrigger = 2) { src =>
-          src.select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value")).as[Ev]
+          src.filter(col("user_id").isNotNull) // keyed state needs a key
+            .select(col("user_id"),
+                    coalesce(col("value"), lit(0.0)).as("value")).as[Ev]
             .groupByKey(_.user_id)
             .transformWithState(new TtlCountProcessor(3600000L),
               TimeMode.ProcessingTime(), OutputMode.Update())
@@ -1031,7 +1038,8 @@ object StreamOps {
       import s.implicits._
       withRocksDB(s) {
         runStream(s, rep, "update", filesPerTrigger = 2) { src =>
-          src.select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          src.filter(col("user_id").isNotNull) // keyed state needs a key
+            .select(col("user_id"), unix_micros(col("ts")).as("tus"),
                      col("event_id"), coalesce(col("value"), lit(0.0)).as("value"),
                      coalesce(col("event_type") === "purchase", lit(false))
                        .as("del")).as[CdcEv]
@@ -1417,7 +1425,7 @@ object StreamOps {
         SELECT user_id, ts, event_id,
                ts + CASE WHEN event_type = 'view' THEN INTERVAL '15 minutes'
                          ELSE INTERVAL '45 minutes' END AS e_end
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
       o AS (
         SELECT user_id, ts, event_id, e_end,
                max(e_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1446,7 +1454,7 @@ object StreamOps {
       WITH o AS (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
       f AS (
         SELECT user_id, ts,
                CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '30 minutes'
@@ -1480,6 +1488,7 @@ object StreamOps {
       SELECT user_id, count(*) AS n_events,
              round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
+      WHERE user_id IS NOT NULL
       GROUP BY user_id
       ORDER BY user_id""",
 
@@ -1487,6 +1496,7 @@ object StreamOps {
       SELECT user_id, count(*) AS n_events,
              round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
+      WHERE user_id IS NOT NULL
       GROUP BY user_id
       ORDER BY user_id""",
 
@@ -1498,7 +1508,7 @@ object StreamOps {
                coalesce(event_type = 'purchase', false) AS del,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events)
+        FROM events WHERE user_id IS NOT NULL)
       SELECT user_id, ts AS last_ts, round(value, 2) AS value
       FROM ranked WHERE rn = 1 AND NOT del
       ORDER BY user_id""",
@@ -1509,6 +1519,7 @@ object StreamOps {
       SELECT user_id, count(*) AS n_events,
              round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
+      WHERE user_id IS NOT NULL
       GROUP BY user_id
       ORDER BY user_id""",
 
@@ -1518,7 +1529,7 @@ object StreamOps {
       WITH o AS (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
       f AS (
         SELECT user_id, ts,
                CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '30 minutes'

@@ -27,12 +27,19 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-nulldata"
 STRIDE = 41
 
+# Wave 2 (r18) added user_id (keyed state / sessions), embedding (vector
+# stores), and p_name (string fns / fuzzy join). events.ts stays non-null
+# BY DESIGN: the streaming replay fixture is time-keyed by construction
+# (range-cut chunks), exactly as a production ingest boundary enforces a
+# non-null event time.
 PLAN = {
-    "events": ["value", "event_type"],
+    "events": ["value", "event_type", "user_id"],
     "customer": ["c_acctbal", "c_mktsegment"],
     "orders": ["o_orderpriority", "o_totalprice"],
     "lineitem": ["l_discount"],
     "documents": ["text", "lang"],
+    "embeddings": ["embedding"],
+    "part": ["p_name"],
 }
 
 def main():
