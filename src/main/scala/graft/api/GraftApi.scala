@@ -365,6 +365,13 @@ object Similarity {
   def trainCentroids(vecs: DataFrame, k: Int = 10, iters: Int = 2,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val e = std(vecs, idCol, embCol)
+    // the centroid aggregate is compiled for the engine's fixed embedding
+    // width — fail with a named contract instead of an opaque ANSI
+    // element_at crash on a different-width corpus (one-row probe; this
+    // is a day-1 training call, not a hot path)
+    val probe = e.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(probe.isEmpty || probe(0).getInt(0) == LlmOps.EmbDim,
+      s"trainCentroids expects ${LlmOps.EmbDim}-dim embeddings, got ${probe(0).getInt(0)}")
     val wSeed = Window.orderBy("vec_id") // k rows post-limit — tiny window
     val init = e.orderBy("vec_id").limit(k)
       .withColumn("cell", (row_number().over(wSeed) - 1).cast("int"))

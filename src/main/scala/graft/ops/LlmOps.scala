@@ -503,7 +503,7 @@ object LlmOps {
   private val IvfIters = 2
   private val IvfProbes = 3
   val IvfNprobeKey = "spark.graft.ivf.nprobe"
-  private val EmbDim = 64
+  private[graft] val EmbDim = 64
 
   /** Per-dimension averages of `embedding` grouped by `keyCol`, rounded to
     * 6dp (the cross-engine parity rounding) and reassembled into a `cvec`

@@ -219,6 +219,76 @@ class AdversarialSpec extends AnyFunSuite {
     assert(graft.api.Similarity.knn(q, c, k = 3).collect().isEmpty)
   }
 
+  test("Ingest.ewma: a null value contributes 0 with full weight even when it LEADS a block") {
+    import org.apache.spark.sql.functions._
+    // 17 rows (block size 8): row 9 — the FIRST row of block 1 — is null.
+    // Pre-r18, the in-block sum of a null-led prefix was NULL and poisoned
+    // the carry combine; the result must equal the direct one-window
+    // formula with the null as a 0-contribution full-weight term.
+    val q = 0.7
+    val vals: Seq[Option[Double]] =
+      (1 to 17).map(i => if (i == 9) None else Some(i * 1.0))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("u", i, v) }.toDF("k", "o", "v")
+    val got = graft.api.Ingest.ewma(df, "k", "o", "v", alpha = 0.3)
+      .orderBy("o").collect().map(_.getDouble(3))
+    val expect = vals.indices.map { i =>
+      val terms = (0 to i).map { j =>
+        val w = math.pow(q, i - j)
+        (vals(j).getOrElse(0.0) * w, w)
+      }
+      val e = terms.map(_._1).sum / terms.map(_._2).sum
+      BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= 1e-4, s"row $i: got $g expect $e")
+    }
+  }
+
+  test("Text.tokenBudget: null-text/lang rows survive the two-phase plan with token weight 0") {
+    val docs = Seq(
+      ("d1", "en", "one two three"),
+      ("d2", null.asInstanceOf[String], null.asInstanceOf[String]),
+      ("d3", "en", "four five"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.api.Text.tokenBudget(docs, budget = 100)
+    assert(out.count() == 3L) // the null row is kept, not dropped by the bucket join
+    val nullRow = out.filter(col("doc_id") === "d2").collect()(0)
+    assert(nullRow.getAs[Boolean]("keep")) // zero tokens always fit the budget
+  }
+
+  test("Similarity.trainCentroids: a wrong-width corpus fails with the named contract, not an ANSI crash") {
+    val tiny = Seq(("1", Array(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Similarity.trainCentroids(tiny, k = 1, iters = 1)
+    }
+    assert(e.getMessage.contains("64-dim"))
+  }
+
+  test("Similarity IVF facades: null vectors are inert — no crash, no phantom assignments") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => ((seed * 31 + j * 7) % 13 - 6).toFloat)
+    val vecs = Seq(("1", vec(1)), ("2", vec(2)),
+                   ("3", null.asInstanceOf[Array[Float]]), ("4", vec(4)))
+      .toDF("vec_id", "embedding")
+    val clean = vecs.filter(col("embedding").isNotNull)
+    val cen = graft.api.Similarity.trainCentroids(clean, k = 2, iters = 1)
+    // assignment of a null vector must not crash; its cell is whatever the
+    // null-cos tie policy picks, but the NON-null assignments must equal
+    // the clean corpus's
+    val withNull = graft.api.Similarity.assignCells(vecs, cen).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    val cleanAsg = graft.api.Similarity.assignCells(clean, cen).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    cleanAsg.foreach { case (id, c) => assert(withNull(id) == c) }
+    // search over a corpus carrying a null vector: the null can never
+    // outrank a real neighbor (null cos orders last)
+    val res = graft.api.Similarity.ivfSearch(clean.filter(col("vec_id") === "1"),
+      vecs, cen, k = 2).collect()
+    assert(res.nonEmpty && res.forall(r =>
+      r.getAs[String]("n_id") != "3" || r.isNullAt(r.fieldIndex("cos"))))
+  }
+
   test("Similarity.mrr: duplicated approx rows cannot inflate the reciprocal rank") {
     val truth = Seq(("q1", "a"), ("q1", "b")).toDF("q_id", "n_id")
     val approxDup = Seq(("q1", "a", 2), ("q1", "a", 2), ("q1", "a", 2))
