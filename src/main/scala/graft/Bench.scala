@@ -54,6 +54,17 @@ object Bench {
     * episode (0.118 → 0.580 ≈ 4.9×). */
   private val SuspectFactor = 3.0
 
+  /** Committed sentinel ANCHOR (r19 verdict #5): the r18 builder anchor
+    * run's sentinel median on a quiet box (BENCH_FULL @ f3f4d83: median
+    * 0.121 s, max 0.216 s). The PREFLIGHT below re-times the sentinel 3×
+    * before sweep 0; if even the MIN exceeds LoadWarnFactor × this
+    * anchor, the box is loaded before the run starts and the record
+    * carries `"load_warning":true` — so a loaded-box artifact (like the
+    * r18 driver record's 147 post-hoc-adjudicated suspects) documents
+    * itself instead of needing cross-round inference. */
+  private val SentinelAnchorSec = 0.121
+  private val LoadWarnFactor = 2.0
+
   /** Keys whose raw repeats ride in the SHORT last line so a
     * tail-truncated capture alone can adjudicate environment vs
     * regression (~45 B per key; 13 keys keep the line comfortably under
@@ -64,12 +75,14 @@ object Bench {
   private val Watchlist = Seq(
     "limit_topn", "join_semi", "join_theta_range", "join_shuffle_hash",
     "join_skew_salted", "join_sortmerge", "llm_multimodal_join",
-    "stream_stream_outer", "sort_multi",
-    "stream_static_join", "stream_stateful_tws", "src_csv_roundtrip",
+    "sort_multi", "src_csv_roundtrip",
     "opt_cosine_rewrite", "graph_pagerank", "graph_components",
     // r15: the two most expensive additions (LPA-backed modularity and
     // the basket pair join) — raws in the tail for the same reason
     "graph_modularity", "agg_association_rules")
+    // r19: the stream_* keys left this list — the family is declared AT
+    // FLOOR (scaffolding-bound) in BASELINE.md's streaming-floor section;
+    // its drift adjudicates against the 39.7 s controlled floor there.
 
   private def fmt(x: Double): String = f"$x%.3f"
 
@@ -128,6 +141,16 @@ object Bench {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+
+    // Ambient-load PREFLIGHT (r19 verdict #5): 3 sentinel shots before
+    // sweep 0, judged against the committed quiet-box anchor.
+    val preflight = Seq.fill(3)(sentinelShot())
+    val loadWarning = preflight.min > LoadWarnFactor * SentinelAnchorSec
+    if (loadWarning)
+      System.err.println(
+        s"[bench] LOAD WARNING: preflight sentinel min ${fmt(preflight.min)}s" +
+        s" > ${LoadWarnFactor}x anchor ${SentinelAnchorSec}s — box is loaded;" +
+        " per-key numbers in this record need load adjudication")
 
     // optional trailing args restrict the run (local iteration); the
     // driver always runs with none.
@@ -222,10 +245,12 @@ object Bench {
       .map(o => o.map { case (k, _) => s"\"$k\"" }.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
+    val preflightJson = preflight.map(fmt).mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-      s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"suspect":$suspectJson,""" +
-      s""""sentinel":$sentinelJson,"queries":$qs}"""
+      s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"load_warning":$loadWarning,""" +
+      s""""preflight":$preflightJson,"sentinel_anchor":$SentinelAnchorSec,""" +
+      s""""suspect":$suspectJson,"sentinel":$sentinelJson,"queries":$qs}"""
 
     // Full record → repo file (never truncated): compact fields + per-key
     // medians + raw per-sweep times + each sweep's execution order + seed.
@@ -235,8 +260,12 @@ object Bench {
       s""" independently-shuffled sweeps (1 repeat/key/sweep)","median_in":"median",""" +
       s""""suspect_rule":"sentinel shot > ${SuspectFactor}x run median flags adjacent segments"},""" +
       s""""order_seed":$seed,"orders":$ordersJson,"median":$medJson,"raw":$rawAll}"""
+    // SPARK_GRAFT_BENCH_OUT redirects the full record (tools/scalecheck.py
+    // runs Bench per-SF and must not clobber the round's committed record).
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
     quietly(java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      java.nio.file.Paths.get(fullOut),
       (full + "\n").getBytes("UTF-8")))
 
     // FIRST stdout line: the complete compact record (head-capture wins).
@@ -252,6 +281,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"n_keys":${results.length},""" +
+      s""""load_warning":$loadWarning,""" +
       s""""sentinel_median":${fmt(sentMedian)},"sentinel_max":${fmt(sentMax)},""" +
       s""""suspect":$suspectJson,"watch":$watch,"full":"BENCH_FULL.json"}""")
     System.out.flush()

@@ -367,9 +367,12 @@ object Similarity {
     val e = std(vecs, idCol, embCol)
     // the centroid aggregate is compiled for the engine's fixed embedding
     // width — fail with a named contract instead of an opaque ANSI
-    // element_at crash on a different-width corpus (one-row probe; this
-    // is a day-1 training call, not a hot path)
-    val probe = e.select(size(col("embedding")).as("d")).limit(1).collect()
+    // element_at crash on a different-width corpus (one-row probe over
+    // non-NULL vectors only: a NULL first row would make size() NULL and
+    // turn this guard into the very opaque NPE it exists to prevent;
+    // this is a day-1 training call, not a hot path)
+    val probe = e.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).limit(1).collect()
     require(probe.isEmpty || probe(0).getInt(0) == LlmOps.EmbDim,
       s"trainCentroids expects ${LlmOps.EmbDim}-dim embeddings, got ${probe(0).getInt(0)}")
     val wSeed = Window.orderBy("vec_id") // k rows post-limit — tiny window
@@ -1223,6 +1226,21 @@ object Quality {
   def psi(df: DataFrame, valueCol: String, isExpCol: String,
           bandWidth: Double, nBands: Int = 10): DataFrame =
     graft.ops.ScanOps.psiOf(df, valueCol, isExpCol, bandWidth, nBands)
+
+  /** Embedding-drift monitor (obs_drift_embedding's exact core) —
+    * [[psi]]'s twin for vector columns, the training/serving-skew check
+    * between corpus snapshots. `df` needs (`isExpCol` BOOLEAN,
+    * `embCol` ARRAY<numeric>) with non-null vectors (filter upstream —
+    * same ingest reject as the ANN stores). Returns one row
+    * (n_expected, n_actual, psi, centroid_cos, avg_norm_exp,
+    * avg_norm_act): PSI over 20 bands of each vector's cosine to the
+    * EXPECTED-period (training) centroid — a global-centroid reference
+    * would be blind to symmetric rotations — the two periods' centroid
+    * cosine (1.0 = no shift), and each period's mean L2 norm. */
+  def embeddingDrift(df: DataFrame, isExpCol: String = "is_exp",
+                     embCol: String = "embedding"): DataFrame =
+    graft.ops.ScanOps.embeddingDriftOf(
+      df.select(col(isExpCol).as("is_exp"), col(embCol).as("embedding")))
 
   /** k-anonymity audit (obs_k_anonymity's exact core): per threshold in
     * `ks`, how many quasi-identifier groups — and what fraction of rows —

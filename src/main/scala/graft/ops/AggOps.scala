@@ -1474,6 +1474,59 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Time-decayed / windowed sketch maintenance (r19): the streaming-
+    // freshness companion to agg_sketch_union. Per-DAY exact mergeable
+    // distinct-user partials (the shipped bitmap sketch — the same
+    // bucket/position machinery as agg_bitmap_functions) are built ONCE
+    // in one map-side-combined hash-agg, then every output day merges
+    // only its trailing windows of PARTIALS at query time:
+    //   - rolling7_users: bitmap_or_agg over the trailing 7 days' bitmaps
+    //     → exact windowed distinct, never a raw re-scan (merge cost ∝
+    //     days × window, not corpus size — at 100 TB the per-day bitmaps
+    //     persist and a day's refresh ORs 7 small bitmaps);
+    //   - decayed_users: exponential half-life-1-day decay folded over
+    //     the trailing 14 days' per-day distinct counts, Σ n_d / 2^(t−d).
+    //     The weight is built by integer shiftleft so every term (and
+    //     every partial sum: counts < 2^20, shift ≤ 13 ⇒ ≤ 34 significand
+    //     bits) is EXACT in binary floating point — summation order
+    //     cannot perturb the value, so the double hash-gates unrounded.
+    // Day×day range joins run over the ~30-row AGGREGATED day frame
+    // (broadcast), never over raw events.
+    "agg_sketch_decay" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+        .selectExpr("day",
+          "bitmap_bucket_number(user_id) AS bkt",
+          "bitmap_bit_position(user_id) AS pos")
+        .groupBy("day", "bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        .withColumn("di", datediff(col("day"), lit("2024-01-01").cast("date")))
+      val counts = daily.groupBy("day", "di")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      val days = counts.select(col("day"), col("di"))
+      val roll = days.as("t")
+        .join(broadcast(daily.as("p")),
+              col("p.di").between(col("t.di") - 6, col("t.di")))
+        .groupBy(col("t.day").as("day"), col("p.bkt"))
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+        .groupBy("day").agg(sum("c").as("rolling7_users"))
+      val ndays = days.as("t")
+        .join(broadcast(days.as("p")),
+              col("p.di").between(col("t.di") - 6, col("t.di")))
+        .groupBy(col("t.day").as("day"))
+        .agg(count(lit(1)).cast("int").as("n_days"))
+      val dec = days.as("t")
+        .join(broadcast(counts.as("p")),
+              col("p.di").between(col("t.di") - 13, col("t.di")))
+        .groupBy(col("t.day").as("day"))
+        .agg(sum(expr(
+          "n_users / CAST(shiftleft(1L, t.di - p.di) AS DOUBLE)"))
+          .as("decayed_users"))
+      roll.join(dec, "day").join(ndays, "day")
+        .select("day", "rolling7_users", "decayed_users", "n_days")
+        .orderBy("day")
+    }),
+
     // Theta-sketch set operations (Datasketches): the cardinality algebra
     // HLL cannot do — |A ∪ B|, |A ∩ B|, |A \ B| from mergeable per-set
     // sketches. The production shape: persist per-day/per-segment theta
@@ -1875,6 +1928,41 @@ object AggOps {
       SELECT pt.event_type, pt.n_distinct, g.n_total
       FROM pt CROSS JOIN g
       ORDER BY pt.event_type NULLS FIRST""",
+
+    // Exact restatement of the windowed/decayed sketch maintenance: the
+    // rolling distinct re-derives from raw events (count DISTINCT over the
+    // trailing-7-day join — same integers as the bitmap-OR merge), the
+    // decay folds the same shiftleft-exact weights over per-day distinct
+    // counts (every term and partial sum exact in binary ⇒ the DOUBLE
+    // hash-gates unrounded, summation order irrelevant).
+    "agg_sketch_decay" -> """
+      WITH e AS (
+        SELECT date_trunc('day', ts) AS day, user_id,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS di
+        FROM events),
+      days AS (SELECT DISTINCT day, di FROM e),
+      daily AS (
+        SELECT day, di, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM e GROUP BY 1, 2),
+      roll AS (
+        SELECT t.day AS day,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS rolling7_users
+        FROM days t JOIN e ON e.di BETWEEN t.di - 6 AND t.di
+        GROUP BY 1),
+      nd AS (
+        SELECT t.day AS day, CAST(count(*) AS INTEGER) AS n_days
+        FROM days t JOIN days p ON p.di BETWEEN t.di - 6 AND t.di
+        GROUP BY 1),
+      dec AS (
+        SELECT t.day AS day,
+               sum(p.n_users / CAST(1::BIGINT << (t.di - p.di) AS DOUBLE))
+                 AS decayed_users
+        FROM days t JOIN daily p ON p.di BETWEEN t.di - 13 AND t.di
+        GROUP BY 1)
+      SELECT roll.day, roll.rolling7_users, dec.decayed_users, nd.n_days
+      FROM roll JOIN dec USING (day) JOIN nd USING (day)
+      ORDER BY day""",
 
     // Same explicit ((r-1)*10)//n + 1 decile index (NOT NTILE — its
     // remainder placement is engine-defined), same integer-count rates.

@@ -509,7 +509,7 @@ object FnOps {
                   ELSE coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') END AS first_word,
              CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev,
              CAST(length(p_name) AS INTEGER) AS len,
-             p_brand || '|' || p_type AS joined
+             concat_ws('|', p_brand, p_type) AS joined
       FROM part
       ORDER BY p_partkey""",
 

@@ -63,6 +63,51 @@ object ScanOps {
           .as("psi"))
   }
 
+  /** Embedding-drift core (obs_drift_embedding / Quality.embeddingDrift):
+    * input needs (is_exp BOOLEAN, embedding ARRAY<numeric>) with non-null
+    * vectors and a non-empty expected period. One row out: PSI over 20
+    * bands of each vector's cosine to the EXPECTED-period (training)
+    * 6dp-rounded centroid (band = (cos+1)/0.1 — raw L2-norm bands
+    * collapse to one cell on a unit-norm corpus, and the GLOBAL centroid
+    * would be drift-BLIND to symmetric rotations since both clusters sit
+    * equidistant from the mean; alignment to the training centroid is
+    * the scalar that actually drops under serving drift), the cosine
+    * between the two periods' centroids, and each period's mean L2 norm
+    * (4dp). One posexplode agg collapses the corpus to d stat rows; the
+    * reference centroid returns as a LITERAL array (d-row driver read,
+    * the llm_embed_standardize economics) so per-vector cosines are
+    * row-local — the corpus never shuffles. Banding the computed float
+    * is safe because the dot/norm folds are sequential in dim order on
+    * both engines (zip_with/aggregate ≙ list_zip/list_sum) over
+    * identical rounded centroids — the banded double is bit-identical. */
+  private[graft] def embeddingDriftOf(e: DataFrame): DataFrame = {
+    val stats = e.select(col("is_exp"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("is_exp"), col("pos"), col("v").cast("double").as("v"))
+      .groupBy("pos")
+      .agg(round(avg(when(col("is_exp"), col("v"))), 6).as("mu_e"),
+           round(avg(when(!col("is_exp"), col("v"))), 6).as("mu_a"))
+    val cc = stats.agg(
+      round(sum(col("mu_e") * col("mu_a")) /
+            (sqrt(sum(col("mu_e") * col("mu_e"))) *
+             sqrt(sum(col("mu_a") * col("mu_a")))), 4).as("centroid_cos"))
+    val mus = array(stats.orderBy("pos").select("mu_e").collect()
+      .map(r => lit(r.getDouble(0))).toSeq: _*)
+    val dot = aggregate(
+      zip_with(col("embedding"), mus, (x, m) => x.cast("double") * m),
+      lit(0.0), (a, x) => a + x)
+    val nv = sqrt(aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val nc = sqrt(aggregate(mus, lit(0.0), (a, m) => a + m * m))
+    val vals = e.select(col("is_exp"), (dot / (nv * nc) + 1.0).as("value"),
+                        nv.as("nv"))
+    val psi = psiOf(vals, "value", "is_exp", bandWidth = 0.1, nBands = 20)
+    val nrm = vals.agg(
+      round(avg(when(col("is_exp"), col("nv"))), 4).as("avg_norm_exp"),
+      round(avg(when(!col("is_exp"), col("nv"))), 4).as("avg_norm_act"))
+    psi.crossJoin(broadcast(cc)).crossJoin(broadcast(nrm))
+  }
+
   /** Row-local data-quality core (obs_dq_checks / `Quality.expect`):
     * every rule is `name -> violation predicate`, all evaluated as
     * conditional sums in ONE pass over `df`, unstacked to (rule,
@@ -743,6 +788,31 @@ object ScanOps {
             col("ts") < lit("2024-01-11").cast("timestamp")),
         "value", "is_exp", bandWidth = 50.0, nBands = 10)),
 
+    // obs_drift_psi's twin for VECTOR columns (r19) — the training/serving
+    // skew check every embedding pipeline runs between corpus snapshots
+    // (halves here, split by vec_id parity). Three facets in one row:
+    //   - psi over 20 bands of each vector's cosine to the GLOBAL 6dp-
+    //     rounded centroid (the corpus is unit-norm, so raw L2-norm bands
+    //     would all collapse into one cell — alignment-to-centroid is the
+    //     scalar that actually moves under embedding drift);
+    //   - centroid_cos: cosine between the two halves' centroids (1.0 =
+    //     no shift) from ONE conditional per-dim agg;
+    //   - avg L2 norm per half (the norm-drift facet; ≈1.0 on this
+    //     corpus by construction).
+    // Scale shape: one posexplode agg collapses the corpus to d=64 stat
+    // rows; the centroid returns as a LITERAL array (d-row driver read,
+    // the llm_embed_standardize economics) so per-vector cosines are
+    // row-local arithmetic — the corpus never shuffles; psiOf folds 20
+    // band cells. Banding a COMPUTED float is safe here because the dot/
+    // norm folds are sequential in dim order on BOTH engines (zip_with/
+    // aggregate vs list_zip/list_sum) over identical 6dp-rounded centroid
+    // values — the banded double is bit-identical, not merely close.
+    "obs_drift_embedding" -> ((s, d) =>
+      embeddingDriftOf(
+        Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .withColumn("is_exp", pmod(col("vec_id"), lit(2)) === 0))),
+
     "obs_dq_checks" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val rowLocal = expectOf(o, Seq(
@@ -1292,6 +1362,68 @@ object ScanOps {
                     * ln(((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + 5.0))
                          / ((CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + 5.0))))), 4) AS psi
       FROM t""",
+
+    // Embedding-drift twin: same 6dp-rounded half centroids (the
+    // EXPECTED one is the banding reference), dot and norm folds
+    // sequential in dim order (list_zip/list_sum mirrors
+    // zip_with/aggregate) so the banded cosine is bit-identical before
+    // floor(); same 20-band sorted psi fold with the fixed-universe
+    // smoothing mass 20*0.5 = 10.
+    "obs_drift_embedding" -> """
+      WITH e AS (
+        SELECT vec_id, embedding, vec_id % 2 = 0 AS is_exp
+        FROM embeddings WHERE embedding IS NOT NULL),
+      x AS (
+        SELECT vec_id, is_exp, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM e),
+      c AS (
+        SELECT pos,
+               round(avg(CASE WHEN is_exp THEN v END), 6) AS mu_e,
+               round(avg(CASE WHEN NOT is_exp THEN v END), 6) AS mu_a
+        FROM x GROUP BY pos),
+      cl AS (SELECT list(mu_e ORDER BY pos) AS cl FROM c),
+      cc AS (
+        SELECT round(sum(mu_e * mu_a)
+                     / (sqrt(sum(mu_e * mu_e)) * sqrt(sum(mu_a * mu_a))), 4)
+                 AS centroid_cos
+        FROM c),
+      d AS (
+        SELECT e.vec_id, e.is_exp,
+               list_sum(list_transform(list_zip(e.embedding, cl.cl),
+                 z -> CAST(z[1] AS DOUBLE) * z[2])) AS dot,
+               sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+               sqrt(list_sum(list_transform(cl.cl, m -> m * m))) AS nc
+        FROM e CROSS JOIN cl),
+      vals AS (SELECT is_exp, dot / (nv * nc) + 1.0 AS val, nv FROM d),
+      b AS (
+        SELECT CAST(greatest(least(floor(val / 0.1), 19.0), 0.0) AS INTEGER) AS band,
+               is_exp
+        FROM vals),
+      bc AS (
+        SELECT band,
+               CAST(sum(CASE WHEN is_exp THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+               CAST(sum(CASE WHEN is_exp THEN 0 ELSE 1 END) AS BIGINT) AS na
+        FROM b GROUP BY band),
+      t AS (
+        SELECT CAST(sum(ne) AS BIGINT) AS n_expected,
+               CAST(sum(na) AS BIGINT) AS n_actual,
+               list(struct_pack(ne := ne, na := na) ORDER BY band) AS bs
+        FROM bc),
+      nrm AS (
+        SELECT round(avg(CASE WHEN is_exp THEN nv END), 4) AS avg_norm_exp,
+               round(avg(CASE WHEN NOT is_exp THEN nv END), 4) AS avg_norm_act
+        FROM vals)
+      SELECT t.n_expected, t.n_actual,
+             round(list_sum(list_transform(bs,
+               x -> ((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + 10.0)
+                     - (CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + 10.0))
+                    * ln(((CAST(x.na AS DOUBLE) + 0.5) / (n_actual + 10.0))
+                         / ((CAST(x.ne AS DOUBLE) + 0.5) / (n_expected + 10.0))))), 4)
+               AS psi,
+             cc.centroid_cos, nrm.avg_norm_exp, nrm.avg_norm_act
+      FROM t CROSS JOIN cc CROSS JOIN nrm""",
 
     "obs_freshness" -> """
       WITH t AS (

@@ -945,7 +945,7 @@ object WinOps {
         FROM part
         WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC))
       WHERE rn <= 10
-      ORDER BY p_brand, rn""",
+      ORDER BY p_brand NULLS FIRST, rn""",
 
     "win_ntile_percent" -> """
       SELECT c_custkey, c_acctbal,

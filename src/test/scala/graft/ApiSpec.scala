@@ -948,6 +948,16 @@ class ApiSpec extends AnyFunSuite {
     assert(api2.nonEmpty)
   }
 
+  test("Quality.embeddingDrift equals obs_drift_embedding") {
+    val base = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull)
+      .withColumn("parity_flag", pmod(col("vec_id"), lit(2)) === 0)
+    val api2 = rowSet(api.Quality.embeddingDrift(base, "parity_flag"))
+    val key = rowSet(SparkEntry.queries("obs_drift_embedding")(spark, d))
+    assert(api2 === key)
+    assert(api2.nonEmpty)
+  }
+
   test("Sampling.preferencePairs equals llm_dpo_pairs") {
     val base = docs.select((col("doc_id") % 50).as("grp"), col("doc_id"),
                            col("n_chars"))

@@ -21,12 +21,12 @@ class ContractSpec extends AnyFunSuite {
     assert(e.getMessage.contains("x"))
   }
 
-  test("every module table constructs (no duplicates anywhere) and the merged contract holds 362 keys") {
+  test("every module table constructs (no duplicates anywhere) and the merged contract holds 364 keys") {
     // Forcing SparkEntry.queries/oracleSql constructs all 28 per-module
     // tables through uniqueMap — any within-module duplicate throws here.
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql
-    assert(qs.size == 362, s"contract key count drifted: ${qs.size}")
+    assert(qs.size == 364, s"contract key count drifted: ${qs.size}")
     // every oracle names an existing key
     val orphans = os.keySet -- qs.keySet
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")

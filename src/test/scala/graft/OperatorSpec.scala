@@ -2115,6 +2115,78 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getLong(0) > 0 && r.getLong(1) > 0)
   }
 
+  test("agg_sketch_decay: rolling merge equals exact windowed distinct; decay recomputes") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_sketch_decay")(spark, d).collect()
+    // exact ground truth: per-day distinct + trailing-7-day distinct from
+    // a raw re-scan (the thing the bitmap merge must NEVER need but must
+    // exactly equal)
+    val ev = Tables.events(spark, d)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .withColumn("di", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val days = ev.select("day", "di").distinct()
+    val exactRoll = days.as("t")
+      .join(ev.as("p"), col("p.di").between(col("t.di") - 6, col("t.di")))
+      .groupBy(col("t.day")).agg(countDistinct(col("p.user_id")).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val daily = ev.groupBy("di").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val diOf = days.collect().map(r => r.getTimestamp(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (day, roll, dec, nd) =
+        (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      assert(roll == exactRoll(day), s"$day: bitmap-merged rolling $roll " +
+        s"!= exact windowed distinct ${exactRoll(day)}")
+      val t = diOf(day)
+      // decay recompute: sum over trailing 14 observed days of n_d/2^(t-d)
+      // — every term exact in binary, so == comparison is legitimate
+      val expDec = (math.max(0, t - 13) to t)
+        .flatMap(dd => daily.get(dd).map(n => n.toDouble / (1L << (t - dd))))
+        .sum
+      assert(dec == expDec, s"$day: decayed $dec != recomputed $expDec")
+      assert(nd == diOf.values.count(dd => dd >= t - 6 && dd <= t))
+    }
+    // the mergeable-sketch point: the FIRST day's rolling window is just
+    // itself, so merge-of-one must equal that day's own distinct
+    val first = rows.minBy(_.getTimestamp(0).getTime)
+    assert(first.getLong(1) == daily(diOf(first.getTimestamp(0))))
+  }
+
+  test("obs_drift_embedding: planted drift is detected; identical halves are quiet") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two planted snapshots on the 4-dim unit sphere: expected clusters
+    // near +e1, actual near +e2 ⇒ strong drift (low centroid cosine,
+    // large PSI); then actual == expected ⇒ psi 0, centroid_cos 1
+    def vec(main: Int, eps: Double): Seq[Float] = {
+      val raw = Array.tabulate(4)(i => if (i == main) 1.0 else eps)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat).toSeq
+    }
+    val drifted = ((0 until 20).map(i => (true, vec(0, 0.01 * (i % 5)))) ++
+                   (0 until 20).map(i => (false, vec(1, 0.01 * (i % 5)))))
+      .toDF("is_exp", "embedding")
+    val dr = graft.ops.ScanOps.embeddingDriftOf(drifted).head()
+    assert(dr.getDouble(3) < 0.1,
+      s"orthogonal clusters should have near-zero centroid cos, got ${dr.getDouble(3)}")
+    assert(dr.getDouble(2) > 1.0,
+      s"planted drift should blow past the 0.2 alarm, got psi ${dr.getDouble(2)}")
+    val same = ((0 until 20).map(i => (true, vec(0, 0.01 * (i % 5)))) ++
+                (0 until 20).map(i => (false, vec(0, 0.01 * (i % 5)))))
+      .toDF("is_exp", "embedding")
+    val sm = graft.ops.ScanOps.embeddingDriftOf(same).head()
+    assert(sm.getDouble(2) == 0.0, s"identical halves psi ${sm.getDouble(2)}")
+    assert(sm.getDouble(3) == 1.0, s"identical halves centroid cos ${sm.getDouble(3)}")
+    // contract-key run on the corpus: sane ranges + the count partition
+    val r = SparkEntry.queries("obs_drift_embedding")(spark, d).head()
+    assert(r.getLong(0) + r.getLong(1) ===
+      Tables.embeddings(spark, d).filter(col("embedding").isNotNull).count())
+    assert(r.getDouble(2) >= 0.0)
+    assert(math.abs(r.getDouble(3)) <= 1.0)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(5) > 0.0)
+  }
+
   test("win_ignore_nulls: filled column equals a sequential forward fill") {
     val rows = SparkEntry.queries("win_ignore_nulls")(spark, d).collect()
     rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>

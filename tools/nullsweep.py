@@ -39,7 +39,10 @@ PLAN = {
     "lineitem": ["l_discount"],
     "documents": ["text", "lang"],
     "embeddings": ["embedding"],
-    "part": ["p_name"],
+    # Wave 3 (r19, ADVICE r18 #2): p_brand/p_type — fn_string's concat_ws
+    # and the SqlOps/WinOps part-dimension consumers were only proven on
+    # non-null brand/type before this.
+    "part": ["p_name", "p_brand", "p_type"],
 }
 
 def main():
