@@ -24,4 +24,19 @@ object Contract {
         "a Map literal would silently keep the last and shadow the rest")
     entries.toMap
   }
+
+  /** Measure-ingest guard (r19 fuzz sweep): TRUE for NULL or finite
+    * values, FALSE only for NaN/±Inf. Keys whose math assumes a REAL
+    * measure (DECIMAL money casts, band/cents integer derivation,
+    * variance folds, Derby-bound sinks) filter their measure column
+    * through this at ingest — keeping each key's r18-pinned NULL
+    * convention intact (a bare `isfinite(x)` filter would silently eat
+    * the NULL rows those conventions keep). Oracle restatement:
+    * `(x IS NULL OR isfinite(x))`. Production reading: a pipeline whose
+    * money/measure feed can carry NaN/Inf rejects them at the ingest
+    * edge once, not in every consumer. */
+  def finiteOrNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{isnan, abs, lit}
+    c.isNull || (!isnan(c) && abs(c) < lit(Double.PositiveInfinity))
+  }
 }

@@ -53,11 +53,28 @@ object Tables {
   }
 
   def documentsWide(s: SparkSession, d: String): DataFrame = wide(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Vector-ingest contract (r19 fuzz sweep): a zero-LENGTH vector makes
+    * every element_at/fold crash or produce dim-dependent garbage, and a
+    * zero-NORM vector has no cosine direction (0/0) — both are
+    * un-embeddable rows a production vector pipeline rejects at the
+    * ingest edge, once, instead of guarding every consumer. This reader
+    * IS that edge: it drops them (codegen'd size + short-circuit exists,
+    * no shuffle). NULL vectors pass through — their handling is each
+    * key's own r18-pinned null convention. Every embedding oracle
+    * restates the same reject as a shadowing `embeddings AS (...)` CTE. */
+  private def validVectors(df: DataFrame): DataFrame =
+    df.filter(col("embedding").isNull ||
+      (size(col("embedding")) > 0 &&
+       exists(col("embedding"), x => x =!= 0.0f)))
+
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    validVectors(t(s, d, "embeddings"))
   /** `embeddings` for join-probe-side consumers (see [[wide]]). Keep the
     * plain `embeddings` for broadcast/build/aggregate-only consumers — an
     * exchange ahead of a broadcast or a hash-agg buys nothing. */
-  def embeddingsWide(s: SparkSession, d: String): DataFrame = wide(s, d, "embeddings")
+  def embeddingsWide(s: SparkSession, d: String): DataFrame =
+    validVectors(wide(s, d, "embeddings"))
 
   /** `events.parquet`'s `ts` physical type has varied across testdata
     * generations — INT64 TIMESTAMP(NANOS) originally, TIMESTAMP_NTZ(µs)

@@ -887,6 +887,9 @@ object AggOps {
     // TPC-H Q1 shape — the flagship aggregation.
     "agg_groupby" -> ((s, d) => {
       Tables.lineitem(s, d)
+        // measure-ingest guard (r19 fuzz): partial-agg ORDER makes the
+        // NaN a sum emits bit-nondeterministic across engines AND runs
+        .filter(graft.Contract.finiteOrNull(col("l_discount")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
@@ -923,6 +926,9 @@ object AggOps {
     "agg_max_by" -> ((s, d) => {
       val v = col("o_totalprice") + col("o_orderkey") * 1e-6
       Tables.orders(s, d)
+        // measure-ingest guard (r19 fuzz): argmax over NaN/Inf is
+        // engine-ordering-defined — reject at ingest, keep NULLs
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice")))
         .groupBy("o_orderpriority")
         .agg(max_by(col("o_orderkey"), v).as("priciest_key"),
              min_by(col("o_orderkey"), v).as("cheapest_key"),
@@ -961,6 +967,7 @@ object AggOps {
     // reassociation noise).
     "agg_regression" -> ((s, d) => {
       Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz: variance folds over a REAL measure
         .groupBy("o_orderpriority")
         .agg(expr("round(regr_slope(o_totalprice, o_custkey), 4)").as("slope"),
              expr("round(regr_intercept(o_totalprice, o_custkey), 2)").as("intercept"),
@@ -1058,6 +1065,10 @@ object AggOps {
     // Exact percentiles (interpolating), not approx — matches quantile_cont.
     "agg_percentile" -> ((s, d) => {
       Tables.orders(s, d)
+        // measure-ingest guard (r19 fuzz): a quantile of a measure with
+        // NaN/Inf rows is ordering-convention garbage (Spark sorts NaN
+        // last, DuckDB ranks it greatest) — reject at ingest, keep NULLs
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice")))
         .groupBy("o_orderpriority")
         .agg(
           round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
@@ -1076,6 +1087,8 @@ object AggOps {
         SELECT c_mktsegment, o_orderstatus, grouping_id() AS gid,
                count(1) AS n, round(sum(o_totalprice), 2) AS total
         FROM orders_ru JOIN customer_ru ON o_custkey = c_custkey
+        WHERE (o_totalprice IS NULL OR
+               (NOT isnan(o_totalprice) AND abs(o_totalprice) < CAST('Infinity' AS DOUBLE)))
         GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
         ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
       """)
@@ -1092,6 +1105,8 @@ object AggOps {
         FROM orders_cu
         JOIN customer_cu ON o_custkey = c_custkey
         JOIN nation_cu ON c_nationkey = n_nationkey
+        WHERE (o_totalprice IS NULL OR
+               (NOT isnan(o_totalprice) AND abs(o_totalprice) < CAST('Infinity' AS DOUBLE)))
         GROUP BY CUBE (n_name, o_orderpriority)
         ORDER BY gid, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """)
@@ -1103,6 +1118,8 @@ object AggOps {
         SELECT o_orderstatus, o_orderpriority, grouping_id() AS gid,
                count(1) AS n, round(sum(o_totalprice), 2) AS total
         FROM orders_gs
+        WHERE (o_totalprice IS NULL OR
+               (NOT isnan(o_totalprice) AND abs(o_totalprice) < CAST('Infinity' AS DOUBLE)))
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
       """)
@@ -1184,7 +1201,9 @@ object AggOps {
     // tiebreaker keeps the rank column itself engine-stable. Both moments
     // accumulate in DECIMAL (order-exact); G is one double expression.
     "agg_gini" -> ((s, d) =>
-      giniOf(Tables.orders(s, d),
+      // measure-ingest guard (r19 fuzz): rank-weighted DECIMAL sums
+      giniOf(Tables.orders(s, d)
+               .filter(graft.Contract.finiteOrNull(col("o_totalprice"))),
              "o_orderpriority", "o_totalprice", "o_orderkey")
         .orderBy("o_orderpriority")),
 
@@ -1205,7 +1224,10 @@ object AggOps {
     // trap; measured 0.18 s at sf0.1, 55× the explode plan) live on
     // [[bootstrapMeanCiOf]].
     "agg_bootstrap_ci" -> ((s, d) =>
-      bootstrapMeanCiOf(Tables.orders(s, d), "o_totalprice", "o_orderkey")),
+      // measure-ingest guard (r19 fuzz): resample means are DECIMAL sums
+      bootstrapMeanCiOf(Tables.orders(s, d)
+                          .filter(graft.Contract.finiteOrNull(col("o_totalprice"))),
+                        "o_totalprice", "o_orderkey")),
 
     // grouping()/grouping_id() over a ROLLUP — the disambiguation the
     // multi-level aggregate family (agg_rollup/cube/grouping_sets) stops
@@ -1245,7 +1267,11 @@ object AggOps {
     // shape: sufficient statistics are map-side-combinable and mergeable
     // across days/partitions — the raw data is never revisited.
     "agg_ab_ttest" -> ((s, d) =>
-      ttestOf(Tables.orders(s, d),
+      // measure-ingest guard (r19 fuzz): the t-stat's DECIMAL money sums
+      // assume a REAL measure — NaN/Inf rejected, NULLs keep their
+      // r18 convention (oracle restates the same predicate)
+      ttestOf(Tables.orders(s, d)
+                .filter(graft.Contract.finiteOrNull(col("o_totalprice"))),
               "o_orderpriority", "1-URGENT", "5-LOW", "o_totalprice")),
 
     // Shannon entropy of each user's event-type mix — the behavioral-
@@ -1373,7 +1399,9 @@ object AggOps {
     // UNROUNDED values. Output is per-user (dimension-sized, not
     // per-event).
     "agg_mad_outliers" -> ((s, d) =>
-      madOutliersOf(Tables.events(s, d), "user_id", "value")
+      madOutliersOf(Tables.events(s, d)
+          .filter(graft.Contract.finiteOrNull(col("value"))), // r19 fuzz: median over a REAL measure
+        "user_id", "value")
         .orderBy("user_id")),
 
     // Market-basket association rules over order baskets — the classic
@@ -1432,6 +1460,7 @@ object AggOps {
     // dimension (notes on decileLiftOf).
     "agg_decile_lift" -> ((s, d) => {
       val scored = Tables.events(s, d)
+        .filter(graft.Contract.finiteOrNull(col("value"))) // r19 fuzz: DECIMAL score sum
         .groupBy("user_id")
         .agg(sum(col("value").cast("decimal(18,2)")).as("score"),
              sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
@@ -1442,10 +1471,17 @@ object AggOps {
     }),
 
     "agg_benford" -> ((s, d) =>
-      benfordOf(Tables.orders(s, d), "o_totalprice").orderBy("digit")),
+      // measure-ingest guard (r19 fuzz): the cents-string digit is an
+      // exact BIGINT derivation — NaN/Inf cannot cast (and DuckDB's
+      // NaN > 0 is TRUE while Spark's is false, so the existing > 0
+      // filter alone diverges); NULLs already drop at > 0
+      benfordOf(Tables.orders(s, d)
+                  .filter(graft.Contract.finiteOrNull(col("o_totalprice"))),
+                "o_totalprice").orderBy("digit")),
 
     "agg_corr_stats" -> ((s, d) => {
       Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz: moment folds over a REAL measure
         .groupBy("o_orderpriority")
         .agg(
           round(corr(col("o_totalprice"), col("o_custkey")), 4).as("price_cust_corr"),
@@ -1573,7 +1609,12 @@ object AggOps {
         .select(lower(col("text")).as("t"))
         .select(explode(expr(
           "transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("g"))
-      grams.agg(expr("approx_top_k(g, 1000, 100000)").as("tk"))
+      // k == maxItemsTracked (r19 fuzz): with k below the tracked
+      // capacity a vocabulary crossing k made the returned set a
+      // tie-order-unspecified top-k cut while the sketch itself was
+      // still exact — returning everything tracked keeps the whole
+      // result inside the exact-below-capacity contract at any gate SF
+      grams.agg(expr("approx_top_k(g, 100000, 100000)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("g"), col("e.count").as("cnt"))
         .orderBy("g")
@@ -1693,6 +1734,7 @@ object AggOps {
     // a min/max pre-pass.
     "agg_histogram" -> ((s, d) =>
       Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz: BIGINT bin derivation
         .groupBy(floor(col("o_totalprice") / 50000.0).as("bin"))
         .agg(count(lit(1)).as("n"),
              round(avg("o_totalprice"), 2).as("avg_price"))
@@ -1731,6 +1773,7 @@ object AggOps {
     // reconstructs the same population moments in two explicit passes.
     "agg_skew_kurtosis" -> ((s, d) =>
       Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz: moment folds
         .groupBy("o_orderpriority")
         .agg(round(skewness(col("o_totalprice")), 4).as("skew"),
              round(kurtosis(col("o_totalprice")), 4).as("kurt"),
@@ -1814,6 +1857,7 @@ object AggOps {
              count(*) AS n,
              round(avg(o_totalprice), 2) AS avg_price
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY 1, 2
       ORDER BY bin NULLS FIRST""",
 
@@ -1835,16 +1879,19 @@ object AggOps {
     // DuckDB's skewness/kurtosis are SAMPLE-corrected — reconstruct
     // Spark's population definitions from explicit centered moments.
     "agg_skew_kurtosis" -> """
-      WITH mu AS (
+      WITH oo AS (
+        SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))),
+      mu AS (
         SELECT o_orderpriority AS g, avg(o_totalprice) AS m
-        FROM orders GROUP BY 1),
+        FROM oo GROUP BY 1),
       c AS (
         SELECT g,
                avg(pow(o_totalprice - m, 2)) AS m2,
                avg(pow(o_totalprice - m, 3)) AS m3,
                avg(pow(o_totalprice - m, 4)) AS m4,
                count(*) AS n
-        FROM orders JOIN mu ON o_orderpriority IS NOT DISTINCT FROM g
+        FROM oo JOIN mu ON o_orderpriority IS NOT DISTINCT FROM g
         GROUP BY g)
       SELECT g AS o_orderpriority,
              round(m3 / pow(m2, 1.5), 4) AS skew,
@@ -1868,6 +1915,7 @@ object AggOps {
              round(max(o_totalprice), 2) AS max_price,
              round(min(o_totalprice), 2) AS min_price
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority NULLS FIRST""",
 
@@ -1891,6 +1939,7 @@ object AggOps {
              round(regr_avgx(o_totalprice, o_custkey), 4) AS avg_x,
              round(regr_avgy(o_totalprice, o_custkey), 2) AS avg_y
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority NULLS FIRST""",
 
@@ -1908,7 +1957,8 @@ object AggOps {
       WITH dig AS (
         SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        FROM orders WHERE o_totalprice > 0),
+        -- isfinite required explicitly: DuckDB's NaN > 0 is TRUE
+        FROM orders WHERE o_totalprice > 0 AND isfinite(o_totalprice)),
       c AS (SELECT digit, count(*) AS n FROM dig GROUP BY 1),
       t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM c)
       SELECT digit, n,
@@ -1973,7 +2023,9 @@ object AggOps {
                CASE WHEN sum(CASE WHEN event_type = 'purchase'
                              THEN 1 ELSE 0 END) >= 14
                     THEN 1 ELSE 0 END AS resp
-        FROM events GROUP BY 1),
+        FROM events
+        WHERE (value IS NULL OR isfinite(value))
+        GROUP BY 1),
       r AS (
         SELECT user_id, resp,
                row_number() OVER (ORDER BY score DESC, user_id ASC) AS r,
@@ -2347,12 +2399,15 @@ object AggOps {
     // the outlier threshold compares UNROUNDED med/mad exactly like the
     // Spark side.
     "agg_mad_outliers" -> """
-      WITH med AS (
+      WITH ev AS (
+        SELECT user_id, value FROM events
+        WHERE (value IS NULL OR isfinite(value))),
+      med AS (
         SELECT user_id, quantile_cont(value, 0.5) AS med
-        FROM events GROUP BY 1),
+        FROM ev GROUP BY 1),
       dev AS (
         SELECT e.user_id, abs(e.value - med.med) AS dev, med.med
-        FROM events e JOIN med USING (user_id)),
+        FROM ev e JOIN med USING (user_id)),
       mad AS (
         SELECT user_id, quantile_cont(dev, 0.5) AS mad
         FROM dev GROUP BY 1)
@@ -2372,7 +2427,8 @@ object AggOps {
                CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
                CAST(row_number() OVER (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS i
-        FROM orders),
+        FROM orders
+        WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))),
       m AS (
         SELECT o_orderpriority, count(*) AS n,
                sum(xd) AS sx, sum(xd * i) AS six
@@ -2391,7 +2447,8 @@ object AggOps {
         SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
                md5('a:' || o_orderkey::VARCHAR) AS h1,
                md5('b:' || o_orderkey::VARCHAR) AS h2
-        FROM orders),
+        FROM orders
+        WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))),
       rb AS (
         SELECT xd, b,
                ('0x' || substring(CASE WHEN b < 16 THEN h1 ELSE h2 END,
@@ -2446,7 +2503,8 @@ object AggOps {
           CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
                         THEN CAST(o_totalprice AS DECIMAL(18,2))
                            * CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sxx_b
-        FROM orders)
+        FROM orders
+        WHERE (o_totalprice IS NULL OR isfinite(o_totalprice)))
       SELECT n_a, n_b,
              round(sx_a / nullif(n_a, 0), 4) AS mean_a,
              round(sx_b / nullif(n_b, 0), 4) AS mean_b,
@@ -2470,6 +2528,7 @@ object AggOps {
              round(var_pop(o_totalprice), 2) AS v_pop,
              count(*) AS n
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority NULLS FIRST""",
 
@@ -2537,6 +2596,7 @@ object AggOps {
              round(avg(l_discount), 4) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
+      WHERE (l_discount IS NULL OR isfinite(l_discount))
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
 
@@ -2581,6 +2641,7 @@ object AggOps {
              round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
              count(*) AS n
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority NULLS FIRST""",
 
@@ -2588,6 +2649,7 @@ object AggOps {
       SELECT c_mktsegment, o_orderstatus, grouping_id(c_mktsegment, o_orderstatus) AS gid,
              count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
       ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""",
 
@@ -2597,6 +2659,7 @@ object AggOps {
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY CUBE (n_name, o_orderpriority)
       ORDER BY gid, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
 
@@ -2604,6 +2667,7 @@ object AggOps {
       SELECT o_orderstatus, o_orderpriority, grouping_id(o_orderstatus, o_orderpriority) AS gid,
              count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
 

@@ -444,10 +444,12 @@ object FnOps {
     "fn_base64_codec" -> """
       WITH h AS (
         SELECT doc_id, substring(text, 1, 24) AS head FROM documents)
+      -- encode(): the UTF-8 STRING->BLOB conversion (::BLOB requires
+      -- ascii-only and crashes on multi-byte text — r19 fuzz)
       SELECT doc_id,
-             to_base64(head::BLOB) AS b64,
+             to_base64(encode(head)) AS b64,
              hex(head) AS hx,
-             (decode(from_base64(to_base64(head::BLOB))) = head) AS b64_rt,
+             (decode(from_base64(to_base64(encode(head)))) = head) AS b64_rt,
              (decode(unhex(hex(head))) = head) AS hex_rt
       FROM h ORDER BY doc_id""",
 
@@ -538,7 +540,10 @@ object FnOps {
              round(log10(l_extendedprice), 4) AS log10_p,
              round(pow(l_quantity, 2.0), 2) AS p2,
              ((l_orderkey % 7) + 7) % 7 AS pm,
-             CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
+             -- NaN seam (r19 fuzz): Spark's signum PROPAGATES NaN while
+             -- DuckDB's sign(NaN) = 0 — mirror Spark's IEEE behavior
+             CASE WHEN isnan(l_discount - 0.05) THEN 'NaN'::DOUBLE
+                  ELSE CAST(sign(l_discount - 0.05) AS DOUBLE) END AS sg
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber""",
 
@@ -565,6 +570,13 @@ object FnOps {
       ORDER BY doc_id, token ASC NULLS FIRST""",
 
     "fn_array" -> """
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0))
       SELECT vec_id,
              CAST(len(embedding) AS INTEGER) AS dim,
              round(CAST(embedding[1] AS DOUBLE), 5) AS first,

@@ -45,6 +45,8 @@ object JoinOps {
       // file; multiple writer tasks would each emit a file per bucket and
       // force a re-sort at read (measured in PlanSpec).
       Tables.orders(s, d)
+        // bucketed-store ingest guard (r19 fuzz) — oracle restates it
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice")))
         .repartition(8, col("o_custkey"))
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -91,6 +93,7 @@ object JoinOps {
 
     "join_shuffle_hash" -> ((s, d) => {
       val o = Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz
       val c = Tables.customer(s, d)
       o.hint("shuffle_hash").join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
@@ -100,6 +103,7 @@ object JoinOps {
 
     "join_sortmerge" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
+        .filter(graft.Contract.finiteOrNull(col("l_discount"))) // r19 fuzz: REAL-measure revenue
       val o = Tables.orders(s, d)
       l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderpriority")
@@ -181,6 +185,7 @@ object JoinOps {
     // at 100 TB needs the join_skew_salted treatment.
     "join_null_safe" -> ((s, d) => {
       val o = Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz
         .withColumn("np", nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")))
         .as("f")
       val dim = o.groupBy("np").agg(count(lit(1)).as("n_dim")).as("dim")
@@ -341,6 +346,10 @@ object JoinOps {
     "join_skew_salted" -> ((s, d) => {
       val nSalt = 8
       val fact = Tables.events(s, d)
+        // measure-ingest guard (r19 fuzz): the grouped sum must not carry
+        // NaN/Inf (engines emit different NaN bit patterns); NULLs keep
+        // their r18 convention (oracle restates the predicate)
+        .filter(graft.Contract.finiteOrNull(col("value")))
         .select(col("event_id"), col("value"),
                 (col("user_id") / 50).cast("long").as("k"))
         .withColumn("salt", pmod(col("event_id"), lit(nSalt)))
@@ -426,6 +435,7 @@ object JoinOps {
     "join_bucketed" -> """
       SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment NULLS FIRST""",
 
@@ -437,6 +447,7 @@ object JoinOps {
     "join_shuffle_hash" -> """
       SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment NULLS FIRST""",
 
@@ -444,6 +455,7 @@ object JoinOps {
       SELECT o_orderpriority, count(*) AS n_items,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE (l_discount IS NULL OR isfinite(l_discount))
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority NULLS FIRST""",
 
@@ -483,7 +495,8 @@ object JoinOps {
     "join_null_safe" -> """
       WITH o AS (
         SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS np, o_totalprice
-        FROM orders),
+        FROM orders
+        WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))),
       dim AS (SELECT np, count(*) AS n_dim FROM o GROUP BY np)
       SELECT o.np, CAST(dim.n_dim AS BIGINT) AS n_dim,
              count(*) AS n_rows, round(sum(o.o_totalprice), 2) AS rev
@@ -594,7 +607,8 @@ object JoinOps {
 
     // The salt is plumbing, not semantics: the oracle is the plain join.
     "join_skew_salted" -> """
-      WITH f AS (SELECT event_id, value, user_id // 50 AS k FROM events),
+      WITH f AS (SELECT event_id, value, user_id // 50 AS k FROM events
+                 WHERE (value IS NULL OR isfinite(value))),
       dim AS (SELECT DISTINCT user_id // 50 AS k, 'grp_' || (user_id // 50) AS grp
               FROM events)
       SELECT f.k, dim.grp, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -1236,9 +1236,14 @@ object LlmOps {
     * the matched right column + `dist`. */
   private[graft] def fuzzyPairs(left: DataFrame, leftCol: String,
                                 right: DataFrame, rightCol: String): DataFrame = {
+    // sequence floor of 1 (r19 fuzz): Spark's sequence(1, 0) DESCENDS
+    // ([1, 0]), which collapses the empty string's signature set to []
+    // and silently drops "" rows from the candidate join — with the
+    // floor, "" keeps its identity signature and matches itself / its
+    // 1-char neighbors like any other string
     def sigs(df: DataFrame, c: String): DataFrame = df.withColumn("sig",
       explode(array_distinct(concat(array(col(c)), expr(
-        s"transform(sequence(1, length($c)), p -> concat(substring($c, 1, p-1), substring($c, p+1, length($c))))")))))
+        s"transform(sequence(1, greatest(length($c), 1)), p -> concat(substring($c, 1, p-1), substring($c, p+1, length($c))))")))))
     val leftCols = left.columns.map(col).toSeq
     sigs(right, rightCol).select(col("sig"), col(rightCol))
       .join(sigs(left, leftCol), "sig")
@@ -2665,7 +2670,14 @@ object LlmOps {
         FROM rr)"""
 
   private def ivfPqSearchStoreSql(cenPath: String, postingSql: String): String = s"""
-      WITH ${ivfPqSearchStoreCtesSql(cenPath, postingSql)}
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${ivfPqSearchStoreCtesSql(cenPath, postingSql)}
       SELECT q_id, rk, n_id, round(cos, 4) AS cos
       FROM r WHERE rk <= 5
       ORDER BY q_id, rk"""
@@ -2738,8 +2750,12 @@ object LlmOps {
     "llm_fuzzy_join" -> """
       WITH catalog AS (SELECT DISTINCT p_name AS name FROM part),
       probes AS (
+        -- || not concat(): DuckDB's concat() treats NULL as '' while
+        -- Spark's propagates it — a NULL p_name must synthesize NO
+        -- probe, not an empty-string probe (r19 fuzz; the fn_ipv4
+        -- convention)
         SELECT p_partkey AS probe_id,
-               concat(substr(p_name, 1, 2), substr(p_name, 4)) AS probe_name
+               substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
         FROM part WHERE p_partkey % 7 = 3)
       SELECT probe_id, probe_name, name AS match_name,
              CAST(levenshtein(probe_name, name) AS INTEGER) AS dist
@@ -3113,7 +3129,14 @@ object LlmOps {
       ORDER BY doc_a, doc_b""",
 
     "llm_neardup_embedding" -> """
-      WITH pairs AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           list_sum(list_transform(list_zip(a.embedding, b.embedding),
                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -3132,7 +3155,14 @@ object LlmOps {
     // the (cc DESC, cell ASC) tiebreak, in-cell a<b pairs under the exact
     // double cosine, dup_of = min qualifying smaller id.
     "llm_semdedup" -> s"""
-      WITH init AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      init AS (
         SELECT CAST(vec_id AS INTEGER) AS cell,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
         FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
@@ -3213,7 +3243,14 @@ object LlmOps {
     // are exact integers times a shared double scale, so cosines are
     // bit-identical across engines and ranks cannot drift.
     "llm_quantize_int8" -> """
-      WITH dq AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      dq AS (
         SELECT vec_id,
                list_transform(embedding, x ->
                  floor(CAST(x AS DOUBLE)
@@ -3244,7 +3281,14 @@ object LlmOps {
     // bruteforce oracle uses (bit-identical to graft_cosine), head via
     // list_slice; overlap joined on the two rank-≤5 sets.
     "llm_matryoshka_ann" -> """
-      WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      q AS (SELECT vec_id AS q_id, embedding FROM embeddings
                  WHERE vec_id % 50 = 0),
       pairs AS (
         SELECT q.q_id, c.vec_id AS n_id,
@@ -3342,7 +3386,14 @@ object LlmOps {
     // Same double-widened zip cosine as llm_knn_bruteforce; the label
     // inequality replaces the self-id exclusion.
     "llm_hard_negatives" -> """
-      WITH pairs AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      pairs AS (
         SELECT q.vec_id AS q_id, q.label AS q_lbl,
                c.vec_id AS n_id, c.label AS n_lbl,
           list_sum(list_transform(list_zip(q.embedding, c.embedding),
@@ -3361,7 +3412,14 @@ object LlmOps {
       ORDER BY q_id, rk""",
 
     "llm_knn_bruteforce" -> """
-      WITH pairs AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      pairs AS (
         SELECT q.vec_id AS q_id, c.vec_id AS n_id,
           list_sum(list_transform(list_zip(q.embedding, c.embedding),
                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -3385,7 +3443,14 @@ object LlmOps {
     // left join + count per query (bfTop5CtesSql / recallSelectSql —
     // the same shared truth + rollup every recall key's oracle uses).
     "llm_ann_recall_eval" -> s"""
-      WITH bands AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      bands AS (
         SELECT vec_id, j AS band_idx,
                (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
               + CASE WHEN embedding[4*j + 2] > 0 THEN 2 ELSE 0 END
@@ -3418,7 +3483,14 @@ object LlmOps {
     // The llm_knn_ivf oracle's trained-quantizer chain composed with the
     // shared brute-force truth, then the shared recall rollup.
     "llm_ann_recall_ivf" -> s"""
-      WITH ${ivfSearchCtesSql},
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${ivfSearchCtesSql},
       appx AS (SELECT q_id, n_id FROM ivf_r WHERE rk <= 5),
       ${bfTop5CtesSql}
       ${recallSelectSql("appx")}""",
@@ -3426,7 +3498,14 @@ object LlmOps {
     // The llm_knn_ivfpq oracle's store-search chain (probe + ADC +
     // rerank over the persisted index) composed the same way.
     "llm_ann_recall_ivfpq" -> s"""
-      WITH ${ivfPqSearchStoreCtesSql(s"$OracleAnnDir/cen",
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${ivfPqSearchStoreCtesSql(s"$OracleAnnDir/cen",
         s"SELECT cell, n_id, vhat FROM read_parquet('$OracleAnnDir/posting/*.parquet')")},
       appx AS (SELECT q_id, n_id FROM r WHERE rk <= 5),
       ${bfTop5CtesSql}
@@ -3455,7 +3534,14 @@ object LlmOps {
               + CASE WHEN embedding[4*j + 2] > 0 THEN 2 ELSE 0 END
               + CASE WHEN embedding[4*j + 3] > 0 THEN 4 ELSE 0 END
               + CASE WHEN embedding[4*j + 4] > 0 THEN 8 ELSE 0 END) AS band_val
-        FROM embeddings, range(16) t(j)""",
+        FROM (SELECT * FROM embeddings
+              -- vector-ingest contract (r19): mirror Tables.embeddings'
+              -- zero-length/zero-norm reject; NULL vectors PASS (both
+              -- engines band a NULL vector as all-zero bits — the
+              -- r18-pinned convention for this audit)
+              WHERE embedding IS NULL OR (len(embedding) > 0
+                AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+             range(16) t(j)""",
       part = "band_idx", bucket = "band_val", cnt = "n_vecs"),
 
     // Same persisted code table the Spark side reads (annIndexPath's
@@ -3477,7 +3563,14 @@ object LlmOps {
     // brute-force truth: first_rank = min approx rank holding a true
     // top-5 neighbor, rr = 1/first_rank (0 on a complete miss).
     "llm_mrr_eval" -> s"""
-      WITH bands AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      bands AS (
         SELECT vec_id, j AS band_idx,
                (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
               + CASE WHEN embedding[4*j + 2] > 0 THEN 2 ELSE 0 END
@@ -3512,7 +3605,14 @@ object LlmOps {
       ORDER BY qs.q_id""",
 
     "llm_knn_lsh" -> """
-      WITH bands AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      bands AS (
         SELECT vec_id, j AS band_idx,
                (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
               + CASE WHEN embedding[4*j + 2] > 0 THEN 2 ELSE 0 END
@@ -3547,7 +3647,14 @@ object LlmOps {
     // filter — then exact rerank, mirroring the Spark two-stage shape over
     // the same store parquet (deterministic path notes on OracleAnnDir).
     "llm_quantize_pq" -> s"""
-      WITH q AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
         WHERE vec_id < 100),
       posting AS (
@@ -3588,7 +3695,14 @@ object LlmOps {
           SELECT cell, n_id, vhat FROM read_parquet('$OracleAnnIncDir/posting2/*.parquet')"""),
 
     "llm_knn_centroids" -> """
-      WITH x AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      x AS (
         SELECT label, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cv
         FROM embeddings, range(1, 65) t(pos)
         GROUP BY label, pos),
@@ -3670,7 +3784,14 @@ object LlmOps {
       ORDER BY doc_id, rk""",
 
     "llm_vector_norms" -> """
-      WITH norms AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      norms AS (
         SELECT label,
                sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
@@ -3686,7 +3807,14 @@ object LlmOps {
     // 1-based like Spark's posexplode+1 ordering (position only keys the
     // stats join — output aggregates are position-free).
     "llm_embed_standardize" -> """
-      WITH x AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      x AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                unnest(embedding)::DOUBLE AS v
         FROM embeddings),
@@ -3734,7 +3862,14 @@ object LlmOps {
     // lists, 3-probe search, exact double cosine within probed cells
     // (chain factored as ivfSearchCtesSql — shared with the recall gate).
     "llm_knn_ivf" -> s"""
-      WITH ${ivfSearchCtesSql}
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${ivfSearchCtesSql}
       SELECT q_id, rk, n_id, round(cos, 4) AS cos
       FROM ivf_r WHERE rk <= 5
       ORDER BY q_id, rk""",
@@ -3798,6 +3933,13 @@ object LlmOps {
       FROM rs ORDER BY doc_id""",
 
     "llm_multimodal_join" -> """
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0))
       SELECT label, lang, count(*) AS n,
              round(avg(n_chars), 2) AS avg_chars,
              round(avg(sqrt(list_sum(list_transform(embedding,

@@ -167,8 +167,15 @@ object RelOps {
                                   keys: Seq[String]): DataFrame = {
     def fp(df: DataFrame, keyAs: String => String, h: String): DataFrame = {
       val others = df.columns.filterNot(keys.contains).sorted
+      // ONE fingerprint per KEY — the md5 of the SORTED multiset of
+      // per-row hashes (r19 fuzz: a duplicate-key snapshot must not fan
+      // out 2x2 in the full outer; key-level CDC over a possibly-
+      // multirow key is the defined semantics — deleting one COPY of a
+      // duplicated row reads as 'changed', which is exactly right)
       df.select(keys.map(k => col(k).as(keyAs(k))) :+
-        md5(to_json(struct(others.map(col): _*))).as(h): _*)
+          md5(to_json(struct(others.map(col): _*))).as("rh"): _*)
+        .groupBy(keys.map(k => col(keyAs(k))): _*)
+        .agg(md5(concat_ws("", sort_array(collect_list(col("rh"))))).as(h))
     }
     // NULL-SAFE key equality (<=>): a plain equi-join never matches NULL
     // keys, which would misreport an unchanged null-keyed row as a
@@ -277,15 +284,19 @@ object RelOps {
     // The EXPECTED delta stated analytically from the derivation rules —
     // an independent statement of what the diff must find, not a re-run
     // of the fingerprint join.
+    // DISTINCT per arm: the diff is KEY-level (one multiset fingerprint
+    // per key), so duplicate-PK rows yield one verdict per key. The
+    // changed arm also excludes NaN/Inf prices: +10 on an IEEE special
+    // is a fixed point, so the fingerprint doesn't move (r19 fuzz).
     "set_snapshot_diff" -> """
-      SELECT -o_orderkey - 1 AS o_orderkey, 'added' AS change
+      SELECT DISTINCT -o_orderkey - 1 AS o_orderkey, 'added' AS change
       FROM orders WHERE o_orderkey % 11 = 0
       UNION ALL
-      SELECT o_orderkey, 'deleted' FROM orders WHERE o_orderkey % 13 = 0
+      SELECT DISTINCT o_orderkey, 'deleted' FROM orders WHERE o_orderkey % 13 = 0
       UNION ALL
-      SELECT o_orderkey, 'changed'
+      SELECT DISTINCT o_orderkey, 'changed'
       FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
-        AND o_totalprice IS NOT NULL
+        AND o_totalprice IS NOT NULL AND isfinite(o_totalprice)
       ORDER BY o_orderkey, change"""
   ))
 }

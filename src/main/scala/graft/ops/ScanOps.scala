@@ -454,7 +454,11 @@ object ScanOps {
     jdbcOrdersFor.computeIfAbsent(d, _ => {
       val db = tmpDir("graft_derby_src") + "/ordersdb"
       val url = s"jdbc:derby:$db;create=true"
-      Tables.orders(s, d).coalesce(1)
+      // Derby DOUBLE has no IEEE NaN/±Inf — the JDBC ingest edge rejects
+      // them (r19 fuzz); every oracle over this store restates the WHERE
+      Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice")))
+        .coalesce(1)
         .write.mode(SaveMode.Overwrite).jdbc(url, "orders_src", derbyProps)
       url
     })
@@ -631,6 +635,7 @@ object ScanOps {
     "src_schema_evolution" -> ((s, d) => {
       val dir = tmpDir("graft_evo")
       val o = Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz: REAL-measure sums
       o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/gen1")
@@ -701,6 +706,7 @@ object ScanOps {
     "sink_parquet_partitioned" -> ((s, d) => {
       val dir = tmpDir("graft_part")
       Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz: REAL-measure sums
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(dir)
       s.read.parquet(dir)
@@ -781,6 +787,7 @@ object ScanOps {
     "obs_drift_psi" -> ((s, d) =>
       psiOf(
         Tables.events(s, d)
+          .filter(graft.Contract.finiteOrNull(col("value"))) // r19 fuzz: band a REAL measure
           .filter(col("event_type") === "purchase")
           .filter(col("ts") < lit("2024-01-11").cast("timestamp") ||
                   col("ts") >= lit("2024-01-21").cast("timestamp"))
@@ -917,6 +924,7 @@ object ScanOps {
     "sink_merge_upsert" -> ((s, d) => {
       val dir = tmpDir("graft_merge")
       val orders = Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz: REAL-measure sums
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       val base = orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
       val upd = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
@@ -943,6 +951,8 @@ object ScanOps {
       val url = s"jdbc:derby:$db;create=true"
       val props = derbyProps
       val agg = Tables.orders(s, d)
+        // Derby DOUBLE has no IEEE NaN/±Inf (r19 fuzz): reject at ingest
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice")))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
       agg.coalesce(1).write.mode(SaveMode.Overwrite)
@@ -1027,6 +1037,8 @@ object ScanOps {
           expr("variant_get(v, '$.event_type', 'string')").as("event_type"),
           expr("variant_get(v, '$.value', 'double')").as("value"),
           expr("variant_get(v, '$.p.k', 'int')").as("k"))
+        // measure-ingest guard (r19 fuzz): REAL measure for the DECIMAL cast
+        .filter(graft.Contract.finiteOrNull(col("value")))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
              round(sum(col("value").cast("decimal(14,2)")), 2)
@@ -1070,6 +1082,7 @@ object ScanOps {
     // their sums would drift.
     "sink_dynamic_overwrite" -> ((s, d) => {
       s.read.parquet(dynOverwriteDir(s, d))
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz: REAL-measure sums
         .groupBy("yr")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("yr")
@@ -1170,6 +1183,7 @@ object ScanOps {
       SELECT o_orderpriority, count(*) AS n,
              round(sum(o_totalprice), 2) AS total
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority NULLS FIRST""",
 
@@ -1216,6 +1230,7 @@ object ScanOps {
                   ELSE coalesce(o_orderpriority, '<pre-evolution>') END AS gen,
              count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY 1
       ORDER BY gen""",
 
@@ -1273,6 +1288,7 @@ object ScanOps {
              CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sk,
              count(DISTINCT event_id) AS n_ids
       FROM events
+      WHERE (value IS NULL OR isfinite(value))
       GROUP BY event_type
       ORDER BY event_type NULLS FIRST""",
 
@@ -1298,6 +1314,7 @@ object ScanOps {
              round(sum(o_totalprice +
                CASE WHEN year(o_orderdate) = 1997 THEN 1000.0 ELSE 0 END), 2) AS total
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY 1
       ORDER BY yr""",
 
@@ -1323,6 +1340,7 @@ object ScanOps {
              count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders
       WHERE year(o_orderdate) >= 1996
+        AND (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY 1
       ORDER BY o_year""",
 
@@ -1344,6 +1362,7 @@ object ScanOps {
                (ts < TIMESTAMP '2024-01-11') AS is_exp
         FROM events
         WHERE event_type = 'purchase'
+          AND (value IS NULL OR isfinite(value))
           AND (ts < TIMESTAMP '2024-01-11' OR ts >= TIMESTAMP '2024-01-21')),
       c AS (
         SELECT band,
@@ -1370,7 +1389,14 @@ object ScanOps {
     // floor(); same 20-band sorted psi fold with the fixed-universe
     // smoothing mass 20*0.5 = 10.
     "obs_drift_embedding" -> """
-      WITH e AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      e AS (
         SELECT vec_id, embedding, vec_id % 2 = 0 AS is_exp
         FROM embeddings WHERE embedding IS NOT NULL),
       x AS (
@@ -1635,10 +1661,12 @@ object ScanOps {
       WITH upd AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
                'upd' AS src
-        FROM orders WHERE o_orderkey % 2 = 0),
+        FROM orders WHERE o_orderkey % 2 = 0
+          AND (o_totalprice IS NULL OR isfinite(o_totalprice))),
       base AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice, 'base' AS src
-        FROM orders WHERE o_orderkey % 5 <> 0),
+        FROM orders WHERE o_orderkey % 5 <> 0
+          AND (o_totalprice IS NULL OR isfinite(o_totalprice))),
       merged AS (
         SELECT * FROM upd
         UNION ALL
@@ -1653,6 +1681,7 @@ object ScanOps {
     "sink_jdbc" -> """
       SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority NULLS FIRST""",
 
@@ -1667,6 +1696,7 @@ object ScanOps {
       SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
       FROM orders
       WHERE o_totalprice > 300000.0
+        AND isfinite(o_totalprice)
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""
   ))

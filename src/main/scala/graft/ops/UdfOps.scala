@@ -79,6 +79,8 @@ object UdfOps {
         SELECT l_returnflag, round(sum(graft_disc_price(l_extendedprice, l_discount)), 2) AS revenue,
                count(*) AS n
         FROM lineitem_u
+        WHERE (l_discount IS NULL OR
+               (NOT isnan(l_discount) AND abs(l_discount) < CAST('Infinity' AS DOUBLE)))
         GROUP BY l_returnflag
         ORDER BY l_returnflag
       """)
@@ -150,6 +152,7 @@ object UdfOps {
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
              count(*) AS n
       FROM lineitem
+      WHERE (l_discount IS NULL OR isfinite(l_discount))
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
 
@@ -191,7 +194,14 @@ object UdfOps {
     // list_cosine_similarity computes in float32, whose rounded value can
     // disagree with the double computation in the 4th decimal.
     "expr_custom_cosine" -> """
-      WITH pairs AS (
+      WITH embeddings AS (
+        -- vector-ingest contract (r19): Tables.embeddings rejects
+        -- zero-length and zero-norm vectors at the ingest edge;
+        -- NULL vectors pass through to each key's null convention
+        SELECT * FROM main.embeddings
+        WHERE embedding IS NULL OR (len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      pairs AS (
         SELECT a.vec_id AS a_id, a.embedding AS ae, b.embedding AS be
         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         WHERE a.vec_id < 200),

@@ -104,7 +104,9 @@ object WinOps {
     // bit-identical cross-engine. Lag pairs come from one window pass;
     // the stack() unpivot fans 3 lags out of the same shuffle.
     "win_autocorr" -> ((s, d) =>
-      autocorrOf(Tables.events(s, d), "event_type", "ts", "value", 3)
+      autocorrOf(Tables.events(s, d)
+        .filter(graft.Contract.finiteOrNull(col("value"))), // r19 fuzz: REAL-measure series
+        "event_type", "ts", "value", 3)
         .orderBy("event_type", "lag")),
 
     // Drawup/CUSUM-style level-shift detector on the per-type daily
@@ -117,7 +119,9 @@ object WinOps {
     // DECIMAL total once in double; both engines evaluate the identical
     // two-window chain over the same total order.
     "win_cusum_drawup" -> ((s, d) =>
-      cusumDrawupOf(Tables.events(s, d), "event_type", "ts", "value")
+      cusumDrawupOf(Tables.events(s, d)
+        .filter(graft.Contract.finiteOrNull(col("value"))), // r19 fuzz: REAL-measure series
+        "event_type", "ts", "value")
         .orderBy("event_type", "day")),
 
     // Wald-Wolfowitz runs test per event type over daily up/down moves
@@ -128,7 +132,9 @@ object WinOps {
     // are exact integers on the lag-windowed daily grid; z is a
     // fixed-order double expression from them.
     "win_runs_test" -> ((s, d) =>
-      runsTestOf(Tables.events(s, d), "event_type", "ts")
+      runsTestOf(Tables.events(s, d)
+        .filter(graft.Contract.finiteOrNull(col("value"))), // r19 fuzz: REAL-measure series
+        "event_type", "ts")
         .orderBy("event_type")),
 
     // Classical seasonal decomposition (value = trend + seasonal +
@@ -143,7 +149,9 @@ object WinOps {
     // anywhere. One shuffle to daily grain, one type-partitioned window,
     // one broadcast join back from the 7-row-per-type seasonal frame.
     "win_seasonal_decompose" -> ((s, d) =>
-      seasonalDecomposeOf(Tables.events(s, d), "event_type", "ts", "value")
+      seasonalDecomposeOf(Tables.events(s, d)
+        .filter(graft.Contract.finiteOrNull(col("value"))), // r19 fuzz: REAL-measure series
+        "event_type", "ts", "value")
         .orderBy("event_type", "day")),
 
     // IGNORE NULLS navigation — the forward-fill idiom: last_value
@@ -178,6 +186,7 @@ object WinOps {
     "win_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
       Tables.events(s, d)
+        .filter(graft.Contract.finiteOrNull(col("value"))) // r19 fuzz: delta arithmetic
         .select("user_id", "event_id", "ts", "value")
         .withColumn("delta", round(col("value") - lag("value", 1).over(w), 4))
         .withColumn("next_ts", lead("ts", 1).over(w))
@@ -203,6 +212,7 @@ object WinOps {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc)
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice"))) // r19 fuzz: RANGE key + sum
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
         .orderBy("o_orderkey")
@@ -274,7 +284,8 @@ object WinOps {
     // CONSTRUCTION (the span starts at min(day)), so `filled` is total.
     // Scoped to user_id < 50 to keep the gate output bounded.
     "win_gap_fill" -> ((s, d) =>
-      gapFillOf(Tables.events(s, d).filter(col("user_id") < 50),
+      gapFillOf(Tables.events(s, d).filter(col("user_id") < 50)
+        .filter(graft.Contract.finiteOrNull(col("value"))), // r19 fuzz: REAL-measure series
                 "user_id", "ts", "value")
         .orderBy("user_id", "day")),
 
@@ -291,7 +302,8 @@ object WinOps {
     // anchors and `interp` is total; observed rows short-circuit to their
     // own value (their 0/0 day-fraction never evaluates).
     "win_gap_interpolate" -> ((s, d) =>
-      gapInterpolateOf(Tables.events(s, d).filter(col("user_id") < 50),
+      gapInterpolateOf(Tables.events(s, d).filter(col("user_id") < 50)
+        .filter(graft.Contract.finiteOrNull(col("value"))), // r19 fuzz: REAL-measure series
                        "user_id", "ts", "value")
         .orderBy("user_id", "day")),
 
@@ -313,6 +325,7 @@ object WinOps {
       val run = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .filter(col("user_id") < 50)
+        .filter(graft.Contract.finiteOrNull(col("value"))) // r19 fuzz: REAL-measure series
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(round(sum("value"), 2).as("v"))
         .withColumn("p", pow(lit(1.0 / q), row_number().over(wOrd)))
@@ -347,6 +360,7 @@ object WinOps {
     "win_ewma_block" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .filter(col("user_id") < 50)
+        .filter(graft.Contract.finiteOrNull(col("value"))) // r19 fuzz: REAL-measure series
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(round(sum("value"), 2).as("v"))
       ewmaBlockOf(daily, "user_id", "day", "v", alpha = 0.3)
@@ -815,7 +829,9 @@ object WinOps {
     "win_gap_fill" -> """
       WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
-        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        FROM events
+        WHERE user_id < 50 AND (value IS NULL OR isfinite(value))
+        GROUP BY 1, 2),
       span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
       grid AS (
         SELECT user_id,
@@ -837,7 +853,9 @@ object WinOps {
     "win_gap_interpolate" -> """
       WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
-        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        FROM events
+        WHERE user_id < 50 AND (value IS NULL OR isfinite(value))
+        GROUP BY 1, 2),
       span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
       grid AS (
         SELECT user_id,
@@ -871,7 +889,9 @@ object WinOps {
     "win_ewma" -> """
       WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
-        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        FROM events
+        WHERE user_id < 50 AND (value IS NULL OR isfinite(value))
+        GROUP BY 1, 2),
       r AS (
         SELECT user_id, day, v,
                pow(1.0 / 0.7, row_number() OVER (PARTITION BY user_id ORDER BY day)) AS p
@@ -888,7 +908,9 @@ object WinOps {
     "win_ewma_block" -> """
       WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
-        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        FROM events
+        WHERE user_id < 50 AND (value IS NULL OR isfinite(value))
+        GROUP BY 1, 2),
       r AS (
         SELECT user_id, day, v,
                pow(1.0 / 0.7, row_number() OVER (PARTITION BY user_id ORDER BY day)) AS p
@@ -973,7 +995,9 @@ object WinOps {
       WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS day,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
-        FROM events GROUP BY 1, 2),
+        FROM events
+        WHERE (value IS NULL OR isfinite(value))
+        GROUP BY 1, 2),
       lagged AS (
         SELECT event_type, x,
                lag(x, 1) OVER w AS l1,
@@ -1007,7 +1031,9 @@ object WinOps {
       WITH daily AS (
         SELECT event_type AS g, CAST(ts AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS c
-        FROM events GROUP BY 1, 2),
+        FROM events
+        WHERE (value IS NULL OR isfinite(value))
+        GROUP BY 1, 2),
       mv AS (
         SELECT g, day, CAST(sign(c - prev) AS INTEGER) AS s
         FROM (
@@ -1041,7 +1067,7 @@ object WinOps {
                       / sqrt(aa * (aa - n) / (n * n * (n - 1.0)))
                  ELSE 0.0 END, 4) AS z
         FROM f)
-      ORDER BY event_type""",
+      ORDER BY event_type NULLS FIRST""",
 
     // Same DECIMAL running sums; srun = CAST(S AS DOUBLE) − mu·i is the
     // identical literal chain, so smin compares identical doubles.
@@ -1049,7 +1075,9 @@ object WinOps {
       WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS day,
                sum(CAST(value AS DECIMAL(18,2))) AS dvd
-        FROM events GROUP BY 1, 2),
+        FROM events
+        WHERE (value IS NULL OR isfinite(value))
+        GROUP BY 1, 2),
       t AS (
         SELECT event_type, day, dvd,
                CAST(sum(dvd) OVER (PARTITION BY event_type) AS DOUBLE)
@@ -1081,7 +1109,9 @@ object WinOps {
       WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS day,
                sum(CAST(value AS DECIMAL(18,2))) AS dvd
-        FROM events GROUP BY 1, 2),
+        FROM events
+        WHERE (value IS NULL OR isfinite(value))
+        GROUP BY 1, 2),
       t AS (
         SELECT event_type, day, CAST(dvd AS DOUBLE) AS dv,
                dayofweek(day) AS dow,
@@ -1132,6 +1162,7 @@ object WinOps {
              round(value - lag(value, 1) OVER w, 4) AS delta,
              lead(ts, 1) OVER w AS next_ts
       FROM events
+      WHERE (value IS NULL OR isfinite(value))
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       ORDER BY event_id""",
 
@@ -1149,6 +1180,7 @@ object WinOps {
                ORDER BY o_totalprice ASC NULLS FIRST
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
       FROM orders
+      WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
       ORDER BY o_orderkey""",
 
     "win_first_last" -> """

@@ -86,6 +86,14 @@ object StreamOps {
   private def baseChunks(spark: SparkSession, sfDir: String): BaseChunks =
     baseCache.getOrElseUpdate(sfDir, {
       val ev = Tables.events(spark, sfDir)
+        // streaming-bus ingest guard (r19 fuzz): a production stream
+        // validates its measures AT the bus boundary, once — NaN/±Inf
+        // `value` rows never enter the replay fixture (keyed sums would
+        // otherwise emit engine-specific NaN bit patterns, and Derby
+        // sinks reject IEEE specials outright); NULL value rows pass
+        // through to each key's r18-pinned convention. Every stream
+        // oracle restates the same predicate over raw events.
+        .filter(graft.Contract.finiteOrNull(col("value")))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
       val Array(mnUs, mxUs) = ev
         .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
@@ -157,6 +165,9 @@ object StreamOps {
           d
         }
       lazy val ev = Tables.events(spark, sfDir)
+        // same bus-boundary measure guard as baseChunks (r19 fuzz): the
+        // extra late/dup/asof chunks must draw from the SAME guarded feed
+        .filter(graft.Contract.finiteOrNull(col("value")))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
 
       var nExtra = 0L
@@ -306,6 +317,8 @@ object StreamOps {
       val topic = s"events_${java.lang.Integer.toHexString(d.hashCode)}"
       graft.sources.BusRegistry.publish(topic,
         Tables.events(s, d)
+          // same bus-boundary measure guard as baseChunks (r19 fuzz)
+          .filter(graft.Contract.finiteOrNull(col("value")))
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .orderBy("ts", "event_id"),
         nBatches = 6)
@@ -322,6 +335,8 @@ object StreamOps {
       val topic = s"events_part_${java.lang.Integer.toHexString(d.hashCode)}"
       graft.sources.BusRegistry.publishPartitioned(topic,
         Tables.events(s, d)
+          // same bus-boundary measure guard as baseChunks (r19 fuzz)
+          .filter(graft.Contract.finiteOrNull(col("value")))
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .orderBy("ts", "event_id"),
         nParts = 3, nBatches = 4)
@@ -1266,7 +1281,11 @@ object StreamOps {
       val rep = replay(s, d, "base")
       val wNext = org.apache.spark.sql.expressions.Window
         .partitionBy("s_user").orderBy("s_ts")
-      val sign = Tables.events(s, d).filter(col("event_type") === "signup")
+      val sign = Tables.events(s, d)
+        // the static dimension draws from the SAME guarded feed as the
+        // bus (r19 fuzz) — its oracle's events CTE applies to both sides
+        .filter(graft.Contract.finiteOrNull(col("value")))
+        .filter(col("event_type") === "signup")
         .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
         .withColumn("s_end", lead("s_ts", 1).over(wNext))
       runStream(s, rep, "append", filesPerTrigger = 2) { src =>
@@ -1370,6 +1389,11 @@ object StreamOps {
     // Restart plumbing is exactly-once ⇒ the sink equals one batch pass
     // over the full table; n == n_ids (unique event_id) is the dup canary.
     "stream_checkpoint_restart" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT event_type, count(*) AS n,
              CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sv,
              count(DISTINCT event_id) AS n_ids
@@ -1378,6 +1402,11 @@ object StreamOps {
       ORDER BY event_type NULLS FIRST""",
 
     "stream_tumbling" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
@@ -1387,6 +1416,11 @@ object StreamOps {
     // The union of the two disjoint halves IS the full log — identical
     // oracle to stream_tumbling.
     "stream_union_sources" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
@@ -1396,7 +1430,12 @@ object StreamOps {
     // Each event belongs to the 4 sliding 1-hour windows whose starts are
     // its 15-min bucket minus 0/15/30/45 minutes.
     "stream_sliding" -> """
-      WITH x AS (
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value))),
+      x AS (
         SELECT time_bucket(INTERVAL '15 minutes', ts)
                  - k * INTERVAL '15 minutes' AS window_start,
                event_type, value
@@ -1412,6 +1451,11 @@ object StreamOps {
     // exclusive end); session_end = last event + gap.
     // The final complete-mode snapshot equals the batch aggregate.
     "stream_complete_mode" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY event_type
@@ -1421,7 +1465,12 @@ object StreamOps {
     // event's ts reaches the running MAX of all previous window ends
     // (ties at the same ts always merge — both windows start there).
     "stream_session_dynamic" -> """
-      WITH e AS (
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value))),
+      e AS (
         SELECT user_id, ts, event_id,
                ts + CASE WHEN event_type = 'view' THEN INTERVAL '15 minutes'
                          ELSE INTERVAL '45 minutes' END AS e_end
@@ -1451,7 +1500,12 @@ object StreamOps {
       ORDER BY user_id, session_start""",
 
     "stream_session" -> """
-      WITH o AS (
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value))),
+      o AS (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
         FROM events WHERE user_id IS NOT NULL),
@@ -1473,6 +1527,11 @@ object StreamOps {
       ORDER BY user_id, session_start""",
 
     "stream_dedup" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT DISTINCT ON (event_id) event_id, ts, user_id, event_type, value
       FROM events
       ORDER BY event_id""",
@@ -1480,11 +1539,21 @@ object StreamOps {
     // same exact-distinct oracle: the 90-day delay outlives the replay, so
     // the TTL'd variant drops every duplicate the unbounded one drops
     "stream_dedup_ttl" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT DISTINCT ON (event_id) event_id, ts, user_id, event_type, value
       FROM events
       ORDER BY event_id""",
 
     "stream_stateful_count" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT user_id, count(*) AS n_events,
              round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
@@ -1493,6 +1562,11 @@ object StreamOps {
       ORDER BY user_id""",
 
     "stream_stateful_tws" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT user_id, count(*) AS n_events,
              round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
@@ -1503,7 +1577,12 @@ object StreamOps {
     // batch argmax per user: the latest change wins; tombstoned (delete-
     // final) users are absent from the snapshot
     "stream_cdc_apply" -> """
-      WITH ranked AS (
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value))),
+      ranked AS (
         SELECT user_id, ts, coalesce(value, 0.0) AS value,
                coalesce(event_type = 'purchase', false) AS del,
                row_number() OVER (PARTITION BY user_id
@@ -1516,6 +1595,11 @@ object StreamOps {
     // identical batch semantics to stream_stateful_tws — the key proves the
     // TTL'd-state write path, and a 1-hour TTL expires nothing in-replay
     "stream_state_ttl" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT user_id, count(*) AS n_events,
              round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
@@ -1526,7 +1610,12 @@ object StreamOps {
     // the timer-closed sessions must equal the batch gaps-and-islands —
     // the SAME oracle as stream_session (session_end = last + gap)
     "stream_stateful_timers" -> """
-      WITH o AS (
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value))),
+      o AS (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
         FROM events WHERE user_id IS NOT NULL),
@@ -1548,6 +1637,11 @@ object StreamOps {
       ORDER BY user_id, session_start""",
 
     "stream_stream_join" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
              s.event_id AS s_id, s.ts AS s_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1560,6 +1654,11 @@ object StreamOps {
     // NULLS FIRST matches Spark's asc_nulls_first default — the gate
     // compares rows in produced order, so null placement must agree.
     "stream_stream_outer" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
              s.event_id AS s_id, s.ts AS s_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1575,6 +1674,11 @@ object StreamOps {
     // identical semantics to stream_tumbling — the key exists to prove the
     // parquet FILE sink path (exactly-once commit log), not a new transform
     "stream_file_sink" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
@@ -1584,6 +1688,11 @@ object StreamOps {
     // identical semantics again — this key proves the foreachBatch JDBC
     // upsert path (idempotent keyed writes), not a new transform
     "stream_jdbc_sink" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              coalesce(event_type, '') AS event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
@@ -1592,6 +1701,11 @@ object StreamOps {
       ORDER BY window_start, event_type""",
 
     "stream_static_join" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT event_id, user_id, c_mktsegment, value
       FROM events JOIN customer ON user_id = c_custkey
       ORDER BY event_id""",
@@ -1600,6 +1714,11 @@ object StreamOps {
     // exactly the backward as-of join, so the oracle is the same ASOF
     // JOIN the join_asof family uses.
     "stream_asof" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
@@ -1610,6 +1729,11 @@ object StreamOps {
     // the transform is a plain filter+project, so the static table IS the
     // expected stream output.
     "stream_bus_source" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT event_id, user_id, value
       FROM events
       WHERE event_type = 'purchase'
@@ -1617,6 +1741,11 @@ object StreamOps {
 
     // Every row of every partition log must arrive exactly once.
     "stream_bus_partitioned" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT event_id, user_id, value
       FROM events
       WHERE event_type = 'click'
@@ -1624,6 +1753,11 @@ object StreamOps {
 
     // Round trip through BOTH connector halves must deliver every row once.
     "stream_bus_sink" -> """
+      WITH events AS (
+        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+        SELECT * FROM main.events
+        WHERE (value IS NULL OR isfinite(value)))
       SELECT event_id, user_id, value
       FROM events
       WHERE event_type = 'signup'

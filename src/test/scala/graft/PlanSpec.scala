@@ -741,28 +741,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("opt_mv_rewrite: the aggregate is served from the MV; a Filter disqualifies") {
     import org.apache.spark.sql.functions._
     graft.plans.GraftRules.install(spark)
-    graft.ops.OptOps.mvSummary(spark, d)
+    // (stagedPath, mvPath): since r19 the MV pipeline stages a finite-
+    // guarded orders copy and defines the MV over THAT scan (a Filter in
+    // the matched query would disqualify the rewrite, so the guard lives
+    // in the staging write) — the pins below distinguish the staged fact
+    // scan from the summary scan by path fragment
+    val (stagedPath, _) = graft.ops.OptOps.mvSummary(spark, d)
     val saved = spark.conf.getOption("spark.graft.rewrite.mv")
     spark.conf.set("spark.graft.rewrite.mv", "true")
     try {
       val p = planOf(graft.ops.OptOps.mvQueryFrame(spark, d))
-      assert(p.contains("graft_mv"),
-        s"MV rewrite did not fire — plan still scans the fact:\n$p")
-      assert(!p.contains("orders.parquet"),
-        s"fact scan survived alongside the MV:\n$p")
-      // negative control: a filtered aggregate MUST NOT be served from the
-      // MV (it has no detail rows) — the strict matcher bails on Filter
-      val filtered = Tables.orders(spark, d)
+      assert(p.contains("orders_by_priority"),
+        s"MV rewrite did not fire — plan still scans the staged fact:\n$p")
+      assert(!p.contains("orders_staged"),
+        s"staged fact scan survived alongside the MV:\n$p")
+      // negative control: a filtered aggregate over the SAME registered
+      // path MUST NOT be served from the MV (it has no detail rows) —
+      // the strict matcher bails on Filter
+      val filtered = spark.read.parquet(stagedPath)
         .filter(col("o_totalprice") > 1000)
         .groupBy("o_orderpriority")
         .agg(sum("o_totalprice").as("rev_raw"), count(lit(1)).as("n"))
       val pf = planOf(filtered)
-      assert(pf.contains("orders.parquet") && !pf.contains("graft_mv"),
+      assert(pf.contains("orders_staged") && !pf.contains("orders_by_priority"),
         s"filtered aggregate was wrongly served from the MV:\n$pf")
       // and with the conf off, even the exact shape keeps the fact scan
       spark.conf.set("spark.graft.rewrite.mv", "false")
       val poff = planOf(graft.ops.OptOps.mvQueryFrame(spark, d))
-      assert(poff.contains("orders.parquet") && !poff.contains("graft_mv"),
+      assert(poff.contains("orders_staged") && !poff.contains("orders_by_priority"),
         s"rewrite fired with its conf off:\n$poff")
     } finally saved match {
       case Some(v) => spark.conf.set("spark.graft.rewrite.mv", v)

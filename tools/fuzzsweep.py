@@ -20,12 +20,17 @@ Injected (disjoint strides, all deterministic — no RNG):
   - zero-length [] and all-zero vectors into embeddings.embedding
     (stride 61) — the norm-0 / dim-0 ingest boundary every vector op
     must reject or define.
-  - duplicate-PK full-row copies appended for documents / orders /
-    embeddings (every 71st row) — join multiplicity, distinct-vs-all,
-    MERGE multi-match and self-match seams. events is NOT duplicated:
-    its replay fixture is range-cut by event time and a duplicated tail
-    would change batch boundaries, which is the replay harness's domain,
-    not a data seam.
+  - duplicate-PK full-row copies appended for orders (every 71st row) —
+    the MERGE multi-match / snapshot-diff / uniqueness-audit seams where
+    duplicate keys are a real production concern. documents/embeddings
+    instead get duplicate CONTENT under FRESH ids (text/embedding copied
+    from every 71st row, id = max_id+1+k): that is what corpus
+    duplicates actually look like (same bytes, new id — the thing the
+    dedup family exists to find), while id-uniqueness in the id-keyed
+    corpus tables stays a generator invariant (same class as events.ts
+    non-null). events is NOT duplicated: its replay fixture is range-cut
+    by event time and a duplicated tail would change batch boundaries,
+    which is the replay harness's domain, not a data seam.
 
 Same contract as the null sweep: every oracle-gated key must hash-match
 DuckDB on this copy. NOT part of the Scala engine — dev tooling only.
@@ -55,7 +60,8 @@ FUZZ = {
 }
 EMB_EMPTY_STRIDE, EMB_EMPTY_OFF = 61, 3      # -> []
 EMB_ZERO_STRIDE, EMB_ZERO_OFF = 61, 30       # -> all-zero vector
-DUP_TABLES = {"documents": 71, "orders": 71, "embeddings": 71}
+DUP_TABLES = {"orders": 71}                   # full-row duplicate PKs
+CONTENT_DUP = {"documents": ("doc_id", 71), "embeddings": ("vec_id", 71)}
 
 
 def main():
@@ -89,6 +95,20 @@ def main():
             t = t.set_column(idx, t.schema.field(idx),
                              pa.array(col, type=t.column(idx).type))
             notes.append(f"fuzz {cname} x{len(specs)}")
+        # 2b. keep DERIVED fixture columns consistent with the fuzzed
+        # base column (n_chars == length(text) is a generator invariant
+        # the corpus-stats keys rely on; breaking it tests the generator,
+        # not the engine)
+        if name == "documents":
+            ti = t.schema.get_field_index("text")
+            ni = t.schema.get_field_index("n_chars")
+            texts = t.column(ti).to_pylist()
+            chars = t.column(ni).to_pylist()
+            fixed = [len(x) if x is not None else c
+                     for x, c in zip(texts, chars)]
+            t = t.set_column(ni, t.schema.field(ni),
+                             pa.array(fixed, type=t.column(ni).type))
+            notes.append("n_chars recomputed")
         # 3. degenerate embeddings
         if name == "embeddings":
             idx = t.schema.get_field_index("embedding")
@@ -103,12 +123,22 @@ def main():
             t = t.set_column(idx, t.schema.field(idx),
                              pa.array(col, type=t.column(idx).type))
             notes.append("embedding []/zero-vec")
-        # 4. duplicate-PK appended full-row copies
+        # 4. duplicate-PK appended full-row copies (orders only)
         if name in DUP_TABLES:
             stride = DUP_TABLES[name]
             dup = t.take(list(range(0, n, stride)))
             t = pa.concat_tables([t, dup])
-            notes.append(f"+{dup.num_rows} dup rows")
+            notes.append(f"+{dup.num_rows} dup-PK rows")
+        # 5. duplicate CONTENT under fresh ids (doc/vector corpora)
+        if name in CONTENT_DUP:
+            idcol, stride = CONTENT_DUP[name]
+            dup = t.take(list(range(0, t.num_rows, stride))).to_pylist()
+            mx = max(r[idcol] for r in t.to_pylist() if r[idcol] is not None)
+            for k, r in enumerate(dup):
+                r[idcol] = mx + 1 + k
+            t = pa.concat_tables([
+                t, pa.Table.from_pylist(dup, schema=t.schema)])
+            notes.append(f"+{len(dup)} content-dup rows (fresh ids)")
         if notes:
             print(f"{name}: {', '.join(notes)} ({t.num_rows} rows)")
         pq.write_table(t, os.path.join(DST, f))

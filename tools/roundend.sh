@@ -14,7 +14,7 @@
 # Usage: tools/roundend.sh [prior BENCH_FULL record]   (default: r16's)
 set -eo pipefail
 cd "$(dirname "$0")/.."
-PRIOR="${1:-BENCH_FULL_r16_builder.json}"
+PRIOR="${1:-BENCH_FULL_r18_builder.json}"
 for SF in 0.01 0.001; do
   OUT="/tmp/roundend_sf$SF"
   rm -rf "$OUT"
