@@ -54,15 +54,24 @@ object Bench {
     * episode (0.118 → 0.580 ≈ 4.9×). */
   private val SuspectFactor = 3.0
 
-  /** Committed sentinel ANCHOR (r19 verdict #5): the r18 builder anchor
-    * run's sentinel median on a quiet box (BENCH_FULL @ f3f4d83: median
-    * 0.121 s, max 0.216 s). The PREFLIGHT below re-times the sentinel 3×
-    * before sweep 0; if even the MIN exceeds LoadWarnFactor × this
-    * anchor, the box is loaded before the run starts and the record
-    * carries `"load_warning":true` — so a loaded-box artifact (like the
-    * r18 driver record's 147 post-hoc-adjudicated suspects) documents
-    * itself instead of needing cross-round inference. */
-  private val SentinelAnchorSec = 0.121
+  /** Committed sentinel ANCHORS (r19 verdict #5; per-SF per ADVICE r19):
+    * quiet-box sentinel medians measured on the r19 builder box — the
+    * sentinel's cost is mostly fixed scheduling+codegen overhead but the
+    * sf0.1 scan is measurably heavier, and one sf0.1 constant mislabeled
+    * quiet sf0.01 runs as loaded (tools/scalecheck.json r19). Keyed by
+    * the SF-dir basename; unknown dirs fall back to the sf0.1 anchor.
+    * HARDWARE-DEPENDENT: anchors are only meaningful on the measuring
+    * box class (32-vCPU builder/driver boxes here); a new box class
+    * needs a fresh quiet-box anchor run before its load_warning means
+    * anything. The PREFLIGHT below re-times the sentinel 3× before
+    * sweep 0; if even the MIN exceeds LoadWarnFactor × the anchor, the
+    * box is loaded before the run starts and the record carries
+    * `"load_warning":true`. `"load_warning_midrun"` (r19 verdict #5)
+    * applies the same rule to the RUN's OWN sentinel median at the end,
+    * catching load that arrives mid-run (the r19 driver record's 45
+    * post-hoc-adjudicated suspects arrived exactly that way). */
+  private val SentinelAnchors = Map(
+    "sf0.1" -> 0.121, "sf0.01" -> 0.063, "sf0.001" -> 0.060)
   private val LoadWarnFactor = 2.0
 
   /** Keys whose raw repeats ride in the SHORT last line so a
@@ -143,13 +152,15 @@ object Bench {
     }
 
     // Ambient-load PREFLIGHT (r19 verdict #5): 3 sentinel shots before
-    // sweep 0, judged against the committed quiet-box anchor.
+    // sweep 0, judged against the committed quiet-box anchor for THIS SF.
+    val sentinelAnchorSec = SentinelAnchors.getOrElse(
+      new java.io.File(sfDir).getName, SentinelAnchors("sf0.1"))
     val preflight = Seq.fill(3)(sentinelShot())
-    val loadWarning = preflight.min > LoadWarnFactor * SentinelAnchorSec
+    val loadWarning = preflight.min > LoadWarnFactor * sentinelAnchorSec
     if (loadWarning)
       System.err.println(
         s"[bench] LOAD WARNING: preflight sentinel min ${fmt(preflight.min)}s" +
-        s" > ${LoadWarnFactor}x anchor ${SentinelAnchorSec}s — box is loaded;" +
+        s" > ${LoadWarnFactor}x anchor ${sentinelAnchorSec}s — box is loaded;" +
         " per-key numbers in this record need load adjudication")
 
     // optional trailing args restrict the run (local iteration); the
@@ -209,6 +220,16 @@ object Bench {
     // Suspect adjudication: hot shot = > SuspectFactor × run median.
     val shotSecs = sentinel.map(_._3).toSeq.sorted
     val sentMedian = shotSecs(shotSecs.length / 2)
+    // Mid-run load (r19 verdict #5): the preflight only sees the start;
+    // the same 2x-anchor rule on the run's own sentinel median catches
+    // load that arrives after sweep 0 begins.
+    val loadWarningMidrun = sentMedian > LoadWarnFactor * sentinelAnchorSec
+    if (loadWarningMidrun)
+      System.err.println(
+        s"[bench] LOAD WARNING (mid-run): sentinel median ${fmt(sentMedian)}s" +
+        s" > ${LoadWarnFactor}x anchor ${sentinelAnchorSec}s — load arrived" +
+        " during the run; per-key MINs may still be clean (interleaving)" +
+        " but need adjudication against the sentinel trace")
     val hot = sentinel.zipWithIndex.collect {
       case ((_, _, sec), i) if sec > SuspectFactor * sentMedian => i
     }.toSet
@@ -249,7 +270,8 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"load_warning":$loadWarning,""" +
-      s""""preflight":$preflightJson,"sentinel_anchor":$SentinelAnchorSec,""" +
+      s""""load_warning_midrun":$loadWarningMidrun,""" +
+      s""""preflight":$preflightJson,"sentinel_anchor":$sentinelAnchorSec,""" +
       s""""suspect":$suspectJson,"sentinel":$sentinelJson,"queries":$qs}"""
 
     // Full record → repo file (never truncated): compact fields + per-key
@@ -281,7 +303,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"n_keys":${results.length},""" +
-      s""""load_warning":$loadWarning,""" +
+      s""""load_warning":$loadWarning,"load_warning_midrun":$loadWarningMidrun,""" +
       s""""sentinel_median":${fmt(sentMedian)},"sentinel_max":${fmt(sentMax)},""" +
       s""""suspect":$suspectJson,"watch":$watch,"full":"BENCH_FULL.json"}""")
     System.out.flush()

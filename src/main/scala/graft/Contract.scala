@@ -39,4 +39,21 @@ object Contract {
     import org.apache.spark.sql.functions.{isnan, abs, lit}
     c.isNull || (!isnan(c) && abs(c) < lit(Double.PositiveInfinity))
   }
+
+  /** DuckDB shadow CTE of the VECTOR-INGEST contract (r19 fuzz sweep):
+    * mirrors `Tables.embeddings`' ingest-edge rejection of zero-length
+    * and zero-norm vectors; NULL vectors pass through to each key's own
+    * null convention. Every embedding-reading oracle opens with this
+    * block — hoisted to ONE definition site (r19 verdict #4) so the
+    * contract can never drift per-oracle. Oracles splice it as
+    * `""" + graft.Contract.embIngestCteSql + """` (plain concatenation
+    * works inside both interpolated and raw triple-quoted literals). */
+  val embIngestCteSql: String =
+    """WITH embeddings AS (
+      |        -- vector-ingest contract (r19): Tables.embeddings rejects
+      |        -- zero-length and zero-norm vectors at the ingest edge;
+      |        -- NULL vectors pass through to each key's null convention
+      |        SELECT * FROM main.embeddings
+      |        WHERE embedding IS NULL OR (len(embedding) > 0
+      |              AND len(list_filter(embedding, x -> x <> 0)) > 0))""".stripMargin
 }

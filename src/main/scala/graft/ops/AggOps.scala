@@ -1054,6 +1054,11 @@ object AggOps {
     // tolerance test bounds it against the exact key instead.
     "agg_approx_percentile" -> ((s, d) => {
       Tables.orders(s, d)
+        // measure-ingest guard (r20): same convention as the exact twin
+        // agg_percentile — a NaN/Inf measure has no defined rank; the
+        // envelope gate (tools/selfcheck.py ENVELOPES) compares this key
+        // against guarded exact quantiles on the fuzzed copies too
+        .filter(graft.Contract.finiteOrNull(col("o_totalprice")))
         .groupBy("o_orderpriority")
         .agg(
           round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).as("p50"),
@@ -1614,6 +1619,16 @@ object AggOps {
       // tie-order-unspecified top-k cut while the sketch itself was
       // still exact — returning everything tracked keeps the whole
       // result inside the exact-below-capacity contract at any gate SF
+      // r20 (ADVICE r19): the exact-mode claim silently depends on the
+      // vocabulary staying under capacity — a corpus crossing it would
+      // surface as an opaque hash mismatch. Pay one cheap exact distinct
+      // over the grams (vocabulary-bounded hash-agg) to fail NAMED at
+      // the crossing instead.
+      val vocab = grams.agg(countDistinct(col("g")).as("nd")).head.getLong(0)
+      require(vocab < 100000L,
+        s"agg_approx_topk: distinct 4-gram vocabulary ($vocab) reached the " +
+        "exact-mode capacity 100000 — the sketch would evict and the result " +
+        "turn approximate; raise maxItemsTracked before trusting the gate")
       grams.agg(expr("approx_top_k(g, 100000, 100000)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("g"), col("e.count").as("cnt"))

@@ -569,14 +569,8 @@ object FnOps {
       FROM r
       ORDER BY doc_id, token ASC NULLS FIRST""",
 
-    "fn_array" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0))
+    "fn_array" -> s"""
+      ${graft.Contract.embIngestCteSql}
       SELECT vec_id,
              CAST(len(embedding) AS INTEGER) AS dim,
              round(CAST(embedding[1] AS DOUBLE), 5) AS first,

@@ -2670,13 +2670,7 @@ object LlmOps {
         FROM rr)"""
 
   private def ivfPqSearchStoreSql(cenPath: String, postingSql: String): String = s"""
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${graft.Contract.embIngestCteSql},
       ${ivfPqSearchStoreCtesSql(cenPath, postingSql)}
       SELECT q_id, rk, n_id, round(cos, 4) AS cos
       FROM r WHERE rk <= 5
@@ -3128,14 +3122,8 @@ object LlmOps {
       WHERE bit_count(xor(a.sig, b.sig)) <= 4
       ORDER BY doc_a, doc_b""",
 
-    "llm_neardup_embedding" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "llm_neardup_embedding" -> s"""
+      ${graft.Contract.embIngestCteSql},
       pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -3155,13 +3143,7 @@ object LlmOps {
     // the (cc DESC, cell ASC) tiebreak, in-cell a<b pairs under the exact
     // double cosine, dup_of = min qualifying smaller id.
     "llm_semdedup" -> s"""
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${graft.Contract.embIngestCteSql},
       init AS (
         SELECT CAST(vec_id AS INTEGER) AS cell,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
@@ -3242,14 +3224,8 @@ object LlmOps {
     // Same quantize → dequant → top-5 search definition; quantized values
     // are exact integers times a shared double scale, so cosines are
     // bit-identical across engines and ranks cannot drift.
-    "llm_quantize_int8" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "llm_quantize_int8" -> s"""
+      ${graft.Contract.embIngestCteSql},
       dq AS (
         SELECT vec_id,
                list_transform(embedding, x ->
@@ -3280,14 +3256,8 @@ object LlmOps {
     // Both rankings re-derived with the same list-fold cosine the
     // bruteforce oracle uses (bit-identical to graft_cosine), head via
     // list_slice; overlap joined on the two rank-≤5 sets.
-    "llm_matryoshka_ann" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "llm_matryoshka_ann" -> s"""
+      ${graft.Contract.embIngestCteSql},
       q AS (SELECT vec_id AS q_id, embedding FROM embeddings
                  WHERE vec_id % 50 = 0),
       pairs AS (
@@ -3385,14 +3355,8 @@ object LlmOps {
 
     // Same double-widened zip cosine as llm_knn_bruteforce; the label
     // inequality replaces the self-id exclusion.
-    "llm_hard_negatives" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "llm_hard_negatives" -> s"""
+      ${graft.Contract.embIngestCteSql},
       pairs AS (
         SELECT q.vec_id AS q_id, q.label AS q_lbl,
                c.vec_id AS n_id, c.label AS n_lbl,
@@ -3411,14 +3375,8 @@ object LlmOps {
       FROM r WHERE rk <= 3
       ORDER BY q_id, rk""",
 
-    "llm_knn_bruteforce" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "llm_knn_bruteforce" -> s"""
+      ${graft.Contract.embIngestCteSql},
       pairs AS (
         SELECT q.vec_id AS q_id, c.vec_id AS n_id,
           list_sum(list_transform(list_zip(q.embedding, c.embedding),
@@ -3443,13 +3401,7 @@ object LlmOps {
     // left join + count per query (bfTop5CtesSql / recallSelectSql —
     // the same shared truth + rollup every recall key's oracle uses).
     "llm_ann_recall_eval" -> s"""
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${graft.Contract.embIngestCteSql},
       bands AS (
         SELECT vec_id, j AS band_idx,
                (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
@@ -3483,13 +3435,7 @@ object LlmOps {
     // The llm_knn_ivf oracle's trained-quantizer chain composed with the
     // shared brute-force truth, then the shared recall rollup.
     "llm_ann_recall_ivf" -> s"""
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${graft.Contract.embIngestCteSql},
       ${ivfSearchCtesSql},
       appx AS (SELECT q_id, n_id FROM ivf_r WHERE rk <= 5),
       ${bfTop5CtesSql}
@@ -3498,13 +3444,7 @@ object LlmOps {
     // The llm_knn_ivfpq oracle's store-search chain (probe + ADC +
     // rerank over the persisted index) composed the same way.
     "llm_ann_recall_ivfpq" -> s"""
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${graft.Contract.embIngestCteSql},
       ${ivfPqSearchStoreCtesSql(s"$OracleAnnDir/cen",
         s"SELECT cell, n_id, vhat FROM read_parquet('$OracleAnnDir/posting/*.parquet')")},
       appx AS (SELECT q_id, n_id FROM r WHERE rk <= 5),
@@ -3563,13 +3503,7 @@ object LlmOps {
     // brute-force truth: first_rank = min approx rank holding a true
     // top-5 neighbor, rr = 1/first_rank (0 on a complete miss).
     "llm_mrr_eval" -> s"""
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${graft.Contract.embIngestCteSql},
       bands AS (
         SELECT vec_id, j AS band_idx,
                (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
@@ -3604,14 +3538,8 @@ object LlmOps {
       FROM qs LEFT JOIN hits h ON qs.q_id = h.q_id
       ORDER BY qs.q_id""",
 
-    "llm_knn_lsh" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "llm_knn_lsh" -> s"""
+      ${graft.Contract.embIngestCteSql},
       bands AS (
         SELECT vec_id, j AS band_idx,
                (CASE WHEN embedding[4*j + 1] > 0 THEN 1 ELSE 0 END
@@ -3647,13 +3575,7 @@ object LlmOps {
     // filter — then exact rerank, mirroring the Spark two-stage shape over
     // the same store parquet (deterministic path notes on OracleAnnDir).
     "llm_quantize_pq" -> s"""
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${graft.Contract.embIngestCteSql},
       q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
         WHERE vec_id < 100),
@@ -3694,14 +3616,8 @@ object LlmOps {
           UNION ALL
           SELECT cell, n_id, vhat FROM read_parquet('$OracleAnnIncDir/posting2/*.parquet')"""),
 
-    "llm_knn_centroids" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "llm_knn_centroids" -> s"""
+      ${graft.Contract.embIngestCteSql},
       x AS (
         SELECT label, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cv
         FROM embeddings, range(1, 65) t(pos)
@@ -3783,14 +3699,8 @@ object LlmOps {
       FROM r WHERE rk <= 5
       ORDER BY doc_id, rk""",
 
-    "llm_vector_norms" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "llm_vector_norms" -> s"""
+      ${graft.Contract.embIngestCteSql},
       norms AS (
         SELECT label,
                sqrt(list_sum(list_transform(embedding,
@@ -3806,14 +3716,8 @@ object LlmOps {
     // engines standardize with identical mu/sigma; generate_subscripts is
     // 1-based like Spark's posexplode+1 ordering (position only keys the
     // stats join — output aggregates are position-free).
-    "llm_embed_standardize" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "llm_embed_standardize" -> s"""
+      ${graft.Contract.embIngestCteSql},
       x AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                unnest(embedding)::DOUBLE AS v
@@ -3862,13 +3766,7 @@ object LlmOps {
     // lists, 3-probe search, exact double cosine within probed cells
     // (chain factored as ivfSearchCtesSql — shared with the recall gate).
     "llm_knn_ivf" -> s"""
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${graft.Contract.embIngestCteSql},
       ${ivfSearchCtesSql}
       SELECT q_id, rk, n_id, round(cos, 4) AS cos
       FROM ivf_r WHERE rk <= 5
@@ -3932,14 +3830,8 @@ object LlmOps {
                               || ':' || CAST(out_h AS VARCHAR)) AS thumb_hash
       FROM rs ORDER BY doc_id""",
 
-    "llm_multimodal_join" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0))
+    "llm_multimodal_join" -> s"""
+      ${graft.Contract.embIngestCteSql}
       SELECT label, lang, count(*) AS n,
              round(avg(n_chars), 2) AS avg_chars,
              round(avg(sqrt(list_sum(list_transform(embedding,

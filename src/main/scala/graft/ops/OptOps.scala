@@ -709,6 +709,12 @@ object OptOps {
     // pushed-down aggregate answers from: writers omit NaN from footer
     // min/max (so ±Inf participates, NaN never does). A WHERE guard on
     // the Spark side would defeat the very pushdown this key proves.
+    // NaN contract, measured r20 (ADVICE r19): pyarrow-written fixtures
+    // (the gate's) carry NaN-excluding stats and the pushed answer
+    // matches this oracle; parquet-mr-written NaN files omit the column's
+    // min/max ENTIRELY and the pushed aggregate fails LOUDLY at read time
+    // ("No min/max found" — pinned in PlanSpec), never silently; only a
+    // deliberate pushdown-off fallback scan returns NaN for max.
     "opt_agg_pushdown" -> """
       SELECT count(*) AS n,
              min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
@@ -861,14 +867,8 @@ object OptOps {
     // Approximate rewrite ⇒ the oracle mirrors the banded DEFINITION:
     // candidates = pairs agreeing on >= 1 of 16 four-dim sign-bit bands,
     // then the exact double cosine confirm.
-    "opt_cosine_rewrite" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "opt_cosine_rewrite" -> s"""
+      ${graft.Contract.embIngestCteSql},
       s AS (
         SELECT vec_id, embedding,
                list_transform(embedding, x -> x > 0) AS signs

@@ -155,27 +155,41 @@ object RelOps {
   ))
 
   /** (keys..., change ∈ added|deleted|changed) between two snapshot
-    * versions of one table. Each side collapses to (key, row fingerprint)
-    * AT THE SCAN — md5(to_json(non-key struct)), a codegen'd per-row
-    * expression, so the one full-outer shuffle joins key+16-byte rows,
-    * never the payload. At 100 TB both snapshots shuffle once on the key —
-    * the floor for snapshot CDC; co-bucketed layouts (join_bucketed)
-    * remove even that exchange. Unchanged keys (fingerprints equal) are
-    * dropped in the same stage. Equal rows serialize to equal JSON, so
-    * the classification is exact up to md5 collision. */
+    * versions of one table. Each side collapses to (key, multiset
+    * fingerprint) AT THE SCAN — two salted xxhash64 of
+    * to_json(non-key struct), codegen'd per-row, summed per key — so the
+    * one full-outer shuffle joins key+~3-number rows, never the payload.
+    * At 100 TB both snapshots shuffle once on the key — the floor for
+    * snapshot CDC; co-bucketed layouts (join_bucketed) remove even that
+    * exchange. Unchanged keys (fingerprints equal) are dropped in the
+    * same stage. Equal rows serialize to equal JSON, so the
+    * classification is exact up to the ~2^-128 hash-collision bound. */
   private[graft] def snapshotDiff(base: DataFrame, next: DataFrame,
                                   keys: Seq[String]): DataFrame = {
     def fp(df: DataFrame, keyAs: String => String, h: String): DataFrame = {
       val others = df.columns.filterNot(keys.contains).sorted
-      // ONE fingerprint per KEY — the md5 of the SORTED multiset of
-      // per-row hashes (r19 fuzz: a duplicate-key snapshot must not fan
-      // out 2x2 in the full outer; key-level CDC over a possibly-
-      // multirow key is the defined semantics — deleting one COPY of a
-      // duplicated row reads as 'changed', which is exactly right)
+      // ONE fingerprint per KEY over the MULTISET of per-row hashes
+      // (r19 fuzz: a duplicate-key snapshot must not fan out 2x2 in the
+      // full outer; key-level CDC over a possibly-multirow key is the
+      // defined semantics — deleting one COPY of a duplicated row reads
+      // as 'changed', which is exactly right). r20 (ADVICE r19): the
+      // multiset digest is an ORDER-INDEPENDENT COMMUTATIVE combine —
+      // (count, sum h1, sum h2) over two independently-salted 64-bit row
+      // hashes — instead of md5(sorted collect_list): sums flow through
+      // the map-side partial aggregate in constant memory per key, so a
+      // hot key with millions of duplicate rows never concentrates a
+      // row-hash buffer on one task. Sums accumulate in DECIMAL(38,0)
+      // (exact; ANSI-safe — BIGINT sums would overflow-throw) — equal
+      // multisets give equal triples, unequal ones collide with ~2^-128
+      // probability, the same bound the md5 digest carried.
+      val json = to_json(struct(others.map(col): _*))
+      val dec = "decimal(38,0)"
       df.select(keys.map(k => col(k).as(keyAs(k))) :+
-          md5(to_json(struct(others.map(col): _*))).as("rh"): _*)
+          xxhash64(json).cast(dec).as("rh1") :+
+          xxhash64(json, lit("graft_fp_salt2")).cast(dec).as("rh2"): _*)
         .groupBy(keys.map(k => col(keyAs(k))): _*)
-        .agg(md5(concat_ws("", sort_array(collect_list(col("rh"))))).as(h))
+        .agg(struct(count(lit(1)).as("n"), sum("rh1").as("h1"),
+                    sum("rh2").as("h2")).as(h))
     }
     // NULL-SAFE key equality (<=>): a plain equi-join never matches NULL
     // keys, which would misreport an unchanged null-keyed row as a

@@ -91,8 +91,14 @@ object ScanOps {
       round(sum(col("mu_e") * col("mu_a")) /
             (sqrt(sum(col("mu_e") * col("mu_e"))) *
              sqrt(sum(col("mu_a") * col("mu_a")))), 4).as("centroid_cos"))
-    val mus = array(stats.orderBy("pos").select("mu_e").collect()
-      .map(r => lit(r.getDouble(0))).toSeq: _*)
+    // r20 (ADVICE r19): an empty EXPECTED (training) period leaves every
+    // mu_e NULL — fail with the contract message, not a Row.getDouble NPE
+    // (the same named-require convention as Similarity.trainCentroids).
+    val muRows = stats.orderBy("pos").select("mu_e").collect()
+    require(muRows.nonEmpty && !muRows.exists(_.isNullAt(0)),
+      "embeddingDrift: EXPECTED (training) period has no vectors — the " +
+      "reference centroid is undefined; supply at least one is_exp=true row")
+    val mus = array(muRows.map(r => lit(r.getDouble(0))).toSeq: _*)
     val dot = aggregate(
       zip_with(col("embedding"), mus, (x, m) => x.cast("double") * m),
       lit(0.0), (a, x) => a + x)
@@ -1388,14 +1394,8 @@ object ScanOps {
     // zip_with/aggregate) so the banded cosine is bit-identical before
     // floor(); same 20-band sorted psi fold with the fixed-universe
     // smoothing mass 20*0.5 = 10.
-    "obs_drift_embedding" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "obs_drift_embedding" -> s"""
+      ${graft.Contract.embIngestCteSql},
       e AS (
         SELECT vec_id, embedding, vec_id % 2 = 0 AS is_exp
         FROM embeddings WHERE embedding IS NOT NULL),

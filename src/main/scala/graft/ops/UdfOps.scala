@@ -193,14 +193,8 @@ object UdfOps {
     // Manual double-precision cosine on BOTH columns: DuckDB's native
     // list_cosine_similarity computes in float32, whose rounded value can
     // disagree with the double computation in the 4th decimal.
-    "expr_custom_cosine" -> """
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+    "expr_custom_cosine" -> s"""
+      ${graft.Contract.embIngestCteSql},
       pairs AS (
         SELECT a.vec_id AS a_id, a.embedding AS ae, b.embedding AS be
         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1

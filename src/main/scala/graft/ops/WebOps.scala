@@ -937,13 +937,7 @@ object WebOps {
     // Same BM25 CTE tower as Bm25OracleSql (un-limited, ranked), the dense
     // ranker as the knn-oracle cosine over FLOAT[] lists, RRF in plain SQL.
     "llm_hybrid_rrf" -> s"""
-      WITH embeddings AS (
-        -- vector-ingest contract (r19): Tables.embeddings rejects
-        -- zero-length and zero-norm vectors at the ingest edge;
-        -- NULL vectors pass through to each key's null convention
-        SELECT * FROM main.embeddings
-        WHERE embedding IS NULL OR (len(embedding) > 0
-              AND len(list_filter(embedding, x -> x <> 0)) > 0)),
+      ${graft.Contract.embIngestCteSql},
       dl AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
       stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),

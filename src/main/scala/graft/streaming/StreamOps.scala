@@ -1385,15 +1385,23 @@ object StreamOps {
     })
   ))
 
+  /** DuckDB shadow CTE of the STREAMING-BUS ingest guard (r19 fuzz):
+    * `baseChunks` rejects NaN/Inf `value` at the bus boundary; NULLs pass
+    * through to each key's null convention. Every events-reading oracle
+    * opens with this block — hoisted to ONE definition site (r19 verdict
+    * #4) so the guard can never drift per-oracle. */
+  private val eventsGuardCteSql: String =
+    """WITH events AS (
+      |        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
+      |        -- NaN/Inf `value` at the bus boundary; NULLs pass through
+      |        SELECT * FROM main.events
+      |        WHERE (value IS NULL OR isfinite(value)))""".stripMargin
+
   val oracle: Map[String, String] = graft.Contract.uniqueMap("StreamOps.oracle", Seq(
     // Restart plumbing is exactly-once ⇒ the sink equals one batch pass
     // over the full table; n == n_ids (unique event_id) is the dup canary.
-    "stream_checkpoint_restart" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_checkpoint_restart" -> s"""
+      ${eventsGuardCteSql}
       SELECT event_type, count(*) AS n,
              CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sv,
              count(DISTINCT event_id) AS n_ids
@@ -1401,12 +1409,8 @@ object StreamOps {
       GROUP BY event_type
       ORDER BY event_type NULLS FIRST""",
 
-    "stream_tumbling" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_tumbling" -> s"""
+      ${eventsGuardCteSql}
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
@@ -1415,12 +1419,8 @@ object StreamOps {
 
     // The union of the two disjoint halves IS the full log — identical
     // oracle to stream_tumbling.
-    "stream_union_sources" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_union_sources" -> s"""
+      ${eventsGuardCteSql}
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
@@ -1429,12 +1429,8 @@ object StreamOps {
 
     // Each event belongs to the 4 sliding 1-hour windows whose starts are
     // its 15-min bucket minus 0/15/30/45 minutes.
-    "stream_sliding" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value))),
+    "stream_sliding" -> s"""
+      ${eventsGuardCteSql},
       x AS (
         SELECT time_bucket(INTERVAL '15 minutes', ts)
                  - k * INTERVAL '15 minutes' AS window_start,
@@ -1450,12 +1446,8 @@ object StreamOps {
     // gap is >= 30 minutes (Spark sessions are [start, last+gap) with an
     // exclusive end); session_end = last event + gap.
     // The final complete-mode snapshot equals the batch aggregate.
-    "stream_complete_mode" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_complete_mode" -> s"""
+      ${eventsGuardCteSql}
       SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY event_type
@@ -1464,12 +1456,8 @@ object StreamOps {
     // Union-of-intervals semantics: a new session starts exactly when an
     // event's ts reaches the running MAX of all previous window ends
     // (ties at the same ts always merge — both windows start there).
-    "stream_session_dynamic" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value))),
+    "stream_session_dynamic" -> s"""
+      ${eventsGuardCteSql},
       e AS (
         SELECT user_id, ts, event_id,
                ts + CASE WHEN event_type = 'view' THEN INTERVAL '15 minutes'
@@ -1499,12 +1487,8 @@ object StreamOps {
       GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
 
-    "stream_session" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value))),
+    "stream_session" -> s"""
+      ${eventsGuardCteSql},
       o AS (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
@@ -1526,34 +1510,22 @@ object StreamOps {
       GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
 
-    "stream_dedup" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_dedup" -> s"""
+      ${eventsGuardCteSql}
       SELECT DISTINCT ON (event_id) event_id, ts, user_id, event_type, value
       FROM events
       ORDER BY event_id""",
 
     // same exact-distinct oracle: the 90-day delay outlives the replay, so
     // the TTL'd variant drops every duplicate the unbounded one drops
-    "stream_dedup_ttl" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_dedup_ttl" -> s"""
+      ${eventsGuardCteSql}
       SELECT DISTINCT ON (event_id) event_id, ts, user_id, event_type, value
       FROM events
       ORDER BY event_id""",
 
-    "stream_stateful_count" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_stateful_count" -> s"""
+      ${eventsGuardCteSql}
       SELECT user_id, count(*) AS n_events,
              round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
@@ -1561,12 +1533,8 @@ object StreamOps {
       GROUP BY user_id
       ORDER BY user_id""",
 
-    "stream_stateful_tws" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_stateful_tws" -> s"""
+      ${eventsGuardCteSql}
       SELECT user_id, count(*) AS n_events,
              round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
@@ -1576,12 +1544,8 @@ object StreamOps {
 
     // batch argmax per user: the latest change wins; tombstoned (delete-
     // final) users are absent from the snapshot
-    "stream_cdc_apply" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value))),
+    "stream_cdc_apply" -> s"""
+      ${eventsGuardCteSql},
       ranked AS (
         SELECT user_id, ts, coalesce(value, 0.0) AS value,
                coalesce(event_type = 'purchase', false) AS del,
@@ -1594,12 +1558,8 @@ object StreamOps {
 
     // identical batch semantics to stream_stateful_tws — the key proves the
     // TTL'd-state write path, and a 1-hour TTL expires nothing in-replay
-    "stream_state_ttl" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_state_ttl" -> s"""
+      ${eventsGuardCteSql}
       SELECT user_id, count(*) AS n_events,
              round(sum(coalesce(value, 0.0)), 2) AS sum_value
       FROM events
@@ -1609,12 +1569,8 @@ object StreamOps {
 
     // the timer-closed sessions must equal the batch gaps-and-islands —
     // the SAME oracle as stream_session (session_end = last + gap)
-    "stream_stateful_timers" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value))),
+    "stream_stateful_timers" -> s"""
+      ${eventsGuardCteSql},
       o AS (
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
@@ -1636,12 +1592,8 @@ object StreamOps {
       GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
 
-    "stream_stream_join" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_stream_join" -> s"""
+      ${eventsGuardCteSql}
       SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
              s.event_id AS s_id, s.ts AS s_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1653,12 +1605,8 @@ object StreamOps {
 
     // NULLS FIRST matches Spark's asc_nulls_first default — the gate
     // compares rows in produced order, so null placement must agree.
-    "stream_stream_outer" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_stream_outer" -> s"""
+      ${eventsGuardCteSql}
       SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
              s.event_id AS s_id, s.ts AS s_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1673,12 +1621,8 @@ object StreamOps {
 
     // identical semantics to stream_tumbling — the key exists to prove the
     // parquet FILE sink path (exactly-once commit log), not a new transform
-    "stream_file_sink" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_file_sink" -> s"""
+      ${eventsGuardCteSql}
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events
@@ -1687,12 +1631,8 @@ object StreamOps {
 
     // identical semantics again — this key proves the foreachBatch JDBC
     // upsert path (idempotent keyed writes), not a new transform
-    "stream_jdbc_sink" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_jdbc_sink" -> s"""
+      ${eventsGuardCteSql}
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              coalesce(event_type, '') AS event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
@@ -1700,12 +1640,8 @@ object StreamOps {
       GROUP BY 1, 2
       ORDER BY window_start, event_type""",
 
-    "stream_static_join" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_static_join" -> s"""
+      ${eventsGuardCteSql}
       SELECT event_id, user_id, c_mktsegment, value
       FROM events JOIN customer ON user_id = c_custkey
       ORDER BY event_id""",
@@ -1713,12 +1649,8 @@ object StreamOps {
     // The interval compilation is plumbing: the batch semantics are
     // exactly the backward as-of join, so the oracle is the same ASOF
     // JOIN the join_asof family uses.
-    "stream_asof" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_asof" -> s"""
+      ${eventsGuardCteSql}
       SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
@@ -1728,36 +1660,24 @@ object StreamOps {
     // The bus source must deliver every row intact across micro-batches;
     // the transform is a plain filter+project, so the static table IS the
     // expected stream output.
-    "stream_bus_source" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_bus_source" -> s"""
+      ${eventsGuardCteSql}
       SELECT event_id, user_id, value
       FROM events
       WHERE event_type = 'purchase'
       ORDER BY event_id""",
 
     // Every row of every partition log must arrive exactly once.
-    "stream_bus_partitioned" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_bus_partitioned" -> s"""
+      ${eventsGuardCteSql}
       SELECT event_id, user_id, value
       FROM events
       WHERE event_type = 'click'
       ORDER BY event_id""",
 
     // Round trip through BOTH connector halves must deliver every row once.
-    "stream_bus_sink" -> """
-      WITH events AS (
-        -- streaming-bus ingest guard (r19 fuzz): baseChunks rejects
-        -- NaN/Inf `value` at the bus boundary; NULLs pass through
-        SELECT * FROM main.events
-        WHERE (value IS NULL OR isfinite(value)))
+    "stream_bus_sink" -> s"""
+      ${eventsGuardCteSql}
       SELECT event_id, user_id, value
       FROM events
       WHERE event_type = 'signup'

@@ -798,6 +798,60 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pushdown fired with its conf off:\n$off")
   }
 
+  test("opt_agg_pushdown NaN contract: Spark-written NaN parquet makes the " +
+       "pushed MIN/MAX fail LOUDLY (stats omitted by the writer), and the " +
+       "scan fallback returns NaN — never a silent divergence") {
+    // ADVICE r19: the key's oracle hard-codes parquet footer-stats NaN
+    // semantics (writers omit NaN from min/max). This pins the three
+    // observed behaviors on a NaN-carrying fixture so none can drift
+    // unnoticed:
+    //  1. parquet-mr (Spark's writer) drops a double column's min/max
+    //     ENTIRELY when a row group contains NaN, and the pushed
+    //     aggregate then throws the NAMED "No min/max found" error at
+    //     read time — a loud failure, not a wrong answer;
+    //  2. with pushdown off, Spark's real-scan max over the same rows is
+    //     NaN (treated greatest) — the cross-engine divergence the
+    //     oracle's FILTER NOT isnan note documents;
+    //  3. the driver-gate fixtures are PYARROW-written, whose stats
+    //     exclude NaN but are present — there the pushed answer equals
+    //     the oracle's NaN-excluded min/max (that path is certified by
+    //     the fuzz sweeps, which run opt_agg_pushdown green on the
+    //     NaN-injected o_totalprice at both SFs).
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nan_push").toString
+    Seq(1.0, Double.NaN, 3.5).toDF("v").repartition(1).write
+      .mode("overwrite").parquet(dir)
+    val confs = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pushed = spark.read.parquet(dir)
+        .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      val pp = planOf(pushed)
+      assert(pp.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate not pushed on the NaN-carrying fixture:\n$pp")
+      val err = intercept[org.apache.spark.SparkException] { pushed.head }
+      val root = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(root.contains("No min/max found"),
+        s"pushed MIN/MAX over a stats-less NaN footer no longer fails with " +
+        s"the named error — re-derive the oracle's NaN note. Got: $root")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // fallback semantics (pushdown off): Spark's max treats NaN as the
+    // largest double — the divergence the oracle note documents
+    val fb = spark.read.parquet(dir)
+      .agg(max("v").as("mx")).head.getDouble(0)
+    assert(fb.isNaN,
+      s"scan-fallback max no longer returns NaN ($fb) — the opt_agg_pushdown " +
+      "oracle's FILTER NOT isnan note needs re-derivation")
+  }
+
   test("opt_empty_relation: the fact table is never scanned") {
     val p = plan("opt_empty_relation")
     assert(!p.contains("FileScan"),

@@ -3,7 +3,10 @@
 story from argued plan shapes into MEASURED growth exponents.
 
 For the most expensive keys (the dedup / ANN / graph / stream families),
-runs graft.Bench at sf0.001 / sf0.01 / sf0.1 (min across Bench's 3
+runs graft.Bench at sf0.001 / sf0.01 / sf0.1 — plus, for the
+documents/embeddings-driven keys, a seeded synthetic x10 blow-up of
+sf0.1 (stage_x10; r19 verdict #2 — gives the families whose tables are
+flat at the small SFs a SECOND real growth pair) — (min across Bench's 3
 interleaved sweeps, per-JVM store setup excluded by Bench's own
 protocol), then fits the per-key growth exponent
 
@@ -37,6 +40,101 @@ SNAPSHOT = os.path.join(REPO, "tools", "scalecheck.json")
 FLOOR_SEC = 0.5     # below this at the TOP sf, fixed cost dominates
 GATE_B = 1.8        # sub-quadratic assertion for bounded-claim keys
 
+# Fourth scale point (r19 verdict #2): documents/embeddings are FLAT
+# 500->500 between sf0.001 and sf0.01, so the dedup/ANN families had a
+# single real growth pair (b_mid null). A deterministic seeded x10
+# blow-up of sf0.1's documents (5000->50000; copies get fresh doc_ids
+# and a seeded word-shuffle, so the token distribution is preserved but
+# char-shingle/near-dup structure is NOT artificially inflated) and
+# embeddings (2000->20000; fresh vec_ids, seeded gaussian perturbation
+# with the original norm restored) gives every bucketed doc/emb key a
+# second real pair. All other tables are symlinked from sf0.1 — only
+# keys whose cost is documents/embeddings-driven run at this point.
+X10 = "x10"
+X10_DIR = "/tmp/graft-scale-x10"
+X10_SEED = 2020
+X10_KEYS = {
+    "llm_exact_dedup", "llm_neardup_minhash", "llm_simhash",
+    "llm_neardup_containment", "llm_substring_dedup_multi",
+    "llm_bm25_topk", "llm_ngram",
+    "llm_knn_bruteforce", "llm_knn_ivf", "llm_knn_ivfpq", "llm_knn_lsh",
+    "llm_semdedup", "llm_matryoshka_ann",
+}
+
+
+def stage_x10():
+    """Deterministic x10 blow-up of sf0.1 documents+embeddings (seeded —
+    re-entrant: reuses the staged dir when the marker matches)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import numpy as np
+    import random
+    src = "/root/testdata/sf0.1"
+    marker = os.path.join(X10_DIR, "_staged.json")
+    if os.path.exists(marker):
+        if json.load(open(marker)).get("seed") == X10_SEED:
+            return
+    import shutil
+    shutil.rmtree(X10_DIR, ignore_errors=True)
+    os.makedirs(X10_DIR)
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet") and f not in ("documents.parquet",
+                                                "embeddings.parquet"):
+            os.symlink(os.path.join(src, f), os.path.join(X10_DIR, f))
+    # documents: 9 extra copies, fresh ids, per-doc seeded word shuffle
+    # (same vocabulary and token multiset per doc -> corpus statistics
+    # scale honestly; char-shingle sets diverge -> no planted near-dups)
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    rows = t.to_pylist()
+    stride = max(r["doc_id"] for r in rows) + 1
+    out = list(rows)
+    for k in range(1, 10):
+        for r in rows:
+            nr = dict(r)
+            nr["doc_id"] = r["doc_id"] + stride * k
+            if r["text"] is not None:
+                words = r["text"].split(" ")
+                random.Random(X10_SEED + k * 1000003 + r["doc_id"]) \
+                    .shuffle(words)
+                nr["text"] = " ".join(words)
+                nr["n_chars"] = len(nr["text"])
+            out.append(nr)
+    pq.write_table(pa.Table.from_pylist(out, schema=t.schema),
+                   os.path.join(X10_DIR, "documents.parquet"))
+    n_docs = len(out)
+    # embeddings: 9 extra copies, fresh ids, seeded gaussian perturbation
+    # with each vector's ORIGINAL norm restored (unit-norm corpus stays
+    # unit-norm; cells/buckets stay balanced)
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    labels = t.column("label").to_pylist()
+    estride = int(ids.max()) + 1
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    all_ids, all_emb, all_labels = [ids], [emb], [labels]
+    rng = np.random.default_rng(X10_SEED)
+    for k in range(1, 10):
+        noise = rng.normal(0.0, 0.02, emb.shape)
+        v = emb + noise
+        vn = np.linalg.norm(v, axis=1, keepdims=True)
+        v = v * (norms / vn)
+        all_ids.append(ids + estride * k)
+        all_emb.append(v)
+        all_labels.append(labels)
+    flat_ids = np.concatenate(all_ids)
+    flat_emb = np.concatenate(all_emb).astype(np.float32)
+    flat_labels = sum(all_labels, [])
+    et = pa.table({
+        "vec_id": pa.array(flat_ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in flat_emb],
+                              type=t.schema.field("embedding").type),
+        "label": pa.array(flat_labels, type=pa.int32())})
+    pq.write_table(et, os.path.join(X10_DIR, "embeddings.parquet"))
+    json.dump({"seed": X10_SEED, "docs": n_docs, "vecs": len(flat_ids)},
+              open(marker, "w"))
+    print(f"[scalecheck] staged x10 -> {X10_DIR} "
+          f"({n_docs} docs, {len(flat_ids)} vecs)", flush=True)
+
 # key -> (dominant table, claim)
 #   bounded        : SURVEY 2 claims a bucketed/bounded plan -> gated
 #   quadratic-twin : declared O(n^2) ground-truth baseline -> report only
@@ -54,7 +152,9 @@ KEYS = {
     "llm_simhash":              ("documents", "bounded"),
     "llm_neardup_containment":  ("documents", "bounded"),
     "llm_substring_dedup_multi": ("documents", "bounded"),
-    "llm_fuzzy_join":           ("documents", "bounded"),
+    # fuzzy_join's probes/catalog derive from PART (10x per step), not
+    # documents — r20 label fix (the 0.01->0.1 ratio happened to agree)
+    "llm_fuzzy_join":           ("part", "bounded"),
     "llm_bm25_topk":            ("documents", "bounded"),
     "llm_ngram":                ("documents", "bounded"),
     # ANN / vector (embeddings: flat then 4x on the top pair)
@@ -73,23 +173,27 @@ KEYS = {
 }
 
 
+def sf_dir(sf):
+    return X10_DIR if sf == X10 else f"/root/testdata/sf{sf}"
+
+
 def table_rows(sf, table):
     import pyarrow.parquet as pq
     return pq.read_metadata(
-        f"/root/testdata/sf{sf}/{table}.parquet").num_rows
+        os.path.join(sf_dir(sf), f"{table}.parquet")).num_rows
 
 
-def run_bench(sf):
+def run_bench(sf, keys):
     out = f"/tmp/scalecheck_sf{sf}.json"
     if os.path.exists(out):
         os.remove(out)
     env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+               SPARK_GRAFT_SF_DIR=sf_dir(sf),
                SPARK_GRAFT_BENCH_OUT=out,
                SPARK_GRAFT_CPUS="8")
     cmd = ["sbt", "-batch",
-           "runMain graft.Bench " + " ".join(sorted(KEYS))]
-    print(f"[scalecheck] bench sf{sf} ({len(KEYS)} keys, 3 sweeps) ...",
+           "runMain graft.Bench " + " ".join(sorted(keys))]
+    print(f"[scalecheck] bench sf{sf} ({len(keys)} keys, 3 sweeps) ...",
           flush=True)
     r = subprocess.run(cmd, cwd=REPO, env=env,
                        capture_output=True, text=True, timeout=3600)
@@ -101,10 +205,10 @@ def run_bench(sf):
     return rec["queries"], rec.get("load_warning", False)
 
 
-def fit(times, rows):
-    """Per-pair exponents over consecutive SFs; None when n is flat."""
+def fit(times, rows, sfs):
+    """Per-pair exponents over consecutive points; None when n is flat."""
     out = []
-    for lo, hi in zip(SFS, SFS[1:]):
+    for lo, hi in zip(sfs, sfs[1:]):
         n_lo, n_hi = rows[lo], rows[hi]
         t_lo, t_hi = times[lo], times[hi]
         if n_hi == n_lo or t_lo <= 0 or t_hi <= 0:
@@ -116,24 +220,30 @@ def fit(times, rows):
 
 def report(snap):
     fails = []
+    all_sfs = SFS + [X10]
     hdr = f"{'key':28s} {'claim':14s} " + \
-          " ".join(f"t@sf{sf:5s}" for sf in SFS) + "  b_mid  b_top  verdict"
+          " ".join(f"t@sf{sf:5s}" for sf in all_sfs) + "  b_mid  b_top  verdict"
     print(hdr)
     print("-" * len(hdr))
     for key in sorted(snap["keys"]):
         e = snap["keys"][key]
         bm = "   -  " if e["b_mid"] is None else f"{e['b_mid']:6.2f}"
         bt = "   -  " if e["b_top"] is None else f"{e['b_top']:6.2f}"
-        ts = " ".join(f"{e['sec'][sf]:8.3f}" for sf in SFS)
+        ts = " ".join(f"{e['sec'][sf]:8.3f}" if sf in e["sec"]
+                      and e["sec"][sf] is not None else f"{'-':>8s}"
+                      for sf in all_sfs)
         print(f"{key:28s} {e['claim']:14s} {ts} {bm} {bt}  {e['verdict']}")
         if e["verdict"] == "FAIL":
             fails.append(key)
     lw = snap.get("load_warning", {})
     if any(lw.values()):
         print(f"load_warning sweeps: {lw} - exponents may be noise-inflated")
+    nmid = sum(1 for e in snap["keys"].values()
+               if e["claim"] == "bounded" and e["b_mid"] is None)
     print(f"== {len(fails)} gated violations "
           f"(gate: bounded-claim keys, b_top < {GATE_B} "
-          f"unless t@top < {FLOOR_SEC}s) ==")
+          f"unless t@top < {FLOOR_SEC}s); "
+          f"{nmid} bounded keys on a single growth pair ==")
     return fails
 
 
@@ -142,31 +252,39 @@ def main():
         fails = report(json.load(open(SNAPSHOT)))
         sys.exit(1 if fails else 0)
 
+    stage_x10()
     times, warns = {}, {}
     for sf in SFS:
-        times[sf], warns[sf] = run_bench(sf)
+        times[sf], warns[sf] = run_bench(sf, sorted(KEYS))
+    times[X10], warns[X10] = run_bench(X10, sorted(X10_KEYS))
 
-    snap = {"sfs": SFS, "cpus": 8, "floor_sec": FLOOR_SEC, "gate_b": GATE_B,
+    snap = {"sfs": SFS + [X10], "cpus": 8, "floor_sec": FLOOR_SEC,
+            "gate_b": GATE_B, "x10": {"dir": X10_DIR, "seed": X10_SEED},
             "protocol": "min across 3 interleaved sweeps per sf "
                         "(graft.Bench), exponent vs dominant-table parquet "
-                        "row counts",
+                        "row counts; x10 = seeded synthetic blow-up of "
+                        "sf0.1 documents/embeddings (r19 verdict #2)",
             "load_warning": warns, "keys": {}}
     for key, (table, claim) in KEYS.items():
-        rows = {sf: table_rows(sf, table) for sf in SFS}
-        sec = {sf: times[sf].get(key) for sf in SFS}
+        sfs = SFS + ([X10] if key in X10_KEYS else [])
+        rows = {sf: table_rows(sf, table) for sf in sfs}
+        sec = {sf: times[sf].get(key) for sf in sfs}
         if any(v is None for v in sec.values()):
             sys.exit(f"FATAL: no bench time for {key}")
-        b_mid, b_top = fit(sec, rows)
+        exps = fit(sec, rows, sfs)
+        real = [b for b in exps if b is not None]
+        b_top = real[-1] if real else None
+        b_mid = real[-2] if len(real) > 1 else None
         if claim != "bounded":
             verdict = "n/a (" + claim + ")"
-        elif sec[SFS[-1]] < FLOOR_SEC:
+        elif sec[sfs[-1]] < FLOOR_SEC:
             verdict = "pass (fixed-cost-bound)"
         elif b_top is not None and b_top < GATE_B:
             verdict = "pass"
         else:
             verdict = "FAIL"
         snap["keys"][key] = {"table": table, "claim": claim,
-                             "rows": rows, "sec": sec,
+                             "rows": rows, "sec": sec, "exps": exps,
                              "b_mid": b_mid, "b_top": b_top,
                              "verdict": verdict}
     json.dump(snap, open(SNAPSHOT, "w"), indent=1, sort_keys=True)

@@ -70,6 +70,74 @@ def compare(name, spark_df, duck_df):
                 return f"VALUES col {c} ({av.dtype} vs {bv.dtype}) differ (non-comparable dtypes)"
     return None
 
+# ---------------------------------------------------------------------------
+# Envelope oracles for the algorithm-dependent sketch keys (r19 verdict #6):
+# no cross-engine SQL can restate an HLL/GK estimate, but the estimate's
+# CONTRACT — within a declared envelope of the exact answer, with matching
+# group sets — is checkable against DuckDB's exact distinct/quantile. Each
+# entry: (exact_sql, check(spark_df, exact_df) -> None | problem-string).
+# Envelopes mirror the OperatorSpec cross-SF pins (5% rsd for HLL@0.01-ish,
+# 5% rank-value for GK@10000, max(2, 2.5%) for the HLL-union path).
+# `stream_late_data` stays rows-only by design — its assertion is temporal.
+
+def _env_distinct(spark_df, exact_df):
+    est = float(spark_df["approx_orders"].iloc[0])
+    exact = float(exact_df["exact"].iloc[0])
+    if exact <= 0:
+        return f"exact distinct is {exact} — fixture broken"
+    if abs(est - exact) / exact >= 0.05:
+        return f"approx {est} vs exact {exact} outside 5% rsd envelope"
+    return None
+
+def _env_percentile(spark_df, exact_df):
+    a = spark_df.set_index("o_orderpriority")
+    b = exact_df.set_index("o_orderpriority")
+    if set(a.index) != set(b.index):
+        return f"group sets differ: spark={sorted(map(str, a.index))} exact={sorted(map(str, b.index))}"
+    for g in a.index:
+        for c in ("p50", "p90"):
+            est, exact = float(a.loc[g, c]), float(b.loc[g, c])
+            if abs(est - exact) > 0.05 * abs(exact):
+                return f"{g} {c}: approx {est} vs exact {exact} outside 5%"
+        if int(a.loc[g, "n"]) != int(b.loc[g, "n"]):
+            return f"{g} n: {a.loc[g, 'n']} vs exact {b.loc[g, 'n']}"
+    return None
+
+def _env_sketch_union(spark_df, exact_df):
+    a = spark_df.set_index("event_type")
+    b = exact_df.set_index("event_type")
+    if set(a.index) != set(b.index):
+        return f"group sets differ: spark={sorted(map(str, a.index))} exact={sorted(map(str, b.index))}"
+    for g in a.index:
+        est, exact = float(a.loc[g, "approx_users"]), float(b.loc[g, "exact_users"])
+        if abs(est - exact) > max(2.0, 0.025 * exact):
+            return f"{g}: union estimate {est} vs exact {exact} outside max(2, 2.5%)"
+        if int(a.loc[g, "n_events"]) != int(b.loc[g, "n_events"]):
+            return f"{g} n_events: {a.loc[g, 'n_events']} vs exact {b.loc[g, 'n_events']}"
+    return None
+
+ENVELOPES = {
+    "agg_approx_distinct": (
+        "SELECT count(DISTINCT l_orderkey) AS exact FROM lineitem",
+        _env_distinct),
+    "agg_approx_percentile": (
+        # same measure-ingest guard as the key and its exact twin
+        """SELECT o_orderpriority,
+                  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                  count(*) AS n
+           FROM orders
+           WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+           GROUP BY o_orderpriority""",
+        _env_percentile),
+    "agg_sketch_union": (
+        """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                  count(*) AS n_events
+           FROM events GROUP BY event_type""",
+        _env_sketch_union),
+}
+
+
 def survey_keys(survey_path):
     """Every backticked key named in SURVEY.md §2's table rows (first
     cell). Handles the two multi-key rows: `join_left/right/full` and
@@ -233,9 +301,32 @@ def main():
                                  f"({type(nn.iloc[0]).__name__}) — driver "
                                  f"comparator crashes; array_join/to_json it")
                 break
+    # Envelope-gated sketch keys (r19 verdict #6): no SQL-restatable
+    # oracle, but the estimate must sit inside its declared envelope of
+    # DuckDB's exact answer — on THIS dir's tables (clean, nulled or
+    # fuzzed alike).
+    envelope_keys = []
+    for name, (exact_sql, check) in sorted(ENVELOPES.items()):
+        if (only and name not in only) or name in oracle:
+            continue
+        pdir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pdir, "*.parquet"))
+        if not files:
+            continue   # key not in this Verify run
+        envelope_keys.append(name)
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+            exact_df = con.execute(exact_sql).fetchdf()
+        except Exception as e:
+            results[name] = f"ENVELOPE-ERR {str(e).splitlines()[0][:200]}"
+            continue
+        prob = check(spark_df, exact_df)
+        results[name] = None if prob is None else f"ENVELOPE {prob}"
     npass = sum(1 for v in results.values() if v is None)
     for name, v in sorted(results.items()):
-        print(f"{'PASS' if v is None else 'FAIL'} {name}" + (f" :: {v}" if v else ""))
+        tag = "PASS-ENV" if v is None and name in envelope_keys else \
+              ("PASS" if v is None else "FAIL")
+        print(f"{tag} {name}" + (f" :: {v}" if v else ""))
     print(f"== {npass}/{len(results)} pass ==")
     contract = contract_check(out_dir)
     for p in contract:
@@ -243,15 +334,20 @@ def main():
     if not contract and os.path.exists(os.path.join(out_dir, "_keys.json")):
         nkeys = len(json.load(open(os.path.join(out_dir, "_keys.json"))))
         print(f"contract: {nkeys} keys, SURVEY §2 diff empty both directions")
-    # note which query keys have no oracle (rows-only)
+    # note which query keys have no oracle AND no envelope (rows-only)
     missing = [n for n in os.listdir(out_dir)
-               if os.path.isdir(os.path.join(out_dir, n)) and n not in oracle]
+               if os.path.isdir(os.path.join(out_dir, n)) and n not in oracle
+               and n not in envelope_keys]
     if missing and not only:
         print("rows-only (no oracle):", ", ".join(sorted(missing)))
+    if envelope_keys and not only:
+        print("envelope-gated (exact±declared bound):",
+              ", ".join(sorted(envelope_keys)))
     if json_out:
         rec = {n: {"pass": v is None, "detail": v} for n, v in sorted(results.items())}
         rec["_summary"] = {"pass": npass, "total": len(results),
                            "rows_only": sorted(missing),
+                           "envelope_keys": sorted(envelope_keys),
                            "contract_problems": contract}
         with open(json_out, "w") as f:
             json.dump(rec, f, indent=1)
