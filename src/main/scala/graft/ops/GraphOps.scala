@@ -446,16 +446,25 @@ object GraphOps {
     val comb: Column => Column =
       if (combine != null) combine
       else c => lit(Damping) * c + lit(0.15) * restart
+    // r20 (guide §1.2/§2.4): NO per-iteration lineage cut. The iteration
+    // count is FIXED and small, so the plan depth is bounded at `iters`
+    // joins — the eager localCheckpoint this loop used to carry paid one
+    // extra job + node-frame materialization per round (measured ~0.45 s
+    // of the key's 3.4 s per round at sf0.1) purely to keep a plan small
+    // that was never going to grow. Fixpoint loops with convergence
+    // checks (components/BFS) still cut; a fixed-depth power iteration
+    // builds one lazy DAG and lets the single terminal action pipeline
+    // the rounds (each broadcast subplan still materializes exactly once
+    // as its own broadcast job).
     for (_ <- 1 to iters) {
       val r = if (broadcastRanks) broadcast(ranks) else ranks
       val contribs = withDeg
         .join(r, col("src") === col("node"))
         .select(col("dst"), contrib.as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
-      ranks = LlmOps.cutLineage(
-        nodes.join(contribs, col("node") === col("dst"), "left")
-          .select(col("node"),
-                  comb(coalesce(col("contrib"), lit(0.0))).as("rank")))
+      ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+                comb(coalesce(col("contrib"), lit(0.0))).as("rank"))
     }
     ranks
   }
@@ -649,14 +658,27 @@ object GraphOps {
       val r = df.agg(max(c)).head()
       if (r.isNullAt(0) || r.getDouble(0) <= 0.0) None else Some(r.getDouble(0))
     }
+    // r20: the half-round materialization is a CACHE, not an eager
+    // checkpoint — the max-normalizer collect right after it is the
+    // materializing action, so each half-round costs ONE job (compute +
+    // cache + 1-row max) instead of two (checkpoint job, then a separate
+    // max job over the checkpointed blocks). The lineage-cut property the
+    // scaladoc above relies on (normalizer reads the materialized
+    // node-sized frame, contributions computed once) is preserved: the
+    // downstream score frame reads the cached blocks.
+    def materialize(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      graft.GraftCaches.track(c)
+      c
+    }
     for (_ <- 1 to iters) {
-      val hr = LlmOps.cutLineage(
+      val hr = materialize(
         edges.join(bc(auth), col("dst") === col("node"))
           .groupBy("src").agg(sum("a").as("hr")))
       val hmax = maxOf(hr, "hr").getOrElse(return auth)
       val hubs = hr.select(col("src").as("node"),
                            round(col("hr") / lit(hmax), 6).as("h"))
-      val ar = LlmOps.cutLineage(
+      val ar = materialize(
         edges.join(bc(hubs), col("src") === col("node"))
           .groupBy("dst").agg(sum("h").as("ar")))
       val amax = maxOf(ar, "ar").getOrElse(return auth)
