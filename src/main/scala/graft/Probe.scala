@@ -40,6 +40,13 @@ object Probe {
           lines.add(f"    job ${je.jobId}%3d  ${ms}%8.1f ms  $desc")
         }
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield a - b).getOrElse(-1L)
+        lines.add(f"      stage ${si.stageId}%3d  ${ms}%6d ms  tasks=${si.numTasks}%3d  ${si.name.take(90)}")
+      }
     })
 
     // one throwaway action to absorb first-job scheduling costs

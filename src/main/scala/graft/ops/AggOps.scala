@@ -1621,15 +1621,18 @@ object AggOps {
       // result inside the exact-below-capacity contract at any gate SF
       // r20 (ADVICE r19): the exact-mode claim silently depends on the
       // vocabulary staying under capacity — a corpus crossing it would
-      // surface as an opaque hash mismatch. Pay one cheap exact distinct
-      // over the grams (vocabulary-bounded hash-agg) to fail NAMED at
-      // the crossing instead.
-      val vocab = grams.agg(countDistinct(col("g")).as("nd")).head.getLong(0)
-      require(vocab < 100000L,
-        s"agg_approx_topk: distinct 4-gram vocabulary ($vocab) reached the " +
-        "exact-mode capacity 100000 — the sketch would evict and the result " +
-        "turn approximate; raise maxItemsTracked before trusting the gate")
+      // surface as an opaque hash mismatch. The first cut of this guard
+      // (r19) paid a SECOND full pass (explode + exact distinct) just to
+      // count the vocabulary; the sketch's own output already carries
+      // the same signal — below capacity it returns exactly one entry
+      // per distinct gram, so a full 100000-entry result ⟺ the
+      // vocabulary reached capacity. Guard IN-PLAN on the 1-row agg
+      // output (guide §1.2: don't compute things twice): free below
+      // capacity, fails NAMED at the crossing.
       grams.agg(expr("approx_top_k(g, 100000, 100000)").as("tk"))
+        .filter(expr(
+          """IF(size(tk) < 100000, true,
+                raise_error('agg_approx_topk: distinct 4-gram vocabulary reached the exact-mode capacity 100000 — the sketch would evict and the result turn approximate; raise maxItemsTracked before trusting the gate'))"""))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("g"), col("e.count").as("cnt"))
         .orderBy("g")

