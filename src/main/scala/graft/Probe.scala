@@ -19,6 +19,14 @@ object Probe {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // A/B knob for AQE's byte-based coalescing floor (defaults to the
+      // Spark default so probe numbers match bench conditions). The r20
+      // global-floor experiment: 1k helped byte-light/compute-heavy
+      // confirm stages (llm_simhash −0.7 s) but COST many-tiny-stage
+      // loop keys (graph_betweenness +1 s in 32-task launch overhead) —
+      // rejected globally in favor of targeted widens.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,7 +53,8 @@ object Probe {
         val si = sc.stageInfo
         val ms = (for (a <- si.completionTime; b <- si.submissionTime)
           yield a - b).getOrElse(-1L)
-        lines.add(f"      stage ${si.stageId}%3d  ${ms}%6d ms  tasks=${si.numTasks}%3d  ${si.name.take(90)}")
+        val rdds = si.rddInfos.map(_.name).filter(_ != null).distinct.mkString("|").take(180)
+        lines.add(f"      stage ${si.stageId}%3d  ${ms}%6d ms  tasks=${si.numTasks}%3d  rdds=$rdds")
       }
     })
 

@@ -78,6 +78,24 @@ object LlmOps {
        transform(slice(ids, i + 2, size(ids)),
                  y -> struct(x AS doc_a, y AS doc_b))))"""))
 
+  /** Pin the banding/posting aggregation (and the in-bucket
+    * [[orderedPairs]] expansion fused above it) at cluster parallelism
+    * (r20, guide §2.4/§2.5): the bucket stages' cost is Σ|ids|² compute
+    * while their BYTES are a few KB of id lists, so AQE's byte-based
+    * partition coalescing collapses the whole agg + expansion + confirm
+    * pipeline into ONE task at test scale (measured on llm_simhash: a
+    * 1.0 s single-task stage → ~0.35 s at cluster width). Applied to
+    * the exploded frame BEFORE its groupBy on the SAME keys: the
+    * aggregation reuses the pinned exchange (matching hash
+    * partitioning, matching numPartitions ⇒ no second shuffle), and a
+    * user REPARTITION_BY_NUM is exempt from AQE coalescing. At
+    * production sizes defaultParallelism = cluster cores is the width
+    * the reduce would get anyway, and per-partition state stays bounded
+    * by the banding bucket cap. */
+  private def widePairExpand(buckets: DataFrame, keys: Column*): DataFrame =
+    buckets.repartition(
+      buckets.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   /** Exact Jaccard between two pre-deduped string arrays. */
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -135,7 +153,8 @@ object LlmOps {
     * blowup cut. */
   private[graft] def containmentPairs(docs: DataFrame, tau: Double,
                                       dfCap: Option[Long]): DataFrame = {
-    val postings = docs.select(col("doc_id"), explode(col("sh")).as("sv"))
+    val postings = widePairExpand(
+        docs.select(col("doc_id"), explode(col("sh")).as("sv")), col("sv"))
       .groupBy("sv")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -1109,7 +1128,7 @@ object LlmOps {
     // llm_exact_dedup collapses exact copies; the opt-in bucketCap (see
     // BandingBucketCapKey) is the guard for the degenerate tail a
     // dirty corpus can still produce.
-    val buckets = banded
+    val buckets = widePairExpand(banded, col("band"), col("bh"))
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -1200,7 +1219,7 @@ object LlmOps {
     val sigs = sigsIn
     val banded = sigs.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, 4), j -> (sig >> (12 * j)) & 4095)")).as(Seq("band", "bv")))
-    val buckets = banded.groupBy("band", "bv")
+    val buckets = widePairExpand(banded, col("band"), col("bv")).groupBy("band", "bv")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val kept = bandingBucketCap(sigsIn.sparkSession)
@@ -2220,13 +2239,18 @@ object LlmOps {
     }),
 
     // Corpus bigram counts, top-50 (total tie-break order → deterministic).
+    // documentsWide (r20, guide §2.5 input skew): the one-file test-scale
+    // scan ran the entire explode + map-side count in a SINGLE task
+    // (measured: one 2.3 s single-task stage = ~95% of the key); the
+    // widen is Tables.wide's standard round-robin exchange, a no-op on a
+    // many-file production corpus.
     "llm_ngram" -> ((s, d) => {
       val ws = split(col("text"), " ")
       val bigrams = when(size(ws) >= 2,
         transform(sequence(lit(0), size(ws) - 2),
           i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
         .otherwise(array().cast("array<string>"))
-      Tables.documents(s, d)
+      Tables.documentsWide(s, d)
         .select(explode(bigrams).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
