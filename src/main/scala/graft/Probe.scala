@@ -62,7 +62,11 @@ object Probe {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val repeats = sys.env.getOrElse("PROBE_REPEATS", "2").toInt
-    args.foreach { k =>
+    val keys =
+      if (args.sameElements(Array("ALL")))
+        SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
+      else args.toSeq
+    keys.foreach { k =>
       val fn = SparkEntry.queries(k)
       for (r <- 1 to repeats) {
         lines.clear()

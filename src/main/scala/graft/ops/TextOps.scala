@@ -782,10 +782,18 @@ object TextOps {
     val docs = docsIn
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
     // two consumers (doc-top grams + per-lang profiles) — cache the
-    // exploded trigram frame once (see llm_perplexity_proxy's note)
+    // exploded trigram frame once (see llm_perplexity_proxy's note).
+    // Cached PARTITIONED BY doc_id (r20, guide §2.4): the whole doc-side
+    // chain — gram counts, the per-doc top-30 window, the post-join
+    // score agg and the best-lang window — clusters by doc_id subsets,
+    // so one pinned exchange at the cache replaces four downstream
+    // exchanges+sorts of comparable size (HashPartitioning(doc_id)
+    // satisfies every ClusteredDistribution whose keys include doc_id).
+    val sp = docsIn.sparkSession
     val grams = graft.GraftCaches.track(docs.select(col("doc_id"), col("lang"),
       explode(expr(
         "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
+      .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
       .cache())
     val wDoc = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g").asc)
     val docTop = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
@@ -1244,7 +1252,12 @@ object TextOps {
         .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       // two consumers (profile training + doc scoring) — cache so the
       // trigram explode runs once, not per consumer (tracked for
-      // Graft.clearCaches; same multi-consumer pattern as semDedupOf)
+      // Graft.clearCaches; same multi-consumer pattern as semDedupOf).
+      // NOT pre-partitioned by doc_id (r20, deliberate — unlike
+      // langidConfusionOf): both consumers' exchanges here are already
+      // partial-aggregation-collapsed to doc-/vocab-sized rows before
+      // any shuffle, so a pinned corpus-sized exchange at the cache
+      // would add bytes, not remove them.
       val grams = graft.GraftCaches.track(docs.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
