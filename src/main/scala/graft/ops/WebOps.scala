@@ -755,8 +755,10 @@ object WebOps {
     // display/RAG primitive after retrieval. Keyed off the corpus here so
     // the oracle can mirror it; in production it composes AFTER
     // phraseSearch has narrowed the hit set.
+    // documentsWide (r20): the per-doc split+match+slice work ran in ONE
+    // task off the one-file scan (measured 1.0 s single-task stage)
     "llm_snippet_extract" -> ((s, d) =>
-      snippetOf(Tables.documents(s, d), "doc_id", "text",
+      snippetOf(Tables.documentsWide(s, d), "doc_id", "text",
                 PhraseTerms(0), PhraseTerms(1), SnippetContext)
         .orderBy("doc_id")),
 
