@@ -54,13 +54,6 @@ object Tables {
 
   def documentsWide(s: SparkSession, d: String): DataFrame = wide(s, d, "documents")
 
-  /** `orders` for per-row-compute-heavy consumers (r20): set_snapshot_diff
-    * builds to_json + two salted hashes per row INSIDE the scan stage, so
-    * the one-file test-scale layout ran the whole fingerprint pass in one
-    * task (measured ~1.1 s of the key's 1.2 s). Same no-op-at-scale
-    * contract as [[documentsWide]]. */
-  def ordersWide(s: SparkSession, d: String): DataFrame = wide(s, d, "orders")
-
   /** Vector-ingest contract (r19 fuzz sweep): a zero-LENGTH vector makes
     * every element_at/fold crash or produce dim-dependent garbage, and a
     * zero-NORM vector has no cosine direction (0/0) — both are

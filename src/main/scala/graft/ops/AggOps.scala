@@ -214,12 +214,7 @@ object AggOps {
     * unordered. */
   private[graft] def associationRulesOf(baskets: DataFrame,
                                         minPairs: Long): DataFrame = {
-    // r20 (guide §1.2 — don't compute things twice): FOUR consumers read
-    // the deduped basket frame (both self-join sides, the basket count,
-    // the item supports); uncached, each re-ran the scan + distinct
-    // shuffle. Cache the corpus-sized dedup once.
-    val b = graft.GraftCaches.track(
-      baskets.select("basket", "item").distinct().cache())
+    val b = baskets.select("basket", "item").distinct()
     val n = b.select(countDistinct("basket").as("n_baskets"))
     val item = b.groupBy(col("item").as("pi")).agg(count(lit(1)).as("ni"))
     val pairs = b.as("x")

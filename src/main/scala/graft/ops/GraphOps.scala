@@ -137,16 +137,12 @@ object GraphOps {
         .groupBy(col("s"), col("dst"))
         .agg(sum("sigma").as("sigma"))
         .select(col("s"), col("dst").as("node"), col("sigma"))
-      // r20: the caches already guarantee single-compute per level; the
-      // eager checkpoint under them only added a materialization job per
-      // level (2x sweeps x maxHops jobs) — dropped, levels materialize
-      // lazily at their first consumer (see ssspOf)
-      val next = graft.GraftCaches.track(
+      val next = graft.GraftCaches.track(LlmOps.cutLineage(
         cand.join(settled.select(col("s").as("vs"), col("node").as("vn")),
                   col("s") === col("vs") && col("node") === col("vn"),
-                  "left_anti").cache())
+                  "left_anti")).cache())
       levels += next
-      settled = settled.unionByName(next)
+      settled = LlmOps.cutLineage(settled.unionByName(next))
       frontier = next
     }
     var deltaNext = levels(maxHops).withColumn("delta", lit(0.0))
@@ -163,12 +159,11 @@ object GraphOps {
         .select(col("s"), col("node"),
           expr("aggregate(ts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.t)")
             .as("dsum"))
-      val cur = graft.GraftCaches.track(levels(lvl)
+      val cur = graft.GraftCaches.track(LlmOps.cutLineage(levels(lvl)
         .join(contrib, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("sigma"),
           round(coalesce(col("sigma").cast("double") * col("dsum"),
-                         lit(0.0)), 6).as("delta"))
-        .cache())
+                         lit(0.0)), 6).as("delta"))).cache())
       deltas += cur
       deltaNext = cur
     }
@@ -370,13 +365,8 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val relaxed = edges.join(dist, col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      // r20: lazy cache, not an eager checkpoint — rounds are FIXED, the
-      // frame is nodes-sized, and the cache guarantees single-compute for
-      // the two consumers (next round's join + union) without paying a
-      // materialization job per round (same rationale as rankRounds).
-      dist = graft.GraftCaches.track(
-        dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist"))
-          .cache())
+      dist = LlmOps.cutLineage(
+        dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")))
     }
     dist
   }
@@ -472,6 +462,14 @@ object GraphOps {
         .join(r, col("src") === col("node"))
         .select(col("dst"), contrib.as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
+      // Deliberately NO per-round cache (r20, measured): round k's
+      // broadcast child re-executes round k-1's chain, so the pure-lazy
+      // loop runs O(iters²/2) chain executions — but each is a cheap
+      // cached-edge join+agg, and the A/B subset benches put pure-lazy
+      // at 0.67/0.78 s (pagerank/katz) vs 2.4-3.7 s with a per-round
+      // LAZY .cache() (InMemoryRelation materialization inside AQE
+      // broadcast jobs is far more expensive than the recompute) and
+      // ~4 s with the old EAGER per-round checkpoint.
       ranks = nodes.join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
                 comb(coalesce(col("contrib"), lit(0.0))).as("rank"))
@@ -574,12 +572,9 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("survivor"))
-      // r20: lazy cache (fixed rounds; three consumers next round) — the
-      // broadcast(keep) build is the round's materializing action anyway
-      edges = graft.GraftCaches.track(
+      edges = LlmOps.cutLineage(
         edges.join(broadcast(keep), col("src") === col("survivor"), "left_semi")
-          .join(broadcast(keep), col("dst") === col("survivor"), "left_semi")
-          .cache())
+          .join(broadcast(keep), col("dst") === col("survivor"), "left_semi"))
     }
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))
@@ -600,12 +595,10 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val freq = edges.join(broadcast(lbls), col("src") === col("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      // r20: lazy cache (fixed rounds, node-sized label frame) — see ssspOf
-      lbls = graft.GraftCaches.track(
+      lbls = LlmOps.cutLineage(
         freq.groupBy(col("dst").as("node"))
           .agg(max(struct(col("cnt"), col("lbl"))).as("m"))
-          .select(col("node"), col("m.lbl").as("lbl"))
-          .cache())
+          .select(col("node"), col("m.lbl").as("lbl")))
     }
     lbls
   }
@@ -772,11 +765,10 @@ object GraphOps {
         val candidates = edges.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
           .groupBy("node").agg(min("dist").as("dist"))
-        // r20: lazy caches (fixed rounds, nodes-sized frames) — see ssspOf
-        frontier = graft.GraftCaches.track(
+        frontier = LlmOps.cutLineage(
           candidates.join(dist.select(col("node").as("seen")),
-                          col("node") === col("seen"), "left_anti").cache())
-        dist = graft.GraftCaches.track(dist.unionByName(frontier).cache())
+                          col("node") === col("seen"), "left_anti"))
+        dist = LlmOps.cutLineage(dist.unionByName(frontier))
       }
       dist.orderBy("node")
     }),

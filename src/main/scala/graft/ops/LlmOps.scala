@@ -1856,8 +1856,7 @@ object LlmOps {
     // + one count per query — eval cost is index cost, not corpus cost.
     "llm_ann_recall_eval" -> ((s, d) => {
       CosineSimilarity.register(s)
-      // embeddingsWide (r20): see llm_mrr_eval
-      val e = Tables.embeddingsWide(s, d)
+      val e = Tables.embeddings(s, d)
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .filter(col("q_id") < 100)
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
@@ -1952,8 +1951,7 @@ object LlmOps {
     // table (ids only, never embeddings) + a ≤16-row per-band rollup
     // broadcast back — at 100 TB the audit reads index metadata volumes.
     "llm_ann_lsh_stats" -> ((s, d) => {
-      // embeddingsWide (r20): see llm_mrr_eval
-      val c = Tables.embeddingsWide(s, d)
+      val c = Tables.embeddings(s, d)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       indexStatsOf(lshBandsOf(c, "n_id", "n_emb", 16, 4),
                    "band_idx", "band_val", "n_vecs")
@@ -2001,9 +1999,7 @@ object LlmOps {
     // (q_id, n_id) — eval cost is index cost, not corpus cost.
     "llm_mrr_eval" -> ((s, d) => {
       CosineSimilarity.register(s)
-      // embeddingsWide (r20): band-signature + brute-force cosine build
-      // ran single-task off the one-file scan (see Tables.documentsWide)
-      val e = Tables.embeddingsWide(s, d)
+      val e = Tables.embeddings(s, d)
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .filter(col("q_id") < 100)
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
@@ -2014,8 +2010,7 @@ object LlmOps {
 
     "llm_knn_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
-      // embeddingsWide (r20): see llm_mrr_eval
-      val e = Tables.embeddingsWide(s, d)
+      val e = Tables.embeddings(s, d)
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .filter(col("q_id") < 100)
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))

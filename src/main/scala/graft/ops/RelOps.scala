@@ -136,9 +136,7 @@ object RelOps {
     // delta analytically — an independent derivation, not a re-run of the
     // diff. See [[snapshotDiff]] for the one-shuffle mechanics.
     "set_snapshot_diff" -> ((s, d) => {
-      // ordersWide (r20): the fingerprint pass hashes every row in the
-      // scan stage — widened so it runs cluster-wide (see Tables.ordersWide)
-      val base = Tables.ordersWide(s, d)
+      val base = Tables.orders(s, d)
       val kept = base.filter(col("o_orderkey") % 13 =!= 0)
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
