@@ -5,7 +5,12 @@
 # Usage: tools/run.sh graft.Bench [args...]   (env vars as usual)
 set -eo pipefail
 cd "$(dirname "$0")/.."
-CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# src/main/resources comes FIRST: `sbt compile` alone does not copy
+# resources into target/classes, and without META-INF/services the
+# graft-bus DSv2 source is unregistered — the three stream_bus_* keys
+# then throw DATA_SOURCE_NOT_FOUND (observed r20: a fresh target dir
+# benched them at 0.002 s because Bench swallows per-key throws).
+CP="src/main/resources:target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
