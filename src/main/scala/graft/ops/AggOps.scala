@@ -214,6 +214,14 @@ object AggOps {
     * unordered. */
   private[graft] def associationRulesOf(baskets: DataFrame,
                                         minPairs: Long): DataFrame = {
+    // r20 wave 2 NEGATIVE RESULT, kept as a warning: pinning a
+    // basket-keyed REPARTITION_BY_NUM exchange (the 6e23a09 widen
+    // pattern) measured WORSE here in both placements — before the
+    // distinct (ships raw rows, loses the map-side partial dedup;
+    // 1.87 → 2.27 s) and after it (extra exchange; → 2.45 s). The
+    // AQE-coalesced narrow join stage is already cheaper than either
+    // re-shuffle, and the r19 plain shape stands (its cache variant was
+    // separately measured worse in cb4889e).
     val b = baskets.select("basket", "item").distinct()
     val n = b.select(countDistinct("basket").as("n_baskets"))
     val item = b.groupBy(col("item").as("pi")).agg(count(lit(1)).as("ni"))

@@ -291,7 +291,17 @@ object GraphOps {
     * corpus-quadratic. At 100 TB cap pathological basket sizes first. */
   private[graft] def coPurchaseOf(basketItems: DataFrame, minSupport: Int,
                                   topK: Int): DataFrame = {
+    // r20 wave 2 (guide §2.5, the 6e23a09 pattern): the basket exchange
+    // carries a few KB of item ids but the stage ABOVE it does the
+    // Σ c(k,2) pair explode — AQE's byte-based coalescing collapsed that
+    // compute-heavy stage to 3-4 tasks (probe: an 812 ms stage at 4
+    // tasks ≈ 40% of the key). Pin the exchange at defaultParallelism;
+    // the groupBy reuses it (REPARTITION_BY_NUM is exempt from AQE
+    // coalescing), so the explode runs cluster-wide. No-op at scale:
+    // a corpus-sized basket exchange already exceeds the floor.
     val pairs = basketItems
+      .repartition(basketItems.sparkSession.sparkContext.defaultParallelism,
+                   col("basket"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("ps"))
       .select(explode(expr(
@@ -654,11 +664,8 @@ object GraphOps {
     graft.GraftCaches.track(edges)
     var auth = edges.select(col("dst").as("node")).distinct()
       .withColumn("a", lit(1.0))
-    // Degenerate inputs: an empty edge frame would make the 1-row
-    // max-normalizer aggregate return NULL (getDouble throws), so
-    // short-circuit to the (empty) auth frame; maxOf likewise guards a
-    // non-positive normalizer (all-zero scores) by stopping at the last
-    // well-defined iterate instead of dividing by zero.
+    // Degenerate input: an empty edge frame has no normalizer —
+    // short-circuit to the (empty) auth frame.
     if (edges.head(1).isEmpty) return auth
     val smallGraph = edges.limit(BroadcastNodeCap.toInt + 1).count() <= BroadcastNodeCap
     def bc(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
@@ -666,14 +673,18 @@ object GraphOps {
       val r = df.agg(max(c)).head()
       if (r.isNullAt(0) || r.getDouble(0) <= 0.0) None else Some(r.getDouble(0))
     }
-    // r20: the half-round materialization is a CACHE, not an eager
-    // checkpoint — the max-normalizer collect right after it is the
-    // materializing action, so each half-round costs ONE job (compute +
-    // cache + 1-row max) instead of two (checkpoint job, then a separate
-    // max job over the checkpointed blocks). The lineage-cut property the
-    // scaladoc above relies on (normalizer reads the materialized
-    // node-sized frame, contributions computed once) is preserved: the
-    // downstream score frame reads the cached blocks.
+    // The half-round materialization is a CACHE whose materializing
+    // action IS the 1-row max-normalizer collect, so each half-round
+    // costs ONE job (compute + cache + max) instead of two. The
+    // contributions compute once and the downstream score frame reads
+    // the cached blocks. r20 wave 2 NEGATIVE RESULT, kept as a warning:
+    // a pure-lazy variant with the normalizer as an in-plan
+    // crossJoin(broadcast(hr.agg(max))) — the rankRounds economics —
+    // measured 30-58 s vs ~4 s here: unlike rankRounds' linear chain,
+    // the max branch FORKS the lineage each half-round and ReuseExchange
+    // does not dedup the forked contribution subtrees across the nested
+    // broadcast builds, so the edge join recomputes exponentially in the
+    // round count. HITS needs the per-half-round materialization.
     def materialize(df: DataFrame): DataFrame = {
       val c = df.cache()
       graft.GraftCaches.track(c)
@@ -1108,16 +1119,34 @@ object GraphOps {
     * algorithms. Returns one row (n_edges, n_recip, reciprocity 4dp).
     * Callers should dedup the frame first. */
   private[graft] def reciprocityOf(eIn: DataFrame): DataFrame = {
-    // three consumers (both sides of the flipped-pair join + the edge
-    // count) — cache the edge-sized frame so a join-derived fixture is
-    // built once, not three times (tracked for Graft.clearCaches)
-    val e = graft.GraftCaches.track(eIn.cache())
-    val rev = e.select(col("dst").as("r_src"), col("src").as("r_dst"))
-    val recip = e.join(rev,
-      col("src") === col("r_src") && col("dst") === col("r_dst"),
-      "left_semi")
-    e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+    // r20 wave 2: ONE canonical-pair aggregation replaces the cached
+    // frame + flipped-pair semi-join + two separate count aggregates
+    // (probe: 11 jobs, a cache materialization and three ~250 ms
+    // 32-task stages for what is one map-side-combinable shuffle of
+    // pair-sized partials). Group DEDUPED arcs by the unordered pair
+    // {src,dst}: both directions present (ndir = 2) — or a self-loop,
+    // whose flip is itself — makes every arc of the pair reciprocal.
+    // NULL-endpoint arcs keep their (src, dst) as the group key with
+    // fwd = NULL, so they count in n_edges and never in n_recip —
+    // exactly the old semi-join's `=== NULL never matches` behavior.
+    // Exact integer counts, same output, no cache, no join.
+    val nullish = col("src").isNull || col("dst").isNull
+    val pairs = eIn.select(
+      when(nullish || col("src") <= col("dst"), col("src"))
+        .otherwise(col("dst")).as("pa"),
+      when(nullish || col("src") <= col("dst"), col("dst"))
+        .otherwise(col("src")).as("pb"),
+      when(nullish, lit(null).cast("boolean"))
+        .otherwise(col("src") <= col("dst")).as("fwd"),
+      coalesce(col("src") === col("dst"), lit(false)).as("loop"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_arcs"),
+           count_distinct(col("fwd")).as("ndir"),
+           max(col("loop")).as("has_loop"))
+    pairs.agg(
+        coalesce(sum("n_arcs"), lit(0L)).as("n_edges"),
+        coalesce(sum(when(col("has_loop") || col("ndir") === 2,
+                          col("n_arcs")).otherwise(0L)), lit(0L)).as("n_recip"))
       .select(col("n_edges"), col("n_recip"),
         round(col("n_recip").cast("double") / col("n_edges"), 4)
           .as("reciprocity"))

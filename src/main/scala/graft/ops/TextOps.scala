@@ -1250,18 +1250,20 @@ object TextOps {
     "llm_perplexity_proxy" -> ((s, d) => {
       val docs = Tables.documentsWide(s, d)
         .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-      // two consumers (profile training + doc scoring) — cache so the
-      // trigram explode runs once, not per consumer (tracked for
-      // Graft.clearCaches; same multi-consumer pattern as semDedupOf).
-      // NOT pre-partitioned by doc_id (r20, deliberate — unlike
-      // langidConfusionOf): both consumers' exchanges here are already
-      // partial-aggregation-collapsed to doc-/vocab-sized rows before
-      // any shuffle, so a pinned corpus-sized exchange at the cache
-      // would add bytes, not remove them.
-      val grams = graft.GraftCaches.track(docs.select(col("doc_id"), col("lang"),
+      // two consumers (profile training + doc scoring), deliberately
+      // UNCACHED (r20 wave 2): the trigram explode is cheap codegen'd
+      // per-row compute off a tiny scan, and the InMemoryRelation write
+      // of the corpus-sized exploded frame cost more than recomputing
+      // the explode per consumer (A/B probe: cached ~1.5 s best /
+      // 12 jobs with a heavy materialize stage; uncached recompute wins
+      // — same negative-cache result as the cb4889e adjudication's
+      // association-rules revert). NOT pre-partitioned by doc_id either
+      // (unlike langidConfusionOf): both consumers partial-aggregate to
+      // doc-/vocab-sized rows before any shuffle, so a pinned
+      // corpus-sized exchange would add bytes, not remove them.
+      val grams = docs.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
-        .cache())
       val profile = grams.groupBy("lang", "g").agg(count(lit(1)).as("cg"))
       val totals = profile.groupBy("lang").agg(sum("cg").as("ct"))
       grams.join(broadcast(profile), Seq("lang", "g"))
