@@ -874,11 +874,23 @@ object SqlOps {
       // q11/q15): the correlated min-cost subquery's decorrelated
       // aggregate is cheap relative to the checkpoint write, so the
       // inline double derivation stays.
-      s.sql("""
+      // r20 wave 2 (guide §2.5): the partsupp GROUP BY hashed ~1 group
+      // per input row, and its partial-agg stage ran on the 3-file scan
+      // width (probe: a 711 ms 3-task stage ≈ 35% of the key). The
+      // REPARTITION hint pins a (partkey, suppkey) exchange at
+      // defaultParallelism BELOW the aggregate — clustering is then
+      // satisfied, so the agg runs once, cluster-wide, with no second
+      // exchange, and ReuseExchange still dedups the CTE's two
+      // references. No-op at scale: a many-file lineitem already scans
+      // wider than this.
+      s.sql(s"""
         WITH partsupp AS (
           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                  min(round(l_extendedprice / l_quantity, 4)) AS ps_supplycost
-          FROM lineitem_m
+          FROM (SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism},
+                            l_partkey, l_suppkey) */
+                       l_partkey, l_suppkey, l_extendedprice, l_quantity
+                FROM lineitem_m)
           GROUP BY l_partkey, l_suppkey)
         SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
         FROM part_m

@@ -645,26 +645,27 @@ object TextOps {
     // bigram guard: sequence() counts DOWN for start > stop (the same
     // trap the framesample key pins), so 1-word docs get array() not
     // a descending range over missing elements
-    // four consumers (raw counts, target counts, totals, final scoring
-    // join) — cache so the gram explode runs once, not per consumer
-    // (tracked for Graft.clearCaches; same pattern as llm_perplexity_proxy)
-    val grams = graft.GraftCaches.track(
+    // r20 wave 2: UNCACHED, two passes instead of four consumers — the
+    // per-bucket raw count, target count and both totals collapse into
+    // ONE vocab-bounded aggregate (ct = sum(tgt), nr/nt = sums of that
+    // 256-row frame), so the gram explode runs twice (stats + scoring)
+    // and the corpus-sized InMemoryRelation write is gone (the same
+    // negative-cache economics as llm_perplexity_proxy; identical
+    // integer counts, same lr per bucket).
+    val grams =
       docs.select(col("doc_id"), col("tgt"), explode(concat(
           col("ws"),
           expr("if(size(ws) < 2, array(), transform(sequence(1, size(ws) - 1), " +
                "i -> concat(ws[i-1], '_', ws[i])))"))).as("g"))
         .select(col("doc_id"), col("tgt"),
                 substring(md5(col("g")), 1, 2).as("b"))
-        .cache())
-    val raw = grams.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgt = grams.filter(col("tgt"))
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val totals = grams.agg(
-      count(lit(1)).as("nr"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
-    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(totals))
+    val stats = grams.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = stats.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val lr = stats.crossJoin(broadcast(totals))
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+        (log((col("ct") + lit(1L)).cast("double") /
              (col("nt") + lit(256L)).cast("double")) -
          log((col("cr") + lit(1L)).cast("double") /
              (col("nr") + lit(256L)).cast("double"))).as("lr"))
