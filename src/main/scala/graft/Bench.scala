@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints the complete compact JSON record as the FIRST
-  * stdout line AND a short (<1 KB) summary line as the LAST stdout line,
+  * stdout line AND a short BOUNDED (≤ ~1.3 KB: capped suspect/err lists,
+  * r20 verdict #1) summary line as the LAST stdout line,
   * then writes the full, untruncated measurement record to BENCH_FULL.json.
   * Rationale (VERDICT r6 #2): the driver's bench capture keeps a bounded
   * window of stdout — r6's single ~3 KB line came back head-truncated and
@@ -185,6 +186,11 @@ object Bench {
     val segments = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Seq[String])]
     val raw = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
     keys.foreach { case (k, _) => raw(k) = Array.fill(Sweeps)(0.0) }
+    // Per-key swallowed-throw marker (VERDICT r20 #6): a key that throws
+    // still "benches" (fast — it did no work), which silently flatters the
+    // record. Record the exception class per key so both records carry an
+    // explicit error flag instead.
+    val errKeys = scala.collection.mutable.LinkedHashMap[String, String]()
 
     for (s <- 0 until Sweeps) {
       val order = sweepOrders(s)
@@ -193,7 +199,8 @@ object Bench {
       var lastShotIdx = sentinel.length - 1
       order.zipWithIndex.foreach { case ((name, fn), idx) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => errKeys(name) = e.getClass.getSimpleName }
         val dt = (System.nanoTime() - t0) / 1e9
         // CacheManager matches by analyzed plan, so without this a later
         // sweep of any query that calls .cache() (minhash/simhash/
@@ -267,11 +274,14 @@ object Bench {
       .mkString("[", ",", "]")
 
     val preflightJson = preflight.map(fmt).mkString("[", ",", "]")
+    val errJson = errKeys
+      .map { case (k, e) => s"\"$k\":\"$e\"" }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"load_warning":$loadWarning,""" +
       s""""load_warning_midrun":$loadWarningMidrun,""" +
       s""""preflight":$preflightJson,"sentinel_anchor":$sentinelAnchorSec,""" +
+      s""""errors":$errJson,""" +
       s""""suspect":$suspectJson,"sentinel":$sentinelJson,"queries":$qs}"""
 
     // Full record → repo file (never truncated): compact fields + per-key
@@ -297,15 +307,26 @@ object Bench {
     // displace) the last line — the r13 BENCH artifact lost its parsed
     // summary to exactly that interleaving (ADVICE r13).
     spark.stop()
-    // LAST stdout line: short summary (<1 KB — tail-capture wins): total,
-    // sentinel median/max, suspect list, raw sweeps for the watch keys.
+    // LAST stdout line: short summary — BOUNDED ≤ ~1.3 KB unconditionally
+    // (VERDICT r20 #1: the r19/r20 driver runs were on loaded boxes, the
+    // suspect list grew to ~150 keys ≈ 3+ KB, and the line's JSON head fell
+    // out of the driver's tail-capture window → `parsed: null`, no perf
+    // ground truth two rounds running). The last line now carries counts
+    // plus a CAPPED head of the suspect/error lists; the full lists stay in
+    // the first stdout line and BENCH_FULL.json.
     val sentMax = shotSecs.last
+    val suspectCapped = suspect.take(10).map(k => s"\"$k\"")
+      .mkString("[", ",", "]")
+    val errCapped = errKeys.keys.take(5).map(k => s"\"$k\"")
+      .mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""cpus":$cpus,"setup_sec":${fmt(setupSec)},"n_keys":${results.length},""" +
       s""""load_warning":$loadWarning,"load_warning_midrun":$loadWarningMidrun,""" +
       s""""sentinel_median":${fmt(sentMedian)},"sentinel_max":${fmt(sentMax)},""" +
-      s""""suspect":$suspectJson,"watch":$watch,"full":"BENCH_FULL.json"}""")
+      s""""n_suspect":${suspect.length},"suspect":$suspectCapped,""" +
+      s""""n_err":${errKeys.size},"err":$errCapped,""" +
+      s""""watch":$watch,"full":"BENCH_FULL.json"}""")
     System.out.flush()
   }
 }
