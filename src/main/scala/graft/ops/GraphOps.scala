@@ -299,6 +299,11 @@ object GraphOps {
     // the groupBy reuses it (REPARTITION_BY_NUM is exempt from AQE
     // coalescing), so the explode runs cluster-wide. No-op at scale:
     // a corpus-sized basket exchange already exceeds the floor.
+    // ADVICE r20 caveat: like sql_q2's hint this ships raw rows and
+    // trades away map-side partial aggregation — measured a win on THIS
+    // fixture's basket-size distribution (associationRulesOf documents
+    // the identical pattern measuring WORSE); re-probe if the fixture's
+    // basket sizes change.
     val pairs = basketItems
       .repartition(basketItems.sparkSession.sparkContext.defaultParallelism,
                    col("basket"))
@@ -1114,10 +1119,11 @@ object GraphOps {
 
   /** Edge reciprocity of a directed (src, dst) frame
     * (graph_reciprocity / Graph.reciprocity): mutual-edge fraction via
-    * one flipped-pair LeftSemi join (co-partitionable, linear) — the
-    * first diagnostic before choosing directed vs undirected
-    * algorithms. Returns one row (n_edges, n_recip, reciprocity 4dp).
-    * Callers should dedup the frame first. */
+    * ONE unordered-pair groupBy aggregation (canonical {src,dst} key,
+    * map-side combinable, no join — r20) — the first diagnostic before
+    * choosing directed vs undirected algorithms. Returns one row
+    * (n_edges, n_recip, reciprocity 4dp). Callers should dedup the
+    * frame first. */
   private[graft] def reciprocityOf(eIn: DataFrame): DataFrame = {
     // r20 wave 2: ONE canonical-pair aggregation replaces the cached
     // frame + flipped-pair semi-join + two separate count aggregates

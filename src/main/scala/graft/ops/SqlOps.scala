@@ -882,7 +882,10 @@ object SqlOps {
       // satisfied, so the agg runs once, cluster-wide, with no second
       // exchange, and ReuseExchange still dedups the CTE's two
       // references. No-op at scale: a many-file lineitem already scans
-      // wider than this.
+      // wider than this. ADVICE r20 caveat: the hint ships RAW rows
+      // (no map-side partials) — a win only while the fixture's ~1
+      // group per input row holds; if a larger SF grows duplicates per
+      // (partkey, suppkey), re-measure and gate on rows-per-group.
       s.sql(s"""
         WITH partsupp AS (
           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,

@@ -53,12 +53,18 @@ GATE_B = 1.8        # sub-quadratic assertion for bounded-claim keys
 X10 = "x10"
 X10_DIR = "/tmp/graft-scale-x10"
 X10_SEED = 2020
+X10_STAGE_V = 2   # bump when stage_x10's table set/recipe changes
 X10_KEYS = {
     "llm_exact_dedup", "llm_neardup_minhash", "llm_simhash",
     "llm_neardup_containment", "llm_substring_dedup_multi",
     "llm_bm25_topk", "llm_ngram",
     "llm_knn_bruteforce", "llm_knn_ivf", "llm_knn_ivfpq", "llm_knn_lsh",
     "llm_semdedup", "llm_matryoshka_ann",
+    # r21 (VERDICT r20 #6): the rank family's pure-lazy loop re-executes
+    # round k-1's chain inside round k's broadcast child (O(iters^2/2)
+    # chain executions over the cached edge frame) — a local-mode trade
+    # that needs a real x10 growth pair to show it stays ~linear in edges.
+    "graph_pagerank", "graph_katz", "graph_ppr",
 }
 
 
@@ -72,15 +78,46 @@ def stage_x10():
     src = "/root/testdata/sf0.1"
     marker = os.path.join(X10_DIR, "_staged.json")
     if os.path.exists(marker):
-        if json.load(open(marker)).get("seed") == X10_SEED:
+        m = json.load(open(marker))
+        if m.get("seed") == X10_SEED and m.get("v") == X10_STAGE_V:
             return
     import shutil
     shutil.rmtree(X10_DIR, ignore_errors=True)
     os.makedirs(X10_DIR)
+    blown = ("documents.parquet", "embeddings.parquet",
+             "lineitem.parquet", "orders.parquet")
     for f in sorted(os.listdir(src)):
-        if f.endswith(".parquet") and f not in ("documents.parquet",
-                                                "embeddings.parquet"):
+        if f.endswith(".parquet") and f not in blown:
             os.symlink(os.path.join(src, f), os.path.join(X10_DIR, f))
+    # lineitem + orders: 9 extra DISJOINT copies (orderkey / custkey /
+    # suppkey all shifted by copy stride), so the derived trade graph is
+    # 10 structure-identical components — nodes x10 AND edges x10, degree
+    # distribution preserved. This is the honest growth pair for the rank
+    # family (x10 copies with UNSHIFTED cust/supp keys would merge into
+    # the same (cust, supp) pairs and only inflate edge weights).
+    import pyarrow.compute as pc
+    li = pq.read_table(os.path.join(src, "lineitem.parquet"))
+    od = pq.read_table(os.path.join(src, "orders.parquet"))
+    ostride = pc.max(od.column("o_orderkey")).as_py() + 1
+    cstride = pc.max(od.column("o_custkey")).as_py() + 1
+    sstride = pc.max(li.column("l_suppkey")).as_py() + 1
+
+    def shifted(t, col, delta):
+        i = t.schema.get_field_index(col)
+        fld = t.schema.field(col)
+        return t.set_column(i, fld,
+                            pc.add(t.column(col),
+                                   pa.scalar(delta, type=fld.type)))
+    li_parts, od_parts = [li], [od]
+    for k in range(1, 10):
+        li_parts.append(shifted(shifted(li, "l_orderkey", k * ostride),
+                                "l_suppkey", k * sstride))
+        od_parts.append(shifted(shifted(od, "o_orderkey", k * ostride),
+                                "o_custkey", k * cstride))
+    pq.write_table(pa.concat_tables(li_parts),
+                   os.path.join(X10_DIR, "lineitem.parquet"))
+    pq.write_table(pa.concat_tables(od_parts),
+                   os.path.join(X10_DIR, "orders.parquet"))
     # documents: 9 extra copies, fresh ids, per-doc seeded word shuffle
     # (same vocabulary and token multiset per doc -> corpus statistics
     # scale honestly; char-shingle sets diverge -> no planted near-dups)
@@ -130,7 +167,8 @@ def stage_x10():
                               type=t.schema.field("embedding").type),
         "label": pa.array(flat_labels, type=pa.int32())})
     pq.write_table(et, os.path.join(X10_DIR, "embeddings.parquet"))
-    json.dump({"seed": X10_SEED, "docs": n_docs, "vecs": len(flat_ids)},
+    json.dump({"seed": X10_SEED, "v": X10_STAGE_V, "docs": n_docs,
+               "vecs": len(flat_ids), "lineitem": sum(len(p) for p in li_parts)},
               open(marker, "w"))
     print(f"[scalecheck] staged x10 -> {X10_DIR} "
           f"({n_docs} docs, {len(flat_ids)} vecs)", flush=True)
@@ -145,6 +183,7 @@ KEYS = {
     "graph_components":         ("lineitem", "bounded"),
     "graph_triangles":          ("lineitem", "bounded"),
     "graph_katz":               ("lineitem", "bounded"),
+    "graph_ppr":                ("lineitem", "bounded"),
     "graph_betweenness":        ("lineitem", "bounded"),
     # text dedup / retrieval (documents: flat then 10x on the top pair)
     "llm_exact_dedup":          ("documents", "bounded"),
@@ -263,7 +302,9 @@ def main():
             "protocol": "min across 3 interleaved sweeps per sf "
                         "(graft.Bench), exponent vs dominant-table parquet "
                         "row counts; x10 = seeded synthetic blow-up of "
-                        "sf0.1 documents/embeddings (r19 verdict #2)",
+                        "sf0.1 documents/embeddings (r19 verdict #2) + "
+                        "lineitem/orders as 10 disjoint key-shifted copies "
+                        "(r20 verdict #6, rank-family growth pair)",
             "load_warning": warns, "keys": {}}
     for key, (table, claim) in KEYS.items():
         sfs = SFS + ([X10] if key in X10_KEYS else [])
