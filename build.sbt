@@ -28,3 +28,56 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Parallel forked test groups (r21, VERDICT r20 #2): suites used to run
+// sequentially in ONE forked JVM — 847 tests ≈ 16.5 min on an idle box,
+// which outgrew the driver's `sbt test` budget (r20: tests_ok=false, tail
+// cut mid-suite). Suites are bucketed into duration-balanced groups (from
+// the measured per-suite times: OperatorSpec 444 s, ApiSpec 256 s, the
+// rest ~275 s), each forked into its OWN JVM — own SparkSession,
+// in-memory catalog, Derby home and fixed-store namespace
+// (-Dgraft.store.tag, see StoreDir.fixedPath) — and run concurrently.
+// Per-test behavior is unchanged; only the process layout is.
+// Per-test durations in the log (diagnosable driver runs).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val base = (Test / javaOptions).value.toVector
+  val derbyBase = (Test / target).value.getAbsolutePath
+  // Duration-balanced buckets (measured standalone: key-contract halves
+  // ~187 s each, OperatorSpec hand-written pins 194 s, ApiSpec 256 s,
+  // Streaming+Property+WebGraph+Adversarial ~184 s, remainder small).
+  // Balanced against the sums MEASURED UNDER 5-way parallelism (suites
+  // dilate 1.3-3x vs standalone — concurrent fixture-build storms —
+  // so standalone times misbalance): Op 506, Api 448, KCA 414, KCB 538,
+  // Golden 218, Property 150, WebGraph 109, Streaming 106, rest ≤ 30.
+  val bucket = Map(
+    "graft.OperatorSpec" -> "g1", "graft.TextHashSpec" -> "g1",
+    "graft.ApiSpec" -> "g2", "graft.SchemaPinSpec" -> "g2",
+    "graft.ContractSpec" -> "g2", "graft.StoreDirSpec" -> "g2",
+    "graft.AsOfSqlSpec" -> "g2",
+    "graft.KeyContractSpecA" -> "g3", "graft.PlanSpec" -> "g3",
+    "graft.AqeInterplaySpec" -> "g3", "graft.AdversarialSpec" -> "g3",
+    "graft.RewriteSpec" -> "g3", "graft.ExtensionsSpec" -> "g3",
+    "graft.AsOfJoinSpec" -> "g3",
+    "graft.KeyContractSpecB" -> "g4")
+  // everything unlisted (Streaming/Property/WebGraph/Golden/new suites)
+  // lands in g5
+  tests.groupBy(t => bucket.getOrElse(t.name, "g5")).toSeq.sortBy(_._1)
+    .map { case (g, ts) =>
+      Tests.Group(g, ts, Tests.SubProcess(ForkOptions().withRunJVMOptions(
+        base ++ Vector(
+          s"-Dgraft.store.tag=$g",
+          s"-Dderby.system.home=$derbyBase/derby-$g",
+          // Cap what each forked JVM SEES as the machine size: GC
+          // worker counts, ForkJoinPool, netty and parquet pools all
+          // size off availableProcessors(), and five concurrent JVMs
+          // each sized for the whole box thrash each other (measured:
+          // the 3-group layout ran 1.65x slower in parallel than the
+          // pole group alone). local[4] task slots are unaffected.
+          "-XX:ActiveProcessorCount=8"))))
+    }
+}
+// Let the forked groups actually run concurrently (sbt's default caps
+// ForkedTestGroup at 1).
+Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 5))

@@ -99,10 +99,18 @@ private[graft] object StoreDir {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
+    // Optional namespace tag (r21, VERDICT r20 #2): concurrent forked
+    // test JVMs each set -Dgraft.store.tag=<group> so their
+    // rebuild-on-first-touch swaps never make another JVM's reader
+    // observe a store transiently absent. Unset (Verify/Bench/the
+    // driver) the path is byte-identical to the untagged spelling, and
+    // the oracle SQL constants recompute it with this same function in
+    // the same JVM, so store and oracle always agree.
+    val tag = sys.props.get("graft.store.tag").map(t => s"$t-").getOrElse("")
     // basename from the CANONICAL path too (ADVICE r9): a symlink whose
     // leaf name differs from its target's must still land on the one
     // store the oracle constants compute from the literal dir.
-    s"/tmp/$prefix-${new java.io.File(canon).getName}-$h"
+    s"/tmp/$prefix-$tag${new java.io.File(canon).getName}-$h"
   }
 
   /** Build into a process-unique staging dir, then swap it over `dir` —

@@ -214,22 +214,44 @@ object AggOps {
     * unordered. */
   private[graft] def associationRulesOf(baskets: DataFrame,
                                         minPairs: Long): DataFrame = {
-    // r20 wave 2 NEGATIVE RESULT, kept as a warning: pinning a
-    // basket-keyed REPARTITION_BY_NUM exchange (the 6e23a09 widen
-    // pattern) measured WORSE here in both placements — before the
-    // distinct (ships raw rows, loses the map-side partial dedup;
-    // 1.87 → 2.27 s) and after it (extra exchange; → 2.45 s). The
-    // AQE-coalesced narrow join stage is already cheaper than either
-    // re-shuffle, and the r19 plain shape stands (its cache variant was
-    // separately measured worse in cb4889e).
-    val b = baskets.select("basket", "item").distinct()
-    val n = b.select(countDistinct("basket").as("n_baskets"))
-    val item = b.groupBy(col("item").as("pi")).agg(count(lit(1)).as("ni"))
-    val pairs = b.as("x")
-      .join(b.as("y"),
-            col("x.basket") === col("y.basket") &&
-            col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    // r21 (guide §3.3 "explode before a join multiplies the shuffle" /
+    // VERDICT r20 #4 "attack the pair self-join itself"): the pair
+    // expansion no longer self-joins. ONE basket-keyed collect_set
+    // aggregation (the coPurchaseOf shape) collapses each basket to a
+    // sorted distinct-item array — collect_set IS the old
+    // distinct(basket, item), map-side combinable — and the C(k,2)
+    // pairs generate ROW-LOCALLY from the sorted array (a < b ⟺ the
+    // old x.item < y.item on numerically sorted items), so the
+    // SortMergeJoin, its duplicate exchange and both sort passes
+    // disappear. The basket-level frame is cached: all three consumers
+    // (pair explode, item supports, basket count) read the ~|baskets|
+    // rows instead of re-shuffling the corpus (unlike r20's rejected
+    // cache of the corpus-sized distinct frame, this one is
+    // basket-sized). NULL handling is value-identical to the join
+    // shape: a NULL basket groups into one row whose items still feed
+    // the supports (the old distinct deduped them the same way) but is
+    // excluded from pair generation (the old join's NULL key never
+    // matched) and from n_baskets (countDistinct ignored NULL); NULL
+    // items vanish from collect_set, and the old shape's NULL-item
+    // support group could never join back on item_a/item_b anyway.
+    // (r20 wave-2 negative results — REPARTITION_BY_NUM pins before or
+    // after the distinct, and caching the corpus-sized frame — applied
+    // to the SELF-JOIN shape and are moot now; kept in git history.)
+    val sets = graft.GraftCaches.track(
+      baskets.groupBy(col("basket"))
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+        .cache())
+    val n = sets.agg(
+      count(when(col("basket").isNotNull, 1)).as("n_baskets"))
+    val item = sets.select(explode(col("items")).as("pi"))
+      .groupBy("pi").agg(count(lit(1)).as("ni"))
+    val pairs = sets.filter(col("basket").isNotNull)
+      .select(explode(expr(
+        """flatten(transform(items, (a, i) ->
+             transform(slice(items, i + 2, size(items)),
+                       b -> struct(a AS item_a, b AS item_b))))""")).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairs)
     pairs

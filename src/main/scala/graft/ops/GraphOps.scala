@@ -695,6 +695,18 @@ object GraphOps {
       graft.GraftCaches.track(c)
       c
     }
+    // r21 probe, SECOND negative result (VERDICT r20 #7): replacing the
+    // per-half-round driver head() with an IN-PLAN broadcast scalar —
+    // crossJoin(broadcast(hr.agg(max))) over the CACHED half-round
+    // frame, so the fork point is an InMemoryRelation and the max
+    // broadcasts build inside the one terminal action — measured
+    // 3.77 → 6.15 s at sf0.1/32c (clean runs, min of 3 sweeps): the
+    // nested broadcast builds still re-execute the cached-scan chains
+    // per nesting level and cost more than the 6 serialized driver
+    // collects they replace. With BOTH lazy spellings measured worse
+    // (r20: 30-58 s pure-lazy; r21: 6.15 s cached-fork), the
+    // cache+collect shape below IS the floor for a per-half-round
+    // max-normalized fixed-round HITS.
     for (_ <- 1 to iters) {
       val hr = materialize(
         edges.join(bc(auth), col("dst") === col("node"))

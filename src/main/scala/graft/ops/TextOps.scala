@@ -785,10 +785,10 @@ object TextOps {
     // two consumers (doc-top grams + per-lang profiles) — cache the
     // exploded trigram frame once (see llm_perplexity_proxy's note).
     // Cached PARTITIONED BY doc_id (r20, guide §2.4): the whole doc-side
-    // chain — gram counts, the per-doc top-30 window, the post-join
-    // score agg and the best-lang window — clusters by doc_id subsets,
+    // chain — gram counts, the per-doc top-30 aggregate, the post-join
+    // score agg and the best-lang pick — clusters by doc_id subsets,
     // so one pinned exchange at the cache replaces four downstream
-    // exchanges+sorts of comparable size (HashPartitioning(doc_id)
+    // exchanges of comparable size (HashPartitioning(doc_id)
     // satisfies every ClusteredDistribution whose keys include doc_id).
     val sp = docsIn.sparkSession
     val grams = graft.GraftCaches.track(docs.select(col("doc_id"), col("lang"),
@@ -796,19 +796,36 @@ object TextOps {
         "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")).as("g"))
       .repartition(sp.sparkContext.defaultParallelism, col("doc_id"))
       .cache())
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g").asc)
+    // r21 (VERDICT r20 #5, guide §2.4): all three row_number windows are
+    // FUSED into aggregations, removing their full-frame sorts. Top-30
+    // per doc and top-50 per lang become a second-level
+    // slice(array_sort(collect_list(struct(-cnt, g))), 1, k) aggregate —
+    // struct order (-cnt asc, g asc) IS the windows' (cnt desc, g asc),
+    // and the slice keeps exactly the row_number() ≤ k prefix (ties
+    // break identically; both orderings are total since g is unique
+    // within a group). The best-lang top-1 window becomes
+    // min_by(plang, (-score, plang)) — same total order, one winner per
+    // doc (lang is functionally dependent on doc_id, so grouping by
+    // (doc_id, lang) = by doc_id). The doc-side chain stays pinned on
+    // the cache's doc_id partitioning end to end (gram counts → top-30
+    // agg → score agg → min_by: ZERO exchanges, and now zero sorts);
+    // the lang-side profile pays one extra tiny exchange on plang in
+    // place of its window's exchange+sort.
+    def topKGrams(k: Int) = expr(
+      s"""transform(slice(array_sort(collect_list(
+            named_struct('nc', -cnt, 'gg', g))), 1, $k), x -> x.gg)""")
     val docTop = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(wDoc)).filter(col("rk") <= 30)
-      .select(col("doc_id"), col("lang"), col("g"))
-    val wLang = Window.partitionBy("plang").orderBy(col("cnt").desc, col("g").asc)
+      .groupBy("doc_id", "lang").agg(topKGrams(30).as("gs"))
+      .select(col("doc_id"), col("lang"), explode(col("gs")).as("g"))
     val profile = grams.groupBy(col("lang").as("plang"), col("g"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(wLang)).filter(col("rk") <= 50)
-      .select(col("plang"), col("g"))
-    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)
+      .groupBy("plang").agg(topKGrams(50).as("gs"))
+      .select(col("plang"), explode(col("gs")).as("g"))
     docTop.join(broadcast(profile), "g")
       .groupBy("doc_id", "lang", "plang").agg(count(lit(1)).as("score"))
-      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .groupBy("doc_id", "lang")
+      .agg(min_by(col("plang"),
+        struct((-col("score")).as("ns"), col("plang").as("p"))).as("plang"))
       .groupBy(col("lang"), col("plang").as("predicted"))
       .agg(count(lit(1)).as("n"))
   }

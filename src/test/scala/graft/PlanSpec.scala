@@ -907,11 +907,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("agg_association_rules: pair self-join shuffles on the basket key, not pairs") {
-    // the expansion join must be an equi-join on l_orderkey (SortMerge or
-    // ShuffledHash both fine) — pairs materialize only inside baskets
+  test("agg_association_rules: pairs generate row-locally from basket arrays, no self-join") {
+    // r21: the pair expansion is a basket-keyed collect_set aggregate +
+    // row-local C(k,2) explode (Generate) — no join of any kind feeds the
+    // pair counts; the only joins left are the broadcast support joins.
     val p = plan("agg_association_rules")
-    assert(p.contains("l_orderkey"), p.take(2000))
+    assert(p.contains("collect_set"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
