@@ -73,7 +73,13 @@ object JoinOps {
     val e = Tables.events(s, d)
     val purch = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val sign = e.filter(col("event_type") === "signup")
+    // NULL-key signups filtered per AsOfJoin's documented contract (the
+    // merge groups NULL keys like groupBy; SQL equality — and the DuckDB
+    // oracle — never matches them). Left NULL-key purchases then match
+    // nothing: dropped when inner, null-filled when outer — SQL
+    // semantics. No-op on clean data (r21 fuzz: NULL user_id rows).
+    val sign = e.filter(col("event_type") === "signup" &&
+                        col("user_id").isNotNull)
       .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
     graft.plans.AsOfJoin.frame(purch, sign,
         Seq("user_id"), Seq("s_user_id"), "ts", "s_ts", outer, forward)
@@ -245,7 +251,10 @@ object JoinOps {
     // One shuffle on user_id, one ordered pass — scales linearly.
     "join_asof" -> ((s, d) => {
       val e = Tables.events(s, d)
-      val sign = e.filter(col("event_type") === "signup")
+      // NULL-user signups provide no carry (SQL equality semantics, see
+      // asofEventsKey's note); NULL-user purchases then carry NULL.
+      val sign = e.filter(col("event_type") === "signup" &&
+                          col("user_id").isNotNull)
         .select(col("user_id"), col("ts"), lit(0).as("side"), lit(null).cast("long").as("p_id"))
       val purch = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id").as("p_id"))
@@ -270,7 +279,10 @@ object JoinOps {
     // after the carry — never a second join.
     "join_asof_tolerance" -> ((s, d) => {
       val e = Tables.events(s, d)
-      val sign = e.filter(col("event_type") === "signup")
+      // NULL-user signups provide no carry (SQL equality semantics, see
+      // asofEventsKey's note); NULL-user purchases then carry NULL.
+      val sign = e.filter(col("event_type") === "signup" &&
+                          col("user_id").isNotNull)
         .select(col("user_id"), col("ts"), lit(0).as("side"), lit(null).cast("long").as("p_id"))
       val purch = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id").as("p_id"))

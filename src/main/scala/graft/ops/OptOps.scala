@@ -835,7 +835,9 @@ object OptOps {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_totalprice > 450000.0
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      -- NULLS FIRST = Spark's ASC default (r21 fuzz: fuzzed NULL
+      -- o_orderpriority group must sort identically in both engines)
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     // Exact rewrite ⇒ the honest all-pairs predicate (same as llm_simhash).
     "opt_hamming_rewrite" -> """

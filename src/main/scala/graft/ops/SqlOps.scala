@@ -1256,7 +1256,8 @@ object SqlOps {
       FROM orders
       WHERE o_totalprice > 350000.0
       GROUP BY 1
-      ORDER BY 1""",
+      -- NULLS FIRST = Spark's ASC default (r21 fuzz, NULL priority group)
+      ORDER BY 1 NULLS FIRST""",
 
     // Same page over the same total order.
     "sql_limit_offset" -> """
@@ -1319,7 +1320,8 @@ object SqlOps {
       FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
       WHERE o_totalprice > 300000
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      -- NULLS FIRST = Spark's ASC default (r21 fuzz, NULL priority group)
+      ORDER BY o_orderpriority NULLS FIRST""",
 
     // Parameter binding is Spark-side plumbing — the oracle inlines the
     // bound literals.

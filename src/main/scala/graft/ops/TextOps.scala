@@ -343,7 +343,7 @@ object TextOps {
       SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS tokens_per_word
-      FROM j GROUP BY lang ORDER BY lang"""
+      FROM j GROUP BY lang ORDER BY lang NULLS FIRST"""
 
   /** Candidate pairs collected per training round; the applied batch is
     * the maximal PROVABLY-sequential-equivalent prefix of them (≤ K). */
@@ -1839,7 +1839,7 @@ object TextOps {
       SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS tokens_per_word
-      FROM j GROUP BY lang ORDER BY lang""",
+      FROM j GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     // PRECONDITION (pinned by OperatorSpec's "corpus is BMP-only" test,
     // VERDICT r8 #7): this gate assumes no supplementary-plane codepoints
@@ -1868,7 +1868,7 @@ object TextOps {
              round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS tokens_per_word,
              round(CAST(sum(octet_length(encode(word))) AS DOUBLE) / sum(n_tok), 4)
                AS bytes_per_token
-      FROM j GROUP BY lang ORDER BY lang""",
+      FROM j GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "llm_perplexity_proxy" -> """
       WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
@@ -2059,12 +2059,12 @@ object TextOps {
         GROUP BY 1, 2, 3),
       best AS (
         SELECT doc_id, lang, plang,
-               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang NULLS FIRST) AS rn
         FROM scored)
       SELECT lang, plang AS predicted, count(*) AS n
       FROM best WHERE rn = 1
       GROUP BY 1, 2
-      ORDER BY lang, predicted""",
+      ORDER BY lang NULLS FIRST, predicted NULLS FIRST""",
 
     // Same trigram-confusion chain as llm_langid, then the scorecard
     // rollup: kappa from exact integer marginals, macro-F1 folded over
@@ -2094,7 +2094,7 @@ object TextOps {
         GROUP BY 1, 2, 3),
       best AS (
         SELECT doc_id, lang, plang,
-               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang NULLS FIRST) AS rn
         FROM scored),
       conf AS (
         SELECT lang, plang AS predicted, CAST(count(*) AS BIGINT) AS n
@@ -2117,7 +2117,7 @@ object TextOps {
                CAST(count(*) AS INTEGER) AS n_classes,
                CAST(sum(rm * cm) AS BIGINT) AS pe_num,
                list(struct_pack(lang := lang, tp := tp, rm := rm, cm := cm)
-                    ORDER BY lang) AS cl
+                    ORDER BY lang NULLS FIRST) AS cl
         FROM cls)
       SELECT n_docs, n_correct, n_classes,
              round(CAST(n_correct AS DOUBLE) / n_docs, 4) AS accuracy,
@@ -2446,7 +2446,7 @@ object TextOps {
              CAST(sum(n_chars) AS BIGINT) AS n_chars
       FROM s
       GROUP BY 1, 2
-      ORDER BY split, lang""",
+      ORDER BY split, lang NULLS FIRST""",
 
     "llm_chunk_overlap" -> s"""
       WITH d AS (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.types.StructType
 
 /** SQL-text front end for the native as-of join (SURVEY §7.3c — VERDICT r7
@@ -269,7 +269,15 @@ private[graft] object AsOfSqlRewrite {
     val (lTs, rTs, forward) = ts.getOrElse(
       fail("ASOF JOIN needs one inclusive ts inequality in ON (e.g. l.ts >= r.ts)"))
 
-    val node = AsOfJoin(lPlan, rPlan, leftKeys, rightKeys, lTs, rTs, outer, forward)
+    // The ON by-keys were written as SQL EQUALITIES, so a NULL right key
+    // can never satisfy them — but the physical merge groups NULL keys
+    // together (sort-order equality, see AsOfJoin's scaladoc). Filter
+    // NULL-key right rows here to honor the equality the user wrote:
+    // left NULL-key rows then match nothing (inner drops them, outer
+    // null-fills), exactly SQL semantics (r21 fuzz: fuzzed NULL user_id
+    // rows matched each other and diverged from the DuckDB oracle).
+    val rFiltered = Filter(rightKeys.map(IsNotNull).reduce[Expression](And(_, _)), rPlan)
+    val node = AsOfJoin(lPlan, rFiltered, leftKeys, rightKeys, lTs, rTs, outer, forward)
     GraftRules.install(session) // strategy for sessions without extensions
 
     // Delegate-parse the statement with the join clause replaced by a

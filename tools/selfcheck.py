@@ -39,11 +39,16 @@ def compare(name, spark_df, duck_df):
         try:
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 # BYTE-exact, like the driver's hash: -0.0 != +0.0 (the r14
-                # fn_round_modes miss — numeric == hides signed zero). NaN is
-                # handled via bit-pattern equality; pandas emits the canonical
-                # quiet NaN on both sides.
-                an = av.astype('float64').to_numpy()
-                bn = bv.astype('float64').to_numpy()
+                # fn_round_modes miss — numeric == hides signed zero). NaN
+                # payloads are CANONICALIZED first (r21 fuzz: a Spark sum
+                # over injected ±Inf yields a NaN whose parquet bit pattern
+                # differs from DuckDB's quiet NaN — same value, different
+                # bits; IEEE 754 does not make payloads observable and
+                # neither engine's comparison/ORDER BY distinguishes them).
+                an = av.astype('float64').to_numpy().copy()
+                bn = bv.astype('float64').to_numpy().copy()
+                an[np.isnan(an)] = np.float64('nan')
+                bn[np.isnan(bn)] = np.float64('nan')
                 ok = an.tobytes() == bn.tobytes()
             else:
                 ok = av.astype(object).where(pd.notna(av), None).equals(
@@ -55,8 +60,10 @@ def compare(name, spark_df, duck_df):
             # non-comparable dtype pairs (e.g. Timestamp vs float)
             try:
                 if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
-                    an = av.astype('float64').to_numpy()
-                    bn = bv.astype('float64').to_numpy()
+                    an = av.astype('float64').to_numpy().copy()
+                    bn = bv.astype('float64').to_numpy().copy()
+                    an[np.isnan(an)] = np.float64('nan')
+                    bn[np.isnan(bn)] = np.float64('nan')
                     neq = an.view('int64') != bn.view('int64')
                     idx = np.nonzero(neq)[0][:3]
                     detail = "; ".join(
