@@ -412,27 +412,47 @@ object WebOps {
     * mutual information: pmi(a,b) = ln(N·c_ab / (c_a·c_b)) over PRESENCE
     * counts (docs containing the term) — the query-expansion /
     * collocation-mining primitive. One corpus shuffle (the distinct
-    * (doc, term) presence pairs, cached across its three consumers);
-    * everything downstream is vocabulary- or 1-row-sized and joins under
-    * AQE's size rules (the anchor posting is NOT force-broadcast — for a
-    * stopword-grade anchor it is corpus-sized). The noise floor
-    * (c_ab ≥ minCooc) keeps rare-pair PMI spikes out of the top-k. */
+    * (doc, term) presence pairs, doc_id-PINNED and cached), then a single
+    * vocab-sized aggregation computes c_b and c_ab TOGETHER off an
+    * anchor-flag left join (the anchor posting is NOT force-broadcast —
+    * for a stopword-grade anchor it is corpus-sized; AQE sizes it). The
+    * r21 fold: the naive four-consumer spelling (separate c_b, c_ab, c_a,
+    * N aggregations) paid 6 exchanges and aggregated c_b twice; folding
+    * c_ab into c_b's pass and c_a into N's pass is count-identical —
+    * pairs are distinct, so count(term = anchor) = c_a, and the inner
+    * anchor join ⟺ the flag being non-null (anchor doc_ids are unique
+    * within the distinct pair frame, so the left join has multiplicity
+    * 1 and invents no rows; NULL doc_ids match nothing in BOTH
+    * spellings). Terms only in non-anchor docs have cooc = 0 and anchor
+    * itself is excluded explicitly — max(minCooc, 1) reproduces the old
+    * inner join's cooc ≥ 1 floor exactly. The doc_id pin (array_distinct
+    * dedups within the row BEFORE the exchange; the cross-row
+    * dropDuplicates keeps the old NULL/duplicate-id merge semantics)
+    * lets the N-distinct pass and the flag join run exchange-free. The
+    * noise floor (c_ab ≥ minCooc) keeps rare-pair PMI spikes out of the
+    * top-k. */
   private[graft] def pmiTerms(docs: DataFrame, idCol: String, textCol: String,
                               anchor: String, minCooc: Long, topK: Int): DataFrame = {
     val p = docs
       .select(col(idCol).as("doc_id"),
-              explode(split(col(textCol), " ")).as("term"))
-      .distinct().cache()
+              explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .repartition(col("doc_id"))
+      .dropDuplicates("doc_id", "term")
+      .cache()
     graft.GraftCaches.track(p)
-    val nDocs = p.agg(countDistinct("doc_id").as("n"))
-    val cb = p.groupBy("term").agg(count(lit(1)).as("cb"))
-    val anchors = p.filter(col("term") === anchor).select("doc_id")
-    val cab = p.join(anchors, "doc_id").filter(col("term") =!= anchor)
-      .groupBy("term").agg(count(lit(1)).as("cooc"))
-    val caF = cb.filter(col("term") === anchor).select(col("cb").as("ca"))
-    cab.join(cb, "term")
-      .crossJoin(broadcast(caF)).crossJoin(broadcast(nDocs))
-      .filter(col("cooc") >= minCooc)
+    // N and c_a in ONE corpus pass: pairs are distinct, so the rows with
+    // term = anchor are exactly the docs containing the anchor.
+    val scalars = p.agg(countDistinct("doc_id").as("n"),
+                        count(when(col("term") === anchor, 1)).as("ca"))
+    val anchors = p.filter(col("term") === anchor)
+      .select(col("doc_id"), lit(1).as("amark"))
+    p.join(anchors, Seq("doc_id"), "left")
+      .groupBy("term")
+      .agg(count(lit(1)).as("cb"),
+           count(when(col("amark").isNotNull && col("term") =!= anchor, 1))
+             .as("cooc"))
+      .filter(col("term") =!= anchor && col("cooc") >= math.max(minCooc, 1L))
+      .crossJoin(broadcast(scalars))
       .select(col("term"),
               round(log(col("cooc") * col("n") / (col("ca") * col("cb"))), 4).as("pmi"),
               col("cooc"))

@@ -918,6 +918,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("llm_pmi_terms: one term-grouped aggregate computes cb and cooc together") {
+    // r21 fold: c_b and c_ab come out of a SINGLE groupBy(term) pass over
+    // an anchor-flag LEFT join (the naive spelling aggregated the vocab
+    // three times — cab, cb, and cb-again for c_a). Two HashAggregate
+    // occurrences = one partial/final pair; a second term-grouped
+    // aggregation would show as four.
+    val p = plan("llm_pmi_terms")
+    assert(p.contains("LeftOuter"), p.take(2000))
+    val termAggs = "keys=\\[term#".r.findAllIn(p).length
+    assert(termAggs <= 2,
+      s"vocab aggregated ${termAggs / 2} times — the cb/cooc fold regressed:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("win_seasonal_decompose: seasonal frame joins back broadcast") {
     assert(plan("win_seasonal_decompose").contains("BroadcastHashJoin"))
   }
