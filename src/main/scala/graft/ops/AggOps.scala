@@ -2474,7 +2474,10 @@ object AggOps {
         SELECT o_orderpriority,
                CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
                CAST(row_number() OVER (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS i
+                 -- NULLS FIRST matches Spark's asc default (r21 fuzz):
+                 -- NULL-price rows shift every real row's rank i, so the
+                 -- two engines must rank them on the same side
+                 ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC) AS BIGINT) AS i
         FROM orders
         WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))),
       m AS (
@@ -2722,8 +2725,14 @@ object AggOps {
     // Exact distinct-count algebra the theta estimates must reproduce
     // (exact-below-capacity precondition; see the key).
     "agg_theta_setops" -> """
-      WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
-      e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      -- user_id IS NOT NULL mirrors theta_sketch_agg's aggregate-input
+      -- NULL skip (r21 fuzz: count(*) over DISTINCT counted a fuzzed
+      -- NULL user as one extra distinct; NOT IN with a NULL rhs would
+      -- also empty n_signup_only)
+      WITH s AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'signup' AND user_id IS NOT NULL),
+      e AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND user_id IS NOT NULL)
       SELECT (SELECT count(*) FROM s) AS n_signup,
              (SELECT count(*) FROM e) AS n_error,
              (SELECT count(*) FROM (SELECT user_id FROM s UNION SELECT user_id FROM e)) AS n_union,

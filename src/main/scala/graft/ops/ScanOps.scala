@@ -1511,7 +1511,12 @@ object ScanOps {
                CAST(COALESCE(gt.g, 0) AS BIGINT) AS g
         FROM grp
         CROSS JOIN (SELECT UNNEST(range(0, 5)) AS band) bands
-        LEFT JOIN c ON c.nk = grp.nk AND c.seg = grp.seg
+        -- IS NOT DISTINCT FROM: grp/c group on the QI columns, where a
+        -- NULL segment IS a group (GROUP BY semantics) — plain equality
+        -- here zeroed a fuzzed NULL-seg group's band counts while the
+        -- Spark side's groupBy kept them (r21 fuzz)
+        LEFT JOIN c ON c.nk IS NOT DISTINCT FROM grp.nk
+                   AND c.seg IS NOT DISTINCT FROM grp.seg
                    AND c.band = bands.band
         LEFT JOIN gt ON gt.band = bands.band),
       cum AS (

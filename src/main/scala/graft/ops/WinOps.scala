@@ -1023,7 +1023,9 @@ object WinOps {
                              / sqrt((n_pairs * sxx - sx * sx)
                                     * (n_pairs * syy - sy * sy)), 4)
              END AS acf
-      FROM m ORDER BY event_type, lag""",
+      -- NULLS FIRST matches the Spark side's orderBy default (r21 fuzz:
+      -- a fuzzed NULL event_type group sorted last here, first there)
+      FROM m ORDER BY event_type NULLS FIRST, lag""",
 
     // Same lag-window sign sequence; R/n1/n2 exact ints, z the same
     // fixed-order double chain, verdict on the rounded z.

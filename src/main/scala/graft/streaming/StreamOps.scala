@@ -1605,11 +1605,18 @@ object StreamOps {
 
     // NULLS FIRST matches Spark's asc_nulls_first default — the gate
     // compares rows in produced order, so null placement must agree.
+    // p-side `user_id IS NOT NULL` mirrors the streaming symmetric-hash
+    // join's engine behavior (r21 fuzz): it keys state by the equi-key,
+    // so a NULL-key purchase never enters the state store and is NOT
+    // null-filled at eviction — the operator contract is "NULL-key rows
+    // are excluded", exactly the as-of family's documented convention
+    // (callers with nullable keys filter first).
     "stream_stream_outer" -> s"""
       ${eventsGuardCteSql}
       SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
              s.event_id AS s_id, s.ts AS s_ts
-      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      FROM (SELECT * FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         ON p.user_id = s.user_id
        AND s.ts <= p.ts
